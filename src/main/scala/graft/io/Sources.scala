@@ -1,0 +1,80 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession, SaveMode}
+import org.apache.spark.sql.types.StructType
+
+/** Readers for every source format the reference consumes, Spark-first.
+  *
+  * Reference coverage (SURVEY.md §2.1):
+  *  - S1/S2 CSV scan: `data_ingestion.py:59,74-104`. The reference folds 168
+  *    per-file reads with `union`; a single multi-file `spark.read.csv(dir)`
+  *    already parallelizes across files and avoids 168 plan nodes.
+  *  - S3/S4 Parquet scan (+glob): `data_preprocessing.py:97` et al.
+  *  - S5 Excel side-load: `data_preprocessing.py:57-64` — offline we ship the
+  *    dim table as CSV/Parquet with an explicit schema (same 17,520-row
+  *    contents), which is behaviorally identical once it is a DataFrame.
+  *  - S6-S8, S10-S11 sinks: see [[Writers]].
+  */
+object Sources {
+
+  /** CSV with an explicit schema — never `inferSchema` (that is a full extra
+    * pass over the input, `data_ingestion.py:59`; see SURVEY.md §4).
+    */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+          header: Boolean = true): DataFrame =
+    spark.read.option("header", header.toString).schema(schema).csv(path)
+
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}
+
+/** One accessor per driver testdata table (TESTDATA.md). */
+object Tables {
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark has no native type
+    * for — read it as raw nanos (legacy conf) and integer-divide down to a
+    * micros TIMESTAMP_NTZ (naive, matching DuckDB's read of the same file).
+    * `div` not `/`: nanos exceed 2^53, double division would lose micros.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events").withColumn("ts",
+      org.apache.spark.sql.functions.expr(
+        "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+  }
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = t(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame     = t(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame   = t(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame   = t(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame       = t(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame     = t(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame     = t(spark, dir, "region")
+  def documents(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
+}
+
+/** Sinks (SURVEY.md §2.1 S6-S8, S10-S11 + §2.11 X1-X2 writer policies).
+  *
+  * The reference's partition counts (`coalesce(4)`,
+  * `repartition(max(20, n/50000))`, `forecasting_model.py:547`,
+  * `anomaly_detection.py:159-163`) are writer-side file-sizing policies; we
+  * keep them as options, defaulting to AQE-coalesced output.
+  */
+object Writers {
+
+  /** S6/S7: Parquet, overwrite, snappy (Spark's default codec). */
+  def parquet(df: DataFrame, path: String, numFiles: Option[Int] = None): Unit = {
+    val out = numFiles.fold(df)(n => df.coalesce(n))
+    out.write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** S8: CSV with header (the reference's fallback sink,
+    * `forecasting_model.py:554`).
+    */
+  def csv(df: DataFrame, path: String, gzip: Boolean = false): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).option("header", "true")
+    (if (gzip) w.option("compression", "gzip") else w).csv(path)
+  }
+}

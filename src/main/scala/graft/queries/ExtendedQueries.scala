@@ -1,0 +1,488 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.etl.Aggregate
+import graft.feat.Windows
+import graft.io.Tables
+import Parity._
+
+/** Second ring of the §2 inventory: row transforms (P2-P14), derived
+  * features (F5-F8), the W5-at-scale group-stats path, multi-key joins,
+  * set ops, KPIs, correlations, and multi-table join pipelines.
+  */
+object ExtendedQueries {
+
+  /** Known event_type domain of the testdata (bounded, like the
+    * reference's ≤3 tariff labels — SURVEY.md §7.4.8).
+    */
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // P2+P3+string fn: JSON-ish regexp extract, zero-sentinel → NULL, cast
+    // (data_preprocessing.py:132-137 pattern on a different sentinel)
+    "q_sentinel_cast" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).as("k_str"))
+        .select(col("event_id"),
+          when(col("k_str") === "0", lit(null)).otherwise(col("k_str"))
+            .cast("long").as("k"))
+        .orderBy(col("event_id"))),
+
+    // F6-F8: derived arithmetic features over lag/rolling
+    // (feature_engineering.py:174-191)
+    "q_derived_features" -> ((s, dir) => {
+      val base = Windows.addRolling(
+        Windows.addLags(daily(s, dir), "user_id", "date", "daily_value",
+          lags = Seq(1)),
+        "user_id", "date", "daily_value")
+      Windows.addDerived(base, "daily_value")
+        .select(col("user_id"), col("date"), col("daily_value"),
+          col("energy_change"),
+          ground(col("energy_change_pct"), 4).as("energy_change_pct"),
+          ground(col("deviation_from_avg_7d"), 4).as("deviation_from_avg_7d"),
+          ground(col("deviation_from_avg_30d"), 4).as("deviation_from_avg_30d"),
+          ground(col("z_score_7d"), 4).as("z_score_7d"))
+        .orderBy(col("user_id"), col("date"))
+    }),
+
+    // J2+P14+F7: composite-key left join + fillna + try_divide
+    // (anomaly_detection.py:85-86, merge_csv_for_mongodb.py:119-127)
+    "q_purchase_share" -> ((s, dir) => {
+      val all = daily(s, dir)
+      val pur = eventsT(s, dir).filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("date"))
+        .agg(dsum(col("value")).as("purchase_value"),
+          count(lit(1)).as("n_purchases"))
+      Aggregate.keyJoin(all, pur, Seq("user_id", "date"))
+        .select(col("user_id"), col("date"), col("daily_value"),
+          coalesce(col("purchase_value"), lit(0.0)).as("purchase_value"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+          ground(coalesce(col("purchase_value"), lit(0.0)) / col("daily_value"), 4)
+            .as("purchase_share"))
+        .orderBy(col("user_id"), col("date"))
+    }),
+
+    // W5 scale path + P7: per-user stats via groupBy+broadcast-join-back,
+    // z-score, anomaly flag (anomaly_detection.py:132-143)
+    "q_group_zscore" -> ((s, dir) => {
+      val d = daily(s, dir)
+      val z = Windows.addGroupStats(d, "user_id", "daily_value")
+        .withColumn("z_score",
+          ground((col("daily_value") - col("group_mean")) /
+            when(col("group_std") > 0, col("group_std")).otherwise(lit(1)), 4))
+      z.select(col("user_id"), col("date"), col("daily_value"),
+          ground(col("group_mean"), 4).as("group_mean"),
+          ground(col("group_std"), 4).as("group_std"),
+          col("z_score"),
+          (col("z_score") > 2).cast("long").as("is_anomaly"))
+        .orderBy(col("user_id"), col("date"))
+    }),
+
+    // A7: monthly anomaly *rate* = mean of 0/1 flag
+    // (streamlit_app.py:633-635)
+    "q_anomaly_monthly_rate" -> ((s, dir) => {
+      val d = daily(s, dir)
+      val z = Windows.addGroupStats(d, "user_id", "daily_value")
+        .withColumn("z_score",
+          ground((col("daily_value") - col("group_mean")) /
+            when(col("group_std") > 0, col("group_std")).otherwise(lit(1)), 4))
+        .withColumn("is_anomaly", (col("z_score") > 2).cast("long"))
+      z.groupBy(date_trunc("month", col("date")).cast("date").as("month_start"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("is_anomaly")).as("n_anomalies"))
+        .withColumn("anomaly_rate",
+          ground(col("n_anomalies") / col("n_days"), 4))
+        .orderBy(col("month_start"))
+    }),
+
+    // A6: weekday consumption profile (streamlit_app.py:611)
+    "q_weekday_profile" -> ((s, dir) =>
+      daily(s, dir)
+        .withColumn("weekday", date_format(col("date"), "E"))
+        .groupBy(col("weekday"))
+        .agg(dsum(col("daily_value")).as("total_value"),
+          count(lit(1)).as("n_days"))
+        .withColumn("mean_daily_value",
+          ground(col("total_value") / col("n_days"), 4))
+        .orderBy(col("weekday"))),
+
+    // A7: monthly trend (streamlit_app.py:504-507)
+    "q_monthly_trend" -> ((s, dir) =>
+      daily(s, dir)
+        .groupBy(date_trunc("month", col("date")).cast("date").as("month_start"))
+        .agg(dsum(col("daily_value")).as("total_value"),
+          count(lit(1)).as("n_days"))
+        .withColumn("mean_daily_value",
+          ground(col("total_value") / col("n_days"), 4))
+        .orderBy(col("month_start"))),
+
+    // A11: per-group profile (cluster-profile analog, streamlit_app.py:694)
+    "q_event_type_profile" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(dsum(col("value")).as("total_value"),
+          count(lit(1)).as("n"),
+          ground(stddev(col("value")), 4).as("value_std"))
+        .withColumn("value_mean", ground(col("total_value") / col("n"), 4))
+        .orderBy(col("event_type"))),
+
+    // A3+A4+A5: global KPI card (streamlit_app.py:191,236-247)
+    "q_kpis" -> ((s, dir) =>
+      Tables.events(s, dir).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsum(col("value")).as("total_value"),
+        max(col("value")).as("max_value"),
+        min(col("value")).as("min_value"),
+        ground(stddev(col("value")), 4).as("std_value"),
+        min(to_date(col("ts"))).as("min_date"),
+        max(to_date(col("ts"))).as("max_date"))),
+
+    // A10: Pearson correlations in one pass (streamlit_app.py:542-555)
+    "q_corr" -> ((s, dir) =>
+      Tables.lineitem(s, dir).agg(
+        ground(corr(col("l_quantity"), col("l_extendedprice")), 6)
+          .as("corr_qty_price"),
+        ground(corr(col("l_discount"), col("l_tax")), 6)
+          .as("corr_disc_tax"),
+        ground(corr(col("l_quantity"), col("l_discount")), 6)
+          .as("corr_qty_disc"))),
+
+    // P11: one-hot via bounded distinct-collect (feature_engineering.py:162-168)
+    "q_onehot_events" -> ((s, dir) => {
+      val withFlags = Windows.addOneHot(eventsT(s, dir), "event_type", "et")
+      val aggs = EventTypes.map(t =>
+        max(col(s"et_$t")).cast("long").as(s"et_$t"))
+      withFlags.groupBy(col("user_id"), col("date"))
+        .agg(aggs.head, aggs.tail: _*)
+        .orderBy(col("user_id"), col("date"))
+    }),
+
+    // O4: duplicate-preserving union of two disjoint slices
+    // (data_ingestion.py:101-103)
+    "q_union_halves" -> ((s, dir) => {
+      val ev = eventsT(s, dir)
+      val h1 = ev.filter(col("date") < lit("2024-01-15"))
+      val h2 = ev.filter(col("date") >= lit("2024-01-15"))
+      h1.union(h2)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // O3: deterministic ordered limit (convert_to_csv.py:69)
+    "q_ordered_limit" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id")).limit(100)),
+
+    // P5+P6+P7+P8: stacked filters (date range, IN-list, inequality, not-null)
+    "q_filtered_agg" -> ((s, dir) =>
+      eventsT(s, dir)
+        .filter(col("user_id").isin(1L, 3L, 5L, 7L, 9L, 11L))
+        .filter(col("date") < lit("2024-01-20"))
+        .filter(col("event_type") =!= "error")
+        .filter(col("props").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .orderBy(col("user_id"))),
+
+    // Multi-table join pipeline: lineitem⋈orders⋈customer⋈nation⋈region
+    // (beyond the reference's 2-table max — J-row extension, Catalyst join
+    // reorder + broadcast of all dims)
+    "q_revenue_by_nation" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // left_semi / left_anti joins (O-row extension; EXISTS / NOT EXISTS)
+    "q_semi_anti" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val n = Tables.nation(s, dir)
+      val active = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_active"))
+      val inactive = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_inactive"))
+      broadcast(n)
+        .join(active, col("n_nationkey") === active("c_nationkey"), "left")
+        .drop("c_nationkey")
+        .join(inactive, col("n_nationkey") === inactive("c_nationkey"), "left")
+        .select(col("n_name"),
+          coalesce(col("n_active"), lit(0L)).as("n_active"),
+          coalesce(col("n_inactive"), lit(0L)).as("n_inactive"))
+        .orderBy(col("n_name"))
+    }),
+
+    // F5: cyclical encodings with the reference's truncated π
+    // (feature_engineering.py:142-148)
+    "q_cyclical" -> ((s, dir) =>
+      Windows.addCyclical(
+          eventsT(s, dir).select(col("date"), col("month"), col("day")).distinct())
+        .select(col("date"),
+          ground(col("month_sin"), 6).as("month_sin"),
+          ground(col("month_cos"), 6).as("month_cos"),
+          ground(col("day_sin"), 6).as("day_sin"),
+          ground(col("day_cos"), 6).as("day_cos"))
+        .orderBy(col("date"))),
+
+    // P10: season flags + the three weekend-definition variants
+    // (feature_engineering.py:126-138 / forecasting_model.py:108 /
+    //  anomaly_detection.py:94)
+    "q_calendar_flags" -> ((s, dir) =>
+      Windows.addSeasons(
+          eventsT(s, dir)
+            .select(col("date"), col("month"), col("weekday"), col("day_of_week"))
+            .distinct())
+        .select(col("date"), col("weekday"),
+          Windows.Weekend.byName(col("weekday")).cast("long").as("weekend_by_name"),
+          Windows.Weekend.byDayOfWeek(col("day_of_week")).cast("long")
+            .as("weekend_by_dow"),
+          Windows.Weekend.byGte6(col("day_of_week")).cast("long")
+            .as("weekend_fri_sat"),
+          col("is_summer").cast("long").as("is_summer"),
+          col("is_winter").cast("long").as("is_winter"),
+          col("is_spring").cast("long").as("is_spring"),
+          col("is_fall").cast("long").as("is_fall"))
+        .orderBy(col("date")))
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "q_sentinel_cast" ->
+      """SELECT event_id,
+        |  CAST(CASE WHEN regexp_extract(props, '"k": (\d+)', 1) = '0' THEN NULL
+        |       ELSE regexp_extract(props, '"k": (\d+)', 1) END AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_derived_features" ->
+      s"""$dailySql, feat AS (
+         |  SELECT user_id, "date", daily_value,
+         |    lag(daily_value, 1) OVER w AS lag_1_day,
+         |    avg(daily_value) OVER w7 AS rolling_avg_7d,
+         |    stddev(daily_value) OVER w7 AS rolling_std_7d,
+         |    avg(daily_value) OVER w30 AS rolling_avg_30d
+         |  FROM daily
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY "date"),
+         |    w7 AS (PARTITION BY user_id ORDER BY "date"
+         |           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING),
+         |    w30 AS (PARTITION BY user_id ORDER BY "date"
+         |            ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING)
+         |)
+         |SELECT user_id, "date", daily_value,
+         |  daily_value - lag_1_day AS energy_change,
+         |  round((daily_value - lag_1_day) / NULLIF(lag_1_day, 0) + 1e-9, 4)
+         |    AS energy_change_pct,
+         |  round(daily_value - rolling_avg_7d + 1e-9, 4) AS deviation_from_avg_7d,
+         |  round(daily_value - rolling_avg_30d + 1e-9, 4) AS deviation_from_avg_30d,
+         |  round((daily_value - rolling_avg_7d) /
+         |        (CASE WHEN rolling_std_7d > 0 THEN rolling_std_7d ELSE 1 END)
+         |        + 1e-9, 4) AS z_score_7d
+         |FROM feat ORDER BY user_id, "date"""".stripMargin,
+
+    "q_purchase_share" ->
+      s"""$dailySql, pur AS (
+         |  SELECT user_id, CAST(ts AS DATE) AS "date",
+         |         ${sqlDsum("value")} AS purchase_value,
+         |         count(*) AS n_purchases
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+         |)
+         |SELECT d.user_id, d."date", d.daily_value,
+         |  coalesce(p.purchase_value, 0) AS purchase_value,
+         |  coalesce(p.n_purchases, 0) AS n_purchases,
+         |  round(coalesce(p.purchase_value, 0) / d.daily_value + 1e-9, 4)
+         |    AS purchase_share
+         |FROM daily d LEFT JOIN pur p
+         |  ON d.user_id = p.user_id AND d."date" = p."date"
+         |ORDER BY d.user_id, d."date"""".stripMargin,
+
+    "q_group_zscore" ->
+      s"""$dailySql, stats AS (
+         |  SELECT user_id, avg(daily_value) AS group_mean,
+         |         stddev(daily_value) AS group_std
+         |  FROM daily GROUP BY user_id
+         |)
+         |SELECT d.user_id, d."date", d.daily_value,
+         |  round(s.group_mean + 1e-9, 4) AS group_mean,
+         |  round(s.group_std + 1e-9, 4) AS group_std,
+         |  round((d.daily_value - s.group_mean) /
+         |        (CASE WHEN s.group_std > 0 THEN s.group_std ELSE 1 END)
+         |        + 1e-9, 4) AS z_score,
+         |  CAST(round((d.daily_value - s.group_mean) /
+         |        (CASE WHEN s.group_std > 0 THEN s.group_std ELSE 1 END)
+         |        + 1e-9, 4) > 2 AS BIGINT) AS is_anomaly
+         |FROM daily d JOIN stats s ON d.user_id = s.user_id
+         |ORDER BY d.user_id, d."date"""".stripMargin,
+
+    "q_anomaly_monthly_rate" ->
+      s"""$dailySql, stats AS (
+         |  SELECT user_id, avg(daily_value) AS group_mean,
+         |         stddev(daily_value) AS group_std
+         |  FROM daily GROUP BY user_id
+         |), flags AS (
+         |  SELECT d."date",
+         |    CAST(round((d.daily_value - s.group_mean) /
+         |          (CASE WHEN s.group_std > 0 THEN s.group_std ELSE 1 END)
+         |          + 1e-9, 4) > 2 AS BIGINT) AS is_anomaly
+         |  FROM daily d JOIN stats s ON d.user_id = s.user_id
+         |)
+         |SELECT date_trunc('month', "date") AS month_start,
+         |  count(*) AS n_days,
+         |  CAST(sum(is_anomaly) AS BIGINT) AS n_anomalies,
+         |  round(CAST(sum(is_anomaly) AS BIGINT) / count(*) + 1e-9, 4)
+         |    AS anomaly_rate
+         |FROM flags GROUP BY 1 ORDER BY month_start""".stripMargin,
+
+    "q_weekday_profile" ->
+      s"""$dailySql
+         |SELECT strftime("date", '%a') AS weekday,
+         |  ${sqlDsum("daily_value")} AS total_value,
+         |  count(*) AS n_days,
+         |  ${sqlGround(s"${sqlDsum("daily_value")} / count(*)", 4)}
+         |    AS mean_daily_value
+         |FROM daily GROUP BY 1 ORDER BY weekday""".stripMargin,
+
+    "q_monthly_trend" ->
+      s"""$dailySql
+         |SELECT date_trunc('month', "date") AS month_start,
+         |  ${sqlDsum("daily_value")} AS total_value,
+         |  count(*) AS n_days,
+         |  ${sqlGround(s"${sqlDsum("daily_value")} / count(*)", 4)}
+         |    AS mean_daily_value
+         |FROM daily GROUP BY 1 ORDER BY month_start""".stripMargin,
+
+    "q_event_type_profile" ->
+      s"""SELECT event_type,
+         |  ${sqlDsum("value")} AS total_value,
+         |  count(*) AS n,
+         |  ${sqlGround("stddev(value)", 4)} AS value_std,
+         |  ${sqlGround(s"${sqlDsum("value")} / count(*)", 4)} AS value_mean
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_kpis" ->
+      s"""SELECT count(*) AS n_rows,
+         |  count(DISTINCT user_id) AS n_users,
+         |  ${sqlDsum("value")} AS total_value,
+         |  max(value) AS max_value,
+         |  min(value) AS min_value,
+         |  ${sqlGround("stddev(value)", 4)} AS std_value,
+         |  min(CAST(ts AS DATE)) AS min_date,
+         |  max(CAST(ts AS DATE)) AS max_date
+         |FROM events""".stripMargin,
+
+    "q_corr" ->
+      s"""SELECT
+         |  ${sqlGround("corr(l_quantity, l_extendedprice)", 6)} AS corr_qty_price,
+         |  ${sqlGround("corr(l_discount, l_tax)", 6)} AS corr_disc_tax,
+         |  ${sqlGround("corr(l_quantity, l_discount)", 6)} AS corr_qty_disc
+         |FROM lineitem""".stripMargin,
+
+    "q_onehot_events" ->
+      """SELECT user_id, CAST(ts AS DATE) AS "date",
+        |  CAST(max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS et_click,
+        |  CAST(max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS et_error,
+        |  CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS et_purchase,
+        |  CAST(max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS et_signup,
+        |  CAST(max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS et_view
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, "date"""".stripMargin,
+
+    "q_union_halves" ->
+      s"""WITH unioned AS (
+         |  SELECT * FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-15'
+         |  UNION ALL
+         |  SELECT * FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-15'
+         |)
+         |SELECT event_type, count(*) AS n, ${sqlDsum("value")} AS total_value
+         |FROM unioned GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_ordered_limit" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id LIMIT 100""".stripMargin,
+
+    "q_filtered_agg" ->
+      s"""SELECT user_id, count(*) AS n, ${sqlDsum("value")} AS total_value
+         |FROM events
+         |WHERE user_id IN (1, 3, 5, 7, 9, 11)
+         |  AND CAST(ts AS DATE) < DATE '2024-01-20'
+         |  AND event_type <> 'error'
+         |  AND props IS NOT NULL
+         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_revenue_by_nation" ->
+      s"""SELECT r_name, n_name,
+         |  ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |  count(DISTINCT o_orderkey) AS n_orders
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q_semi_anti" ->
+      """WITH active AS (SELECT DISTINCT o_custkey FROM orders)
+        |SELECT n_name,
+        |  count(a.o_custkey) AS n_active,
+        |  count(*) - count(a.o_custkey) AS n_inactive
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |LEFT JOIN active a ON c_custkey = a.o_custkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_cyclical" ->
+      """WITH dates AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS "date",
+        |    CAST(extract(month FROM ts) AS BIGINT) AS month,
+        |    CAST(extract(day FROM ts) AS BIGINT) AS day
+        |  FROM events
+        |)
+        |SELECT "date",
+        |  round(sin(2 * 3.14159 * month / 12) + 1e-9, 6) AS month_sin,
+        |  round(cos(2 * 3.14159 * month / 12) + 1e-9, 6) AS month_cos,
+        |  round(sin(2 * 3.14159 * day / 31) + 1e-9, 6) AS day_sin,
+        |  round(cos(2 * 3.14159 * day / 31) + 1e-9, 6) AS day_cos
+        |FROM dates ORDER BY "date"""".stripMargin,
+
+    "q_calendar_flags" ->
+      """WITH dates AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS "date",
+        |    CAST(extract(month FROM ts) AS BIGINT) AS month,
+        |    strftime(ts, '%a') AS weekday,
+        |    CAST(dayofweek(ts) + 1 AS BIGINT) AS day_of_week
+        |  FROM events
+        |)
+        |SELECT "date", weekday,
+        |  CAST(CASE WHEN weekday IN ('Sat','Sun') THEN 1 ELSE 0 END AS BIGINT)
+        |    AS weekend_by_name,
+        |  CAST(CASE WHEN day_of_week IN (1, 7) THEN 1 ELSE 0 END AS BIGINT)
+        |    AS weekend_by_dow,
+        |  CAST(CASE WHEN day_of_week >= 6 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS weekend_fri_sat,
+        |  CAST(CASE WHEN month IN (6,7,8) THEN 1 ELSE 0 END AS BIGINT) AS is_summer,
+        |  CAST(CASE WHEN month IN (12,1,2) THEN 1 ELSE 0 END AS BIGINT) AS is_winter,
+        |  CAST(CASE WHEN month IN (3,4,5) THEN 1 ELSE 0 END AS BIGINT) AS is_spring,
+        |  CAST(CASE WHEN month IN (9,10,11) THEN 1 ELSE 0 END AS BIGINT) AS is_fall
+        |FROM dates ORDER BY "date"""".stripMargin
+  )
+}

@@ -24,8 +24,8 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.defs ++ ExtendedQueries.defs
+    CoreQueries.defs ++ ExtendedQueries.defs ++ NorthStarQueries.defs
 
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ ExtendedQueries.oracles
+    CoreQueries.oracles ++ ExtendedQueries.oracles ++ NorthStarQueries.oracles
 }

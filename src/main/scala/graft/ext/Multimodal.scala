@@ -1,0 +1,57 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with typed
+  * metadata, processed in partition-sized batches.
+  *
+  * The Spark-side shape is real and tested — schema (`payload binary` +
+  * metadata struct), partitioning, batch iteration via typed
+  * `mapPartitions` (the JVM analogue of `mapInPandas`: one invocation per
+  * partition, streaming iterator in/out, no per-row overhead). The actual
+  * media decode is STUBBED ([[FakeCodec]]) because no image/audio libraries
+  * exist in this container: it derives deterministic pseudo-metadata from
+  * the payload bytes, exercising exactly the data path a real codec would.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, payload: Array[Byte], format: String)
+  case class DecodedRow(doc_id: Long, byte_len: Long, width: Long,
+                        height: Long, n_frames: Long, format: String)
+
+  /** STUB — stands in for a real image/audio decoder. Deterministic pure
+    * function of payload length so outputs are oracle-checkable.
+    */
+  object FakeCodec {
+    def decode(payload: Array[Byte], format: String): (Long, Long, Long) = {
+      val n = payload.length.toLong
+      (n % 640 + 16, (n * 7) % 480 + 16, n % 24 + 1)
+    }
+  }
+
+  /** Attach a binary payload column (UTF-8 bytes of the text column — a
+    * stand-in for real media bytes) plus a format tag derived from source.
+    */
+  def asMedia(df: DataFrame, idCol: String, textCol: String,
+              sourceCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      concat(lit("img/"), col(sourceCol)).as("format"))
+
+  /** Batch "decode": typed mapPartitions — the real plumbing under any
+    * decode/resize/frame-sample stage. Each partition's rows stream through
+    * one codec invocation context (where a real codec would amortize model/
+    * library init per batch, exactly like `mapInPandas` batch semantics).
+    */
+  def decodeBatches(spark: SparkSession, media: DataFrame): Dataset[DecodedRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      // per-partition init would go here (codec handles, model weights…)
+      rows.map { r =>
+        val (w, h, f) = FakeCodec.decode(r.payload, r.format)
+        DecodedRow(r.doc_id, r.payload.length.toLong, w, h, f, r.format)
+      }
+    }
+  }
+}

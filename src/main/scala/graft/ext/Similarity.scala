@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
+  *    Cross join of queries × corpus; fine when |queries| is small or as the
+  *    per-bucket kernel.
+  *  - [[bucketedNN]]: IVF-style — restrict candidates to the same coarse
+  *    bucket (here the `label` column plays the centroid-assignment role;
+  *    with real data, assign buckets via a KMeans coarse quantizer). The
+  *    join is equi-key on the bucket → shuffle-partitioned blocks instead of
+  *    a full cross product; at 100 TB this is the only viable shape.
+  *
+  * Cosine is computed with `zip_with`/`aggregate` HOF expressions (JVM
+  * expression eval, no UDF serialization); arrays are cast to double so the
+  * fold matches the oracle bit-for-bit modulo guard-rounding.
+  */
+object Similarity {
+
+  /** dot(a, b) over double arrays via a left fold (deterministic order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column = {
+    val ad = a.cast("array<double>"); val bd = b.cast("array<double>")
+    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
+  }
+
+  /** Exact top-k neighbors for each query vector (excluding self).
+    * Deterministic rank: cosine rounded to 6dp desc, then candidate id.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        round(cosine(col("q_vec"), col("c_vec")) + lit(1e-9), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** IVF-style nearest neighbor within a coarse bucket column. */
+  def bucketedNN(df: DataFrame, idCol: String, vecCol: String,
+                 bucketCol: String, k: Int): DataFrame = {
+    val a = df.select(col(bucketCol).as("bkt"), col(idCol).as("query_id"),
+      col(vecCol).as("q_vec"))
+    val b = df.select(col(bucketCol).as("bkt"), col(idCol).as("neighbor_id"),
+      col(vecCol).as("c_vec"))
+    val scored = a.join(b, "bkt")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        round(cosine(col("q_vec"), col("c_vec")) + lit(1e-9), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** Random-hyperplane LSH bucket id for a vector: sign-bit signature over
+    * `nPlanes` fixed pseudo-random hyperplanes. The planes are generated
+    * from a deterministic integer hash (no RNG at plan time), so bucket
+    * assignment is reproducible across runs/partitions. Bucket-join on this
+    * id is the text-free analogue of [[graft.ext.Dedup.minHashLsh]].
+    */
+  def hyperplaneBucket(vec: Column, dim: Int, nPlanes: Int = 8): Column = {
+    val vd = vec.cast("array<double>")
+    val bits = (0 until nPlanes).map { p =>
+      // plane component j = sin(j * p') — fixed, cheap, well-spread
+      val proj = aggregate(
+        zip_with(vd,
+          transform(sequence(lit(0), lit(dim - 1)),
+            j => sin(j.cast("double") * (p + 1) * 0.7391)),
+          (x, h) => x * h),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+}

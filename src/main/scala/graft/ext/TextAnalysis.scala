@@ -1,0 +1,91 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization, quality scoring, language ID, document fingerprinting.
+  *
+  * All columnar `functions._` / higher-order functions — no UDFs, so every
+  * operator stays inside Catalyst (HOFs aren't whole-stage-codegen'd but are
+  * still JVM-native expression eval, no serialization boundary) and scales
+  * linearly with no shuffle: each is a narrow projection over the scan.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer (the BPE-ish regex split). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Stopword list used for quality scoring and language ID. Bounded,
+    * broadcast as a literal array into the plan.
+    */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "or", "to", "in", "is", "was")
+
+  /** Per-language marker tokens for the n-gram/stopword language-ID
+    * heuristic. Deterministic argmax with fixed priority order.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "las", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  private def arrayLit(xs: Seq[String]): Column = array(xs.map(lit): _*)
+
+  /** Count of tokens that appear in `vocab`. */
+  def countIn(toks: Column, vocab: Seq[String]): Column =
+    size(filter(toks, t => array_contains(arrayLit(vocab), t))).cast("long")
+
+  /** Token statistics: count, total token chars, punctuation count. */
+  def withTokenStats(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("token_chars",
+        aggregate(transform(toks, t => length(t).cast("long")),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("n_punct",
+        regexp_count(col(textCol), lit("[.,!?;:]")).cast("long"))
+      .withColumn("n_stopwords", countIn(toks, Stopwords))
+  }
+
+  /** Quality score ∈ [0,1]: length saturation + non-punct + stopword
+    * naturalness (the classic heuristic trio for web-scale corpus
+    * filtering). Pure arithmetic over [[withTokenStats]] columns.
+    */
+  def qualityScore(nTokens: Column, tokenChars: Column, nPunct: Column,
+                   nStop: Column): Column = {
+    val lenScore = least(nTokens.cast("double") / 100.0, lit(1.0))
+    val punctScore = lit(1.0) - least(
+      nPunct.cast("double") / greatest(nTokens, lit(1L)).cast("double"), lit(1.0))
+    val stopScore = least(
+      nStop.cast("double") * 5.0 / greatest(nTokens, lit(1L)).cast("double"),
+      lit(1.0))
+    lenScore * 0.3 + punctScore * 0.4 + stopScore * 0.3
+  }
+
+  /** Language ID: argmax of per-language marker-token counts, priority order
+    * = [[LangMarkers]] order, "und" (undetermined) when all scores are 0.
+    */
+  def withLanguageId(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val scored = LangMarkers.foldLeft(df) { case (d, (l, markers)) =>
+      d.withColumn(s"score_$l", countIn(toks, markers))
+    }
+    val best = LangMarkers.map(_._1).foldRight(lit("und")) { (l, els) =>
+      val isMax = LangMarkers.map(_._1).filter(_ != l)
+        .map(o => col(s"score_$l") >= col(s"score_$o"))
+        .reduce(_ && _)
+      when(col(s"score_$l") > 0 && isMax, lit(l)).otherwise(els)
+    }
+    scored.withColumn("lang_pred", best)
+  }
+
+  /** Document fingerprint: hash of the whitespace-normalized lowercased
+    * text. md5 here for oracle parity; at 100 TB prefer `xxhash64` (8-byte,
+    * no hex string) — same call shape.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
+}

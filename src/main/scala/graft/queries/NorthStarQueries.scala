@@ -1,0 +1,230 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import graft.io.Tables
+import Parity._
+
+/** Training-data-pipeline operators over `documents` / `embeddings`:
+  * dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash), similarity
+  * search (brute-force + bucketed ANN), text analysis, multimodal plumbing.
+  */
+object NorthStarQueries {
+
+  private val StopSql = TA.Stopwords.map(s => s"'$s'").mkString(", ")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Text analysis: token counting + quality scoring
+    "q_text_stats" -> ((s, dir) => {
+      val st = TA.withTokenStats(Tables.documents(s, dir), "text")
+      st.select(col("doc_id"), col("n_tokens"), col("token_chars"),
+          col("n_punct"), col("n_stopwords"),
+          ground(TA.qualityScore(col("n_tokens"), col("token_chars"),
+            col("n_punct"), col("n_stopwords")), 4).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Language ID: marker-token argmax heuristic
+    "q_lang_id" -> ((s, dir) =>
+      TA.withLanguageId(Tables.documents(s, dir), "text")
+        .select(col("doc_id"), col("lang"),
+          col("score_en"), col("score_de"), col("score_es"),
+          col("score_fr"), col("score_zh"), col("lang_pred"))
+        .orderBy(col("doc_id"))),
+
+    // Document fingerprint (normalized-text hash)
+    "q_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TA.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    // Exact dedup: digest groups
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(Tables.documents(s, dir), "text", "doc_id")
+        .orderBy(col("content_hash"))),
+
+    // Near-dup: n-gram Jaccard within (lang, length-band) blocks
+    "q_dedup_ngram" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("len_band", expr("n_chars div 50"))
+      Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+          Seq("lang", "len_band"), threshold = 0.05)
+        .select(col("id_a"), col("id_b"), ground(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ANN: exact brute-force cosine top-10 for 5 query vectors
+    "q_ann_bruteforce" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb,
+          "vec_id", "embedding", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ANN at scale: IVF-style nearest neighbor within coarse buckets
+    "q_ann_ivf" -> ((s, dir) =>
+      Similarity.bucketedNN(Tables.embeddings(s, dir),
+          "vec_id", "embedding", "label", k = 1)
+        .orderBy(col("query_id"))),
+
+    // Multimodal: binary payload + typed-metadata batch decode (stubbed
+    // codec, real plumbing — see graft.ext.Multimodal)
+    "q_multimodal_meta" -> ((s, dir) => {
+      val media = Multimodal.asMedia(Tables.documents(s, dir),
+        "doc_id", "text", "source")
+      Multimodal.decodeBatches(s, media).toDF()
+        .orderBy(col("doc_id"))
+    }),
+
+    // SimHash near-dup (rows-only: depends on Spark murmur3, not
+    // SQL-expressible in the oracle; verified by scalatest properties)
+    "q_simhash_pairs" -> ((s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), Dedup.simHash(col("text")).as("sh"))
+      val a = sh.select(col("lang"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = sh.select(col("lang"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, "lang").filter(col("id_a") < col("id_b"))
+        .withColumn("hamming", Dedup.hammingDist(col("sh_a"), col("sh_b")))
+        .filter(col("hamming") <= 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // MinHash+LSH near-dup candidates (rows-only: Spark murmur3-based)
+    "q_minhash_lsh" -> ((s, dir) =>
+      Dedup.minHashLsh(Tables.documents(s, dir), "text", "doc_id")
+        .filter(col("sig_agreement") >= 0.5)
+        .orderBy(col("id_a"), col("id_b")))
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "q_text_stats" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks
+         |  FROM documents
+         |), st AS (
+         |  SELECT doc_id,
+         |    len(toks) AS n_tokens,
+         |    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+         |      AS token_chars,
+         |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+         |    CAST(len(list_filter(toks, t -> t IN ($StopSql))) AS BIGINT)
+         |      AS n_stopwords
+         |  FROM t
+         |)
+         |SELECT doc_id, n_tokens, token_chars, n_punct, n_stopwords,
+         |  round(least(n_tokens / 100.0, 1.0) * 0.3
+         |    + (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(n_tokens, 1), 1.0)) * 0.4
+         |    + least(CAST(n_stopwords AS DOUBLE) * 5.0 / greatest(n_tokens, 1), 1.0) * 0.3
+         |    + 1e-9, 4) AS quality
+         |FROM st ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" -> {
+      val markers = TA.LangMarkers.map { case (l, ms) =>
+        l -> ms.map(m => s"'$m'").mkString(", ")
+      }
+      val scoreCols = markers.map { case (l, ms) =>
+        s"CAST(len(list_filter(toks, t -> t IN ($ms))) AS BIGINT) AS score_$l"
+      }.mkString(",\n    ")
+      val langs = TA.LangMarkers.map(_._1)
+      val caseChain = langs.map { l =>
+        val geOthers = langs.filter(_ != l)
+          .map(o => s"score_$l >= score_$o").mkString(" AND ")
+        s"WHEN score_$l > 0 AND $geOthers THEN '$l'"
+      }.mkString("\n    ")
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+         |  FROM documents
+         |), scored AS (
+         |  SELECT doc_id, lang,
+         |    $scoreCols
+         |  FROM t
+         |)
+         |SELECT doc_id, lang, score_en, score_de, score_es, score_fr, score_zh,
+         |  CASE $caseChain ELSE 'und' END AS lang_pred
+         |FROM scored ORDER BY doc_id""".stripMargin
+    },
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_copies,
+        |  min(doc_id) AS keeper_id
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+
+    "q_dedup_ngram" ->
+      """WITH sh AS (
+        |  SELECT doc_id, lang, n_chars // 50 AS len_band,
+        |    list_distinct(list_transform(
+        |      range(len(regexp_split_to_array(trim(text), '\s+')) - 2),
+        |      i -> array_to_string(
+        |        regexp_split_to_array(trim(text), '\s+')[i+1:i+3], ' '))) AS g
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+        |      (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
+        |  FROM sh a JOIN sh b
+        |    ON a.lang = b.lang AND a.len_band = b.len_band
+        |    AND a.doc_id < b.doc_id
+        |)
+        |SELECT id_a, id_b, round(jaccard + 1e-9, 6) AS jaccard
+        |FROM pairs WHERE jaccard >= 0.05 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_ann_bruteforce" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_inner_product(q.v, c.v) /
+        |      (sqrt(list_inner_product(q.v, q.v)) *
+        |       sqrt(list_inner_product(c.v, c.v))) + 1e-9, 6) AS cosine
+        |  FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM scored
+        |)
+        |SELECT * FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q_ann_ivf" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        |), scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_inner_product(q.v, c.v) /
+        |      (sqrt(list_inner_product(q.v, q.v)) *
+        |       sqrt(list_inner_product(c.v, c.v))) + 1e-9, 6) AS cosine
+        |  FROM e q JOIN e c ON q.label = c.label AND q.vec_id <> c.vec_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM scored
+        |)
+        |SELECT * FROM ranked WHERE rank <= 1 ORDER BY query_id""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """WITH m AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS byte_len,
+        |    'img/' || source AS format
+        |  FROM documents
+        |)
+        |SELECT doc_id, byte_len,
+        |  byte_len % 640 + 16 AS width,
+        |  (byte_len * 7) % 480 + 16 AS height,
+        |  byte_len % 24 + 1 AS n_frames,
+        |  format
+        |FROM m ORDER BY doc_id""".stripMargin
+  )
+}

@@ -24,8 +24,10 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.defs ++ ExtendedQueries.defs ++ NorthStarQueries.defs
+    CoreQueries.defs ++ ExtendedQueries.defs ++ NorthStarQueries.defs ++
+      MlQueries.defs
 
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ ExtendedQueries.oracles ++ NorthStarQueries.oracles
+    CoreQueries.oracles ++ ExtendedQueries.oracles ++ NorthStarQueries.oracles ++
+      MlQueries.oracles
 }

@@ -25,12 +25,17 @@ object Dedup {
     df.groupBy(digest(col(textCol)).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper_id"))
 
-  /** Distinct word n-gram shingles of a text column. */
+  /** Distinct word n-gram shingles of a text column. Texts with fewer than
+    * `n` tokens yield an empty set (their Jaccard is then 0/0 → NaN → never
+    * passes a threshold, matching the oracle's semantics).
+    */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = split(trim(text), "\\s+")
-    array_distinct(
-      transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+    when(size(toks) >= n,
+      array_distinct(
+        transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** N-gram Jaccard near-dup pairs. Candidates = same (`bucketCols`) block,
@@ -54,7 +59,9 @@ object Dedup {
     val inter = size(array_intersect(col("a_g"), col("b_g"))).cast("double")
     val uni = (size(col("a_g")) + size(col("b_g"))).cast("double") - inter
     a.join(b, joinCond)
-      .withColumn("jaccard", inter / uni)
+      // try_divide: ANSI mode (Spark 4 default) errors on 0/0 — two empty
+      // shingle sets yield NULL here and never pass the threshold
+      .withColumn("jaccard", try_divide(inter, uni))
       .filter(col("jaccard") >= threshold)
       .select(col(s"a_$idCol").as("id_a"), col(s"b_$idCol").as("id_b"),
         col("jaccard"))

@@ -1,0 +1,84 @@
+package graft.ml
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
+import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** KMeans-based anomaly detection (SURVEY.md §2.9 M9 + §2.8 U1 + §2.5 W5),
+  * the reference's stage 5 (`anomaly_detection.py:55-196`):
+  * features ⋈ predictions → residual → KMeans(k=5, seed=42) on scaled
+  * features → distance-to-centroid → per-cluster z-score → flag z > 3.
+  *
+  * Scale choices vs the reference:
+  *  - distance UDF is a Scala udf over broadcast centroids (JVM-native; the
+  *    reference's Python row UDF crossed the py4j boundary per row batch —
+  *    SURVEY.md §2.8 U1);
+  *  - per-cluster stats via groupBy + broadcast join-back, NOT an unbounded
+  *    `Window.partitionBy(cluster)` (which would funnel each cluster into a
+  *    single partition — a skew cliff at 100 TB; SURVEY.md §7.4.5).
+  */
+object Anomaly {
+
+  /** Anomaly features of `anomaly_detection.py:90-108`: consumption +
+    * rolling stats + lags + residual + temporal.
+    */
+  def features(joined: DataFrame, target: String = "daily_value",
+               predCol: String = "prediction"): DataFrame =
+    joined
+      .withColumn("residual", abs(col(target) - col(predCol)))
+      .withColumn("day_of_week", dayofweek(col("date")))
+      .withColumn("is_weekend",
+        graft.feat.Windows.Weekend.byGte6(col("day_of_week")).cast("int"))
+
+  /** KMeans + distance + per-cluster z-score + flag. */
+  def detect(df: DataFrame, featureColumns: Array[String], k: Int = 5,
+             zThreshold: Double = 3.0, seed: Long = 42L): DataFrame = {
+    val assembler = new VectorAssembler().setInputCols(featureColumns)
+      .setOutputCol("features").setHandleInvalid("skip")
+    val scaler = new StandardScaler().setInputCol("features")
+      .setOutputCol("scaled_features")
+    val km = new KMeans().setK(k).setSeed(seed)
+      .setFeaturesCol("scaled_features").setPredictionCol("cluster")
+    val model = new Pipeline().setStages(Array(assembler, scaler, km)).fit(df)
+    val centers: Array[Vector] = model.stages.collectFirst {
+      case m: org.apache.spark.ml.clustering.KMeansModel => m.clusterCenters
+    }.get
+    // U1 as a JVM udf over broadcast centers (no serialization boundary)
+    val dist = udf((v: Vector, c: Int) => math.sqrt(Vectors.sqdist(v, centers(c))))
+    val withDist = model.transform(df)
+      .withColumn("distance_to_center",
+        dist(col("scaled_features"), col("cluster")))
+    // W5 at scale: agg + broadcast join-back instead of unbounded window
+    val stats = withDist.groupBy(col("cluster")).agg(
+      avg(col("distance_to_center")).as("cluster_mean_dist"),
+      stddev(col("distance_to_center")).as("cluster_std_dist"))
+    withDist.join(broadcast(stats), Seq("cluster"), "left")
+      .withColumn("z_score",
+        (col("distance_to_center") - col("cluster_mean_dist")) /
+          when(col("cluster_std_dist") > 0, col("cluster_std_dist"))
+            .otherwise(lit(1.0)))
+      .withColumn("is_anomaly", (col("z_score") > zThreshold).cast("int"))
+  }
+
+  /** End-to-end anomaly stage: daily ⋈ predictions (J2, composite key) →
+    * features → detect → output the reference's `anomalies` table shape
+    * (FIXTURES.md §A7).
+    */
+  def run(daily: DataFrame, predictions: DataFrame,
+          idCol: String = "user_id", dateCol: String = "date",
+          target: String = "daily_value"): DataFrame = {
+    val joined = daily.join(
+      predictions.select(col(idCol), col(dateCol), col("prediction")),
+      Seq(idCol, dateCol), "inner")
+    val featured = features(joined, target)
+    val fcols = Array(target, "residual", "day_of_week", "is_weekend")
+    detect(featured, fcols)
+      .select(col(idCol), col(dateCol), col(target), col("prediction"),
+        col("residual"), col("cluster"),
+        col("distance_to_center"), col("cluster_mean_dist"),
+        col("cluster_std_dist"), col("z_score"), col("is_anomaly"))
+  }
+}

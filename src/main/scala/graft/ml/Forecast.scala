@@ -1,0 +1,156 @@
+package graft.ml
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
+import org.apache.spark.ml.regression.{LinearRegression, RandomForestRegressor}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.feat.Windows
+
+/** Forecasting pipeline (SURVEY.md §2.9 M1-M8, M10-M11) re-expressed in
+  * Scala MLlib: feature computation per split, time-aware grid validation
+  * (chronological inner split, NOT CrossValidator — the reference replaced
+  * CV to avoid temporal leakage, `forecasting_model.py:260-320`), best-model
+  * selection by validation RMSE, refit on full train, test metrics.
+  */
+object Forecast {
+
+  /** Feature set of `forecasting_model.py:68-156`: lags, trailing rolling
+    * stats (current row excluded — leakage guard), calendar + cyclical.
+    */
+  def computeFeatures(daily: DataFrame, idCol: String = "user_id",
+                      dateCol: String = "date",
+                      target: String = "daily_value"): DataFrame = {
+    val lagged = Windows.addLags(daily, idCol, dateCol, target,
+      lags = Seq(1, 2, 3, 7, 14))
+    val rolled = Windows.addRolling(lagged, idCol, dateCol, target)
+    rolled
+      .withColumn("month", month(col(dateCol)))
+      .withColumn("day", dayofmonth(col(dateCol)))
+      .withColumn("day_of_week", dayofweek(col(dateCol)))
+      .withColumn("is_weekend",
+        Windows.Weekend.byDayOfWeek(col("day_of_week")))
+      .transform(Windows.addCyclical(_))
+      .na.drop()
+  }
+
+  /** Feature columns: numeric, not id/date/target — the reference's
+    * duck-typed discovery (`forecasting_model.py:50-66`).
+    */
+  def featureCols(df: DataFrame, exclude: Seq[String]): Array[String] =
+    df.schema.fields.collect {
+      case f if !exclude.contains(f.name) &&
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] => f.name
+    }
+
+  case class FitResult(model: PipelineModel, rmse: Double, mae: Double,
+                       r2: Double, bestParams: String)
+
+  private def evaluator(metric: String, target: String) =
+    new RegressionEvaluator().setLabelCol(target)
+      .setPredictionCol("prediction").setMetricName(metric)
+
+  /** M3+M4: LR over a manual grid, selected on a chronological validation
+    * split, refit on full train.
+    */
+  def trainLinearRegression(train: DataFrame, test: DataFrame,
+                            features: Array[String], target: String,
+                            valCutoff: String, dateCol: String = "date",
+                            grid: Seq[(Double, Double)] =
+                              for {r <- Seq(0.01, 0.1, 1.0); e <- Seq(0.0, 0.5, 1.0)}
+                                yield (r, e)): FitResult = {
+    val assembler = new VectorAssembler().setInputCols(features)
+      .setOutputCol("features").setHandleInvalid("skip")
+    val scaler = new StandardScaler().setInputCol("features")
+      .setOutputCol("scaled_features")
+    val innerTrain = train.filter(col(dateCol) < lit(valCutoff)).cache()
+    val innerVal = train.filter(col(dateCol) >= lit(valCutoff)).cache()
+    val rmseEval = evaluator("rmse", target)
+    val best = grid.map { case (reg, en) =>
+      val lr = new LinearRegression().setFeaturesCol("scaled_features")
+        .setLabelCol(target).setMaxIter(100)
+        .setRegParam(reg).setElasticNetParam(en)
+      val m = new Pipeline().setStages(Array(assembler, scaler, lr))
+        .fit(innerTrain)
+      val vr = rmseEval.evaluate(m.transform(innerVal))
+      (reg, en, vr)
+    }.minBy(_._3)
+    innerTrain.unpersist(); innerVal.unpersist()
+    val lr = new LinearRegression().setFeaturesCol("scaled_features")
+      .setLabelCol(target).setMaxIter(100)
+      .setRegParam(best._1).setElasticNetParam(best._2)
+    val model = new Pipeline().setStages(Array(assembler, scaler, lr)).fit(train)
+    val pred = model.transform(test)
+    FitResult(model, evaluator("rmse", target).evaluate(pred),
+      evaluator("mae", target).evaluate(pred),
+      evaluator("r2", target).evaluate(pred),
+      s"regParam=${best._1},elasticNet=${best._2}")
+  }
+
+  /** M5: RF over a trees×depth grid on raw (unscaled) features, seed=42. */
+  def trainRandomForest(train: DataFrame, test: DataFrame,
+                        features: Array[String], target: String,
+                        valCutoff: String, dateCol: String = "date",
+                        grid: Seq[(Int, Int)] =
+                          for {t <- Seq(50, 100); d <- Seq(5, 10)} yield (t, d))
+      : FitResult = {
+    val assembler = new VectorAssembler().setInputCols(features)
+      .setOutputCol("features").setHandleInvalid("skip")
+    val innerTrain = train.filter(col(dateCol) < lit(valCutoff)).cache()
+    val innerVal = train.filter(col(dateCol) >= lit(valCutoff)).cache()
+    val rmseEval = evaluator("rmse", target)
+    val best = grid.map { case (t, d) =>
+      val rf = new RandomForestRegressor().setFeaturesCol("features")
+        .setLabelCol(target).setNumTrees(t).setMaxDepth(d).setSeed(42)
+      val m = new Pipeline().setStages(Array(assembler, rf)).fit(innerTrain)
+      (t, d, rmseEval.evaluate(m.transform(innerVal)))
+    }.minBy(_._3)
+    innerTrain.unpersist(); innerVal.unpersist()
+    val rf = new RandomForestRegressor().setFeaturesCol("features")
+      .setLabelCol(target).setNumTrees(best._1).setMaxDepth(best._2).setSeed(42)
+    val model = new Pipeline().setStages(Array(assembler, rf)).fit(train)
+    val pred = model.transform(test)
+    FitResult(model, evaluator("rmse", target).evaluate(pred),
+      evaluator("mae", target).evaluate(pred),
+      evaluator("r2", target).evaluate(pred),
+      s"numTrees=${best._1},maxDepth=${best._2}")
+  }
+
+  /** M10: top-k feature importances of a fitted RF pipeline. */
+  def featureImportances(model: PipelineModel, features: Array[String],
+                         k: Int = 10): Seq[(String, Double)] = {
+    val rf = model.stages.collectFirst {
+      case m: org.apache.spark.ml.regression.RandomForestRegressionModel => m
+    }.getOrElse(sys.error("no RF stage in pipeline"))
+    features.zip(rf.featureImportances.toArray).sortBy(-_._2).take(k).toSeq
+  }
+
+  /** End-to-end forecast (the reference's stage 4): features → 70/30
+    * chronological split (cutoffs derived from the data's date range) → LR
+    * grid → predictions `(id, date, target, prediction)`.
+    */
+  def run(daily: DataFrame, idCol: String = "user_id",
+          dateCol: String = "date", target: String = "daily_value")
+      : (DataFrame, FitResult) = {
+    val feats = computeFeatures(daily, idCol, dateCol, target).cache()
+    val Array(minD, maxD) = feats.agg(min(col(dateCol)), max(col(dateCol)))
+      .collect().head.toSeq.map(_.toString).toArray
+    val span = java.time.temporal.ChronoUnit.DAYS.between(
+      java.time.LocalDate.parse(minD), java.time.LocalDate.parse(maxD))
+    val testCutoff = java.time.LocalDate.parse(minD).plusDays(span * 7 / 10)
+      .toString
+    val valCutoff = java.time.LocalDate.parse(minD).plusDays(span * 5 / 10)
+      .toString
+    val train = feats.filter(col(dateCol) < lit(testCutoff))
+    val test = feats.filter(col(dateCol) >= lit(testCutoff))
+    val fcols = featureCols(feats, Seq(idCol, dateCol, target))
+    val fit = trainLinearRegression(train, test, fcols, target, valCutoff,
+      dateCol, grid = Seq((0.01, 0.0), (0.1, 0.0), (0.1, 0.5)))
+    val preds = fit.model.transform(test)
+      .select(col(idCol), col(dateCol), col(target), col("prediction"))
+    feats.unpersist()
+    (preds, fit)
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.etl.{Aggregate, Clean}
+
+/** Operator unit tests for §2.2/§2.4/§2.3 rows (SURVEY.md §5.1): tiny
+  * in-memory frames, exact expected rows.
+  */
+class EtlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("P2/P3: 'Null' sentinel → null, cast to float") {
+    val df = Seq("1.5", "Null", "2.0").toDF("energy")
+    val got = df.select(
+      Clean.sentinelCast(col("energy"), FloatType).as("v"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getFloat(0))
+    assert(got.toSeq == Seq(1.5f, null, 2.0f))
+  }
+
+  test("P4: dropNullKeys drops only rows null in the subset") {
+    val df = Seq((Some(1), Some("a")), (None, Some("b")), (Some(3), None))
+      .toDF("k", "v")
+    assert(Clean.dropNullKeys(df, Seq("k")).count() == 2)
+    assert(Clean.dropNullKeys(df, Seq("k", "v")).count() == 1)
+  }
+
+  test("P14: fillDefaults — numeric→0, string→Unknown") {
+    val df = Seq((Some(1.0), Some("x")), (None, None))
+      .toDF("n", "s")
+    val r = Clean.fillDefaults(df).orderBy("n").collect()
+    assert(r(0).getDouble(0) == 0.0 && r(0).getString(1) == "Unknown")
+  }
+
+  test("F1-F4: time features (weekday name, 1=Sun dayofweek)") {
+    val df = Seq("2024-01-06 10:30:00", "2024-01-07 23:59:59")
+      .toDF("raw").select(to_timestamp(col("raw")).as("ts"))
+    val r = Clean.withTimeFeatures(df, "ts").orderBy("date")
+      .select("date", "hour", "weekday", "day_of_week").collect()
+    assert(r(0).get(0).toString == "2024-01-06")
+    assert(r(0).getInt(1) == 10)
+    assert(r(0).getString(2) == "Sat" && r(0).getInt(3) == 7)
+    assert(r(1).getString(2) == "Sun" && r(1).getInt(3) == 1)
+  }
+
+  test("A1/A2: hourly and daily rollups sum consistently") {
+    val df = Seq(
+      (1L, "2024-01-01 00:10:00", 1.0), (1L, "2024-01-01 00:40:00", 2.0),
+      (1L, "2024-01-01 01:10:00", 4.0), (2L, "2024-01-01 05:00:00", 8.0))
+      .toDF("user_id", "raw", "value")
+      .select(col("user_id"), to_timestamp(col("raw")).as("ts"), col("value"))
+    val t = Clean.withTimeFeatures(df, "ts")
+    val hourly = Aggregate.hourly(t, "user_id", "value")
+    val daily = Aggregate.daily(t, "user_id", "value")
+    assert(hourly.count() == 3)
+    assert(hourly.agg(sum("hourly_value")).head.getDouble(0) == 15.0)
+    val d1 = daily.filter($"user_id" === 1L).head
+    assert(d1.getAs[Double]("daily_value") == 7.0)
+    assert(d1.getAs[Long]("num_readings") == 3L)
+    // invariant (SURVEY §5.3): hourly-sum == daily-sum per household
+    val hSums = hourly.groupBy("user_id")
+      .agg(sum("hourly_value").as("s")).orderBy("user_id").collect()
+    val dSums = daily.orderBy("user_id").select("daily_value").collect()
+    assert(hSums.map(_.getDouble(1)).toSeq == dSums.map(_.getDouble(0)).toSeq)
+  }
+
+  test("J1: dim join is a broadcast hash join and preserves fact rows") {
+    val fact = (1 to 100).map(i => (i.toLong, i % 3)).toDF("id", "k")
+    val dim = Seq((0, "a"), (1, "b")).toDF("k", "label")
+    val joined = Aggregate.dimJoin(fact, dim, fact("k") === dim("k"))
+    assert(joined.count() == 100) // left join: unmatched k=2 kept
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+}

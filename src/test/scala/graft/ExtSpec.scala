@@ -38,11 +38,11 @@ class DedupSpec extends SparkSpec {
   }
 
   test("minhash: identical texts → identical signatures; LSH finds the dup") {
-    val sigs = docs.select(col("doc_id"),
-      Dedup.minHashSignature(Dedup.shingles(col("text"))).as("sig"))
+    val sigs = Dedup.minHashSignatures(docs, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(sigs(1L) == sigs(2L))
     assert(sigs(1L) != sigs(4L))
+    assert(!sigs.contains(5L)) // <3 tokens → no shingles → no signature
     val cands = Dedup.minHashLsh(docs, "text", "doc_id")
       .filter($"sig_agreement" >= 0.99)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -50,7 +50,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash: identical → hamming 0; near-dup closer than unrelated") {
-    val sh = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("sh"))
+    val sh = Dedup.simHashes(docs, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(sh(1L), sh(2L)) == 0)

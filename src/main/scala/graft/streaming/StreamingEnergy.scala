@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming forms of the engine's aggregation spine. The
+  * reference has no streaming at all (SURVEY.md §2.10 — its "real-time"
+  * dashboard is a cached batch read), but a meter-reading stream is the
+  * natural extension: A1's hourly rollup becomes a watermarked window agg,
+  * and per-user state (running totals) lives in `mapGroupsWithState`.
+  *
+  * Scale posture: watermark bounds state; the window agg partial-aggregates
+  * before the shuffle exactly like its batch twin; the static side of
+  * [[flagAgainstProfile]] is broadcast so the stream never shuffles.
+  */
+object StreamingEnergy {
+
+  case class Reading(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class RunningTotal(user_id: Long, total: Double, n: Long)
+
+  /** File-source stream with an explicit schema (required for streams). */
+  def readStream(spark: SparkSession, dir: String, schema: StructType)
+      : DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** A1 as a streaming windowed agg: watermarked tumbling hour windows per
+    * user. Late data beyond the watermark is dropped deterministically.
+    */
+  def hourlyAgg(events: DataFrame, tsCol: String = "ts",
+                idCol: String = "user_id", valueCol: String = "value",
+                watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), "1 hour").as("w"), col(idCol))
+      .agg(sum(col(valueCol)).as("hourly_value"),
+        avg(col(valueCol)).as("avg_reading"),
+        count(lit(1)).as("num_readings"))
+      .select(col("w.start").as("hour_start"), col(idCol),
+        col("hourly_value"), col("avg_reading"), col("num_readings"))
+
+  /** Custom per-key state: running total per user via `mapGroupsWithState`
+    * (the streaming home of W1-W4-style evolving features).
+    */
+  def runningTotals(spark: SparkSession, events: DataFrame)
+      : Dataset[RunningTotal] = {
+    import spark.implicits._
+    events.selectExpr("user_id", "cast(ts as timestamp) as ts", "value")
+      .as[Reading]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (id: Long, rows: Iterator[Reading],
+         state: org.apache.spark.sql.streaming.GroupState[RunningTotal]) =>
+          val prev = state.getOption.getOrElse(RunningTotal(id, 0.0, 0L))
+          val batch = rows.toSeq
+          val next = RunningTotal(id, prev.total + batch.map(_.value).sum,
+            prev.n + batch.size)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Stream-static join: flag stream readings against a precomputed static
+    * per-user profile (mean/std). The static side broadcasts; each
+    * micro-batch is a map-only pass.
+    */
+  def flagAgainstProfile(events: DataFrame, profile: DataFrame,
+                         idCol: String = "user_id",
+                         valueCol: String = "value",
+                         z: Double = 3.0): DataFrame =
+    events.join(broadcast(profile), Seq(idCol), "left")
+      .withColumn("z_score",
+        (col(valueCol) - col("profile_mean")) /
+          when(col("profile_std") > 0, col("profile_std")).otherwise(lit(1.0)))
+      .withColumn("is_anomaly", (abs(col("z_score")) > z).cast("int"))
+}

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.streaming.StreamingEnergy
+
+/** Streaming smoke via the memory sink + processAllAvailable (batch parquet
+  * drives the stream synchronously).
+  */
+class StreamingSpec extends SparkSpec {
+
+  // one-time: re-materialize events as micros-NTZ parquet (the raw testdata
+  // is TIMESTAMP(NANOS), unreadable by a stream schema directly)
+  private lazy val srcDir: String = {
+    val dir = Files.createTempDirectory("graft-stream-src").toString
+    Tables.events(spark, TestSpark.sf0001).write.mode("overwrite").parquet(dir)
+    dir
+  }
+  private lazy val schema =
+    spark.read.parquet(srcDir).schema
+
+  test("streaming hourly agg matches the batch rollup") {
+    val stream = StreamingEnergy.readStream(spark, srcDir, schema)
+    val agg = StreamingEnergy.hourlyAgg(stream)
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("hourly_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("hourly_stream")
+      val batch = Tables.events(spark, TestSpark.sf0001)
+        .groupBy(date_trunc("hour", col("ts").cast("timestamp"))
+          .as("hour_start"), col("user_id"))
+        .agg(sum(col("value")).as("hourly_value"))
+      assert(got.count() == batch.count())
+      val joined = got.join(batch, Seq("hour_start", "user_id"))
+      val bad = joined.filter(
+        abs(got("hourly_value") - batch("hourly_value")) > 1e-9).count()
+      assert(bad == 0)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState running totals equal batch totals") {
+    val stream = StreamingEnergy.readStream(spark, srcDir, schema)
+    val totals = StreamingEnergy.runningTotals(spark, stream)
+    val q = totals.toDF().writeStream.outputMode("update")
+      .format("memory").queryName("totals_stream").start()
+    try {
+      q.processAllAvailable()
+      // last update per user = full running total (single source batch)
+      val got = spark.table("totals_stream")
+        .groupBy("user_id").agg(max("n").as("n"), max("total").as("total"))
+      val batch = Tables.events(spark, TestSpark.sf0001)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      val bad = got.join(batch, "user_id")
+        .filter(got("n") =!= batch("n") ||
+          abs(got("total") - batch("total")) > 1e-6).count()
+      assert(bad == 0)
+    } finally q.stop()
+  }
+
+  test("stream-static join flags against a broadcast profile") {
+    val profile = Tables.events(spark, TestSpark.sf0001)
+      .groupBy("user_id").agg(avg("value").as("profile_mean"),
+        stddev("value").as("profile_std"))
+    val stream = StreamingEnergy.readStream(spark, srcDir, schema)
+    val flagged = StreamingEnergy.flagAgainstProfile(stream, profile, z = 2.0)
+    val q = flagged.writeStream.outputMode("append")
+      .format("memory").queryName("flags_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("flags_stream")
+      assert(got.count() ==
+        Tables.events(spark, TestSpark.sf0001).count())
+      val rate = got.agg(avg(col("is_anomaly"))).head.getDouble(0)
+      assert(rate > 0 && rate < 0.2)
+    } finally q.stop()
+  }
+}

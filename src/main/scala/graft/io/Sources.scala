@@ -70,11 +70,22 @@ object Writers {
     out.write.mode(SaveMode.Overwrite).parquet(path)
   }
 
-  /** S8: CSV with header (the reference's fallback sink,
-    * `forecasting_model.py:554`).
+  /** S8/S11: CSV with header (the reference's fallback sink,
+    * `forecasting_model.py:554`; gzip per `merge_csv_for_mongodb.py:151`).
     */
   def csv(df: DataFrame, path: String, gzip: Boolean = false): Unit = {
     val w = df.write.mode(SaveMode.Overwrite).option("header", "true")
     (if (gzip) w.option("compression", "gzip") else w).csv(path)
+  }
+
+  /** S10: head-sample CSV export (`convert_to_csv.py:62-76` reads one
+    * part-file and takes 10k rows; the distributed form is an ordered
+    * limit — TakeOrderedAndProject, no full collect).
+    */
+  def sampleCsv(df: DataFrame, path: String, n: Int = 10000,
+                orderCol: Option[String] = None): Unit = {
+    val lim = orderCol.fold(df.limit(n))(c =>
+      df.orderBy(org.apache.spark.sql.functions.col(c)).limit(n))
+    csv(lim.coalesce(1), path)
   }
 }

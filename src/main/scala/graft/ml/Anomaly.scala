@@ -63,6 +63,24 @@ object Anomaly {
       .withColumn("is_anomaly", (col("z_score") > zThreshold).cast("int"))
   }
 
+  /** M12: the dashboard's interactive re-clustering
+    * (`streamlit_app.py:656-704` — sklearn KMeans on a ≤50k pandas sample);
+    * here the same sampled KMeans stays distributed and seeded.
+    */
+  def reclusterSample(df: DataFrame, featureColumns: Array[String], k: Int,
+                      sampleFraction: Double, seed: Long = 42L): DataFrame = {
+    val sampled = df.sample(withReplacement = false, sampleFraction, seed)
+    val assembler = new VectorAssembler().setInputCols(featureColumns)
+      .setOutputCol("features").setHandleInvalid("skip")
+    val scaler = new StandardScaler().setInputCol("features")
+      .setOutputCol("scaled_features")
+    val km = new KMeans().setK(k).setSeed(seed)
+      .setFeaturesCol("scaled_features").setPredictionCol("cluster")
+    new Pipeline().setStages(Array(assembler, scaler, km))
+      .fit(sampled).transform(sampled)
+      .drop("features", "scaled_features")
+  }
+
   /** End-to-end anomaly stage: daily ⋈ predictions (J2, composite key) →
     * features → detect → output the reference's `anomalies` table shape
     * (FIXTURES.md §A7).

@@ -118,6 +118,34 @@ object Forecast {
       s"numTrees=${best._1},maxDepth=${best._2}")
   }
 
+  /** M6: GBT — present but disabled by default, mirroring the reference
+    * (`forecasting_model.py:428-476` skips it for memory); enable via flag.
+    */
+  def trainGbt(train: DataFrame, test: DataFrame, features: Array[String],
+               target: String, maxIter: Int = 20): FitResult = {
+    val assembler = new VectorAssembler().setInputCols(features)
+      .setOutputCol("features").setHandleInvalid("skip")
+    val gbt = new org.apache.spark.ml.regression.GBTRegressor()
+      .setFeaturesCol("features").setLabelCol(target)
+      .setMaxIter(maxIter).setSeed(42)
+    val model = new Pipeline().setStages(Array(assembler, gbt)).fit(train)
+    val pred = model.transform(test)
+    FitResult(model, evaluator("rmse", target).evaluate(pred),
+      evaluator("mae", target).evaluate(pred),
+      evaluator("r2", target).evaluate(pred), s"gbtMaxIter=$maxIter")
+  }
+
+  /** M13: Q-Q plot quantiles of prediction errors vs normal
+    * (`streamlit_app.py:406` uses scipy.probplot; the distributed form is
+    * approxQuantile over the residuals — plotting stays at the edge).
+    */
+  def errorQuantiles(preds: DataFrame, target: String, nQuantiles: Int = 100)
+      : Array[Double] = {
+    val probs = (1 until nQuantiles).map(_.toDouble / nQuantiles).toArray
+    preds.withColumn("err", col("prediction") - col(target))
+      .stat.approxQuantile("err", probs, 0.001)
+  }
+
   /** M10: top-k feature importances of a fitted RF pipeline. */
   def featureImportances(model: PipelineModel, features: Array[String],
                          k: Int = 10): Seq[(String, Double)] = {

@@ -65,6 +65,18 @@ class EtlSpec extends SparkSpec {
     assert(hSums.map(_.getDouble(1)).toSeq == dSums.map(_.getDouble(0)).toSeq)
   }
 
+  test("S10/S11: head-sample csv and gzip csv sinks") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    graft.io.Writers.sampleCsv(df, s"$dir/head", n = 10, orderCol = Some("id"))
+    val head = spark.read.option("header", "true").csv(s"$dir/head")
+    assert(head.count() == 10)
+    graft.io.Writers.csv(df, s"$dir/gz", gzip = true)
+    assert(new java.io.File(s"$dir/gz").listFiles()
+      .exists(_.getName.endsWith(".csv.gz")))
+    assert(spark.read.option("header", "true").csv(s"$dir/gz").count() == 100)
+  }
+
   test("J1: dim join is a broadcast hash join and preserves fact rows") {
     val fact = (1 to 100).map(i => (i.toLong, i % 3)).toDF("id", "k")
     val dim = Seq((0, "a"), (1, "b")).toDF("k", "label")

@@ -63,6 +63,30 @@ class MlSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("GBT (M6, flag-enabled) and error quantiles (M13)") {
+    val f = Forecast.computeFeatures(daily).cache()
+    val train = f.filter(col("date") < lit("2024-01-27"))
+    val test = f.filter(col("date") >= lit("2024-01-27"))
+    val fcols = Forecast.featureCols(f, Seq("user_id", "date", "daily_value"))
+    val fit = Forecast.trainGbt(train, test, fcols, "daily_value", maxIter = 3)
+    assert(!fit.rmse.isNaN)
+    val preds = fit.model.transform(test)
+    val qs = Forecast.errorQuantiles(preds, "daily_value", nQuantiles = 10)
+    assert(qs.length == 9 && qs.sorted.sameElements(qs)) // monotone quantiles
+    f.unpersist()
+  }
+
+  test("sampled re-clustering (M12) is seeded and bounded") {
+    val out = Anomaly.reclusterSample(daily,
+      Array("daily_value", "num_readings"), k = 3, sampleFraction = 0.5)
+    assert(out.count() > 0 && out.count() < daily.count())
+    val clusters = out.select("cluster").distinct().count()
+    assert(clusters <= 3)
+    val again = Anomaly.reclusterSample(daily,
+      Array("daily_value", "num_readings"), k = 3, sampleFraction = 0.5)
+    assert(again.count() == out.count()) // same seed, same sample
+  }
+
   test("model save/load roundtrip (S13)") {
     val (_, fit) = Forecast.run(daily)
     val dir = java.nio.file.Files.createTempDirectory("graft-model").toString

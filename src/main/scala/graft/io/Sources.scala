@@ -78,6 +78,27 @@ object Writers {
     (if (gzip) w.option("compression", "gzip") else w).csv(path)
   }
 
+  /** Date-partitioned parquet layout (SURVEY.md §4): time-range filters
+    * then prune whole files/directories at plan time (`PartitionFilters`),
+    * which is the difference between scanning a day and scanning 100 TB for
+    * the reference's chronological train/test splits.
+    */
+  def parquetPartitioned(df: DataFrame, path: String,
+                         partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed table layout: pre-shuffles on the join/agg key at write time
+    * so repeated joins/aggregations on that key skip their Exchange
+    * entirely (SURVEY.md §7 "co-located joins via bucketing").
+    */
+  def bucketedTable(df: DataFrame, table: String, path: String,
+                    bucketCol: String, nBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("path", path)
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(table)
+
   /** S10: head-sample CSV export (`convert_to_csv.py:62-76` reads one
     * part-file and takes 10k rows; the distributed form is an ordered
     * limit — TakeOrderedAndProject, no full collect).

@@ -1,0 +1,70 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Left as-of join — for each left row, the latest right row with
+  * `rightTime <= leftTime` within the same key group. Spark has no as-of
+  * operator; per the preference order (SURVEY.md §7.3) this composes
+  * built-ins rather than adding a plan node: tag both sides, union, and run
+  * `last(_, ignoreNulls)` over a (key, time)-sorted window — right rows act
+  * as state updates that the next left rows observe.
+  *
+  * Scale: exactly one shuffle (by key) + per-partition sort — the same cost
+  * envelope as a sort-merge join, no point-in-time subquery per row. Ties
+  * (`rightTime == leftTime`) sort right-before-left, so a same-instant
+  * right row IS visible, matching `ON r.t <= l.t` semantics (and DuckDB's
+  * ASOF JOIN, the test oracle).
+  */
+object AsOfJoin {
+
+  /** @param payload right-side columns to carry to the left rows (renamed
+    *                as given in the map: rightCol -> outputName).
+    */
+  def leftAsOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTime: String, rightTime: String,
+               payload: Map[String, String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val srcL = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__src", lit(1))
+    val srcR0 = right.select(
+      (keys.map(col) :+ col(rightTime).as("__t")) ++
+        payload.map { case (c, out) => col(c).as(s"__p_$out") }: _*)
+      .withColumn("__src", lit(0))
+    // align schemas for the union: left gets null payload slots, right gets
+    // null left-only columns
+    val withPayloadSlots = payload.values.foldLeft(srcL)((d, out) =>
+      d.withColumn(s"__p_$out", lit(null).cast(
+        srcR0.schema(s"__p_$out").dataType)))
+    val leftOnly = leftCols.filterNot(c => keys.contains(c))
+    val alignedR = leftOnly.foldLeft(srcR0)((d, c) =>
+      d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+      .select(withPayloadSlots.columns.map(col): _*)
+    val unioned = withPayloadSlots.union(alignedR)
+    // right rows sort before left rows at equal time → same-instant updates
+    // are visible to the left row
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__src").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.values.foldLeft(unioned)((d, out) =>
+      d.withColumn(out, last(col(s"__p_$out"), ignoreNulls = true).over(w)))
+    filled.filter(col("__src") === 1)
+      .select(leftCols.map(col) ++ payload.values.map(col): _*)
+  }
+
+  /** Range join: left rows matched to right intervals [startCol, endCol)
+    * sharing `keys`. Composed as an equi-join on keys + interval predicate;
+    * Catalyst evaluates the range predicate post-join, and the equi-key
+    * keeps the shuffle bounded (never a cross product).
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                leftTime: String, start: String, end: String,
+                how: String = "inner"): DataFrame = {
+    val cond = keys.map(k => left(k) === right(k)).reduce(_ && _) &&
+      left(leftTime) >= right(start) && left(leftTime) < right(end)
+    val joined = left.join(right, cond, how)
+    keys.foldLeft(joined)((d, k) => d.drop(right(k)))
+  }
+}

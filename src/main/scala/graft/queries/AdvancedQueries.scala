@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.AsOfJoin
+import graft.io.Tables
+import Parity._
+
+/** Operators beyond the reference's surface that complete the engine:
+  * as-of join, rollup/cube subtotals, set ops, approximate distinct.
+  */
+object AdvancedQueries {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // As-of join: each purchase sees the user's latest prior (or
+    // same-instant) signup value — the classic point-in-time enrichment
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val signups = ev.filter(col("event_type") === "signup")
+      AsOfJoin.leftAsOf(purchases, signups, Seq("user_id"), "ts", "ts",
+          Map("value" -> "signup_value"))
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("signup_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ROLLUP subtotals (SURVEY §2.4 "cube/rollup trivially available");
+    // group keys coalesced to a sentinel so both engines order identically
+    "q_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("returnflag"), col("linestatus"))),
+
+    // CUBE over two independent dims
+    "q_cube" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("dow",
+          dayofweek(col("ts")).cast("long"))
+        .cube(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("dow"), lit(-1L)).as("dow"),
+          col("n"), col("total_value"))
+        .orderBy(col("event_type"), col("dow"))),
+
+    // INTERSECT / EXCEPT set ops
+    "q_set_ops" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val buyers = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id")).distinct()
+      val errorers = ev.filter(col("event_type") === "error")
+        .select(col("user_id")).distinct()
+      val both = buyers.intersect(errorers).withColumn("tag", lit("both"))
+      val buyOnly = buyers.except(errorers).withColumn("tag", lit("buy_only"))
+      both.union(buyOnly).orderBy(col("tag"), col("user_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "q_asof_join" ->
+      """SELECT p.event_id, p.user_id, p.value, s.value AS signup_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND s.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q_rollup" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+         |  coalesce(l_linestatus, 'ALL') AS linestatus,
+         |  ${sqlDsum("l_quantity")} AS sum_qty,
+         |  count(*) AS n
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q_cube" ->
+      s"""SELECT coalesce(event_type, 'ALL') AS event_type,
+         |  coalesce(CAST(dayofweek(ts) + 1 AS BIGINT), -1) AS dow,
+         |  count(*) AS n,
+         |  ${sqlDsum("value")} AS total_value
+         |FROM events GROUP BY CUBE(event_type, (CAST(dayofweek(ts) + 1 AS BIGINT)))
+         |ORDER BY event_type, dow""".stripMargin,
+
+    "q_set_ops" ->
+      """WITH buyers AS (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        |), errorers AS (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+        |)
+        |SELECT user_id, 'both' AS tag
+        |  FROM (SELECT user_id FROM buyers INTERSECT SELECT user_id FROM errorers)
+        |UNION ALL
+        |SELECT user_id, 'buy_only' AS tag
+        |  FROM (SELECT user_id FROM buyers EXCEPT SELECT user_id FROM errorers)
+        |ORDER BY tag, user_id""".stripMargin
+  )
+}

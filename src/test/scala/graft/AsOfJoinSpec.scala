@@ -1,0 +1,55 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ext.AsOfJoin
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val trades = Seq(
+    (1L, "A", ts("2024-01-01 10:00:05"), 100.0),
+    (2L, "A", ts("2024-01-01 10:00:10"), 101.0),
+    (3L, "A", ts("2024-01-01 09:59:00"), 99.0), // before any quote
+    (4L, "B", ts("2024-01-01 10:00:07"), 200.0)
+  ).toDF("trade_id", "sym", "t", "price")
+
+  private val quotes = Seq(
+    ("A", ts("2024-01-01 10:00:00"), 1.0),
+    ("A", ts("2024-01-01 10:00:05"), 2.0), // same-instant as trade 1
+    ("A", ts("2024-01-01 10:00:09"), 3.0),
+    ("B", ts("2024-01-01 10:00:06"), 9.0)
+  ).toDF("sym", "qt", "quote")
+
+  test("as-of: latest right row with t <= left t, per key") {
+    val got = AsOfJoin.leftAsOf(trades, quotes, Seq("sym"), "t", "qt",
+        Map("quote" -> "asof_quote"))
+      .orderBy("trade_id").collect()
+    def q(i: Int) = if (got(i).isNullAt(4)) null else got(i).getDouble(4)
+    assert(q(0) == 2.0) // same-instant quote IS visible (<= semantics)
+    assert(q(1) == 3.0) // latest prior, not first
+    assert(q(2) == null) // no quote yet → left-join null
+    assert(q(3) == 9.0) // key isolation: B sees only B quotes
+  }
+
+  test("as-of preserves every left row and adds only payload columns") {
+    val got = AsOfJoin.leftAsOf(trades, quotes, Seq("sym"), "t", "qt",
+      Map("quote" -> "asof_quote"))
+    assert(got.count() == trades.count())
+    assert(got.columns.toSeq ==
+      trades.columns.toSeq :+ "asof_quote")
+  }
+
+  test("range join: rows land in their [start, end) interval per key") {
+    val intervals = Seq(
+      ("A", ts("2024-01-01 10:00:00"), ts("2024-01-01 10:00:08"), "w1"),
+      ("A", ts("2024-01-01 10:00:08"), ts("2024-01-01 10:00:20"), "w2")
+    ).toDF("sym", "s", "e", "win")
+    val got = AsOfJoin.rangeJoin(trades, intervals, Seq("sym"), "t", "s", "e")
+      .select("trade_id", "win").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "w1", 2L -> "w2")) // trade 3 outside, 4 wrong key
+  }
+}

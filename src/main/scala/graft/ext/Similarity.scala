@@ -87,6 +87,23 @@ object Similarity {
     topKByCosine(scored, k)
   }
 
+  /** Embedding near-dup pairs: same coarse bucket, cosine ≥ threshold,
+    * id < id. The threshold variant of [[bucketedNN]] — candidate
+    * generation identical (bucket equi-join), no per-query ranking.
+    */
+  def neighborPairs(df: DataFrame, idCol: String, vecCol: String,
+                    bucketCol: String, threshold: Double): DataFrame = {
+    val unit = df.select(col(bucketCol).as("bkt"), col(idCol).as("uid"),
+      unitVec(col(vecCol)).as("uvec"))
+    unit.select(col("bkt"), col("uid").as("id_a"), col("uvec").as("va"))
+      .join(unit.select(col("bkt"), col("uid").as("id_b"), col("uvec").as("vb")),
+        "bkt")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(dot(col("va"), col("vb")) + lit(1e-9), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** Random-hyperplane LSH bucket id for a vector: sign-bit signature over
     * `nPlanes` fixed pseudo-random hyperplanes. The planes are generated
     * from a deterministic integer hash (no RNG at plan time), so bucket

@@ -90,7 +90,36 @@ object NorthStarQueries {
     "q_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashLsh(Tables.documents(s, dir), "text", "doc_id")
         .filter(col("sig_agreement") >= 0.5)
-        .orderBy(col("id_a"), col("id_b")))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Embedding-cosine near-dup pairs within IVF buckets
+    "q_embedding_neardup" -> ((s, dir) =>
+      Similarity.neighborPairs(Tables.embeddings(s, dir),
+          "vec_id", "embedding", "label", threshold = 0.3)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Per-group top-k via the custom bounded Aggregator (groups never
+    // materialize — partial top-k per partition, k-way merge)
+    "q_topk_quality_per_lang" -> ((s, dir) => {
+      import s.implicits._
+      val st = TA.withTokenStats(Tables.documents(s, dir), "text")
+        .withColumn("quality",
+          ground(TA.qualityScore(col("n_tokens"), col("token_chars"),
+            col("n_punct"), col("n_stopwords")), 4))
+        .select(col("lang"), col("doc_id"), col("quality"))
+      val agg = graft.functions.TopKByScore(3)
+      st.as[(String, Long, Double)]
+        .groupByKey(_._1)
+        .mapValues { case (_, id, q) => (id, q) }
+        .agg(agg.toColumn)
+        .flatMap { case (lang, items) =>
+          items.zipWithIndex.map { case ((id, q), i) =>
+            (lang, id, q, (i + 1).toLong)
+          }
+        }
+        .toDF("lang", "doc_id", "quality", "rank")
+        .orderBy(col("lang"), col("rank"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -206,6 +235,47 @@ object NorthStarQueries {
         |  FROM scored
         |)
         |SELECT * FROM ranked WHERE rank <= 1 ORDER BY query_id""".stripMargin,
+
+    "q_embedding_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        |), scored AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_inner_product(a.v, b.v) /
+        |      (sqrt(list_inner_product(a.v, a.v)) *
+        |       sqrt(list_inner_product(b.v, b.v))) + 1e-9, 6) AS cosine
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |)
+        |SELECT * FROM scored WHERE cosine >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_topk_quality_per_lang" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, text,
+         |    regexp_split_to_array(trim(text), '\\s+') AS toks
+         |  FROM documents
+         |), st AS (
+         |  SELECT doc_id, lang,
+         |    len(toks) AS n_tokens,
+         |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+         |    CAST(len(list_filter(toks, x -> x IN ($StopSql))) AS BIGINT)
+         |      AS n_stopwords
+         |  FROM t
+         |), q AS (
+         |  SELECT doc_id, lang,
+         |    round(least(n_tokens / 100.0, 1.0) * 0.3
+         |      + (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(n_tokens, 1), 1.0)) * 0.4
+         |      + least(CAST(n_stopwords AS DOUBLE) * 5.0 / greatest(n_tokens, 1), 1.0) * 0.3
+         |      + 1e-9, 4) AS quality
+         |  FROM st
+         |), ranked AS (
+         |  SELECT lang, doc_id, quality,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY quality DESC, doc_id) AS BIGINT) AS "rank"
+         |  FROM q
+         |)
+         |SELECT lang, doc_id, quality, "rank" FROM ranked
+         |WHERE "rank" <= 3 ORDER BY lang, "rank"""".stripMargin,
 
     "q_multimodal_meta" ->
       """WITH m AS (

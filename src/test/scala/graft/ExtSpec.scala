@@ -58,6 +58,25 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class TopKAggregatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bounded top-k agg: deterministic under any partitioning") {
+    val data = (1L to 1000L).map(i => ("g" + (i % 3), i, (i % 17).toDouble))
+    val expected = data.groupBy(_._1).view.mapValues(
+      _.map(t => (t._2, t._3)).sortBy { case (id, s) => (-s, id) }.take(5))
+    for (parts <- Seq(1, 7, 32)) {
+      val ds = spark.createDataset(data).repartition(parts)
+      val got = ds.groupByKey(_._1)
+        .mapValues { case (_, id, s) => (id, s) }
+        .agg(graft.functions.TopKByScore(5).toColumn)
+        .collect().toMap
+      assert(got.keySet == expected.keySet)
+      expected.foreach { case (g, exp) => assert(got(g) == exp, s"group $g") }
+    }
+  }
+}
+
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 

@@ -1,0 +1,101 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import org.apache.spark.sql.functions._
+
+import graft.feat.Windows
+
+/** Property tests (SURVEY.md §5.3): the reference's runtime audits as
+  * properties over generated data (scalacheck generators, fixed seeds,
+  * sampled directly — the scalatest bridge artifact isn't on the offline
+  * classpath).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def forAll[T](g: Gen[T], n: Int = 10)(body: T => Unit): Unit =
+    (1 to n).foreach { i =>
+      body(g.apply(Gen.Parameters.default, Seed(42L + i))
+        .getOrElse(fail("generator exhausted")))
+    }
+
+  private val seriesGen: Gen[List[Double]] =
+    Gen.chooseNum(3, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0.0, 1000.0).map(v =>
+        math.rint(v * 100) / 100)))
+
+  test("property: rolling avg over trailing 7 rows equals manual window") {
+    forAll(seriesGen) { vs =>
+      val df = vs.zipWithIndex
+        .map { case (v, i) => ("u", f"2024-02-${i % 28 + 1}%02d~$i", v) }
+        .toDF("id", "date", "v") // synthetic orderable key
+      val got = Windows.addRolling(df, "id", "date", "v")
+        .orderBy("date").select("rolling_avg_7d").collect()
+        .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+      val sortedVs = vs.zipWithIndex
+        .map { case (v, i) => (f"2024-02-${i % 28 + 1}%02d~$i", v) }
+        .sortBy(_._1).map(_._2)
+      val manual = sortedVs.indices.map { i =>
+        val frame = sortedVs.slice(math.max(0, i - 7), i)
+        if (frame.isEmpty) None else Some(frame.sum / frame.size)
+      }
+      got.zip(manual).foreach {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-9)
+        case (a, b) => assert(a == b)
+      }
+    }
+  }
+
+  test("property: lag_k null-prefix length == min(k, series length)") {
+    forAll(Gen.zip(Gen.chooseNum(1, 15), seriesGen)) { case (k, vs) =>
+      val df = vs.zipWithIndex
+        .map { case (v, i) => ("u", f"k$i%04d", v) }.toDF("id", "date", "v")
+      val nulls = Windows.addLags(df, "id", "date", "v", lags = Seq(k))
+        .filter(col(s"lag_${k}_day").isNull).count()
+      assert(nulls == math.min(k, vs.length).toLong)
+    }
+  }
+
+  test("property: daily agg preserves total sum and row coverage") {
+    forAll(Gen.listOfN(60, Gen.zip(Gen.chooseNum(1L, 5L),
+        Gen.chooseNum(1, 28), Gen.chooseNum(0.0, 100.0)))) { rows =>
+      val df = rows.map { case (u, d, v) =>
+        (u, java.sql.Timestamp.valueOf(f"2024-03-$d%02d 12:00:00"), v)
+      }.toDF("user_id", "ts", "value")
+      val t = graft.etl.Clean.withTimeFeatures(df, "ts")
+      val daily = graft.etl.Aggregate.daily(t, "user_id", "value")
+      val total = daily.agg(sum("daily_value")).head.getDouble(0)
+      assert(math.abs(total - rows.map(_._3).sum) < 1e-6)
+      assert(daily.agg(sum("num_readings")).head.getLong(0) == rows.size)
+    }
+  }
+
+  test("property: jaccard pairs are symmetric-free, bounded, thresholded") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g x"),
+      (3L, "a b c d e f g h"), (4L, "z y x w v u t s")
+    ).toDF("doc_id", "text").withColumn("b", lit(1))
+    val pairs = graft.ext.Dedup.ngramJaccardPairs(
+      docs, "text", "doc_id", Seq("b"), threshold = 0.0).collect()
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1)) // no self/mirror pairs
+      val j = r.getDouble(2)
+      assert(j >= 0.0 && j <= 1.0)
+    }
+    val m = pairs.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(m((1L, 3L)) == 1.0) // identical docs
+  }
+
+  test("property: anomaly flags are a subset of rows and rate-bounded") {
+    val daily = graft.queries.Parity.daily(spark, TestSpark.sf0001)
+    val z = Windows.addGroupStats(daily, "user_id", "daily_value")
+      .withColumn("z", (col("daily_value") - col("group_mean")) /
+        when(col("group_std") > 0, col("group_std")).otherwise(lit(1)))
+      .withColumn("flag", (col("z") > 2).cast("long"))
+    val n = z.count()
+    val flagged = z.agg(sum("flag")).head.getLong(0)
+    assert(flagged >= 0 && flagged < n / 4) // z>2 must be a small minority
+  }
+}

@@ -52,6 +52,15 @@ object AdvancedQueries {
           col("n"), col("total_value"))
         .orderBy(col("event_type"), col("dow"))),
 
+    // JSON column access: parse props, bucket by the extracted field
+    "q_json_extract" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k",
+          get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy((col("k") / lit(10)).cast("long").as("k_bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .orderBy(col("k_bucket"))),
+
     // INTERSECT / EXCEPT set ops
     "q_set_ops" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -89,6 +98,12 @@ object AdvancedQueries {
          |  ${sqlDsum("value")} AS total_value
          |FROM events GROUP BY CUBE(event_type, (CAST(dayofweek(ts) + 1 AS BIGINT)))
          |ORDER BY event_type, dow""".stripMargin,
+
+    "q_json_extract" ->
+      s"""SELECT CAST(CAST(json_extract_string(props, '$$.k') AS BIGINT) // 10
+         |    AS BIGINT) AS k_bucket,
+         |  count(*) AS n, ${sqlDsum("value")} AS total_value
+         |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin,
 
     "q_set_ops" ->
       """WITH buyers AS (

@@ -53,6 +53,16 @@ object Profile {
         docs.withColumn("len_band", expr("n_chars div 50")),
         "text", "doc_id", Seq("lang", "len_band"), 0.05).count()))
 
+    time("simHashes only")(
+      println("simhash rows: " + Dedup.simHashes(docs, "text", "doc_id").count()))
+    time("full simHashNearDups")(
+      println("simhash pairs: " + Dedup.simHashNearDups(
+        docs, "text", "doc_id", Seq("lang"), 3).count()))
+
+    val ta = graft.ext.TextAnalysis
+    time("text stats")(println("stats rows: " +
+      ta.withTokenStats(docs, "text").agg(sum("n_tokens")).head.getLong(0)))
+
     spark.stop()
   }
 }

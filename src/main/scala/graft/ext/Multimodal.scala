@@ -39,6 +39,38 @@ object Multimodal {
       encode(col(textCol), "UTF-8").as("payload"),
       concat(lit("img/"), col(sourceCol)).as("format"))
 
+  case class ResizedRow(doc_id: Long, width: Long, height: Long,
+                        target_w: Long, target_h: Long, scale: Double)
+  case class FrameRow(doc_id: Long, frame_idx: Long, frame_hash: Long)
+
+  /** STUB resize: computes the letterboxed target geometry a real resizer
+    * would use (aspect-preserving fit into maxW×maxH) — all the planning
+    * math, none of the pixels.
+    */
+  def resizeMeta(spark: SparkSession, decoded: Dataset[DecodedRow],
+                 maxW: Long, maxH: Long): Dataset[ResizedRow] = {
+    import spark.implicits._
+    decoded.map { r =>
+      val scale = math.min(maxW.toDouble / r.width, maxH.toDouble / r.height)
+      val s = math.min(scale, 1.0)
+      ResizedRow(r.doc_id, r.width, r.height,
+        math.max(1L, (r.width * s).toLong), math.max(1L, (r.height * s).toLong), s)
+    }
+  }
+
+  /** STUB frame sampling: every k-th frame index plus a deterministic
+    * pseudo-hash per frame (stands in for a decoded keyframe digest).
+    * `flatMap` = the 1→N row shape a real frame extractor produces.
+    */
+  def frameSample(spark: SparkSession, decoded: Dataset[DecodedRow],
+                  everyK: Long): Dataset[FrameRow] = {
+    import spark.implicits._
+    decoded.flatMap { r =>
+      (0L until r.n_frames by everyK).map(i =>
+        FrameRow(r.doc_id, i, r.byte_len * 31L + i))
+    }
+  }
+
   /** Batch "decode": typed mapPartitions — the real plumbing under any
     * decode/resize/frame-sample stage. Each partition's rows stream through
     * one codec invocation context (where a real codec would amortize model/

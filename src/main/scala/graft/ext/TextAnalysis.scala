@@ -13,8 +13,17 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokenizer (the BPE-ish regex split). */
+  /** Whitespace tokenizer. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** BPE-ish sub-word tokenizer: letter runs, digit runs, and single
+    * non-alnum symbols — the pre-tokenization regex family BPE vocabularies
+    * are trained over. A proper trained-merges tokenizer would map over
+    * this output; the token COUNT (the quantity pipelines budget by) comes
+    * from this split.
+    */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
 
   /** Stopword list used for quality scoring and language ID. Bounded,
     * broadcast as a literal array into the plan.
@@ -48,6 +57,7 @@ object TextAnalysis {
       .withColumn("n_punct",
         regexp_count(col(textCol), lit("[.,!?;:]")).cast("long"))
       .withColumn("n_stopwords", countIn(toks, Stopwords))
+      .withColumn("n_bpe_tokens", size(bpeTokens(col(textCol))).cast("long"))
   }
 
   /** Quality score ∈ [0,1]: length saturation + non-punct + stopword

@@ -21,10 +21,18 @@ object NorthStarQueries {
     "q_text_stats" -> ((s, dir) => {
       val st = TA.withTokenStats(Tables.documents(s, dir), "text")
       st.select(col("doc_id"), col("n_tokens"), col("token_chars"),
-          col("n_punct"), col("n_stopwords"),
+          col("n_punct"), col("n_stopwords"), col("n_bpe_tokens"),
           ground(TA.qualityScore(col("n_tokens"), col("token_chars"),
             col("n_punct"), col("n_stopwords")), 4).as("quality"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Multimodal frame sampling: 1→N batch shape through the stubbed codec
+    "q_multimodal_frames" -> ((s, dir) => {
+      val media = Multimodal.asMedia(Tables.documents(s, dir),
+        "doc_id", "text", "source")
+      Multimodal.frameSample(s, Multimodal.decodeBatches(s, media), everyK = 4)
+        .toDF().orderBy(col("doc_id"), col("frame_idx"))
     }),
 
     // Language ID: marker-token argmax heuristic
@@ -135,10 +143,13 @@ object NorthStarQueries {
          |      AS token_chars,
          |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
          |    CAST(len(list_filter(toks, t -> t IN ($StopSql))) AS BIGINT)
-         |      AS n_stopwords
+         |      AS n_stopwords,
+         |    CAST(len(regexp_extract_all(lower(text),
+         |      '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
          |  FROM t
          |)
          |SELECT doc_id, n_tokens, token_chars, n_punct, n_stopwords,
+         |  n_bpe_tokens,
          |  round(least(n_tokens / 100.0, 1.0) * 0.3
          |    + (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(n_tokens, 1), 1.0)) * 0.4
          |    + least(CAST(n_stopwords AS DOUBLE) * 5.0 / greatest(n_tokens, 1), 1.0) * 0.3
@@ -276,6 +287,17 @@ object NorthStarQueries {
          |)
          |SELECT lang, doc_id, quality, "rank" FROM ranked
          |WHERE "rank" <= 3 ORDER BY lang, "rank"""".stripMargin,
+
+    "q_multimodal_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS byte_len,
+        |         octet_length(encode(text)) % 24 + 1 AS n_frames
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(t.i AS BIGINT) AS frame_idx,
+        |       CAST(byte_len * 31 + t.i AS BIGINT) AS frame_hash
+        |FROM m, unnest(range(0, n_frames, 4)) AS t(i)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q_multimodal_meta" ->
       """WITH m AS (

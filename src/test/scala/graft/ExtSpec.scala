@@ -161,4 +161,20 @@ class MultimodalSpec extends SparkSpec {
       .filter(col("byte_len") =!= octet_length(col("text"))).count()
     assert(mismatch == 0)
   }
+
+  test("resize planning and frame sampling shapes") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val decoded = Multimodal.decodeBatches(spark,
+      Multimodal.asMedia(docs, "doc_id", "text", "source"))
+    val resized = Multimodal.resizeMeta(spark, decoded, maxW = 64, maxH = 64)
+    assert(resized.filter(col("target_w") > 64 || col("target_h") > 64)
+      .count() == 0)
+    assert(resized.filter(col("scale") > 1.0).count() == 0) // never upscale
+    val frames = Multimodal.frameSample(spark, decoded, everyK = 4)
+    // every doc contributes ceil(n_frames / 4) frames
+    val perDoc = frames.groupBy("doc_id").count()
+      .join(decoded.toDF(), "doc_id")
+      .filter(col("count") =!= ceil(col("n_frames") / lit(4.0)).cast("long"))
+    assert(perDoc.count() == 0)
+  }
 }

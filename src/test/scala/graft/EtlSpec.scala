@@ -77,6 +77,26 @@ class EtlSpec extends SparkSpec {
     assert(spark.read.option("header", "true").csv(s"$dir/gz").count() == 100)
   }
 
+  test("salting: salted join and salted agg match their unsalted twins") {
+    import graft.etl.Salting
+    // skewed: 90% of rows on key 1
+    val large = (1 to 1000).map(i =>
+      (if (i <= 900) 1L else (i % 7).toLong, i.toDouble)).toDF("k", "v")
+    val small = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"))
+      .toDF("k", "label")
+    val plain = large.join(small, Seq("k")).groupBy("k", "label")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+    val salted = Salting.saltedJoin(large, small, Seq("k"), saltBuckets = 8)
+      .groupBy("k", "label").agg(sum("v").as("s"), count(lit(1)).as("n"))
+    assert(salted.exceptAll(plain).count() == 0 &&
+      plain.exceptAll(salted).count() == 0)
+    val aggPlain = large.groupBy("k").agg(sum("v").as("sum_v"),
+      count(lit(1)).as("n"))
+    val aggSalted = Salting.saltedSumCount(large, Seq("k"), "v", 8)
+    assert(aggSalted.exceptAll(aggPlain).count() == 0 &&
+      aggPlain.exceptAll(aggSalted).count() == 0)
+  }
+
   test("J1: dim join is a broadcast hash join and preserves fact rows") {
     val fact = (1 to 100).map(i => (i.toLong, i % 3)).toDF("id", "k")
     val dim = Seq((0, "a"), (1, "b")).toDF("k", "label")

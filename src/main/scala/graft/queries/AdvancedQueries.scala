@@ -61,6 +61,36 @@ object AdvancedQueries {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
         .orderBy(col("k_bucket"))),
 
+    // Exact interpolated percentiles per group (Spark `percentile` ==
+    // DuckDB `quantile_cont`)
+    "q_percentiles" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("percentile(value, 0.5)").as("p50_raw"),
+          expr("percentile(value, 0.9)").as("p90_raw"),
+          max(col("value")).as("max_value"))
+        .select(col("event_type"),
+          ground(col("p50_raw"), 4).as("p50"),
+          ground(col("p90_raw"), 4).as("p90"),
+          col("max_value"))
+        .orderBy(col("event_type"))),
+
+    // String-function surface: case, substring, length, concat, replace,
+    // padding, trim
+    "q_string_funcs" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .filter(col("c_custkey") <= 100)
+        .select(col("c_custkey"),
+          upper(col("c_mktsegment")).as("seg_upper"),
+          lower(col("c_name")).as("name_lower"),
+          substring(col("c_name"), 1, 8).as("name_prefix"),
+          length(col("c_name")).cast("long").as("name_len"),
+          concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"),
+          regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+          lpad(col("c_custkey").cast("string"), 8, "0").as("padded"))
+        .orderBy(col("c_custkey"))),
+
     // INTERSECT / EXCEPT set ops
     "q_set_ops" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -104,6 +134,25 @@ object AdvancedQueries {
          |    AS BIGINT) AS k_bucket,
          |  count(*) AS n, ${sqlDsum("value")} AS total_value
          |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin,
+
+    "q_percentiles" ->
+      s"""SELECT event_type,
+         |  ${sqlGround("quantile_cont(value, 0.5)", 4)} AS p50,
+         |  ${sqlGround("quantile_cont(value, 0.9)", 4)} AS p90,
+         |  max(value) AS max_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT c_custkey,
+        |  upper(c_mktsegment) AS seg_upper,
+        |  lower(c_name) AS name_lower,
+        |  substr(c_name, 1, 8) AS name_prefix,
+        |  CAST(length(c_name) AS BIGINT) AS name_len,
+        |  concat_ws('|', c_mktsegment, c_name) AS joined,
+        |  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded
+        |FROM customer WHERE c_custkey <= 100
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_set_ops" ->
       """WITH buyers AS (

@@ -110,6 +110,27 @@ class EnergyPipelineSpec extends SparkSpec {
     assert(rate >= 0 && rate <= 0.2) // z>3: anomalies are rare
   }
 
+  test("dashboard pages run distributed and collect plot-sized results") {
+    import graft.analytics.Dashboard
+    val daily = out("daily")
+      .withColumn("daily_energy_kwh", col("daily_energy_kwh").cast("double"))
+    val kpis = Dashboard.overview(daily, "daily_energy_kwh", "LCLid")
+    assert(kpis.getAs[Long]("n_rows") == 80L && kpis.getAs[Long]("n_users") == 2L)
+    val (byWeekday, byMonth) = Dashboard.patterns(daily, "date",
+      "daily_energy_kwh")
+    assert(byWeekday.length == 7 && byMonth.length == 2) // Jan + Feb 2013
+    val an = out("anomalies")
+    val (top, rate) = Dashboard.anomalies(an, "LCLid", "date")
+    assert(top.length <= 15 && rate.nonEmpty)
+    val merged = Dashboard.exportMerge(daily, out("forecasting_results"),
+      an, "LCLid", "date")
+    assert(merged.count() == daily.count()) // left joins preserve the base
+    assert(merged.columns.count(_ == "prediction") == 1) // no dup columns
+    graft.io.Writers.csv(merged,
+      java.nio.file.Files.createTempDirectory("graft-export").toString + "/m",
+      gzip = true)
+  }
+
   test("materialized run writes all stage tables + metadata (S6/S7/S14)") {
     val dir = Files.createTempDirectory("graft-energy-out").toString
     EnergyPipeline.run(spark, s"$csvDir/*.csv", tariffs, Some(dir))

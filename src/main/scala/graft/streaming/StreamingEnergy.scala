@@ -62,6 +62,55 @@ object StreamingEnergy {
       }
   }
 
+  case class DayState(sums: Map[String, Double], emitted: Set[String])
+  case class DailyFeatures(user_id: Long, date: String, daily_value: Double,
+                           lag_1_day: Option[Double],
+                           rolling_avg_7d: Option[Double],
+                           rolling_sum_7d: Option[Double])
+
+  /** W1/W2/W4 as STREAMING state (`flatMapGroupsWithState`) — the hard
+    * migration SURVEY.md §2.10 flags: per-user daily totals accumulate in
+    * state; a day becomes immutable ("closed") once a later day appears for
+    * that user, at which point its lag/rolling features emit exactly once.
+    * Trailing ROWS frames over closed days reproduce the batch semantics
+    * (current row excluded) for in-order data.
+    *
+    * Scale note: state here is a per-user map of open+closed day sums; in
+    * production bound it with event-time timeout eviction (the emitted-set
+    * and sums for days older than the longest frame can be dropped — 30
+    * entries per user).
+    */
+  def streamingDailyFeatures(spark: SparkSession, events: DataFrame)
+      : Dataset[DailyFeatures] = {
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "cast(cast(ts as date) as string) as date", "value")
+      .as[(Long, String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (id: Long, rows: Iterator[(Long, String, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[DayState]) =>
+          val prev = state.getOption.getOrElse(DayState(Map.empty, Set.empty))
+          val sums = rows.foldLeft(prev.sums) { case (acc, (_, d, v)) =>
+            acc + (d -> (acc.getOrElse(d, 0.0) + v))
+          }
+          val days = sums.keys.toIndexedSeq.sorted
+          val closed = days.dropRight(1) // max day may still accumulate
+          val toEmit = closed.filterNot(prev.emitted)
+          state.update(DayState(sums, prev.emitted ++ toEmit))
+          toEmit.iterator.map { d =>
+            val i = closed.indexOf(d)
+            val frame = closed.slice(math.max(0, i - 7), i).map(sums)
+            DailyFeatures(id, d, sums(d),
+              if (i >= 1) Some(sums(closed(i - 1))) else None,
+              if (frame.nonEmpty) Some(frame.sum / frame.size) else None,
+              if (frame.nonEmpty) Some(frame.sum) else None)
+          }
+      }
+  }
+
   /** Stream-static join: flag stream readings against a precomputed static
     * per-user profile (mean/std). The static side broadcasts; each
     * micro-batch is a map-only pass.

@@ -62,6 +62,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful streaming features match batch lag/rolling on closed days") {
+    val stream = StreamingEnergy.readStream(spark, srcDir, schema)
+    val feats = StreamingEnergy.streamingDailyFeatures(spark, stream)
+    val q = feats.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("feat_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("feat_stream")
+      // batch twin: daily agg + lag/rolling, dropping each user's last day
+      val daily = graft.queries.Parity.daily(spark, TestSpark.sf0001)
+        .select(col("user_id"), col("date").cast("string").as("date"),
+          col("daily_value"))
+      val lastDay = daily.groupBy("user_id").agg(max("date").as("last_date"))
+      val batch = graft.feat.Windows.addRolling(
+          graft.feat.Windows.addLags(daily, "user_id", "date", "daily_value",
+            lags = Seq(1)),
+          "user_id", "date", "daily_value")
+        .join(lastDay, "user_id").filter(col("date") < col("last_date"))
+      assert(got.count() == batch.count())
+      // daily_value in the stream is an UNROUNDED running sum (state
+      // accumulates raw doubles); compare with tolerance vs the
+      // decimal-exact batch value, exact on lag/rolling relationships
+      val joined = got.alias("g").join(batch.alias("b"), Seq("user_id", "date"))
+      val bad = joined.filter(
+        abs(col("g.daily_value") - col("b.daily_value")) > 1e-6 ||
+        abs(coalesce(col("g.rolling_sum_7d"), lit(0.0)) -
+            coalesce(col("b.rolling_sum_7d"), lit(0.0))) > 1e-6 ||
+        abs(coalesce(col("g.lag_1_day"), lit(-1.0)) -
+            coalesce(col("b.lag_1_day"), lit(-1.0))) > 1e-6).count()
+      assert(bad == 0)
+    } finally q.stop()
+  }
+
   test("stream-static join flags against a broadcast profile") {
     val profile = Tables.events(spark, TestSpark.sf0001)
       .groupBy("user_id").agg(avg("value").as("profile_mean"),

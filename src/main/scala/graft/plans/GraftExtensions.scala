@@ -16,9 +16,22 @@ import graft.functions.DotProduct
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      new FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    e.injectFunction(GraftExtensions.dotFunction)
   }
+}
+
+object GraftExtensions {
+  private val dotFunction = (
+    new FunctionIdentifier("graft_dot"),
+    new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+    (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1)))
+
+  /** Register directly on an EXISTING session — `getOrCreate` silently
+    * ignores `withExtensions` when it returns a pre-existing session, so
+    * [[graft.Engine.session]] calls this to make registration
+    * unconditional.
+    */
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      dotFunction._1, dotFunction._2, dotFunction._3)
 }

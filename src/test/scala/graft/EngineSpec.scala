@@ -1,0 +1,31 @@
+package graft
+
+/** SQL-first usage through [[Engine]]: views + the graft_dot extension
+  * resolve inside plain spark.sql.
+  */
+class EngineSpec extends SparkSpec {
+
+  test("graft_dot resolves in SQL through the session extension") {
+    // the shared test session lacks the extension; build one with it
+    val s = Engine.session(master = "local[2]", shufflePartitions = Some(2))
+    try {
+      Engine.registerTables(s, TestSpark.sf0001)
+      val row = s.sql(
+        """SELECT a.vec_id, b.vec_id,
+          |  graft_dot(a.embedding_d, b.embedding_d) AS dot
+          |FROM embeddings a JOIN embeddings b
+          |  ON a.vec_id = 0 AND b.vec_id = 1""".stripMargin).head()
+      assert(!row.isNullAt(2) && math.abs(row.getDouble(2)) < 1.5)
+      // relational SQL over the registered views
+      val n = s.sql(
+        """SELECT count(*) FROM events e JOIN customer c
+          |  ON e.user_id = c.c_custkey""".stripMargin).head().getLong(0)
+      assert(n > 0)
+    } finally {
+      // shared TestSpark.spark must remain the active default session for
+      // the other suites
+      org.apache.spark.sql.SparkSession.setDefaultSession(TestSpark.spark)
+      org.apache.spark.sql.SparkSession.setActiveSession(TestSpark.spark)
+    }
+  }
+}

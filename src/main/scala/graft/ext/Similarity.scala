@@ -43,7 +43,9 @@ object Similarity {
   def unitVec(vec: Column): Column = {
     val vd = vec.cast("array<double>")
     val norm = sqrt(dot(vd, vd))
-    transform(vd, x => x / norm)
+    // try_divide: ANSI mode (Spark 4 default) throws on x/0 — an all-zero
+    // vector normalizes to nulls and never ranks, instead of killing the job
+    transform(vd, x => try_divide(x, norm))
   }
 
   private def topKByCosine(scored: DataFrame, k: Int): DataFrame = {

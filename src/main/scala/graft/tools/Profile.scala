@@ -11,7 +11,8 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("PROFILE_SHUFFLE", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -62,6 +63,10 @@ object Profile {
     val ta = graft.ext.TextAnalysis
     time("text stats")(println("stats rows: " +
       ta.withTokenStats(docs, "text").agg(sum("n_tokens")).head.getLong(0)))
+
+    if (sys.env.contains("PROFILE_ML"))
+      time("q_ml_anomaly")(println("anomaly rows: " +
+        graft.SparkEntry.queries("q_ml_anomaly")(spark, dir).count()))
 
     spark.stop()
   }

@@ -77,6 +77,15 @@ class EtlSpec extends SparkSpec {
     assert(spark.read.option("header", "true").csv(s"$dir/gz").count() == 100)
   }
 
+  test("A3 at scale: approx_count_distinct within 5% of exact") {
+    val ev = graft.io.Tables.events(spark, TestSpark.sf0001)
+    val exact = graft.analytics.Queries.kpis(ev, "value", "user_id")
+      .head.getAs[Long]("n_users")
+    val approx = graft.analytics.Queries.kpis(ev, "value", "user_id",
+      exact = false).head.getAs[Long]("n_users")
+    assert(math.abs(approx - exact).toDouble / exact < 0.05)
+  }
+
   test("salting: salted join and salted agg match their unsalted twins") {
     import graft.etl.Salting
     // skewed: 90% of rows on key 1

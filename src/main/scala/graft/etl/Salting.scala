@@ -22,6 +22,12 @@ object Salting {
   def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
                  saltBuckets: Int, how: String = "inner",
                  seed: Long = 42L): DataFrame = {
+    // right/full outer would emit each UNMATCHED replicated small-side row
+    // once per salt — not row-identical to the unsalted join
+    require(Set("inner", "left", "leftouter", "left_outer", "cross",
+        "leftsemi", "left_semi").contains(how.toLowerCase),
+      s"saltedJoin supports inner/left/semi joins, not '$how' " +
+        "(outer-unmatched small-side rows would duplicate per salt)")
     val salted = large.withColumn("__salt",
       (rand(seed) * saltBuckets).cast("int"))
     val replicated = small.withColumn("__salt",

@@ -29,15 +29,18 @@ object AsOfJoin {
     val srcL = left
       .withColumn("__t", col(leftTime))
       .withColumn("__src", lit(1))
+    // payload travels as ONE struct per right row: the struct is non-null
+    // even when its fields are null, so `last(_, ignoreNulls)` matches the
+    // latest right ROW — a null payload VALUE on the latest row is
+    // faithfully returned as null (DuckDB ASOF semantics), not skipped in
+    // favor of an older non-null value
     val srcR0 = right.select(
-      (keys.map(col) :+ col(rightTime).as("__t")) ++
-        payload.map { case (c, out) => col(c).as(s"__p_$out") }: _*)
+      (keys.map(col) :+ col(rightTime).as("__t")) :+
+        struct(payload.map { case (c, out) => col(c).as(out) }.toSeq: _*)
+          .as("__upd"): _*)
       .withColumn("__src", lit(0))
-    // align schemas for the union: left gets null payload slots, right gets
-    // null left-only columns
-    val withPayloadSlots = payload.values.foldLeft(srcL)((d, out) =>
-      d.withColumn(s"__p_$out", lit(null).cast(
-        srcR0.schema(s"__p_$out").dataType)))
+    val withPayloadSlots = srcL.withColumn("__upd",
+      lit(null).cast(srcR0.schema("__upd").dataType))
     val leftOnly = leftCols.filterNot(c => keys.contains(c))
     val alignedR = leftOnly.foldLeft(srcR0)((d, c) =>
       d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
@@ -48,10 +51,11 @@ object AsOfJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__src").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.values.foldLeft(unioned)((d, out) =>
-      d.withColumn(out, last(col(s"__p_$out"), ignoreNulls = true).over(w)))
+    val filled = unioned.withColumn("__upd_f",
+      last(col("__upd"), ignoreNulls = true).over(w))
     filled.filter(col("__src") === 1)
-      .select(leftCols.map(col) ++ payload.values.map(col): _*)
+      .select(leftCols.map(col) ++
+        payload.values.map(out => col(s"__upd_f.$out").as(out)): _*)
   }
 
   /** Range join: left rows matched to right intervals [startCol, endCol)

@@ -10,6 +10,12 @@ import org.apache.spark.sql.functions._
   * tiny rows). Near-dup never compares all pairs: candidates are generated
   * inside buckets (content buckets here; MinHash bands in [[minHashLsh]]),
   * so the join key prunes the quadratic blowup to per-bucket blocks.
+  *
+  * Cache lifecycle: the near-dup functions `cache()` their small
+  * shingle/signature frames (one row per doc) because multiple plan
+  * branches reference them. The entries stay registered for the session and
+  * are evicted LRU under storage-memory pressure; long-lived sessions doing
+  * many dedup passes should `spark.catalog.clearCache()` between corpora.
   */
 object Dedup {
 
@@ -99,10 +105,16 @@ object Dedup {
                         numHashes: Int = 16): DataFrame = {
     val expl = df.select(col(idCol),
       explode(shingles(col(textCol))).as("s"))
-    val h = abs(hash(col("s"))).cast("long")
+    // cast BEFORE abs: abs(Int.MinValue) overflows under ANSI mode
+    val h = abs(hash(col("s")).cast("long"))
     val hashCols = (0 until numHashes).map { i =>
-      val a = 1664525L * (i + 1) % MersenneP
-      val b = 1013904223L * (i + 1) % MersenneP
+      // independent (a_i, b_i) per permutation from a seeded PRNG — NOT
+      // scalar multiples of one base pair, which would make every h_i a
+      // multiple of a single inner value (one zero collapses all slots and
+      // the family loses pairwise independence)
+      val rng = new java.util.Random(0x9E3779B97F4A7C15L ^ (i.toLong << 32))
+      val a = 1L + rng.nextInt(Int.MaxValue - 1)
+      val b = rng.nextInt(Int.MaxValue).toLong
       pmod(h * a + b, lit(MersenneP)).as(s"h$i")
     }
     val mins = (0 until numHashes).map(i => min(col(s"h$i")).as(s"h$i"))
@@ -193,9 +205,8 @@ object Dedup {
       .withColumnRenamed("simhash", "sh")
       .cache()
     val banded = sh.select(
-      (col(idCol) +: bucketCols.map(col)) :+
+      (col(idCol) +: bucketCols.map(col)) :+ col("sh") :+
         explode(sequence(lit(0), lit(nBands - 1))).as("band"): _*)
-      .join(sh.select(col(idCol), col("sh")), idCol)
       .withColumn("band_bits",
         expr(s"shiftright(sh, band * $bandBits)")
           .bitwiseAND((1L << bandBits) - 1))

@@ -36,8 +36,11 @@ object Multimodal {
   def asMedia(df: DataFrame, idCol: String, textCol: String,
               sourceCol: String): DataFrame =
     df.select(col(idCol).cast("long").as("doc_id"),
-      encode(col(textCol), "UTF-8").as("payload"),
-      concat(lit("img/"), col(sourceCol)).as("format"))
+      // null text → empty payload (a null payload would NPE the typed
+      // decode path)
+      encode(coalesce(col(textCol), lit("")), "UTF-8").as("payload"),
+      concat(lit("img/"), coalesce(col(sourceCol), lit("unknown")))
+        .as("format"))
 
   case class ResizedRow(doc_id: Long, width: Long, height: Long,
                         target_w: Long, target_h: Long, scale: Double)

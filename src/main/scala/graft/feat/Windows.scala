@@ -126,10 +126,16 @@ object Windows {
         when(col(labelCol) === lbl, 1).otherwise(0)))
   }
 
-  /** W5 at scale: per-group mean/std via groupBy + broadcast join-back
-    * instead of an unbounded window (`anomaly_detection.py:132-140` puts
-    * each cluster in ONE partition — a skew cliff at 100 TB; the agg+join
-    * form is algebraically identical and shuffles only group-sized rows).
+  /** W5 at scale: per-group mean/std via groupBy + join-back instead of an
+    * unbounded window (`anomaly_detection.py:132-140` puts each cluster in
+    * ONE partition — a skew cliff at 100 TB; the agg+join form is
+    * algebraically identical and shuffles only group-sized rows).
+    *
+    * No forced broadcast: the stats frame has one row per group, and group
+    * cardinality is unbounded (per-user stats at 100 TB is millions of
+    * rows). AQE broadcasts it when it is actually small and falls back to a
+    * shuffled join when it is not — forcing `broadcast()` here would OOM
+    * the driver at exactly the scale this function exists for.
     */
   def addGroupStats(df: DataFrame, groupCol: String, valueCol: String,
                     meanName: String = "group_mean",
@@ -137,6 +143,6 @@ object Windows {
     val stats = df.groupBy(col(groupCol)).agg(
       avg(col(valueCol)).as(meanName),
       stddev(col(valueCol)).as(stdName))
-    df.join(broadcast(stats), Seq(groupCol), "left")
+    df.join(stats, Seq(groupCol), "left")
   }
 }

@@ -23,12 +23,14 @@ object ExtendedQueries {
 
     // P2+P3+string fn: JSON-ish regexp extract, zero-sentinel → NULL, cast
     // (data_preprocessing.py:132-137 pattern on a different sentinel)
+    // "" (pattern miss) maps to null alongside the "0" sentinel — a plain
+    // cast of "" would throw under ANSI mode
     "q_sentinel_cast" -> ((s, dir) =>
       Tables.events(s, dir)
         .select(col("event_id"),
           regexp_extract(col("props"), "\"k\": (\\d+)", 1).as("k_str"))
         .select(col("event_id"),
-          when(col("k_str") === "0", lit(null)).otherwise(col("k_str"))
+          when(col("k_str").isin("0", ""), lit(null)).otherwise(col("k_str"))
             .cast("long").as("k"))
         .orderBy(col("event_id"))),
 
@@ -211,7 +213,10 @@ object ExtendedQueries {
         .orderBy(col("r_name"), col("n_name"))
     }),
 
-    // left_semi / left_anti joins (O-row extension; EXISTS / NOT EXISTS)
+    // left_semi / left_anti joins (O-row extension; EXISTS / NOT EXISTS).
+    // Nations with zero customers emit no row — matching the oracle's
+    // FROM customer JOIN nation shape — so the full-outer union of the
+    // semi/anti sides drives the output, not the nation dim.
     "q_semi_anti" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
       val o = Tables.orders(s, dir)
@@ -220,10 +225,8 @@ object ExtendedQueries {
         .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_active"))
       val inactive = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_inactive"))
-      broadcast(n)
-        .join(active, col("n_nationkey") === active("c_nationkey"), "left")
-        .drop("c_nationkey")
-        .join(inactive, col("n_nationkey") === inactive("c_nationkey"), "left")
+      active.join(inactive, Seq("c_nationkey"), "full_outer")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .select(col("n_name"),
           coalesce(col("n_active"), lit(0L)).as("n_active"),
           coalesce(col("n_inactive"), lit(0L)).as("n_inactive"))
@@ -267,7 +270,8 @@ object ExtendedQueries {
 
     "q_sentinel_cast" ->
       """SELECT event_id,
-        |  CAST(CASE WHEN regexp_extract(props, '"k": (\d+)', 1) = '0' THEN NULL
+        |  CAST(CASE WHEN regexp_extract(props, '"k": (\d+)', 1) IN ('0', '')
+        |       THEN NULL
         |       ELSE regexp_extract(props, '"k": (\d+)', 1) END AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
 

@@ -112,8 +112,10 @@ object StreamingEnergy {
   }
 
   /** Stream-static join: flag stream readings against a precomputed static
-    * per-user profile (mean/std). The static side broadcasts; each
-    * micro-batch is a map-only pass.
+    * per-user profile (mean/std). The static side broadcasts, so each
+    * micro-batch is a map-only pass — which assumes the profile fits in
+    * executor memory. For an unbounded profile (per-user at full scale)
+    * drop the `broadcast` hint and accept a per-batch shuffled join.
     */
   def flagAgainstProfile(events: DataFrame, profile: DataFrame,
                          idCol: String = "user_id",

@@ -34,6 +34,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(q(3) == 9.0) // key isolation: B sees only B quotes
   }
 
+  test("as-of: a null payload on the LATEST right row is returned as null") {
+    val right = Seq(
+      ("A", ts("2024-01-01 10:00:00"), Some(5.0)),
+      ("A", ts("2024-01-01 10:00:06"), None) // latest update nulls the value
+    ).toDF("sym", "qt", "quote")
+    val got = AsOfJoin.leftAsOf(
+      trades.filter($"trade_id" === 4L === false), right, Seq("sym"),
+      "t", "qt", Map("quote" -> "q"))
+      .orderBy("trade_id").collect()
+    // trade 1 (10:00:05): only the 5.0 update applies
+    assert(got(0).getDouble(4) == 5.0)
+    // trade 2 (10:00:10): the null update is the latest row → null, NOT 5.0
+    assert(got(1).isNullAt(4))
+  }
+
+  test("salted join rejects outer joins that would duplicate rows") {
+    val l = Seq((1L, 1.0)).toDF("k", "v")
+    val r = Seq((1L, "a")).toDF("k", "s")
+    intercept[IllegalArgumentException] {
+      graft.etl.Salting.saltedJoin(l, r, Seq("k"), 4, how = "full")
+    }
+  }
+
   test("as-of preserves every left row and adds only payload columns") {
     val got = AsOfJoin.leftAsOf(trades, quotes, Seq("sym"), "t", "qt",
       Map("quote" -> "asof_quote"))

@@ -26,6 +26,12 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Dedup.minHashLsh(docs, "text", "doc_id").count() == 0)
     assert(Dedup.simHashNearDups(docs, "text", "doc_id", Seq("lang"))
       .count() >= 0)
+    // multimodal path: null text must become an empty payload, not an NPE
+    val decoded = graft.ext.Multimodal.decodeBatches(spark,
+      graft.ext.Multimodal.asMedia(docs.withColumn("source", lit("s")),
+        "doc_id", "text", "source"))
+    assert(decoded.count() == 3)
+    assert(decoded.filter(col("byte_len") === 0).count() == 2)
   }
 
   test("zero vector degrades to null cosine, never divides by zero") {

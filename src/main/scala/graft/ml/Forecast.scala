@@ -65,19 +65,25 @@ object Forecast {
       .setOutputCol("features").setHandleInvalid("skip")
     val scaler = new StandardScaler().setInputCol("features")
       .setOutputCol("scaled_features")
-    val innerTrain = train.filter(col(dateCol) < lit(valCutoff)).cache()
-    val innerVal = train.filter(col(dateCol) >= lit(valCutoff)).cache()
+    // assembler+scaler depend only on innerTrain, not on the grid point —
+    // fit them ONCE and grid over the bare LR on the pre-transformed
+    // frames. Identical selection to refitting the whole pipeline per
+    // config (the reference's shape), at a third of the fit work.
+    val innerTrain = train.filter(col(dateCol) < lit(valCutoff))
+    val innerVal = train.filter(col(dateCol) >= lit(valCutoff))
+    val prep = new Pipeline().setStages(Array(assembler, scaler)).fit(innerTrain)
+    val prepTrain = prep.transform(innerTrain).cache()
+    val prepVal = prep.transform(innerVal).cache()
     val rmseEval = evaluator("rmse", target)
     val best = grid.map { case (reg, en) =>
       val lr = new LinearRegression().setFeaturesCol("scaled_features")
         .setLabelCol(target).setMaxIter(100)
         .setRegParam(reg).setElasticNetParam(en)
-      val m = new Pipeline().setStages(Array(assembler, scaler, lr))
-        .fit(innerTrain)
-      val vr = rmseEval.evaluate(m.transform(innerVal))
+      val m = lr.fit(prepTrain)
+      val vr = rmseEval.evaluate(m.transform(prepVal))
       (reg, en, vr)
     }.minBy(_._3)
-    innerTrain.unpersist(); innerVal.unpersist()
+    prepTrain.unpersist(); prepVal.unpersist()
     val lr = new LinearRegression().setFeaturesCol("scaled_features")
       .setLabelCol(target).setMaxIter(100)
       .setRegParam(best._1).setElasticNetParam(best._2)

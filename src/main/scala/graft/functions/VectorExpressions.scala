@@ -71,9 +71,68 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused cosine similarity: dot, |a|², |b|² in ONE pass over the arrays —
+  * for call-sites that cannot pre-normalize (ad-hoc SQL, streaming rows
+  * seen once). Null on null/zero inputs (no ANSI divide-by-zero).
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    DotProduct(left, right).checkInputDataTypes()
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = x.getDouble(i); val yv = y.getDouble(i)
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val d = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $d = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  double $xv = $a.getDouble($i); double $yv = $b.getDouble($i);
+         |  $d += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |}
+         |if (!${ev.isNull}) {
+         |  if ($na == 0.0 || $nb == 0.0) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = $d / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)); }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column API for [[DotProduct]]. */
   def graft_dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column API for [[CosineSim]]. */
+  def graft_cosine(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSim(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -26,6 +26,15 @@ object Sources {
 
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** JSON-lines with an explicit schema (schema inference on JSON is a full
+    * scan, same trap as CSV).
+    */
+  def json(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }
 
 /** One accessor per driver testdata table (TESTDATA.md). */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.DotProduct
+import graft.functions.{CosineSim, DotProduct}
 
 /** Session extension exposing graft's native expressions to SQL users:
   * {{{
@@ -15,16 +15,20 @@ import graft.functions.DotProduct
   * internal registry poking).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction(GraftExtensions.dotFunction)
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(e.injectFunction)
 }
 
 object GraftExtensions {
-  private val dotFunction = (
-    new FunctionIdentifier("graft_dot"),
-    new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-    (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1)))
+  private val functions = Seq(
+    (new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))
+        : Expression),
+    (new FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
+      (exprs: Seq[Expression]) => CosineSim(exprs.head, exprs(1))
+        : Expression))
 
   /** Register directly on an EXISTING session — `getOrCreate` silently
     * ignores `withExtensions` when it returns a pre-existing session, so
@@ -32,6 +36,7 @@ object GraftExtensions {
     * unconditional.
     */
   def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      dotFunction._1, dotFunction._2, dotFunction._3)
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

@@ -21,6 +21,17 @@ class EngineSpec extends SparkSpec {
         """SELECT count(*) FROM events e JOIN customer c
           |  ON e.user_id = c.c_custkey""".stripMargin).head().getLong(0)
       assert(n > 0)
+      // fused cosine == dot of pre-normalized vectors (same pair)
+      val cosRow = s.sql(
+        """SELECT graft_cosine(a.embedding_d, b.embedding_d) AS c
+          |FROM embeddings a JOIN embeddings b
+          |  ON a.vec_id = 0 AND b.vec_id = 1""".stripMargin).head()
+      import org.apache.spark.sql.functions.col
+      val viaUnit = graft.ext.Similarity.bruteForceTopK(
+        s.table("embeddings").filter(col("vec_id") === 0),
+        s.table("embeddings").filter(col("vec_id") === 1),
+        "vec_id", "embedding", k = 1).head().getAs[Double]("cosine")
+      assert(math.abs(cosRow.getDouble(0) - viaUnit) < 1e-5)
     } finally {
       // shared TestSpark.spark must remain the active default session for
       // the other suites

@@ -107,6 +107,27 @@ class SimilaritySpec extends SparkSpec {
     assert(!ids.exists { case (q, n) => (q == 3L) != (n == 3L) })
   }
 
+  test("rows-only queries are stable across partitioning (driver reruns)") {
+    for (name <- Seq("q_minhash_lsh", "q_simhash_pairs")) {
+      val a = SparkEntry.queries(name)(spark, TestSpark.sf0001).collect()
+      val b = SparkEntry.queries(name)(spark, TestSpark.sf0001)
+        .repartition(13).orderBy("id_a", "id_b").collect()
+      assert(a.length == b.length, name)
+      assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted),
+        name)
+    }
+  }
+
+  test("json and orc sources roundtrip with explicit schemas") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    docs.write.json(s"$dir/j"); docs.write.orc(s"$dir/o")
+    val j = graft.io.Sources.json(spark, s"$dir/j", docs.schema)
+    val o = graft.io.Sources.orc(spark, s"$dir/o")
+    assert(j.count() == docs.count() && o.count() == docs.count())
+    assert(j.exceptAll(docs).count() == 0 && o.exceptAll(docs).count() == 0)
+  }
+
   test("hyperplane bucket is deterministic and groups identical vectors") {
     val b = vecs.select(col("vec_id"),
       Similarity.hyperplaneBucket(col("embedding"), 3).as("b"))

@@ -26,10 +26,11 @@ object Anomaly {
     * rolling stats + lags + residual + temporal.
     */
   def features(joined: DataFrame, target: String = "daily_value",
-               predCol: String = "prediction"): DataFrame =
+               predCol: String = "prediction",
+               dateCol: String = "date"): DataFrame =
     joined
       .withColumn("residual", abs(col(target) - col(predCol)))
-      .withColumn("day_of_week", dayofweek(col("date")))
+      .withColumn("day_of_week", dayofweek(col(dateCol)))
       .withColumn("is_weekend",
         graft.feat.Windows.Weekend.byGte6(col("day_of_week")).cast("int"))
 
@@ -48,9 +49,13 @@ object Anomaly {
     }.get
     // U1 as a JVM udf over broadcast centers (no serialization boundary)
     val dist = udf((v: Vector, c: Int) => math.sqrt(Vectors.sqdist(v, centers(c))))
+    // cache: consumed by both the stats agg and the join-back — uncached,
+    // the KMeans transform + full upstream lineage would execute twice per
+    // materialization (lifecycle: session-LRU, same policy as Dedup)
     val withDist = model.transform(df)
       .withColumn("distance_to_center",
         dist(col("scaled_features"), col("cluster")))
+      .cache()
     // W5 at scale: agg + broadcast join-back instead of unbounded window
     val stats = withDist.groupBy(col("cluster")).agg(
       avg(col("distance_to_center")).as("cluster_mean_dist"),
@@ -91,7 +96,7 @@ object Anomaly {
     val joined = daily.join(
       predictions.select(col(idCol), col(dateCol), col("prediction")),
       Seq(idCol, dateCol), "inner")
-    val featured = features(joined, target)
+    val featured = features(joined, target, dateCol = dateCol)
     val fcols = Array(target, "residual", "day_of_week", "is_weekend")
     detect(featured, fcols)
       .select(col(idCol), col(dateCol), col(target), col("prediction"),

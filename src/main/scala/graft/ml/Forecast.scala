@@ -52,6 +52,21 @@ object Forecast {
     new RegressionEvaluator().setLabelCol(target)
       .setPredictionCol("prediction").setMetricName(metric)
 
+  /** One cached transform, three metrics — three separate evaluate() calls
+    * on an uncached frame would re-run the transform + upstream lineage
+    * per metric.
+    */
+  private def evalAll(model: PipelineModel, test: DataFrame, target: String,
+                      params: String): FitResult = {
+    val pred = model.transform(test).cache()
+    val r = FitResult(model,
+      evaluator("rmse", target).evaluate(pred),
+      evaluator("mae", target).evaluate(pred),
+      evaluator("r2", target).evaluate(pred), params)
+    pred.unpersist()
+    r
+  }
+
   /** M3+M4: LR over a manual grid, selected on a chronological validation
     * split, refit on full train.
     */
@@ -88,11 +103,7 @@ object Forecast {
       .setLabelCol(target).setMaxIter(100)
       .setRegParam(best._1).setElasticNetParam(best._2)
     val model = new Pipeline().setStages(Array(assembler, scaler, lr)).fit(train)
-    val pred = model.transform(test)
-    FitResult(model, evaluator("rmse", target).evaluate(pred),
-      evaluator("mae", target).evaluate(pred),
-      evaluator("r2", target).evaluate(pred),
-      s"regParam=${best._1},elasticNet=${best._2}")
+    evalAll(model, test, target, s"regParam=${best._1},elasticNet=${best._2}")
   }
 
   /** M5: RF over a trees×depth grid on raw (unscaled) features, seed=42. */
@@ -117,11 +128,7 @@ object Forecast {
     val rf = new RandomForestRegressor().setFeaturesCol("features")
       .setLabelCol(target).setNumTrees(best._1).setMaxDepth(best._2).setSeed(42)
     val model = new Pipeline().setStages(Array(assembler, rf)).fit(train)
-    val pred = model.transform(test)
-    FitResult(model, evaluator("rmse", target).evaluate(pred),
-      evaluator("mae", target).evaluate(pred),
-      evaluator("r2", target).evaluate(pred),
-      s"numTrees=${best._1},maxDepth=${best._2}")
+    evalAll(model, test, target, s"numTrees=${best._1},maxDepth=${best._2}")
   }
 
   /** M6: GBT — present but disabled by default, mirroring the reference
@@ -135,10 +142,7 @@ object Forecast {
       .setFeaturesCol("features").setLabelCol(target)
       .setMaxIter(maxIter).setSeed(42)
     val model = new Pipeline().setStages(Array(assembler, gbt)).fit(train)
-    val pred = model.transform(test)
-    FitResult(model, evaluator("rmse", target).evaluate(pred),
-      evaluator("mae", target).evaluate(pred),
-      evaluator("r2", target).evaluate(pred), s"gbtMaxIter=$maxIter")
+    evalAll(model, test, target, s"gbtMaxIter=$maxIter")
   }
 
   /** M13: Q-Q plot quantiles of prediction errors vs normal
@@ -184,7 +188,9 @@ object Forecast {
       dateCol, grid = Seq((0.01, 0.0), (0.1, 0.0), (0.1, 0.5)))
     val preds = fit.model.transform(test)
       .select(col(idCol), col(dateCol), col(target), col("prediction"))
-    feats.unpersist()
+    // feats stays cached: preds is LAZY and depends on it — unpersisting
+    // here would force the caller's first action to recompute the whole
+    // window-heavy feature lineage (session-LRU reclaims it)
     (preds, fit)
   }
 }

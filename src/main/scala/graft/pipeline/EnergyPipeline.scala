@@ -117,18 +117,25 @@ object EnergyPipeline {
       out.foreach { case (name, df) =>
         Writers.parquet(df, s"$d/$name", numFiles = Some(4))
       }
-      writeMetadata(s"$d/model_metadata.txt", Map(
+      writeMetadata(spark, s"$d/model_metadata.txt", Map(
         "best_params" -> fit.bestParams, "rmse" -> fit.rmse.toString,
         "mae" -> fit.mae.toString, "r2" -> fit.r2.toString))
     }
     out
   }
 
-  /** S14: key:value metadata text sink (`forecasting_model.py:561-571`). */
-  def writeMetadata(path: String, kv: Map[String, String]): Unit = {
+  /** S14: key:value metadata text sink (`forecasting_model.py:561-571`).
+    * Goes through the Hadoop FileSystem API so the file lands next to the
+    * tables for ANY outDir scheme (local, hdfs://, s3a://…) — local
+    * java.nio would silently write a URI-shaped local path.
+    */
+  def writeMetadata(spark: SparkSession, path: String,
+                    kv: Map[String, String]): Unit = {
     val content = kv.map { case (k, v) => s"$k: $v" }.mkString("\n")
-    java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(path).getParent)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), content)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val outStream = fs.create(p, true)
+    try outStream.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally outStream.close()
   }
 }

@@ -16,16 +16,31 @@ object MlQueries {
   /** One forecast fit per (session, sfDir) — q_ml_anomaly consumes
     * q_ml_forecast's predictions (the reference pipeline's stage 4 → 5
     * dataflow), so recomputing the whole grid per query would double-count
-    * training time in benchmarks for no semantic difference.
+    * training time in benchmarks for no semantic difference. Weak keys: a
+    * stopped-and-dropped session must not be pinned by the memo.
     */
-  private val memo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val memo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]())
 
-  private def forecastPreds(s: SparkSession, dir: String): DataFrame =
-    memo.getOrElseUpdate((s, dir), {
-      val (preds, _) = Forecast.run(daily(s, dir))
-      preds.cache()
-    })
+  private def forecastPreds(s: SparkSession, dir: String): DataFrame = {
+    val perSession = memo.synchronized {
+      var m = memo.get(s)
+      if (m == null) { m = scala.collection.mutable.Map.empty; memo.put(s, m) }
+      m
+    }
+    perSession.synchronized {
+      perSession.getOrElseUpdate(dir, {
+        // ONLY (id, date, target) feeds the model — daily's derived
+        // avg_reading/num_readings are same-day functions of the target
+        // and would leak the label into the features
+        val base = daily(s, dir).select(col("user_id"), col("date"),
+          col("daily_value"))
+        val (preds, _) = Forecast.run(base)
+        preds.cache()
+      })
+    }
+  }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 

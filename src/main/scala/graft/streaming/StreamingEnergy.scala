@@ -125,5 +125,9 @@ object StreamingEnergy {
       .withColumn("z_score",
         (col(valueCol) - col("profile_mean")) /
           when(col("profile_std") > 0, col("profile_std")).otherwise(lit(1.0)))
-      .withColumn("is_anomaly", (abs(col("z_score")) > z).cast("int"))
+      // never-seen users can't be scored: is_scored=0 and an explicit 0/1
+      // flag (a null flag would silently vanish from downstream counts)
+      .withColumn("is_scored", col("profile_mean").isNotNull.cast("int"))
+      .withColumn("is_anomaly",
+        coalesce((abs(col("z_score")) > z).cast("int"), lit(0)))
 }

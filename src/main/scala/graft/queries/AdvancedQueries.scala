@@ -61,6 +61,19 @@ object AdvancedQueries {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
         .orderBy(col("k_bucket"))),
 
+    // Date/time scalar-function family (F-row breadth): arithmetic,
+    // diffs, ISO week, day-of-year, month boundaries
+    "q_datetime_funcs" -> ((s, dir) =>
+      eventsT(s, dir).select(col("date")).distinct()
+        .select(col("date"),
+          date_add(col("date"), 7).as("plus_7d"),
+          datediff(col("date"), lit("2024-01-01")).cast("long").as("days_since"),
+          dayofyear(col("date")).cast("long").as("doy"),
+          weekofyear(col("date")).cast("long").as("iso_week"),
+          last_day(col("date")).as("month_end"),
+          trunc(col("date"), "month").as("month_start"))
+        .orderBy(col("date"))),
+
     // Exact interpolated percentiles per group (Spark `percentile` ==
     // DuckDB `quantile_cont`)
     "q_percentiles" -> ((s, dir) =>
@@ -134,6 +147,17 @@ object AdvancedQueries {
          |    AS BIGINT) AS k_bucket,
          |  count(*) AS n, ${sqlDsum("value")} AS total_value
          |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin,
+
+    "q_datetime_funcs" ->
+      """SELECT DISTINCT CAST(ts AS DATE) AS "date",
+        |  CAST(ts AS DATE) + 7 AS plus_7d,
+        |  CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT)
+        |    AS days_since,
+        |  CAST(dayofyear(ts) AS BIGINT) AS doy,
+        |  CAST(weekofyear(ts) AS BIGINT) AS iso_week,
+        |  last_day(CAST(ts AS DATE)) AS month_end,
+        |  date_trunc('month', CAST(ts AS DATE)) AS month_start
+        |FROM events ORDER BY "date"""".stripMargin,
 
     "q_percentiles" ->
       s"""SELECT event_type,

@@ -31,6 +31,17 @@ object Dedup {
     df.groupBy(digest(col(textCol)).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper_id"))
 
+  /** Engine-portable 32-bit token hash: first 8 hex chars of md5, parsed as
+    * an unsigned int (value in [0, 2^32)). Chosen over Spark's murmur3
+    * `hash()` so DuckDB oracles can reproduce it bit-exactly:
+    * Spark `conv(substring(md5(t),1,8),16,10)` ≡ DuckDB
+    * `('0x' || substr(md5(t),1,8))::BIGINT`. md5 is codegen'd and the cost
+    * is amortized over the explode — for a non-oracled production deploy,
+    * `xxhash64` is the faster drop-in (same plan shape).
+    */
+  def tokenHash(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
   /** Distinct word n-gram shingles of a text column. Texts with fewer than
     * `n` tokens yield an empty set (their Jaccard is then 0/0 → NaN → never
     * passes a threshold, matching the oracle's semantics).
@@ -54,7 +65,8 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         bucketCols: Seq[String], threshold: Double,
-                        n: Int = 3): DataFrame = {
+                        n: Int = 3,
+                        maxShingleDocFreq: Int = Int.MaxValue): DataFrame = {
     // Explode-join form, not pairwise array_intersect: shingles explode to
     // (bucket, shingle, id) rows, the self-join meets ONLY on shared
     // shingles (equi-key shuffle), and |A∩B| falls out of a count. Pairs
@@ -68,9 +80,26 @@ object Dedup {
     val sh = df.select(
       (col(idCol) +: bucketCols.map(col)) :+
         shingles(col(textCol), n).as("g"): _*).cache()
-    val sizes = sh.select(col(idCol), size(col("g")).as("n_g"))
-    val expl = sh.select(
+    val explAll = sh.select(
       (col(idCol) +: bucketCols.map(col)) :+ explode(col("g")).as("s"): _*)
+    // Hot-shingle document-frequency cut: a shingle shared by D docs emits
+    // ~D² join rows, so boilerplate ("all rights reserved") goes quadratic
+    // at corpus scale. The rule — restrict every doc's shingle SET to
+    // shingles with corpus DF ≤ maxShingleDocFreq; both |A∩B| and |A|,|B|
+    // use the filtered sets — is exactly reproducible in the SQL oracle.
+    // Shape: the hot list is tiny (only shingles with DF > f), so the
+    // anti-join broadcasts; sizes recompute from the filtered explode.
+    val (expl, sizes) =
+      if (maxShingleDocFreq == Int.MaxValue) {
+        (explAll, sh.select(col(idCol), size(col("g")).as("n_g")))
+      } else {
+        val hot = explAll.groupBy(col("s"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxShingleDocFreq)
+          .select("s")
+        val kept = explAll.join(broadcast(hot), Seq("s"), "left_anti")
+        (kept, kept.groupBy(col(idCol)).agg(count(lit(1)).as("n_g")))
+      }
     val joinKeys = bucketCols :+ "s"
     val a = expl.withColumnRenamed(idCol, "id_a")
     val b = expl.withColumnRenamed(idCol, "id_b")
@@ -90,11 +119,30 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  private val MersenneP = 2147483647L // 2^31-1
+  /** Mersenne prime 2^31-1 — modulus of the affine MinHash family. */
+  val MersenneP = 2147483647L
+
+  /** Deterministic affine-permutation parameters (a_i, b_i) for the MinHash
+    * family, from fixed seeds (stable across runs/partitions/engines — the
+    * SQL oracle interpolates the same constants). `a` is bounded to 2^30-1:
+    * [[tokenHash]] values reach 2^32, so a larger multiplier would overflow
+    * a signed long under ANSI mode (h·a + b < 2^62 + 2^31 here).
+    * Independent (a_i, b_i) per permutation — NOT scalar multiples of one
+    * base pair, which would make every h_i a multiple of a single inner
+    * value (one zero collapses all slots and the family loses pairwise
+    * independence).
+    */
+  def affineParams(numHashes: Int): IndexedSeq[(Long, Long)] =
+    (0 until numHashes).map { i =>
+      val rng = new java.util.Random(0x9E3779B97F4A7C15L ^ (i.toLong << 32))
+      val a = 1L + rng.nextInt((1 << 30) - 1)
+      val b = rng.nextInt(Int.MaxValue).toLong
+      (a, b)
+    }
 
   /** MinHash signatures, explode→groupBy-min shape: shingles explode to
     * rows, each row computes `numHashes` small affine-permutation hashes
-    * `(a_i·murmur3(s) + b_i) mod p` (fixed seeds → deterministic across
+    * `(a_i·tokenHash(s) + b_i) mod p` (fixed seeds → deterministic across
     * runs/partitions), and a partial-aggregating groupBy takes the per-doc
     * min of each. This keeps every expression tiny (whole-stage codegen
     * compiles in ms; a single nested-HOF signature expression measured 25×
@@ -105,17 +153,9 @@ object Dedup {
                         numHashes: Int = 16): DataFrame = {
     val expl = df.select(col(idCol),
       explode(shingles(col(textCol))).as("s"))
-    // cast BEFORE abs: abs(Int.MinValue) overflows under ANSI mode
-    val h = abs(hash(col("s")).cast("long"))
-    val hashCols = (0 until numHashes).map { i =>
-      // independent (a_i, b_i) per permutation from a seeded PRNG — NOT
-      // scalar multiples of one base pair, which would make every h_i a
-      // multiple of a single inner value (one zero collapses all slots and
-      // the family loses pairwise independence)
-      val rng = new java.util.Random(0x9E3779B97F4A7C15L ^ (i.toLong << 32))
-      val a = 1L + rng.nextInt(Int.MaxValue - 1)
-      val b = rng.nextInt(Int.MaxValue).toLong
-      pmod(h * a + b, lit(MersenneP)).as(s"h$i")
+    val h = tokenHash(col("s"))
+    val hashCols = affineParams(numHashes).zipWithIndex.map {
+      case ((a, b), i) => pmod(h * a + b, lit(MersenneP)).as(s"h$i")
     }
     val mins = (0 until numHashes).map(i => min(col(s"h$i")).as(s"h$i"))
     expl.select(col(idCol) +: hashCols: _*)
@@ -132,7 +172,13 @@ object Dedup {
     * Returns distinct candidate pairs with their signature agreement rate.
     */
   def minHashLsh(df: DataFrame, textCol: String, idCol: String,
-                 numHashes: Int = 16, bands: Int = 4): DataFrame = {
+                 numHashes: Int = 16, bands: Int = 4,
+                 maxBandBucket: Int = Int.MaxValue): DataFrame = {
+    // bands > numHashes would make every slice empty (all docs share every
+    // band key — a silent all-pairs cross product); a non-divisible
+    // numHashes would silently drop trailing signature slots
+    require(bands > 0 && bands <= numHashes && numHashes % bands == 0,
+      s"bands=$bands must divide numHashes=$numHashes")
     val rowsPerBand = numHashes / bands
     // cache: the signature frame is referenced five times downstream (two
     // band branches, two attach joins, the agreement fold); materialize it
@@ -144,11 +190,25 @@ object Dedup {
     // signatures are re-attached via two joins against the small sig table
     // — at scale the candidate set is orders of magnitude smaller than the
     // banded-row join output.
-    val banded = sig.select(col(idCol),
+    val bandedAll = sig.select(col(idCol),
         explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
       .select(col(idCol), xxhash64(col("band"),
         slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)))
         .as("band_key"))
+    // Hot-bucket cap (standard LSH hardening): a band bucket holding D docs
+    // emits ~D²/2 candidate rows — one boilerplate-heavy bucket can
+    // dominate the whole join at corpus scale. Buckets over the cap are
+    // dropped entirely (deterministic, oracle-reproducible rule); the hot
+    // list is tiny, so the anti-join broadcasts.
+    val banded =
+      if (maxBandBucket == Int.MaxValue) bandedAll
+      else {
+        val hot = bandedAll.groupBy(col("band_key"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxBandBucket)
+          .select("band_key")
+        bandedAll.join(broadcast(hot), Seq("band_key"), "left_anti")
+      }
     val cands = banded.withColumnRenamed(idCol, "id_a")
       .join(banded.withColumnRenamed(idCol, "id_b"), Seq("band_key"))
       .filter(col("id_a") < col("id_b"))
@@ -166,14 +226,14 @@ object Dedup {
   }
 
   /** 32-bit SimHashes, explode→groupBy shape (same codegen-size rationale
-    * as [[minHashSignatures]]): per-bit majority vote of token murmur3 hash
-    * bits — bit i of the simhash is 1 iff more tokens have bit i set than
-    * not. Partial aggregation sums the ±1 votes map-side.
+    * as [[minHashSignatures]]): per-bit majority vote of token
+    * [[tokenHash]] bits — bit i of the simhash is 1 iff more tokens have
+    * bit i set than not. Partial aggregation sums the ±1 votes map-side.
     */
   def simHashes(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val expl = df.select(col(idCol),
       explode(split(trim(lower(col(textCol))), "\\s+")).as("t"))
-      .withColumn("h", hash(col("t")))
+      .withColumn("h", tokenHash(col("t")))
     val votes = (0 until 32).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"v$i"))
@@ -197,9 +257,19 @@ object Dedup {
   def simHashNearDups(df: DataFrame, textCol: String, idCol: String,
                       bucketCols: Seq[String], maxHamming: Int = 3)
       : DataFrame = {
+    // maxHamming >= 32 would give zero-width bands (every doc agrees on
+    // every band — silent all-pairs); negative is meaningless
+    require(maxHamming >= 0 && maxHamming < 32,
+      s"maxHamming=$maxHamming must be in [0, 32)")
     val nBands = maxHamming + 1
     val bandBits = 32 / nBands
-    // cache: referenced by the band explode and both attach joins
+    // When nBands doesn't divide 32, the LAST band absorbs the remainder
+    // bits — otherwise bits [nBands*bandBits, 32) would sit outside every
+    // band and a pair differing only there would break the pigeonhole
+    // guarantee (missed true pairs).
+    val lastBits = 32 - (nBands - 1) * bandBits
+    // cache: both sides of the self-join reference this one-row-per-doc
+    // frame; uncached, the token explode + vote groupBy would run twice
     val sh = simHashes(df, textCol, idCol)
       .join(df.select(col(idCol) +: bucketCols.map(col): _*), idCol)
       .withColumnRenamed("simhash", "sh")
@@ -209,17 +279,24 @@ object Dedup {
         explode(sequence(lit(0), lit(nBands - 1))).as("band"): _*)
       .withColumn("band_bits",
         expr(s"shiftright(sh, band * $bandBits)")
-          .bitwiseAND((1L << bandBits) - 1))
+          .bitwiseAND(when(col("band") === nBands - 1, (1L << lastBits) - 1)
+            .otherwise((1L << bandBits) - 1)))
+    // The simhash is a single long, so it rides THROUGH the band join —
+    // hamming is computed per collision row (cheap bit ops) and the
+    // groupBy dedups pairs with map-side combine. This replaces the old
+    // distinct + two signature re-attach joins: one shuffle fewer and no
+    // re-attach of the sh table at all.
     val keys = bucketCols ++ Seq("band", "band_bits")
-    val a = banded.select((col(idCol).as("id_a") +: keys.map(col)): _*)
-    val b = banded.select((col(idCol).as("id_b") +: keys.map(col)): _*)
-    val cands = a.join(b, keys).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    cands
-      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+    val a = banded.select(
+      (col(idCol).as("id_a") +: col("sh").as("sh_a") +: keys.map(col)): _*)
+    val b = banded.select(
+      (col(idCol).as("id_b") +: col("sh").as("sh_b") +: keys.map(col)): _*)
+    a.join(b, keys).filter(col("id_a") < col("id_b"))
       .withColumn("hamming", hammingDist(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+      // hamming is functionally dependent on the pair; min() just dedups
+      // band collisions
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).cast("long").as("hamming"))
   }
 }

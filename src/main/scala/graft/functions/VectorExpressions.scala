@@ -33,6 +33,11 @@ case class DotProduct(left: Expression, right: Expression)
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+  // Can produce null beyond child nullability (null array ELEMENT): without
+  // this, non-nullable inputs make nullSafeCodeGen emit `ev.isNull = true`
+  // against a FalseLiteral — uncompilable Java (codegen fallback) — and the
+  // optimizer could wrongly prune IsNotNull filters on the result.
+  override def nullable: Boolean = true
 
   // NULL if either array (or any element) is null — ArrayData.getDouble on
   // a null slot is undefined, it does NOT read as 0
@@ -82,6 +87,10 @@ case class CosineSim(left: Expression, right: Expression)
     DotProduct(left, right).checkInputDataTypes()
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
+  // Unconditionally nullable: zero-norm vectors yield null even when both
+  // children (and all elements) are non-null. Same codegen-safety rationale
+  // as [[DotProduct.nullable]].
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

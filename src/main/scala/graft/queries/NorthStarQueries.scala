@@ -54,12 +54,14 @@ object NorthStarQueries {
       Dedup.exactGroups(Tables.documents(s, dir), "text", "doc_id")
         .orderBy(col("content_hash"))),
 
-    // Near-dup: n-gram Jaccard within (lang, length-band) blocks
+    // Near-dup: n-gram Jaccard within (lang, length-band) blocks, with the
+    // hot-shingle DF cut exercised (shingles in >50 docs dropped)
     "q_dedup_ngram" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
         .withColumn("len_band", expr("n_chars div 50"))
       Dedup.ngramJaccardPairs(docs, "text", "doc_id",
-          Seq("lang", "len_band"), threshold = 0.05)
+          Seq("lang", "len_band"), threshold = 0.05,
+          maxShingleDocFreq = 50)
         .select(col("id_a"), col("id_b"), ground(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -87,16 +89,19 @@ object NorthStarQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // SimHash near-dup via pigeonhole banding (rows-only: depends on Spark
-    // murmur3, not SQL-expressible; verified by scalatest properties)
+    // SimHash near-dup via pigeonhole banding (portable md5-derived token
+    // hash → fully DuckDB-oracled; the oracle uses the semantically-equal
+    // pairwise form since the banding is exact, not approximate)
     "q_simhash_pairs" -> ((s, dir) =>
       Dedup.simHashNearDups(Tables.documents(s, dir), "text", "doc_id",
           Seq("lang"), maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
-    // MinHash+LSH near-dup candidates (rows-only: Spark murmur3-based)
+    // MinHash+LSH near-dup candidates (portable hash → oracled), with the
+    // hot-bucket cap exercised
     "q_minhash_lsh" -> ((s, dir) =>
-      Dedup.minHashLsh(Tables.documents(s, dir), "text", "doc_id")
+      Dedup.minHashLsh(Tables.documents(s, dir), "text", "doc_id",
+          maxBandBucket = 100)
         .filter(col("sig_agreement") >= 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
@@ -193,6 +198,9 @@ object NorthStarQueries {
         |  min(doc_id) AS keeper_id
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
 
+    // Mirrors the Spark shape: explode → global DF cut (shingles in > 50
+    // docs dropped from every doc's set; sizes recomputed on filtered sets)
+    // → shared-shingle equi-join.
     "q_dedup_ngram" ->
       """WITH sh AS (
         |  SELECT doc_id, lang, n_chars // 50 AS len_band,
@@ -201,16 +209,110 @@ object NorthStarQueries {
         |      i -> array_to_string(
         |        regexp_split_to_array(trim(text), '\s+')[i+1:i+3], ' '))) AS g
         |  FROM documents
-        |), pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
-        |      (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
-        |  FROM sh a JOIN sh b
-        |    ON a.lang = b.lang AND a.len_band = b.len_band
+        |), shx AS (
+        |  SELECT doc_id, lang, len_band, unnest(g) AS s FROM sh
+        |), shf AS (
+        |  SELECT * FROM shx
+        |  WHERE s NOT IN (SELECT s FROM shx GROUP BY s HAVING count(*) > 50)
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n_g FROM shf GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM shf a JOIN shf b
+        |    ON a.lang = b.lang AND a.len_band = b.len_band AND a.s = b.s
         |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT id_a, id_b,
+        |    CAST(n_inter AS DOUBLE) / (sa.n_g + sb.n_g - n_inter) AS jaccard
+        |  FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
         |)
         |SELECT id_a, id_b, round(jaccard + 1e-9, 6) AS jaccard
         |FROM pairs WHERE jaccard >= 0.05 ORDER BY id_a, id_b""".stripMargin,
+
+    // Same band construction as Dedup.minHashLsh (identical affine params,
+    // interpolated from Dedup.affineParams) — the band KEY differs
+    // (slice-list equality here vs xxhash64 in Spark) but partitions
+    // identically modulo 64-bit hash collisions.
+    "q_minhash_lsh" -> {
+      val nh = 16; val bands = 4; val rpb = nh / bands
+      val hashAggs = Dedup.affineParams(nh).zipWithIndex.map {
+        case ((a, b), i) => s"min((h * $a + $b) % ${Dedup.MersenneP}) AS h$i"
+      }.mkString(",\n         |    ").stripMargin
+      val bandRows = (0 until bands).map { bnd =>
+        val cols = (bnd * rpb until (bnd + 1) * rpb)
+          .map(i => s"h$i").mkString(", ")
+        s"SELECT doc_id, $bnd AS band, [$cols] AS bk FROM sig"
+      }.mkString("\n  UNION ALL\n  ")
+      val agreeSum = (0 until nh)
+        .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+         |  FROM documents
+         |), shingle AS (
+         |  SELECT DISTINCT doc_id, array_to_string(t[i+1:i+3], ' ') AS s
+         |  FROM toks, unnest(range(len(t) - 2)) AS u(i)
+         |  WHERE len(t) >= 3
+         |), h AS (
+         |  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+         |  FROM shingle
+         |), sig AS (
+         |  SELECT doc_id,
+         |    $hashAggs
+         |  FROM h GROUP BY doc_id
+         |), banded AS (
+         |  $bandRows
+         |), kept AS (
+         |  SELECT banded.* FROM banded
+         |  ANTI JOIN (
+         |    SELECT band, bk FROM banded GROUP BY band, bk
+         |    HAVING count(*) > 100) hot USING (band, bk)
+         |), cands AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM kept a JOIN kept b
+         |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+         |), agree AS (
+         |  SELECT id_a, id_b, ($agreeSum) / 16.0 AS sig_agreement
+         |  FROM cands
+         |  JOIN sig sa ON sa.doc_id = cands.id_a
+         |  JOIN sig sb ON sb.doc_id = cands.id_b
+         |)
+         |SELECT id_a, id_b, sig_agreement FROM agree
+         |WHERE sig_agreement >= 0.5 ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // Pairwise form (exact equivalent of the pigeonhole banding — banding
+    // only prunes candidates, never changes the hamming<=3 answer set).
+    "q_simhash_pairs" -> {
+      val votes = (0 until 32).map(i =>
+        s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i")
+        .mkString(",\n         |    ").stripMargin
+      val bits = (0 until 32)
+        .map(i => s"CASE WHEN v$i > 0 THEN ${1L << i} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang,
+         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+         |  FROM documents
+         |), hh AS (
+         |  SELECT doc_id, lang, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h
+         |  FROM toks
+         |), votes AS (
+         |  SELECT doc_id, lang,
+         |    $votes
+         |  FROM hh GROUP BY doc_id, lang
+         |), sh AS (
+         |  SELECT doc_id, lang, $bits AS sh FROM votes
+         |)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+         |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin
+    },
 
     "q_ann_bruteforce" ->
       """WITH e AS (

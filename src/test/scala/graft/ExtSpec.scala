@@ -56,6 +56,83 @@ class DedupSpec extends SparkSpec {
     assert(ham(sh(1L), sh(2L)) == 0)
     assert(ham(sh(1L), sh(3L)) < ham(sh(1L), sh(4L)))
   }
+
+  test("tokenHash: engine-portable md5-derived uint32") {
+    // DuckDB: SELECT ('0x'||substr(md5('abc'),1,8))::BIGINT → 2416005272
+    val v = docs.limit(1).select(Dedup.tokenHash(lit("abc"))).head.getLong(0)
+    assert(v == 2416005272L)
+    assert(v >= 0L && v < (1L << 32))
+  }
+
+  test("hot-shingle DF cut prunes quadratic boilerplate candidates") {
+    import spark.implicits._
+    // 20 docs all sharing one boilerplate trigram, otherwise disjoint
+    val boiler = (1L to 20L).map(i =>
+      (i, s"all rights reserved unique$i word$i token$i", "en"))
+      .toDF("doc_id", "text", "lang")
+    val noCut = Dedup.ngramJaccardPairs(boiler, "text", "doc_id",
+      Seq("lang"), threshold = 0.0)
+    // every pair shares "all rights reserved" → full quadratic candidate set
+    assert(noCut.count() == 20L * 19 / 2)
+    val cut = Dedup.ngramJaccardPairs(boiler, "text", "doc_id",
+      Seq("lang"), threshold = 0.0, maxShingleDocFreq = 10)
+    assert(cut.count() == 0) // hot shingle dropped → no shared shingles left
+    // true near-dups below the DF cut still surface with correct jaccard
+    // computed on the FILTERED sets
+    val mixed = boiler.union(Seq(
+      (100L, "the quick brown fox jumps", "en"),
+      (101L, "the quick brown fox jumps", "en")).toDF())
+    val pairs = Dedup.ngramJaccardPairs(mixed, "text", "doc_id",
+      Seq("lang"), threshold = 0.5, maxShingleDocFreq = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((100L, 101L)) == 1.0)
+  }
+
+  test("minhash band-bucket cap drops hot buckets deterministically") {
+    import spark.implicits._
+    // 12 exact copies → every band bucket holds 12 docs → capped away
+    val copies = (1L to 12L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog", "en"))
+      .toDF("doc_id", "text", "lang")
+    assert(Dedup.minHashLsh(copies, "text", "doc_id").count() == 66)
+    assert(Dedup.minHashLsh(copies, "text", "doc_id",
+      maxBandBucket = 5).count() == 0)
+  }
+
+  test("degenerate LSH parameters fail fast instead of going all-pairs") {
+    intercept[IllegalArgumentException] {
+      Dedup.minHashLsh(docs, "text", "doc_id", numHashes = 16, bands = 32)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.minHashLsh(docs, "text", "doc_id", numHashes = 16, bands = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simHashNearDups(docs, "text", "doc_id", Seq("lang"),
+        maxHamming = 32)
+    }
+  }
+
+  test("simhash pigeonhole stays exact when band count doesn't divide 32") {
+    import spark.implicits._
+    // maxHamming=4 → 5 bands of 6 bits + last band absorbs 8 remainder
+    // bits; banding must equal the brute-force pairwise answer
+    val corpus = (1L to 40L).map { i =>
+      val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      val t = if (i % 4 == 0) base + s" tail$i" else base.replace(
+        "gamma", s"word${i % 7}")
+      (i, t, "en")
+    }.toDF("doc_id", "text", "lang")
+    val banded = Dedup.simHashNearDups(corpus, "text", "doc_id",
+      Seq("lang"), maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sh = Dedup.simHashes(corpus, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      h = java.lang.Long.bitCount(sh(a) ^ sh(b)) if h <= 4
+    } yield (a, b, h.toLong)).toSet
+    assert(banded == brute)
+  }
 }
 
 class TopKAggregatorSpec extends SparkSpec {

@@ -46,6 +46,15 @@ object Tables {
     * for — read it as raw nanos (legacy conf) and integer-divide down to a
     * micros TIMESTAMP_NTZ (naive, matching DuckDB's read of the same file).
     * `div` not `/`: nanos exceed 2^53, double division would lose micros.
+    *
+    * SESSION-WIDE SIDE EFFECT (deliberate): `nanosAsLong` stays set for the
+    * rest of the session, so later parquet reads of nanos-typed files also
+    * get longs. Save-and-restore around this call would be WRONG: the
+    * DataFrame is lazy and the scan consults the conf again at action time
+    * — a restored conf makes the returned frame throw
+    * PARQUET_TYPE_ILLEGAL when first executed. Callers needing pristine
+    * semantics for other nanos files should use a separate session
+    * (`spark.newSession()` isolates SQL conf).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -107,6 +116,19 @@ object Writers {
       .option("path", path)
       .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
       .saveAsTable(table)
+
+  /** S14: small text sink (model metadata, manifests) through the Hadoop
+    * FileSystem API so the file lands next to the tables for ANY path
+    * scheme (local, hdfs://, s3a://…) — local java.nio would silently
+    * write a URI-shaped local path.
+    */
+  def textFile(spark: SparkSession, path: String, content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
 
   /** S10: head-sample CSV export (`convert_to_csv.py:62-76` reads one
     * part-file and takes 10k rows; the distributed form is an ordered

@@ -7,6 +7,9 @@ import org.apache.spark.ml.regression.{LinearRegression, RandomForestRegressor}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
 import graft.feat.Windows
 
 /** Forecasting pipeline (SURVEY.md §2.9 M1-M8, M10-M11) re-expressed in
@@ -52,6 +55,20 @@ object Forecast {
     new RegressionEvaluator().setLabelCol(target)
       .setPredictionCol("prediction").setMetricName(metric)
 
+  /** Run grid-point fits concurrently (SparkSession is thread-safe; each
+    * fit is its own job, and small-SF fits leave most task slots idle, so
+    * overlapping them hides per-fit scheduling latency). Results return in
+    * grid order — selection is bit-identical to the sequential loop.
+    */
+  private def parGrid[A, B](grid: Seq[A], parallelism: Int = 4)(fit: A => B)
+      : Seq[B] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(parallelism, grid.size)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try Await.result(Future.sequence(grid.map(g => Future(fit(g)))), Duration.Inf)
+    finally pool.shutdown()
+  }
+
   /** One cached transform, three metrics — three separate evaluate() calls
     * on an uncached frame would re-run the transform + upstream lineage
     * per metric.
@@ -89,13 +106,12 @@ object Forecast {
     val prep = new Pipeline().setStages(Array(assembler, scaler)).fit(innerTrain)
     val prepTrain = prep.transform(innerTrain).cache()
     val prepVal = prep.transform(innerVal).cache()
-    val rmseEval = evaluator("rmse", target)
-    val best = grid.map { case (reg, en) =>
+    val best = parGrid(grid) { case (reg, en) =>
       val lr = new LinearRegression().setFeaturesCol("scaled_features")
         .setLabelCol(target).setMaxIter(100)
         .setRegParam(reg).setElasticNetParam(en)
       val m = lr.fit(prepTrain)
-      val vr = rmseEval.evaluate(m.transform(prepVal))
+      val vr = evaluator("rmse", target).evaluate(m.transform(prepVal))
       (reg, en, vr)
     }.minBy(_._3)
     prepTrain.unpersist(); prepVal.unpersist()
@@ -104,6 +120,24 @@ object Forecast {
       .setRegParam(best._1).setElasticNetParam(best._2)
     val model = new Pipeline().setStages(Array(assembler, scaler, lr)).fit(train)
     evalAll(model, test, target, s"regParam=${best._1},elasticNet=${best._2}")
+  }
+
+  /** Partition-sizing for tree-ensemble fits: tree training is iterative
+    * (one distributed stats pass per node group per depth level), so its
+    * cost is jobs × per-task overhead — 32 partitions of a few hundred
+    * rows each turns a seconds-long fit into minutes of scheduling. Target
+    * ~64k rows per partition, capped at the cluster parallelism: at 100 TB
+    * this leaves partitioning untouched; at dev SF it coalesces the fit
+    * input to a handful of tasks (measured 103 s → seconds for the RF grid
+    * at sf0.1).
+    */
+  private def sizedForTrees(df: DataFrame,
+                            rowsPerPartition: Long = 65536): DataFrame = {
+    val n = df.count()
+    val parts = math.max(1, math.min(
+      ((n + rowsPerPartition - 1) / rowsPerPartition).toInt,
+      df.sparkSession.sparkContext.defaultParallelism))
+    if (df.rdd.getNumPartitions <= parts) df else df.coalesce(parts)
   }
 
   /** M5: RF over a trees×depth grid on raw (unscaled) features, seed=42. */
@@ -115,19 +149,24 @@ object Forecast {
       : FitResult = {
     val assembler = new VectorAssembler().setInputCols(features)
       .setOutputCol("features").setHandleInvalid("skip")
-    val innerTrain = train.filter(col(dateCol) < lit(valCutoff)).cache()
-    val innerVal = train.filter(col(dateCol) >= lit(valCutoff)).cache()
-    val rmseEval = evaluator("rmse", target)
-    val best = grid.map { case (t, d) =>
+    // assembler is a pure Transformer — assemble the inner frames ONCE and
+    // grid over the bare RF (same trick as the LR grid: identical
+    // selection, no per-config re-assembly)
+    val innerTrain = sizedForTrees(assembler.transform(
+      train.filter(col(dateCol) < lit(valCutoff)))).cache()
+    val innerVal = assembler.transform(
+      train.filter(col(dateCol) >= lit(valCutoff))).cache()
+    val best = parGrid(grid) { case (t, d) =>
       val rf = new RandomForestRegressor().setFeaturesCol("features")
         .setLabelCol(target).setNumTrees(t).setMaxDepth(d).setSeed(42)
-      val m = new Pipeline().setStages(Array(assembler, rf)).fit(innerTrain)
-      (t, d, rmseEval.evaluate(m.transform(innerVal)))
+      val m = rf.fit(innerTrain)
+      (t, d, evaluator("rmse", target).evaluate(m.transform(innerVal)))
     }.minBy(_._3)
     innerTrain.unpersist(); innerVal.unpersist()
     val rf = new RandomForestRegressor().setFeaturesCol("features")
       .setLabelCol(target).setNumTrees(best._1).setMaxDepth(best._2).setSeed(42)
-    val model = new Pipeline().setStages(Array(assembler, rf)).fit(train)
+    val model = new Pipeline().setStages(Array(assembler, rf))
+      .fit(sizedForTrees(train))
     evalAll(model, test, target, s"numTrees=${best._1},maxDepth=${best._2}")
   }
 
@@ -141,7 +180,8 @@ object Forecast {
     val gbt = new org.apache.spark.ml.regression.GBTRegressor()
       .setFeaturesCol("features").setLabelCol(target)
       .setMaxIter(maxIter).setSeed(42)
-    val model = new Pipeline().setStages(Array(assembler, gbt)).fit(train)
+    val model = new Pipeline().setStages(Array(assembler, gbt))
+      .fit(sizedForTrees(train))
     evalAll(model, test, target, s"gbtMaxIter=$maxIter")
   }
 
@@ -165,12 +205,30 @@ object Forecast {
     features.zip(rf.featureImportances.toArray).sortBy(-_._2).take(k).toSeq
   }
 
+  /** The reference's trimmed dev grid; the full 9-point grid
+    * (regParam {0.01,0.1,1.0} × elasticNet {0,0.5,1},
+    * `forecasting_model.py:272-320`) is [[trainLinearRegression]]'s default.
+    */
+  val FastLrGrid: Seq[(Double, Double)] =
+    Seq((0.01, 0.0), (0.1, 0.0), (0.1, 0.5))
+
   /** End-to-end forecast (the reference's stage 4): features → 70/30
-    * chronological split (cutoffs derived from the data's date range) → LR
-    * grid → predictions `(id, date, target, prediction)`.
+    * chronological split (cutoffs derived from the data's date range) →
+    * LR grid AND RF grid → best of both by test RMSE (M11, the reference's
+    * model comparison, `forecasting_model.py:481-525`) → predictions
+    * `(id, date, target, prediction)` from the winner.
+    *
+    * - `fastGrid=true` trims LR to the 3-point dev grid and skips RF — the
+    *   cheap loop for iterating; the DEFAULT is full reference parity.
+    * - `enableGbt` mirrors the reference's disabled GBT branch (M6).
+    * - `modelDir` persists the winning PipelineModel
+    *   (`best_forecasting_model/`, `model.write().overwrite().save`, ref
+    *   `:424,525`) plus `model_metadata.txt` (ref `:560-570`).
     */
   def run(daily: DataFrame, idCol: String = "user_id",
-          dateCol: String = "date", target: String = "daily_value")
+          dateCol: String = "date", target: String = "daily_value",
+          fastGrid: Boolean = false, enableGbt: Boolean = false,
+          modelDir: Option[String] = None)
       : (DataFrame, FitResult) = {
     val feats = computeFeatures(daily, idCol, dateCol, target).cache()
     val Array(minD, maxD) = feats.agg(min(col(dateCol)), max(col(dateCol)))
@@ -181,16 +239,49 @@ object Forecast {
       .toString
     val valCutoff = java.time.LocalDate.parse(minD).plusDays(span * 5 / 10)
       .toString
-    val train = feats.filter(col(dateCol) < lit(testCutoff))
-    val test = feats.filter(col(dateCol) >= lit(testCutoff))
+    // train/test cached: every grid fit (LR points, RF points, refits) and
+    // the final transform re-scan them; uncached they'd replay the
+    // window-heavy feature lineage per fit
+    val train = feats.filter(col(dateCol) < lit(testCutoff)).cache()
+    val test = feats.filter(col(dateCol) >= lit(testCutoff)).cache()
     val fcols = featureCols(feats, Seq(idCol, dateCol, target))
-    val fit = trainLinearRegression(train, test, fcols, target, valCutoff,
-      dateCol, grid = Seq((0.01, 0.0), (0.1, 0.0), (0.1, 0.5)))
-    val preds = fit.model.transform(test)
+    val trainers: Seq[(String, () => FitResult)] =
+      Seq("LinearRegression" -> (() =>
+        if (fastGrid)
+          trainLinearRegression(train, test, fcols, target, valCutoff,
+            dateCol, grid = FastLrGrid)
+        else
+          trainLinearRegression(train, test, fcols, target, valCutoff,
+            dateCol))) ++
+      (if (fastGrid) Nil
+       else Seq("RandomForest" -> (() =>
+         trainRandomForest(train, test, fcols, target, valCutoff, dateCol)))) ++
+      (if (enableGbt)
+         Seq("GBT" -> (() => trainGbt(train, test, fcols, target)))
+       else Nil)
+    // model families train concurrently too (independent jobs on the same
+    // cached frames); selection order is the declared Seq order
+    val candidates = parGrid(trainers, parallelism = trainers.size) {
+      case (name, t) => name -> t()
+    }
+    val (bestName, best) = candidates.minBy(_._2.rmse)
+    modelDir.foreach { dir =>
+      best.model.write.overwrite().save(s"$dir/best_forecasting_model")
+      graft.io.Writers.textFile(train.sparkSession, s"$dir/model_metadata.txt",
+        Seq(s"Best Model: $bestName", s"Params: ${best.bestParams}",
+          f"MAE: ${best.mae}%.4f", f"RMSE: ${best.rmse}%.4f",
+          f"R2: ${best.r2}%.4f", s"Features Used: ${fcols.length}")
+          .mkString("\n"))
+    }
+    val preds = best.model.transform(test)
       .select(col(idCol), col(dateCol), col(target), col("prediction"))
-    // feats stays cached: preds is LAZY and depends on it — unpersisting
-    // here would force the caller's first action to recompute the whole
-    // window-heavy feature lineage (session-LRU reclaims it)
-    (preds, fit)
+      .cache()
+    // materialize preds, then DROP the feature-lineage caches: leaving the
+    // wide cached train/test frames pinned after training measurably slows
+    // every later query in the session (storage pressure + GC churn), and
+    // nothing downstream needs them once preds is materialized
+    preds.count()
+    feats.unpersist(); train.unpersist(); test.unpersist()
+    (preds, best.copy(bestParams = s"model=$bestName,${best.bestParams}"))
   }
 }

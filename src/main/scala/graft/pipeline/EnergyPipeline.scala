@@ -130,12 +130,7 @@ object EnergyPipeline {
     * java.nio would silently write a URI-shaped local path.
     */
   def writeMetadata(spark: SparkSession, path: String,
-                    kv: Map[String, String]): Unit = {
-    val content = kv.map { case (k, v) => s"$k: $v" }.mkString("\n")
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val outStream = fs.create(p, true)
-    try outStream.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally outStream.close()
-  }
+                    kv: Map[String, String]): Unit =
+    Writers.textFile(spark, path,
+      kv.map { case (k, v) => s"$k: $v" }.mkString("\n"))
 }

@@ -36,8 +36,9 @@ object MlQueries {
         // and would leak the label into the features
         val base = daily(s, dir).select(col("user_id"), col("date"),
           col("daily_value"))
+        // run() returns preds already cached + materialized
         val (preds, _) = Forecast.run(base)
-        preds.cache()
+        preds
       })
     }
   }

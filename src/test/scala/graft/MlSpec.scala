@@ -20,7 +20,7 @@ class MlSpec extends SparkSpec {
   }
 
   test("LR forecast: predictions exist, metrics finite, chronological split") {
-    val (preds, fit) = Forecast.run(daily)
+    val (preds, fit) = Forecast.run(daily, fastGrid = true)
     assert(preds.count() > 0)
     assert(!fit.rmse.isNaN && fit.rmse >= 0 && !fit.mae.isNaN && fit.mae >= 0)
     assert(fit.r2 <= 1.0)
@@ -47,7 +47,7 @@ class MlSpec extends SparkSpec {
   }
 
   test("anomaly: clusters in range, rate bounded, deterministic with seed") {
-    val (preds, _) = Forecast.run(daily)
+    val (preds, _) = Forecast.run(daily, fastGrid = true)
     val out = Anomaly.run(daily, preds).cache()
     val n = out.count()
     assert(n > 0)
@@ -88,10 +88,46 @@ class MlSpec extends SparkSpec {
   }
 
   test("model save/load roundtrip (S13)") {
-    val (_, fit) = Forecast.run(daily)
+    val (_, fit) = Forecast.run(daily, fastGrid = true)
     val dir = java.nio.file.Files.createTempDirectory("graft-model").toString
     fit.model.write.overwrite().save(dir)
     val loaded = org.apache.spark.ml.PipelineModel.load(dir)
     assert(loaded.stages.length == fit.model.stages.length)
+  }
+
+  test("M11: cross-model selection picks min test RMSE, persists winner") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-best").toString
+    val (preds, fit) = Forecast.run(daily, modelDir = Some(dir))
+    assert(preds.count() > 0)
+    // the winner is named, and its rmse is the min over both candidates:
+    // re-derive each candidate's test rmse independently
+    assert(fit.bestParams.startsWith("model="))
+    val f = Forecast.computeFeatures(daily).cache()
+    val Array(minD, maxD) = f.agg(min(col("date")), max(col("date")))
+      .collect().head.toSeq.map(_.toString).toArray
+    val span = java.time.temporal.ChronoUnit.DAYS.between(
+      java.time.LocalDate.parse(minD), java.time.LocalDate.parse(maxD))
+    val cut = java.time.LocalDate.parse(minD).plusDays(span * 7 / 10).toString
+    val vcut = java.time.LocalDate.parse(minD).plusDays(span * 5 / 10).toString
+    val train = f.filter(col("date") < lit(cut))
+    val test = f.filter(col("date") >= lit(cut))
+    val fcols = Forecast.featureCols(f, Seq("user_id", "date", "daily_value"))
+    val lr = Forecast.trainLinearRegression(train, test, fcols,
+      "daily_value", vcut)
+    val rf = Forecast.trainRandomForest(train, test, fcols,
+      "daily_value", vcut)
+    assert(math.abs(fit.rmse - math.min(lr.rmse, rf.rmse)) < 1e-6)
+    val expectName =
+      if (lr.rmse <= rf.rmse) "LinearRegression" else "RandomForest"
+    assert(fit.bestParams.startsWith(s"model=$expectName,"))
+    f.unpersist()
+    // persistence: saved winner loads; metadata names it
+    val loaded = org.apache.spark.ml.PipelineModel.load(
+      s"$dir/best_forecasting_model")
+    assert(loaded.stages.length == fit.model.stages.length)
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/model_metadata.txt")))
+    assert(meta.contains(s"Best Model: $expectName"))
+    assert(meta.contains("RMSE:"))
   }
 }

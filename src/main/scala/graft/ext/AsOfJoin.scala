@@ -26,6 +26,13 @@ object AsOfJoin {
                leftTime: String, rightTime: String,
                payload: Map[String, String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // internal slot names — a user column with one of these names would be
+    // silently overwritten by the withColumns below, corrupting the result
+    val reserved = Seq("__t", "__src", "__upd", "__upd_f")
+    val clash = (left.columns ++ right.columns).filter(reserved.contains)
+    require(clash.isEmpty,
+      s"leftAsOf: input columns ${clash.mkString(", ")} collide with " +
+        "reserved internal names (__t, __src, __upd, __upd_f) — rename them")
     val srcL = left
       .withColumn("__t", col(leftTime))
       .withColumn("__src", lit(1))
@@ -47,9 +54,12 @@ object AsOfJoin {
       .select(withPayloadSlots.columns.map(col): _*)
     val unioned = withPayloadSlots.union(alignedR)
     // right rows sort before left rows at equal time → same-instant updates
-    // are visible to the left row
+    // are visible to the left row. The trailing __upd sort key makes ties
+    // among IDENTICAL (key, time) right rows deterministic: last() then
+    // resolves to the greatest payload struct instead of whichever row the
+    // shuffle happened to order last.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__src").asc)
+      .orderBy(col("__t").asc, col("__src").asc, col("__upd").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = unioned.withColumn("__upd_f",
       last(col("__upd"), ignoreNulls = true).over(w))

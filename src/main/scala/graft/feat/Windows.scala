@@ -118,13 +118,31 @@ object Windows {
     * tiny (≤ a handful of tariff labels); we keep that contract and sort the
     * collected labels for deterministic column order.
     */
-  def addOneHot(df: DataFrame, labelCol: String, prefix: String): DataFrame = {
-    val labels = df.select(labelCol).distinct().collect()
+  def addOneHot(df: DataFrame, labelCol: String, prefix: String,
+                maxLabels: Int = 1000): DataFrame = {
+    // cardinality guard: limit(maxLabels+1) bounds BOTH the collect and the
+    // distinct shuffle — a high-cardinality column fails fast instead of
+    // OOMing the driver with an unbounded collect
+    val labels = df.select(labelCol).distinct().limit(maxLabels + 1).collect()
       .map(_.getString(0)).filter(_ != null).sorted
+    require(labels.length <= maxLabels,
+      s"addOneHot: '$labelCol' has more than $maxLabels distinct labels — " +
+        "one-hot on an unbounded domain; raise maxLabels only if intended")
     labels.foldLeft(df)((d, lbl) =>
       d.withColumn(s"${prefix}_${lbl.toLowerCase}",
         when(col(labelCol) === lbl, 1).otherwise(0)))
   }
+
+  /** P12: supply defaults for expected-but-missing columns
+    * (`forecasting_model.py:135-153`): each (name → default expression) is
+    * added only when the column is absent, so upstream variants with and
+    * without the column produce a uniform downstream schema. Pure plan
+    * transformation — no action, no shuffle.
+    */
+  def withDefaults(df: DataFrame, defaults: Seq[(String, Column)]): DataFrame =
+    defaults.foldLeft(df) { case (d, (name, dflt)) =>
+      if (d.columns.contains(name)) d else d.withColumn(name, dflt)
+    }
 
   /** W5 at scale: per-group mean/std via groupBy + join-back instead of an
     * unbounded window (`anomaly_detection.py:132-140` puts each cluster in

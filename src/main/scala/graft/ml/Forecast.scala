@@ -20,8 +20,32 @@ import graft.feat.Windows
   */
 object Forecast {
 
+  /** P12: the reference's tariff feature block
+    * (`forecasting_model.py:135-143`) — one-hots from the tariff column
+    * when present, lit defaults (normal=1) when absent, so the feature
+    * schema is uniform either way.
+    *
+    * The reference's OTHER defaults at `:145-153` are deliberately NOT
+    * mirrored: `avg_hourly_energy = daily/24` is a same-day function of
+    * the label (temporal leak — the same class of leak this port already
+    * removed from the daily aggregates), and `total_readings = lit(48)` is
+    * a constant with no information; [[Windows.withDefaults]] is the
+    * generic mechanism if a deployment wants them anyway.
+    */
+  def withTariffFeatures(df: DataFrame,
+                         tariffCol: String = "tariff"): DataFrame =
+    if (df.columns.contains(tariffCol))
+      df.withColumn("tariff_high", when(col(tariffCol) === "High", 1).otherwise(0))
+        .withColumn("tariff_low", when(col(tariffCol) === "Low", 1).otherwise(0))
+        .withColumn("tariff_normal", when(col(tariffCol) === "Normal", 1).otherwise(0))
+    else
+      Windows.withDefaults(df, Seq(
+        "tariff_high" -> lit(0), "tariff_low" -> lit(0),
+        "tariff_normal" -> lit(1)))
+
   /** Feature set of `forecasting_model.py:68-156`: lags, trailing rolling
-    * stats (current row excluded — leakage guard), calendar + cyclical.
+    * stats (current row excluded — leakage guard), calendar + cyclical,
+    * tariff one-hots (defaulted when the dim is absent, P12).
     */
   def computeFeatures(daily: DataFrame, idCol: String = "user_id",
                       dateCol: String = "date",
@@ -36,6 +60,7 @@ object Forecast {
       .withColumn("is_weekend",
         Windows.Weekend.byDayOfWeek(col("day_of_week")))
       .transform(Windows.addCyclical(_))
+      .transform(withTariffFeatures(_))
       .na.drop()
   }
 

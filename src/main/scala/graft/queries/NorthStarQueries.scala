@@ -390,10 +390,14 @@ object NorthStarQueries {
          |SELECT lang, doc_id, quality, "rank" FROM ranked
          |WHERE "rank" <= 3 ORDER BY lang, "rank"""".stripMargin,
 
+    // coalesce mirrors Multimodal.asMedia (null text → empty payload, null
+    // source → 'unknown'); without it a null-bearing dataset would diverge
+    // from the Spark side even though current testdata has no nulls
     "q_multimodal_frames" ->
       """WITH m AS (
-        |  SELECT doc_id, octet_length(encode(text)) AS byte_len,
-        |         octet_length(encode(text)) % 24 + 1 AS n_frames
+        |  SELECT doc_id,
+        |         octet_length(encode(coalesce(text, ''))) AS byte_len,
+        |         octet_length(encode(coalesce(text, ''))) % 24 + 1 AS n_frames
         |  FROM documents
         |)
         |SELECT doc_id, CAST(t.i AS BIGINT) AS frame_idx,
@@ -403,8 +407,9 @@ object NorthStarQueries {
 
     "q_multimodal_meta" ->
       """WITH m AS (
-        |  SELECT doc_id, octet_length(encode(text)) AS byte_len,
-        |    'img/' || source AS format
+        |  SELECT doc_id,
+        |    octet_length(encode(coalesce(text, ''))) AS byte_len,
+        |    'img/' || coalesce(source, 'unknown') AS format
         |  FROM documents
         |)
         |SELECT doc_id, byte_len,

@@ -68,20 +68,58 @@ object StreamingEnergy {
                            rolling_avg_7d: Option[Double],
                            rolling_sum_7d: Option[Double])
 
+  /** One state transition of [[streamingDailyFeatures]], factored out so
+    * the eviction policy is unit-testable without a running stream.
+    *
+    * Eviction keeps state BOUNDED at `frameDays + 1` day entries per user
+    * (the trailing frame plus the still-open max day) — without it the
+    * per-user sums map and emitted set grow with stream length, which is
+    * the state-store killer on an unbounded stream. Two consequences,
+    * both watermark-like and deterministic:
+    *  - events for days older than the oldest retained day are DROPPED
+    *    (late beyond the frame horizon — the batch twin would have
+    *    re-stated the day; a stream cannot, since the day already emitted);
+    *  - the emitted set never outgrows the retained window, because a
+    *    dropped day can never re-emit.
+    */
+  private[graft] def advanceDayState(
+      id: Long, prev: DayState, incoming: Iterator[(Long, String, Double)],
+      frameDays: Int): (DayState, Seq[DailyFeatures]) = {
+    // retention watermark = oldest retained day; "" accepts everything on
+    // an empty state (ISO dates compare lexicographically)
+    val minRetained = if (prev.sums.isEmpty) "" else prev.sums.keys.min
+    val sums = incoming.filter(_._2 >= minRetained)
+      .foldLeft(prev.sums) { case (acc, (_, d, v)) =>
+        acc + (d -> (acc.getOrElse(d, 0.0) + v))
+      }
+    val days = sums.keys.toIndexedSeq.sorted
+    val closed = days.dropRight(1) // max day may still accumulate
+    val toEmit = closed.filterNot(prev.emitted)
+    // emissions are computed BEFORE eviction, so frames see the full
+    // retained history
+    val out = toEmit.map { d =>
+      val i = closed.indexOf(d)
+      val frame = closed.slice(math.max(0, i - frameDays), i).map(sums)
+      DailyFeatures(id, d, sums(d),
+        if (i >= 1) Some(sums(closed(i - 1))) else None,
+        if (frame.nonEmpty) Some(frame.sum / frame.size) else None,
+        if (frame.nonEmpty) Some(frame.sum) else None)
+    }
+    val keep = days.takeRight(frameDays + 1).toSet
+    (DayState(sums.view.filterKeys(keep).toMap,
+      (prev.emitted ++ toEmit).filter(keep)), out)
+  }
+
   /** W1/W2/W4 as STREAMING state (`flatMapGroupsWithState`) — the hard
     * migration SURVEY.md §2.10 flags: per-user daily totals accumulate in
     * state; a day becomes immutable ("closed") once a later day appears for
     * that user, at which point its lag/rolling features emit exactly once.
     * Trailing ROWS frames over closed days reproduce the batch semantics
-    * (current row excluded) for in-order data.
-    *
-    * Scale note: state here is a per-user map of open+closed day sums; in
-    * production bound it with event-time timeout eviction (the emitted-set
-    * and sums for days older than the longest frame can be dropped — 30
-    * entries per user).
+    * (current row excluded) for in-order data. State is bounded by the
+    * eviction policy in [[advanceDayState]].
     */
-  def streamingDailyFeatures(spark: SparkSession, events: DataFrame)
-      : Dataset[DailyFeatures] = {
+  def streamingDailyFeatures(spark: SparkSession, events: DataFrame,
+                             frameDays: Int = 7): Dataset[DailyFeatures] = {
     import spark.implicits._
     events
       .selectExpr("user_id", "cast(cast(ts as date) as string) as date", "value")
@@ -93,21 +131,9 @@ object StreamingEnergy {
         (id: Long, rows: Iterator[(Long, String, Double)],
          state: org.apache.spark.sql.streaming.GroupState[DayState]) =>
           val prev = state.getOption.getOrElse(DayState(Map.empty, Set.empty))
-          val sums = rows.foldLeft(prev.sums) { case (acc, (_, d, v)) =>
-            acc + (d -> (acc.getOrElse(d, 0.0) + v))
-          }
-          val days = sums.keys.toIndexedSeq.sorted
-          val closed = days.dropRight(1) // max day may still accumulate
-          val toEmit = closed.filterNot(prev.emitted)
-          state.update(DayState(sums, prev.emitted ++ toEmit))
-          toEmit.iterator.map { d =>
-            val i = closed.indexOf(d)
-            val frame = closed.slice(math.max(0, i - 7), i).map(sums)
-            DailyFeatures(id, d, sums(d),
-              if (i >= 1) Some(sums(closed(i - 1))) else None,
-              if (frame.nonEmpty) Some(frame.sum / frame.size) else None,
-              if (frame.nonEmpty) Some(frame.sum) else None)
-          }
+          val (next, out) = advanceDayState(id, prev, rows, frameDays)
+          state.update(next)
+          out.iterator
       }
   }
 

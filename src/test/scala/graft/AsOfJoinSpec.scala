@@ -65,6 +65,35 @@ class AsOfJoinSpec extends SparkSpec {
       trades.columns.toSeq :+ "asof_quote")
   }
 
+  test("as-of rejects inputs using the reserved internal column names") {
+    val bad = trades.withColumnRenamed("price", "__t")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.leftAsOf(bad, quotes, Seq("sym"), "t", "qt",
+        Map("quote" -> "asof_quote"))
+    }
+  }
+
+  test("same-instant duplicate right rows resolve deterministically (max)") {
+    val dupQuotes = quotes.union(Seq(
+      ("A", ts("2024-01-01 10:00:00"), 0.5),
+      ("A", ts("2024-01-01 10:00:00"), 1.5)).toDF("sym", "qt", "quote"))
+    // three quotes at 10:00:00 {1.0, 0.5, 1.5} → greatest payload wins,
+    // and repartitioning cannot change the answer
+    for (parts <- Seq(1, 7)) {
+      val got = AsOfJoin.leftAsOf(trades, dupQuotes.repartition(parts),
+          Seq("sym"), "t", "qt", Map("quote" -> "asof_quote"))
+        .filter($"trade_id" === 3L || $"trade_id" === 1L)
+        .orderBy("trade_id").collect()
+      assert(got(0).getDouble(4) == 2.0) // trade 1: same-instant 10:00:05
+      assert(got(0).getLong(0) == 1L)
+    }
+    val t3 = AsOfJoin.leftAsOf(
+      trades.filter($"trade_id" === 2L), dupQuotes.filter($"qt" ===
+        ts("2024-01-01 10:00:00")), Seq("sym"), "t", "qt",
+      Map("quote" -> "asof_quote")).head
+    assert(t3.getDouble(4) == 1.5) // max of {1.0, 0.5, 1.5}
+  }
+
   test("range join: rows land in their [start, end) interval per key") {
     val intervals = Seq(
       ("A", ts("2024-01-01 10:00:00"), ts("2024-01-01 10:00:08"), "w1"),

@@ -68,6 +68,17 @@ class EdgeCaseSpec extends SparkSpec {
     assert(z.head().getAs[Double]("z") == 0.0)
   }
 
+  test("one-hot fails fast on a high-cardinality label column") {
+    val wide = spark.range(5000).selectExpr("cast(id as string) AS lbl")
+    intercept[IllegalArgumentException] {
+      Windows.addOneHot(wide, "lbl", "oh", maxLabels = 100)
+    }
+    // bounded domain still works and is deterministic
+    val small = Seq("b", "a", "b").toDF("lbl")
+    val oh = Windows.addOneHot(small, "lbl", "oh", maxLabels = 100)
+    assert(oh.columns.toSeq == Seq("lbl", "oh_a", "oh_b"))
+  }
+
   test("as-of with empty right side keeps all left rows, null payload") {
     val left = Seq((1L, "k", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
       .toDF("id", "key", "t")

@@ -19,6 +19,29 @@ class MlSpec extends SparkSpec {
     assert(f.filter(anyNull).count() == 0)
   }
 
+  test("P12: tariff features default when absent, one-hot when present") {
+    import spark.implicits._
+    // absent → lit defaults, uniform schema
+    val f = Forecast.computeFeatures(daily)
+    assert(Seq("tariff_high", "tariff_low", "tariff_normal")
+      .forall(f.columns.contains))
+    val r = f.select("tariff_high", "tariff_low", "tariff_normal").distinct()
+      .collect()
+    assert(r.length == 1 && r.head.toSeq == Seq(0, 0, 1))
+    // present → real one-hots
+    val withT = Seq((1L, "High"), (2L, "Low"), (3L, "Normal"))
+      .toDF("id", "tariff")
+    val oh = Forecast.withTariffFeatures(withT)
+      .orderBy("id")
+      .select("tariff_high", "tariff_low", "tariff_normal").collect()
+    assert(oh.map(_.toSeq).toSeq ==
+      Seq(Seq(1, 0, 0), Seq(0, 1, 0), Seq(0, 0, 1)))
+    // generic withDefaults never overwrites an existing column
+    val kept = graft.feat.Windows.withDefaults(
+      Seq((1, 5)).toDF("a", "tariff_high"), Seq("tariff_high" -> lit(0)))
+    assert(kept.head.getInt(1) == 5)
+  }
+
   test("LR forecast: predictions exist, metrics finite, chronological split") {
     val (preds, fit) = Forecast.run(daily, fastGrid = true)
     assert(preds.count() > 0)

@@ -112,4 +112,37 @@ class StreamingSpec extends SparkSpec {
       assert(rate > 0 && rate < 0.2)
     } finally q.stop()
   }
+
+  test("day-state eviction bounds state across a long replay, same output") {
+    import StreamingEnergy.{DayState, advanceDayState}
+    val frame = 7
+    val days = (0 until 200).map(i =>
+      java.time.LocalDate.of(2024, 1, 1).plusDays(i).toString)
+    val value = (i: Int) => 10.0 + (i % 13)
+    // replay one day per micro-batch; track state size each step
+    var state = DayState(Map.empty, Set.empty)
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[
+      StreamingEnergy.DailyFeatures]
+    days.zipWithIndex.foreach { case (d, i) =>
+      val (next, out) = advanceDayState(1L, state,
+        Iterator((1L, d, value(i))), frame)
+      state = next
+      emitted ++= out
+      assert(state.sums.size <= frame + 1, s"sums unbounded at step $i")
+      assert(state.emitted.size <= frame + 1, s"emitted unbounded at step $i")
+    }
+    // every closed day emitted exactly once, in order
+    assert(emitted.map(_.date) == days.dropRight(1))
+    // features equal the unbounded-state reference computation
+    emitted.zipWithIndex.foreach { case (f, i) =>
+      assert(f.daily_value == value(i))
+      assert(f.lag_1_day == (if (i >= 1) Some(value(i - 1)) else None))
+      val fr = (math.max(0, i - frame) until i).map(value)
+      assert(f.rolling_sum_7d == (if (fr.nonEmpty) Some(fr.sum) else None))
+    }
+    // a day older than the retained horizon is dropped, not re-emitted
+    val (afterLate, lateOut) = advanceDayState(1L, state,
+      Iterator((1L, days.head, 999.0)), frame)
+    assert(lateOut.isEmpty && afterLate.sums == state.sums)
+  }
 }

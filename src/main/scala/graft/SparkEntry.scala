@@ -25,9 +25,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.defs ++ ExtendedQueries.defs ++ NorthStarQueries.defs ++
-      MlQueries.defs ++ AdvancedQueries.defs
+      MlQueries.defs ++ AdvancedQueries.defs ++ SessionQueries.defs
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ ExtendedQueries.oracles ++ NorthStarQueries.oracles ++
-      MlQueries.oracles ++ AdvancedQueries.oracles
+      MlQueries.oracles ++ AdvancedQueries.oracles ++ SessionQueries.oracles
 }

@@ -19,8 +19,17 @@ case class TopKByScore(k: Int)
   private def best(xs: Seq[(Long, Double)]): Seq[(Long, Double)] =
     xs.sortBy { case (id, score) => (-score, id) }.take(k)
 
+  // the buffer invariant: always sorted (score desc, id asc) and ≤ k long —
+  // reduce can then early-out on a non-qualifying row in O(1) instead of
+  // re-sorting the whole buffer per input (O(k log k) per ROW, the slow
+  // path at large k)
+  private def beats(a: (Long, Double), tail: (Long, Double)): Boolean =
+    a._2 > tail._2 || (a._2 == tail._2 && a._1 < tail._1)
+
   override def zero: Seq[(Long, Double)] = Nil
-  override def reduce(b: Seq[(Long, Double)], a: (Long, Double)) = best(b :+ a)
+  override def reduce(b: Seq[(Long, Double)], a: (Long, Double)) =
+    if (b.length >= k && !beats(a, b.last)) b
+    else best(b :+ a)
   override def merge(a: Seq[(Long, Double)], b: Seq[(Long, Double)]) = best(a ++ b)
   override def finish(r: Seq[(Long, Double)]): Seq[(Long, Double)] = r
   override def bufferEncoder: Encoder[Seq[(Long, Double)]] =

@@ -15,6 +15,33 @@ object NorthStarQueries {
 
   private val StopSql = TA.Stopwords.map(s => s"'$s'").mkString(", ")
 
+  /** Shared DuckDB CTE chain computing per-doc 32-bit simhashes — table
+    * `sh(doc_id, lang, sh)` — mirroring [[Dedup.simHashes]] (portable md5
+    * token hash, ±1 bit votes). Reused by the pairs and clusters oracles.
+    */
+  private def simhashCte: String = {
+    val votes = (0 until 32).map(i =>
+      s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i")
+      .mkString(",\n    ")
+    val bits = (0 until 32)
+      .map(i => s"CASE WHEN v$i > 0 THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    s"""toks AS (
+       |  SELECT doc_id, lang,
+       |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+       |  FROM documents
+       |), hh AS (
+       |  SELECT doc_id, lang, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h
+       |  FROM toks
+       |), votes AS (
+       |  SELECT doc_id, lang,
+       |    $votes
+       |  FROM hh GROUP BY doc_id, lang
+       |), sh AS (
+       |  SELECT doc_id, lang, $bits AS sh FROM votes
+       |)""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Text analysis: token counting + quality scoring
@@ -104,6 +131,22 @@ object NorthStarQueries {
           maxBandBucket = 100)
         .filter(col("sig_agreement") >= 0.5)
         .orderBy(col("id_a"), col("id_b"))),
+
+    // Pairs → canonical duplicate clusters (connected components, min-label
+    // propagation); singletons keep their own id, keeper = component min
+    "q_dedup_clusters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.simHashNearDups(docs, "text", "doc_id",
+        Seq("lang"), maxHamming = 3)
+      val labels = Dedup.resolveClusters(pairs)
+      docs.select(col("doc_id"))
+        .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .withColumn("is_keeper",
+          (col("doc_id") === col("cluster_id")).cast("long"))
+        .orderBy(col("doc_id"))
+    }),
 
     // Embedding-cosine near-dup pairs within IVF buckets
     "q_embedding_neardup" -> ((s, dir) =>
@@ -286,33 +329,38 @@ object NorthStarQueries {
 
     // Pairwise form (exact equivalent of the pigeonhole banding — banding
     // only prunes candidates, never changes the hamming<=3 answer set).
-    "q_simhash_pairs" -> {
-      val votes = (0 until 32).map(i =>
-        s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i")
-        .mkString(",\n         |    ").stripMargin
-      val bits = (0 until 32)
-        .map(i => s"CASE WHEN v$i > 0 THEN ${1L << i} ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH toks AS (
-         |  SELECT doc_id, lang,
-         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
-         |  FROM documents
-         |), hh AS (
-         |  SELECT doc_id, lang, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h
-         |  FROM toks
-         |), votes AS (
-         |  SELECT doc_id, lang,
-         |    $votes
-         |  FROM hh GROUP BY doc_id, lang
-         |), sh AS (
-         |  SELECT doc_id, lang, $bits AS sh FROM votes
-         |)
+    "q_simhash_pairs" ->
+      s"""WITH $simhashCte
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
          |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sh, b.sh)) <= 3
-         |ORDER BY id_a, id_b""".stripMargin
-    },
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Recursive-CTE transitive closure is the oracle twin of the iterative
+    // min-label propagation (exact same fixpoint: min reachable id).
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $simhashCte, prs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sh, b.sh)) <= 3
+         |), edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM prs
+         |  UNION SELECT id_b, id_a FROM prs
+         |), reach(src, dst) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+         |), comp AS (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src
+         |)
+         |SELECT d.doc_id,
+         |  coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+         |  CAST(CASE WHEN coalesce(c.cluster_id, d.doc_id) = d.doc_id
+         |    THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+         |FROM documents d LEFT JOIN comp c USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q_ann_bruteforce" ->
       """WITH e AS (

@@ -112,6 +112,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("resolveClusters: transitive pairs collapse to min-id components") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3, needs >1 propagation round) + pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.resolveClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    // determinism under partitioning
+    val again = Dedup.resolveClusters(pairs.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
+
   test("simhash pigeonhole stays exact when band count doesn't divide 32") {
     import spark.implicits._
     // maxHamming=4 → 5 bands of 6 bits + last band absorbs 8 remainder

@@ -337,15 +337,15 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("v"), col("lbl").as("nlbl")), "v")
         .groupBy(col("u").as("id")).agg(min(col("nlbl")).as("min_nbr"))
+      // the changed flag rides the checkpointed frame, so the convergence
+      // probe below is a scan of already-materialized rows — no extra join
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("lbl"), coalesce(col("min_nbr"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("min_nbr"), col("lbl"))).as("lbl"),
+          (col("min_nbr") < col("lbl")).as("__changed"))
         .localCheckpoint(true)
-      // scalar convergence probe: any label still shrinking?
-      converged = next
-        .join(labels.select(col("id"), col("lbl").as("old")), "id")
-        .filter(col("lbl") =!= col("old")).limit(1).count() == 0
-      labels = next // superseded checkpoint RDDs are GC-reclaimed
+      converged = next.filter(col("__changed")).limit(1).count() == 0
+      labels = next.drop("__changed") // superseded checkpoints GC-reclaim
       i += 1
     }
     edges.unpersist()

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis => TA}
 import graft.io.Tables
 import Parity._
 
@@ -153,6 +153,27 @@ object NorthStarQueries {
       Similarity.neighborPairs(Tables.embeddings(s, dir),
           "vec_id", "embedding", "label", threshold = 0.3)
         .orderBy(col("id_a"), col("id_b"))),
+
+    // Flagship end-to-end curation composition: exact-dedup keepers →
+    // language ID → quality score → quality gate → stable split → per
+    // (lang, split) corpus stats. Every stage is narrow except the dedup
+    // groupBy and the final small agg — the whole pipeline is two shuffles.
+    "q_corpus_curation" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val keepers = Dedup.exactGroups(docs, "text", "doc_id")
+        .select(col("keeper_id").as("doc_id"))
+      val kept = docs.join(keepers, Seq("doc_id"), "left_semi")
+      val st = TA.withTokenStats(TA.withLanguageId(kept, "text"), "text")
+        .withColumn("quality",
+          ground(TA.qualityScore(col("n_tokens"), col("token_chars"),
+            col("n_punct"), col("n_stopwords")), 4))
+        .filter(col("quality") >= 0.5)
+      Sampling.withSplit(st, "doc_id", salt = "graft")
+        .groupBy(col("lang_pred"), col("split"))
+        .agg(count(lit(1)).as("n"),
+          ground(avg(col("quality")), 4).as("avg_quality"))
+        .orderBy(col("lang_pred"), col("split"))
+    }),
 
     // Per-group top-k via the custom bounded Aggregator (groups never
     // materialize — partial top-k per partition, k-way merge)
@@ -361,6 +382,65 @@ object NorthStarQueries {
          |    THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
          |FROM documents d LEFT JOIN comp c USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // Flagship composition — the same building blocks as the q_dedup_exact,
+    // q_lang_id, q_text_stats and q_train_split oracles, chained.
+    "q_corpus_curation" -> {
+      val langs = TA.LangMarkers.map(_._1)
+      val scoreCols = TA.LangMarkers.map { case (l, ms) =>
+        val in = ms.map(m => s"'$m'").mkString(", ")
+        s"CAST(len(list_filter(ltoks, t -> t IN ($in))) AS BIGINT) AS score_$l"
+      }.mkString(",\n    ")
+      val caseChain = langs.map { l =>
+        val geOthers = langs.filter(_ != l)
+          .map(o => s"score_$l >= score_$o").mkString(" AND ")
+        s"WHEN score_$l > 0 AND $geOthers THEN '$l'"
+      }.mkString("\n    ")
+      s"""WITH keepers AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+         |), d AS (
+         |  SELECT documents.* FROM documents JOIN keepers USING (doc_id)
+         |), t AS (
+         |  SELECT doc_id, text,
+         |    regexp_split_to_array(trim(text), '\\s+') AS toks,
+         |    regexp_split_to_array(trim(lower(text)), '\\s+') AS ltoks
+         |  FROM d
+         |), scored AS (
+         |  SELECT doc_id, text, toks,
+         |    $scoreCols
+         |  FROM t
+         |), lp AS (
+         |  SELECT doc_id, text, toks,
+         |    CASE $caseChain ELSE 'und' END AS lang_pred
+         |  FROM scored
+         |), st AS (
+         |  SELECT doc_id, lang_pred,
+         |    len(toks) AS n_tokens,
+         |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)
+         |      AS n_punct,
+         |    CAST(len(list_filter(toks, t -> t IN ($StopSql))) AS BIGINT)
+         |      AS n_stopwords
+         |  FROM lp
+         |), q AS (
+         |  SELECT doc_id, lang_pred,
+         |    round(least(n_tokens / 100.0, 1.0) * 0.3
+         |      + (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(n_tokens, 1), 1.0)) * 0.4
+         |      + least(CAST(n_stopwords AS DOUBLE) * 5.0 / greatest(n_tokens, 1), 1.0) * 0.3
+         |      + 1e-9, 4) AS quality
+         |  FROM st
+         |), gated AS (
+         |  SELECT doc_id, lang_pred, quality,
+         |    ('0x' || substr(md5('graft:' || doc_id), 1, 8))::BIGINT % 100
+         |      AS bkt
+         |  FROM q WHERE quality >= 0.5
+         |)
+         |SELECT lang_pred,
+         |  CASE WHEN bkt < 80 THEN 'train'
+         |       WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n,
+         |  round(avg(quality) + 1e-9, 4) AS avg_quality
+         |FROM gated GROUP BY 1, 2 ORDER BY lang_pred, split""".stripMargin
+    },
 
     "q_ann_bruteforce" ->
       """WITH e AS (

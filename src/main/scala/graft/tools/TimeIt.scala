@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Dev-only ad-hoc timing harness (scratch; contents change per hotspot). */
 object TimeIt {
@@ -14,9 +15,12 @@ object TimeIt {
       val t0 = System.nanoTime(); val r = f
       println(f"[t] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    val dir = "/root/testdata/sf0.01"
-    time("q_dedup_clusters")(
-      println(graft.SparkEntry.queries("q_dedup_clusters")(spark, dir).count()))
+    val dir = "/root/testdata/sf0.1"
+    val daily = graft.queries.Parity.daily(spark, dir)
+    val base = daily.select(col("user_id"), col("date"), col("daily_value"))
+    val preds = time("Forecast.run full")(graft.ml.Forecast.run(base)._1)
+    time("Anomaly.run")(println(graft.ml.Anomaly.run(daily, preds).count()))
+    time("Anomaly.run again")(println(graft.ml.Anomaly.run(daily, preds).count()))
     spark.stop()
   }
 }

@@ -77,4 +77,42 @@ class PhysicalSpec extends SparkSpec {
     assert(plan.contains("graft_dot"), s"expected graft_dot in:\n$plan")
     assert(plan.contains("*("), s"no codegen spans in:\n$plan")
   }
+
+  test("sessionization pays ONE shuffle + ONE sort for all its windows") {
+    val df = graft.feat.Sessions.assignSessions(
+      graft.io.Tables.events(spark, TestSpark.sf0001), "user_id", "ts", 30)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // lag → boundary flag → running index are DEPENDENT window exprs, so
+    // Catalyst keeps two Window nodes — but both share the (user_id, __us)
+    // spec, so the plan must have exactly one Exchange and one Sort (a
+    // second of either would mean the specs diverged)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.linesIterator.count(_.contains("Exchange hash")) == 1,
+      s"expected exactly 1 shuffle:\n$plan")
+    assert(finalPlan.linesIterator.count(_.contains("Sort [")) == 1,
+      s"expected exactly 1 sort:\n$plan")
+  }
+
+  test("hash sample is a narrow filter — no shuffle, no extra columns read") {
+    val df = SparkEntry.queries("q_hash_sample")(spark, TestSpark.sf0001)
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // membership test is per-row → everything before the final orderBy must
+    // be exchange-free, and the scan must not read text/source
+    assert(!formatted.contains("\"text\""), "text should be pruned")
+    val beforeSort = formatted.split("Sort").head
+    assert(!beforeSort.contains("Exchange hashpartitioning"),
+      s"sampling filter should not shuffle:\n$formatted")
+  }
+
+  test("LSH hot-bucket cap anti-join broadcasts (never shuffles the cut)") {
+    val df = graft.ext.Dedup.minHashLsh(
+      graft.io.Tables.documents(spark, TestSpark.sf0001), "text", "doc_id",
+      maxBandBucket = 100)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"), s"expected broadcast anti join in:\n$plan")
+  }
 }

@@ -47,7 +47,15 @@ object TextAnalysis {
   def countIn(toks: Column, vocab: Seq[String]): Column =
     size(filter(toks, t => array_contains(arrayLit(vocab), t))).cast("long")
 
-  /** Token statistics: count, total token chars, punctuation count. */
+  private val PunctChars = ".,!?;:"
+
+  /** Token statistics: count, total token chars, punctuation count.
+    *
+    * Counting choices are cost-driven (identical values, cheaper eval):
+    * n_punct as a translate length-diff (two char scans, no regex engine);
+    * n_bpe_tokens via `regexp_count` (same non-overlapping match count as
+    * sizing [[bpeTokens]]'s output, minus the per-row array allocation).
+    */
   def withTokenStats(df: DataFrame, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))
     df.withColumn("n_tokens", size(toks).cast("long"))
@@ -55,9 +63,12 @@ object TextAnalysis {
         aggregate(transform(toks, t => length(t).cast("long")),
           lit(0L), (acc, x) => acc + x))
       .withColumn("n_punct",
-        regexp_count(col(textCol), lit("[.,!?;:]")).cast("long"))
+        (length(col(textCol)) -
+          length(translate(col(textCol), PunctChars, ""))).cast("long"))
       .withColumn("n_stopwords", countIn(toks, Stopwords))
-      .withColumn("n_bpe_tokens", size(bpeTokens(col(textCol))).cast("long"))
+      .withColumn("n_bpe_tokens",
+        regexp_count(lower(col(textCol)),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long"))
   }
 
   /** Quality score ∈ [0,1]: length saturation + non-punct + stopword

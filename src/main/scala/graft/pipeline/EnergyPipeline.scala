@@ -85,15 +85,17 @@ object EnergyPipeline {
     Windows.addDerived(oneHot, "daily_energy_kwh").na.drop()
   }
 
-  /** Stages 4+5: forecast on the daily table, anomalies on daily ⋈
-    * predictions (`forecasting_model.py` / `anomaly_detection.py`).
+  /** Stages 4+5: forecast on the daily table (cross-model selection; the
+    * winner persists to `modelDir` when set, matching the reference's
+    * best-model save), anomalies on daily ⋈ predictions
+    * (`forecasting_model.py` / `anomaly_detection.py`).
     */
-  def forecastAndDetect(daily: DataFrame)
+  def forecastAndDetect(daily: DataFrame, modelDir: Option[String] = None)
       : (DataFrame, Forecast.FitResult, DataFrame) = {
     val base = daily.select(col("LCLid"), col("date"),
       col("daily_energy_kwh").cast("double").as("daily_energy_kwh"))
     val (preds, fit) = Forecast.run(base, idCol = "LCLid",
-      target = "daily_energy_kwh")
+      target = "daily_energy_kwh", modelDir = modelDir)
     val anomalies = Anomaly.run(base, preds, idCol = "LCLid",
       target = "daily_energy_kwh")
     (preds, fit, anomalies)
@@ -109,7 +111,10 @@ object EnergyPipeline {
     val (hourly, daily) = preprocess(raw, tariffs)
     val dailyCached = daily.cache()
     val feats = features(dailyCached)
-    val (preds, fit, anomalies) = forecastAndDetect(dailyCached)
+    // when materializing, the winning model + its metadata land beside the
+    // tables (Forecast.run writes best_forecasting_model/ and
+    // model_metadata.txt, mirroring the reference's model sink)
+    val (preds, fit, anomalies) = forecastAndDetect(dailyCached, outDir)
     val out = Map("raw_energy_data" -> raw, "hourly" -> hourly,
       "daily" -> dailyCached, "energy_features" -> feats,
       "forecasting_results" -> preds, "anomalies" -> anomalies)
@@ -117,9 +122,6 @@ object EnergyPipeline {
       out.foreach { case (name, df) =>
         Writers.parquet(df, s"$d/$name", numFiles = Some(4))
       }
-      writeMetadata(spark, s"$d/model_metadata.txt", Map(
-        "best_params" -> fit.bestParams, "rmse" -> fit.rmse.toString,
-        "mae" -> fit.mae.toString, "r2" -> fit.r2.toString))
     }
     out
   }

@@ -1,7 +1,6 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Dev-only ad-hoc timing harness (scratch; contents change per hotspot). */
 object TimeIt {
@@ -16,11 +15,10 @@ object TimeIt {
       println(f"[t] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
     val dir = "/root/testdata/sf0.1"
-    val daily = graft.queries.Parity.daily(spark, dir)
-    val base = daily.select(col("user_id"), col("date"), col("daily_value"))
-    val preds = time("Forecast.run full")(graft.ml.Forecast.run(base)._1)
-    time("Anomaly.run")(println(graft.ml.Anomaly.run(daily, preds).count()))
-    time("Anomaly.run again")(println(graft.ml.Anomaly.run(daily, preds).count()))
+    time("q_text_stats cold")(
+      println(graft.SparkEntry.queries("q_text_stats")(spark, dir).count()))
+    time("q_text_stats warm")(
+      println(graft.SparkEntry.queries("q_text_stats")(spark, dir).count()))
     spark.stop()
   }
 }

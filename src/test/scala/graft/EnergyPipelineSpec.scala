@@ -138,6 +138,11 @@ class EnergyPipelineSpec extends SparkSpec {
         "forecasting_results", "anomalies"))
       assert(spark.read.parquet(s"$dir/$t").count() > 0, t)
     val meta = Files.readString(java.nio.file.Paths.get(s"$dir/model_metadata.txt"))
-    assert(meta.contains("rmse:") && meta.contains("best_params:"))
+    assert(meta.contains("RMSE:") && meta.contains("Best Model:"))
+    // the winning model itself persists beside the tables (reference's
+    // best-model save) and loads back
+    val loaded = org.apache.spark.ml.PipelineModel.load(
+      s"$dir/best_forecasting_model")
+    assert(loaded.stages.nonEmpty)
   }
 }

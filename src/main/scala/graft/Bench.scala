@@ -39,7 +39,9 @@ object Bench {
     }
     def jstr(s: String) =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replaceAll("[\\n\\r\\t]", " ") + "\""
+        .map(c => if (c < 0x20) ' ' else c) + "\"" // ALL control chars — one
+        // raw \b or \f in an error message would make the result line
+        // unparseable exactly when there is a failure to report
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }

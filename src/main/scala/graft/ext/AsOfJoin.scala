@@ -57,9 +57,16 @@ object AsOfJoin {
     // are visible to the left row. The trailing __upd sort key makes ties
     // among IDENTICAL (key, time) right rows deterministic: last() then
     // resolves to the greatest payload struct instead of whichever row the
-    // shuffle happened to order last.
+    // shuffle happened to order last. Only added when the payload type IS
+    // orderable — a map-bearing payload would otherwise fail analysis, and
+    // for such payloads same-instant duplicate resolution stays
+    // order-undefined (documented, not a crash).
+    val updOrderable = org.apache.spark.sql.catalyst.expressions.RowOrdering
+      .isOrderable(srcR0.schema("__upd").dataType)
+    val sortKeys = Seq(col("__t").asc, col("__src").asc) ++
+      (if (updOrderable) Seq(col("__upd").asc_nulls_first) else Nil)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__src").asc, col("__upd").asc_nulls_first)
+      .orderBy(sortKeys: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = unioned.withColumn("__upd_f",
       last(col("__upd"), ignoreNulls = true).over(w))

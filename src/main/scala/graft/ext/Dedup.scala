@@ -349,6 +349,12 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    // fail LOUD: returning the partially-propagated labels would silently
+    // split one component into several "clusters" (multiple keepers)
+    if (!converged) throw new IllegalStateException(
+      s"resolveClusters did not converge in $maxIter iterations — a " +
+        "component's diameter exceeds maxIter; raise it (or switch to a " +
+        "pointer-doubling variant for adversarially long chains)")
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
 }

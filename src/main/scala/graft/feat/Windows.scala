@@ -122,9 +122,13 @@ object Windows {
                 maxLabels: Int = 1000): DataFrame = {
     // cardinality guard: limit(maxLabels+1) bounds BOTH the collect and the
     // distinct shuffle — a high-cardinality column fails fast instead of
-    // OOMing the driver with an unbounded collect
-    val labels = df.select(labelCol).distinct().limit(maxLabels + 1).collect()
-      .map(_.getString(0)).filter(_ != null).sorted
+    // OOMing the driver with an unbounded collect. Nulls are filtered
+    // BEFORE the limit: a null row consuming the sentinel slot would let
+    // an over-cardinality column slip past the require with an arbitrary
+    // label subset.
+    val labels = df.select(labelCol).filter(col(labelCol).isNotNull)
+      .distinct().limit(maxLabels + 1).collect()
+      .map(_.getString(0)).sorted
     require(labels.length <= maxLabels,
       s"addOneHot: '$labelCol' has more than $maxLabels distinct labels — " +
         "one-hot on an unbounded domain; raise maxLabels only if intended")

@@ -15,6 +15,7 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 case class TopKByScore(k: Int)
     extends Aggregator[(Long, Double), Seq[(Long, Double)], Seq[(Long, Double)]] {
+  require(k > 0, s"k=$k must be positive") // k=0 would crash reduce's b.last
 
   private def best(xs: Seq[(Long, Double)]): Seq[(Long, Double)] =
     xs.sortBy { case (id, score) => (-score, id) }.take(k)

@@ -177,8 +177,12 @@ object Forecast {
     // assembler is a pure Transformer — assemble the inner frames ONCE and
     // grid over the bare RF (same trick as the LR grid: identical
     // selection, no per-config re-assembly)
-    val innerTrain = sizedForTrees(assembler.transform(
-      train.filter(col(dateCol) < lit(valCutoff)))).cache()
+    // cache BEFORE sizedForTrees: its count() then populates the cache, and
+    // the coalesced view reads through it — uncached, the filter+assembly
+    // lineage would execute twice (once for the count, again on first fit)
+    val assembledInner = assembler.transform(
+      train.filter(col(dateCol) < lit(valCutoff))).cache()
+    val innerTrain = sizedForTrees(assembledInner)
     val innerVal = assembler.transform(
       train.filter(col(dateCol) >= lit(valCutoff))).cache()
     val best = parGrid(grid) { case (t, d) =>
@@ -187,7 +191,7 @@ object Forecast {
       val m = rf.fit(innerTrain)
       (t, d, evaluator("rmse", target).evaluate(m.transform(innerVal)))
     }.minBy(_._3)
-    innerTrain.unpersist(); innerVal.unpersist()
+    assembledInner.unpersist(); innerVal.unpersist()
     val rf = new RandomForestRegressor().setFeaturesCol("features")
       .setLabelCol(target).setNumTrees(best._1).setMaxDepth(best._2).setSeed(42)
     val model = new Pipeline().setStages(Array(assembler, rf))

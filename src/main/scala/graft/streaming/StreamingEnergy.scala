@@ -62,7 +62,13 @@ object StreamingEnergy {
       }
   }
 
-  case class DayState(sums: Map[String, Double], emitted: Set[String])
+  /** @param watermark days strictly below this have been EVICTED and are
+    *                  final; "" until the first eviction (accept anything —
+    *                  out-of-order days arriving before the state ever
+    *                  filled must still emit, like the unbounded form).
+    */
+  case class DayState(sums: Map[String, Double], emitted: Set[String],
+                      watermark: String = "")
   case class DailyFeatures(user_id: Long, date: String, daily_value: Double,
                            lag_1_day: Option[Double],
                            rolling_avg_7d: Option[Double],
@@ -85,10 +91,11 @@ object StreamingEnergy {
   private[graft] def advanceDayState(
       id: Long, prev: DayState, incoming: Iterator[(Long, String, Double)],
       frameDays: Int): (DayState, Seq[DailyFeatures]) = {
-    // retention watermark = oldest retained day; "" accepts everything on
-    // an empty state (ISO dates compare lexicographically)
-    val minRetained = if (prev.sums.isEmpty) "" else prev.sums.keys.min
-    val sums = incoming.filter(_._2 >= minRetained)
+    // drop only what EVICTION finalized (ISO dates compare
+    // lexicographically; "" accepts everything until the first eviction).
+    // Filtering on the oldest *retained* day instead would silently drop
+    // out-of-order days that arrive before the state ever fills.
+    val sums = incoming.filter(_._2 >= prev.watermark)
       .foldLeft(prev.sums) { case (acc, (_, d, v)) =>
         acc + (d -> (acc.getOrElse(d, 0.0) + v))
       }
@@ -106,8 +113,13 @@ object StreamingEnergy {
         if (frame.nonEmpty) Some(frame.sum) else None)
     }
     val keep = days.takeRight(frameDays + 1).toSet
+    // watermark advances to the oldest retained day only when something was
+    // actually evicted this round (monotone — eviction is irreversible)
+    val wm =
+      if (days.size > keep.size) Seq(prev.watermark, keep.min).max
+      else prev.watermark
     (DayState(sums.view.filterKeys(keep).toMap,
-      (prev.emitted ++ toEmit).filter(keep)), out)
+      (prev.emitted ++ toEmit).filter(keep), wm), out)
   }
 
   /** W1/W2/W4 as STREAMING state (`flatMapGroupsWithState`) — the hard

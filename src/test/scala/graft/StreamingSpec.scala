@@ -144,5 +144,15 @@ class StreamingSpec extends SparkSpec {
     val (afterLate, lateOut) = advanceDayState(1L, state,
       Iterator((1L, days.head, 999.0)), frame)
     assert(lateOut.isEmpty && afterLate.sums == state.sums)
+    // BEFORE any eviction, out-of-order days must still be accepted and
+    // emitted (nothing has been finalized yet — watermark only advances
+    // when eviction actually drops a day)
+    val (s1, o1) = advanceDayState(2L, DayState(Map.empty, Set.empty),
+      Iterator((2L, "2024-01-10", 5.0)), frame)
+    assert(o1.isEmpty)
+    val (s2, o2) = advanceDayState(2L, s1,
+      Iterator((2L, "2024-01-09", 3.0)), frame)
+    assert(o2.map(f => (f.date, f.daily_value)) == Seq(("2024-01-09", 3.0)))
+    assert(s2.sums.keySet == Set("2024-01-09", "2024-01-10"))
   }
 }

@@ -26,8 +26,25 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: the flagship spine at sf0.001 compiles the common
+    // codegen paths (scan/shuffle/window/agg) and a count over each big
+    // table warms file metadata + page cache — otherwise whichever query
+    // happens to run first absorbs tens of seconds of JVM warmup and the
+    // per-query numbers stop being comparable
+    SparkEntry.entry(spark).count()
+    graft.io.Tables.events(spark, sfDir).count() // nanos-typed: scheme-aware reader
+    for (t <- Seq("lineitem", "documents", "embeddings"))
+      spark.read.parquet(s"$sfDir/$t.parquet").count()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // deterministic run order (sorted, memoized ML pair last) instead of
+    // Map-hash order: per-query numbers are only comparable round-over-round
+    // when every round runs the same sequence. The untimed gc between
+    // queries keeps one query's allocation churn from being billed to the
+    // next one's wall time.
+    val (mlQs, plainQs) = SparkEntry.queries.toSeq.sortBy(_._1)
+      .partition(_._1.startsWith("q_ml_"))
+    val results = (plainQs ++ mlQs).map { case (name, fn) =>
+      System.gc()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
       catch {
@@ -46,9 +63,10 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
-    val mlFused = Seq("q_ml_forecast", "q_ml_anomaly")
-      .flatMap(results.get).sum
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val mlFused = results.collect {
+      case (n, t) if n.startsWith("q_ml_") => t
+    }.sum
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ml_fused":$mlFused,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

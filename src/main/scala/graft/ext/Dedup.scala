@@ -337,12 +337,24 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("v"), col("lbl").as("nlbl")), "v")
         .groupBy(col("u").as("id")).agg(min(col("nlbl")).as("min_nbr"))
+      // pointer doubling: besides the one-hop neighbor min, each node also
+      // adopts its LABEL's current label (label(label(id))) — propagation
+      // distance doubles per round, so rounds = O(log diameter) instead of
+      // O(diameter). At dev SF each round is scheduling-floor-bound
+      // (~seconds regardless of data), so halving rounds halves wall time;
+      // at 100 TB it bounds the number of full-data shuffles the same way.
+      val lblOfLbl = labels
+        .select(col("id").as("lbl"), col("lbl").as("hop2"))
       // the changed flag rides the checkpointed frame, so the convergence
       // probe below is a scan of already-materialized rows — no extra join
       val next = labels.join(nbrMin, Seq("id"), "left")
+        .join(lblOfLbl, Seq("lbl"), "left")
         .select(col("id"),
-          least(col("lbl"), coalesce(col("min_nbr"), col("lbl"))).as("lbl"),
-          (col("min_nbr") < col("lbl")).as("__changed"))
+          least(col("lbl"), coalesce(col("min_nbr"), col("lbl")),
+            coalesce(col("hop2"), col("lbl"))).as("new_lbl"),
+          col("lbl"))
+        .select(col("id"), col("new_lbl").as("lbl"),
+          (col("new_lbl") < col("lbl")).as("__changed"))
         .localCheckpoint(true)
       converged = next.filter(col("__changed")).limit(1).count() == 0
       labels = next.drop("__changed") // superseded checkpoints GC-reclaim

@@ -7,6 +7,7 @@ object TimeIt {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -15,10 +16,9 @@ object TimeIt {
       println(f"[t] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
     val dir = "/root/testdata/sf0.1"
-    time("q_text_stats cold")(
-      println(graft.SparkEntry.queries("q_text_stats")(spark, dir).count()))
-    time("q_text_stats warm")(
-      println(graft.SparkEntry.queries("q_text_stats")(spark, dir).count()))
+    graft.SparkEntry.queries("q_simhash_pairs")(spark, dir).count() // warm
+    time("q_dedup_clusters warm")(
+      println(graft.SparkEntry.queries("q_dedup_clusters")(spark, dir).count()))
     spark.stop()
   }
 }

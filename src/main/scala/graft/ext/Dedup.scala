@@ -151,9 +151,13 @@ object Dedup {
     */
   def minHashSignatures(df: DataFrame, textCol: String, idCol: String,
                         numHashes: Int = 16): DataFrame = {
+    // md5 lands in its OWN projection so it provably evaluates once per
+    // row — inlining tokenHash into all 16 affine expressions would lean
+    // on codegen subexpression elimination to avoid 16 digests per shingle
     val expl = df.select(col(idCol),
       explode(shingles(col(textCol))).as("s"))
-    val h = tokenHash(col("s"))
+      .select(col(idCol), tokenHash(col("s")).as("__h"))
+    val h = col("__h")
     val hashCols = affineParams(numHashes).zipWithIndex.map {
       case ((a, b), i) => pmod(h * a + b, lit(MersenneP)).as(s"h$i")
     }

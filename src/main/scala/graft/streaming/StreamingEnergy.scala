@@ -149,6 +149,22 @@ object StreamingEnergy {
       }
   }
 
+  /** Streaming exact-dedup — the streaming twin of
+    * [[graft.ext.Dedup.exactGroups]]: drop events whose `keyCols` were
+    * already seen, with the dedup state BOUNDED by the event-time
+    * watermark (`dropDuplicatesWithinWatermark`: duplicates arriving
+    * within the watermark window are guaranteed dropped, state for older
+    * keys is reclaimed — unbounded-state dropDuplicates is the same
+    * state-store killer the day-feature eviction guards against).
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  tsCol: String = "ts",
+                  watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Stream-static join: flag stream readings against a precomputed static
     * per-user profile (mean/std). The static side broadcasts, so each
     * micro-batch is a map-only pass — which assumes the profile fits in

@@ -113,6 +113,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops within-watermark duplicates, keeps the rest") {
+    // duplicate the source twice → every event_id appears 2x within the
+    // same batch window; the deduped stream must equal the distinct count
+    val dupDir = Files.createTempDirectory("graft-stream-dup").toString
+    val src = spark.read.parquet(srcDir)
+    src.union(src).write.mode("overwrite").parquet(dupDir)
+    val stream = StreamingEnergy.readStream(spark, dupDir, schema)
+    val deduped = StreamingEnergy.dedupStream(stream, Seq("event_id"))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dedup_stream").count() == src.count())
+      assert(spark.table("dedup_stream").select("event_id").distinct()
+        .count() == src.count())
+    } finally q.stop()
+  }
+
   test("day-state eviction bounds state across a long replay, same output") {
     import StreamingEnergy.{DayState, advanceDayState}
     val frame = 7

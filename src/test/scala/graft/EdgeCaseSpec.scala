@@ -79,6 +79,44 @@ class EdgeCaseSpec extends SparkSpec {
     assert(oh.columns.toSeq == Seq("lbl", "oh_a", "oh_b"))
   }
 
+  test("session gap boundary: exactly-at-threshold stays in the session") {
+    import graft.feat.Sessions
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:30:00"), 1.0), // gap == 30 min exactly → same
+      (1L, ts("2024-01-01 11:00:00.000001"), 1.0) // 1µs past → new session
+    ).toDF("user_id", "ts", "v")
+    val sess = Sessions.assignSessions(events, "user_id", "ts", 30)
+      .select("ts", "session_id").collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(sess(ts("2024-01-01 10:30:00")) == 1L)
+    assert(sess(ts("2024-01-01 11:00:00.000001")) == 2L)
+  }
+
+  test("deterministic sample: pct bounds, stability, and split totality") {
+    import graft.ext.Sampling
+    val docs = spark.range(1000).toDF("id")
+    assert(Sampling.deterministicSample(docs, "id", "s", 0).count() == 0)
+    assert(Sampling.deterministicSample(docs, "id", "s", 100).count() == 1000)
+    val n10a = Sampling.deterministicSample(docs, "id", "s", 10).count()
+    val n10b = Sampling.deterministicSample(docs.repartition(13), "id", "s", 10)
+      .count()
+    assert(n10a == n10b && n10a > 50 && n10a < 150) // stable, ~10%
+    // different salts decorrelate
+    val a = Sampling.deterministicSample(docs, "id", "saltA", 50)
+    val b = Sampling.deterministicSample(docs, "id", "saltB", 50)
+    val overlap = a.join(b, "id").count()
+    assert(overlap > 150 && overlap < 350) // ~25% of 1000
+    // split is total and exclusive
+    val split = Sampling.withSplit(docs, "id", "s")
+    assert(split.count() == 1000)
+    assert(split.groupBy("split").count().count() == 3)
+    intercept[IllegalArgumentException] {
+      Sampling.withSplit(docs, "id", "s", trainPct = 90, valPct = 10)
+    }
+  }
+
   test("as-of with empty right side keeps all left rows, null payload") {
     val left = Seq((1L, "k", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
       .toDF("id", "key", "t")

@@ -26,16 +26,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // untimed warmup: the flagship spine at sf0.001 compiles the common
     // codegen paths (scan/shuffle/window/agg) and a count over each big
     // table warms file metadata + page cache — otherwise whichever query
     // happens to run first absorbs tens of seconds of JVM warmup and the
-    // per-query numbers stop being comparable
-    SparkEntry.entry(spark).count()
-    graft.io.Tables.events(spark, sfDir).count() // nanos-typed: scheme-aware reader
-    for (t <- Seq("lineitem", "documents", "embeddings"))
-      spark.read.parquet(s"$sfDir/$t.parquet").count()
-    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // per-query numbers stop being comparable. Guarded: a broken table must
+    // surface through the per-query error report + JSON line, not crash
+    // the bench before it prints anything.
+    try {
+      SparkEntry.entry(spark).count()
+      import graft.io.Tables
+      Seq(Tables.events _, Tables.lineitem _, Tables.documents _,
+        Tables.embeddings _).foreach(t => t(spark, sfDir).count())
+    } catch {
+      case e: Throwable =>
+        errors("warmup") = s"${e.getClass.getSimpleName}: " +
+          Option(e.getMessage).getOrElse("").take(200)
+    }
     // deterministic run order (sorted, memoized ML pair last) instead of
     // Map-hash order: per-query numbers are only comparable round-over-round
     // when every round runs the same sequence. The untimed gc between

@@ -98,4 +98,65 @@ class PropertySpec extends SparkSpec {
     val flagged = z.agg(sum("flag")).head.getLong(0)
     assert(flagged >= 0 && flagged < n / 4) // z>2 must be a small minority
   }
+
+  test("property: resolveClusters equals union-find on random graphs") {
+    val graphGen: Gen[List[(Long, Long)]] = for {
+      nodes <- Gen.chooseNum(2, 40)
+      nEdges <- Gen.chooseNum(1, 60)
+      edges <- Gen.listOfN(nEdges, Gen.zip(
+        Gen.chooseNum(0L, nodes - 1L), Gen.chooseNum(0L, nodes - 1L)))
+    } yield edges.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    forAll(graphGen, n = 8) { edges =>
+      if (edges.nonEmpty) {
+        // reference: classic driver-side union-find with path compression
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+          .map(v => v -> find(v)).toMap
+        val got = graft.ext.Dedup.resolveClusters(
+            edges.toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected)
+      }
+    }
+  }
+
+  test("property: sessionize partitions each user's events exactly once") {
+    val eventsGen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.chooseNum(1, 60)
+      rows <- Gen.listOfN(n, Gen.zip(
+        Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 400L)))
+    } yield rows
+    forAll(eventsGen, n = 8) { rows =>
+      val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      val df = rows.map { case (u, mins) =>
+        (u, new java.sql.Timestamp(base + mins * 60000L), 1.0)
+      }.toDF("user_id", "ts", "v")
+      val gap = 30
+      val sess = graft.feat.Sessions.sessionize(df, "user_id", "ts", gap)
+        .collect()
+      // reference: sort each user's minutes, split on gap > 30
+      val ref = rows.groupBy(_._1).map { case (u, rs) =>
+        val sorted = rs.map(_._2).sorted
+        val nSessions = 1 + sorted.sliding(2)
+          .count(w => w.size == 2 && w(1) - w(0) > gap)
+        u -> (nSessions, rs.size)
+      }
+      val gotSessions = sess.groupBy(_.getLong(0)).map { case (u, ss) =>
+        u -> (ss.length, ss.map(_.getLong(4)).sum) // n sessions, n events
+      }
+      assert(gotSessions.keySet == ref.keySet)
+      ref.foreach { case (u, (nSess, nEv)) =>
+        assert(gotSessions(u) == ((nSess, nEv.toLong)), s"user $u")
+      }
+    }
+  }
 }

@@ -40,6 +40,25 @@ object Sessions {
       .drop("__us", "__prev", "__new")
   }
 
+  /** Spark's NATIVE session operator (`session_window`): merges events
+    * whose gap stays under `gapMinutes`; the emitted window end is
+    * `last event + gap` (not the last event time — that is the operator's
+    * contract). Same plan in batch and streaming (streaming needs an
+    * upstream watermark for append mode). Use [[assignSessions]] when the
+    * per-EVENT session id is needed; this form only yields per-session
+    * rollups.
+    */
+  def sessionWindows(events: DataFrame, idCol: String, tsCol: String,
+                     gapMinutes: Int): DataFrame =
+    events
+      .groupBy(session_window(col(tsCol), s"$gapMinutes minutes"),
+        col(idCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(idCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** Per-session rollup: bounds, event count, duration (µs — exact long,
     * no float drift in the correctness gate), plus caller-supplied value
     * aggregations (`extraAggs`, e.g. a decimal-exact value sum).

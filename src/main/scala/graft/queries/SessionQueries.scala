@@ -26,6 +26,13 @@ object SessionQueries {
           gapMinutes = 30, extraAggs = Seq(dsum(col("value")).as("sum_value")))
         .orderBy(col("user_id"), col("session_id"))),
 
+    // Native session_window operator (same gap, Spark's built-in session
+    // semantics: window end = last event + gap)
+    "q_session_window" -> ((s, dir) =>
+      Sessions.sessionWindows(Tables.events(s, dir), "user_id", "ts",
+          gapMinutes = 30)
+        .orderBy(col("user_id"), col("session_start"))),
+
     // Deterministic 10% corpus sample — membership is a pure function of
     // the salted id (stable across runs/engines/repartitioning)
     "q_hash_sample" -> ((s, dir) =>
@@ -68,6 +75,33 @@ object SessionQueries {
          |  ${sqlDsum("value")} AS sum_value
          |FROM numbered GROUP BY user_id, session_id
          |ORDER BY user_id, session_id""".stripMargin,
+
+    // Same session grouping as q_sessionize (continuous-microsecond data
+    // cannot land exactly on the gap boundary, so the two operators' edge
+    // semantics coincide here); end = max(ts) + gap per session_window's
+    // contract.
+    "q_session_window" ->
+      s"""WITH e AS (
+         |  SELECT user_id, ts, epoch_us(ts) AS us FROM events
+         |), flagged AS (
+         |  SELECT user_id, ts, us,
+         |    CASE WHEN lag(us) OVER w IS NULL
+         |           OR us - lag(us) OVER w >= 30 * 60 * 1000000
+         |         THEN 1 ELSE 0 END AS is_new
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY us)
+         |), numbered AS (
+         |  SELECT user_id, ts, us,
+         |    sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+         |      ROWS UNBOUNDED PRECEDING) AS session_id
+         |  FROM flagged
+         |)
+         |SELECT user_id,
+         |  min(ts) AS session_start,
+         |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+         |  count(*) AS n_events
+         |FROM numbered GROUP BY user_id, session_id
+         |ORDER BY user_id, session_start""".stripMargin,
 
     "q_hash_sample" ->
       s"""SELECT doc_id, lang, n_chars FROM documents

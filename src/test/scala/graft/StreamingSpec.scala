@@ -113,6 +113,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session_window matches the batch session rollup") {
+    val stream = StreamingEnergy.readStream(spark, srcDir, schema)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "2 hours")
+    val sessions = graft.feat.Sessions.sessionWindows(
+      stream, "user_id", "ts", gapMinutes = 30)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("session_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("session_stream")
+      val batch = graft.feat.Sessions.sessionWindows(
+        spark.read.parquet(srcDir), "user_id", "ts", gapMinutes = 30)
+      // append mode only emits sessions CLOSED by the watermark — every
+      // emitted session must exist identically in the batch result, and
+      // most sessions (all but each user's last open one) must have closed
+      assert(got.count() > 0)
+      assert(got.exceptAll(batch.select(got.columns.map(col): _*))
+        .count() == 0)
+      assert(got.count() >= batch.count() / 2)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops within-watermark duplicates, keeps the rest") {
     // duplicate the source twice → every event_id appears 2x within the
     // same batch window; the deduped stream must equal the distinct count

@@ -319,8 +319,12 @@ object Dedup {
     */
   def resolveClusters(pairs: DataFrame, idA: String = "id_a",
                       idB: String = "id_b", maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(idA).as("u"), col(idB).as("v"))
-      .union(pairs.select(col(idB).as("u"), col(idA).as("v")))
+    // cache the INPUT before symmetrizing: both union branches reference
+    // it, so an uncached (possibly expensive — LSH band join) pair source
+    // would execute twice
+    val p = pairs.cache()
+    val edges = p.select(col(idA).as("u"), col(idB).as("v"))
+      .union(p.select(col(idB).as("u"), col(idA).as("v")))
       .distinct().cache()
     // localCheckpoint, NOT cache: each round's plan references the previous
     // round's frame more than once, so with plain cache() the LOGICAL plan
@@ -360,7 +364,7 @@ object Dedup {
       labels = next.drop("__changed") // superseded checkpoints GC-reclaim
       i += 1
     }
-    edges.unpersist()
+    edges.unpersist(); p.unpersist()
     // fail LOUD: returning the partially-propagated labels would silently
     // split one component into several "clusters" (multiple keepers)
     if (!converged) throw new IllegalStateException(

@@ -104,6 +104,24 @@ object AdvancedQueries {
           lpad(col("c_custkey").cast("string"), 8, "0").as("padded"))
         .orderBy(col("c_custkey"))),
 
+    // Array/HOF scalar-function family (F-coverage: construction, slice,
+    // distinct, sort, membership, transform/aggregate folds) — all
+    // codegen-eval projections, no UDFs, no shuffle
+    "q_array_funcs" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val tokLens = transform(toks, t => length(t).cast("long"))
+      Tables.documents(s, dir).select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_toks"),
+          size(array_distinct(toks)).cast("long").as("n_uniq"),
+          array_join(slice(toks, 1, 3), " ").as("first3"),
+          sort_array(toks).getItem(0).as("min_tok"),
+          array_contains(toks, "the").cast("long").as("has_the"),
+          aggregate(tokLens, lit(0L), (a, x) => a + x).as("chars"),
+          array_max(tokLens).as("max_tok_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // INTERSECT / EXCEPT set ops
     "q_set_ops" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -177,6 +195,24 @@ object AdvancedQueries {
         |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded
         |FROM customer WHERE c_custkey <= 100
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_array_funcs" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  len(toks) AS n_toks,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+        |  array_to_string(toks[1:3], ' ') AS first3,
+        |  list_sort(toks)[1] AS min_tok,
+        |  CAST(CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
+        |    AS BIGINT) AS has_the,
+        |  CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+        |    AS chars,
+        |  CAST(list_max(list_transform(toks, x -> length(x))) AS BIGINT)
+        |    AS max_tok_len
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "q_set_ops" ->
       """WITH buyers AS (

@@ -106,6 +106,22 @@ class PhysicalSpec extends SparkSpec {
       s"sampling filter should not shuffle:\n$formatted")
   }
 
+  test("corpus curation: keeper semi-join leaves the doc side unshuffled") {
+    val df = SparkEntry.queries("q_corpus_curation")(spark, TestSpark.sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // dedup-keeper filtering must be a semi join whose probe side is the
+    // raw scan: only the keeper-id build side and the final small agg
+    // shuffle (+ the output sort). AQE picks broadcast here because the
+    // keeper set is small; nothing forces it, so at corpus scale it
+    // degrades to a shuffled semi join instead of an OOM.
+    assert(plan.contains("LeftSemi"), s"no semi join in:\n$plan")
+    val hashExchanges = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges <= 2, s"expected <=2 hash shuffles:\n$plan")
+  }
+
   test("LSH hot-bucket cap anti-join broadcasts (never shuffles the cut)") {
     val df = graft.ext.Dedup.minHashLsh(
       graft.io.Tables.documents(spark, TestSpark.sf0001), "text", "doc_id",

@@ -12,8 +12,17 @@ import org.apache.spark.sql.functions._
   * Scale shape: ONE shuffle (partition by user) + per-partition sort; the
   * lag, the boundary flag, and the running session index all ride the same
   * window spec, so Catalyst computes them in a single Window node. The
-  * per-session rollup then re-uses the same (user) partitioning — no
-  * second wide shuffle of raw events.
+  * per-session rollup then re-uses the same (user) partitioning —
+  * HashPartitioning(user) satisfies the (user, session) clustering, so the
+  * executed plan has exactly one hash exchange end-to-end (asserted in
+  * PhysicalSpec).
+  *
+  * Skew caveat (inherent to ordered per-key windows): one user's entire
+  * history lands in one task. A bot key with billions of events is the
+  * hazard at corpus scale — mitigate upstream (drop/ratelimit known bot
+  * ids, or pre-split such keys by coarse time range and merge boundary
+  * sessions in a second pass); salting is NOT applicable because session
+  * assignment needs the key's full time order.
   *
   * Gap arithmetic is in epoch MICROSECONDS (`unix_micros`), matching
   * DuckDB's `epoch_us` exactly — second-truncated gaps would misclassify

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ext.AsOfJoin
@@ -122,6 +123,41 @@ object AdvancedQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Pivot (long → wide): per-user value totals by event type. The value
+    // list is EXPLICIT — pivot without one runs a distinct-collect planning
+    // pass AND makes the output schema data-dependent (both wrong at scale
+    // and for a stable oracle). One shuffle: groupBy(user) with map-side
+    // pivot aggregation.
+    "q_pivot" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(dsum(col("value")))
+        .orderBy(col("user_id"))),
+
+    // Ranking window family per event type: row_number / rank /
+    // dense_rank / percent_rank / ntile over (total desc, user) — ties in
+    // total exercise the rank vs dense_rank vs row_number distinctions.
+    // Scale note: ranking partitions by event_type, so each partition
+    // holds one type's users — a bounded-cardinality global ranking. A
+    // truly global full ranking is a total sort by construction; for
+    // top-k-only asks use the TakeOrderedAndProject form (q_topk_users).
+    "q_rank_funcs" -> ((s, dir) => {
+      val totals = Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(dsum(col("value")).as("total"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("total").desc, col("user_id"))
+      totals.select(col("user_id"), col("event_type"), col("total"),
+          row_number().over(w).cast("long").as("rn"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          percent_rank().over(w).as("prnk"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy(col("event_type"), col("rn"))
+    }),
+
     // INTERSECT / EXCEPT set ops
     "q_set_ops" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -195,6 +231,33 @@ object AdvancedQueries {
         |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded
         |FROM customer WHERE c_custkey <= 100
         |ORDER BY c_custkey""".stripMargin,
+
+    // Conditional aggregation = the engine-portable pivot twin (DuckDB's
+    // PIVOT syntax would also work, but CASE-sums pin the column order)
+    "q_pivot" -> {
+      val cols = Seq("click", "error", "purchase", "signup", "view").map(t =>
+        s"""CAST(sum(CASE WHEN event_type = '$t'
+           |    THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS "$t""""
+          .stripMargin).mkString(",\n  ")
+      s"""SELECT user_id,
+         |  $cols
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
+
+    "q_rank_funcs" ->
+      s"""WITH totals AS (
+         |  SELECT user_id, event_type, ${sqlDsum("value")} AS total
+         |  FROM events GROUP BY user_id, event_type
+         |)
+         |SELECT user_id, event_type, total,
+         |  CAST(row_number() OVER w AS BIGINT) AS rn,
+         |  CAST(rank() OVER w AS BIGINT) AS rnk,
+         |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+         |  percent_rank() OVER w AS prnk,
+         |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+         |FROM totals
+         |WINDOW w AS (PARTITION BY event_type ORDER BY total DESC, user_id)
+         |ORDER BY event_type, rn""".stripMargin,
 
     "q_array_funcs" ->
       """WITH t AS (

@@ -158,6 +158,34 @@ object AdvancedQueries {
         .orderBy(col("event_type"), col("rn"))
     }),
 
+    // Schema-evolution union: two corpus snapshots with different column
+    // sets align by NAME with nulls for the missing ones — the ingest
+    // shape for a corpus whose schema grew over time (positional union
+    // would silently misalign columns)
+    "q_union_by_name" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val v1 = docs.filter(col("doc_id") < 250)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val v2 = docs.filter(col("doc_id") >= 250)
+        .select(col("doc_id"), col("source"), col("lang"))
+      v1.unionByName(v2, allowMissingColumns = true)
+        .orderBy(col("doc_id"))
+    }),
+
+    // GROUPING SETS through the SQL entry path (spark.sql over a temp
+    // view) — arbitrary grouping-set combinations beyond rollup/cube
+    "q_grouping_sets" -> ((s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events_gs")
+      s.sql(s"""
+        SELECT coalesce(event_type, 'ALL') AS event_type,
+               coalesce(cast(user_id % 10 as string), 'ALL') AS user_band,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM events_gs
+        GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+        ORDER BY event_type, user_band""")
+    }),
+
     // INTERSECT / EXCEPT set ops
     "q_set_ops" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -231,6 +259,23 @@ object AdvancedQueries {
         |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded
         |FROM customer WHERE c_custkey <= 100
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_union_by_name" ->
+      """SELECT doc_id, lang, n_chars, NULL AS source
+        |FROM documents WHERE doc_id < 250
+        |UNION ALL
+        |SELECT doc_id, lang, NULL AS n_chars, source
+        |FROM documents WHERE doc_id >= 250
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        |       coalesce(CAST(user_id % 10 AS VARCHAR), 'ALL') AS user_band,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+        |ORDER BY event_type, user_band""".stripMargin,
 
     // Conditional aggregation = the engine-portable pivot twin (DuckDB's
     // PIVOT syntax would also work, but CASE-sums pin the column order)

@@ -326,6 +326,7 @@ object Dedup {
     val edges = p.select(col(idA).as("u"), col(idB).as("v"))
       .union(p.select(col(idB).as("u"), col(idA).as("v")))
       .distinct().cache()
+    try {
     // localCheckpoint, NOT cache: each round's plan references the previous
     // round's frame more than once, so with plain cache() the LOGICAL plan
     // (which cache does not truncate) doubles per iteration — measured as a
@@ -335,6 +336,10 @@ object Dedup {
     // materializes exactly once.
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint(true)
+    // the eager checkpoint above materialized edges' cache, and edges is
+    // the only consumer of p — release p NOW instead of pinning a
+    // possibly-large pair source through every propagation round
+    p.unpersist()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -364,7 +369,6 @@ object Dedup {
       labels = next.drop("__changed") // superseded checkpoints GC-reclaim
       i += 1
     }
-    edges.unpersist(); p.unpersist()
     // fail LOUD: returning the partially-propagated labels would silently
     // split one component into several "clusters" (multiple keepers)
     if (!converged) throw new IllegalStateException(
@@ -372,5 +376,6 @@ object Dedup {
         "pointer doubling that means component diameter exceeds " +
         s"~2^$maxIter; raise maxIter (input is likely adversarial)")
     labels.select(col("id"), col("lbl").as("cluster_id"))
+    } finally { edges.unpersist(); p.unpersist() } // p: no-op if already out
   }
 }

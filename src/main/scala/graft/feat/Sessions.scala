@@ -50,12 +50,14 @@ object Sessions {
   }
 
   /** Spark's NATIVE session operator (`session_window`): merges events
-    * whose gap stays under `gapMinutes`; the emitted window end is
-    * `last event + gap` (not the last event time — that is the operator's
-    * contract). Same plan in batch and streaming (streaming needs an
-    * upstream watermark for append mode). Use [[assignSessions]] when the
-    * per-EVENT session id is needed; this form only yields per-session
-    * rollups.
+    * whose gap is at MOST `gapMinutes` — an event landing exactly at the
+    * boundary still merges (verified empirically on Spark 4.1.2), the same
+    * strict-greater-than boundary as [[assignSessions]]. The emitted
+    * window end is `last event + gap` (not the last event time — that is
+    * the operator's contract). Same plan in batch and streaming (streaming
+    * needs an upstream watermark for append mode). Use [[assignSessions]]
+    * when the per-EVENT session id is needed; this form only yields
+    * per-session rollups.
     */
   def sessionWindows(events: DataFrame, idCol: String, tsCol: String,
                      gapMinutes: Int): DataFrame =

@@ -306,7 +306,7 @@ object AdvancedQueries {
 
     "q_array_funcs" ->
       """WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '[\s\x0b]+') AS toks
         |  FROM documents
         |)
         |SELECT doc_id,

@@ -28,7 +28,7 @@ object NorthStarQueries {
       .mkString(" + ")
     s"""toks AS (
        |  SELECT doc_id, lang,
-       |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+       |    unnest(regexp_split_to_array(trim(lower(text)), '[\\s\\x0b]+')) AS t
        |  FROM documents
        |), hh AS (
        |  SELECT doc_id, lang, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h
@@ -203,7 +203,7 @@ object NorthStarQueries {
 
     "q_text_stats" ->
       s"""WITH t AS (
-         |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks
+         |  SELECT doc_id, text, regexp_split_to_array(trim(text), '[\\s\\x0b]+') AS toks
          |  FROM documents
          |), st AS (
          |  SELECT doc_id,
@@ -214,7 +214,7 @@ object NorthStarQueries {
          |    CAST(len(list_filter(toks, t -> t IN ($StopSql))) AS BIGINT)
          |      AS n_stopwords,
          |    CAST(len(regexp_extract_all(lower(text),
-         |      '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
+         |      '[a-z]+|[0-9]+|[^a-z0-9\\s\\x0b]')) AS BIGINT) AS n_bpe_tokens
          |  FROM t
          |)
          |SELECT doc_id, n_tokens, token_chars, n_punct, n_stopwords,
@@ -240,7 +240,7 @@ object NorthStarQueries {
       }.mkString("\n    ")
       s"""WITH t AS (
          |  SELECT doc_id, lang,
-         |    regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+         |    regexp_split_to_array(trim(lower(text)), '[\\s\\x0b]+') AS toks
          |  FROM documents
          |), scored AS (
          |  SELECT doc_id, lang,
@@ -254,7 +254,7 @@ object NorthStarQueries {
 
     "q_fingerprint" ->
       """SELECT doc_id,
-        |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |  md5(regexp_replace(lower(text), '[\s\x0b]+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_dedup_exact" ->
@@ -269,9 +269,9 @@ object NorthStarQueries {
       """WITH sh AS (
         |  SELECT doc_id, lang, n_chars // 50 AS len_band,
         |    list_distinct(list_transform(
-        |      range(len(regexp_split_to_array(trim(text), '\s+')) - 2),
+        |      range(len(regexp_split_to_array(trim(text), '[\s\x0b]+')) - 2),
         |      i -> array_to_string(
-        |        regexp_split_to_array(trim(text), '\s+')[i+1:i+3], ' '))) AS g
+        |        regexp_split_to_array(trim(text), '[\s\x0b]+')[i+1:i+3], ' '))) AS g
         |  FROM documents
         |), shx AS (
         |  SELECT doc_id, lang, len_band, unnest(g) AS s FROM sh
@@ -314,7 +314,7 @@ object NorthStarQueries {
         .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END")
         .mkString(" + ")
       s"""WITH toks AS (
-         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '[\\s\\x0b]+') AS t
          |  FROM documents
          |), shingle AS (
          |  SELECT DISTINCT doc_id, array_to_string(t[i+1:i+3], ' ') AS s
@@ -402,8 +402,8 @@ object NorthStarQueries {
          |  SELECT documents.* FROM documents JOIN keepers USING (doc_id)
          |), t AS (
          |  SELECT doc_id, text,
-         |    regexp_split_to_array(trim(text), '\\s+') AS toks,
-         |    regexp_split_to_array(trim(lower(text)), '\\s+') AS ltoks
+         |    regexp_split_to_array(trim(text), '[\\s\\x0b]+') AS toks,
+         |    regexp_split_to_array(trim(lower(text)), '[\\s\\x0b]+') AS ltoks
          |  FROM d
          |), scored AS (
          |  SELECT doc_id, text, toks,
@@ -493,7 +493,7 @@ object NorthStarQueries {
     "q_topk_quality_per_lang" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, text,
-         |    regexp_split_to_array(trim(text), '\\s+') AS toks
+         |    regexp_split_to_array(trim(text), '[\\s\\x0b]+') AS toks
          |  FROM documents
          |), st AS (
          |  SELECT doc_id, lang,

@@ -76,17 +76,18 @@ object SessionQueries {
          |FROM numbered GROUP BY user_id, session_id
          |ORDER BY user_id, session_id""".stripMargin,
 
-    // Same session grouping as q_sessionize (continuous-microsecond data
-    // cannot land exactly on the gap boundary, so the two operators' edge
-    // semantics coincide here); end = max(ts) + gap per session_window's
-    // contract.
+    // Same session grouping as q_sessionize — Spark's session_window
+    // MERGES an event landing exactly at the gap boundary (verified
+    // empirically: two events exactly gap apart form ONE session), i.e. a
+    // new session needs gap STRICTLY greater than the threshold, matching
+    // assignSessions; end = max(ts) + gap per session_window's contract.
     "q_session_window" ->
       s"""WITH e AS (
          |  SELECT user_id, ts, epoch_us(ts) AS us FROM events
          |), flagged AS (
          |  SELECT user_id, ts, us,
          |    CASE WHEN lag(us) OVER w IS NULL
-         |           OR us - lag(us) OVER w >= 30 * 60 * 1000000
+         |           OR us - lag(us) OVER w > 30 * 60 * 1000000
          |         THEN 1 ELSE 0 END AS is_new
          |  FROM e
          |  WINDOW w AS (PARTITION BY user_id ORDER BY us)

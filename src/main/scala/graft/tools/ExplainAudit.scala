@@ -19,9 +19,16 @@ object ExplainAudit {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // EXPLAIN_EXECUTED=1 → run the query and print the FINAL post-AQE
+    // executed plan instead of the pre-execution formatted one
+    val executed = sys.env.get("EXPLAIN_EXECUTED").contains("1")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, dir).explain("formatted")
+      val df = SparkEntry.queries(n)(spark, dir)
+      if (executed) {
+        df.collect()
+        println(df.queryExecution.executedPlan.toString)
+      } else df.explain("formatted")
     }
     spark.stop()
   }

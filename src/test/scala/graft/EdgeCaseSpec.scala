@@ -92,6 +92,12 @@ class EdgeCaseSpec extends SparkSpec {
       .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
     assert(sess(ts("2024-01-01 10:30:00")) == 1L)
     assert(sess(ts("2024-01-01 11:00:00.000001")) == 2L)
+    // native session_window agrees: an exactly-at-gap event still MERGES
+    // (two sessions here would mean the boundary contract flipped — the
+    // q_session_window oracle encodes the strict-greater-than rule)
+    val sw = Sessions.sessionWindows(events, "user_id", "ts", 30).collect()
+    assert(sw.length == 2)
+    assert(sw.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
   }
 
   test("deterministic sample: pct bounds, stability, and split totality") {

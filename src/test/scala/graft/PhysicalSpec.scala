@@ -92,6 +92,16 @@ class PhysicalSpec extends SparkSpec {
       s"expected exactly 1 shuffle:\n$plan")
     assert(finalPlan.linesIterator.count(_.contains("Sort [")) == 1,
       s"expected exactly 1 sort:\n$plan")
+    // the FULL rollup must also stay at one hash exchange: the groupBy
+    // (user, session) reuses the window's HashPartitioning(user) — a
+    // regression here doubles the operator's shuffle count silently
+    val roll = graft.feat.Sessions.sessionize(
+      graft.io.Tables.events(spark, TestSpark.sf0001), "user_id", "ts", 30)
+    roll.collect()
+    val rollPlan = roll.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(rollPlan.linesIterator.count(_.contains("Exchange hash")) == 1,
+      s"rollup should reuse the window partitioning:\n$rollPlan")
   }
 
   test("hash sample is a narrow filter — no shuffle, no extra columns read") {

@@ -175,6 +175,22 @@ object NorthStarQueries {
         .orderBy(col("lang_pred"), col("split"))
     }),
 
+    // Vocabulary statistics — the corpus-wide token frequency table BPE /
+    // vocab training starts from: term frequency + document frequency,
+    // top 20. Explode → groupBy(token) partial-aggregates map-side; the
+    // exact distinct-doc count is a second shuffle (swap in
+    // approx_count_distinct at corpus scale — same plan shape minus the
+    // expand).
+    "q_vocab_topk" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("t"))
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("tf"),
+          countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("tf").desc, col("t"))
+        .limit(20)),
+
     // Per-group top-k via the custom bounded Aggregator (groups never
     // materialize — partial top-k per partition, k-way merge)
     "q_topk_quality_per_lang" -> ((s, dir) => {
@@ -441,6 +457,17 @@ object NorthStarQueries {
          |  round(avg(quality) + 1e-9, 4) AS avg_quality
          |FROM gated GROUP BY 1, 2 ORDER BY lang_pred, split""".stripMargin
     },
+
+    "q_vocab_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '[\s\x0b]+'))
+        |      AS t
+        |  FROM documents
+        |)
+        |SELECT t, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM toks GROUP BY t
+        |ORDER BY tf DESC, t LIMIT 20""".stripMargin,
 
     "q_ann_bruteforce" ->
       """WITH e AS (

@@ -132,6 +132,20 @@ class PhysicalSpec extends SparkSpec {
     assert(hashExchanges <= 2, s"expected <=2 hash shuffles:\n$plan")
   }
 
+  test("vocab top-k runs as TakeOrderedAndProject, not a global sort") {
+    val df = SparkEntry.queries("q_vocab_topk")(spark, TestSpark.sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // orderBy+limit must fuse into partial top-k per partition + driver
+    // merge — a full distributed Sort before a limit(20) would shuffle the
+    // entire vocabulary
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"unexpected global sort:\n$plan")
+  }
+
   test("LSH hot-bucket cap anti-join broadcasts (never shuffles the cut)") {
     val df = graft.ext.Dedup.minHashLsh(
       graft.io.Tables.documents(spark, TestSpark.sf0001), "text", "doc_id",

@@ -191,6 +191,33 @@ object NorthStarQueries {
         .orderBy(col("tf").desc, col("t"))
         .limit(20)),
 
+    // Per-document tf-idf top terms (the keyword-extraction primitive):
+    // term frequency per (doc, token), document frequency per token,
+    // score = tf · ln(N/df). Ranking uses the ROUNDED score — raw ln
+    // differs between engines in the last ulp, and mathematically-equal
+    // scores from different (tf, df) pairs (e.g. 2·ln(10) vs 1·ln(100))
+    // would tie-break nondeterministically on raw floats.
+    "q_tfidf_top" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val n = docs.count() // bounded scalar, like the min/max-date collects
+      val toks = docs.select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("t"))
+      val tf = toks.groupBy(col("doc_id"), col("t"))
+        .agg(count(lit(1)).as("tf"))
+      val idf = toks.select(col("doc_id"), col("t")).distinct()
+        .groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("t"))
+      tf.join(idf, "t")
+        .withColumn("score",
+          ground(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("t"), col("tf"), col("df"),
+          col("score"), col("rnk"))
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
+
     // Per-group top-k via the custom bounded Aggregator (groups never
     // materialize — partial top-k per partition, k-way merge)
     "q_topk_quality_per_lang" -> ((s, dir) => {
@@ -457,6 +484,29 @@ object NorthStarQueries {
          |  round(avg(quality) + 1e-9, 4) AS avg_quality
          |FROM gated GROUP BY 1, 2 ORDER BY lang_pred, split""".stripMargin
     },
+
+    "q_tfidf_top" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '[\s\x0b]+'))
+        |      AS t
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY doc_id, t
+        |), idf AS (
+        |  SELECT t, count(DISTINCT doc_id) AS df FROM toks GROUP BY t
+        |), scored AS (
+        |  SELECT doc_id, tf.t, tf, df,
+        |    round(tf * ln((SELECT count(*) FROM documents)::DOUBLE / df)
+        |      + 1e-9, 6) AS score
+        |  FROM tf JOIN idf USING (t)
+        |), ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, t) AS BIGINT) AS rnk
+        |  FROM scored
+        |)
+        |SELECT doc_id, t, tf, df, score, rnk FROM ranked
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
 
     "q_vocab_topk" ->
       """WITH toks AS (

@@ -33,6 +33,26 @@ object SessionQueries {
           gapMinutes = 30)
         .orderBy(col("user_id"), col("session_start"))),
 
+    // Time-RANGE window frame (W-family beyond the ROWS frames): per
+    // event, the user's trailing-hour activity. RANGE frames bound by
+    // event-time VALUE, so ties (equal timestamps) are frame peers in both
+    // engines; the frame key is epoch micros (engine-portable ordering),
+    // and the windowed sum goes through DECIMAL for order-independent
+    // exactness.
+    "q_range_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val ev = Tables.events(s, dir)
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-3600L * 1000000L, 0)
+      ev.select(col("event_id"), col("user_id"), col("ts"),
+          count(lit(1)).over(w).as("n_last_hour"),
+          sum(col("value").cast(DecimalType(18, 4))).over(w)
+            .cast("double").as("sum_last_hour"))
+        .orderBy(col("event_id"))
+    }),
+
     // Deterministic 10% corpus sample — membership is a pure function of
     // the salted id (stable across runs/engines/repartitioning)
     "q_hash_sample" -> ((s, dir) =>
@@ -103,6 +123,20 @@ object SessionQueries {
          |  count(*) AS n_events
          |FROM numbered GROUP BY user_id, session_id
          |ORDER BY user_id, session_start""".stripMargin,
+
+    "q_range_window" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts, value, epoch_us(ts) AS us
+        |  FROM events
+        |)
+        |SELECT event_id, user_id, ts,
+        |  count(*) OVER w AS n_last_hour,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        |    AS sum_last_hour
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "q_hash_sample" ->
       s"""SELECT doc_id, lang, n_chars FROM documents

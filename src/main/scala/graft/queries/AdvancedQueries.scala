@@ -186,6 +186,22 @@ object AdvancedQueries {
         ORDER BY event_type, user_band""")
     }),
 
+    // Conditional / argmax aggregate family: count_if, bool_or/bool_and,
+    // max_by/min_by. The max_by ordering key is made UNIQUE
+    // (value·10^6 + event_id — exact integers below 2^53 in both engines):
+    // ties on raw value would resolve nondeterministically and differ
+    // between engines.
+    "q_cond_agg" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("count_if(value > 10)").as("n_hi"),
+          expr("cast(bool_or(value > 100) as long)").as("any_gt100"),
+          expr("cast(bool_and(value >= 0) as long)").as("all_nonneg"),
+          expr("max_by(event_id, value * 1000000 + event_id)").as("top_event"),
+          expr("min_by(event_id, value * 1000000 + event_id)").as("low_event"))
+        .orderBy(col("event_type"))),
+
     // INTERSECT / EXCEPT set ops
     "q_set_ops" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -259,6 +275,15 @@ object AdvancedQueries {
         |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded
         |FROM customer WHERE c_custkey <= 100
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_cond_agg" ->
+      """SELECT event_type,
+        |  count(*) FILTER (WHERE value > 10) AS n_hi,
+        |  CAST(bool_or(value > 100) AS BIGINT) AS any_gt100,
+        |  CAST(bool_and(value >= 0) AS BIGINT) AS all_nonneg,
+        |  max_by(event_id, value * 1000000 + event_id) AS top_event,
+        |  min_by(event_id, value * 1000000 + event_id) AS low_event
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_union_by_name" ->
       """SELECT doc_id, lang, n_chars, NULL AS source

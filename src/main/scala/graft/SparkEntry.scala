@@ -25,9 +25,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.defs ++ ExtendedQueries.defs ++ NorthStarQueries.defs ++
-      MlQueries.defs ++ AdvancedQueries.defs ++ SessionQueries.defs
+      MlQueries.defs ++ AdvancedQueries.defs ++ SessionQueries.defs ++
+      PipelineQueries.defs
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ ExtendedQueries.oracles ++ NorthStarQueries.oracles ++
-      MlQueries.oracles ++ AdvancedQueries.oracles ++ SessionQueries.oracles
+      MlQueries.oracles ++ AdvancedQueries.oracles ++ SessionQueries.oracles ++
+      PipelineQueries.oracles
 }

@@ -304,6 +304,37 @@ object Dedup {
       .agg(min(col("hamming")).cast("long").as("hamming"))
   }
 
+  /** Train/test contamination check (decontamination primitive): for each
+    * candidate doc, how many of its distinct n-gram shingles appear anywhere
+    * in the protected set (eval/test corpus). Pipelines drop or flag
+    * training docs whose overlap exceeds a threshold before the corpus
+    * ships.
+    *
+    * Shape: the protected shingle set is distinct-projected once, then the
+    * candidate shingles semi-join it on the shingle string — an equi-key
+    * shuffle join (AQE broadcasts it when the protected corpus is small,
+    * the common case; no hint forced because eval suites at 100 TB scale
+    * aren't always tiny). Per-doc shingles are already distinct
+    * ([[shingles]]), so the post-join count IS the distinct-overlap count.
+    * Returns (id, n_shared, n_g, contamination = n_shared / n_g) for
+    * candidate docs with at least one shared shingle.
+    */
+  def contaminationOverlap(candidates: DataFrame, protected_ : DataFrame,
+                           textCol: String, idCol: String, n: Int = 3)
+      : DataFrame = {
+    val candSh = candidates.select(col(idCol),
+      shingles(col(textCol), n).as("g"))
+    val protSet = protected_
+      .select(explode(shingles(col(textCol), n)).as("s")).distinct()
+    val shared = candSh.select(col(idCol), explode(col("g")).as("s"))
+      .join(protSet, Seq("s"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+    shared.join(
+      candSh.select(col(idCol), size(col("g")).cast("long").as("n_g")), idCol)
+      .withColumn("contamination", try_divide(
+        col("n_shared").cast("double"), col("n_g").cast("double")))
+  }
+
   /** Resolve near-dup PAIRS into duplicate CLUSTERS: connected components
     * by iterative min-label propagation WITH pointer doubling — every
     * node's label becomes the minimum id reachable from it, so each

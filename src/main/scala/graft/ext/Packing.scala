@@ -1,0 +1,55 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training pipelines: assign documents to
+  * fixed-size context windows ("packs") so the trainer reads contiguous
+  * ~ctxTokens-sized batches instead of one ragged document at a time.
+  *
+  * This is OFFSET packing — the distributed-standard formulation: documents
+  * are laid out in a deterministic stream order, each doc's pack is
+  * `floor(tokens_before_it / ctxTokens)`, and a document may straddle a pack
+  * boundary (the trainer truncates or continues it, exactly as done for
+  * concatenate-and-chunk pretraining data). Greedy first-fit/best-fit
+  * packing is inherently sequential (each decision depends on all prior
+  * bins) and cannot be expressed as a distributed plan without a driver
+  * loop; offset packing gives the same ~zero padding waste with a single
+  * window shuffle.
+  *
+  * Scale: one shuffle on `streamCols`. Each packing stream is processed by
+  * one task, so the caller picks enough streams for the cluster — e.g.
+  * (source, hashBucket(id, 1024)) at 100 TB — and each stream's packs are
+  * independent of every other stream's.
+  */
+object Packing {
+
+  /** Adds `tok_offset` (tokens strictly before this doc in its stream) and
+    * `pack_id` (= tok_offset div ctxTokens) per (streamCols, orderCol)
+    * stream. Deterministic: order ties are impossible when `orderCol` is
+    * unique per stream (callers pass the doc id).
+    */
+  def packByOffset(df: DataFrame, streamCols: Seq[String], orderCol: String,
+                   nTokensCol: String, ctxTokens: Int): DataFrame = {
+    require(ctxTokens > 0, s"ctxTokens=$ctxTokens must be positive")
+    val w = Window.partitionBy(streamCols.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("tok_offset",
+        coalesce(sum(col(nTokensCol)).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"tok_offset div $ctxTokens"))
+  }
+
+  /** Per-pack summary: how many docs land in each pack, how many tokens the
+    * pack holds, and its doc-id span. `pack_tokens` counts every token of
+    * every doc whose OFFSET starts in the pack (boundary-straddling docs
+    * count fully toward their starting pack, per the offset contract).
+    */
+  def packSummary(packed: DataFrame, streamCols: Seq[String],
+                  orderCol: String, nTokensCol: String): DataFrame =
+    packed.groupBy((streamCols :+ "pack_id").map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(nTokensCol)).as("pack_tokens"),
+        min(col(orderCol)).as("first_doc"),
+        max(col(orderCol)).as("last_doc"))
+}

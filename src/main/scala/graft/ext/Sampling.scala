@@ -45,4 +45,47 @@ object Sampling {
         .when(b < trainPct + valPct, "val")
         .otherwise("test"))
   }
+
+  /** Exact stratified sample: the first `n` rows of each stratum under a
+    * deterministic hash order (salted token hash, id tie-break — the hash is
+    * 32-bit so collisions exist; the id breaks them stably). Adds
+    * `samp_rank` ∈ [1, n].
+    *
+    * Scale: one shuffle on the strata; rank ≤ n prunes inside the window
+    * exec. Strata are per-task — for a huge stratum count this is the right
+    * shape; for few huge strata prefer [[deterministicSample]] (narrow, no
+    * shuffle) with a rate instead of an exact count.
+    */
+  def stratifiedSample(df: DataFrame, strataCols: Seq[String], idCol: String,
+                       salt: String, n: Int): DataFrame = {
+    require(n > 0, s"n=$n must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+      .orderBy(hashKey(col(idCol), salt), col(idCol))
+    df.withColumn("samp_rank", row_number().over(w).cast("long"))
+      .filter(col("samp_rank") <= n)
+  }
+
+  /** Raw salted hash (full 32-bit range, not bucketed) — the stable sort
+    * key behind [[stratifiedSample]].
+    */
+  def hashKey(id: Column, salt: String): Column =
+    Dedup.tokenHash(concat(lit(salt + ":"), id.cast("string")))
+
+  /** Mixture resampling: down-sample each source to a target percentage
+    * (`weights`, falling back to `defaultPct`) so the kept corpus matches a
+    * training-mixture recipe. Membership is the same pure hash function as
+    * [[deterministicSample]] — reproducible, growth-stable, narrow (no
+    * shuffle; the when-chain is codegen'd, no join against a weights table
+    * needed while the source domain is bounded).
+    */
+  def mixtureSample(df: DataFrame, sourceCol: String, weights: Map[String, Int],
+                    defaultPct: Int, idCol: String, salt: String): DataFrame = {
+    require((weights.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100),
+      "every mixture weight must be a percentage in [0,100]")
+    val pct = weights.toSeq.sortBy(_._1).foldRight(lit(defaultPct)) {
+      case ((src, p), els) => when(col(sourceCol) === src, lit(p)).otherwise(els)
+    }
+    df.filter(hashBucket(col(idCol), salt) < pct)
+  }
 }

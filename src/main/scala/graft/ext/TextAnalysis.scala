@@ -109,4 +109,40 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Repetition-based quality stats (the Gopher-style repetition filters):
+    * per doc, the type-token ratio (distinct / total tokens) and the
+    * most-frequent-bigram share of all bigrams. Highly repetitive machine
+    * text scores low on the first and high on the second.
+    *
+    * Shape: the narrow stats (token counts, distinct ratio) are pure
+    * projections; the top-bigram count needs a per-(doc, bigram) frequency,
+    * so bigrams explode → two partial-aggregating groupBys on doc id → join
+    * back. Both shuffles carry tiny rows and combine map-side; the join key
+    * is the doc id on both sides (co-partitioned after the groupBy).
+    * Returns (id, n_tokens, distinct_ratio, top_bigram_n, top_bigram_frac).
+    */
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String)
+      : DataFrame = {
+    val ltoks = tokens(lower(col(textCol)))
+    val base = df.select(col(idCol), ltoks.as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("distinct_ratio",
+        size(array_distinct(col("toks"))).cast("double") /
+          greatest(col("n_tokens"), lit(1L)).cast("double"))
+    // adjacent (non-distinct) bigrams — Dedup.shingles dedups, which would
+    // hide exactly the repetition this operator measures
+    val bigrams = base.filter(col("n_tokens") >= 2)
+      .select(col(idCol),
+        explode(transform(sequence(lit(0L), col("n_tokens") - 2),
+          i => array_join(slice(col("toks"), i + 1, lit(2)), " "))).as("bg"))
+    val top = bigrams.groupBy(col(idCol), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(max(col("c")).as("top_bigram_n"))
+    base.drop("toks").join(top, Seq(idCol), "left")
+      .withColumn("top_bigram_n", coalesce(col("top_bigram_n"), lit(0L)))
+      .withColumn("top_bigram_frac",
+        col("top_bigram_n").cast("double") /
+          greatest(col("n_tokens") - 1, lit(1L)).cast("double"))
+  }
 }

@@ -1,0 +1,255 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.etl.Salting
+import graft.ext.{Dedup, Packing, Sampling, TextAnalysis => TA}
+import graft.io.Tables
+import Parity._
+
+/** Round-3 training-data-pipeline operators: sequence packing,
+  * decontamination, stratified/mixture sampling, repetition quality,
+  * skew-salted aggregation/join, null-safe join. Every query has a DuckDB
+  * oracle reproducing the exact same deterministic rule (hash membership,
+  * shingle sets, offsets) — see FIXTURES.md §B for the float discipline.
+  */
+object PipelineQueries {
+
+  /** DuckDB twin of [[Sampling.hashBucket]]. */
+  private def sqlBucket(salt: String, idExpr: String): String =
+    s"('0x' || substr(md5('$salt:' || $idExpr), 1, 8))::BIGINT % 100"
+
+  /** DuckDB twin of [[Sampling.hashKey]] (full 32-bit value, unbucketed). */
+  private def sqlHashKey(salt: String, idExpr: String): String =
+    s"('0x' || substr(md5('$salt:' || $idExpr), 1, 8))::BIGINT"
+
+  /** The mixture recipe exercised by q_mixture (bounded source domain). */
+  private val MixtureWeights =
+    Map("src0" -> 100, "src1" -> 75, "src2" -> 50, "src3" -> 25)
+  private val MixtureDefault = 10
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Sequence packing: documents → fixed-size context windows (offset
+    // packing, one window shuffle; see graft.ext.Packing for why greedy
+    // first-fit is not a distributed plan)
+    "q_seq_pack" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("n_tokens", size(TA.tokens(col("text"))).cast("long"))
+      val packed = Packing.packByOffset(docs, Seq("lang"), "doc_id",
+        "n_tokens", ctxTokens = 256)
+      Packing.packSummary(packed, Seq("lang"), "doc_id", "n_tokens")
+        .orderBy(col("lang"), col("pack_id"))
+    }),
+
+    // Decontamination: training docs sharing 3-gram shingles with the test
+    // split (stable hash split, so the protected set is reproducible)
+    "q_contamination" -> ((s, dir) => {
+      val sp = Sampling.withSplit(Tables.documents(s, dir), "doc_id", "graft")
+      Dedup.contaminationOverlap(
+          sp.filter(col("split") === "train"),
+          sp.filter(col("split") === "test"), "text", "doc_id")
+        .select(col("doc_id"), col("n_shared"), col("n_g"),
+          ground(col("contamination"), 6).as("contamination"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact stratified sample: 5 docs per language under deterministic
+    // hash order
+    "q_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(Tables.documents(s, dir), Seq("lang"),
+          "doc_id", salt = "strat", n = 5)
+        .select(col("lang"), col("doc_id"), col("samp_rank"))
+        .orderBy(col("lang"), col("samp_rank"))),
+
+    // Mixture resampling: per-source target percentages (training-mixture
+    // recipe), then the realized per-source counts
+    "q_mixture" -> ((s, dir) =>
+      Sampling.mixtureSample(Tables.documents(s, dir), "source",
+          MixtureWeights, MixtureDefault, "doc_id", salt = "mix")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"))),
+
+    // Repetition-based quality stats (Gopher-style): type-token ratio +
+    // top-bigram share per doc
+    "q_repetition" -> ((s, dir) =>
+      TA.repetitionStats(Tables.documents(s, dir), "text", "doc_id")
+        .select(col("doc_id"), col("n_tokens"),
+          ground(col("distinct_ratio"), 6).as("distinct_ratio"),
+          col("top_bigram_n"),
+          ground(col("top_bigram_frac"), 6).as("top_bigram_frac"))
+        .orderBy(col("doc_id"))),
+
+    // Two-phase salted aggregation — result identical to the plain groupBy
+    // (the oracle IS the plain groupBy); decimal sums so the extra partial
+    // stage cannot change the float result
+    "q_salted_agg" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("v", col("value").cast(DecimalType(18, 4)))
+      Salting.saltedSumCount(ev, Seq("event_type"), "v", saltBuckets = 8)
+        .select(col("event_type"), col("sum_v").cast("double").as("sum_value"),
+          col("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Salted skew join — row-identical to the plain join (the oracle is the
+    // plain join); the hot-key spread costs one small-side explode
+    "q_salted_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir)
+        .withColumnRenamed("p_partkey", "l_partkey")
+        .select(col("l_partkey"), col("p_brand"))
+      Salting.saltedJoin(li, p, Seq("l_partkey"), saltBuckets = 8)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // Null-safe equality join (<=>): a derived null-bearing key matches the
+    // dim's null row instead of dropping out as SQL equality would
+    "q_nullsafe_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .withColumn("key", when(pmod(col("k"), lit(7)) === 0,
+          lit(null).cast("long")).otherwise(pmod(col("k"), lit(5))))
+      val dim = Seq[(Option[Long], String)](
+        Some(0L) -> "g0", Some(1L) -> "g1", Some(2L) -> "g2",
+        Some(3L) -> "g3", Some(4L) -> "g4", None -> "g_null")
+        .toDF("dkey", "grp")
+      ev.join(dim, ev("key") <=> dim("dkey"), "left")
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("grp"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "q_seq_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_split_to_array(trim(text), '[\s\x0b]+'))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), o AS (
+        |  SELECT lang, doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS tok_offset
+        |  FROM t
+        |)
+        |SELECT lang, CAST(tok_offset // 256 AS BIGINT) AS pack_id,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM o GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin,
+
+    "q_contamination" ->
+      s"""WITH sp AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN ${sqlBucket("graft", "doc_id")} < 80 THEN 'train'
+         |         WHEN ${sqlBucket("graft", "doc_id")} < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents
+         |), sh AS (
+         |  SELECT doc_id, split,
+         |    list_distinct(list_transform(
+         |      range(len(regexp_split_to_array(trim(text), '[\\s\\x0b]+')) - 2),
+         |      i -> array_to_string(
+         |        regexp_split_to_array(trim(text), '[\\s\\x0b]+')[i+1:i+3],
+         |        ' '))) AS g
+         |  FROM sp
+         |), shx AS (
+         |  SELECT doc_id, split, unnest(g) AS s FROM sh
+         |), shared AS (
+         |  SELECT doc_id, count(*) AS n_shared FROM shx
+         |  WHERE split = 'train'
+         |    AND s IN (SELECT DISTINCT s FROM shx WHERE split = 'test')
+         |  GROUP BY 1
+         |)
+         |SELECT sh.doc_id, n_shared, CAST(len(g) AS BIGINT) AS n_g,
+         |  round(n_shared / len(g) + 1e-9, 6) AS contamination
+         |FROM shared JOIN sh USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_stratified_sample" ->
+      s"""WITH r AS (
+         |  SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${sqlHashKey("strat", "doc_id")}, doc_id) AS samp_rank
+         |  FROM documents
+         |)
+         |SELECT lang, doc_id, CAST(samp_rank AS BIGINT) AS samp_rank
+         |FROM r WHERE samp_rank <= 5 ORDER BY lang, samp_rank""".stripMargin,
+
+    "q_mixture" -> {
+      val cases = MixtureWeights.toSeq.sortBy(_._1).map { case (src, p) =>
+        s"WHEN source = '$src' THEN $p"
+      }.mkString("\n         |         ")
+      s"""SELECT source, count(*) AS n_docs FROM documents
+         |WHERE ${sqlBucket("mix", "doc_id")} <
+         |  CASE $cases
+         |       ELSE $MixtureDefault END
+         |GROUP BY 1 ORDER BY source""".stripMargin
+    },
+
+    "q_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '[\s\x0b]+') AS toks
+        |  FROM documents
+        |), base AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+        |  FROM t
+        |), bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(len(toks) - 1),
+        |      i -> toks[i+1] || ' ' || toks[i+2])) AS b
+        |  FROM t WHERE len(toks) >= 2
+        |), top AS (
+        |  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n FROM (
+        |    SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2
+        |  ) GROUP BY 1
+        |)
+        |SELECT base.doc_id, n_tokens,
+        |  round(n_distinct / n_tokens + 1e-9, 6) AS distinct_ratio,
+        |  coalesce(top_bigram_n, 0) AS top_bigram_n,
+        |  round(coalesce(top_bigram_n, 0) / greatest(n_tokens - 1, 1) + 1e-9, 6)
+        |    AS top_bigram_frac
+        |FROM base LEFT JOIN top USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // The salted two-phase agg is algebraically exact — its oracle is the
+    // PLAIN aggregation (decimal sums make partial merge order irrelevant)
+    "q_salted_agg" ->
+      s"""SELECT event_type, ${sqlDsum("value")} AS sum_value,
+         |  count(*) AS n
+         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // Salted join ≡ plain join (salt only spreads shuffle keys)
+    "q_salted_join" ->
+      s"""SELECT p_brand, count(*) AS n,
+         |  ${sqlDsum("l_extendedprice")} AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY 1 ORDER BY p_brand""".stripMargin,
+
+    "q_nullsafe_join" ->
+      s"""WITH e AS (
+         |  SELECT CASE
+         |      WHEN CAST(json_extract_string(props, '$$.k') AS BIGINT) % 7 = 0
+         |      THEN NULL
+         |      ELSE CAST(json_extract_string(props, '$$.k') AS BIGINT) % 5
+         |    END AS key, value
+         |  FROM events
+         |), d(dkey, grp) AS (
+         |  VALUES (0, 'g0'), (1, 'g1'), (2, 'g2'), (3, 'g3'), (4, 'g4'),
+         |         (NULL, 'g_null')
+         |)
+         |SELECT grp, count(*) AS n, ${sqlDsum("value")} AS sum_value
+         |FROM e LEFT JOIN d ON e.key IS NOT DISTINCT FROM d.dkey
+         |GROUP BY 1 ORDER BY grp""".stripMargin
+  )
+}

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.Salting
+import graft.ext.{Dedup, Packing, Sampling, TextAnalysis}
+
+/** Round-3 pipeline operators: sequence packing, stratified/mixture
+  * sampling, repetition stats, contamination, salted agg/join.
+  */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packByOffset: offsets, boundary straddle, pack ids") {
+    val docs = Seq(
+      ("a", 1L, 100L), ("a", 2L, 100L), ("a", 3L, 100L), ("a", 4L, 50L),
+      ("b", 1L, 300L))
+      .toDF("stream", "id", "n_tokens")
+    val p = Packing.packByOffset(docs, Seq("stream"), "id", "n_tokens", 256)
+      .select("stream", "id", "tok_offset", "pack_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // doc a3 STARTS at offset 200 (inside pack 0) even though it straddles
+    // the 256 boundary — offset packing assigns by start position
+    assert(p == Set(
+      ("a", 1L, 0L, 0L), ("a", 2L, 100L, 0L), ("a", 3L, 200L, 0L),
+      ("a", 4L, 300L, 1L), ("b", 1L, 0L, 0L)))
+    intercept[IllegalArgumentException] {
+      Packing.packByOffset(docs, Seq("stream"), "id", "n_tokens", 0)
+    }
+  }
+
+  test("packSummary: per-pack docs and token totals") {
+    val docs = Seq(("a", 1L, 200L), ("a", 2L, 200L), ("a", 3L, 10L))
+      .toDF("stream", "id", "n_tokens")
+    val s = Packing.packSummary(
+      Packing.packByOffset(docs, Seq("stream"), "id", "n_tokens", 256),
+      Seq("stream"), "id", "n_tokens")
+      .orderBy("pack_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 2 starts at offset 200 < 256 → pack 0 holds docs {1,2} (400
+    // tokens, straddling); doc 3 starts at 400 → pack 1
+    assert(s.toSeq == Seq((0L, 2L, 400L), (1L, 1L, 10L)))
+  }
+
+  test("stratifiedSample: exactly n per stratum, stable under repartition") {
+    val docs = (1L to 100L).map(i => (i, if (i % 2 == 0) "x" else "y"))
+      .toDF("id", "lang")
+    val s = Sampling.stratifiedSample(docs, Seq("lang"), "id", "s1", 7)
+    assert(s.groupBy("lang").count().collect()
+      .forall(_.getLong(1) == 7L))
+    val ids1 = s.select("id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.stratifiedSample(docs.repartition(13), Seq("lang"),
+      "id", "s1", 7).select("id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // a different salt draws a different sample
+    val ids3 = Sampling.stratifiedSample(docs, Seq("lang"), "id", "s2", 7)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids1 != ids3)
+  }
+
+  test("mixtureSample: per-source rates, 0 drops all, 100 keeps all") {
+    val docs = (1L to 200L).map(i => (i, s"src${i % 2}")).toDF("id", "source")
+    val kept = Sampling.mixtureSample(docs, "source",
+      Map("src0" -> 100, "src1" -> 0), defaultPct = 0, "id", "mixt")
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("src0" -> 100L))
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureSample(docs, "source", Map("src0" -> 101), 0, "id", "m")
+    }
+  }
+
+  test("repetitionStats: type-token ratio and top-bigram share") {
+    val docs = Seq(
+      (1L, "spam spam spam spam"),     // 4 tokens, 1 distinct, top bigram 3×
+      (2L, "all words here differ"),   // all distinct, every bigram once
+      (3L, "solo"))                    // 1 token → no bigrams
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(docs, "text", "doc_id")
+      .orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2),
+        x.getLong(3), x.getDouble(4)))
+    assert(r(0) == ((1L, 4L, 0.25, 3L, 1.0)))
+    assert(r(1) == ((2L, 4L, 1.0, 1L, 1.0 / 3)))
+    assert(r(2) == ((3L, 1L, 1.0, 0L, 0.0)))
+  }
+
+  test("contaminationOverlap: distinct shared shingles per candidate doc") {
+    val cand = Seq(
+      (1L, "one two three four five"),       // shares "one two three" etc.
+      (2L, "alpha beta gamma delta"))        // disjoint from protected
+      .toDF("doc_id", "text")
+    val prot = Seq((10L, "zero one two three four")).toDF("doc_id", "text")
+    val r = Dedup.contaminationOverlap(cand, prot, "text", "doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    // cand 1 has shingles {one two three, two three four, three four five};
+    // protected has {zero one two, one two three, two three four} → 2 shared
+    assert(r.toSeq == Seq((1L, 2L, 3L)))
+  }
+
+  test("saltedSumCount equals the plain aggregation") {
+    val df = (1L to 500L).map(i => (s"k${i % 3}", i.toDouble))
+      .toDF("k", "v").withColumn("v", col("v").cast("decimal(18,4)"))
+    val salted = Salting.saltedSumCount(df, Seq("k"), "v", saltBuckets = 8)
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getDecimal(1), r.getLong(2)))
+    val plain = df.groupBy("k")
+      .agg(sum("v").as("s"), count(lit(1)).as("n")).orderBy("k").collect()
+      .map(r => (r.getString(0), r.getDecimal(1), r.getLong(2)))
+    assert(salted.map(t => (t._1, t._2.doubleValue, t._3)).toSeq ==
+      plain.map(t => (t._1, t._2.doubleValue, t._3)).toSeq)
+  }
+
+  test("saltedJoin is row-identical to the plain join; rejects outer") {
+    val large = (1L to 300L).map(i => (i % 5, i)).toDF("key", "val")
+    val small = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("key", "name")
+    val salted = Salting.saltedJoin(large, small, Seq("key"), 4)
+      .orderBy("val").collect().map(_.toSeq).toSeq
+    val plain = large.join(small, Seq("key"))
+      .orderBy("val").collect().map(_.toSeq).toSeq
+    assert(salted == plain)
+    intercept[IllegalArgumentException] {
+      Salting.saltedJoin(large, small, Seq("key"), 4, how = "full_outer")
+    }
+  }
+}

@@ -182,12 +182,17 @@ object NorthStarQueries {
     // approx_count_distinct at corpus scale — same plan shape minus the
     // expand).
     "q_vocab_topk" -> ((s, dir) =>
+      // two-level aggregation instead of groupBy(t) + countDistinct: the
+      // (doc, token) pre-agg combines map-side AND makes df a plain count —
+      // no Expand doubling every exploded row, one shuffle of pre-combined
+      // pairs instead of two of raw tokens
       Tables.documents(s, dir)
         .select(col("doc_id"),
           explode(split(trim(lower(col("text"))), "\\s+")).as("t"))
+        .groupBy(col("doc_id"), col("t"))
+        .agg(count(lit(1)).as("dtf"))
         .groupBy(col("t"))
-        .agg(count(lit(1)).as("tf"),
-          countDistinct(col("doc_id")).as("df"))
+        .agg(sum(col("dtf")).as("tf"), count(lit(1)).as("df"))
         .orderBy(col("tf").desc, col("t"))
         .limit(20)),
 
@@ -202,10 +207,13 @@ object NorthStarQueries {
       val n = docs.count() // bounded scalar, like the min/max-date collects
       val toks = docs.select(col("doc_id"),
         explode(split(trim(lower(col("text"))), "\\s+")).as("t"))
+      // df derives FROM tf (tf has one row per (doc, token), so a plain
+      // count per token IS the document frequency) — one explode + one
+      // (doc, token) shuffle total, instead of a second explode feeding a
+      // distinct shuffle. cache: tf feeds both the join and the df agg.
       val tf = toks.groupBy(col("doc_id"), col("t"))
-        .agg(count(lit(1)).as("tf"))
-      val idf = toks.select(col("doc_id"), col("t")).distinct()
-        .groupBy(col("t")).agg(count(lit(1)).as("df"))
+        .agg(count(lit(1)).as("tf")).cache()
+      val idf = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("score").desc, col("t"))
       tf.join(idf, "t")

@@ -347,9 +347,21 @@ object Dedup {
     *
     * Returns (id, cluster_id) for every id that appears in a pair;
     * singleton docs are absent (callers left-join and coalesce to own id).
+    *
+    * Small-graph fastpath: the distinct edge list is usually orders of
+    * magnitude smaller than the corpus (only near-dup pairs survive the
+    * candidate filters), and a multi-round distributed loop over a few
+    * thousand edges pays tens of scheduling floors for no parallelism. When
+    * the edge count is ≤ `localEdgeThreshold` (and ids are integral), the
+    * edges — two longs a row, so 500k edges ≈ 8 MB, broadcast-sized — are
+    * collected ONCE and resolved with driver union-find; the result ships
+    * back as a DataFrame. This is the same bounded-scalar contract as a
+    * broadcast join's build side, not an unbounded collect: above the
+    * threshold the distributed loop runs unchanged.
     */
   def resolveClusters(pairs: DataFrame, idA: String = "id_a",
-                      idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+                      idB: String = "id_b", maxIter: Int = 20,
+                      localEdgeThreshold: Long = 500000L): DataFrame = {
     // cache the INPUT before symmetrizing: both union branches reference
     // it, so an uncached (possibly expensive — LSH band join) pair source
     // would execute twice
@@ -357,6 +369,28 @@ object Dedup {
     val edges = p.select(col(idA).as("u"), col(idB).as("v"))
       .union(p.select(col(idB).as("u"), col(idA).as("v")))
       .distinct().cache()
+    val integralIds = edges.schema.fields.forall(f =>
+      f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType)
+    if (integralIds && edges.count() <= localEdgeThreshold) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = edges.select(col("u").cast("long"), col("v").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist(); p.unpersist()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val pr = parent.getOrElseUpdate(x, x)
+        if (pr == x) x else { val r = find(pr); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      return es.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => (v, find(v))).toSeq
+        .toDF("id", "cluster_id")
+    }
     try {
     // localCheckpoint, NOT cache: each round's plan references the previous
     // round's frame more than once, so with plain cache() the LOGICAL plan

@@ -121,10 +121,17 @@ class PropertySpec extends SparkSpec {
         }
         val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
           .map(v => v -> find(v)).toMap
+        // default path = driver union-find fastpath (edge list under the
+        // local threshold); threshold 0 forces the distributed
+        // pointer-doubling loop — both must equal the reference
         val got = graft.ext.Dedup.resolveClusters(
             edges.toDF("id_a", "id_b"))
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         assert(got == expected)
+        val gotDist = graft.ext.Dedup.resolveClusters(
+            edges.toDF("id_a", "id_b"), localEdgeThreshold = 0L)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(gotDist == expected)
       }
     }
   }

@@ -30,6 +30,10 @@ object Engine {
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // runtime bloom-filter join pruning: at fact-dim scale a bloom built
+      // from the filtered dim side prunes fact rows BEFORE the shuffle —
+      // semantics-preserving, so correctness gates are unaffected
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

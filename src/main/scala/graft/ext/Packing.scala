@@ -52,4 +52,35 @@ object Packing {
         sum(col(nTokensCol)).as("pack_tokens"),
         min(col(orderCol)).as("first_doc"),
         max(col(orderCol)).as("last_doc"))
+
+  /** Sliding-window document chunking (the RAG/embedding-pipeline
+    * primitive): each doc's whitespace tokens are cut into chunks of up to
+    * `chunkSize` tokens starting every `stride` tokens (stride < chunkSize
+    * ⇒ overlapping chunks; the final chunks may be short). Emits one row
+    * per (doc, chunk): chunk_id (0-based), chunk_start (token offset),
+    * n_chunk_tokens, chunk_text.
+    *
+    * Pure narrow projection — the explode is row-local (no shuffle, scales
+    * linearly), and chunk boundaries are token-offset arithmetic, so the
+    * rule is exactly reproducible in the SQL oracle.
+    */
+  def chunkTokens(df: DataFrame, textCol: String, idCol: String,
+                  chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride=$stride <= chunkSize=$chunkSize")
+    val toks = split(trim(col(textCol)), "\\s+")
+    df.select(col(idCol), toks.as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      // chunk starts 0, stride, 2·stride, … strictly below n
+      .select(col(idCol), col("__toks"), col("__n"),
+        explode(sequence(lit(0), col("__n") - 1, lit(stride)))
+          .as("chunk_start"))
+      .select(col(idCol),
+        (col("chunk_start") / stride).cast("long").as("chunk_id"),
+        col("chunk_start").cast("long"),
+        least(lit(chunkSize), col("__n") - col("chunk_start")).cast("long")
+          .as("n_chunk_tokens"),
+        array_join(slice(col("__toks"), col("chunk_start") + 1,
+          lit(chunkSize)), " ").as("chunk_text"))
+  }
 }

@@ -107,6 +107,28 @@ object PipelineQueries {
         .orderBy(col("p_brand"))
     }),
 
+    // Sliding-window document chunking (RAG/embedding prep): 32-token
+    // chunks every 24 tokens (8-token overlap); chunk text hashed so the
+    // compare stays row-sized
+    "q_doc_chunks" -> ((s, dir) =>
+      Packing.chunkTokens(Tables.documents(s, dir), "text", "doc_id",
+          chunkSize = 32, stride = 24)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_start"),
+          col("n_chunk_tokens"), md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // Fixed-width histogram (the profiling primitive next to
+    // q_percentiles): price distribution of lineitem in 5000-wide bins
+    "q_histogram" -> ((s, dir) =>
+      // bin by exact DECIMAL division + floor (double division could land
+      // boundary prices on different sides in different engines)
+      Tables.lineitem(s, dir)
+        .groupBy(expr(
+          "CAST(FLOOR(CAST(l_extendedprice AS DECIMAL(18,4)) / 5000) " +
+            "AS BIGINT)").as("price_bin"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
+        .orderBy(col("price_bin"))),
+
     // Null-safe equality join (<=>): a derived null-bearing key matches the
     // dim's null row instead of dropping out as SQL equality would
     "q_nullsafe_join" -> ((s, dir) => {
@@ -235,6 +257,29 @@ object PipelineQueries {
          |  ${sqlDsum("l_extendedprice")} AS revenue
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |GROUP BY 1 ORDER BY p_brand""".stripMargin,
+
+    "q_doc_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '[\s\x0b]+') AS toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, len(toks) AS n, toks,
+        |    unnest(range(0, len(toks), 24)) AS chunk_start
+        |  FROM t
+        |)
+        |SELECT doc_id, CAST(chunk_start // 24 AS BIGINT) AS chunk_id,
+        |  CAST(chunk_start AS BIGINT) AS chunk_start,
+        |  CAST(least(32, n - chunk_start) AS BIGINT) AS n_chunk_tokens,
+        |  md5(array_to_string(toks[chunk_start+1:chunk_start+32], ' '))
+        |    AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_histogram" ->
+      s"""SELECT CAST(FLOOR(CAST(l_extendedprice AS DECIMAL(18,4)) / 5000)
+         |    AS BIGINT) AS price_bin,
+         |  count(*) AS n, ${sqlDsum("l_extendedprice")} AS total
+         |FROM lineitem GROUP BY 1 ORDER BY price_bin""".stripMargin,
 
     "q_nullsafe_join" ->
       s"""WITH e AS (

@@ -43,6 +43,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(s.toSeq == Seq((0L, 2L, 400L), (1L, 1L, 10L)))
   }
 
+  test("chunkTokens: sliding windows with overlap, short tail chunks") {
+    val docs = Seq((1L, "t0 t1 t2 t3 t4 t5 t6"), (2L, "solo"))
+      .toDF("doc_id", "text")
+    val r = Packing.chunkTokens(docs, "text", "doc_id",
+        chunkSize = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getString(4)))
+    assert(r.toSeq == Seq(
+      (1L, 0L, 0L, 4L, "t0 t1 t2 t3"),
+      (1L, 1L, 3L, 4L, "t3 t4 t5 t6"),   // overlap of 1 token (4-3)
+      (1L, 2L, 6L, 1L, "t6"),            // short tail
+      (2L, 0L, 0L, 1L, "solo")))
+    intercept[IllegalArgumentException] {
+      Packing.chunkTokens(docs, "text", "doc_id", 4, 5) // stride > chunk
+    }
+  }
+
   test("stratifiedSample: exactly n per stratum, stable under repartition") {
     val docs = (1L to 100L).map(i => (i, if (i % 2 == 0) "x" else "y"))
       .toDF("id", "lang")

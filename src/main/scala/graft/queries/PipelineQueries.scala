@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.etl.Salting
-import graft.ext.{Dedup, Packing, Sampling, TextAnalysis => TA}
+import graft.ext.{AsOfJoin, Dedup, Packing, Sampling, TextAnalysis => TA}
+import graft.feat.Sessions
 import graft.io.Tables
 import Parity._
 
@@ -105,6 +106,22 @@ object PipelineQueries {
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
         .orderBy(col("p_brand"))
+    }),
+
+    // Range join (interval containment): events matched back into their
+    // session intervals — every event lands in exactly one session, so
+    // n_in_range must equal the session's own n_events. Equi-key on user
+    // keeps the shuffle bounded; the interval predicate filters post-join.
+    "q_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val sess = Sessions.sessionize(ev, "user_id", "ts", gapMinutes = 30)
+        .withColumn("end_excl",
+          col("session_end") + expr("INTERVAL '1' MICROSECOND"))
+      AsOfJoin.rangeJoin(ev.select(col("user_id"), col("ts")), sess,
+          Seq("user_id"), "ts", "session_start", "end_excl")
+        .groupBy(col("user_id"), col("session_id"), col("n_events"))
+        .agg(count(lit(1)).as("n_in_range"))
+        .orderBy(col("user_id"), col("session_id"))
     }),
 
     // Sliding-window document chunking (RAG/embedding prep): 32-token
@@ -257,6 +274,34 @@ object PipelineQueries {
          |  ${sqlDsum("l_extendedprice")} AS revenue
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |GROUP BY 1 ORDER BY p_brand""".stripMargin,
+
+    // Oracle side does the same interval join against sessions rebuilt with
+    // the lag/cumsum form (inclusive end; Spark passes end + 1µs exclusive)
+    "q_range_join" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, epoch_us(ts) AS us FROM events
+        |), flagged AS (
+        |  SELECT user_id, ts, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |           OR us - lag(us) OVER w > 30 * 60 * 1000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us)
+        |), numbered AS (
+        |  SELECT user_id, ts, us,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM flagged
+        |), sess AS (
+        |  SELECT user_id, session_id,
+        |    min(ts) AS session_start, max(ts) AS session_end,
+        |    count(*) AS n_events
+        |  FROM numbered GROUP BY 1, 2
+        |)
+        |SELECT s.user_id, s.session_id, s.n_events, count(*) AS n_in_range
+        |FROM sess s JOIN events ev ON ev.user_id = s.user_id
+        |  AND ev.ts >= s.session_start AND ev.ts <= s.session_end
+        |GROUP BY 1, 2, 3 ORDER BY s.user_id, s.session_id""".stripMargin,
 
     "q_doc_chunks" ->
       """WITH t AS (

@@ -322,8 +322,11 @@ object Dedup {
   def contaminationOverlap(candidates: DataFrame, protected_ : DataFrame,
                            textCol: String, idCol: String, n: Int = 3)
       : DataFrame = {
+    // cache: one row per candidate doc, referenced by two branches (the
+    // exploded overlap join and the sizes attach) — uncached, the regex
+    // split + shingle transform would evaluate twice per doc
     val candSh = candidates.select(col(idCol),
-      shingles(col(textCol), n).as("g"))
+      shingles(col(textCol), n).as("g")).cache()
     val protSet = protected_
       .select(explode(shingles(col(textCol), n)).as("s")).distinct()
     val shared = candSh.select(col(idCol), explode(col("g")).as("s"))

@@ -123,6 +123,39 @@ class EdgeCaseSpec extends SparkSpec {
     }
   }
 
+  test("round-3 operators degrade on degenerate inputs, never throw") {
+    val docs = Seq((1L, null: String, "s0"), (2L, "", "s0"),
+      (3L, "one two three four", "s1")).toDF("doc_id", "text", "source")
+    // null/empty text: chunking must not NPE; null text yields no chunks
+    // (split(null) is null → explode drops the row), empty text one chunk
+    val chunks = graft.ext.Packing.chunkTokens(docs, "text", "doc_id", 8, 8)
+    assert(chunks.filter(col("doc_id") === 1L).count() == 0)
+    assert(chunks.filter(col("doc_id") === 3L).count() == 1)
+    // repetition stats over null text: row survives with null/zero stats
+    val rep = TextAnalysis.repetitionStats(docs, "text", "doc_id")
+    assert(rep.count() == 3)
+    // contamination against an EMPTY protected set: no rows, no error
+    val prot = docs.filter(lit(false))
+    assert(Dedup.contaminationOverlap(docs, prot, "text", "doc_id")
+      .count() == 0)
+    // mixture: unknown source falls to defaultPct (100 keeps, 0 drops)
+    val all = graft.ext.Sampling.mixtureSample(docs, "source",
+      Map.empty, defaultPct = 100, "doc_id", "m")
+    assert(all.count() == 3)
+    val none = graft.ext.Sampling.mixtureSample(docs, "source",
+      Map.empty, defaultPct = 0, "doc_id", "m")
+    assert(none.count() == 0)
+    // stratified sample larger than the stratum returns the whole stratum
+    val strat = graft.ext.Sampling.stratifiedSample(docs, Seq("source"),
+      "doc_id", "s", 10)
+    assert(strat.count() == 3)
+    // empty pair set through cluster resolution (both paths)
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.resolveClusters(noPairs).count() == 0)
+    assert(Dedup.resolveClusters(noPairs, localEdgeThreshold = 0L)
+      .count() == 0)
+  }
+
   test("as-of with empty right side keeps all left rows, null payload") {
     val left = Seq((1L, "k", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
       .toDF("id", "key", "t")

@@ -304,6 +304,33 @@ object Dedup {
       .agg(min(col("hamming")).cast("long").as("hamming"))
   }
 
+  /** Incremental (batch-vs-corpus) exact dedup — the shape of a streaming/
+    * CDC ingest pipeline: classify each NEW doc as `dup_corpus` (its digest
+    * already exists in the accepted corpus), `dup_batch` (a smaller-id doc
+    * in the same batch has the digest first), or `novel`. Only `novel` docs
+    * get appended.
+    *
+    * Scale: the corpus side projects to distinct digests only (32-byte
+    * rows) — at 100 TB that digest set IS the dedup index you keep
+    * materialized between ingests; both the membership join and the
+    * first-in-batch groupBy shuffle on the digest.
+    */
+  def incrementalDedupStatus(batch: DataFrame, corpus: DataFrame,
+                             textCol: String, idCol: String): DataFrame = {
+    // cache: the digest projection feeds the membership join AND the
+    // first-in-batch min — one md5 pass per doc, not two
+    val b = batch.select(col(idCol), digest(col(textCol)).as("h")).cache()
+    val known = corpus.select(digest(col(textCol)).as("h")).distinct()
+      .withColumn("__in_corpus", lit(1L))
+    val firstIn = b.groupBy(col("h")).agg(min(col(idCol)).as("__first_id"))
+    b.join(known, Seq("h"), "left")
+      .join(firstIn, Seq("h"))
+      .select(col(idCol),
+        when(col("__in_corpus") === 1L, lit("dup_corpus"))
+          .when(col(idCol) =!= col("__first_id"), lit("dup_batch"))
+          .otherwise(lit("novel")).as("status"))
+  }
+
   /** Train/test contamination check (decontamination primitive): for each
     * candidate doc, how many of its distinct n-gram shingles appear anywhere
     * in the protected set (eval/test corpus). Pipelines drop or flag

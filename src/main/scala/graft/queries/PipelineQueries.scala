@@ -108,6 +108,33 @@ object PipelineQueries {
         .orderBy(col("p_brand"))
     }),
 
+    // Incremental ingest dedup: the newest 20% of docs arrive as a batch
+    // against the accepted corpus; classify dup-of-corpus / dup-in-batch /
+    // novel per doc
+    "q_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cut = lit(400L)
+      Dedup.incrementalDedupStatus(
+          docs.filter(col("doc_id") >= cut),
+          docs.filter(col("doc_id") < cut), "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Correlated scalar subquery (Catalyst rewrites it to an agg + join):
+    // customers above their own nation's average balance. The threshold is
+    // a decimal-exact sum / count so the comparison is engine-stable.
+    "q_scalar_subquery" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer_sq")
+      s.sql("""
+        SELECT c_nationkey, count(*) AS n_above
+        FROM customer_sq c
+        WHERE c_acctbal > (
+          SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*)
+          FROM customer_sq c2 WHERE c2.c_nationkey = c.c_nationkey)
+        GROUP BY c_nationkey ORDER BY c_nationkey""")
+    }),
+
     // Range join (interval containment): events matched back into their
     // session intervals — every event lands in exactly one session, so
     // n_in_range must equal the session's own n_events. Equi-key on user
@@ -274,6 +301,31 @@ object PipelineQueries {
          |  ${sqlDsum("l_extendedprice")} AS revenue
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |GROUP BY 1 ORDER BY p_brand""".stripMargin,
+
+    "q_incremental_dedup" ->
+      """WITH b AS (
+        |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 400
+        |), known AS (
+        |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 400
+        |), firstin AS (
+        |  SELECT h, min(doc_id) AS first_id FROM b GROUP BY h
+        |)
+        |SELECT b.doc_id,
+        |  CASE WHEN known.h IS NOT NULL THEN 'dup_corpus'
+        |       WHEN b.doc_id <> f.first_id THEN 'dup_batch'
+        |       ELSE 'novel' END AS status
+        |FROM b LEFT JOIN known ON b.h = known.h
+        |JOIN firstin f ON b.h = f.h
+        |ORDER BY b.doc_id""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """SELECT c_nationkey, count(*) AS n_above
+        |FROM customer c
+        |WHERE c_acctbal > (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+        |         / count(*)
+        |  FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     // Oracle side does the same interval join against sessions rebuilt with
     // the lag/cumsum form (inclusive end; Spark passes end + 1µs exclusive)

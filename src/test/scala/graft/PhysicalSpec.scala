@@ -155,4 +155,54 @@ class PhysicalSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") &&
       plan.contains("LeftAnti"), s"expected broadcast anti join in:\n$plan")
   }
+
+  test("sequence packing: pack summary reuses the window's partitioning") {
+    import graft.ext.Packing
+    val docs = graft.io.Tables.documents(spark, TestSpark.sf0001)
+      .withColumn("n_tokens",
+        size(graft.ext.TextAnalysis.tokens(col("text"))).cast("long"))
+    val df = Packing.packSummary(
+      Packing.packByOffset(docs, Seq("lang"), "doc_id", "n_tokens", 256),
+      Seq("lang"), "doc_id", "n_tokens")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // groupBy(lang, pack_id) is satisfied by the window's
+    // HashPartitioning(lang) (subset guarantee) — exactly ONE hash exchange
+    assert(plan.linesIterator.count(_.contains("Exchange hash")) == 1,
+      s"pack summary should reuse the window shuffle:\n$plan")
+  }
+
+  test("stratified sample prunes per-partition before the shuffle") {
+    val df = graft.ext.Sampling.stratifiedSample(
+      graft.io.Tables.documents(spark, TestSpark.sf0001), Seq("lang"),
+      "doc_id", "strat", 5)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // rank <= n must push down as WindowGroupLimit on BOTH sides of the
+    // exchange — the partial pass caps what each input task ships
+    assert(plan.linesIterator.count(_.contains("WindowGroupLimit")) == 2,
+      s"expected partial+final WindowGroupLimit in:\n$plan")
+  }
+
+  test("document chunking is a narrow explode — zero shuffles") {
+    val df = graft.ext.Packing.chunkTokens(
+      graft.io.Tables.documents(spark, TestSpark.sf0001), "text", "doc_id",
+      32, 24)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
+
+  test("null-safe equality plans as a hash join, not nested-loop") {
+    val df = SparkEntry.queries("q_nullsafe_join")(spark, TestSpark.sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected BroadcastHashJoin in:\n$plan")
+    assert(!plan.contains("NestedLoop"),
+      s"null-safe join fell back to nested-loop:\n$plan")
+  }
 }

@@ -117,6 +117,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.toSeq == Seq((1L, 2L, 3L)))
   }
 
+  test("incrementalDedupStatus: corpus dup beats batch dup beats novel") {
+    val corpus = Seq((1L, "known text")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "known text"),   // digest exists in corpus
+      (11L, "fresh text"),   // first of its digest in batch
+      (12L, "fresh text"),   // same digest, larger id
+      (13L, "unique text"))
+      .toDF("doc_id", "text")
+    val r = graft.ext.Dedup
+      .incrementalDedupStatus(batch, corpus, "text", "doc_id")
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r == Map(10L -> "dup_corpus", 11L -> "novel",
+      12L -> "dup_batch", 13L -> "novel"))
+  }
+
   test("saltedSumCount equals the plain aggregation") {
     val df = (1L to 500L).map(i => (s"k${i % 3}", i.toDouble))
       .toDF("k", "v").withColumn("v", col("v").cast("decimal(18,4)"))

@@ -136,6 +136,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateless text ops (chunking, stats, lang id) stream unchanged") {
+    // a corpus-ingest stream: every round-3 text operator is a narrow
+    // stateless projection, so the SAME code runs on readStream with no
+    // watermark/output-mode ceremony and must produce batch-identical rows
+    val docsB = Tables.documents(spark, TestSpark.sf0001)
+    val dir = Files.createTempDirectory("graft-doc-stream").toString
+    docsB.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docsB.schema).parquet(dir)
+    val chunked = graft.ext.Packing.chunkTokens(
+      graft.ext.TextAnalysis.withLanguageId(stream, "text")
+        .select(col("doc_id"), col("text")), "text", "doc_id", 32, 24)
+    val q = chunked.writeStream.outputMode("append")
+      .format("memory").queryName("doc_chunks_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("doc_chunks_stream")
+      val batch = graft.ext.Packing.chunkTokens(docsB, "text", "doc_id",
+        32, 24)
+      assert(got.count() == batch.count())
+      // exact row equality, not just counts
+      assert(got.exceptAll(batch).count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops within-watermark duplicates, keeps the rest") {
     // duplicate the source twice → every event_id appears 2x within the
     // same batch window; the deduped stream must equal the distinct count

@@ -88,4 +88,30 @@ object Sampling {
     }
     df.filter(hashBucket(col(idCol), salt) < pct)
   }
+
+  /** Mixture with UPSAMPLING: weights may exceed 100 (e.g. 250 = every doc
+    * appears 2× plus a deterministic 50% gets a 3rd copy) — the "N epochs
+    * of a high-value source" recipe in pretraining mixtures. Adds `epoch`
+    * (0-based copy index). `floor(pct/100)` full epochs keep every row; the
+    * one trailing partial epoch keeps the stable [[hashBucket]] subset, so
+    * repeated runs replicate exactly the same rows.
+    *
+    * Scale: the explode is row-local (narrow); the blow-up factor is the
+    * mixture weight itself, which is the intended output size.
+    */
+  def mixtureUpsample(df: DataFrame, sourceCol: String,
+                      weights: Map[String, Int], defaultPct: Int,
+                      idCol: String, salt: String): DataFrame = {
+    require((weights.values ++ Seq(defaultPct)).forall(_ >= 0),
+      "every mixture weight must be a non-negative percentage")
+    val pct = weights.toSeq.sortBy(_._1).foldRight(lit(defaultPct)) {
+      case ((src, p), els) => when(col(sourceCol) === src, lit(p)).otherwise(els)
+    }
+    df.withColumn("__pct", pct)
+      .withColumn("epoch",
+        explode(sequence(lit(0), (col("__pct") + 99).divide(100).cast("int"))))
+      .filter(col("epoch") * 100 + hashBucket(col(idCol), salt) < col("__pct"))
+      .drop("__pct")
+      .withColumn("epoch", col("epoch").cast("long"))
+  }
 }

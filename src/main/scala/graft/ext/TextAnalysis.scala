@@ -110,6 +110,30 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Per-document token Shannon entropy (nats) — the perplexity-proxy
+    * quality signal: near-zero for degenerate repeated-token text, ~ln(n)
+    * for fully diverse text. Computed from (doc, token) counts:
+    * H = −Σ (c/n)·ln(c/n), so the shape is the same partial-aggregating
+    * explode → groupBy pair as [[repetitionStats]]. Returns
+    * (id, n_tokens, entropy).
+    */
+  def tokenEntropy(df: DataFrame, textCol: String, idCol: String)
+      : DataFrame = {
+    val counts = df
+      .select(col(idCol),
+        explode(tokens(lower(col(textCol)))).as("t"))
+      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("c"))
+    counts.groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c").cast("double") * log(col("c").cast("double")))
+          .as("__clogc"))
+      // H = ln(n) − (Σ c·ln c)/n — one pass, no per-row division by n
+      // before the aggregate (n isn't known until the groupBy completes)
+      .select(col(idCol), col("n_tokens"),
+        (log(col("n_tokens").cast("double")) -
+          col("__clogc") / col("n_tokens").cast("double")).as("entropy"))
+  }
+
   /** Repetition-based quality stats (the Gopher-style repetition filters):
     * per doc, the type-token ratio (distinct / total tokens) and the
     * most-frequent-bigram share of all bigrams. Highly repetitive machine

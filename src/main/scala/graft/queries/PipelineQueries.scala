@@ -31,6 +31,10 @@ object PipelineQueries {
     Map("src0" -> 100, "src1" -> 75, "src2" -> 50, "src3" -> 25)
   private val MixtureDefault = 10
 
+  /** Upsampling recipe for q_mixture_epochs (weights may exceed 100). */
+  private val EpochWeights = Map("src0" -> 250, "src1" -> 100, "src2" -> 40)
+  private val EpochDefault = 0
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Sequence packing: documents → fixed-size context windows (offset
@@ -72,6 +76,22 @@ object PipelineQueries {
           MixtureWeights, MixtureDefault, "doc_id", salt = "mix")
         .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
         .orderBy(col("source"))),
+
+    // Mixture with upsampling: 250% = 2 full epochs + a stable 50% third
+    // copy — realized (source, epoch) counts
+    "q_mixture_epochs" -> ((s, dir) =>
+      Sampling.mixtureUpsample(Tables.documents(s, dir), "source",
+          EpochWeights, EpochDefault, "doc_id", salt = "mix")
+        .groupBy(col("source"), col("epoch"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"), col("epoch"))),
+
+    // Token Shannon entropy per doc (perplexity-proxy quality signal)
+    "q_token_entropy" -> ((s, dir) =>
+      TA.tokenEntropy(Tables.documents(s, dir), "text", "doc_id")
+        .select(col("doc_id"), col("n_tokens"),
+          ground(col("entropy"), 6).as("entropy"))
+        .orderBy(col("doc_id"))),
 
     // Repetition-based quality stats (Gopher-style): type-token ratio +
     // top-bigram share per doc
@@ -260,6 +280,43 @@ object PipelineQueries {
          |       ELSE $MixtureDefault END
          |GROUP BY 1 ORDER BY source""".stripMargin
     },
+
+    "q_mixture_epochs" -> {
+      val cases = EpochWeights.toSeq.sortBy(_._1).map { case (src, p) =>
+        s"WHEN source = '$src' THEN $p"
+      }.mkString("\n         |           ")
+      s"""WITH w AS (
+         |  SELECT doc_id, source,
+         |    CASE $cases
+         |         ELSE $EpochDefault END AS pct,
+         |    ${sqlBucket("mix", "doc_id")} AS bkt
+         |  FROM documents
+         |), e AS (
+         |  SELECT doc_id, source, pct, bkt,
+         |    unnest(range(0, (pct + 99) // 100 + 1)) AS epoch
+         |  FROM w
+         |)
+         |SELECT source, CAST(epoch AS BIGINT) AS epoch,
+         |  count(*) AS n_docs
+         |FROM e WHERE epoch * 100 + bkt < pct
+         |GROUP BY 1, 2 ORDER BY source, epoch""".stripMargin
+    },
+
+    "q_token_entropy" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '[\s\x0b]+')) AS t
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2
+        |), h AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    sum(c * ln(c)) AS clogc
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT doc_id, n_tokens,
+        |  round(ln(n_tokens) - clogc / n_tokens + 1e-9, 6) AS entropy
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     "q_repetition" ->
       """WITH t AS (

@@ -117,6 +117,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.toSeq == Seq((1L, 2L, 3L)))
   }
 
+  test("tokenEntropy: zero for degenerate text, ln(n) for diverse text") {
+    val docs = Seq((1L, "spam spam spam spam"), (2L, "a b c d"),
+      (3L, "x x y y")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenEntropy(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    assert(math.abs(r(0)._3) < 1e-12)
+    assert(math.abs(r(1)._3 - math.log(4)) < 1e-12)
+    assert(math.abs(r(2)._3 - math.log(2)) < 1e-12)
+  }
+
+  test("mixtureUpsample: full epochs + stable partial epoch") {
+    val docs = (1L to 100L).map(i => (i, "srcA")).toDF("id", "source")
+    val up = Sampling.mixtureUpsample(docs, "source", Map("srcA" -> 250),
+      defaultPct = 0, "id", "ep")
+    val byEpoch = up.groupBy("epoch").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // epochs 0 and 1 keep every row; epoch 2 keeps the SAME subset a plain
+    // 50% mixture keeps (stable hash membership)
+    assert(byEpoch(0L) == 100L && byEpoch(1L) == 100L)
+    val half = Sampling.mixtureSample(docs, "source", Map("srcA" -> 50),
+      0, "id", "ep").select("id").collect().map(_.getLong(0)).toSet
+    val ep2 = up.filter(col("epoch") === 2L).select("id").collect()
+      .map(_.getLong(0)).toSet
+    assert(ep2 == half)
+    // weight 0 upsamples to nothing
+    assert(Sampling.mixtureUpsample(docs, "source", Map("srcA" -> 0),
+      0, "id", "ep").count() == 0)
+  }
+
   test("incrementalDedupStatus: corpus dup beats batch dup beats novel") {
     val corpus = Seq((1L, "known text")).toDF("doc_id", "text")
     val batch = Seq(

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.etl.Salting
-import graft.ext.{AsOfJoin, Dedup, Packing, Sampling, TextAnalysis => TA}
+import graft.ext.{AsOfJoin, Dedup, Drift, Packing, Sampling, TextAnalysis => TA}
 import graft.feat.Sessions
 import graft.io.Tables
 import Parity._
@@ -85,6 +85,14 @@ object PipelineQueries {
         .groupBy(col("source"), col("epoch"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("source"), col("epoch"))),
+
+    // Distribution drift: per-source Jensen-Shannon divergence vs the
+    // whole corpus's token distribution (the mixing/ingest monitor)
+    "q_source_drift" -> ((s, dir) =>
+      Drift.tokenDistributionJsd(Tables.documents(s, dir), "text", "source")
+        .select(col("source"), col("n_tokens"),
+          ground(col("jsd"), 6).as("jsd"))
+        .orderBy(col("source"))),
 
     // Token Shannon entropy per doc (perplexity-proxy quality signal)
     "q_token_entropy" -> ((s, dir) =>
@@ -301,6 +309,32 @@ object PipelineQueries {
          |FROM e WHERE epoch * 100 + bkt < pct
          |GROUP BY 1, 2 ORDER BY source, epoch""".stripMargin
     },
+
+    "q_source_drift" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '[\s\x0b]+')) AS t
+        |  FROM documents
+        |), gt AS (
+        |  SELECT source, t, count(*) AS c_gt FROM tok GROUP BY 1, 2
+        |), g AS (
+        |  SELECT source, CAST(sum(c_gt) AS BIGINT) AS n_g FROM gt GROUP BY 1
+        |), o AS (
+        |  SELECT t, sum(c_gt) AS c_t FROM gt GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(c_t) AS DOUBLE) AS n FROM o
+        |), j AS (
+        |  SELECT gt.source,
+        |    c_gt / g.n_g AS p,
+        |    c_t / tot.n AS q
+        |  FROM gt JOIN o USING (t) JOIN g USING (source) CROSS JOIN tot
+        |)
+        |SELECT j.source, g.n_g AS n_tokens,
+        |  round((sum(p * ln(p / ((p + q) / 2)))
+        |       + sum(q * ln(q / ((p + q) / 2)))) / 2
+        |      + (1 - sum(q)) * ln(2) / 2 + 1e-9, 6) AS jsd
+        |FROM j JOIN g ON j.source = g.source
+        |GROUP BY 1, 2 ORDER BY j.source""".stripMargin,
 
     "q_token_entropy" ->
       """WITH tok AS (

@@ -147,6 +147,23 @@ class PipelineOpsSpec extends SparkSpec {
       0, "id", "ep").count() == 0)
   }
 
+  test("tokenDistributionJsd: 0 for identical slices, bounded by ln 2") {
+    // two sources with IDENTICAL token distributions → each equals the
+    // corpus distribution → JSD 0
+    val same = Seq(("a", "x y z"), ("b", "x y z")).toDF("source", "text")
+    val r0 = graft.ext.Drift.tokenDistributionJsd(same, "text", "source")
+      .collect().map(_.getDouble(2))
+    assert(r0.forall(v => math.abs(v) < 1e-12))
+    // disjoint vocabularies: JSD(P, corpus-mix) approaches ln 2 as the
+    // slice's mass in the corpus shrinks; with a 50/50 mix it is exactly
+    // the JSD of P vs (P+R)/2-ish — just assert the bound and symmetry
+    val disj = Seq(("a", "x x x"), ("b", "y y y")).toDF("source", "text")
+    val r1 = graft.ext.Drift.tokenDistributionJsd(disj, "text", "source")
+      .collect().map(x => x.getString(0) -> x.getDouble(2)).toMap
+    assert(r1.values.forall(v => v > 0 && v <= math.log(2) + 1e-12))
+    assert(math.abs(r1("a") - r1("b")) < 1e-12) // symmetric slices
+  }
+
   test("incrementalDedupStatus: corpus dup beats batch dup beats novel") {
     val corpus = Seq((1L, "known text")).toDF("doc_id", "text")
     val batch = Seq(

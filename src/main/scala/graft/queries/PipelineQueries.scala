@@ -86,6 +86,22 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("source"), col("epoch"))),
 
+    // Corrupt-record ingestion: a deterministic 1-in-13 slice of the JSON
+    // payloads is mangled (prefix byte → unambiguously invalid), and the
+    // pipeline must count the corrupt rows per group while aggregating the
+    // valid ones — lenient parse (null on failure), never a job abort
+    "q_json_corrupt" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("raw",
+          when(pmod(col("event_id"), lit(13)) === 0,
+            concat(lit("x"), col("props"))).otherwise(col("props")))
+        .withColumn("k", get_json_object(col("raw"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("k").isNull, 1)).as("n_corrupt"),
+          sum(col("k")).as("sum_k"))
+        .orderBy(col("event_type"))),
+
     // Distribution drift: per-source Jensen-Shannon divergence vs the
     // whole corpus's token distribution (the mixing/ingest monitor)
     "q_source_drift" -> ((s, dir) =>
@@ -309,6 +325,24 @@ object PipelineQueries {
          |FROM e WHERE epoch * 100 + bkt < pct
          |GROUP BY 1, 2 ORDER BY source, epoch""".stripMargin
     },
+
+    "q_json_corrupt" ->
+      s"""WITH r AS (
+         |  SELECT event_type,
+         |    CASE WHEN event_id % 13 = 0 THEN 'x' || props ELSE props END
+         |      AS raw
+         |  FROM events
+         |), p AS (
+         |  SELECT event_type,
+         |    CASE WHEN json_valid(raw)
+         |         THEN CAST(json_extract_string(raw, '$$.k') AS BIGINT)
+         |    END AS k
+         |  FROM r
+         |)
+         |SELECT event_type, count(*) AS n,
+         |  count(CASE WHEN k IS NULL THEN 1 END) AS n_corrupt,
+         |  CAST(sum(k) AS BIGINT) AS sum_k
+         |FROM p GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "q_source_drift" ->
       """WITH tok AS (

@@ -86,6 +86,17 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("source"), col("epoch"))),
 
+    // Hopping (sliding) event-time windows: 1-hour windows every 30 min —
+    // each event lands in exactly two windows (Spark plans the window()
+    // expansion as an Expand, the same shape its streaming twin uses)
+    "q_hopping_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts").cast("timestamp"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("window.start").as("win_start"),
+          col("window.end").as("win_end"), col("n"), col("sum_value"))
+        .orderBy(col("win_start"))),
+
     // Corrupt-record ingestion: a deterministic 1-in-13 slice of the JSON
     // payloads is mangled (prefix byte → unambiguously invalid), and the
     // pipeline must count the corrupt rows per group while aggregating the
@@ -325,6 +336,23 @@ object PipelineQueries {
          |FROM e WHERE epoch * 100 + bkt < pct
          |GROUP BY 1, 2 ORDER BY source, epoch""".stripMargin
     },
+
+    // Each event's two containing windows: the aligned 30-min slot and the
+    // one 30 min earlier (duration 1h, slide 30m ⇒ exactly 2 per event)
+    "q_hopping_window" ->
+      """WITH e AS (
+        |  SELECT ts, value,
+        |    make_timestamp(epoch_us(ts) // 1800000000 * 1800000000) AS slot
+        |  FROM events
+        |), w AS (
+        |  SELECT value,
+        |    unnest([slot, slot - INTERVAL 30 MINUTE]) AS win_start
+        |  FROM e
+        |)
+        |SELECT win_start, win_start + INTERVAL 1 HOUR AS win_end,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1 ORDER BY win_start""".stripMargin,
 
     "q_json_corrupt" ->
       s"""WITH r AS (

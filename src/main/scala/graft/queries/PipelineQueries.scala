@@ -86,6 +86,41 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("source"), col("epoch"))),
 
+    // Map-column family: build a per-user event_type→count map
+    // (map_from_entries over a deterministically sorted entry list), then
+    // read it back via element_at / size — map construction and lookup
+    // without ever hashing a map-typed output column
+    "q_map_funcs" -> ((s, dir) => {
+      val cnt = Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      cnt.groupBy(col("user_id"))
+        .agg(map_from_entries(sort_array(
+          collect_list(struct(col("event_type"), col("n"))))).as("m"))
+        .select(col("user_id"),
+          size(col("m")).cast("long").as("n_types"),
+          coalesce(element_at(col("m"), "click"), lit(0L)).as("n_click"),
+          coalesce(element_at(col("m"), "purchase"), lit(0L)).as("n_purchase"),
+          coalesce(element_at(col("m"), "error"), lit(0L)).as("n_error"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Value-window function family (complements q_rank_funcs's rank
+    // family): first/last/nth value over an explicit full-partition frame —
+    // default frames stop at CURRENT ROW, so last_value needs the
+    // unbounded-following frame spelled out (classic silent-wrong-answer)
+    "q_value_windows" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Parity.daily(s, dir)
+      val wFull = Window.partitionBy(col("user_id")).orderBy(col("date"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      daily.select(col("user_id"), col("date"), col("daily_value"),
+          first(col("daily_value")).over(wFull).as("first_val"),
+          last(col("daily_value")).over(wFull).as("last_val"),
+          nth_value(col("daily_value"), 2).over(wFull).as("second_val"))
+        .orderBy(col("user_id"), col("date"))
+    }),
+
     // Hopping (sliding) event-time windows: 1-hour windows every 30 min —
     // each event lands in exactly two windows (Spark plans the window()
     // expansion as an Expand, the same shape its streaming twin uses)
@@ -336,6 +371,27 @@ object PipelineQueries {
          |FROM e WHERE epoch * 100 + bkt < pct
          |GROUP BY 1, 2 ORDER BY source, epoch""".stripMargin
     },
+
+    // Map semantics are reproduced as conditional aggregates — the values,
+    // not the container, are the contract
+    "q_map_funcs" ->
+      """SELECT user_id,
+        |  count(DISTINCT event_type) AS n_types,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "q_value_windows" ->
+      s"""${Parity.dailySql}
+         |SELECT user_id, "date", daily_value,
+         |  first_value(daily_value) OVER w AS first_val,
+         |  last_value(daily_value) OVER w AS last_val,
+         |  nth_value(daily_value, 2) OVER w AS second_val
+         |FROM daily
+         |WINDOW w AS (PARTITION BY user_id ORDER BY "date"
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         |ORDER BY user_id, "date"""".stripMargin,
 
     // Each event's two containing windows: the aligned 30-min slot and the
     // one 30 min earlier (duration 1h, slide 30m ⇒ exactly 2 per event)

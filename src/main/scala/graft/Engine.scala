@@ -41,6 +41,28 @@ object Engine {
     s
   }
 
+  /** SQL scalar UDFs (Spark 4 `CREATE FUNCTION … RETURN expr`) mirroring
+    * the engine-portable hash helpers, so SQL-first users get the same
+    * stable sampling/splitting rules as the Column API
+    * ([[graft.ext.Sampling.hashBucket]] / [[graft.ext.Dedup.tokenHash]]).
+    * SQL UDF bodies inline into the plan at analysis time — same codegen
+    * as the Column form, no black-box function boundary.
+    */
+  def registerSqlFunctions(spark: SparkSession): Unit = {
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_token_hash(t STRING)
+        |RETURNS BIGINT
+        |RETURN CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT)
+        |""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION
+        |  graft_bucket(id BIGINT, salt STRING)
+        |RETURNS BIGINT
+        |RETURN pmod(graft_token_hash(concat(salt, ':', CAST(id AS STRING))),
+        |            100)
+        |""".stripMargin)
+  }
+
   /** Register every testdata table as a temp view (events via its
     * nanos-safe reader). `embedding_d` is pre-cast for SQL vector work.
     */

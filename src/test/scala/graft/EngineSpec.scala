@@ -39,4 +39,24 @@ class EngineSpec extends SparkSpec {
       org.apache.spark.sql.SparkSession.setActiveSession(TestSpark.spark)
     }
   }
+
+  test("SQL UDF graft_bucket matches the Column-API hash bucket") {
+    val s = Engine.session(master = "local[2]", shufflePartitions = Some(2))
+    try {
+      Engine.registerSqlFunctions(s)
+      import s.implicits._
+      val ids = (1L to 50L).toDF("id")
+      ids.createOrReplaceTempView("ids_sqludf")
+      val viaSql = s.sql(
+        "SELECT id, graft_bucket(id, 'graft') AS b FROM ids_sqludf")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaCol = ids.select($"id",
+        graft.ext.Sampling.hashBucket($"id", "graft").as("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaSql == viaCol)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(TestSpark.spark)
+      org.apache.spark.sql.SparkSession.setActiveSession(TestSpark.spark)
+    }
+  }
 }

@@ -317,10 +317,15 @@ object Dedup {
     */
   def incrementalDedupStatus(batch: DataFrame, corpus: DataFrame,
                              textCol: String, idCol: String): DataFrame = {
+    // null text digests as empty content (md5(null) is null, and null join
+    // keys never match — the doc would silently vanish from the output
+    // instead of being classified). Null-text and empty-text docs therefore
+    // dedup together, which is the intended content semantics.
+    val content = coalesce(col(textCol), lit(""))
     // cache: the digest projection feeds the membership join AND the
     // first-in-batch min — one md5 pass per doc, not two
-    val b = batch.select(col(idCol), digest(col(textCol)).as("h")).cache()
-    val known = corpus.select(digest(col(textCol)).as("h")).distinct()
+    val b = batch.select(col(idCol), digest(content).as("h")).cache()
+    val known = corpus.select(digest(content).as("h")).distinct()
       .withColumn("__in_corpus", lit(1L))
     val firstIn = b.groupBy(col("h")).agg(min(col(idCol)).as("__first_id"))
     b.join(known, Seq("h"), "left")
@@ -409,9 +414,15 @@ object Dedup {
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       edges.unpersist(); p.unpersist()
       val parent = scala.collection.mutable.Map.empty[Long, Long]
+      // ITERATIVE find + full path compression: recursion would overflow
+      // the driver stack on a path-shaped component near the edge
+      // threshold (chains are unbounded without union-by-rank)
       def find(x: Long): Long = {
-        val pr = parent.getOrElseUpdate(x, x)
-        if (pr == x) x else { val r = find(pr); parent(x) = r; r }
+        var root = x
+        while (parent.getOrElseUpdate(root, root) != root) root = parent(root)
+        var cur = x
+        while (cur != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+        root
       }
       es.foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))

@@ -33,7 +33,12 @@ object Drift {
     val grpTotals = grpTok.groupBy(col(groupCol))
       .agg(sum(col("c_gt")).as("n_g"))
     val overall = grpTok.groupBy(col("t")).agg(sum(col("c_gt")).as("c_t"))
-    val n = overall.agg(sum(col("c_t"))).head.getLong(0).toDouble
+    // empty/all-null corpus: the total is a null row; any placeholder works
+    // because grpTok is empty too, so the output is empty either way — the
+    // guard only prevents the NPE
+    val totRow = overall.agg(sum(col("c_t"))).head
+    val n = if (totRow.isNullAt(0) || totRow.getLong(0) == 0L) 1.0
+            else totRow.getLong(0).toDouble
     val joined = grpTok.join(overall, "t").join(grpTotals, groupCol)
       .withColumn("p", col("c_gt").cast("double") / col("n_g"))
       .withColumn("q", col("c_t").cast("double") / n)

@@ -68,7 +68,9 @@ object Packing {
                   chunkSize: Int, stride: Int): DataFrame = {
     require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
       s"need 0 < stride=$stride <= chunkSize=$chunkSize")
-    val toks = split(trim(col(textCol)), "\\s+")
+    // the canonical tokenizer — a drifting inline copy would silently
+    // misalign chunk boundaries with every other operator's token counts
+    val toks = TextAnalysis.tokens(col(textCol))
     df.select(col(idCol), toks.as("__toks"))
       .withColumn("__n", size(col("__toks")))
       // chunk starts 0, stride, 2·stride, … strictly below n

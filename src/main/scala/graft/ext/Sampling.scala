@@ -107,9 +107,13 @@ object Sampling {
     val pct = weights.toSeq.sortBy(_._1).foldRight(lit(defaultPct)) {
       case ((src, p), els) => when(col(sourceCol) === src, lit(p)).otherwise(els)
     }
+    // top epoch = ceil(pct/100) − 1, floored at 0 (a sequence stop below
+    // the start would flip the step sign and emit a bogus epoch −1); the
+    // epoch-0 row of a pct=0 source is dropped by the filter
+    val topEpoch = greatest(
+      ((col("__pct") + 99) / 100).cast("int") - 1, lit(0))
     df.withColumn("__pct", pct)
-      .withColumn("epoch",
-        explode(sequence(lit(0), (col("__pct") + 99).divide(100).cast("int"))))
+      .withColumn("epoch", explode(sequence(lit(0), topEpoch)))
       .filter(col("epoch") * 100 + hashBucket(col(idCol), salt) < col("__pct"))
       .drop("__pct")
       .withColumn("epoch", col("epoch").cast("long"))

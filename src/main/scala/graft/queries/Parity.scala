@@ -26,6 +26,12 @@ object Parity {
     s"CAST(sum(CAST($expr AS DECIMAL(18,4))) AS DOUBLE)"
   /** SQL twin of [[ground]]. */
   def sqlGround(expr: String, s: Int): String = s"round($expr + 1e-9, $s)"
+  /** DuckDB twin of [[graft.ext.Sampling.hashBucket]]. */
+  def sqlBucket(salt: String, idExpr: String): String =
+    s"('0x' || substr(md5('$salt:' || $idExpr), 1, 8))::BIGINT % 100"
+  /** DuckDB twin of [[graft.ext.Sampling.hashKey]] (unbucketed). */
+  def sqlHashKey(salt: String, idExpr: String): String =
+    s"('0x' || substr(md5('$salt:' || $idExpr), 1, 8))::BIGINT"
 
   /** events + time features (Clean F1-F4), shared by most queries. */
   def eventsT(s: SparkSession, dir: String): DataFrame =

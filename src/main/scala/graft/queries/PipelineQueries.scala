@@ -18,14 +18,6 @@ import Parity._
   */
 object PipelineQueries {
 
-  /** DuckDB twin of [[Sampling.hashBucket]]. */
-  private def sqlBucket(salt: String, idExpr: String): String =
-    s"('0x' || substr(md5('$salt:' || $idExpr), 1, 8))::BIGINT % 100"
-
-  /** DuckDB twin of [[Sampling.hashKey]] (full 32-bit value, unbucketed). */
-  private def sqlHashKey(salt: String, idExpr: String): String =
-    s"('0x' || substr(md5('$salt:' || $idExpr), 1, 8))::BIGINT"
-
   /** The mixture recipe exercised by q_mixture (bounded source domain). */
   private val MixtureWeights =
     Map("src0" -> 100, "src1" -> 75, "src2" -> 50, "src3" -> 25)
@@ -363,7 +355,7 @@ object PipelineQueries {
          |  FROM documents
          |), e AS (
          |  SELECT doc_id, source, pct, bkt,
-         |    unnest(range(0, (pct + 99) // 100 + 1)) AS epoch
+         |    unnest(range(0, greatest((pct + 99) // 100, 1))) AS epoch
          |  FROM w
          |)
          |SELECT source, CAST(epoch AS BIGINT) AS epoch,
@@ -513,9 +505,11 @@ object PipelineQueries {
 
     "q_incremental_dedup" ->
       """WITH b AS (
-        |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 400
+        |  SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents
+        |  WHERE doc_id >= 400
         |), known AS (
-        |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 400
+        |  SELECT DISTINCT md5(coalesce(text, '')) AS h FROM documents
+        |  WHERE doc_id < 400
         |), firstin AS (
         |  SELECT h, min(doc_id) AS first_id FROM b GROUP BY h
         |)

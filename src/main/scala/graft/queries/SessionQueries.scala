@@ -14,10 +14,6 @@ import Parity._
   */
 object SessionQueries {
 
-  /** DuckDB twin of [[Sampling.hashBucket]]. */
-  private def sqlBucket(salt: String, idExpr: String): String =
-    s"('0x' || substr(md5('$salt:' || $idExpr), 1, 8))::BIGINT % 100"
-
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Gap-based sessionization: 30-min inactivity closes a session

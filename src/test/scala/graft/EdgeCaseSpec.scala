@@ -149,10 +149,12 @@ class EdgeCaseSpec extends SparkSpec {
     val strat = graft.ext.Sampling.stratifiedSample(docs, Seq("source"),
       "doc_id", "s", 10)
     assert(strat.count() == 3)
-    // empty pair set through cluster resolution (both paths)
+    // empty pair set through cluster resolution (both paths — threshold -1
+    // forces the distributed loop even at 0 edges; 0 would still satisfy
+    // count <= threshold and sneak back into the fastpath)
     val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.resolveClusters(noPairs).count() == 0)
-    assert(Dedup.resolveClusters(noPairs, localEdgeThreshold = 0L)
+    assert(Dedup.resolveClusters(noPairs, localEdgeThreshold = -1L)
       .count() == 0)
   }
 

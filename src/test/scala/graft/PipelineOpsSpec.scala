@@ -179,6 +179,16 @@ class PipelineOpsSpec extends SparkSpec {
       12L -> "dup_batch", 13L -> "novel"))
   }
 
+  test("cluster fastpath survives a path-shaped component (deep chains)") {
+    // 30k-edge path: recursive find would overflow the driver stack well
+    // below the 500k-edge threshold; iterative find+compression must not
+    val n = 30000
+    val path = (0 until n).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
+    val labels = graft.ext.Dedup.resolveClusters(path)
+    assert(labels.count() == n + 1L)
+    assert(labels.agg(max(col("cluster_id"))).head.getLong(0) == 0L)
+  }
+
   test("saltedSumCount equals the plain aggregation") {
     val df = (1L to 500L).map(i => (s"k${i % 3}", i.toDouble))
       .toDF("k", "v").withColumn("v", col("v").cast("decimal(18,4)"))

@@ -78,6 +78,28 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("source"), col("epoch"))),
 
+    // Regular-grid resampling + LOCF gap fill over the daily spine — the
+    // missing-day repair every window feature depends on
+    "q_resample_locf" -> ((s, dir) =>
+      graft.feat.Resample.dailyLocf(
+          Parity.daily(s, dir).select(col("user_id"), col("date"),
+            col("daily_value")), "user_id", "date", "daily_value")
+        .orderBy(col("user_id"), col("date"))),
+
+    // Wide→long unpivot (the inverse of q_pivot): per-user conditional
+    // counts melted back to (metric, value) rows
+    "q_unpivot" -> ((s, dir) => {
+      val wide = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(when(col("event_type") === "click", 1)).as("n_click"),
+          count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+          count(when(col("event_type") === "error", 1)).as("n_error"))
+      wide.unpivot(Array(col("user_id")),
+          Array(col("n_click"), col("n_purchase"), col("n_error")),
+          "metric", "n")
+        .orderBy(col("user_id"), col("metric"))
+    }),
+
     // Map-column family: build a per-user event_type→count map
     // (map_from_entries over a deterministically sorted entry list), then
     // read it back via element_at / size — map construction and lookup
@@ -363,6 +385,45 @@ object PipelineQueries {
          |FROM e WHERE epoch * 100 + bkt < pct
          |GROUP BY 1, 2 ORDER BY source, epoch""".stripMargin
     },
+
+    "q_resample_locf" ->
+      s"""${Parity.dailySql}, span AS (
+         |  SELECT user_id, min("date") AS d0, max("date") AS d1
+         |  FROM daily GROUP BY 1
+         |), grid AS (
+         |  SELECT user_id,
+         |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+         |      AS "date"
+         |  FROM span
+         |), j AS (
+         |  SELECT g.user_id, g."date", d.daily_value
+         |  FROM grid g LEFT JOIN daily d USING (user_id, "date")
+         |)
+         |SELECT user_id, "date",
+         |  CAST(daily_value IS NULL AS BIGINT) AS was_gap,
+         |  last_value(daily_value IGNORE NULLS) OVER (
+         |    PARTITION BY user_id ORDER BY "date"
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS value_filled
+         |FROM j ORDER BY user_id, "date"""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH wide AS (
+        |  SELECT user_id,
+        |    count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+        |    count(CASE WHEN event_type = 'purchase' THEN 1 END)
+        |      AS n_purchase,
+        |    count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT user_id, metric, n FROM (
+        |  SELECT user_id, 'n_click' AS metric, n_click AS n FROM wide
+        |  UNION ALL
+        |  SELECT user_id, 'n_purchase', n_purchase FROM wide
+        |  UNION ALL
+        |  SELECT user_id, 'n_error', n_error FROM wide
+        |)
+        |ORDER BY user_id, metric""".stripMargin,
 
     // Map semantics are reproduced as conditional aggregates — the values,
     // not the container, are the contract

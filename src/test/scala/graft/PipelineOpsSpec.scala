@@ -179,6 +179,24 @@ class PipelineOpsSpec extends SparkSpec {
       12L -> "dup_batch", 13L -> "novel"))
   }
 
+  test("dailyLocf: grid completion and last-observation carry-forward") {
+    val obs = Seq(
+      (1L, java.sql.Date.valueOf("2024-01-01"), 10.0),
+      (1L, java.sql.Date.valueOf("2024-01-04"), 40.0),
+      (2L, java.sql.Date.valueOf("2024-01-02"), 5.0))
+      .toDF("user_id", "date", "v")
+    val r = graft.feat.Resample.dailyLocf(obs, "user_id", "date", "v")
+      .orderBy("user_id", "date")
+      .collect().map(x => (x.getLong(0), x.getDate(1).toString,
+        x.getLong(2), x.getDouble(3)))
+    assert(r.toSeq == Seq(
+      (1L, "2024-01-01", 0L, 10.0),
+      (1L, "2024-01-02", 1L, 10.0),  // gap → carried forward
+      (1L, "2024-01-03", 1L, 10.0),
+      (1L, "2024-01-04", 0L, 40.0),
+      (2L, "2024-01-02", 0L, 5.0))) // single-day span: no gaps
+  }
+
   test("cluster fastpath survives a path-shaped component (deep chains)") {
     // 30k-edge path: recursive find would overflow the driver stack well
     // below the 500k-edge threshold; iterative find+compression must not

@@ -78,6 +78,52 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("source"), col("epoch"))),
 
+    // Ordered funnel (view → click → purchase, each within 24 h of the
+    // previous stage — the conversion-window rule that creates real stage
+    // attrition): three conditional-min passes, each a shuffle on user_id
+    // (AQE broadcasts the shrinking stage frames)
+    "q_funnel" -> ((s, dir) => {
+      val winUs = 24L * 3600 * 1000000
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+        .filter(col("us") > col("t1") && col("us") <= col("t1") + winUs)
+        .groupBy(col("user_id"), col("t1")).agg(min(col("us")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+        .filter(col("us") > col("t2") && col("us") <= col("t2") + winUs)
+        .groupBy(col("user_id"), col("t2")).agg(min(col("us")).as("t3"))
+      val staged = s1
+        .join(s2.select(col("user_id"), col("t2")), Seq("user_id"), "left")
+        .join(s3.select(col("user_id"), col("t3")), Seq("user_id"), "left")
+        .select(col("user_id"),
+          (lit(1L) + col("t2").isNotNull.cast("long") +
+            col("t3").isNotNull.cast("long")).as("stage"))
+      staged.groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("stage"))
+    }),
+
+    // Cohort retention: users grouped by first-activity week, counted
+    // distinct per week offset — two shuffles (first-seen, then the
+    // cohort×offset distinct count)
+    "q_cohort_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"),
+          date_trunc("week", col("ts").cast("timestamp")).cast("date")
+            .as("week"))
+      val first = ev.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      ev.join(first, "user_id")
+        .withColumn("week_offset",
+          datediff(col("week"), col("cohort_week")).cast("long") / 7)
+        .withColumn("week_offset", col("week_offset").cast("long"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
     // Regular-grid resampling + LOCF gap fill over the daily spine — the
     // missing-day repair every window feature depends on
     "q_resample_locf" -> ((s, dir) =>
@@ -385,6 +431,42 @@ object PipelineQueries {
          |FROM e WHERE epoch * 100 + bkt < pct
          |GROUP BY 1, 2 ORDER BY source, epoch""".stripMargin
     },
+
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        |), s1 AS (
+        |  SELECT user_id, min(us) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND us > t1
+        |    AND us <= t1 + 86400000000 GROUP BY 1
+        |), s3 AS (
+        |  SELECT e.user_id, min(us) AS t3 FROM e JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND us > t2
+        |    AND us <= t2 + 86400000000 GROUP BY 1
+        |)
+        |SELECT stage, count(*) AS n_users FROM (
+        |  SELECT CAST(1 + CAST(s2.user_id IS NOT NULL AS BIGINT)
+        |              + CAST(s3.user_id IS NOT NULL AS BIGINT) AS BIGINT)
+        |    AS stage
+        |  FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |) GROUP BY 1 ORDER BY stage""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+        |  FROM events
+        |), f AS (
+        |  SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1
+        |)
+        |SELECT cohort_week,
+        |  CAST(datediff('day', cohort_week, week) // 7 AS BIGINT)
+        |    AS week_offset,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
 
     "q_resample_locf" ->
       s"""${Parity.dailySql}, span AS (

@@ -132,6 +132,16 @@ object PipelineQueries {
             col("daily_value")), "user_id", "date", "daily_value")
         .orderBy(col("user_id"), col("date"))),
 
+    // Linear-interpolation gap fill (the LOCF twin): gaps take the line
+    // between surrounding observations, weighted by day offset
+    "q_resample_lerp" -> ((s, dir) =>
+      graft.feat.Resample.dailyLerp(
+          Parity.daily(s, dir).select(col("user_id"), col("date"),
+            col("daily_value")), "user_id", "date", "daily_value")
+        .select(col("user_id"), col("date"), col("was_gap"),
+          ground(col("value_filled"), 4).as("value_filled"))
+        .orderBy(col("user_id"), col("date"))),
+
     // Wide→long unpivot (the inverse of q_pivot): per-user conditional
     // counts melted back to (metric, value) rows
     "q_unpivot" -> ((s, dir) => {
@@ -488,6 +498,40 @@ object PipelineQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |    AS value_filled
          |FROM j ORDER BY user_id, "date"""".stripMargin,
+
+    "q_resample_lerp" ->
+      s"""${Parity.dailySql}, span AS (
+         |  SELECT user_id, min("date") AS d0, max("date") AS d1
+         |  FROM daily GROUP BY 1
+         |), grid AS (
+         |  SELECT user_id,
+         |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+         |      AS "date"
+         |  FROM span
+         |), j AS (
+         |  SELECT g.user_id, g."date", d.daily_value
+         |  FROM grid g LEFT JOIN daily d USING (user_id, "date")
+         |), anch AS (
+         |  SELECT user_id, "date", daily_value,
+         |    CAST(daily_value IS NULL AS BIGINT) AS was_gap,
+         |    last_value(daily_value IGNORE NULLS) OVER wb AS pv,
+         |    last_value(CASE WHEN daily_value IS NOT NULL THEN "date" END
+         |      IGNORE NULLS) OVER wb AS pd,
+         |    first_value(daily_value IGNORE NULLS) OVER wf AS nv,
+         |    first_value(CASE WHEN daily_value IS NOT NULL THEN "date" END
+         |      IGNORE NULLS) OVER wf AS nd
+         |  FROM j
+         |  WINDOW wb AS (PARTITION BY user_id ORDER BY "date"
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |  wf AS (PARTITION BY user_id ORDER BY "date"
+         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+         |)
+         |SELECT user_id, "date", was_gap,
+         |  round(CASE WHEN was_gap = 0 THEN daily_value
+         |    ELSE pv + (nv - pv)
+         |      * datediff('day', pd, "date")
+         |      / datediff('day', pd, nd) END + 1e-9, 4) AS value_filled
+         |FROM anch ORDER BY user_id, "date"""".stripMargin,
 
     "q_unpivot" ->
       """WITH wide AS (

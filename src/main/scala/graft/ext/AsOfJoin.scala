@@ -75,6 +75,56 @@ object AsOfJoin {
         payload.values.map(out => col(s"__upd_f.$out").as(out)): _*)
   }
 
+  /** FORWARD as-of join — for each left row, the EARLIEST right row with
+    * `rightTime >= leftTime` (same key): "the next reading after this
+    * event". Mirror of [[leftAsOf]]: same union + one shuffle + one sort,
+    * but the fill runs `first(_, ignoreNulls)` over the FORWARD frame, and
+    * at equal times left rows sort before right rows so a same-instant
+    * right row IS visible (`r.t >= l.t` inclusive). Same-instant duplicate
+    * right rows resolve to the greatest orderable payload — the same
+    * deterministic choice [[leftAsOf]] makes.
+    */
+  def leftAsOfForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTime: String, rightTime: String,
+                      payload: Map[String, String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val reserved = Seq("__t", "__src", "__upd", "__upd_f")
+    val clash = (left.columns ++ right.columns).filter(reserved.contains)
+    require(clash.isEmpty,
+      s"leftAsOfForward: input columns ${clash.mkString(", ")} collide " +
+        "with reserved internal names (__t, __src, __upd, __upd_f)")
+    val srcL = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__src", lit(1))
+    val srcR0 = right.select(
+      (keys.map(col) :+ col(rightTime).as("__t")) :+
+        struct(payload.map { case (c, out) => col(c).as(out) }.toSeq: _*)
+          .as("__upd"): _*)
+      .withColumn("__src", lit(0))
+    val withPayloadSlots = srcL.withColumn("__upd",
+      lit(null).cast(srcR0.schema("__upd").dataType))
+    val leftOnly = leftCols.filterNot(c => keys.contains(c))
+    val alignedR = leftOnly.foldLeft(srcR0)((d, c) =>
+      d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+      .select(withPayloadSlots.columns.map(col): _*)
+    val unioned = withPayloadSlots.union(alignedR)
+    val updOrderable = org.apache.spark.sql.catalyst.expressions.RowOrdering
+      .isOrderable(srcR0.schema("__upd").dataType)
+    // left (__src=1) before right (__src=0) at equal __t → the frame
+    // starting at the left row includes same-instant rights; among
+    // identical (key, time) rights, desc payload makes first() = greatest
+    val sortKeys = Seq(col("__t").asc, col("__src").desc) ++
+      (if (updOrderable) Seq(col("__upd").desc_nulls_last) else Nil)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(sortKeys: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = unioned.withColumn("__upd_f",
+      first(col("__upd"), ignoreNulls = true).over(w))
+    filled.filter(col("__src") === 1)
+      .select(leftCols.map(col) ++
+        payload.values.map(out => col(s"__upd_f.$out").as(out)): _*)
+  }
+
   /** Range join: left rows matched to right intervals [startCol, endCol)
     * sharing `keys`. Composed as an equi-join on keys + interval predicate;
     * Catalyst evaluates the range predicate post-join, and the equi-key

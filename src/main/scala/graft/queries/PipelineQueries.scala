@@ -105,6 +105,20 @@ object PipelineQueries {
         .orderBy(col("stage"))
     }),
 
+    // Forward as-of: each purchase matched to the user's NEXT error event
+    // (at or after the purchase) — the mirror of q_asof_join's backward
+    // lookup
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val errors = ev.filter(col("event_type") === "error")
+      AsOfJoin.leftAsOfForward(purchases, errors, Seq("user_id"), "ts", "ts",
+          Map("value" -> "next_error_value"))
+        .select(col("event_id"), col("user_id"), col("next_error_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // Cohort retention: users grouped by first-activity week, counted
     // distinct per week offset — two shuffles (first-seen, then the
     // cohort×offset distinct count)
@@ -463,6 +477,13 @@ object PipelineQueries {
         |    AS stage
         |  FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         |) GROUP BY 1 ORDER BY stage""".stripMargin,
+
+    "q_asof_forward" ->
+      """SELECT p.event_id, p.user_id, e.value AS next_error_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON p.user_id = e.user_id AND e.ts >= p.ts
+        |ORDER BY p.event_id""".stripMargin,
 
     "q_cohort_retention" ->
       """WITH e AS (

@@ -94,6 +94,20 @@ class AsOfJoinSpec extends SparkSpec {
     assert(t3.getDouble(4) == 1.5) // max of {1.0, 0.5, 1.5}
   }
 
+  test("forward as-of: earliest right row with t >= left t, per key") {
+    val r = AsOfJoin.leftAsOfForward(trades, quotes, Seq("sym"), "t", "qt",
+        Map("quote" -> "q"))
+      .orderBy("trade_id").collect()
+      .map(x => x.getAs[Long]("trade_id") ->
+        (if (x.isNullAt(x.fieldIndex("q"))) "-"
+         else x.getDouble(x.fieldIndex("q")).toString))
+    assert(r.toSeq == Seq(
+      1L -> "2.0",  // same-instant quote IS visible (>= inclusive)
+      2L -> "-",    // no quote at/after 10:00:10
+      3L -> "1.0",  // before any quote → the first one
+      4L -> "-"))   // B's only quote precedes the trade
+  }
+
   test("range join: rows land in their [start, end) interval per key") {
     val intervals = Seq(
       ("A", ts("2024-01-01 10:00:00"), ts("2024-01-01 10:00:08"), "w1"),

@@ -148,6 +148,35 @@ object NorthStarQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Quality-aware keeper selection: within each duplicate cluster keep
+    // the HIGHEST-quality doc (rounded quality, doc-id tiebreak — raw
+    // floats would tie-break engine-nondeterministically), not simply the
+    // min id. The canonical "which copy survives dedup" policy.
+    "q_dedup_keeper" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.simHashNearDups(docs, "text", "doc_id",
+        Seq("lang"), maxHamming = 3)
+      val labels = Dedup.resolveClusters(pairs)
+      val st = TA.withTokenStats(docs, "text")
+      val scored = st.select(col("doc_id"),
+        ground(TA.qualityScore(col("n_tokens"), col("token_chars"),
+          col("n_punct"), col("n_stopwords")), 4).as("quality"))
+      val clustered = scored
+        .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      val wAll = Window.partitionBy(col("cluster_id"))
+      clustered
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n_members", count(lit(1)).over(wAll))
+        .filter(col("rk") === 1)
+        .select(col("cluster_id"), col("doc_id").as("keeper_doc"),
+          col("n_members"), col("quality").as("keeper_quality"))
+        .orderBy(col("cluster_id"))
+    }),
+
     // Embedding-cosine near-dup pairs within IVF buckets
     "q_embedding_neardup" -> ((s, dir) =>
       Similarity.neighborPairs(Tables.embeddings(s, dir),
@@ -433,6 +462,59 @@ object NorthStarQueries {
          |    THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
          |FROM documents d LEFT JOIN comp c USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // Same transitive closure as q_dedup_clusters + the q_text_stats
+    // quality formula; keeper = argmax(rounded quality, min doc_id).
+    "q_dedup_keeper" ->
+      s"""WITH RECURSIVE $simhashCte, prs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sh, b.sh)) <= 3
+         |), edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM prs
+         |  UNION SELECT id_b, id_a FROM prs
+         |), reach(src, dst) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+         |), comp AS (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src
+         |), tq AS (
+         |  SELECT doc_id, text,
+         |    regexp_split_to_array(trim(text), '[\\s\\x0b]+') AS toks
+         |  FROM documents
+         |), stq AS (
+         |  SELECT doc_id, len(toks) AS n_tokens,
+         |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)
+         |      AS n_punct,
+         |    CAST(len(list_filter(toks, t -> t IN ($StopSql))) AS BIGINT)
+         |      AS n_stopwords
+         |  FROM tq
+         |), q AS (
+         |  SELECT doc_id,
+         |    round(least(n_tokens / 100.0, 1.0) * 0.3
+         |      + (1.0 - least(CAST(n_punct AS DOUBLE)
+         |          / greatest(n_tokens, 1), 1.0)) * 0.4
+         |      + least(CAST(n_stopwords AS DOUBLE) * 5.0
+         |          / greatest(n_tokens, 1), 1.0) * 0.3
+         |      + 1e-9, 4) AS quality
+         |  FROM stq
+         |), cl AS (
+         |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+         |    q.quality
+         |  FROM documents d LEFT JOIN comp c USING (doc_id)
+         |  JOIN q USING (doc_id)
+         |), rk AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY quality DESC, doc_id) AS rk,
+         |    count(*) OVER (PARTITION BY cluster_id) AS n_members
+         |  FROM cl
+         |)
+         |SELECT cluster_id, doc_id AS keeper_doc,
+         |  CAST(n_members AS BIGINT) AS n_members, quality AS keeper_quality
+         |FROM rk WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
 
     // Flagship composition — the same building blocks as the q_dedup_exact,
     // q_lang_id, q_text_stats and q_train_split oracles, chained.

@@ -136,6 +136,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming hopping windows match the batch hopping aggregation") {
+    import org.apache.spark.sql.functions.window
+    val stream = StreamingEnergy.readStream(spark, srcDir, schema)
+    val agg = stream
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("n"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("hopping_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("hopping_stream")
+      val batch = Tables.events(spark, TestSpark.sf0001)
+        .groupBy(window(col("ts").cast("timestamp"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("win_start"), col("n"))
+      assert(got.count() == batch.count())
+      assert(got.exceptAll(batch).count() == 0)
+    } finally q.stop()
+  }
+
   test("stateless text ops (chunking, stats, lang id) stream unchanged") {
     // a corpus-ingest stream: every round-3 text operator is a narrow
     // stateless projection, so the SAME code runs on readStream with no

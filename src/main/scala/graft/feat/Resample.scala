@@ -6,62 +6,69 @@ import org.apache.spark.sql.functions._
 
 /** Regular-grid resampling with gap fill — meter/sensor series arrive with
   * missing days, and every downstream window feature (lags, rolling stats)
-  * silently mis-frames on a ragged axis. This materializes each key's full
-  * daily grid and carries the last observation forward (LOCF).
+  * silently mis-frames on a ragged axis. Two fill modes over the same
+  * grid: [[dailyLocf]] (last observation carried forward) and
+  * [[dailyLerp]] (linear interpolation between surrounding observations).
   *
   * Scale: the grid explode is per-key and bounded by the key's own span
-  * (narrow, no shuffle); the join and the fill window shuffle on the key
-  * once each — the fill reuses the join's output partitioning.
+  * (narrow); the span aggregate and the grid join each shuffle once. When
+  * the observation side broadcasts, the fill window reuses the grid's
+  * key partitioning (no extra exchange — asserted at dev SF); a shuffled
+  * join keys on (key, date) and the key-only fill window then adds its own
+  * exchange, which is the correct 100 TB shape.
   */
 object Resample {
 
-  /** Daily grid per key from its own [min, max] date span, left-joined to
-    * the observations, LOCF-filled. Adds `was_gap` (1 for synthesized
-    * rows). The first grid row of a key is never synthetic (the span
-    * starts at an observation), so `value_filled` is never null.
+  /** Shared grid construction: each key's full daily [min, max] grid,
+    * left-joined to the observations, with the synthetic-row flag. The
+    * observation projection is cached — it feeds both the span aggregate
+    * and the join probe, and uncached the caller's upstream plan (a full
+    * scan + aggregate in the bench queries) would execute twice.
     */
-  def dailyLocf(df: DataFrame, keyCol: String, dateCol: String,
-                valueCol: String): DataFrame = {
-    val span = df.groupBy(col(keyCol))
+  private def gridJoin(df: DataFrame, keyCol: String, dateCol: String,
+                       valueCol: String): DataFrame = {
+    val src = df.select(col(keyCol), col(dateCol), col(valueCol)).cache()
+    val span = src.groupBy(col(keyCol))
       .agg(min(col(dateCol)).as("__d0"), max(col(dateCol)).as("__d1"))
     val grid = span.select(col(keyCol),
       explode(sequence(col("__d0"), col("__d1"))).as(dateCol))
+    grid.join(src, Seq(keyCol, dateCol), "left")
+      .withColumn("was_gap", col(valueCol).isNull.cast("long"))
+  }
+
+  /** LOCF fill. Adds `was_gap` (1 for synthesized rows). The first grid
+    * row of a key is never synthetic (the span starts at an observation),
+    * so `value_filled` is never null.
+    */
+  def dailyLocf(df: DataFrame, keyCol: String, dateCol: String,
+                valueCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(dateCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(df.select(col(keyCol), col(dateCol), col(valueCol)),
-        Seq(keyCol, dateCol), "left")
-      .withColumn("was_gap", col(valueCol).isNull.cast("long"))
+    gridJoin(df, keyCol, dateCol, valueCol)
       .withColumn("value_filled",
         last(col(valueCol), ignoreNulls = true).over(w))
       .drop(valueCol)
   }
 
-  /** Linear-interpolation variant: gaps take the line between the previous
-    * and next observation (weighted by day offset); span edges can only
-    * carry (the first/last grid row is always an observation, so both
-    * anchors exist for every gap). Two windows over the same (key, date)
-    * sort — one partitioning, one sort, two frames.
+  /** Linear-interpolation fill: gaps take the line between the previous
+    * and next observation (weighted by day offset); span edges always have
+    * both anchors (the first/last grid row is an observation). Two frames
+    * over the same (key, date) sort — one partitioning, one sort.
     */
   def dailyLerp(df: DataFrame, keyCol: String, dateCol: String,
                 valueCol: String): DataFrame = {
-    val span = df.groupBy(col(keyCol))
-      .agg(min(col(dateCol)).as("__d0"), max(col(dateCol)).as("__d1"))
-    val grid = span.select(col(keyCol),
-      explode(sequence(col("__d0"), col("__d1"))).as(dateCol))
     val back = Window.partitionBy(col(keyCol)).orderBy(col(dateCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val fwd = Window.partitionBy(col(keyCol)).orderBy(col(dateCol))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val joined = grid.join(df.select(col(keyCol), col(dateCol), col(valueCol)),
-        Seq(keyCol, dateCol), "left")
-      .withColumn("was_gap", col(valueCol).isNull.cast("long"))
+    gridJoin(df, keyCol, dateCol, valueCol)
       .withColumn("__pv", last(col(valueCol), ignoreNulls = true).over(back))
       .withColumn("__pd", last(when(col(valueCol).isNotNull, col(dateCol)),
         ignoreNulls = true).over(back))
       .withColumn("__nv", first(col(valueCol), ignoreNulls = true).over(fwd))
       .withColumn("__nd", first(when(col(valueCol).isNotNull, col(dateCol)),
         ignoreNulls = true).over(fwd))
-    joined.withColumn("value_filled",
+      .withColumn("value_filled",
         when(col("was_gap") === 0, col(valueCol))
           .otherwise(col("__pv") +
             (col("__nv") - col("__pv")) *

@@ -229,6 +229,28 @@ object Dedup {
         (agree.cast("double") / size(col("sig_a"))).as("sig_agreement"))
   }
 
+  /** Exact-Jaccard verification of candidate pairs — the second stage of
+    * production LSH dedup (estimate prunes, exact verifies). The pairwise
+    * set intersection runs ONLY on candidate pairs, so the quadratic cost
+    * LSH pruned away never comes back; per-pair `array_intersect` is the
+    * right tool here precisely because the pair set is already small.
+    */
+  def verifyCandidatesJaccard(cands: DataFrame, docs: DataFrame,
+                              textCol: String, idCol: String,
+                              threshold: Double, n: Int = 3): DataFrame = {
+    // cache: the shingle-set frame is probed by both pair-side joins
+    val sh = docs.select(col(idCol), shingles(col(textCol), n).as("g")).cache()
+    cands.select(col("id_a"), col("id_b"))
+      .join(sh.select(col(idCol).as("id_a"), col("g").as("g_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("g").as("g_b")), "id_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("g_a"), col("g_b"))))
+      .withColumn("jaccard", try_divide(col("n_inter").cast("double"),
+        (size(col("g_a")) + size(col("g_b")) - col("n_inter")).cast("double")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** 32-bit SimHashes, explode→groupBy shape (same codegen-size rationale
     * as [[minHashSignatures]]): per-bit majority vote of token
     * [[tokenHash]] bits — bit i of the simhash is 1 iff more tokens have

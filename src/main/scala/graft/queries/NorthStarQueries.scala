@@ -19,6 +19,50 @@ object NorthStarQueries {
     * `sh(doc_id, lang, sh)` — mirroring [[Dedup.simHashes]] (portable md5
     * token hash, ±1 bit votes). Reused by the pairs and clusters oracles.
     */
+  private val MinhashNh = 16
+
+  /** Shared DuckDB CTE chain ending in `cands` (and `sig`) — the MinHash
+    * signature + banded-candidate construction mirroring
+    * [[Dedup.minHashLsh]] (same affine params, same hot-bucket cap).
+    */
+  private def minhashCandsCte: String = {
+    val nh = MinhashNh; val bands = 4; val rpb = nh / bands
+    val hashAggs = Dedup.affineParams(nh).zipWithIndex.map {
+      case ((a, b), i) => s"min((h * $a + $b) % ${Dedup.MersenneP}) AS h$i"
+    }.mkString(",\n    ")
+    val bandRows = (0 until bands).map { bnd =>
+      val cols = (bnd * rpb until (bnd + 1) * rpb)
+        .map(i => s"h$i").mkString(", ")
+      s"SELECT doc_id, $bnd AS band, [$cols] AS bk FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '[\\s\\x0b]+') AS t
+       |  FROM documents
+       |), shingle AS (
+       |  SELECT DISTINCT doc_id, array_to_string(t[i+1:i+3], ' ') AS s
+       |  FROM toks, unnest(range(len(t) - 2)) AS u(i)
+       |  WHERE len(t) >= 3
+       |), h AS (
+       |  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+       |  FROM shingle
+       |), sig AS (
+       |  SELECT doc_id,
+       |    $hashAggs
+       |  FROM h GROUP BY doc_id
+       |), banded AS (
+       |  $bandRows
+       |), kept AS (
+       |  SELECT banded.* FROM banded
+       |  ANTI JOIN (
+       |    SELECT band, bk FROM banded GROUP BY band, bk
+       |    HAVING count(*) > 100) hot USING (band, bk)
+       |), cands AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM kept a JOIN kept b
+       |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+       |)""".stripMargin
+  }
+
   private def simhashCte: String = {
     val votes = (0 until 32).map(i =>
       s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i")
@@ -146,6 +190,20 @@ object NorthStarQueries {
         .withColumn("is_keeper",
           (col("doc_id") === col("cluster_id")).cast("long"))
         .orderBy(col("doc_id"))
+    }),
+
+    // LSH candidates + exact-Jaccard verification — the production
+    // two-stage dedup (estimate prunes, exact verifies on the tiny
+    // candidate set)
+    "q_minhash_verified" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cands = Dedup.minHashLsh(docs, "text", "doc_id",
+        maxBandBucket = 100)
+      Dedup.verifyCandidatesJaccard(cands, docs, "text", "doc_id",
+          threshold = 0.2)
+        .select(col("id_a"), col("id_b"),
+          ground(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
     }),
 
     // Quality-aware keeper selection: within each duplicate cluster keep
@@ -381,44 +439,10 @@ object NorthStarQueries {
     // (slice-list equality here vs xxhash64 in Spark) but partitions
     // identically modulo 64-bit hash collisions.
     "q_minhash_lsh" -> {
-      val nh = 16; val bands = 4; val rpb = nh / bands
-      val hashAggs = Dedup.affineParams(nh).zipWithIndex.map {
-        case ((a, b), i) => s"min((h * $a + $b) % ${Dedup.MersenneP}) AS h$i"
-      }.mkString(",\n         |    ").stripMargin
-      val bandRows = (0 until bands).map { bnd =>
-        val cols = (bnd * rpb until (bnd + 1) * rpb)
-          .map(i => s"h$i").mkString(", ")
-        s"SELECT doc_id, $bnd AS band, [$cols] AS bk FROM sig"
-      }.mkString("\n  UNION ALL\n  ")
-      val agreeSum = (0 until nh)
+      val agreeSum = (0 until MinhashNh)
         .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END")
         .mkString(" + ")
-      s"""WITH toks AS (
-         |  SELECT doc_id, regexp_split_to_array(trim(text), '[\\s\\x0b]+') AS t
-         |  FROM documents
-         |), shingle AS (
-         |  SELECT DISTINCT doc_id, array_to_string(t[i+1:i+3], ' ') AS s
-         |  FROM toks, unnest(range(len(t) - 2)) AS u(i)
-         |  WHERE len(t) >= 3
-         |), h AS (
-         |  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
-         |  FROM shingle
-         |), sig AS (
-         |  SELECT doc_id,
-         |    $hashAggs
-         |  FROM h GROUP BY doc_id
-         |), banded AS (
-         |  $bandRows
-         |), kept AS (
-         |  SELECT banded.* FROM banded
-         |  ANTI JOIN (
-         |    SELECT band, bk FROM banded GROUP BY band, bk
-         |    HAVING count(*) > 100) hot USING (band, bk)
-         |), cands AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM kept a JOIN kept b
-         |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
-         |), agree AS (
+      s"""WITH $minhashCandsCte, agree AS (
          |  SELECT id_a, id_b, ($agreeSum) / 16.0 AS sig_agreement
          |  FROM cands
          |  JOIN sig sa ON sa.doc_id = cands.id_a
@@ -427,6 +451,29 @@ object NorthStarQueries {
          |SELECT id_a, id_b, sig_agreement FROM agree
          |WHERE sig_agreement >= 0.5 ORDER BY id_a, id_b""".stripMargin
     },
+
+    // LSH candidates + EXACT Jaccard verification (the production two-stage
+    // shape): the pairwise set math runs only on the LSH-pruned pairs
+    "q_minhash_verified" ->
+      s"""WITH $minhashCandsCte, g AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(
+         |      range(len(regexp_split_to_array(trim(text), '[\\s\\x0b]+')) - 2),
+         |      i -> array_to_string(
+         |        regexp_split_to_array(trim(text), '[\\s\\x0b]+')[i+1:i+3],
+         |        ' '))) AS g
+         |  FROM documents
+         |), scored AS (
+         |  SELECT id_a, id_b,
+         |    CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+         |      / (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)))
+         |      AS jac
+         |  FROM cands
+         |  JOIN g ga ON ga.doc_id = cands.id_a
+         |  JOIN g gb ON gb.doc_id = cands.id_b
+         |)
+         |SELECT id_a, id_b, round(jac + 1e-9, 6) AS jaccard
+         |FROM scored WHERE jac >= 0.2 ORDER BY id_a, id_b""".stripMargin,
 
     // Pairwise form (exact equivalent of the pigeonhole banding — banding
     // only prunes candidates, never changes the hamming<=3 answer set).

@@ -105,6 +105,23 @@ object PipelineQueries {
         .orderBy(col("stage"))
     }),
 
+    // CDC compaction: the LATEST record per key (row_number over ts desc,
+    // event_id tiebreak for same-instant updates) — the upsert-materialize
+    // step of a change-stream ingest
+    "q_latest_per_key" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us").desc, col("event_id").desc)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("us"), col("value"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("us"), col("value"))
+        .orderBy(col("user_id"))
+    }),
+
     // Forward as-of: each purchase matched to the user's NEXT error event
     // (at or after the purchase) — the mirror of q_asof_join's backward
     // lookup
@@ -477,6 +494,14 @@ object PipelineQueries {
         |    AS stage
         |  FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         |) GROUP BY 1 ORDER BY stage""".stripMargin,
+
+    "q_latest_per_key" ->
+      """SELECT user_id, event_id, event_type, us, value FROM (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rk
+        |  FROM events
+        |) WHERE rk = 1 ORDER BY user_id""".stripMargin,
 
     "q_asof_forward" ->
       """SELECT p.event_id, p.user_id, e.value AS next_error_value

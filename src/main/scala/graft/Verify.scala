@@ -18,9 +18,17 @@ object Verify {
     // dev-only filter (comma-separated names); driver sets nothing → all
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    SparkEntry.queries
+    // sorted with the memoized ML pair last (same as Bench) so the cache
+    // clearing below never lands between the pair's two halves
+    val (mlQs, plainQs) = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+      .partition(_._1.startsWith("q_ml_"))
+    (plainQs ++ mlQs).foreach { case (name, fn) =>
+      // same cache isolation as Bench: operators cache internal frames
+      // they cannot unpersist, and ~90 queries of accumulated entries
+      // would churn storage memory at higher SF (the memoized ML pair is
+      // exempt — clearing between its halves would retrain the model)
+      if (!name.startsWith("q_ml_")) spark.catalog.clearCache()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

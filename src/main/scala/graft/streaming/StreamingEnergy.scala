@@ -62,6 +62,55 @@ object StreamingEnergy {
       }
   }
 
+  case class FunnelEvent(user_id: Long, event_type: String, us: Long)
+  case class FunnelState(t1: Option[Long], t2: Option[Long], t3: Option[Long])
+  case class FunnelStage(user_id: Long, stage: Long)
+
+  /** One funnel transition: view → click → purchase, each stage's event
+    * strictly after the previous stage and within `windowUs`. Stages are
+    * monotone (first qualifying event wins — processed in time order this
+    * equals the batch conditional-min formulation in q_funnel).
+    */
+  private[graft] def advanceFunnel(st: FunnelState, e: FunnelEvent,
+                                   windowUs: Long): FunnelState =
+    e.event_type match {
+      case "view" if st.t1.isEmpty => st.copy(t1 = Some(e.us))
+      case "click" if st.t2.isEmpty && st.t1.exists(t =>
+        e.us > t && e.us <= t + windowUs) => st.copy(t2 = Some(e.us))
+      case "purchase" if st.t3.isEmpty && st.t2.exists(t =>
+        e.us > t && e.us <= t + windowUs) => st.copy(t3 = Some(e.us))
+      case _ => st
+    }
+
+  /** Stateful streaming funnel: per-user stage machine over
+    * `mapGroupsWithState`. State is three optional timestamps — O(1) per
+    * user, no eviction needed. Events within a trigger are sorted by event
+    * time before folding (state functions receive unordered iterators);
+    * across triggers the monotone stages make late re-processing a no-op.
+    * Emits the user's current stage (0 = no view yet) after each trigger.
+    */
+  def funnelStages(spark: SparkSession, events: DataFrame,
+                   windowUs: Long = 86400000000L): Dataset[FunnelStage] = {
+    import spark.implicits._
+    events.selectExpr("user_id", "event_type",
+        "unix_micros(cast(ts as timestamp)) as us")
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (id: Long, rows: Iterator[FunnelEvent],
+         state: org.apache.spark.sql.streaming.GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(None, None, None))
+          rows.toSeq.sortBy(e => (e.us, e.event_type)).foreach { e =>
+            st = advanceFunnel(st, e, windowUs)
+          }
+          state.update(st)
+          FunnelStage(id,
+            if (st.t3.nonEmpty) 3L
+            else if (st.t2.nonEmpty) 2L
+            else if (st.t1.nonEmpty) 1L else 0L)
+      }
+  }
+
   /** @param watermark days strictly below this have been EVICTED and are
     *                  final; "" until the first eviction (accept anything —
     *                  out-of-order days arriving before the state ever

@@ -136,6 +136,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel stages match the batch funnel counts") {
+    val stream = StreamingEnergy.readStream(spark, srcDir, schema)
+    val staged = StreamingEnergy.funnelStages(spark, stream)
+    val q = staged.toDF().writeStream.outputMode("update")
+      .format("memory").queryName("funnel_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("funnel_stream")
+        .filter(col("stage") >= 1) // batch funnel only counts viewers
+        .groupBy("stage").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = SparkEntry.queries("q_funnel")(spark, TestSpark.sf0001)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("streaming hopping windows match the batch hopping aggregation") {
     import org.apache.spark.sql.functions.window
     val stream = StreamingEnergy.readStream(spark, srcDir, schema)

@@ -105,6 +105,23 @@ object PipelineQueries {
         .orderBy(col("stage"))
     }),
 
+    // EXISTS / NOT EXISTS predicate subqueries (Catalyst rewrites them to
+    // semi/anti joins — the SQL-surface twin of q_semi_anti's explicit
+    // join forms): customers with at least one order but none above 400k
+    "q_exists_subquery" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer_ex")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_ex")
+      s.sql("""
+        SELECT c_mktsegment, count(*) AS n
+        FROM customer_ex c
+        WHERE EXISTS (SELECT 1 FROM orders_ex o
+                      WHERE o.o_custkey = c.c_custkey)
+          AND NOT EXISTS (SELECT 1 FROM orders_ex o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 400000)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    }),
+
     // CDC compaction: the LATEST record per key (row_number over ts desc,
     // event_id tiebreak for same-instant updates) — the upsert-materialize
     // step of a change-stream ingest
@@ -494,6 +511,16 @@ object PipelineQueries {
         |    AS stage
         |  FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         |) GROUP BY 1 ORDER BY stage""".stripMargin,
+
+    "q_exists_subquery" ->
+      """SELECT c_mktsegment, count(*) AS n
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 400000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_latest_per_key" ->
       """SELECT user_id, event_id, event_type, us, value FROM (

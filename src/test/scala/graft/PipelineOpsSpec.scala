@@ -117,6 +117,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.toSeq == Seq((1L, 2L, 3L)))
   }
 
+  test("property: packing conserves tokens and pack ids are dense") {
+    // doc sizes capped at the context size: a doc LONGER than ctx swallows
+    // whole packs (no doc starts inside its span), so id density is only
+    // guaranteed for docs <= ctx — conservation below holds regardless
+    val docs = (1L to 200L)
+      .map(i => (s"s${i % 3}", i, 1L + (i * 37) % 256))
+      .toDF("stream", "id", "n_tokens")
+    val packed = Packing.packByOffset(docs, Seq("stream"), "id",
+      "n_tokens", 256)
+    // conservation: every doc lands in exactly one pack; token totals match
+    assert(packed.count() == 200)
+    val total = docs.agg(sum("n_tokens")).head.getLong(0)
+    val packedTotal = Packing.packSummary(packed, Seq("stream"), "id",
+      "n_tokens").agg(sum("pack_tokens")).head.getLong(0)
+    assert(total == packedTotal)
+    // density: within each stream, pack ids 0..max with no holes
+    val perStream = packed.groupBy("stream")
+      .agg(countDistinct("pack_id").as("n"), max("pack_id").as("mx"))
+      .collect()
+    assert(perStream.forall(r => r.getLong(1) == r.getLong(2) + 1))
+  }
+
+  test("property: non-overlapping chunks reconstruct the token stream") {
+    val docs = Seq((1L, "a b c d e f g"), (2L, "x y z")).toDF("doc_id", "text")
+    val rebuilt = Packing.chunkTokens(docs, "text", "doc_id", 3, 3)
+      .orderBy("doc_id", "chunk_id")
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.map(_.getString(4)).mkString(" ") }
+    assert(rebuilt == Map(1L -> "a b c d e f g", 2L -> "x y z"))
+  }
+
   test("tokenEntropy: zero for degenerate text, ln(n) for diverse text") {
     val docs = Seq((1L, "spam spam spam spam"), (2L, "a b c d"),
       (3L, "x x y y")).toDF("doc_id", "text")

@@ -238,9 +238,20 @@ object Dedup {
   def verifyCandidatesJaccard(cands: DataFrame, docs: DataFrame,
                               textCol: String, idCol: String,
                               threshold: Double, n: Int = 3): DataFrame = {
+    // cache: the candidate frame (possibly an expensive LSH plan) feeds
+    // the id extraction AND the pair joins — uncached it would execute
+    // twice
+    val c = cands.select(col("id_a"), col("id_b")).cache()
+    // shingle ONLY docs that appear in a candidate pair — at corpus scale
+    // the candidate set is orders of magnitude smaller than the corpus,
+    // and shingling is the dominant cost; the semi-join restricts the
+    // scan before the expensive projection runs
+    val candIds = c
+      .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
     // cache: the shingle-set frame is probed by both pair-side joins
-    val sh = docs.select(col(idCol), shingles(col(textCol), n).as("g")).cache()
-    cands.select(col("id_a"), col("id_b"))
+    val sh = docs.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol), shingles(col(textCol), n).as("g")).cache()
+    c
       .join(sh.select(col(idCol).as("id_a"), col("g").as("g_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("g").as("g_b")), "id_b")
       .withColumn("n_inter",

@@ -23,12 +23,17 @@ object Verify {
     val (mlQs, plainQs) = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .partition(_._1.startsWith("q_ml_"))
+    var mlStarted = false
     (plainQs ++ mlQs).foreach { case (name, fn) =>
       // same cache isolation as Bench: operators cache internal frames
       // they cannot unpersist, and ~90 queries of accumulated entries
-      // would churn storage memory at higher SF (the memoized ML pair is
-      // exempt — clearing between its halves would retrain the model)
-      if (!name.startsWith("q_ml_")) spark.catalog.clearCache()
+      // would churn storage memory at higher SF. One extra clear runs
+      // BEFORE the first ML query (so the last plain query's caches don't
+      // pin storage through model training); none between the memoized ML
+      // pair's halves (that would retrain the model).
+      val isMl = name.startsWith("q_ml_")
+      if (!isMl || !mlStarted) spark.catalog.clearCache()
+      mlStarted |= isMl
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

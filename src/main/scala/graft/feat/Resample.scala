@@ -13,9 +13,9 @@ import org.apache.spark.sql.functions._
   * Scale: the grid explode is per-key and bounded by the key's own span
   * (narrow); the span aggregate and the grid join each shuffle once. When
   * the observation side broadcasts, the fill window reuses the grid's
-  * key partitioning (no extra exchange — asserted at dev SF); a shuffled
-  * join keys on (key, date) and the key-only fill window then adds its own
-  * exchange, which is the correct 100 TB shape.
+  * key partitioning (no extra exchange — asserted in PhysicalSpec); a
+  * shuffled join keys on (key, date) and the key-only fill window then
+  * adds its own exchange, which is the correct 100 TB shape.
   */
 object Resample {
 

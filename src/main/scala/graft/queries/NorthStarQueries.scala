@@ -443,7 +443,7 @@ object NorthStarQueries {
         .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END")
         .mkString(" + ")
       s"""WITH $minhashCandsCte, agree AS (
-         |  SELECT id_a, id_b, ($agreeSum) / 16.0 AS sig_agreement
+         |  SELECT id_a, id_b, ($agreeSum) / $MinhashNh.0 AS sig_agreement
          |  FROM cands
          |  JOIN sig sa ON sa.doc_id = cands.id_a
          |  JOIN sig sb ON sb.doc_id = cands.id_b

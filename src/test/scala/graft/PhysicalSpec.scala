@@ -196,6 +196,23 @@ class PhysicalSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
   }
 
+  test("LOCF fill reuses the grid's key partitioning under broadcast") {
+    import spark.implicits._
+    val obs = (1L to 50L).flatMap(k => Seq(
+        (k, java.sql.Date.valueOf("2024-01-01"), 1.0),
+        (k, java.sql.Date.valueOf("2024-01-05"), 5.0)))
+      .toDF("k", "d", "v")
+    val df = graft.feat.Resample.dailyLocf(obs, "k", "d", "v")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // broadcast obs side → the only hash exchange is the span aggregate's;
+    // the fill window rides the grid's HashPartitioning(k)
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Exchange hash")) == 1,
+      s"LOCF fill should not add an exchange:\n$plan")
+  }
+
   test("null-safe equality plans as a hash join, not nested-loop") {
     val df = SparkEntry.queries("q_nullsafe_join")(spark, TestSpark.sf0001)
     df.collect()

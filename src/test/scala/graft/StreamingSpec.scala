@@ -143,7 +143,12 @@ class StreamingSpec extends SparkSpec {
       .format("memory").queryName("funnel_stream").start()
     try {
       q.processAllAvailable()
+      // per-user max first: update mode appends one stage row per active
+      // user per TRIGGER, so raw rows would double-count users if the file
+      // source split the fixture across micro-batches (stages are
+      // monotone, so max = final stage)
       val got = spark.table("funnel_stream")
+        .groupBy("user_id").agg(max("stage").as("stage"))
         .filter(col("stage") >= 1) // batch funnel only counts viewers
         .groupBy("stage").count().collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap

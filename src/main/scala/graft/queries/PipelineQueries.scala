@@ -18,6 +18,8 @@ import Parity._
   */
 object PipelineQueries {
 
+  private val StopSql = TA.Stopwords.map(s => s"'$s'").mkString(", ")
+
   /** The mixture recipe exercised by q_mixture (bounded source domain). */
   private val MixtureWeights =
     Map("src0" -> 100, "src1" -> 75, "src2" -> 50, "src3" -> 25)
@@ -103,6 +105,29 @@ object PipelineQueries {
             col("t3").isNotNull.cast("long")).as("stage"))
       staged.groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
         .orderBy(col("stage"))
+    }),
+
+    // End-to-end corpus prep, second flagship composition: exact-dedup
+    // keepers → quality gate → mixture sample → stable split → sequence
+    // packing per split. Narrow except the dedup groupBy, the pack window,
+    // and the final small agg.
+    "q_corpus_pack" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val keepers = Dedup.exactGroups(docs, "text", "doc_id")
+        .select(col("keeper_id").as("doc_id"))
+      val kept = docs.join(keepers, Seq("doc_id"), "left_semi")
+      val st = TA.withTokenStats(kept, "text")
+        .withColumn("quality",
+          ground(TA.qualityScore(col("n_tokens"), col("token_chars"),
+            col("n_punct"), col("n_stopwords")), 4))
+        .filter(col("quality") >= 0.5)
+      val mixed = Sampling.mixtureSample(st, "source", Map.empty,
+        defaultPct = 50, "doc_id", salt = "prep")
+      val split = Sampling.withSplit(mixed, "doc_id", "graft")
+      val packed = Packing.packByOffset(split, Seq("split"), "doc_id",
+        "n_tokens", ctxTokens = 512)
+      Packing.packSummary(packed, Seq("split"), "doc_id", "n_tokens")
+        .orderBy(col("split"), col("pack_id"))
     }),
 
     // EXISTS / NOT EXISTS predicate subqueries (Catalyst rewrites them to
@@ -511,6 +536,53 @@ object PipelineQueries {
         |    AS stage
         |  FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         |) GROUP BY 1 ORDER BY stage""".stripMargin,
+
+    "q_corpus_pack" ->
+      s"""WITH keepers AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+         |), d AS (
+         |  SELECT documents.* FROM documents JOIN keepers USING (doc_id)
+         |), t AS (
+         |  SELECT doc_id, source, text,
+         |    regexp_split_to_array(trim(text), '[\\s\\x0b]+') AS toks
+         |  FROM d
+         |), st AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)
+         |      AS n_punct,
+         |    CAST(len(list_filter(toks, t -> t IN ($StopSql))) AS BIGINT)
+         |      AS n_stopwords
+         |  FROM t
+         |), q AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    round(least(n_tokens / 100.0, 1.0) * 0.3
+         |      + (1.0 - least(CAST(n_punct AS DOUBLE)
+         |          / greatest(n_tokens, 1), 1.0)) * 0.4
+         |      + least(CAST(n_stopwords AS DOUBLE) * 5.0
+         |          / greatest(n_tokens, 1), 1.0) * 0.3
+         |      + 1e-9, 4) AS quality
+         |  FROM st
+         |), mixed AS (
+         |  SELECT * FROM q WHERE quality >= 0.5
+         |    AND ${sqlBucket("prep", "doc_id")} < 50
+         |), sp AS (
+         |  SELECT *,
+         |    CASE WHEN ${sqlBucket("graft", "doc_id")} < 80 THEN 'train'
+         |         WHEN ${sqlBucket("graft", "doc_id")} < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM mixed
+         |), o AS (
+         |  SELECT split, doc_id, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS tok_offset
+         |  FROM sp
+         |)
+         |SELECT split, CAST(tok_offset // 512 AS BIGINT) AS pack_id,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM o GROUP BY 1, 2 ORDER BY split, pack_id""".stripMargin,
 
     "q_exists_subquery" ->
       """SELECT c_mktsegment, count(*) AS n

@@ -42,6 +42,21 @@ object Multimodal {
       concat(lit("img/"), coalesce(col(sourceCol), lit("unknown")))
         .as("format"))
 
+  /** Bridge the `binaryFile` source ([[graft.io.Sources.binaryFiles]])
+    * into the media shape: id = stable hash of the file path (xxhash64 —
+    * reproducible across runs and listings), format from the extension.
+    * This is how REAL media bytes enter the decode pipeline; the text
+    * stand-in ([[asMedia]]) exists only because the container has no media
+    * fixtures.
+    */
+  def asMediaFromFiles(files: DataFrame): DataFrame =
+    files.select(
+      xxhash64(col("path")).as("doc_id"),
+      col("content").as("payload"),
+      concat(lit("img/"),
+        lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1)))
+        .as("format"))
+
   case class ResizedRow(doc_id: Long, width: Long, height: Long,
                         target_w: Long, target_h: Long, scale: Double)
   case class FrameRow(doc_id: Long, frame_idx: Long, frame_hash: Long)

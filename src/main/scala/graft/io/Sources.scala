@@ -35,6 +35,23 @@ object Sources {
 
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
+
+  /** Raw text-lines source: one row per line (`value`) — the ingest path
+    * for raw corpus dumps before any schema exists.
+    */
+  def textLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
+  /** Binary-file source — the standard multimodal ingest path: one row per
+    * file with (path, modificationTime, length, content). The glob prunes
+    * at listing time, BEFORE any bytes are read; pair with
+    * `spark.sql.files.maxPartitionBytes` so one task doesn't swallow a
+    * directory of large media files.
+    */
+  def binaryFiles(spark: SparkSession, path: String,
+                  glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob).load(path)
 }
 
 /** One accessor per driver testdata table (TESTDATA.md). */

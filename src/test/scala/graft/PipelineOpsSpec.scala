@@ -117,6 +117,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.toSeq == Seq((1L, 2L, 3L)))
   }
 
+  test("binaryFile source → media bridge → batch decode") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-bin").toString
+    Files.write(Paths.get(dir, "a.bin"), Array.fill[Byte](100)(1))
+    Files.write(Paths.get(dir, "b.bin"), Array.fill[Byte](250)(2))
+    Files.write(Paths.get(dir, "skip.txt"), Array.fill[Byte](9)(3))
+    val files = graft.io.Sources.binaryFiles(spark, dir, glob = "*.bin")
+    assert(files.count() == 2) // listing-time glob pruning
+    val media = graft.ext.Multimodal.asMediaFromFiles(files)
+    val decoded = graft.ext.Multimodal.decodeBatches(spark, media)
+      .collect().map(r => r.byte_len).sorted
+    assert(decoded.toSeq == Seq(100L, 250L))
+    assert(media.select("format").distinct().head.getString(0) == "img/bin")
+  }
+
+  test("textLines source reads raw corpus dumps line-per-row") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-txt").toString
+    Files.write(Paths.get(dir, "dump.txt"),
+      "doc one\ndoc two\ndoc three\n".getBytes("UTF-8"))
+    val lines = graft.io.Sources.textLines(spark, dir)
+    assert(lines.count() == 3)
+    assert(lines.orderBy("value").head.getString(0) == "doc one")
+  }
+
   test("property: packing conserves tokens and pack ids are dense") {
     // doc sizes capped at the context size: a doc LONGER than ctx swallows
     // whole packs (no doc starts inside its span), so id density is only

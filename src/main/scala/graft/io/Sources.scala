@@ -134,6 +134,23 @@ object Writers {
       .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
       .saveAsTable(table)
 
+  /** Range-sorted parquet layout — the data-skipping write pattern for
+    * non-partition-key predicates: repartitionByRange gives each output
+    * file a DISJOINT key range, and the within-partition sort tightens
+    * per-row-group min/max stats, so a point/range filter on the sort key
+    * prunes whole files and row groups at scan time (parquet footer
+    * stats). At 100 TB this is the difference between touching one file
+    * and touching all of them for a "one household" query — without the
+    * directory explosion high-cardinality `partitionBy` would cause.
+    */
+  def rangeSortedParquet(df: DataFrame, path: String, sortCols: Seq[String],
+                         numFiles: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(numFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** S14: small text sink (model metadata, manifests) through the Hadoop
     * FileSystem API so the file lands next to the tables for ANY path
     * scheme (local, hdfs://, s3a://…) — local java.nio would silently

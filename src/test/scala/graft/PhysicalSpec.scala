@@ -196,6 +196,29 @@ class PhysicalSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
   }
 
+  test("range-sorted layout gives files disjoint key ranges") {
+    val dir = Files.createTempDirectory("graft-range").toString
+    val daily = Parity.daily(spark, TestSpark.sf0001)
+    Writers.rangeSortedParquet(daily, s"$dir/by_user", Seq("user_id"), 4)
+    val files = new java.io.File(s"$dir/by_user").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length >= 2)
+    // every file owns a disjoint user range → footer min/max stats can
+    // prune whole files for a user_id predicate
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("user_id")), max(col("user_id"))).head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi <= lo2,
+        s"overlapping file ranges: ${ranges.toSeq}")
+      case _ =>
+    }
+    // and the data round-trips intact
+    assert(spark.read.parquet(s"$dir/by_user").count() == daily.count())
+  }
+
   test("LOCF fill reuses the grid's key partitioning under broadcast") {
     import spark.implicits._
     val obs = (1L to 50L).flatMap(k => Seq(

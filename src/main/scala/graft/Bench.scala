@@ -76,15 +76,32 @@ object Bench {
         .map(c => if (c < 0x20) ' ' else c) + "\"" // ALL control chars — one
         // raw \b or \f in an error message would make the result line
         // unparseable exactly when there is a failure to report
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
-      .mkString("{", ",", "}")
+    def jnum(v: Double) = BigDecimal(v).setScale(3,
+      BigDecimal.RoundingMode.HALF_UP).toString
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val mlFused = results.collect {
       case (n, t) if n.startsWith("q_ml_") => t
     }.sum
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ml_fused":$mlFused,"errors":$errJson,"sf":"$sfDir"}""")
+    // The harness keeps only the last ~2000 chars of stdout and parses the
+    // JSON result line out of that window; ~100 full-precision per-query
+    // entries overflow it. Print the slowest queries itemized plus an
+    // aggregate for the rest (always well under the window), and write the
+    // complete full-precision map to BENCH_DETAIL.json alongside.
+    val sorted = results.sortBy(-_._2)
+    val (top, rest) = sorted.splitAt(40)
+    val qs = top.map { case (k, v) => jstr(k) + ":" + jnum(v) }
+      .mkString("{", ",",
+        s""","other_n":${rest.size},"other_sec":${jnum(rest.map(_._2).sum)}}""")
+    val fullQs = results.map { case (k, v) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"ml_fused":$mlFused,"errors":$errJson,"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter("BENCH_DETAIL.json")
+      try w.println(detail) finally w.close()
+    } catch { case _: java.io.IOException => () } // detail file is best-effort
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"ml_fused":${jnum(mlFused)},"errors":$errJson,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -77,7 +77,7 @@ object Dedup {
     // exploded join) — uncached, Catalyst inlines the whole regex-split/
     // transform/distinct expression into every branch and re-evaluates it
     // per downstream row
-    val sh = df.select(
+    val sh = Spread.cpu(df, idCol).select(
       (col(idCol) +: bucketCols.map(col)) :+
         shingles(col(textCol), n).as("g"): _*).cache()
     val explAll = sh.select(
@@ -154,7 +154,7 @@ object Dedup {
     // md5 lands in its OWN projection so it provably evaluates once per
     // row — inlining tokenHash into all 16 affine expressions would lean
     // on codegen subexpression elimination to avoid 16 digests per shingle
-    val expl = df.select(col(idCol),
+    val expl = Spread.cpu(df, idCol).select(col(idCol),
       explode(shingles(col(textCol))).as("s"))
       .select(col(idCol), tokenHash(col("s")).as("__h"))
     val h = col("__h")
@@ -268,7 +268,7 @@ object Dedup {
     * bit i set than not. Partial aggregation sums the ±1 votes map-side.
     */
   def simHashes(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val expl = df.select(col(idCol),
+    val expl = Spread.cpu(df, idCol).select(col(idCol),
       explode(split(trim(lower(col(textCol))), "\\s+")).as("t"))
       .withColumn("h", tokenHash(col("t")))
     val votes = (0 until 32).map(i =>

@@ -119,7 +119,7 @@ object TextAnalysis {
     */
   def tokenEntropy(df: DataFrame, textCol: String, idCol: String)
       : DataFrame = {
-    val counts = df
+    val counts = Spread.cpu(df, idCol)
       .select(col(idCol),
         explode(tokens(lower(col(textCol)))).as("t"))
       .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("c"))
@@ -149,7 +149,7 @@ object TextAnalysis {
   def repetitionStats(df: DataFrame, textCol: String, idCol: String)
       : DataFrame = {
     val ltoks = tokens(lower(col(textCol)))
-    val base = df.select(col(idCol), ltoks.as("toks"))
+    val base = Spread.cpu(df, idCol).select(col(idCol), ltoks.as("toks"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("distinct_ratio",
         size(array_distinct(col("toks"))).cast("double") /

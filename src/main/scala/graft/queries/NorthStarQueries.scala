@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis => TA}
+import graft.ext.{Dedup, Multimodal, Sampling, Similarity, Spread, TextAnalysis => TA}
 import graft.io.Tables
 import Parity._
 
@@ -246,7 +246,10 @@ object NorthStarQueries {
     // (lang, split) corpus stats. Every stage is narrow except the dedup
     // groupBy and the final small agg — the whole pipeline is two shuffles.
     "q_corpus_curation" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
+      // spread once at the root: the broadcast semi-join preserves the
+      // scan's partitioning, so the regex-heavy stats downstream would
+      // otherwise inherit the single-split scan
+      val docs = Spread.cpu(Tables.documents(s, dir), "doc_id")
       val keepers = Dedup.exactGroups(docs, "text", "doc_id")
         .select(col("keeper_id").as("doc_id"))
       val kept = docs.join(keepers, Seq("doc_id"), "left_semi")
@@ -273,7 +276,7 @@ object NorthStarQueries {
       // (doc, token) pre-agg combines map-side AND makes df a plain count —
       // no Expand doubling every exploded row, one shuffle of pre-combined
       // pairs instead of two of raw tokens
-      Tables.documents(s, dir)
+      Spread.cpu(Tables.documents(s, dir), "doc_id")
         .select(col("doc_id"),
           explode(split(trim(lower(col("text"))), "\\s+")).as("t"))
         .groupBy(col("doc_id"), col("t"))
@@ -292,7 +295,7 @@ object NorthStarQueries {
     "q_tfidf_top" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val n = docs.count() // bounded scalar, like the min/max-date collects
-      val toks = docs.select(col("doc_id"),
+      val toks = Spread.cpu(docs, "doc_id").select(col("doc_id"),
         explode(split(trim(lower(col("text"))), "\\s+")).as("t"))
       // df derives FROM tf (tf has one row per (doc, token), so a plain
       // count per token IS the document frequency) — one explode + one

@@ -517,4 +517,47 @@ object Dedup {
     labels.select(col("id"), col("lbl").as("cluster_id"))
     } finally { edges.unpersist(); p.unpersist() } // p: no-op if already out
   }
+
+  /** Span-level corpus dedup (the CCNet/RefinedWeb line-dedup shape, over
+    * fixed-size token spans since the corpus has no line structure): a doc
+    * keeps a span only if the span's corpus DOCUMENT frequency is ≤
+    * `maxDocFreq` — repeated boilerplate is removed from every copy, not
+    * just non-keeper docs. Spans are consecutive non-overlapping
+    * `spanTokens`-token windows (last one may be short).
+    *
+    * Shape: posexplode spans → per-span doc frequency from a distinct
+    * (doc, span) pre-agg → the hot-span list is tiny (only spans crossing
+    * the frequency cut), so membership is a broadcast join, exactly like
+    * the hot-shingle cut in [[ngramJaccardPairs]] — the corpus text itself
+    * is never joined pairwise. Reassembly is a per-doc sort of the kept
+    * (pos, span) pairs; `collect_list(when(...))` skips dropped spans, so
+    * the group never holds more than the doc's own spans.
+    *
+    * Returns (id, n_spans, n_dup_spans, clean_fp) where clean_fp is the
+    * md5 of the space-joined surviving spans (empty string when none
+    * survive — the all-boilerplate doc).
+    */
+  def spanDedup(df: DataFrame, textCol: String, idCol: String,
+                spanTokens: Int = 10, maxDocFreq: Int = 1): DataFrame = {
+    require(spanTokens > 0, s"spanTokens=$spanTokens must be positive")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val nSpans = ceil(size(toks).cast("double") / spanTokens).cast("int")
+    val spanArr = transform(sequence(lit(0), nSpans - 1),
+      i => array_join(slice(toks, i * spanTokens + 1, lit(spanTokens)), " "))
+    // cache: the span frame feeds the doc-frequency agg AND the reassembly
+    val spans = Spread.cpu(df.filter(col(textCol).isNotNull), idCol)
+      .select(col(idCol), posexplode(spanArr).as(Seq("pos", "span"))).cache()
+    val hot = spans.select(col(idCol), col("span")).distinct()
+      .groupBy(col("span")).agg(count(lit(1)).as("span_df"))
+      .filter(col("span_df") > maxDocFreq)
+      .select(col("span"), lit(1).as("is_hot"))
+    spans.join(broadcast(hot), Seq("span"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        count(col("is_hot")).as("n_dup_spans"),
+        md5(array_join(transform(
+          sort_array(collect_list(
+            when(col("is_hot").isNull, struct(col("pos"), col("span"))))),
+          s => s("span")), " ")).as("clean_fp"))
+  }
 }

@@ -169,4 +169,35 @@ object TextAnalysis {
         col("top_bigram_n").cast("double") /
           greatest(col("n_tokens") - 1, lit(1L)).cast("double"))
   }
+
+  /** Per-document average negative log-likelihood under the corpus's own
+    * unigram LM — the classic perplexity-proxy quality score (high = the
+    * doc is made of corpus-rare tokens). NLL(d) = Σ c_t·(ln T − ln ctf_t)
+    * / n_d over the doc's token counts, where ctf is the corpus term
+    * frequency and T the corpus token total.
+    *
+    * Shape: one explode → (doc, token) partial-aggregating groupBy; the
+    * vocabulary aggregates FROM that tf frame (a second tiny shuffle of
+    * pre-combined pairs, same trick as the vocab/tf-idf queries); the
+    * corpus total is a bounded scalar collect. The tf↔vocab join is
+    * equi-key on the token; Zipf skew is bounded because tf already
+    * collapsed per-doc repeats. Returns (id, n_tokens, avg_nll).
+    */
+  def unigramNll(df: DataFrame, textCol: String, idCol: String)
+      : DataFrame = {
+    // cache: tf feeds the vocabulary agg, the total, and the join
+    val tf = Spread.cpu(df, idCol)
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("t"))
+      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("c")).cache()
+    val vocab = tf.groupBy(col("t")).agg(sum(col("c")).as("ctf"))
+    val total = vocab.agg(sum(col("ctf"))).head.getLong(0)
+    tf.join(vocab, "t")
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c").cast("double") *
+          (log(lit(total.toDouble)) - log(col("ctf").cast("double"))))
+          .as("__nll"))
+      .select(col(idCol), col("n_tokens"),
+        (col("__nll") / col("n_tokens").cast("double")).as("avg_nll"))
+  }
 }

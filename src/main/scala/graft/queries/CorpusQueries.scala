@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, TextAnalysis => TA}
+import graft.io.Tables
+import Parity._
+
+/** Round-4 corpus-curation operators: span-level corpus dedup (the CCNet
+  * line-dedup shape), unigram-LM perplexity-proxy scoring, a number-class
+  * scrub (the PII-redaction primitive, digit-class stand-in since the
+  * synthetic corpus carries no PII shapes), and the classic
+  * shipping-priority 3-way join (TPC-H Q3 shape) on the TPC-H-ish tables.
+  */
+object CorpusQueries {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Span-level corpus dedup: every doc loses spans whose corpus document
+    // frequency exceeds 1 — boilerplate is removed from ALL copies, the
+    // complement of whole-doc dedup (which keeps one copy intact)
+    "q_span_dedup" -> ((s, dir) =>
+      Dedup.spanDedup(Tables.documents(s, dir), "text", "doc_id",
+          spanTokens = 10, maxDocFreq = 1)
+        .orderBy(col("doc_id"))),
+
+    // Perplexity-proxy quality score: avg negative log-likelihood of each
+    // doc under the corpus's own unigram LM
+    "q_unigram_nll" -> ((s, dir) =>
+      TA.unigramNll(Tables.documents(s, dir), "text", "doc_id")
+        .select(col("doc_id"), col("n_tokens"),
+          ground(col("avg_nll"), 6).as("avg_nll"))
+        .orderBy(col("doc_id"))),
+
+    // Number-class scrub over the events props payload: redacted-pattern
+    // cardinality + redaction counts per event type. The digit-class rule
+    // is the stand-in for PII patterns (emails/phones) — same plan shape,
+    // narrow regexp projection into a small agg.
+    "q_pii_scrub" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"), col("props"))
+        .withColumn("n_nums", regexp_count(col("props"), lit("[0-9]+")))
+        .withColumn("scrubbed",
+          regexp_replace(col("props"), "[0-9]+", "<NUM>"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("n_nums")).as("n_numbers"),
+          countDistinct(col("scrubbed")).as("n_patterns"))
+        .orderBy(col("event_type"))),
+
+    // Shipping-priority top unshipped orders (TPC-H Q3 shape): two fact
+    // filters meet in an equi-join on the order key; the filtered customer
+    // dim is left to AQE (small here, shuffled at real scale — forcing a
+    // broadcast of a 1/5-of-customers filter would be wrong at 100 TB).
+    // Revenue is decimal-summed, so the top-10 order is exact.
+    "q_top_unshipped" -> ((s, dir) => {
+      val cutoff = lit("1998-01-01").cast("timestamp")
+      val c = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < cutoff)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > cutoff)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "q_span_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '[\s\x0b]+') AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |), spans AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    array_to_string(list_slice(t, i*10 + 1, i*10 + 10), ' ') AS span
+        |  FROM base, unnest(range(CAST(ceil(len(t) / 10.0) AS BIGINT))) AS u(i)
+        |), hot AS (
+        |  SELECT span
+        |  FROM (SELECT span, count(DISTINCT doc_id) AS span_df
+        |        FROM spans GROUP BY 1)
+        |  WHERE span_df > 1
+        |), marked AS (
+        |  SELECT s.doc_id, s.pos, s.span, h.span IS NOT NULL AS is_hot
+        |  FROM spans s LEFT JOIN hot h USING (span)
+        |)
+        |SELECT doc_id,
+        |  count(*) AS n_spans,
+        |  CAST(sum(is_hot::int) AS BIGINT) AS n_dup_spans,
+        |  md5(coalesce(
+        |    string_agg(CASE WHEN NOT is_hot THEN span END, ' ' ORDER BY pos),
+        |    '')) AS clean_fp
+        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_unigram_nll" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '[\s\x0b]+')) AS t
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2
+        |), vocab AS (
+        |  SELECT t, CAST(sum(c) AS BIGINT) AS ctf FROM tf GROUP BY 1
+        |), tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS total FROM vocab)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  round(sum(c * (ln(total) - ln(ctf))) / sum(c) + 1e-9, 6) AS avg_nll
+        |FROM tf JOIN vocab USING (t) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_pii_scrub" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT)
+        |    AS n_numbers,
+        |  count(DISTINCT regexp_replace(props, '[0-9]+', '<NUM>', 'g'))
+        |    AS n_patterns
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_top_unshipped" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         |  ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+  )
+}

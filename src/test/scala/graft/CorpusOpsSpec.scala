@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Spread, TextAnalysis}
+
+/** Round-4 curation operators: span-level corpus dedup, unigram-LM NLL
+  * scoring, and the Spread partition-widening helper.
+  */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 10-token boilerplate header shared by docs 1-3; unique tails
+  private val header =
+    "all rights reserved please contact the site admin for help"
+  private val docs = Seq(
+    (1L, s"$header alpha beta gamma"),
+    (2L, s"$header delta epsilon zeta"),
+    (3L, s"$header"), // all-boilerplate doc
+    (4L, "unique content that appears nowhere else in this corpus at all"))
+    .toDF("doc_id", "text")
+
+  test("spanDedup removes corpus-frequent spans from every copy") {
+    val r = Dedup.spanDedup(docs, "text", "doc_id", spanTokens = 10)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getString(3))).toMap
+    // docs 1-3 share the 10-token header span → dropped everywhere
+    assert(r(1L) == (2L, 1L, md5Hex("alpha beta gamma")))
+    assert(r(2L) == (2L, 1L, md5Hex("delta epsilon zeta")))
+    // the all-boilerplate doc keeps nothing: fp of the empty string
+    assert(r(3L) == (1L, 1L, md5Hex("")))
+    // a unique doc is untouched (11 tokens → spans of 10 + 1)
+    assert(r(4L)._1 == 2L && r(4L)._2 == 0L)
+  }
+
+  test("spanDedup keeps sub-span-length distinct tails distinct") {
+    // tails shorter than a span still matter: docs 1 and 2 must not
+    // collapse to the same fingerprint after the shared span is dropped
+    val r = Dedup.spanDedup(docs, "text", "doc_id", spanTokens = 10)
+      .collect().map(x => x.getLong(0) -> x.getString(3)).toMap
+    assert(r(1L) != r(2L))
+  }
+
+  test("unigramNll matches the hand-computed corpus LM") {
+    val tiny = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
+    val r = TextAnalysis.unigramNll(tiny, "text", "doc_id")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2)))
+      .toMap
+    // corpus: total=4, ctf(a)=2, ctf(b)=1, ctf(c)=1
+    val ln = (x: Double) => math.log(x)
+    val d1 = (2 * (ln(4) - ln(2)) + 1 * (ln(4) - ln(1))) / 3
+    assert(r(1L)._1 == 3L && math.abs(r(1L)._2 - d1) < 1e-12)
+    assert(r(2L)._1 == 1L && math.abs(r(2L)._2 - ln(4)) < 1e-12)
+  }
+
+  test("unigramNll ranks rare-token docs as higher-NLL") {
+    val nll = TextAnalysis.unigramNll(docs, "text", "doc_id")
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    // doc 3 is pure boilerplate (every token appears 3+ times) → lowest
+    assert(nll(3L) == nll.values.min)
+  }
+
+  test("Spread.cpu widens an under-split frame and no-ops a wide one") {
+    val narrow = docs.coalesce(1)
+    val spreadOut = Spread.cpu(narrow, "doc_id")
+    val target = spark.sparkContext.defaultParallelism
+    assert(spreadOut.rdd.getNumPartitions == target)
+    val wide = docs.repartition(target + 4, col("doc_id"))
+    assert(Spread.cpu(wide, "doc_id").rdd.getNumPartitions == target + 4)
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+}

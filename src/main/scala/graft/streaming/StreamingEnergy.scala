@@ -233,4 +233,33 @@ object StreamingEnergy {
       .withColumn("is_scored", col("profile_mean").isNotNull.cast("int"))
       .withColumn("is_anomaly",
         coalesce((abs(col("z_score")) > z).cast("int"), lit(0)))
+
+  /** Stream-stream interval join: each purchase joins the SAME user's view
+    * events from the preceding `windowMinutes`. Both sides are watermarked
+    * and the join condition bounds event-time distance in both directions,
+    * so the state store provably evicts: a buffered view is droppable once
+    * the purchase-side watermark passes `v_ts + windowMinutes` (without
+    * the interval bound, each side would buffer forever — the
+    * stream-stream analogue of the unbounded-dedup state killer).
+    * Inner join: purchases with no prior view emit nothing, matching the
+    * batch attribution twin in the spec.
+    */
+  def clickAttribution(events: DataFrame, windowMinutes: Int = 30,
+                       watermark: String = "1 hour"): DataFrame = {
+    val ts = col("ts").cast("timestamp")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), ts.as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), ts.as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", watermark)
+    purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("v_ts") < col("p_ts"))
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("view_id"), col("p_ts"), col("v_ts"), col("value"))
+  }
 }

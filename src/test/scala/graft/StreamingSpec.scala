@@ -292,4 +292,31 @@ class StreamingSpec extends SparkSpec {
     assert(o2.map(f => (f.date, f.daily_value)) == Seq(("2024-01-09", 3.0)))
     assert(s2.sums.keySet == Set("2024-01-09", "2024-01-10"))
   }
+
+  test("stream-stream interval join matches the batch attribution join") {
+    val stream = StreamingEnergy.readStream(spark, srcDir, schema)
+    val joined = StreamingEnergy.clickAttribution(stream, windowMinutes = 30)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attr_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("attr_stream")
+      val ev = Tables.events(spark, TestSpark.sf0001)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("v_ts"),
+          col("event_id").as("view_id"))
+      val batch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"))
+        .join(views, "user_id")
+        .filter(col("v_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("v_ts") < col("p_ts"))
+      // every batch pair must stream out exactly once (no watermark drops:
+      // the source is one ordered replay, late data never crosses 1 hour)
+      assert(got.count() == batch.count() && batch.count() > 0)
+      assert(got.select("purchase_id", "view_id")
+        .except(batch.select("purchase_id", "view_id")).count() == 0)
+    } finally q.stop()
+  }
 }

@@ -390,9 +390,9 @@ object Dedup {
     // cache: one row per candidate doc, referenced by two branches (the
     // exploded overlap join and the sizes attach) — uncached, the regex
     // split + shingle transform would evaluate twice per doc
-    val candSh = candidates.select(col(idCol),
+    val candSh = Spread.cpu(candidates, idCol).select(col(idCol),
       shingles(col(textCol), n).as("g")).cache()
-    val protSet = protected_
+    val protSet = Spread.cpu(protected_, idCol)
       .select(explode(shingles(col(textCol), n)).as("s")).distinct()
     val shared = candSh.select(col(idCol), explode(col("g")).as("s"))
       .join(protSet, Seq("s"), "left_semi")

@@ -253,4 +253,37 @@ class PhysicalSpec extends SparkSpec {
     assert(!plan.contains("NestedLoop"),
       s"null-safe join fell back to nested-loop:\n$plan")
   }
+
+  test("Q3-shape join pushes all three filters into the parquet scans") {
+    val df = SparkEntry.queries("q_top_unshipped")(spark, TestSpark.sf0001)
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // each filter must reach its scan as a pushed predicate — a Q3 that
+    // filters after the join re-reads the full fact tables
+    for (c <- Seq("l_shipdate", "o_orderdate", "c_mktsegment")) {
+      val pushed = formatted.linesIterator.exists(l =>
+        l.trim.startsWith("PushedFilters") && l.contains(c))
+      assert(pushed, s"$c not pushed to scan:\n$formatted")
+    }
+    // top-10 by revenue must be a partial top-k, not a global sort
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString
+        .contains("TakeOrderedAndProject"),
+      "expected TakeOrderedAndProject for ORDER BY + LIMIT")
+  }
+
+  test("span dedup shuffles text once; hot-span membership broadcasts") {
+    val df = SparkEntry.queries("q_span_dedup")(spark, TestSpark.sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the span column (carrying text payload) crosses exactly the Spread
+    // repartition; the frequency cut must join as a broadcast, never a
+    // shuffled join of the corpus against itself
+    assert(plan.contains("BroadcastHashJoin"),
+      s"hot-span membership should broadcast:\n$plan")
+    val spanShuffles = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("span#"))
+    assert(spanShuffles <= 1, s"span payload crosses >1 shuffle:\n$plan")
+  }
 }

@@ -15,8 +15,10 @@ import graft.functions.{CosineSim, DotProduct}
   * internal registry poking).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(e.injectFunction)
+    e.injectOptimizerRule(SpreadGenerate) // opt-in: spark.graft.spread.enabled
+  }
 }
 
 object GraftExtensions {
@@ -35,8 +37,16 @@ object GraftExtensions {
     * [[graft.Engine.session]] calls this to make registration
     * unconditional.
     */
-  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+    // injectOptimizerRule only applies at session CREATION; a reused
+    // session gets the (still conf-gated) rule via the public
+    // experimental-optimizations hook instead
+    if (!spark.experimental.extraOptimizations
+        .exists(_.isInstanceOf[SpreadGenerate]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ SpreadGenerate(spark)
+  }
 }

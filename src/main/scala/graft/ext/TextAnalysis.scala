@@ -190,7 +190,11 @@ object TextAnalysis {
       .select(col(idCol), explode(tokens(lower(col(textCol)))).as("t"))
       .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("c")).cache()
     val vocab = tf.groupBy(col("t")).agg(sum(col("c")).as("ctf"))
-    val total = vocab.agg(sum(col("ctf"))).head.getLong(0)
+    // coalesce: sum over an EMPTY corpus is null, and an empty corpus must
+    // yield an empty result, not a driver NPE (ln(0) is never evaluated —
+    // no tf rows survive the join)
+    val total = vocab.agg(coalesce(sum(col("ctf")), lit(0L)))
+      .head.getLong(0)
     tf.join(vocab, "t")
       .groupBy(col(idCol))
       .agg(sum(col("c")).as("n_tokens"),

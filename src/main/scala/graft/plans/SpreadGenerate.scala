@@ -30,8 +30,9 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 case class SpreadGenerate(session: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!session.conf.get("spark.graft.spread.enabled", "false").toBoolean)
-      plan
+    if (!session.conf.get("spark.graft.spread.enabled", "false")
+        .equalsIgnoreCase("true")) // lenient: a typo'd value must not make
+      plan                         // every query in the session unplannable
     else {
       val target = session.sparkContext.defaultParallelism
       plan.transformUp {

@@ -60,6 +60,12 @@ class CorpusOpsSpec extends SparkSpec {
     assert(nll(3L) == nll.values.min)
   }
 
+  test("empty corpus: spanDedup and unigramNll yield empty, not errors") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.spanDedup(empty, "text", "doc_id").count() == 0)
+    assert(TextAnalysis.unigramNll(empty, "text", "doc_id").count() == 0)
+  }
+
   test("Spread.cpu widens an under-split frame and no-ops a wide one") {
     val narrow = docs.coalesce(1)
     val spreadOut = Spread.cpu(narrow, "doc_id")

@@ -78,7 +78,16 @@ object Bench {
         // unparseable exactly when there is a failure to report
     def jnum(v: Double) = BigDecimal(v).setScale(3,
       BigDecimal.RoundingMode.HALF_UP).toString
-    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+    // itemize at most 3 errors with trimmed messages — error text must
+    // never push the result line past the harness tail window (that would
+    // lose the report exactly when there are failures to report); the full
+    // messages land in BENCH_DETAIL.json
+    val errJson = errors.take(3)
+      .map { case (k, v) => jstr(k) + ":" + jstr(v.take(80)) }
+      .mkString("{", ",",
+        (if (errors.size > 3) s""","more_errors":${errors.size - 3}""" else
+          "") + "}")
+    val errJsonFull = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val mlFused = results.collect {
       case (n, t) if n.startsWith("q_ml_") => t
@@ -96,7 +105,7 @@ object Bench {
         s""","other_n":${rest.size},"other_sec":${jnum(rest.map(_._2).sum)}}""")
     val fullQs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"ml_fused":$mlFused,"errors":$errJson,"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"ml_fused":$mlFused,"errors":$errJsonFull,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
       try w.println(detail) finally w.close()

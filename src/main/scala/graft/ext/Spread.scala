@@ -1,6 +1,8 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.functions.col
 
 /** Partition-spreading for CPU-dense narrow stages.
@@ -19,13 +21,32 @@ import org.apache.spark.sql.functions.col
   * per-`key` aggregations are satisfied by the introduced hash
   * partitioning and skip their own exchange.
   *
-  * Call it on scan-rooted frames only: `rdd.getNumPartitions` on a
-  * post-shuffle frame would force AQE query-stage execution.
+  * Safe on arbitrary inputs: the partition-count probe (`rdd`) only runs
+  * for BATCH frames whose plan is a narrow project/filter chain over a
+  * file scan. Streaming frames (`rdd` would throw) and post-shuffle frames
+  * (`rdd` under AQE would eagerly execute the upstream stages — a silent
+  * double run of the DAG) pass through untouched; their parallelism is
+  * already governed by the stream source or the upstream exchange.
   */
 object Spread {
   def cpu(df: DataFrame, key: String): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target, col(key))
-    else df
+    if (df.isStreaming || !scanRooted(df.queryExecution.logical)) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < target) df.repartition(target, col(key))
+      else df
+    }
+  }
+
+  /** Narrow project/filter/alias chain over a file relation — the only
+    * shape where the rdd probe is both safe and meaningful. Mirrors
+    * [[graft.plans.SpreadGenerate]]'s trigger.
+    */
+  private def scanRooted(p: LogicalPlan): Boolean = p match {
+    case Project(_, c)       => scanRooted(c)
+    case Filter(_, c)        => scanRooted(c)
+    case SubqueryAlias(_, c) => scanRooted(c)
+    case _: LogicalRelation  => true
+    case _                   => false
   }
 }

@@ -66,13 +66,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(TextAnalysis.unigramNll(empty, "text", "doc_id").count() == 0)
   }
 
-  test("Spread.cpu widens an under-split frame and no-ops a wide one") {
-    val narrow = docs.coalesce(1)
-    val spreadOut = Spread.cpu(narrow, "doc_id")
+  test("Spread.cpu widens an under-split scan, skips shuffled/streaming") {
+    val scan = spark.read
+      .parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .filter(col("doc_id").isNotNull) // narrow chain stays scan-rooted
     val target = spark.sparkContext.defaultParallelism
-    assert(spreadOut.rdd.getNumPartitions == target)
-    val wide = docs.repartition(target + 4, col("doc_id"))
-    assert(Spread.cpu(wide, "doc_id").rdd.getNumPartitions == target + 4)
+    assert(scan.rdd.getNumPartitions < target) // premise: under-split
+    assert(Spread.cpu(scan, "doc_id").rdd.getNumPartitions == target)
+    // a post-shuffle frame is not scan-rooted: must pass through untouched
+    // (probing its partition count would eagerly run the upstream stages)
+    val shuffled = scan.repartition(target + 4, col("doc_id"))
+    assert(Spread.cpu(shuffled, "doc_id") eq shuffled)
+    // a streaming frame must pass through, not throw on the rdd probe
+    val stream = spark.readStream.format("rate").load()
+    assert(Spread.cpu(stream, "value").isStreaming)
   }
 
   private def md5Hex(s: String): String =

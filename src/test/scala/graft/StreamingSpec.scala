@@ -314,9 +314,13 @@ class StreamingSpec extends SparkSpec {
           col("v_ts") < col("p_ts"))
       // every batch pair must stream out exactly once (no watermark drops:
       // the source is one ordered replay, late data never crosses 1 hour)
-      assert(got.count() == batch.count() && batch.count() > 0)
+      assert(batch.count() > 0)
+      // exceptAll (multiset): a duplicated emission must not be able to
+      // mask a dropped pair behind matching counts + set equality
       assert(got.select("purchase_id", "view_id")
-        .except(batch.select("purchase_id", "view_id")).count() == 0)
+        .exceptAll(batch.select("purchase_id", "view_id")).count() == 0)
+      assert(batch.select("purchase_id", "view_id")
+        .exceptAll(got.select("purchase_id", "view_id")).count() == 0)
     } finally q.stop()
   }
 }

@@ -30,7 +30,10 @@ import org.apache.spark.sql.functions.col
   */
 object Spread {
   def cpu(df: DataFrame, key: String): DataFrame = {
-    if (df.isStreaming || !scanRooted(df.queryExecution.logical)) df
+    // analyzed, not logical: a raw `spark.read.parquet` Dataset keeps a
+    // lazy UnresolvedDataSource as its logical plan (Spark 4) — only
+    // analysis resolves it to the LogicalRelation the chain walk matches
+    if (df.isStreaming || !scanRooted(df.queryExecution.analyzed)) df
     else {
       val target = df.sparkSession.sparkContext.defaultParallelism
       if (df.rdd.getNumPartitions < target) df.repartition(target, col(key))

@@ -73,6 +73,13 @@ class CorpusOpsSpec extends SparkSpec {
     val target = spark.sparkContext.defaultParallelism
     assert(scan.rdd.getNumPartitions < target) // premise: under-split
     assert(Spread.cpu(scan, "doc_id").rdd.getNumPartitions == target)
+    // the RAW read too: Spark 4 keeps spark.read.parquet as a lazy
+    // UnresolvedDataSource until analysis — a .logical-based chain walk
+    // silently no-ops on exactly the frames every operator passes in
+    // (regression: the operators lost their spreading once, caught only by
+    // a plan audit because correctness never changes)
+    val raw = graft.io.Tables.documents(spark, TestSpark.sf0001)
+    assert(Spread.cpu(raw, "doc_id").rdd.getNumPartitions == target)
     // a post-shuffle frame is not scan-rooted: must pass through untouched
     // (probing its partition count would eagerly run the upstream stages)
     val shuffled = scan.repartition(target + 4, col("doc_id"))

@@ -129,13 +129,14 @@ class PhysicalSpec extends SparkSpec {
     // a broadcast, so at corpus scale the join degrades to shuffled-semi
     // (only the keeper side moves) instead of an OOM.
     assert(plan.contains("LeftSemi"), s"no semi join in:\n$plan")
-    // exactly the three expected exchanges — the Spread doc_id repartition,
-    // the digest agg, the keeper build side / final small agg — and not
-    // one more: a fourth would mean the semi join started re-shuffling the
-    // doc side, the exact degradation this test pins
+    // the four expected exchanges — the Spread doc_id repartition, the
+    // digest agg, the keeper build side (the probe side REUSES the Spread
+    // partitioning), the final small agg — and not one more: a fifth would
+    // mean the semi join started re-shuffling the doc side, the exact
+    // degradation this test pins
     val hashExchanges = plan.linesIterator
       .count(_.contains("Exchange hashpartitioning"))
-    assert(hashExchanges <= 3, s"expected <=3 hash shuffles:\n$plan")
+    assert(hashExchanges <= 4, s"expected <=4 hash shuffles:\n$plan")
   }
 
   test("vocab top-k runs as TakeOrderedAndProject, not a global sort") {

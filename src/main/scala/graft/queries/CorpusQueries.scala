@@ -33,6 +33,33 @@ object CorpusQueries {
           ground(col("avg_nll"), 6).as("avg_nll"))
         .orderBy(col("doc_id"))),
 
+    // Tokenizer-coverage metric: per-doc OOV rate against the top-K corpus
+    // vocabulary (K=16 of 31 distinct tokens in the synthetic corpus, so
+    // the tail is actually exercised). Vocab selection is deterministic
+    // (frequency desc, token asc) and broadcasts; tf is the same (doc,
+    // token) pre-agg the NLL/vocab/tf-idf queries share — at 100 TB the
+    // top-K list is bounded by construction, never the corpus
+    "q_oov_rate" -> ((s, dir) => {
+      import graft.ext.Spread
+      val tf = Spread.cpu(Tables.documents(s, dir), "doc_id")
+        .select(col("doc_id"),
+          explode(TA.tokens(lower(col("text")))).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+        .cache()
+      val vocab = tf.groupBy(col("t")).agg(sum(col("c")).as("ctf"))
+        .orderBy(col("ctf").desc, col("t")).limit(16)
+        .select(col("t"), lit(1).as("in_vocab"))
+      tf.join(broadcast(vocab), Seq("t"), "left")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"),
+          coalesce(sum(when(col("in_vocab").isNull, col("c"))), lit(0L))
+            .as("n_oov"))
+        .withColumn("oov_rate",
+          ground(col("n_oov").cast("double") /
+            col("n_tokens").cast("double"), 6))
+        .orderBy(col("doc_id"))
+    }),
+
     // Number-class scrub over the events props payload: redacted-pattern
     // cardinality + redaction counts per event type. The digit-class rule
     // is the stand-in for PII patterns (emails/phones) — same plan shape,
@@ -118,6 +145,25 @@ object CorpusQueries {
         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
         |  round(sum(c * (ln(total) - ln(ctf))) / sum(c) + 1e-9, 6) AS avg_nll
         |FROM tf JOIN vocab USING (t) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_oov_rate" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '[\s\x0b]+')) AS t
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2
+        |), vocab AS (
+        |  SELECT t FROM (SELECT t, sum(c) AS ctf FROM tf GROUP BY 1)
+        |  ORDER BY ctf DESC, t LIMIT 16
+        |)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(sum(c) FILTER (WHERE v.t IS NULL), 0) AS BIGINT)
+        |    AS n_oov,
+        |  round(coalesce(sum(c) FILTER (WHERE v.t IS NULL), 0) * 1.0
+        |    / sum(c) + 1e-9, 6) AS oov_rate
+        |FROM tf LEFT JOIN vocab v ON tf.t = v.t
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_pii_scrub" ->

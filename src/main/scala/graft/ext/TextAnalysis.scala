@@ -183,12 +183,20 @@ object TextAnalysis {
     * equi-key on the token; Zipf skew is bounded because tf already
     * collapsed per-doc repeats. Returns (id, n_tokens, avg_nll).
     */
-  def unigramNll(df: DataFrame, textCol: String, idCol: String)
-      : DataFrame = {
-    // cache: tf feeds the vocabulary agg, the total, and the join
-    val tf = Spread.cpu(df, idCol)
+  /** The shared (doc, token) → count pre-agg every corpus-level text
+    * metric starts from (NLL, OOV, vocab, tf-idf): one spread explode, one
+    * partial-aggregating shuffle of pre-combined pairs. Cached — callers
+    * fan multiple aggregations off it.
+    */
+  def termFreq(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    Spread.cpu(df, idCol)
       .select(col(idCol), explode(tokens(lower(col(textCol)))).as("t"))
       .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("c")).cache()
+
+  def unigramNll(df: DataFrame, textCol: String, idCol: String)
+      : DataFrame = {
+    // cache (in termFreq): tf feeds the vocabulary agg, the total, the join
+    val tf = termFreq(df, textCol, idCol)
     val vocab = tf.groupBy(col("t")).agg(sum(col("c")).as("ctf"))
     // coalesce: sum over an EMPTY corpus is null, and an empty corpus must
     // yield an empty result, not a driver NPE (ln(0) is never evaluated —

@@ -40,12 +40,7 @@ object CorpusQueries {
     // token) pre-agg the NLL/vocab/tf-idf queries share — at 100 TB the
     // top-K list is bounded by construction, never the corpus
     "q_oov_rate" -> ((s, dir) => {
-      import graft.ext.Spread
-      val tf = Spread.cpu(Tables.documents(s, dir), "doc_id")
-        .select(col("doc_id"),
-          explode(TA.tokens(lower(col("text")))).as("t"))
-        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
-        .cache()
+      val tf = TA.termFreq(Tables.documents(s, dir), "text", "doc_id")
       val vocab = tf.groupBy(col("t")).agg(sum(col("c")).as("ctf"))
         .orderBy(col("ctf").desc, col("t")).limit(16)
         .select(col("t"), lit(1).as("in_vocab"))

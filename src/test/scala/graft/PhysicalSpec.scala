@@ -136,7 +136,7 @@ class PhysicalSpec extends SparkSpec {
     // degradation this test pins
     val hashExchanges = plan.linesIterator
       .count(_.contains("Exchange hashpartitioning"))
-    assert(hashExchanges <= 4, s"expected <=4 hash shuffles:\n$plan")
+    assert(hashExchanges == 4, s"expected exactly 4 hash shuffles:\n$plan")
   }
 
   test("vocab top-k runs as TakeOrderedAndProject, not a global sort") {

@@ -119,10 +119,7 @@ object TextAnalysis {
     */
   def tokenEntropy(df: DataFrame, textCol: String, idCol: String)
       : DataFrame = {
-    val counts = Spread.cpu(df, idCol)
-      .select(col(idCol),
-        explode(tokens(lower(col(textCol)))).as("t"))
-      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("c"))
+    val counts = termFreq(df, textCol, idCol, cached = false)
     counts.groupBy(col(idCol))
       .agg(sum(col("c")).as("n_tokens"),
         sum(col("c").cast("double") * log(col("c").cast("double")))
@@ -184,14 +181,19 @@ object TextAnalysis {
     * collapsed per-doc repeats. Returns (id, n_tokens, avg_nll).
     */
   /** The shared (doc, token) → count pre-agg every corpus-level text
-    * metric starts from (NLL, OOV, vocab, tf-idf): one spread explode, one
-    * partial-aggregating shuffle of pre-combined pairs. Cached — callers
-    * fan multiple aggregations off it.
+    * metric starts from (entropy, NLL, OOV, vocab, tf-idf): one spread
+    * explode, one partial-aggregating shuffle of pre-combined pairs.
+    * `cached = true` for callers that fan multiple aggregations off it;
+    * single-consumer callers pass false — materializing a one-shot frame
+    * is pure memory pressure at corpus scale.
     */
-  def termFreq(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    Spread.cpu(df, idCol)
+  def termFreq(df: DataFrame, textCol: String, idCol: String,
+               cached: Boolean = true): DataFrame = {
+    val tf = Spread.cpu(df, idCol)
       .select(col(idCol), explode(tokens(lower(col(textCol)))).as("t"))
-      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("c")).cache()
+      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("c"))
+    if (cached) tf.cache() else tf
+  }
 
   def unigramNll(df: DataFrame, textCol: String, idCol: String)
       : DataFrame = {

@@ -1,5 +1,27 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+
+/** Accumulates shuffle/spill bytes across completed stages so Bench can
+  * attribute them per query (snapshot-delta around each run). Stage events
+  * arrive asynchronously; the small post-query drain in Bench makes the
+  * attribution accurate in practice and any residue lands on the NEXT
+  * query — fine for the two-decimal MB reporting this feeds.
+  */
+private final class ShuffleAccounting extends SparkListener {
+  @volatile var shuffleReadB = 0L
+  @volatile var shuffleWriteB = 0L
+  @volatile var spillB = 0L
+  override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+    val m = s.stageInfo.taskMetrics
+    if (m != null) {
+      shuffleReadB += m.shuffleReadMetrics.totalBytesRead
+      shuffleWriteB += m.shuffleWriteMetrics.bytesWritten
+      spillB += m.diskBytesSpilled
+    }
+  }
+  def snapshot: (Long, Long, Long) = (shuffleReadB, shuffleWriteB, spillB)
+}
 
 /** Per-round benchmark main: runs every SparkEntry query against
   * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line, exits nonzero if any query
@@ -26,6 +48,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val acct = new ShuffleAccounting
+    spark.sparkContext.addSparkListener(acct)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // untimed warmup: the flagship spine at sf0.001 compiles the common
     // codegen paths (scan/shuffle/window/agg) and a count over each big
@@ -62,6 +86,7 @@ object Bench {
       if (!isMl || !mlStarted) spark.catalog.clearCache()
       mlStarted |= isMl
       System.gc()
+      val s0 = acct.snapshot
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
       catch {
@@ -69,7 +94,11 @@ object Bench {
           errors(name) = s"${e.getClass.getSimpleName}: " +
             Option(e.getMessage).getOrElse("").take(200)
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(30) // let async stage-completed events drain
+      val s1 = acct.snapshot
+      (name, sec,
+        (s1._1 - s0._1) / 1e6, (s1._2 - s0._2) / 1e6, (s1._3 - s0._3) / 1e6)
     }
     def jstr(s: String) =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -90,22 +119,26 @@ object Bench {
     val errJsonFull = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val mlFused = results.collect {
-      case (n, t) if n.startsWith("q_ml_") => t
+      case (n, t, _, _, _) if n.startsWith("q_ml_") => t
     }.sum
     val total = results.map(_._2).sum
     // The harness keeps only the last ~2000 chars of stdout and parses the
     // JSON result line out of that window; ~100 full-precision per-query
     // entries overflow it. Print the slowest queries itemized plus an
     // aggregate for the rest (always well under the window), and write the
-    // complete full-precision map to BENCH_DETAIL.json alongside.
+    // complete full-precision map (plus per-query shuffle/spill MB from the
+    // stage-metrics listener) to BENCH_DETAIL.json alongside.
     val sorted = results.sortBy(-_._2)
     val (top, rest) = sorted.splitAt(40)
-    val qs = top.map { case (k, v) => jstr(k) + ":" + jnum(v) }
+    val qs = top.map { case (k, v, _, _, _) => jstr(k) + ":" + jnum(v) }
       .mkString("{", ",",
         s""","other_n":${rest.size},"other_sec":${jnum(rest.map(_._2).sum)}}""")
-    val fullQs = results.map { case (k, v) => jstr(k) + ":" + v }
+    val fullQs = results.map { case (k, v, _, _, _) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"ml_fused":$mlFused,"errors":$errJsonFull,"sf":"$sfDir"}"""
+    val shuffleQs = results.map { case (k, _, r, w, sp) =>
+      jstr(k) + s""":{"read_mb":${jnum(r)},"write_mb":${jnum(w)},"spill_mb":${jnum(sp)}}"""
+    }.mkString("{", ",", "}")
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"shuffle":$shuffleQs,"ml_fused":$mlFused,"errors":$errJsonFull,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
       try w.println(detail) finally w.close()

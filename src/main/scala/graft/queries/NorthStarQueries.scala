@@ -276,13 +276,10 @@ object NorthStarQueries {
       // (doc, token) pre-agg combines map-side AND makes df a plain count —
       // no Expand doubling every exploded row, one shuffle of pre-combined
       // pairs instead of two of raw tokens
-      Spread.cpu(Tables.documents(s, dir), "doc_id")
-        .select(col("doc_id"),
-          explode(split(trim(lower(col("text"))), "\\s+")).as("t"))
-        .groupBy(col("doc_id"), col("t"))
-        .agg(count(lit(1)).as("dtf"))
+      TA.termFreq(Tables.documents(s, dir), "text", "doc_id",
+          cached = false) // single consumer: one pass, nothing to re-read
         .groupBy(col("t"))
-        .agg(sum(col("dtf")).as("tf"), count(lit(1)).as("df"))
+        .agg(sum(col("c")).as("tf"), count(lit(1)).as("df"))
         .orderBy(col("tf").desc, col("t"))
         .limit(20)),
 
@@ -295,14 +292,12 @@ object NorthStarQueries {
     "q_tfidf_top" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val n = docs.count() // bounded scalar, like the min/max-date collects
-      val toks = Spread.cpu(docs, "doc_id").select(col("doc_id"),
-        explode(split(trim(lower(col("text"))), "\\s+")).as("t"))
       // df derives FROM tf (tf has one row per (doc, token), so a plain
       // count per token IS the document frequency) — one explode + one
       // (doc, token) shuffle total, instead of a second explode feeding a
-      // distinct shuffle. cache: tf feeds both the join and the df agg.
-      val tf = toks.groupBy(col("doc_id"), col("t"))
-        .agg(count(lit(1)).as("tf")).cache()
+      // distinct shuffle. cached (in termFreq): tf feeds join + df agg.
+      val tf = TA.termFreq(docs, "text", "doc_id")
+        .withColumnRenamed("c", "tf")
       val idf = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("score").desc, col("t"))

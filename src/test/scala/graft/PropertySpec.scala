@@ -166,4 +166,61 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  // small vocab + short docs → real span collisions across docs
+  private val corpusGen: Gen[List[String]] = {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")
+    val doc = Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    Gen.chooseNum(2, 12).flatMap(n => Gen.listOfN(n, doc))
+  }
+
+  test("property: spanDedup equals the brute-force span-frequency rule") {
+    val k = 3
+    forAll(corpusGen) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.ext.Dedup.spanDedup(df, "text", "doc_id", spanTokens = k)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      // reference: spans = consecutive k-token windows; DOC frequency per
+      // span; drop spans with df > 1; fingerprint the space-joined rest
+      def spansOf(t: String): Seq[String] =
+        t.trim.split("\\s+").grouped(k).map(_.mkString(" ")).toSeq
+      val docFreq = texts.zipWithIndex
+        .flatMap { case (t, i) => spansOf(t).distinct.map(_ -> i) }
+        .groupBy(_._1).view.mapValues(_.size).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val sp = spansOf(t)
+        val kept = sp.filter(docFreq(_) <= 1)
+        val fp = java.security.MessageDigest.getInstance("MD5")
+          .digest(kept.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        assert(got(i.toLong) ==
+          ((sp.size.toLong, (sp.size - kept.size).toLong, fp)), s"doc $i")
+      }
+    }
+  }
+
+  test("property: unigramNll equals the brute-force corpus LM") {
+    forAll(corpusGen) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.ext.TextAnalysis.unigramNll(df, "text", "doc_id")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+      val all = texts.flatMap(_.trim.toLowerCase.split("\\s+"))
+      val ctf = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val total = all.size.toDouble
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val toks = t.trim.toLowerCase.split("\\s+").toSeq
+        val nll = toks.map(w => math.log(total) - math.log(ctf(w).toDouble))
+          .sum / toks.size
+        val (n, gotNll) = got(i.toLong)
+        assert(n == toks.size.toLong, s"doc $i n_tokens")
+        assert(math.abs(gotNll - nll) < 1e-9, s"doc $i nll")
+      }
+    }
+  }
 }

@@ -71,6 +71,29 @@ object CorpusQueries {
           countDistinct(col("scrubbed")).as("n_patterns"))
         .orderBy(col("event_type"))),
 
+    // Per-group winsorization: clip values to the exact p05/p95 of their
+    // own event type, report clipped vs raw means + clip counts. The
+    // percentile bounds are a tiny per-group frame joined back broadcast —
+    // the classic two-pass outlier-capping shape (no window over the full
+    // fact table). Bounds are guard-rounded BEFORE clipping so both
+    // engines clip against bit-identical thresholds.
+    "q_winsorize" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val bounds = ev.groupBy(col("event_type"))
+        .agg(ground(expr("percentile(value, 0.05)"), 4).as("lo"),
+          ground(expr("percentile(value, 0.95)"), 4).as("hi"))
+      ev.join(broadcast(bounds), "event_type")
+        .withColumn("clipped", least(greatest(col("value"), col("lo")),
+          col("hi")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("value") < col("lo")).cast("long")).as("n_lo_clipped"),
+          sum((col("value") > col("hi")).cast("long")).as("n_hi_clipped"),
+          ground(dsum(col("value")) / count(lit(1)), 4).as("raw_mean"),
+          ground(dsum(col("clipped")) / count(lit(1)), 4).as("wins_mean"))
+        .orderBy(col("event_type"))
+    }),
+
     // Shipping-priority top unshipped orders (TPC-H Q3 shape): two fact
     // filters meet in an equi-join on the order key; the filtered customer
     // dim is left to AQE (small here, shuffled at real scale — forcing a
@@ -168,6 +191,23 @@ object CorpusQueries {
         |  count(DISTINCT regexp_replace(props, '[0-9]+', '<NUM>', 'g'))
         |    AS n_patterns
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_winsorize" ->
+      s"""WITH bounds AS (
+         |  SELECT event_type,
+         |    ${sqlGround("quantile_cont(value, 0.05)", 4)} AS lo,
+         |    ${sqlGround("quantile_cont(value, 0.95)", 4)} AS hi
+         |  FROM events GROUP BY event_type
+         |)
+         |SELECT e.event_type, count(*) AS n,
+         |  CAST(sum((e.value < b.lo)::int) AS BIGINT) AS n_lo_clipped,
+         |  CAST(sum((e.value > b.hi)::int) AS BIGINT) AS n_hi_clipped,
+         |  ${sqlGround(s"${sqlDsum("e.value")} / count(*)", 4)} AS raw_mean,
+         |  ${sqlGround(
+               s"${sqlDsum("least(greatest(e.value, b.lo), b.hi)")} / count(*)",
+               4)} AS wins_mean
+         |FROM events e JOIN bounds b USING (event_type)
+         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
     "q_top_unshipped" ->
       s"""SELECT l_orderkey, o_orderdate, o_orderpriority,

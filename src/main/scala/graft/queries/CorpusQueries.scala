@@ -94,6 +94,32 @@ object CorpusQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Robust outlier rate per event type: |x − median| > 3·MAD (median
+    // absolute deviation), the heavy-tail-safe complement of the z-score
+    // anomaly queries. Two chained two-pass aggregations — median join-back,
+    // then MAD join-back — each bounds frame is per-group tiny and
+    // broadcasts; the fact table is scanned, never windowed. Median and MAD
+    // are guard-rounded before the comparison so both engines flag against
+    // bit-identical thresholds.
+    "q_mad_outliers" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val med = ev.groupBy(col("event_type"))
+        .agg(ground(expr("percentile(value, 0.5)"), 4).as("med"))
+      val withDev = ev.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("value") - col("med")))
+      val mad = withDev.groupBy(col("event_type"))
+        .agg(ground(expr("percentile(adev, 0.5)"), 4).as("mad"))
+      withDev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          first(col("med")).as("med"), first(col("mad")).as("mad"),
+          sum((col("adev") > col("mad") * 3).cast("long")).as("n_outliers"))
+        .withColumn("outlier_rate",
+          ground(col("n_outliers").cast("double") /
+            col("n").cast("double"), 6))
+        .orderBy(col("event_type"))
+    }),
+
     // Shipping-priority top unshipped orders (TPC-H Q3 shape): two fact
     // filters meet in an equi-join on the order key; the filtered customer
     // dim is left to AQE (small here, shuffled at real scale — forcing a
@@ -208,6 +234,28 @@ object CorpusQueries {
                4)} AS wins_mean
          |FROM events e JOIN bounds b USING (event_type)
          |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    "q_mad_outliers" ->
+      s"""WITH med AS (
+         |  SELECT event_type,
+         |    ${sqlGround("quantile_cont(value, 0.5)", 4)} AS med
+         |  FROM events GROUP BY event_type
+         |), dev AS (
+         |  SELECT e.event_type, e.value, m.med,
+         |    abs(e.value - m.med) AS adev
+         |  FROM events e JOIN med m USING (event_type)
+         |), mad AS (
+         |  SELECT event_type,
+         |    ${sqlGround("quantile_cont(adev, 0.5)", 4)} AS mad
+         |  FROM dev GROUP BY event_type
+         |)
+         |SELECT d.event_type, count(*) AS n,
+         |  any_value(d.med) AS med, any_value(a.mad) AS mad,
+         |  CAST(sum((d.adev > a.mad * 3)::int) AS BIGINT) AS n_outliers,
+         |  ${sqlGround("sum((d.adev > a.mad * 3)::int) * 1.0 / count(*)", 6)}
+         |    AS outlier_rate
+         |FROM dev d JOIN mad a USING (event_type)
+         |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
 
     "q_top_unshipped" ->
       s"""SELECT l_orderkey, o_orderdate, o_orderpriority,

@@ -1,0 +1,63 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable frequency sketches. Count-min here: a fixed `depth × width`
+  * grid of counters where cell (r, h_r(k)) accumulates every occurrence of
+  * key k, and the estimate for k is the MIN over its `depth` cells — an
+  * overestimate, never an under-estimate (collisions only add).
+  *
+  * Scale design: the sketch is O(depth·width) rows regardless of input
+  * size — it aggregates with map-side combine (the groupBy on (r, b)
+  * carries pre-summed cells out of every partition) and merges across
+  * corpora by summing cells, which is how a 1000-executor job keeps a
+  * global heavy-hitter view without ever shuffling raw keys. Hashes are
+  * the engine-portable [[Dedup.tokenHash]] family (salted per row) so a
+  * SQL oracle reproduces every cell bit-exactly; `xxhash64` is the faster
+  * non-oracled drop-in.
+  */
+object Sketches {
+
+  /** Row-`r` bucket of `key` in a width-`width` sketch. */
+  def cmBucket(key: Column, r: Int, width: Int): Column =
+    pmod(Dedup.tokenHash(concat(lit(s"cm$r:"), key.cast("string"))),
+      lit(width.toLong))
+
+  private def bucketStructs(key: Column, depth: Int, width: Int): Column =
+    array((0 until depth).map(r =>
+      struct(lit(r).as("r"), cmBucket(key, r, width).as("b"))): _*)
+
+  /** Build the sketch from pre-aggregated (key, count) rows: one explode
+    * to `depth` (r, b) rows per key, one partial-aggregating groupBy.
+    * Feeding pre-aggregated counts (not raw events) keeps the explode
+    * proportional to distinct keys — at 100 TB the exact per-key pre-agg
+    * is itself one map-side-combining shuffle of tiny rows.
+    */
+  def countMinSketch(counts: DataFrame, keyCol: String, cntCol: String,
+                     depth: Int = 4, width: Int = 64): DataFrame = {
+    require(depth > 0 && width > 0, s"depth=$depth width=$width must be > 0")
+    counts
+      .select(col(cntCol).as("__c"),
+        explode(bucketStructs(col(keyCol), depth, width)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(sum(col("__c")).as("cell"))
+  }
+
+  /** Point estimates for every key in `keys`: explode each key to its
+    * `depth` (r, b) coordinates, equi-join the sketch, take the min cell.
+    * The sketch is depth·width rows — broadcast-sized by construction, so
+    * the join never shuffles the key side.
+    */
+  def countMinEstimates(sketch: DataFrame, keys: DataFrame, keyCol: String,
+                        depth: Int = 4, width: Int = 64): DataFrame = {
+    val passThrough = keys.columns.map(col)
+    keys
+      .select(passThrough :+
+        explode(bucketStructs(col(keyCol), depth, width)).as("rb"): _*)
+      .select(passThrough :+ col("rb.r").as("r") :+ col("rb.b").as("b"): _*)
+      .join(broadcast(sketch), Seq("r", "b"))
+      .groupBy(keys.columns.map(col): _*)
+      .agg(min(col("cell")).as("est"))
+  }
+}

@@ -195,6 +195,91 @@ object TextAnalysis {
     if (cached) tf.cache() else tf
   }
 
+  /** BM25 relevance of every document against a fixed term set — the
+    * retrieval scorer behind dedup-against-eval and targeted corpus
+    * sampling. score(d) = Σ_t idf(t)·tf·(k1+1) / (tf + k1·(1−b+b·len/avg)),
+    * idf(t) = ln(1 + (N−df+0.5)/(df+0.5)).
+    *
+    * Shape: everything derives from the shared (doc, token) pre-agg — doc
+    * lengths (groupBy id), term doc-frequencies (groupBy t over the tiny
+    * matched subset), corpus stats (a 1-row agg cross-joined in, never a
+    * driver collect). The scoring join touches only rows whose token is in
+    * the query set — the IN-filter pushes into the tf scan, so corpus-scale
+    * cost is proportional to postings of the query terms, exactly an
+    * inverted-index probe. Returns (id, n_matched, score) for docs matching
+    * ≥ 1 term.
+    */
+  def bm25(df: DataFrame, textCol: String, idCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75)
+      : DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    // cache (in termFreq): feeds doc lengths, corpus stats, and the scorer
+    val tf = termFreq(df, textCol, idCol)
+    val docLen = tf.groupBy(col(idCol)).agg(sum(col("c")).as("len"))
+    // N and avg doc length as a 1-row frame: broadcast into the plan, no
+    // collect — the stats stay inside the DAG at any corpus size
+    val stats = docLen.agg(count(lit(1)).as("n_docs"),
+      avg(col("len")).as("avg_len"))
+    val matched = tf.filter(col("t").isin(queryTerms: _*))
+    val dfreq = matched.groupBy(col("t"))
+      .agg(count(lit(1)).as("dft")) // tf is distinct per (doc, t)
+    matched
+      .join(broadcast(dfreq), "t")
+      .join(docLen, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("dft") + 0.5) /
+          (col("dft") + 0.5)))
+      .withColumn("tf_norm",
+        col("c") * (k1 + 1) / (col("c") + lit(k1) *
+          (lit(1 - b) + lit(b) * col("len") / col("avg_len"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matched"),
+        sum(col("idf") * col("tf_norm")).as("score"))
+  }
+
+  /** Per-document average negative log-likelihood under the corpus's own
+    * BIGRAM LM (MLE, no smoothing): NLL(d) = Σ c_bg·(ln c(w1·) − ln c(w1w2))
+    * / n_bigrams, where c(w1w2) is the corpus bigram count and c(w1·) the
+    * corpus count of w1 as a bigram head. The sharper perplexity proxy than
+    * [[unigramNll]] — word-salad text has plausible unigrams but rare
+    * bigrams. Docs with < 2 tokens have no bigrams and are absent.
+    *
+    * Shape: adjacent bigrams explode (same transform/slice HOF as
+    * [[repetitionStats]]) → per-(doc, bigram) partial-aggregating groupBy;
+    * corpus bigram counts aggregate FROM that frame (pre-combined pairs);
+    * head counts aggregate from the corpus bigram frame (tiny). Both
+    * attach joins are equi-key on the bigram/head string. MLE probabilities
+    * are exact by construction (every doc bigram exists in the corpus LM),
+    * so no smoothing parameter leaks into parity.
+    */
+  def bigramNll(df: DataFrame, textCol: String, idCol: String)
+      : DataFrame = {
+    val ltoks = tokens(lower(col(textCol)))
+    val bigrams = Spread.cpu(df, idCol)
+      .select(col(idCol), ltoks.as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") >= 2)
+      .select(col(idCol),
+        explode(transform(sequence(lit(0L), col("n") - 2),
+          i => array_join(slice(col("toks"), i + 1, lit(2)), " "))).as("bg"))
+    // cache: the per-(doc, bigram) frame feeds the corpus LM agg AND the
+    // scoring join
+    val dbg = bigrams.groupBy(col(idCol), col("bg"))
+      .agg(count(lit(1)).as("c")).cache()
+    val cbg = dbg.groupBy(col("bg")).agg(sum(col("c")).as("cbg"))
+      .withColumn("head", substring_index(col("bg"), " ", 1))
+    val chead = cbg.groupBy(col("head")).agg(sum(col("cbg")).as("chead"))
+    dbg.join(cbg, "bg").join(chead, "head")
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(col("c").cast("double") *
+          (log(col("chead").cast("double")) -
+            log(col("cbg").cast("double")))).as("__nll"))
+      .select(col(idCol), col("n_bigrams"),
+        (col("__nll") / col("n_bigrams").cast("double")).as("avg_nll"))
+  }
+
   def unigramNll(df: DataFrame, textCol: String, idCol: String)
       : DataFrame = {
     // cache (in termFreq): tf feeds the vocabulary agg, the total, the join

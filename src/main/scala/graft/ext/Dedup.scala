@@ -262,6 +262,49 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Prefix-filtered exact-Jaccard join (the PPJoin candidate rule): order
+    * every document's shingle set by GLOBAL document frequency ascending
+    * (ties by shingle text), keep only the first
+    * `|d| − ceil(t·|d|) + 1` shingles as the doc's PREFIX, and generate
+    * candidates from prefix∩prefix collisions only. Any pair with
+    * J(A,B) ≥ t must share a token inside both prefixes (pigeonhole on the
+    * shared global order), so the rule has ZERO false negatives;
+    * [[verifyCandidatesJaccard]] then computes exact Jaccard on the
+    * survivors.
+    *
+    * Scale: this is the high-threshold complement of
+    * [[ngramJaccardPairs]]'s all-shared-shingles join — at t = 0.8 the
+    * prefix is ~20% of each set, and because the global order puts RARE
+    * shingles first, the prefix join meets on low-df keys: boilerplate
+    * (high-df) shingles never generate candidates at all, which is the
+    * skew story the hot-shingle DF-cut approximates from the other side.
+    * Shapes: one df agg + one per-doc window (single shuffle each), a
+    * prefix self-join on the shingle, then the capped exact verify.
+    */
+  def prefixJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                         threshold: Double, n: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold=$threshold must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val shx = Spread.cpu(df, idCol).select(col(idCol),
+      explode(shingles(col(textCol), n)).as("s")) // distinct per doc
+    val dfreq = shx.groupBy(col("s")).agg(count(lit(1)).as("dft"))
+    val byDoc = Window.partitionBy(col(idCol))
+    val ranked = shx.join(dfreq, "s")
+      .withColumn("pos",
+        row_number().over(byDoc.orderBy(col("dft"), col("s"))))
+      .withColumn("n_g", count(lit(1)).over(byDoc))
+    val prefix = ranked
+      .filter(col("pos") <=
+        col("n_g") - ceil(lit(threshold) * col("n_g")) + 1)
+      .select(col(idCol), col("s"))
+    val cands = prefix.withColumnRenamed(idCol, "id_a")
+      .join(prefix.withColumnRenamed(idCol, "id_b"), "s")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    verifyCandidatesJaccard(cands, df, textCol, idCol, threshold, n)
+  }
+
   /** 32-bit SimHashes, explode→groupBy shape (same codegen-size rationale
     * as [[minHashSignatures]]): per-bit majority vote of token
     * [[tokenHash]] bits — bit i of the simhash is 1 iff more tokens have

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Layout, Scd2, Sketches, TextAnalysis => TA}
+import graft.ext.{Dedup, Layout, Scd2, Sketches, TextAnalysis => TA}
 import graft.io.Tables
 import Parity._
 
@@ -81,6 +81,17 @@ object ScaleQueries {
           ground(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("doc_id"))
         .limit(15)),
+
+    // PPJoin-style prefix-filtered exact-Jaccard near-dup pairs at a HIGH
+    // threshold: candidates come only from rare-shingle prefix collisions
+    // (zero false negatives by the prefix theorem — the oracle checks that
+    // end-to-end by computing exact all-pairs Jaccard with no prefix).
+    "q_prefix_jaccard" -> ((s, dir) =>
+      Dedup.prefixJaccardPairs(Tables.documents(s, dir), "text", "doc_id",
+          threshold = 0.5)
+        .select(col("id_a"), col("id_b"),
+          ground(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))),
 
     // Bigram-LM perplexity proxy: the sharper word-salad detector than
     // q_unigram_nll (plausible unigrams, rare bigrams).
@@ -172,6 +183,35 @@ object ScaleQueries {
         |FROM m JOIN dfreq USING (t) JOIN len USING (doc_id) CROSS JOIN stats
         |GROUP BY m.doc_id
         |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    // The oracle deliberately computes exact Jaccard over ALL shingle-
+    // sharing pairs (no prefix simulation): equality proves the prefix
+    // filter dropped nothing — the zero-false-negative guarantee itself.
+    "q_prefix_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(len(regexp_split_to_array(trim(text), '[\s\x0b]+')) - 2),
+        |    i -> array_to_string(
+        |      regexp_split_to_array(trim(text), '[\s\x0b]+')[i+1:i+3], ' ')))
+        |    AS g
+        |  FROM documents WHERE text IS NOT NULL
+        |), shx AS (
+        |  SELECT doc_id, unnest(g) AS s FROM sh
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n_g FROM shx GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b,
+        |  round(CAST(n_inter AS DOUBLE) / (sa.n_g + sb.n_g - n_inter)
+        |    + 1e-9, 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(n_inter AS DOUBLE) / (sa.n_g + sb.n_g - n_inter) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_bigram_nll" ->
       """WITH base AS (

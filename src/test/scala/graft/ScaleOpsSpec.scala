@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Layout, Scd2, Sketches, TextAnalysis}
+import graft.ext.{Dedup, Layout, Scd2, Sketches, TextAnalysis}
 
 /** Late round-4 scale operators: Z-order interleave, SCD2 compaction,
   * count-min sketch.
@@ -124,6 +124,51 @@ class ScaleOpsSpec extends SparkSpec {
     val ids = TextAnalysis.bigramNll(docs, "text", "doc_id")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids == Set(1L))
+  }
+
+  test("prefixJaccardPairs finds exactly the brute-force pairs " +
+    "(zero false negatives) on a random corpus") {
+    // seeded random corpus with planted near-dups: mutate a base text by
+    // swapping a few tokens so true pairs exist at varied similarities
+    val rng = new scala.util.Random(7)
+    val vocab = ('a' to 'p').map(_.toString)
+    def text() = Seq.fill(12 + rng.nextInt(8))(
+      vocab(rng.nextInt(vocab.size))).mkString(" ")
+    def mutate(t: String) = {
+      val ts = t.split(" ")
+      ts.updated(rng.nextInt(ts.length),
+        vocab(rng.nextInt(vocab.size))).mkString(" ")
+    }
+    val bases = Seq.fill(10)(text())
+    val docs = (bases ++ bases.map(mutate) ++ Seq.fill(10)(text()))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.6, 0.9)) {
+      // reference: the all-shared-shingles join (single constant bucket,
+      // no DF cut) — exact by construction
+      val ref = Dedup.ngramJaccardPairs(
+        docs.withColumn("one", lit(1)), "text", "doc_id", Seq("one"), t)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = Dedup.prefixJaccardPairs(docs, "text", "doc_id", t)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == ref, s"threshold $t")
+      assert(t > 0.5 || ref.nonEmpty, s"vacuous corpus at threshold $t")
+    }
+  }
+
+  test("prefix filter keeps only the rarest ceil((1-t)n)+1 shingles as " +
+    "candidate generators") {
+    // one hot shingle shared by every doc must NOT produce candidates at a
+    // high threshold: it sorts LAST in the global df order, outside every
+    // prefix, so docs whose only overlap is boilerplate never pair
+    val boiler = "all rights reserved"
+    val docs = (0 until 8).map(i =>
+      (i.toLong, s"u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f $boiler"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.prefixJaccardPairs(docs, "text", "doc_id", 0.5)
+    assert(pairs.count() == 0)
   }
 
   test("count-min cells equal the column sums of their keys") {

@@ -104,6 +104,53 @@ class PhysicalSpec extends SparkSpec {
       s"rollup should reuse the window partitioning:\n$rollPlan")
   }
 
+  test("count-min: sketch broadcasts, scan reads only the key, top-k is " +
+    "TakeOrderedAndProject") {
+    val df = SparkEntry.queries("q_countmin")(spark, TestSpark.sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the depth×width sketch must ride a broadcast join — a shuffled probe
+    // would re-shuffle the whole key set against 256 rows
+    assert(plan.contains("BroadcastHashJoin"), s"sketch not broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k sorts:\n$plan")
+    // the exact pre-agg reads nothing but the key column
+    assert(plan.contains("ReadSchema: struct<user_id:bigint>"),
+      s"scan reads more than the key:\n$plan")
+  }
+
+  test("bm25: corpus stats and term df broadcast; top-k is " +
+    "TakeOrderedAndProject") {
+    val df = SparkEntry.queries("q_bm25")(spark, TestSpark.sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // dfreq (≤ |queryTerms| rows) and the 1-row stats frame are forced
+    // broadcasts — shuffling postings against them would be the inverted-
+    // index anti-pattern
+    assert(finalPlan.linesIterator.count(_.contains("BroadcastExchange")) >= 2,
+      s"dfreq/stats should broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k sorts:\n$plan")
+  }
+
+  test("prefix-jaccard: rank and size windows share one shuffle + sort") {
+    val df = SparkEntry.queries("q_prefix_jaccard")(spark, TestSpark.sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // row_number (ordered) and the partition-size count share the doc_id
+    // partitioning: one Exchange, one Sort for both Window nodes — the
+    // second window diverging to its own spec would double the shuffle
+    val windowSection = finalPlan.linesIterator.filter(l =>
+      l.contains("Window [") || l.contains("Exchange hashpartitioning(doc_id"))
+      .toSeq
+    assert(windowSection.count(_.contains("Window [")) == 2,
+      s"expected 2 window nodes:\n$plan")
+    assert(
+      finalPlan.linesIterator.count(
+        _.contains("Exchange hashpartitioning(doc_id")) <= 2,
+      s"windows must not add per-window shuffles:\n$plan")
+  }
+
   test("hash sample is a narrow filter — no shuffle, no extra columns read") {
     val df = SparkEntry.queries("q_hash_sample")(spark, TestSpark.sf0001)
     val formatted = df.queryExecution.explainString(

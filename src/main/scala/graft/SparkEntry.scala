@@ -26,10 +26,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.defs ++ ExtendedQueries.defs ++ NorthStarQueries.defs ++
       MlQueries.defs ++ AdvancedQueries.defs ++ SessionQueries.defs ++
-      PipelineQueries.defs ++ CorpusQueries.defs ++ ScaleQueries.defs
+      PipelineQueries.defs ++ CorpusQueries.defs ++ ScaleQueries.defs ++
+      RelationalQueries.defs
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ ExtendedQueries.oracles ++ NorthStarQueries.oracles ++
       MlQueries.oracles ++ AdvancedQueries.oracles ++ SessionQueries.oracles ++
-      PipelineQueries.oracles ++ CorpusQueries.oracles ++ ScaleQueries.oracles
+      PipelineQueries.oracles ++ CorpusQueries.oracles ++ ScaleQueries.oracles ++
+      RelationalQueries.oracles
 }

@@ -294,10 +294,15 @@ object Dedup {
       .withColumn("pos",
         row_number().over(byDoc.orderBy(col("dft"), col("s"))))
       .withColumn("n_g", count(lit(1)).over(byDoc))
+    // cache: both sides of the candidate self-join read this frame —
+    // uncached, the explode + dfreq join + BOTH windows execute twice
+    // (once per join side). The prefix frame is the SMALL end of the
+    // funnel (≈ (1−t)·|shingles| + 1 rows per doc), so it caches cheaply.
     val prefix = ranked
       .filter(col("pos") <=
         col("n_g") - ceil(lit(threshold) * col("n_g")) + 1)
       .select(col(idCol), col("s"))
+      .cache()
     val cands = prefix.withColumnRenamed(idCol, "id_a")
       .join(prefix.withColumnRenamed(idCol, "id_b"), "s")
       .filter(col("id_a") < col("id_b"))

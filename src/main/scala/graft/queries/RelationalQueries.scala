@@ -1,0 +1,243 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ext.RuntimeFilter
+import graft.io.Tables
+import Parity._
+
+/** Round-4 relational/graph operators: bloom runtime-filtered joins, the
+  * TPC-H Q18 "aggregate-first then enrich" shape, Markov event transitions,
+  * blocked fuzzy record linkage, exact decile profiling, and co-purchase
+  * graph degree — each a named pattern a 100 TB warehouse leans on, each
+  * proven against a DuckDB oracle that computes the SAME answer the naive
+  * way (the optimization must be semantically invisible).
+  */
+object RelationalQueries {
+
+  /** Q18-shape quantity threshold: selective enough that the post-agg frame
+    * broadcasts (2.9k of 15k orders at sf0.01), mirrored in the oracle.
+    */
+  private val BigQty = 200
+
+  /** Co-purchase degree guard: orders with more than this many distinct
+    * parts are excluded BEFORE the self-join — a degenerate "hub" order
+    * contributes O(n²) pairs and would dominate the join at scale.
+    */
+  private val MaxBasket = 50
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Bloom runtime-filtered join: urgent orders (1/5 of the dim) prune the
+    // lineitem scan through a broadcast Bloom filter BEFORE the join
+    // shuffle; the exact join then removes the sketch's false positives.
+    // The oracle is the plain join — bit-equality proves the bloom is
+    // semantically invisible. Per-order revenue is decimal-exact.
+    "q_bloom_join" -> ((s, dir) => {
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val items = RuntimeFilter.bloomInnerJoin(
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+        urgent, "l_orderkey", "o_orderkey",
+        expectedItems = urgent.count())
+      items
+        .groupBy(col("o_orderkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q18 shape: aggregate-FIRST on the big table (one shuffle on
+    // l_orderkey), threshold-filter the tiny result, then broadcast it into
+    // orders and broadcast THAT result into customer. The big join input
+    // never shuffles twice; only aggregates and already-filtered rows move.
+    "q_big_spenders" -> ((s, dir) => {
+      val qty = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > BigQty)
+      val big = Tables.orders(s, dir)
+        .join(broadcast(qty), col("o_orderkey") === col("l_orderkey"))
+      Tables.customer(s, dir)
+        .join(broadcast(big), col("c_custkey") === col("o_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // Markov transition matrix over each user's event sequence: lead() in a
+    // per-user window (partitioned — no global sort), then the transition
+    // counts collapse to a |types|² frame whose per-source probabilities
+    // come from a window over that TINY agg, not over the raw events.
+    "q_event_transitions" -> ((s, dir) => {
+      val perUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val n = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(perUser))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      n.withColumn("p",
+          ground(col("n") / sum(col("n"))
+            .over(Window.partitionBy(col("event_type"))), 6))
+        .orderBy(col("event_type"), col("next_type"))
+    }),
+
+    // Blocked fuzzy record linkage: candidate pairs come ONLY from an
+    // equi-join on (nation, 16-char name prefix) — the blocking key bounds
+    // each block to ~100 entities no matter the table size, so the
+    // quadratic edit-distance work stays per-block, never corpus-wide.
+    // levenshtein ≤ 1 then confirms near-identity.
+    "q_record_linkage" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select(
+        col("c_custkey"), col("c_name"), col("c_nationkey"),
+        substring(col("c_name"), 1, 16).as("blk"))
+      c.as("a").join(c.as("b"),
+          col("a.c_nationkey") === col("b.c_nationkey") &&
+            col("a.blk") === col("b.blk") &&
+            col("a.c_custkey") < col("b.c_custkey"))
+        .withColumn("dist", levenshtein(col("a.c_name"), col("b.c_name")))
+        .filter(col("dist") <= 1)
+        .select(col("a.c_custkey").as("id_a"), col("b.c_custkey").as("id_b"),
+          col("dist"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Exact decile profile of per-user lifetime value: ntile runs over the
+    // per-user AGGREGATE (events already reduced by the groupBy shuffle),
+    // so the single-partition window sees |users| rows, not |events|. At
+    // extreme user counts swap ntile for approx_percentile bucket bounds —
+    // same output schema, sketch-sized state.
+    "q_decile_stats" -> ((s, dir) => {
+      val totals = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(dsum(col("value")).as("total"))
+      totals
+        .withColumn("decile",
+          ntile(10).over(Window.orderBy(col("total"), col("user_id"))))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_users"),
+          ground(avg(col("total")), 6).as("avg_total"),
+          min(col("total")).as("min_total"),
+          max(col("total")).as("max_total"))
+        .orderBy(col("decile"))
+    }),
+
+    // Co-purchase graph degree: distinct (order, part) incidence self-joins
+    // on the order key — both sides hash-partition on the SAME key, one
+    // shuffle each, no broadcast needed and no skew beyond basket size,
+    // which the MaxBasket guard bounds. Degree = distinct partner count.
+    "q_copurchase_degree" -> ((s, dir) => {
+      val op = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val small = op.groupBy(col("ok"))
+        .agg(count(lit(1)).as("basket"))
+        .filter(col("basket") <= MaxBasket)
+        .select(col("ok"))
+      val inc = op.join(small, Seq("ok"))
+      inc.as("a").join(inc.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+        .select(col("a.pk").as("part"), col("b.pk").as("partner"))
+        .distinct()
+        .groupBy(col("part"))
+        .agg(count(lit(1)).as("degree"))
+        .orderBy(col("degree").desc, col("part"))
+        .limit(20)
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "q_bloom_join" ->
+      s"""SELECT l.l_orderkey AS o_orderkey,
+         |  ${sqlDsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |WHERE o.o_orderpriority = '1-URGENT'
+         |GROUP BY 1
+         |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q_big_spenders" ->
+      s"""WITH qty AS (
+         |  SELECT l_orderkey, ${sqlDsum("l_quantity")} AS total_qty
+         |  FROM lineitem GROUP BY 1
+         |  HAVING ${sqlDsum("l_quantity")} > $BigQty
+         |)
+         |SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+         |  o.o_totalprice, qty.total_qty
+         |FROM customer c
+         |JOIN orders o ON c.c_custkey = o.o_custkey
+         |JOIN qty ON o.o_orderkey = qty.l_orderkey
+         |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 20""".stripMargin,
+
+    "q_event_transitions" ->
+      """WITH nxt AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS next_type
+        |  FROM events
+        |), t AS (
+        |  SELECT event_type, next_type, count(*) AS n
+        |  FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT event_type, next_type, n,
+        |  round(CAST(n AS DOUBLE)
+        |    / sum(n) OVER (PARTITION BY event_type) + 1e-9, 6) AS p
+        |FROM t ORDER BY 1, 2""".stripMargin,
+
+    "q_record_linkage" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    substr(c_name, 1, 16) AS blk
+        |  FROM customer
+        |)
+        |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  levenshtein(a.c_name, b.c_name) AS dist
+        |FROM c a JOIN c b
+        |  ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+        |  AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // DuckDB's ntile matches Spark's row-number-based tiling given the same
+    // total ordering; the decile agg mirrors the Spark frame exactly.
+    "q_decile_stats" ->
+      s"""WITH totals AS (
+         |  SELECT user_id, ${sqlDsum("value")} AS total
+         |  FROM events GROUP BY 1
+         |), tiled AS (
+         |  SELECT total,
+         |    CAST(ntile(10) OVER (ORDER BY total, user_id) AS INT) AS decile
+         |  FROM totals
+         |)
+         |SELECT decile, count(*) AS n_users,
+         |  ${sqlGround("avg(total)", 6)} AS avg_total,
+         |  min(total) AS min_total, max(total) AS max_total
+         |FROM tiled GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_copurchase_degree" ->
+      s"""WITH op AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+         |), small AS (
+         |  SELECT ok FROM op GROUP BY ok HAVING count(*) <= $MaxBasket
+         |), inc AS (
+         |  SELECT op.ok, op.pk FROM op JOIN small USING (ok)
+         |), pairs AS (
+         |  SELECT DISTINCT a.pk AS part, b.pk AS partner
+         |  FROM inc a JOIN inc b ON a.ok = b.ok AND a.pk <> b.pk
+         |)
+         |SELECT part, count(*) AS degree
+         |FROM pairs GROUP BY 1
+         |ORDER BY degree DESC, part LIMIT 20""".stripMargin,
+  )
+}

@@ -13,6 +13,50 @@ import graft.queries.Parity
   */
 class PhysicalSpec extends SparkSpec {
 
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, BroadcastQueryStageExec, QueryStageExec}
+  import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+  import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+
+  /** Final-plan operator walk. String-parsing `executedPlan.toString` broke
+    * once cached subplans appeared: an InMemoryRelation prints its OWN
+    * nested `== Final/Initial Plan ==` sections, so splitting on the first
+    * `== Initial Plan ==` truncates (or double-counts) everything after the
+    * first cache boundary. Walking the tree sees each materialized operator
+    * exactly once: adaptive plans resolve to their executed plan, query
+    * stages to their contents, reused exchanges count once, and cache
+    * boundaries stop the walk (the cached plan is a separate query).
+    */
+  private def finalOps(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => finalOps(a.executedPlan)
+    case q: QueryStageExec => q +: finalOps(q.plan)
+    case i: InMemoryTableScanExec => Seq(i)
+    case r: ReusedExchangeExec => Seq(r)
+    case other => other +: other.children.flatMap(finalOps)
+  }
+
+  /** One-line description of a node (no children). */
+  private def line(p: SparkPlan): String = p.simpleString(20)
+
+  /** [[finalOps]] plus the contents of each DISTINCT cached plan (a cache
+    * scanned from several join sides must not double-count its operators).
+    */
+  private def finalOpsWithCaches(p: SparkPlan): Seq[SparkPlan] = {
+    // transitive over nested caches; per-use InMemoryRelation copies share
+    // one CachedRDDBuilder — that is the cache's identity (plan-id differs
+    // per copy), so a builder-seen set counts each cache exactly once
+    val seen = scala.collection.mutable.Set.empty[Int]
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val top = finalOps(p)
+      val caches = top
+        .collect { case i: InMemoryTableScanExec => i.relation }
+        .filter(r => seen.add(System.identityHashCode(r.cacheBuilder)))
+        .map(_.cachedPlan)
+      top ++ caches.flatMap(walk)
+    }
+    walk(p)
+  }
+
   test("date-partitioned write → time filter prunes partitions at plan time") {
     val dir = Files.createTempDirectory("graft-part").toString
     val daily = Parity.daily(spark, TestSpark.sf0001)
@@ -122,33 +166,39 @@ class PhysicalSpec extends SparkSpec {
     "TakeOrderedAndProject") {
     val df = SparkEntry.queries("q_bm25")(spark, TestSpark.sf0001)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString
-    val finalPlan = plan.split("== Initial Plan ==").head
+    val ops = finalOps(df.queryExecution.executedPlan)
     // dfreq (≤ |queryTerms| rows) and the 1-row stats frame are forced
     // broadcasts — shuffling postings against them would be the inverted-
     // index anti-pattern
-    assert(finalPlan.linesIterator.count(_.contains("BroadcastExchange")) >= 2,
-      s"dfreq/stats should broadcast:\n$plan")
-    assert(plan.contains("TakeOrderedAndProject"), s"top-k sorts:\n$plan")
+    assert(ops.count(_.isInstanceOf[BroadcastQueryStageExec]) >= 2,
+      s"dfreq/stats should broadcast:\n${df.queryExecution.executedPlan}")
+    assert(ops.exists(o => line(o).startsWith("TakeOrderedAndProject")),
+      s"top-k sorts:\n${df.queryExecution.executedPlan}")
   }
 
   test("prefix-jaccard: rank and size windows share one shuffle + sort") {
     val df = SparkEntry.queries("q_prefix_jaccard")(spark, TestSpark.sf0001)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString
-    val finalPlan = plan.split("== Initial Plan ==").head
+    // the candidate-pair frame is cached; its windows live in the cached plan
+    val ops = finalOpsWithCaches(df.queryExecution.executedPlan)
     // row_number (ordered) and the partition-size count share the doc_id
     // partitioning: one Exchange, one Sort for both Window nodes — the
     // second window diverging to its own spec would double the shuffle
-    val windowSection = finalPlan.linesIterator.filter(l =>
-      l.contains("Window [") || l.contains("Exchange hashpartitioning(doc_id"))
-      .toSeq
-    assert(windowSection.count(_.contains("Window [")) == 2,
-      s"expected 2 window nodes:\n$plan")
-    assert(
-      finalPlan.linesIterator.count(
-        _.contains("Exchange hashpartitioning(doc_id")) <= 2,
-      s"windows must not add per-window shuffles:\n$plan")
+    val wins = ops.filter(o => line(o).startsWith("Window "))
+    assert(wins.size == 2,
+      s"expected 2 window nodes:\n${df.queryExecution.executedPlan}")
+    // the two windows must share one partitioning: the inner window sits in
+    // the outer's subtree with NO Exchange (and no re-Sort) between them
+    def path(root: SparkPlan, target: SparkPlan): Option[Seq[SparkPlan]] =
+      if (root eq target) Some(Seq(root))
+      else root.children.view.flatMap(c => path(c, target)).headOption
+        .map(root +: _)
+    val between = wins.view
+      .flatMap(o => wins.filter(_ ne o).flatMap(i => path(o, i)))
+      .headOption
+      .getOrElse(fail(s"windows not nested:\n${df.queryExecution.executedPlan}"))
+    assert(!between.exists(n => line(n).startsWith("Exchange")),
+      s"exchange between the two windows:\n${df.queryExecution.executedPlan}")
   }
 
   test("hash sample is a narrow filter — no shuffle, no extra columns read") {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.RuntimeFilter
+import graft.ext.{Dedup, RuntimeFilter}
 import graft.io.Tables
 import Parity._
 
@@ -27,6 +27,42 @@ object RelationalQueries {
     * contributes O(n²) pairs and would dominate the join at scale.
     */
   private val MaxBasket = 50
+
+  /** EWMA smoothing factor for q_ewma. */
+  private val Alpha = 0.3
+
+  /** Blocked fuzzy-match candidate pairs over customer names — shared by
+    * q_record_linkage (the pairs themselves) and q_entity_resolution (the
+    * connected components over them).
+    */
+  private def linkagePairs(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(
+      col("c_custkey"), col("c_name"), col("c_nationkey"),
+      substring(col("c_name"), 1, 16).as("blk"))
+    c.as("a").join(c.as("b"),
+        col("a.c_nationkey") === col("b.c_nationkey") &&
+          col("a.blk") === col("b.blk") &&
+          col("a.c_custkey") < col("b.c_custkey"))
+      .withColumn("dist", levenshtein(col("a.c_name"), col("b.c_name")))
+      .filter(col("dist") <= 1)
+      .select(col("a.c_custkey").as("id_a"), col("b.c_custkey").as("id_b"),
+        col("dist"))
+  }
+
+  /** Oracle twin of [[linkagePairs]], as a CTE body producing (id_a, id_b). */
+  private val linkagePairsSql: String =
+    """c AS (
+      |  SELECT c_custkey, c_name, c_nationkey,
+      |    substr(c_name, 1, 16) AS blk
+      |  FROM customer
+      |), prs AS (
+      |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      |    levenshtein(a.c_name, b.c_name) AS dist
+      |  FROM c a JOIN c b
+      |    ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+      |    AND a.c_custkey < b.c_custkey
+      |  WHERE levenshtein(a.c_name, b.c_name) <= 1
+      |)""".stripMargin
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -96,19 +132,25 @@ object RelationalQueries {
     // each block to ~100 entities no matter the table size, so the
     // quadratic edit-distance work stays per-block, never corpus-wide.
     // levenshtein ≤ 1 then confirms near-identity.
-    "q_record_linkage" -> ((s, dir) => {
-      val c = Tables.customer(s, dir).select(
-        col("c_custkey"), col("c_name"), col("c_nationkey"),
-        substring(col("c_name"), 1, 16).as("blk"))
-      c.as("a").join(c.as("b"),
-          col("a.c_nationkey") === col("b.c_nationkey") &&
-            col("a.blk") === col("b.blk") &&
-            col("a.c_custkey") < col("b.c_custkey"))
-        .withColumn("dist", levenshtein(col("a.c_name"), col("b.c_name")))
-        .filter(col("dist") <= 1)
-        .select(col("a.c_custkey").as("id_a"), col("b.c_custkey").as("id_b"),
-          col("dist"))
-        .orderBy(col("id_a"), col("id_b"))
+    "q_record_linkage" -> ((s, dir) =>
+      linkagePairs(s, dir).orderBy(col("id_a"), col("id_b"))),
+
+    // Entity resolution end-to-end: linkage pairs → connected components
+    // (iterative min-label propagation / driver union-find under the size
+    // gate) → every customer tagged with its canonical entity and entity
+    // size. The oracle recomputes the SAME fixpoint as a recursive-CTE
+    // transitive closure.
+    "q_entity_resolution" -> ((s, dir) => {
+      val labels = Dedup.resolveClusters(linkagePairs(s, dir))
+        .withColumnRenamed("id", "c_custkey")
+        .withColumnRenamed("cluster_id", "entity_id")
+      Tables.customer(s, dir).select(col("c_custkey"))
+        .join(labels, Seq("c_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("entity_id"), col("c_custkey")).as("entity_id"))
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy(col("entity_id"))))
+        .orderBy(col("c_custkey"))
     }),
 
     // Exact decile profile of per-user lifetime value: ntile runs over the
@@ -129,6 +171,63 @@ object RelationalQueries {
           min(col("total")).as("min_total"),
           max(col("total")).as("max_total"))
         .orderBy(col("decile"))
+    }),
+
+    // EWMA smoothing as a CLOSED FORM: s_t = Σ w_i·x_i with
+    // w_i = α(1−α)^(t−i) (and the s_0 = x_0 seed carrying (1−α)^(t−1)).
+    // The recurrence is sequential; the closed form is one partitioned
+    // window + one groupBy — no iteration, no driver loop, scales with the
+    // user count. Weights decay geometrically so the double sum is stable;
+    // ground() absorbs engine-order ulp drift.
+    "q_ewma" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+      val seq0 = byUser.orderBy(col("date"))
+      val d = Parity.daily(s, dir)
+        .withColumn("rn", row_number().over(seq0))
+        .withColumn("n", count(lit(1)).over(byUser))
+      val w = when(col("rn") === 1, pow(lit(1 - Alpha), col("n") - 1))
+        .otherwise(lit(Alpha) * pow(lit(1 - Alpha), col("n") - col("rn")))
+      d.groupBy(col("user_id"))
+        .agg(max(col("n")).as("n_days"),
+          ground(sum(w * col("daily_value")), 6).as("ewma"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Gaps-and-islands: longest run of CONSECUTIVE active days per user.
+    // The island key (date − row_number) is computed inside the per-user
+    // window partition — one shuffle on user_id, islands collapse in the
+    // same partitioning, no self-join.
+    "q_streaks" -> ((s, dir) => {
+      val seq0 = Window.partitionBy(col("user_id")).orderBy(col("date"))
+      Parity.daily(s, dir)
+        .withColumn("anchor",
+          date_sub(col("date"), row_number().over(seq0)))
+        .groupBy(col("user_id"), col("anchor"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(max(col("len")).as("longest_streak"),
+          count(lit(1)).as("n_streaks"))
+        .orderBy(col("longest_streak").desc, col("user_id"))
+        .limit(20)
+    }),
+
+    // CUSUM changepoint score: running sum of deviations from the user's
+    // own mean; the date where |CUSUM| peaks is the most likely level
+    // shift. Mean and running sum are two frames over ONE user_id
+    // partitioning; argmax picks deterministically on the ROUNDED score.
+    "q_cusum" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+      val running = byUser.orderBy(col("date"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val scored = Parity.daily(s, dir)
+        .withColumn("dev", col("daily_value") - avg(col("daily_value")).over(byUser))
+        .withColumn("score", ground(abs(sum(col("dev")).over(running)), 6))
+      scored
+        .withColumn("rk", row_number().over(
+          byUser.orderBy(col("score").desc, col("date"))))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("date").as("change_date"), col("score"))
+        .orderBy(col("user_id"))
     }),
 
     // Co-purchase graph degree: distinct (order, part) incidence self-joins
@@ -196,18 +295,79 @@ object RelationalQueries {
         |FROM t ORDER BY 1, 2""".stripMargin,
 
     "q_record_linkage" ->
-      """WITH c AS (
-        |  SELECT c_custkey, c_name, c_nationkey,
-        |    substr(c_name, 1, 16) AS blk
-        |  FROM customer
-        |)
-        |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
-        |  levenshtein(a.c_name, b.c_name) AS dist
-        |FROM c a JOIN c b
-        |  ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
-        |  AND a.c_custkey < b.c_custkey
-        |WHERE levenshtein(a.c_name, b.c_name) <= 1
-        |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH $linkagePairsSql
+         |SELECT id_a, id_b, dist FROM prs
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Recursive transitive closure computes the same min-label fixpoint as
+    // the distributed/union-find component resolution.
+    "q_entity_resolution" ->
+      s"""WITH RECURSIVE $linkagePairsSql, edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM prs
+         |  UNION SELECT id_b, id_a FROM prs
+         |), reach(src, dst) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+         |), comp AS (
+         |  SELECT src AS c_custkey, least(src, min(dst)) AS entity_id
+         |  FROM reach GROUP BY src
+         |), ent AS (
+         |  SELECT cu.c_custkey,
+         |    coalesce(comp.entity_id, cu.c_custkey) AS entity_id
+         |  FROM customer cu LEFT JOIN comp USING (c_custkey)
+         |)
+         |SELECT c_custkey, entity_id,
+         |  count(*) OVER (PARTITION BY entity_id) AS n_members
+         |FROM ent ORDER BY c_custkey""".stripMargin,
+
+    "q_ewma" ->
+      s"""$dailySql, seq AS (
+         |  SELECT user_id, daily_value,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY "date") AS rn,
+         |    count(*) OVER (PARTITION BY user_id) AS n
+         |  FROM daily
+         |)
+         |SELECT user_id, max(n) AS n_days,
+         |  ${sqlGround(
+             s"""sum((CASE WHEN rn = 1 THEN power(${1 - Alpha}, n - 1)
+                |    ELSE $Alpha * power(${1 - Alpha}, n - rn) END)
+                |  * daily_value)""".stripMargin, 6)} AS ewma
+         |FROM seq GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_streaks" ->
+      s"""$dailySql, isl AS (
+         |  SELECT user_id,
+         |    "date" - CAST(row_number() OVER (
+         |      PARTITION BY user_id ORDER BY "date") AS INTEGER) AS anchor
+         |  FROM daily
+         |), runs AS (
+         |  SELECT user_id, anchor, count(*) AS len
+         |  FROM isl GROUP BY 1, 2
+         |)
+         |SELECT user_id, max(len) AS longest_streak,
+         |  count(*) AS n_streaks
+         |FROM runs GROUP BY user_id
+         |ORDER BY longest_streak DESC, user_id LIMIT 20""".stripMargin,
+
+    "q_cusum" ->
+      s"""$dailySql, dev AS (
+         |  SELECT user_id, "date", daily_value
+         |    - avg(daily_value) OVER (PARTITION BY user_id) AS dev
+         |  FROM daily
+         |), cs AS (
+         |  SELECT user_id, "date",
+         |    ${sqlGround(
+              """abs(sum(dev) OVER (PARTITION BY user_id ORDER BY "date"
+                |      ROWS UNBOUNDED PRECEDING))""".stripMargin, 6)} AS score
+         |  FROM dev
+         |), rk AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY user_id ORDER BY score DESC, "date") AS rk
+         |  FROM cs
+         |)
+         |SELECT user_id, "date" AS change_date, score
+         |FROM rk WHERE rk = 1 ORDER BY user_id""".stripMargin,
 
     // DuckDB's ntile matches Spark's row-number-based tiling given the same
     // total ordering; the decile agg mirrors the Spark frame exactly.

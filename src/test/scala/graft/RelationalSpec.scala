@@ -93,6 +93,82 @@ class RelationalSpec extends SparkSpec {
     assert(maxes.sameElements(maxes.sorted))
   }
 
+  test("entity resolution: entities are closed under the linkage pairs") {
+    val ents = SparkEntry.queries("q_entity_resolution")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val pairs = SparkEntry.queries("q_record_linkage")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // linked customers share an entity; the canonical id is the entity min
+    pairs.foreach { case (a, b) => assert(ents(a)._1 == ents(b)._1) }
+    val byEntity = ents.groupBy(_._2._1)
+    byEntity.foreach { case (eid, members) =>
+      assert(eid == members.keys.min)
+      members.values.foreach { case (_, n) => assert(n == members.size) }
+    }
+  }
+
+  test("ewma matches the sequential recurrence per user") {
+    val got = SparkEntry.queries("q_ewma")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val daily = graft.queries.Parity.daily(spark, dir)
+      .select(col("user_id"), col("date"), col("daily_value"))
+      .orderBy(col("user_id"), col("date"))
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val expected = daily.groupBy(_._1).map { case (u, xs) =>
+      u -> xs.map(_._2).reduce((s, x) => 0.3 * x + 0.7 * s)
+    }
+    expected.foreach { case (u, e) =>
+      assert(math.abs(got(u) - e) < 1e-4, s"user $u: ${got(u)} vs $e")
+    }
+  }
+
+  test("streaks: longest run is consistent with the raw daily calendar") {
+    val got = SparkEntry.queries("q_streaks")(spark, dir).collect()
+    assert(got.nonEmpty)
+    val daily = graft.queries.Parity.daily(spark, dir)
+      .select(col("user_id"), col("date"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val byUser = daily.groupBy(_._1).map { case (u, xs) =>
+      val ds = xs.map(_._2).sortBy(_.toEpochDay)
+      val runs = ds.foldLeft(List.empty[Long]) { (acc, d) =>
+        acc match {
+          case h :: t if ds.contains(d.minusDays(1)) => (h + 1) :: t
+          case _ => 1L :: acc
+        }
+      }
+      u -> (runs.max, runs.size.toLong)
+    }
+    got.foreach { r =>
+      val (longest, nStreaks) = byUser(r.getLong(0))
+      assert(r.getLong(1) == longest && r.getLong(2) == nStreaks, r.toString)
+    }
+  }
+
+  test("cusum peaks where a constructed level shift happens") {
+    import spark.implicits._
+    // 20 flat days then 20 shifted days → |CUSUM| peaks exactly at the
+    // boundary (the last pre-shift day has max cumulative deviation)
+    val rows = (1 to 40).map(i =>
+      (1L, java.sql.Date.valueOf(f"2024-01-01").toLocalDate.plusDays(i - 1)
+        .toString, if (i <= 20) 10.0 else 30.0))
+    val df = rows.toDF("user_id", "d", "daily_value")
+      .withColumn("date", to_date(col("d")))
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+    val running = byUser.orderBy(col("date"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val peak = df
+      .withColumn("dev",
+        col("daily_value") - avg(col("daily_value")).over(byUser))
+      .withColumn("score",
+        graft.queries.Parity.ground(abs(sum(col("dev")).over(running)), 6))
+      .orderBy(col("score").desc, col("date"))
+      .limit(1).collect().head
+    assert(peak.getAs[java.sql.Date]("date").toString == "2024-01-20")
+  }
+
   test("co-purchase degree matches a brute-force count on tiny data") {
     import spark.implicits._
     val df = SparkEntry.queries("q_copurchase_degree")(spark, dir)

@@ -288,24 +288,48 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val shx = Spread.cpu(df, idCol).select(col(idCol),
       explode(shingles(col(textCol), n)).as("s")) // distinct per doc
-    val dfreq = shx.groupBy(col("s")).agg(count(lit(1)).as("dft"))
+    // dft via a window over the shingle partition, not groupBy+join-back:
+    // the join form shuffles the full shingle stream TWICE (agg build +
+    // probe side); the window form pays one hash exchange + sort
     val byDoc = Window.partitionBy(col(idCol))
-    val ranked = shx.join(dfreq, "s")
+    val ranked = shx
+      .withColumn("dft", count(lit(1)).over(Window.partitionBy(col("s"))))
       .withColumn("pos",
         row_number().over(byDoc.orderBy(col("dft"), col("s"))))
       .withColumn("n_g", count(lit(1)).over(byDoc))
+    // Prefix length n − ceil(t·n) + 1; ceil runs on a float product, and a
+    // one-ulp-high product would round the prefix SHORTER than the exact
+    // value — a silent false-negative hole. The −1e-9 guard only ever
+    // LENGTHENS the prefix (extra candidates, which verify discards).
     // cache: both sides of the candidate self-join read this frame —
-    // uncached, the explode + dfreq join + BOTH windows execute twice
-    // (once per join side). The prefix frame is the SMALL end of the
-    // funnel (≈ (1−t)·|shingles| + 1 rows per doc), so it caches cheaply.
+    // uncached, the explode + dfreq window + BOTH doc windows execute
+    // twice (once per join side). The prefix frame is the SMALL end of
+    // the funnel (≈ (1−t)·|shingles| + 1 rows per doc).
     val prefix = ranked
       .filter(col("pos") <=
-        col("n_g") - ceil(lit(threshold) * col("n_g")) + 1)
-      .select(col(idCol), col("s"))
+        col("n_g") - ceil(lit(threshold) * col("n_g") - 1e-9) + 1)
+      .select(col(idCol), col("s"), col("pos"), col("n_g"))
       .cache()
-    val cands = prefix.withColumnRenamed(idCol, "id_a")
-      .join(prefix.withColumnRenamed(idCol, "id_b"), "s")
+    // PPJoin candidate pruning on top of the prefix collision:
+    //  - LENGTH filter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so a size
+    //    ratio below t can never reach the threshold;
+    //  - POSITIONAL filter: for the FIRST shared prefix token all common
+    //    tokens sit at or after (pos_a, pos_b) in the global order, so
+    //    |A∩B| ≤ 1 + min(|A|−pos_a, |B|−pos_b), which must reach the
+    //    equivalent-overlap bound α = ceil(t/(1+t)·(|A|+|B|)).
+    //    A qualifying pair's first-shared-token row always passes, so the
+    //    per-row filter before distinct() loses nothing.
+    // Both ceils carry the same −1e-9 ulp guard (only ever ADMITS more).
+    val alpha = threshold / (1.0 + threshold)
+    val cands = prefix.select(col(idCol).as("id_a"), col("s"),
+        col("pos").as("pos_a"), col("n_g").as("na"))
+      .join(prefix.select(col(idCol).as("id_b"), col("s"),
+        col("pos").as("pos_b"), col("n_g").as("nb")), "s")
       .filter(col("id_a") < col("id_b"))
+      .filter(least(col("na"), col("nb")) >=
+        ceil(lit(threshold) * greatest(col("na"), col("nb")) - 1e-9))
+      .filter(lit(1) + least(col("na") - col("pos_a"), col("nb") - col("pos_b")) >=
+        ceil(lit(alpha) * (col("na") + col("nb")) - 1e-9))
       .select("id_a", "id_b").distinct()
     verifyCandidatesJaccard(cands, df, textCol, idCol, threshold, n)
   }

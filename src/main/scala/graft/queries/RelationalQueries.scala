@@ -238,11 +238,14 @@ object RelationalQueries {
       val op = Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
-      val small = op.groupBy(col("ok"))
-        .agg(count(lit(1)).as("basket"))
+      // basket guard as a window over the ok partition (not a groupBy +
+      // join-back): the self-join needs ok-partitioning anyway, so the
+      // count rides the exchange the join already pays for
+      val inc = op
+        .withColumn("basket",
+          count(lit(1)).over(Window.partitionBy(col("ok"))))
         .filter(col("basket") <= MaxBasket)
-        .select(col("ok"))
-      val inc = op.join(small, Seq("ok"))
+        .select(col("ok"), col("pk"))
       inc.as("a").join(inc.as("b"),
           col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
         .select(col("a.pk").as("part"), col("b.pk").as("partner"))

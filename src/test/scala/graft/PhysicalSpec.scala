@@ -181,12 +181,17 @@ class PhysicalSpec extends SparkSpec {
     df.collect()
     // the candidate-pair frame is cached; its windows live in the cached plan
     val ops = finalOpsWithCaches(df.queryExecution.executedPlan)
-    // row_number (ordered) and the partition-size count share the doc_id
-    // partitioning: one Exchange, one Sort for both Window nodes — the
-    // second window diverging to its own spec would double the shuffle
-    val wins = ops.filter(o => line(o).startsWith("Window "))
+    // three windows total: the dft count over the shingle partition, then
+    // row_number (ordered) and the partition-size count over doc_id. The
+    // TWO doc_id windows must share one partitioning: one Exchange, one
+    // Sort for both — the second diverging to its own spec would double
+    // the shuffle
+    val allWins = ops.filter(o => line(o).startsWith("Window "))
+    assert(allWins.size == 3,
+      s"expected 3 window nodes:\n${df.queryExecution.executedPlan}")
+    val wins = allWins.filter(o => line(o).contains("[doc_id"))
     assert(wins.size == 2,
-      s"expected 2 window nodes:\n${df.queryExecution.executedPlan}")
+      s"expected 2 doc_id window nodes:\n${df.queryExecution.executedPlan}")
     // the two windows must share one partitioning: the inner window sits in
     // the outer's subtree with NO Exchange (and no re-Sort) between them
     def path(root: SparkPlan, target: SparkPlan): Option[Seq[SparkPlan]] =

@@ -263,14 +263,20 @@ object TextAnalysis {
       .select(col(idCol),
         explode(transform(sequence(lit(0L), col("n") - 2),
           i => array_join(slice(col("toks"), i + 1, lit(2)), " "))).as("bg"))
-    // cache: the per-(doc, bigram) frame feeds the corpus LM agg AND the
-    // scoring join
+    // Corpus LM counts as WINDOW sums over the per-(doc, bigram) frame —
+    // not groupBy + join-back: the join form re-shuffles the frame for the
+    // bigram agg, the head agg, and both probe sides; the window form pays
+    // one exchange per partition key and keeps the pipeline single-pass
+    // (no cache needed). chead over the head partition equals the summed
+    // cbg of that head because both sum the same underlying c rows.
+    import org.apache.spark.sql.expressions.Window
     val dbg = bigrams.groupBy(col(idCol), col("bg"))
-      .agg(count(lit(1)).as("c")).cache()
-    val cbg = dbg.groupBy(col("bg")).agg(sum(col("c")).as("cbg"))
+      .agg(count(lit(1)).as("c"))
+    dbg
+      .withColumn("cbg", sum(col("c")).over(Window.partitionBy(col("bg"))))
       .withColumn("head", substring_index(col("bg"), " ", 1))
-    val chead = cbg.groupBy(col("head")).agg(sum(col("cbg")).as("chead"))
-    dbg.join(cbg, "bg").join(chead, "head")
+      .withColumn("chead",
+        sum(col("c")).over(Window.partitionBy(col("head"))))
       .groupBy(col(idCol))
       .agg(sum(col("c")).as("n_bigrams"),
         sum(col("c").cast("double") *
@@ -282,15 +288,18 @@ object TextAnalysis {
 
   def unigramNll(df: DataFrame, textCol: String, idCol: String)
       : DataFrame = {
-    // cache (in termFreq): tf feeds the vocabulary agg, the total, the join
+    // cache (in termFreq): tf feeds the corpus total AND the scoring pass
     val tf = termFreq(df, textCol, idCol)
-    val vocab = tf.groupBy(col("t")).agg(sum(col("c")).as("ctf"))
     // coalesce: sum over an EMPTY corpus is null, and an empty corpus must
     // yield an empty result, not a driver NPE (ln(0) is never evaluated —
-    // no tf rows survive the join)
-    val total = vocab.agg(coalesce(sum(col("ctf")), lit(0L)))
+    // no tf rows remain to score)
+    val total = tf.agg(coalesce(sum(col("c")), lit(0L)))
       .head.getLong(0)
-    tf.join(vocab, "t")
+    // corpus term frequency as a WINDOW sum over the t partition — the
+    // groupBy + join-back form shuffles tf twice more (agg build + probe)
+    tf.withColumn("ctf",
+        sum(col("c")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("t"))))
       .groupBy(col(idCol))
       .agg(sum(col("c")).as("n_tokens"),
         sum(col("c").cast("double") *

@@ -230,6 +230,72 @@ object RelationalQueries {
         .orderBy(col("user_id"))
     }),
 
+    // 2D skyline (Pareto frontier) per priority: most-recent/most-valuable
+    // orders via the SORT-BASED sweep — one window pass (running max of
+    // price over the date-desc order), no quadratic dominance self-join.
+    // RelationalSpec proves the window formulation equals the NOT-EXISTS
+    // brute force; the oracle mirrors the sweep formula itself.
+    "q_skyline" -> ((s, dir) => {
+      val sweep = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_orderdate").desc, col("o_totalprice").desc,
+          col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.orders(s, dir)
+        .withColumn("run_max", max(col("o_totalprice")).over(sweep))
+        .filter(col("run_max").isNull ||
+          col("o_totalprice") > col("run_max"))
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("o_orderdate").desc,
+          col("o_orderkey"))
+    }),
+
+    // Exact per-group mode: modal event type per user, deterministic
+    // name tiebreak. Count agg collapses before the tiny per-user rank
+    // window — the window never sees raw events.
+    "q_mode_per_group" -> ((s, dir) => {
+      val counts = Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      counts
+        .withColumn("rk", row_number().over(Window.partitionBy(col("user_id"))
+          .orderBy(col("n").desc, col("event_type"))))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("event_type").as("mode_type"), col("n"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Batch click attribution: views within the 30-minute lookback of each
+    // same-user purchase (the batch twin of the streaming interval join —
+    // StreamingSpec proves stream ≡ batch on this shape). Equi on user,
+    // range on time: a user-partitioned sort-merge join, never a cross
+    // product; per-user rollup counts attributed pairs and purchases.
+    "q_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"))
+      purchases.join(views,
+          col("p_user") === col("v_user") &&
+            col("v_ts") >= col("p_ts") -
+              expr(s"INTERVAL $AttrWindowMin MINUTES") &&
+            col("v_ts") < col("p_ts"))
+        .groupBy(col("p_user").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("purchase_id")).as("n_attr_purchases"))
+        .orderBy(col("user_id"))
+    }),
+
+    // SQL front-end parity: the SAME portable SQL text runs through
+    // spark.sql over a temp view and through DuckDB — byte-identical
+    // query, hash-identical result.
+    "q_sql_api" -> ((s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events")
+      s.sql(PortableSql)
+    }),
+
     // Co-purchase graph degree: distinct (order, part) incidence self-joins
     // on the order key — both sides hash-partition on the SAME key, one
     // shuffle each, no broadcast needed and no skew beyond basket size,
@@ -256,6 +322,30 @@ object RelationalQueries {
         .limit(20)
     }),
   )
+
+  /** q_sql_api: ONE dialect-portable SQL string executed verbatim by BOTH
+    * `spark.sql` over temp views and the DuckDB oracle — the API-surface
+    * proof that the engine's SQL front end agrees with the DataFrame path.
+    */
+  private val PortableSql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS d,
+      |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+      |  FROM events GROUP BY user_id, CAST(ts AS DATE)
+      |), m AS (
+      |  SELECT user_id, year(d) AS y, month(d) AS mo,
+      |    CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS mv
+      |  FROM daily GROUP BY user_id, year(d), month(d)
+      |), rk AS (
+      |  SELECT user_id, y, mo, mv, CAST(row_number() OVER (
+      |    PARTITION BY y, mo ORDER BY mv DESC, user_id) AS INT) AS r
+      |  FROM m
+      |)
+      |SELECT y, mo, user_id, mv, r FROM rk
+      |WHERE r <= 3 ORDER BY y, mo, r""".stripMargin
+
+  /** Attribution lookback window (minutes), mirrored in the oracle. */
+  private val AttrWindowMin = 30
 
   val oracles: Map[String, String] = Map(
 
@@ -387,6 +477,50 @@ object RelationalQueries {
          |  ${sqlGround("avg(total)", 6)} AS avg_total,
          |  min(total) AS min_total, max(total) AS max_total
          |FROM tiled GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same sort-based sweep formula; the NOT-EXISTS equivalence is pinned
+    // by RelationalSpec's brute force, not by the oracle.
+    "q_skyline" ->
+      """WITH sw AS (
+        |  SELECT o_orderpriority, o_orderkey, o_orderdate, o_totalprice,
+        |    max(o_totalprice) OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_orderdate DESC, o_totalprice DESC, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_max
+        |  FROM orders
+        |)
+        |SELECT o_orderpriority, o_orderkey, o_orderdate, o_totalprice
+        |FROM sw
+        |WHERE run_max IS NULL OR o_totalprice > run_max
+        |ORDER BY o_orderpriority, o_orderdate DESC, o_orderkey""".stripMargin,
+
+    "q_mode_per_group" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY n DESC, event_type) AS rk
+        |  FROM c
+        |)
+        |SELECT user_id, event_type AS mode_type, n
+        |FROM rk WHERE rk = 1 ORDER BY user_id""".stripMargin,
+
+    "q_attribution" ->
+      s"""WITH v AS (
+         |  SELECT user_id AS v_user, ts AS v_ts
+         |  FROM events WHERE event_type = 'view'
+         |), p AS (
+         |  SELECT user_id AS p_user, ts AS p_ts, event_id AS purchase_id
+         |  FROM events WHERE event_type = 'purchase'
+         |)
+         |SELECT p_user AS user_id, count(*) AS n_pairs,
+         |  count(DISTINCT purchase_id) AS n_attr_purchases
+         |FROM p JOIN v ON p_user = v_user
+         |  AND v_ts >= p_ts - INTERVAL $AttrWindowMin MINUTES
+         |  AND v_ts < p_ts
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_sql_api" -> PortableSql,
 
     "q_copurchase_degree" ->
       s"""WITH op AS (

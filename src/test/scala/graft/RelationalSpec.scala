@@ -169,6 +169,28 @@ class RelationalSpec extends SparkSpec {
     assert(peak.getAs[java.sql.Date]("date").toString == "2024-01-20")
   }
 
+  test("skyline sweep equals the NOT-EXISTS dominance brute force") {
+    val got = SparkEntry.queries("q_skyline")(spark, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val all = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // kept iff nothing in the same priority dominates it: strictly later
+    // date with >= price, same date with > price, or an identical
+    // (date, price) point with a smaller key (tie dedup)
+    val expected = all.filter { case (pr, k, d, p) =>
+      !all.exists { case (pr2, k2, d2, p2) =>
+        pr2 == pr && ((d2 > d && p2 >= p) || (d2 == d && p2 > p) ||
+          (d2 == d && p2 == p && k2 < k))
+      }
+    }.map(t => (t._1, t._2)).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("co-purchase degree matches a brute-force count on tiny data") {
     import spark.implicits._
     val df = SparkEntry.queries("q_copurchase_degree")(spark, dir)

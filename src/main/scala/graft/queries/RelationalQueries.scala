@@ -288,6 +288,56 @@ object RelationalQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Market-basket association rules on co-purchased part pairs:
+    // support/confidence/lift from exact integer counts. Aggregate-first
+    // everywhere — item counts and the order total collapse before any
+    // join; the pair frame joins two BROADCAST count frames (items ≪
+    // incidence). Top rules by lift, deterministic tiebreak.
+    "q_assoc_rules" -> ((s, dir) => {
+      val op = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val nOrders = op.select(col("ok")).distinct().count()
+      val itemN = op.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+      val pairN = op.as("a").join(op.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+        .groupBy(col("a.pk").as("ant"), col("b.pk").as("cons"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 3)
+      pairN
+        .join(broadcast(itemN.select(col("pk").as("ant"),
+          col("n_item").as("n_a"))), "ant")
+        .join(broadcast(itemN.select(col("pk").as("cons"),
+          col("n_item").as("n_b"))), "cons")
+        .select(col("ant"), col("cons"), col("n_ab"),
+          ground(col("n_ab") / col("n_a"), 6).as("confidence"),
+          ground(col("n_ab") * lit(nOrders) / (col("n_a") * col("n_b")), 6)
+            .as("lift"))
+        .orderBy(col("lift").desc, col("ant"), col("cons"))
+        .limit(25)
+    }),
+
+    // DAU/MAU stickiness per month: two independent aggregates of the
+    // (user, day) distinct frame — daily actives averaged within the
+    // month against the month's distinct actives. The distinct frame
+    // collapses events once; both rollups reuse it.
+    "q_stickiness" -> ((s, dir) => {
+      val ud = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .distinct()
+        .withColumn("y", year(col("d"))).withColumn("mo", month(col("d")))
+        .cache()
+      val dau = ud.groupBy(col("y"), col("mo"), col("d"))
+        .agg(count(lit(1)).as("dau"))
+        .groupBy(col("y"), col("mo"))
+        .agg(ground(avg(col("dau")), 6).as("avg_dau"))
+      val mau = ud.groupBy(col("y"), col("mo"))
+        .agg(countDistinct(col("user_id")).as("mau"))
+      dau.join(mau, Seq("y", "mo"))
+        .withColumn("stickiness", ground(col("avg_dau") / col("mau"), 6))
+        .orderBy(col("y"), col("mo"))
+    }),
+
     // SQL front-end parity: the SAME portable SQL text runs through
     // spark.sql over a temp view and through DuckDB — byte-identical
     // query, hash-identical result.
@@ -519,6 +569,45 @@ object RelationalQueries {
          |  AND v_ts >= p_ts - INTERVAL $AttrWindowMin MINUTES
          |  AND v_ts < p_ts
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_assoc_rules" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), n AS (
+        |  SELECT count(DISTINCT ok) AS n_orders FROM op
+        |), item AS (
+        |  SELECT pk, count(*) AS n_item FROM op GROUP BY 1
+        |), pr AS (
+        |  SELECT a.pk AS ant, b.pk AS cons, count(*) AS n_ab
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk <> b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 3
+        |)
+        |SELECT ant, cons, n_ab,
+        |  round(CAST(n_ab AS DOUBLE) / ia.n_item + 1e-9, 6) AS confidence,
+        |  round(CAST(n_ab AS DOUBLE) * n.n_orders
+        |    / (ia.n_item * ib.n_item) + 1e-9, 6) AS lift
+        |FROM pr
+        |JOIN item ia ON ia.pk = ant
+        |JOIN item ib ON ib.pk = cons
+        |CROSS JOIN n
+        |ORDER BY lift DESC, ant, cons LIMIT 25""".stripMargin,
+
+    "q_stickiness" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        |), udm AS (
+        |  SELECT user_id, d, year(d) AS y, month(d) AS mo FROM ud
+        |), dau AS (
+        |  SELECT y, mo, round(avg(dau) + 1e-9, 6) AS avg_dau FROM (
+        |    SELECT y, mo, d, count(*) AS dau FROM udm GROUP BY 1, 2, 3
+        |  ) GROUP BY 1, 2
+        |), mau AS (
+        |  SELECT y, mo, count(DISTINCT user_id) AS mau FROM udm GROUP BY 1, 2
+        |)
+        |SELECT y, mo, avg_dau, mau,
+        |  round(avg_dau / mau + 1e-9, 6) AS stickiness
+        |FROM dau JOIN mau USING (y, mo)
+        |ORDER BY y, mo""".stripMargin,
 
     "q_sql_api" -> PortableSql,
 

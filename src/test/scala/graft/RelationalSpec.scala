@@ -169,6 +169,39 @@ class RelationalSpec extends SparkSpec {
     assert(peak.getAs[java.sql.Date]("date").toString == "2024-01-20")
   }
 
+  test("association rules: confidence and lift identities hold") {
+    val rows = SparkEntry.queries("q_assoc_rules")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val op = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = op.select("l_orderkey").distinct().count()
+    val itemN = op.groupBy("l_partkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (ant, cons, nAb) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val conf = r.getDouble(3); val lift = r.getDouble(4)
+      assert(nAb >= 3)
+      assert(math.abs(conf - nAb.toDouble / itemN(ant)) < 1e-5)
+      assert(math.abs(lift -
+        nAb.toDouble * nOrders / (itemN(ant) * itemN(cons))) < 1e-4)
+      // lift symmetry: the mirrored rule has the same lift
+      val mirror = rows.find(m => m.getLong(0) == cons && m.getLong(1) == ant)
+      mirror.foreach(m => assert(math.abs(m.getDouble(4) - lift) < 1e-5))
+    }
+  }
+
+  test("stickiness is avg-dau over mau and bounded by (0, 1]") {
+    val rows = SparkEntry.queries("q_stickiness")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val avgDau = r.getDouble(2); val mau = r.getLong(3)
+      val st = r.getDouble(4)
+      assert(st > 0 && st <= 1.0 + 1e-9, r.toString)
+      assert(math.abs(st - avgDau / mau) < 1e-5)
+      assert(avgDau <= mau + 1e-9)
+    }
+  }
+
   test("skyline sweep equals the NOT-EXISTS dominance brute force") {
     val got = SparkEntry.queries("q_skyline")(spark, dir)
       .select(col("o_orderpriority"), col("o_orderkey"))

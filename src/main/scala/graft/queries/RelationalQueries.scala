@@ -338,6 +338,52 @@ object RelationalQueries {
         .orderBy(col("y"), col("mo"))
     }),
 
+    // Exact trailing-7-day distinct actives per day: the (user, day)
+    // DISTINCT frame (events collapsed once) range-joins the day calendar
+    // — ≤ 7 calendar rows per activity row, bounded fan-out, then one
+    // distinct count per day. At extreme scale swap the exact distinct
+    // for per-day HLL sketches merged over the trailing window; the
+    // calendar-join shape stays identical.
+    "q_rolling_actives" -> ((s, dir) => {
+      val ud = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .distinct().cache()
+      val days = ud.select(col("d").as("day")).distinct()
+      ud.join(days,
+          col("d") <= col("day") && col("d") > date_sub(col("day"), 7))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("actives_7d"))
+        .orderBy(col("day"))
+    }),
+
+    // Signup→purchase conversion lag: each user's first signup, first
+    // purchase AFTER it, and the exact interpolated median / p90 of the
+    // lag distribution. min-aggregates collapse events before the single
+    // tiny percentile pass.
+    "q_conversion_lag" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val signup = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+      val firstPurchase = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"))
+        .join(signup, "user_id")
+        .filter(col("ts") >= col("signup_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("purchase_ts"),
+          min(col("signup_ts")).as("signup_ts"))
+      // TIMESTAMP_NTZ has no unix_micros; the cast to TIMESTAMP is a
+      // reinterpretation under the UTC session timezone, so the DIFFERENCE
+      // is exact regardless
+      val lags = firstPurchase.select(
+        (unix_micros(col("purchase_ts").cast("timestamp")) -
+          unix_micros(col("signup_ts").cast("timestamp")))
+          .cast("double").as("lag_us"))
+      lags.agg(count(lit(1)).as("n_converted"),
+        ground(expr("percentile(lag_us, 0.5)") / 3.6e9, 6)
+          .as("median_lag_hours"),
+        ground(expr("percentile(lag_us, 0.9)") / 3.6e9, 6)
+          .as("p90_lag_hours"))
+    }),
+
     // SQL front-end parity: the SAME portable SQL text runs through
     // spark.sql over a temp view and through DuckDB — byte-identical
     // query, hash-identical result.
@@ -608,6 +654,40 @@ object RelationalQueries {
         |  round(avg_dau / mau + 1e-9, 6) AS stickiness
         |FROM dau JOIN mau USING (y, mo)
         |ORDER BY y, mo""".stripMargin,
+
+    "q_rolling_actives" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        |), days AS (
+        |  SELECT DISTINCT d AS day FROM ud
+        |)
+        |SELECT day, count(DISTINCT user_id) AS actives_7d
+        |FROM ud JOIN days ON d <= day AND d > day - 7
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // quantile_cont interpolates identically to Spark's exact percentile
+    // (rank = p·(n−1), linear); epoch_us keeps the lag integer-exact.
+    "q_conversion_lag" ->
+      """WITH s AS (
+        |  SELECT user_id, min(ts) AS signup_ts
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1
+        |), p AS (
+        |  SELECT e.user_id, min(e.ts) AS purchase_ts,
+        |    min(s.signup_ts) AS signup_ts
+        |  FROM events e JOIN s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+        |  GROUP BY 1
+        |), lg AS (
+        |  SELECT CAST(epoch_us(purchase_ts) - epoch_us(signup_ts) AS DOUBLE)
+        |    AS lag_us
+        |  FROM p
+        |)
+        |SELECT count(*) AS n_converted,
+        |  round(quantile_cont(lag_us, 0.5) / 3.6e9 + 1e-9, 6)
+        |    AS median_lag_hours,
+        |  round(quantile_cont(lag_us, 0.9) / 3.6e9 + 1e-9, 6)
+        |    AS p90_lag_hours
+        |FROM lg""".stripMargin,
 
     "q_sql_api" -> PortableSql,
 

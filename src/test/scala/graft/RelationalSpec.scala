@@ -202,6 +202,39 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("rolling 7-day actives match a brute-force recount") {
+    val got = SparkEntry.queries("q_rolling_actives")(spark, dir)
+      .collect().map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val days = ud.map(_._2).distinct
+    days.foreach { day =>
+      val expected = ud.filter { case (_, d) =>
+        !d.isAfter(day) && d.isAfter(day.minusDays(7))
+      }.map(_._1).distinct.size
+      assert(got(day) == expected, s"day $day")
+    }
+  }
+
+  test("conversion lag: count matches converters, median <= p90") {
+    val r = SparkEntry.queries("q_conversion_lag")(spark, dir)
+      .collect().head
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .collect().map(x => (x.getLong(0),
+        x.getAs[java.time.LocalDateTime](1), x.getString(2)))
+    implicit val ldtOrd: Ordering[java.time.LocalDateTime] =
+      Ordering.fromLessThan(_ isBefore _)
+    val converters = ev.filter(_._3 == "signup").groupBy(_._1)
+      .map { case (u, xs) => u -> xs.map(_._2).min }
+      .count { case (u, st) =>
+        ev.exists(e => e._1 == u && e._3 == "purchase" && !e._2.isBefore(st)) }
+    assert(r.getLong(0) == converters)
+    assert(r.getDouble(1) <= r.getDouble(2) + 1e-9)
+    assert(r.getDouble(1) > 0)
+  }
+
   test("skyline sweep equals the NOT-EXISTS dominance brute force") {
     val got = SparkEntry.queries("q_skyline")(spark, dir)
       .select(col("o_orderpriority"), col("o_orderkey"))

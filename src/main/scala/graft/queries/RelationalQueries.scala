@@ -294,9 +294,12 @@ object RelationalQueries {
     // join; the pair frame joins two BROADCAST count frames (items ≪
     // incidence). Top rules by lift, deterministic tiebreak.
     "q_assoc_rules" -> ((s, dir) => {
+      // cache: the incidence feeds the order total, the item counts, and
+      // BOTH sides of the pair self-join — uncached, the lineitem scan +
+      // distinct would run four times
       val op = Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
+        .distinct().cache()
       val nOrders = op.select(col("ok")).distinct().count()
       val itemN = op.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
       val pairN = op.as("a").join(op.as("b"),

@@ -41,17 +41,9 @@ object RuntimeFilter {
       factKey: String,
       dimKey: String,
       expectedItems: Long,
-      fpp: Double = 0.01): DataFrame = {
-    require(expectedItems > 0, s"expectedItems=$expectedItems must be positive")
-    require(fpp > 0 && fpp < 1, s"fpp=$fpp must be in (0, 1)")
-    val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
-    val bcast = fact.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((k: java.lang.Long) =>
-      k != null && bcast.value.mightContainLong(k))
-    fact
-      .filter(mightContain(col(factKey)))
+      fpp: Double = 0.01): DataFrame =
+    bloomPrune(fact, dim, factKey, dimKey, expectedItems, fpp)
       .join(dim, col(factKey) === col(dimKey))
-  }
 
   /** The pruned-fact frame alone (no join) — for callers composing their own
     * join or aggregation after the runtime filter. False positives remain;
@@ -65,6 +57,7 @@ object RuntimeFilter {
       expectedItems: Long,
       fpp: Double = 0.01): DataFrame = {
     require(expectedItems > 0, s"expectedItems=$expectedItems must be positive")
+    require(fpp > 0 && fpp < 1, s"fpp=$fpp must be in (0, 1)")
     val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
     val bcast = fact.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf((k: java.lang.Long) =>

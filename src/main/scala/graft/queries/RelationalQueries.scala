@@ -31,6 +31,23 @@ object RelationalQueries {
   /** EWMA smoothing factor for q_ewma. */
   private val Alpha = 0.3
 
+  /** Distinct (order, part) incidence — shared by q_copurchase_degree and
+    * q_assoc_rules. Cached: each consumer references it from several plan
+    * branches (self-join sides, item counts, order total).
+    */
+  private def incidence(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct().cache()
+
+  /** Distinct (user, active day) frame — shared by q_stickiness and
+    * q_rolling_actives (both aggregate it along different axes).
+    */
+  private def userDays(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct().cache()
+
   /** Blocked fuzzy-match candidate pairs over customer names — shared by
     * q_record_linkage (the pairs themselves) and q_entity_resolution (the
     * connected components over them).
@@ -72,9 +89,13 @@ object RelationalQueries {
     // The oracle is the plain join — bit-equality proves the bloom is
     // semantically invisible. Per-order revenue is decimal-exact.
     "q_bloom_join" -> ((s, dir) => {
+      // cache: the filtered dim is scanned three times (expectedItems
+      // count, bloom build treeAggregate, join build side); keys only —
+      // unused columns would widen the broadcast build side
       val urgent = Tables.orders(s, dir)
         .filter(col("o_orderpriority") === "1-URGENT")
-        .select(col("o_orderkey"), col("o_orderdate"))
+        .select(col("o_orderkey"))
+        .cache()
       val items = RuntimeFilter.bloomInnerJoin(
         Tables.lineitem(s, dir)
           .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
@@ -294,12 +315,7 @@ object RelationalQueries {
     // join; the pair frame joins two BROADCAST count frames (items ≪
     // incidence). Top rules by lift, deterministic tiebreak.
     "q_assoc_rules" -> ((s, dir) => {
-      // cache: the incidence feeds the order total, the item counts, and
-      // BOTH sides of the pair self-join — uncached, the lineitem scan +
-      // distinct would run four times
-      val op = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct().cache()
+      val op = incidence(s, dir)
       val nOrders = op.select(col("ok")).distinct().count()
       val itemN = op.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
       val pairN = op.as("a").join(op.as("b"),
@@ -325,11 +341,8 @@ object RelationalQueries {
     // month against the month's distinct actives. The distinct frame
     // collapses events once; both rollups reuse it.
     "q_stickiness" -> ((s, dir) => {
-      val ud = Tables.events(s, dir)
-        .select(col("user_id"), to_date(col("ts")).as("d"))
-        .distinct()
+      val ud = userDays(s, dir)
         .withColumn("y", year(col("d"))).withColumn("mo", month(col("d")))
-        .cache()
       val dau = ud.groupBy(col("y"), col("mo"), col("d"))
         .agg(count(lit(1)).as("dau"))
         .groupBy(col("y"), col("mo"))
@@ -348,9 +361,7 @@ object RelationalQueries {
     // for per-day HLL sketches merged over the trailing window; the
     // calendar-join shape stays identical.
     "q_rolling_actives" -> ((s, dir) => {
-      val ud = Tables.events(s, dir)
-        .select(col("user_id"), to_date(col("ts")).as("d"))
-        .distinct().cache()
+      val ud = userDays(s, dir)
       val days = ud.select(col("d").as("day")).distinct()
       ud.join(days,
           col("d") <= col("day") && col("d") > date_sub(col("day"), 7))
@@ -400,9 +411,7 @@ object RelationalQueries {
     // shuffle each, no broadcast needed and no skew beyond basket size,
     // which the MaxBasket guard bounds. Degree = distinct partner count.
     "q_copurchase_degree" -> ((s, dir) => {
-      val op = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
+      val op = incidence(s, dir)
       // basket guard as a window over the ok partition (not a groupBy +
       // join-back): the self-join needs ok-partitioning anyway, so the
       // count rides the exchange the join already pays for

@@ -7,7 +7,10 @@ import org.apache.spark.sql.functions._
 import graft.ext.{Dedup, Spread}
 import graft.io.Tables
 
-/** Dev-only: stage decomposition of prefixJaccardPairs. */
+/** Dev-only: stage decomposition of the SHIPPED prefixJaccardPairs pipeline
+  * (window dft → prefix with (pos, n_g) → PPJoin length+positional filters
+  * → exact verify), mirroring Dedup.prefixJaccardPairs stage for stage.
+  */
 object ProfilePJ {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -30,34 +33,33 @@ object ProfilePJ {
       explode(Dedup.shingles(col("text"), 3)).as("s"))
     time("shx count")(println(shx.count()))
 
-    // current: groupBy + join
-    val dfreq = shx.groupBy(col("s")).agg(count(lit(1)).as("dft"))
+    // prefix stage exactly as shipped: window dft, ranked, ulp-guarded cut
     val byDoc = Window.partitionBy(col("doc_id"))
-    val ranked1 = shx.join(dfreq, "s")
-      .withColumn("pos", row_number().over(byDoc.orderBy(col("dft"), col("s"))))
+    val prefix = shx
+      .withColumn("dft", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .withColumn("pos",
+        row_number().over(byDoc.orderBy(col("dft"), col("s"))))
       .withColumn("n_g", count(lit(1)).over(byDoc))
-      .filter(col("pos") <= col("n_g") - ceil(lit(threshold) * col("n_g")) + 1)
-      .select(col("doc_id"), col("s"))
-    time("prefix via groupBy+join")(println(ranked1.count()))
-    time("prefix via groupBy+join (2nd)")(println(ranked1.count()))
-
-    // window dft
-    val ranked2 = shx.withColumn("dft", count(lit(1)).over(Window.partitionBy(col("s"))))
-      .withColumn("pos", row_number().over(byDoc.orderBy(col("dft"), col("s"))))
-      .withColumn("n_g", count(lit(1)).over(byDoc))
-      .filter(col("pos") <= col("n_g") - ceil(lit(threshold) * col("n_g")) + 1)
-      .select(col("doc_id"), col("s"))
-    time("prefix via window dft")(println(ranked2.count()))
-    time("prefix via window dft (2nd)")(println(ranked2.count()))
-
-    // full op stages
-    val prefix = ranked1.cache()
+      .filter(col("pos") <=
+        col("n_g") - ceil(lit(threshold) * col("n_g") - 1e-9) + 1)
+      .select(col("doc_id"), col("s"), col("pos"), col("n_g"))
+      .cache()
     time("prefix materialize")(println(prefix.count()))
-    val cands = prefix.withColumnRenamed("doc_id", "id_a")
-      .join(prefix.withColumn("id_b", col("doc_id")).drop("doc_id"), "s")
+
+    val alpha = threshold / (1.0 + threshold)
+    val raw = prefix.select(col("doc_id").as("id_a"), col("s"),
+        col("pos").as("pos_a"), col("n_g").as("na"))
+      .join(prefix.select(col("doc_id").as("id_b"), col("s"),
+        col("pos").as("pos_b"), col("n_g").as("nb")), "s")
       .filter(col("id_a") < col("id_b"))
+    time("raw prefix collisions")(println(raw.count()))
+    val cands = raw
+      .filter(least(col("na"), col("nb")) >=
+        ceil(lit(threshold) * greatest(col("na"), col("nb")) - 1e-9))
+      .filter(lit(1) + least(col("na") - col("pos_a"), col("nb") - col("pos_b")) >=
+        ceil(lit(alpha) * (col("na") + col("nb")) - 1e-9))
       .select("id_a", "id_b").distinct()
-    time("cands")(println(cands.count()))
+    time("cands after PPJoin filters")(println(cands.count()))
     time("verify")(println(
       Dedup.verifyCandidatesJaccard(cands, docs, "text", "doc_id", threshold, 3).count()))
     time("full current op")(println(

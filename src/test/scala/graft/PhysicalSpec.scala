@@ -169,8 +169,17 @@ class PhysicalSpec extends SparkSpec {
     val ops = finalOps(df.queryExecution.executedPlan)
     // dfreq (≤ |queryTerms| rows) and the 1-row stats frame are forced
     // broadcasts — shuffling postings against them would be the inverted-
-    // index anti-pattern
-    assert(ops.count(_.isInstanceOf[BroadcastQueryStageExec]) >= 2,
+    // index anti-pattern. Dedup by the canonicalized underlying exchange:
+    // an AQE-reused broadcast materializes as a second stage node, and
+    // counting stages would let ONE broadcast reused twice satisfy the
+    // two-independent-small-sides guarantee.
+    val distinctBroadcasts = ops
+      .collect { case b: BroadcastQueryStageExec => b.plan match {
+        case r: ReusedExchangeExec => r.child.canonicalized
+        case p => p.canonicalized
+      } }
+      .distinct
+    assert(distinctBroadcasts.size >= 2,
       s"dfreq/stats should broadcast:\n${df.queryExecution.executedPlan}")
     assert(ops.exists(o => line(o).startsWith("TakeOrderedAndProject")),
       s"top-k sorts:\n${df.queryExecution.executedPlan}")
@@ -204,6 +213,8 @@ class PhysicalSpec extends SparkSpec {
       .getOrElse(fail(s"windows not nested:\n${df.queryExecution.executedPlan}"))
     assert(!between.exists(n => line(n).startsWith("Exchange")),
       s"exchange between the two windows:\n${df.queryExecution.executedPlan}")
+    assert(!between.exists(n => line(n).startsWith("Sort")),
+      s"re-sort between the two windows:\n${df.queryExecution.executedPlan}")
   }
 
   test("hash sample is a narrow filter — no shuffle, no extra columns read") {

@@ -398,6 +398,34 @@ object RelationalQueries {
           .as("p90_lag_hours"))
     }),
 
+    // TPC-H Q21 shape (waiting suppliers): lineitems late by 90+ days in
+    // multi-supplier 'F' orders where THIS supplier is the only late one.
+    // The EXISTS / NOT-EXISTS pair rewrites to ONE per-order aggregate
+    // (supplier count + late-supplier count) joined back on the order key
+    // — two correlated subquery scans become a single groupBy; the oracle
+    // keeps the declarative EXISTS form, so equality proves the rewrite.
+    "q_late_suppliers" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      val perOrder = li.groupBy(col("l_orderkey").as("ok"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supps"),
+          countDistinct(when(col("late"), col("l_suppkey")))
+            .as("n_late_supps"))
+      li.filter(col("late"))
+        .join(perOrder, col("l_orderkey") === col("ok"))
+        .filter(col("n_supps") > 1 && col("n_late_supps") === 1)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("l_suppkey"))
+        .limit(20)
+    }),
+
     // SQL front-end parity: the SAME portable SQL text runs through
     // spark.sql over a temp view and through DuckDB — byte-identical
     // query, hash-identical result.
@@ -700,6 +728,28 @@ object RelationalQueries {
         |  round(quantile_cont(lag_us, 0.9) / 3.6e9 + 1e-9, 6)
         |    AS p90_lag_hours
         |FROM lg""".stripMargin,
+
+    // Declarative EXISTS / NOT-EXISTS form — the aggregate rewrite on the
+    // Spark side must be semantically invisible.
+    "q_late_suppliers" ->
+      """WITH lo AS (
+        |  SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate, o.o_orderdate
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F'
+        |)
+        |SELECT l1.l_suppkey, count(*) AS numwait
+        |FROM lo l1
+        |WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 90 DAY
+        |AND EXISTS (
+        |  SELECT 1 FROM lo l2
+        |  WHERE l2.l_orderkey = l1.l_orderkey
+        |    AND l2.l_suppkey <> l1.l_suppkey)
+        |AND NOT EXISTS (
+        |  SELECT 1 FROM lo l3
+        |  WHERE l3.l_orderkey = l1.l_orderkey
+        |    AND l3.l_suppkey <> l1.l_suppkey
+        |    AND l3.l_shipdate > l3.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1 ORDER BY numwait DESC, l_suppkey LIMIT 20""".stripMargin,
 
     "q_sql_api" -> PortableSql,
 

@@ -235,6 +235,27 @@ class RelationalSpec extends SparkSpec {
     assert(r.getDouble(1) > 0)
   }
 
+  test("late suppliers: aggregate rewrite equals the EXISTS brute force") {
+    val got = SparkEntry.queries("q_late_suppliers")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val lo = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+          .as("late"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byOrder = lo.groupBy(_._1)
+    val waits = lo.filter(_._3).filter { case (ok, sk, _) =>
+      val order = byOrder(ok)
+      order.exists(_._2 != sk) && !order.exists(o => o._2 != sk && o._3)
+    }.groupBy(_._2).map { case (sk, xs) => (sk, xs.size.toLong) }
+    val expected = waits.toSeq.sortBy { case (sk, n) => (-n, sk) }.take(20)
+    assert(got.toSeq == expected)
+    assert(got.nonEmpty)
+  }
+
   test("skyline sweep equals the NOT-EXISTS dominance brute force") {
     val got = SparkEntry.queries("q_skyline")(spark, dir)
       .select(col("o_orderpriority"), col("o_orderkey"))

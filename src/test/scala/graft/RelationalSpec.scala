@@ -41,6 +41,30 @@ class RelationalSpec extends SparkSpec {
     assert(composed.collect().sameElements(plain.collect()))
   }
 
+  test("late suppliers: status filter pushed to the orders scan, top-k sorts") {
+    val df = SparkEntry.queries("q_late_suppliers")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(o_orderstatus,F)"),
+      s"status filter not pushed:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k sorts:\n$plan")
+    // the lineitem scans read only the three needed columns
+    assert(plan.contains(
+      "ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint,l_shipdate:timestamp_ntz>"),
+      s"lineitem scan not pruned:\n$plan")
+  }
+
+  test("bloom join plan: pruning filter sits scan-side, dim broadcasts") {
+    val df = SparkEntry.queries("q_bloom_join")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"dim should broadcast:\n$plan")
+    // the probe side reads only the three agg columns
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint," +
+      "l_extendedprice:double,l_discount:double>"),
+      s"fact scan not pruned:\n$plan")
+  }
+
   test("big spenders: aggregate-first plan broadcasts both small sides") {
     val df = SparkEntry.queries("q_big_spenders")(spark, dir)
     df.collect()

@@ -251,9 +251,23 @@ object Dedup {
     // cache: the shingle-set frame is probed by both pair-side joins
     val sh = docs.join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol), shingles(col(textCol), n).as("g")).cache()
-    c
-      .join(sh.select(col(idCol).as("id_a"), col("g").as("g_a")), "id_a")
-      .join(sh.select(col(idCol).as("id_b"), col("g").as("g_b")), "id_b")
+    verifyCandidatesJaccardSets(c, sh, idCol, threshold)
+  }
+
+  /** [[verifyCandidatesJaccard]] over a PRECOMPUTED (id, shingle-set)
+    * frame — for callers (the PPJoin path) whose candidate generator
+    * already paid the shingling; re-deriving the sets from raw text would
+    * run the regex/split projection a second time over the corpus.
+    * `shingleSets` must contain every id referenced by `cands`.
+    */
+  def verifyCandidatesJaccardSets(cands: DataFrame, shingleSets: DataFrame,
+                                  idCol: String, threshold: Double)
+      : DataFrame = {
+    cands
+      .join(shingleSets.select(col(idCol).as("id_a"), col("g").as("g_a")),
+        "id_a")
+      .join(shingleSets.select(col(idCol).as("id_b"), col("g").as("g_b")),
+        "id_b")
       .withColumn("n_inter",
         size(array_intersect(col("g_a"), col("g_b"))))
       .withColumn("jaccard", try_divide(col("n_inter").cast("double"),
@@ -286,8 +300,14 @@ object Dedup {
     require(threshold > 0 && threshold <= 1,
       s"threshold=$threshold must be in (0, 1]")
     import org.apache.spark.sql.expressions.Window
-    val shx = Spread.cpu(df, idCol).select(col(idCol),
-      explode(shingles(col(textCol), n)).as("s")) // distinct per doc
+    // cache: the shingle-SET frame feeds the exploded prefix pipeline AND
+    // the final exact verification — shingling (regex split + slide +
+    // distinct) is the dominant CPU and must run once, not twice
+    val shSets = Spread.cpu(df, idCol)
+      .select(col(idCol), shingles(col(textCol), n).as("g"))
+      .cache()
+    val shx = shSets.select(col(idCol),
+      explode(col("g")).as("s")) // distinct per doc
     // dft via a window over the shingle partition, not groupBy+join-back:
     // the join form shuffles the full shingle stream TWICE (agg build +
     // probe side); the window form pays one hash exchange + sort
@@ -331,7 +351,7 @@ object Dedup {
       .filter(lit(1) + least(col("na") - col("pos_a"), col("nb") - col("pos_b")) >=
         ceil(lit(alpha) * (col("na") + col("nb")) - 1e-9))
       .select("id_a", "id_b").distinct()
-    verifyCandidatesJaccard(cands, df, textCol, idCol, threshold, n)
+    verifyCandidatesJaccardSets(cands, shSets, idCol, threshold)
   }
 
   /** 32-bit SimHashes, explode→groupBy shape (same codegen-size rationale

@@ -258,7 +258,8 @@ object Dedup {
     * frame — for callers (the PPJoin path) whose candidate generator
     * already paid the shingling; re-deriving the sets from raw text would
     * run the regex/split projection a second time over the corpus.
-    * `shingleSets` must contain every id referenced by `cands`.
+    * `shingleSets` must contain every id referenced by `cands`, with the
+    * set column named exactly `g` (as [[shingles]] callers produce).
     */
   def verifyCandidatesJaccardSets(cands: DataFrame, shingleSets: DataFrame,
                                   idCol: String, threshold: Double)

@@ -400,26 +400,27 @@ object RelationalQueries {
 
     // TPC-H Q21 shape (waiting suppliers): lineitems late by 90+ days in
     // multi-supplier 'F' orders where THIS supplier is the only late one.
-    // The EXISTS / NOT-EXISTS pair rewrites to ONE per-order aggregate
-    // (supplier count + late-supplier count) joined back on the order key
-    // — two correlated subquery scans become a single groupBy; the oracle
-    // keeps the declarative EXISTS form, so equality proves the rewrite.
+    // The EXISTS / NOT-EXISTS pair rewrites to per-order distinct-supplier
+    // counts as WINDOWS over the order partition — one join, one exchange,
+    // no second scan of the joined stream (the groupBy + join-back form
+    // would evaluate the join twice). The oracle keeps the declarative
+    // EXISTS form, so hash equality proves the rewrite.
     "q_late_suppliers" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
         .filter(col("o_orderstatus") === "F")
         .select(col("o_orderkey"), col("o_orderdate"))
-      val li = Tables.lineitem(s, dir)
+      val byOrder = Window.partitionBy(col("l_orderkey"))
+      Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
         .join(o, col("l_orderkey") === col("o_orderkey"))
         .withColumn("late",
           col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
-      val perOrder = li.groupBy(col("l_orderkey").as("ok"))
-        .agg(countDistinct(col("l_suppkey")).as("n_supps"),
-          countDistinct(when(col("late"), col("l_suppkey")))
-            .as("n_late_supps"))
-      li.filter(col("late"))
-        .join(perOrder, col("l_orderkey") === col("ok"))
-        .filter(col("n_supps") > 1 && col("n_late_supps") === 1)
+        .withColumn("n_supps",
+          size(collect_set(col("l_suppkey")).over(byOrder)))
+        .withColumn("n_late_supps",
+          size(collect_set(when(col("late"), col("l_suppkey")))
+            .over(byOrder)))
+        .filter(col("late") && col("n_supps") > 1 && col("n_late_supps") === 1)
         .groupBy(col("l_suppkey"))
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("l_suppkey"))

@@ -60,8 +60,14 @@ object ProfilePJ {
         ceil(lit(alpha) * (col("na") + col("nb")) - 1e-9))
       .select("id_a", "id_b").distinct()
     time("cands after PPJoin filters")(println(cands.count()))
+    // shipped verify path: the precomputed shingle-set frame, not a
+    // re-shingling pass over raw text
+    val shSets = Spread.cpu(docs, "doc_id")
+      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("g")).cache()
+    shSets.count()
     time("verify")(println(
-      Dedup.verifyCandidatesJaccard(cands, docs, "text", "doc_id", threshold, 3).count()))
+      Dedup.verifyCandidatesJaccardSets(cands, shSets, "doc_id", threshold)
+        .count()))
     time("full current op")(println(
       Dedup.prefixJaccardPairs(docs, "text", "doc_id", threshold).count()))
     spark.stop()

@@ -427,6 +427,30 @@ object RelationalQueries {
         .limit(20)
     }),
 
+    // Exact 7-row rolling median per user: Spark has no median over a
+    // moving window, so the frame's values ride a collect_list + sort_array
+    // and the median interpolates from the sorted array — O(w log w) per
+    // row with w bounded by the frame, fully partitioned, no self-join.
+    // The oracle uses DuckDB's native windowed median (quantile_cont 0.5),
+    // proving the array formulation exact including the even-count
+    // midpoint average.
+    "q_rolling_median" -> ((s, dir) => {
+      val w7 = Window.partitionBy(col("user_id")).orderBy(col("date"))
+        .rowsBetween(-6, Window.currentRow)
+      val withArr = Parity.daily(s, dir)
+        .withColumn("a", sort_array(collect_list(col("daily_value")).over(w7)))
+        .withColumn("n", size(col("a")))
+      withArr
+        .withColumn("med7",
+          when(col("n") % 2 === 1,
+            element_at(col("a"), ((col("n") + 1) / 2).cast("int")))
+            .otherwise((element_at(col("a"), (col("n") / 2).cast("int")) +
+              element_at(col("a"), (col("n") / 2 + 1).cast("int"))) / 2))
+        .select(col("user_id"), col("date"),
+          ground(col("med7"), 6).as("med7"))
+        .orderBy(col("user_id"), col("date"))
+    }),
+
     // SQL front-end parity: the SAME portable SQL text runs through
     // spark.sql over a temp view and through DuckDB — byte-identical
     // query, hash-identical result.
@@ -751,6 +775,14 @@ object RelationalQueries {
         |    AND l3.l_suppkey <> l1.l_suppkey
         |    AND l3.l_shipdate > l3.o_orderdate + INTERVAL 90 DAY)
         |GROUP BY 1 ORDER BY numwait DESC, l_suppkey LIMIT 20""".stripMargin,
+
+    "q_rolling_median" ->
+      s"""$dailySql
+         |SELECT user_id, "date",
+         |  round(median(daily_value) OVER (PARTITION BY user_id
+         |    ORDER BY "date" ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         |    + 1e-9, 6) AS med7
+         |FROM daily ORDER BY user_id, "date"""".stripMargin,
 
     "q_sql_api" -> PortableSql,
 

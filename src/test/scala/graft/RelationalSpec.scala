@@ -280,6 +280,28 @@ class RelationalSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("rolling median: first row equals its value, stays within the frame") {
+    val med = SparkEntry.queries("q_rolling_median")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate,
+        r.getDouble(2)))
+    val daily = graft.queries.Parity.daily(spark, dir)
+      .select(col("user_id"), col("date"), col("daily_value"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate,
+        r.getDouble(2)))
+      .groupBy(_._1).map { case (u, xs) =>
+        u -> xs.map(x => x._2 -> x._3).sortBy(_._1.toEpochDay) }
+    med.groupBy(_._1).foreach { case (u, rows) =>
+      val series = daily(u)
+      val first = rows.minBy(_._2.toEpochDay)
+      assert(math.abs(first._3 - series.head._2) < 1e-5)
+      rows.foreach { case (_, d, m) =>
+        val idx = series.indexWhere(_._1 == d)
+        val frame = series.slice(math.max(0, idx - 6), idx + 1).map(_._2)
+        assert(m >= frame.min - 1e-6 && m <= frame.max + 1e-6)
+      }
+    }
+  }
+
   test("skyline sweep equals the NOT-EXISTS dominance brute force") {
     val got = SparkEntry.queries("q_skyline")(spark, dir)
       .select(col("o_orderpriority"), col("o_orderkey"))

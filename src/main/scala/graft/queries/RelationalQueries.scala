@@ -451,6 +451,37 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("date"))
     }),
 
+    // Incremental aggregate maintenance: the day-25+ delta batch folds
+    // into the precomputed base aggregate by a full-outer merge on the
+    // group key with coalesced partial sums — the base (99%+ of data at
+    // scale) is NEVER rescanned. Decimal-exact partials make the merge
+    // bit-identical to the full recompute the oracle performs.
+    "q_incremental_agg" -> ((s, dir) => {
+      val ev = Parity.eventsT(s, dir)
+      val cutoff = "2024-01-25"
+      def agg(df: DataFrame) = df.groupBy(col("user_id"), col("date"))
+        .agg(sum(col("value").cast(
+            org.apache.spark.sql.types.DataTypes.createDecimalType(18, 4)))
+          .as("dsum"),
+          count(lit(1)).as("n"))
+      val base = agg(ev.filter(col("date") < lit(cutoff)))
+      val delta = agg(ev.filter(col("date") >= lit(cutoff)))
+      base.as("b").join(delta.as("d"),
+          col("b.user_id") === col("d.user_id") &&
+            col("b.date") === col("d.date"), "full_outer")
+        .select(
+          coalesce(col("b.user_id"), col("d.user_id")).as("user_id"),
+          coalesce(col("b.date"), col("d.date")).as("date"),
+          (coalesce(col("b.dsum"), lit(0).cast(
+              org.apache.spark.sql.types.DataTypes.createDecimalType(18, 4))) +
+            coalesce(col("d.dsum"), lit(0).cast(
+              org.apache.spark.sql.types.DataTypes.createDecimalType(18, 4))))
+            .cast("double").as("daily_value"),
+          (coalesce(col("b.n"), lit(0L)) + coalesce(col("d.n"), lit(0L)))
+            .as("num_readings"))
+        .orderBy(col("user_id"), col("date"))
+    }),
+
     // SQL front-end parity: the SAME portable SQL text runs through
     // spark.sql over a temp view and through DuckDB — byte-identical
     // query, hash-identical result.
@@ -775,6 +806,14 @@ object RelationalQueries {
         |    AND l3.l_suppkey <> l1.l_suppkey
         |    AND l3.l_shipdate > l3.o_orderdate + INTERVAL 90 DAY)
         |GROUP BY 1 ORDER BY numwait DESC, l_suppkey LIMIT 20""".stripMargin,
+
+    // Full recompute over ALL events — equality proves the incremental
+    // merge exact (decimal partials are order-independent).
+    "q_incremental_agg" ->
+      """SELECT user_id, CAST(ts AS DATE) AS "date",
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS daily_value,
+        |  count(*) AS num_readings
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_rolling_median" ->
       s"""$dailySql

@@ -58,6 +58,11 @@ object RuntimeFilter {
       fpp: Double = 0.01): DataFrame = {
     require(expectedItems > 0, s"expectedItems=$expectedItems must be positive")
     require(fpp > 0 && fpp < 1, s"fpp=$fpp must be in (0, 1)")
+    // Spark's stat.bloomFilter NPEs on an EMPTY build side (the aggregate
+    // returns a null sketch buffer); an empty dim legitimately means
+    // "nothing can match" — short-circuit with a false predicate. The
+    // isEmpty probe is a limit-1 job on the (small by contract) dim.
+    if (dim.isEmpty) return fact.filter(lit(false))
     val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
     val bcast = fact.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf((k: java.lang.Long) =>

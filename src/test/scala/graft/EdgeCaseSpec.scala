@@ -158,6 +158,60 @@ class EdgeCaseSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("round-4 operators degrade on degenerate inputs, never throw") {
+    import graft.ext.RuntimeFilter
+    // bloom prune: null fact keys never match; empty dim prunes everything
+    val fact = Seq(Some(1L), Some(2L), None).toDF("k")
+    val dim = Seq(1L).toDF("d")
+    val pruned = RuntimeFilter.bloomPrune(fact, dim, "k", "d",
+      expectedItems = 1)
+    assert(pruned.collect().map(_.getLong(0)).toSet == Set(1L))
+    val emptyDim = Seq.empty[Long].toDF("d")
+    assert(RuntimeFilter.bloomPrune(fact, emptyDim, "k", "d",
+      expectedItems = 1).count() == 0)
+    // prefix-jaccard: identical docs pair up; empty corpus yields empty
+    val same = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val pj = Dedup.prefixJaccardPairs(same, "text", "doc_id", 0.9)
+      .collect()
+    assert(pj.length == 1 && math.abs(pj.head.getDouble(2) - 1.0) < 1e-9)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.prefixJaccardPairs(empty, "text", "doc_id", 0.5).count() == 0)
+    // entity resolution with zero pairs: every id is its own entity
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.resolveClusters(noPairs).count() == 0)
+  }
+
+  test("round-4 time-series queries handle single-observation users") {
+    import org.apache.spark.sql.expressions.Window
+    val one = Seq((1L, java.sql.Date.valueOf("2024-01-05"), 10.0))
+      .toDF("user_id", "date", "daily_value")
+    // EWMA closed form with n=1: weight (1-a)^0 = 1 → ewma = the value
+    val byUser = Window.partitionBy(col("user_id"))
+    val seq0 = byUser.orderBy(col("date"))
+    val d = one.withColumn("rn", row_number().over(seq0))
+      .withColumn("n", count(lit(1)).over(byUser))
+    val w = when(col("rn") === 1, pow(lit(0.7), col("n") - 1))
+      .otherwise(lit(0.3) * pow(lit(0.7), col("n") - col("rn")))
+    val ewma = d.groupBy(col("user_id"))
+      .agg(sum(w * col("daily_value")).as("ewma")).collect().head.getDouble(1)
+    assert(math.abs(ewma - 10.0) < 1e-12)
+    // rolling median with a single row is the value itself
+    val w7 = seq0.rowsBetween(-6, Window.currentRow)
+    val med = one
+      .withColumn("a", sort_array(collect_list(col("daily_value")).over(w7)))
+      .withColumn("n", size(col("a")))
+      .withColumn("m", element_at(col("a"), ((col("n") + 1) / 2).cast("int")))
+      .collect().head.getAs[Double]("m")
+    assert(med == 10.0)
+    // CUSUM of a single observation is zero (value - own mean)
+    val cs = one
+      .withColumn("dev", col("daily_value") - avg(col("daily_value")).over(byUser))
+      .withColumn("c", sum(col("dev")).over(
+        seq0.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .collect().head.getAs[Double]("c")
+    assert(math.abs(cs) < 1e-12)
+  }
+
   test("as-of with empty right side keeps all left rows, null payload") {
     val left = Seq((1L, "k", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
       .toDF("id", "key", "t")

@@ -482,6 +482,37 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("date"))
     }),
 
+    // Importance-weighted deterministic sampling: per-class keep rates
+    // (rare classes kept whole, common ones thinned) applied through the
+    // salted hash bucket — reproducible row-level Bernoulli with no RNG
+    // state, the training-mix downsampling shape. The oracle re-derives
+    // the SAME hash, so the sampled aggregate is bit-checkable.
+    "q_weighted_sample" -> ((s, dir) => {
+      val rate = when(col("event_type").isin("purchase", "signup"), lit(100))
+        .otherwise(lit(10))
+      val ev = Tables.events(s, dir)
+      ev.filter(graft.ext.Sampling.hashBucket(col("event_id"), "ws") < rate)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_sampled"), dsum(col("value")).as("v_sampled"))
+        .join(ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_total")), "event_type")
+        .withColumn("keep_rate", ground(col("n_sampled") / col("n_total"), 4))
+        .orderBy(col("event_type"))
+    }),
+
+    // Ordered group concatenation: per user-day, the event-type sequence
+    // as a string — collect_list carries (ts, event_id, type) structs so
+    // the sort is total and engine-independent, then the join flattens.
+    "q_group_concat" -> ((s, dir) =>
+      Parity.eventsT(s, dir)
+        .groupBy(col("user_id"), col("date"))
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))),
+            x => x.getField("event_type")), ",").as("seq"))
+        .orderBy(col("user_id"), col("date"))),
+
     // SQL front-end parity: the SAME portable SQL text runs through
     // spark.sql over a temp view and through DuckDB — byte-identical
     // query, hash-identical result.
@@ -822,6 +853,30 @@ object RelationalQueries {
          |    ORDER BY "date" ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
          |    + 1e-9, 6) AS med7
          |FROM daily ORDER BY user_id, "date"""".stripMargin,
+
+    "q_weighted_sample" ->
+      s"""WITH sampled AS (
+         |  SELECT event_type, value FROM events
+         |  WHERE ${sqlBucket("ws", "event_id")}
+         |    < CASE WHEN event_type IN ('purchase', 'signup')
+         |        THEN 100 ELSE 10 END
+         |), agg AS (
+         |  SELECT event_type, count(*) AS n_sampled,
+         |    ${sqlDsum("value")} AS v_sampled
+         |  FROM sampled GROUP BY 1
+         |), tot AS (
+         |  SELECT event_type, count(*) AS n_total FROM events GROUP BY 1
+         |)
+         |SELECT a.event_type, n_sampled, v_sampled, n_total,
+         |  ${sqlGround("CAST(n_sampled AS DOUBLE) / n_total", 4)} AS keep_rate
+         |FROM agg a JOIN tot USING (event_type)
+         |ORDER BY event_type""".stripMargin,
+
+    "q_group_concat" ->
+      """SELECT user_id, CAST(ts AS DATE) AS "date",
+        |  string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_sql_api" -> PortableSql,
 

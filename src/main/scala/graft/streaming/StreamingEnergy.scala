@@ -262,4 +262,50 @@ object StreamingEnergy {
       .select(col("p_user").as("user_id"), col("purchase_id"),
         col("view_id"), col("p_ts"), col("v_ts"), col("value"))
   }
+
+  /** Streaming upsert sink via `foreachBatch` — the production pattern for
+    * materializing a streaming aggregate into a keyed store: the update-
+    * mode daily rollup emits refreshed (user, date) partials each
+    * micro-batch, and the batch callback folds them into a parquet state
+    * directory with NEWEST-WINS merge semantics (left-anti out the
+    * refreshed keys, union the new partials). Writes go to a staging dir
+    * and swap in via FileSystem.rename — overwriting the directory the
+    * merge just read would corrupt it mid-job. At warehouse scale the
+    * rename-swap becomes a Delta/Iceberg MERGE INTO; the batch-side logic
+    * is identical.
+    *
+    * Decimal partials keep the upserted sums bit-identical to a batch
+    * recompute (order-independence across micro-batches).
+    */
+  def dailyUpsertSink(events: DataFrame, outDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val agg = events
+      .select(col("user_id"), to_date(col("ts")).as("date"), col("value"))
+      .groupBy(col("user_id"), col("date"))
+      .agg(sum(col("value").cast(
+          org.apache.spark.sql.types.DataTypes.createDecimalType(18, 4)))
+        .as("dsum"),
+        count(lit(1)).as("n"))
+    agg.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val conf = s.sparkContext.hadoopConfiguration
+        val out = new org.apache.hadoop.fs.Path(outDir)
+        val fs = out.getFileSystem(conf)
+        val merged =
+          if (fs.exists(out)) {
+            val existing = s.read.parquet(outDir)
+            existing.join(batch, Seq("user_id", "date"), "left_anti")
+              .unionByName(batch)
+          } else batch
+        val staging = new org.apache.hadoop.fs.Path(outDir + ".staging")
+        merged.write.mode("overwrite").parquet(staging.toString)
+        fs.delete(out, true)
+        if (!fs.rename(staging, out))
+          throw new java.io.IOException(s"rename $staging -> $out failed")
+      }
+      .start()
+  }
 }

@@ -136,6 +136,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch upsert sink converges to the batch daily rollup") {
+    // re-write the source as MANY files so the stream runs several
+    // micro-batches — the upsert's newest-wins merge must be exercised
+    // across batches, not just once
+    val multiDir = Files.createTempDirectory("graft-upsert-src").toString
+    Tables.events(spark, TestSpark.sf0001).repartition(8)
+      .write.mode("overwrite").parquet(multiDir)
+    val multiSchema = spark.read.parquet(multiDir).schema
+    val stream = spark.readStream.schema(multiSchema)
+      .option("maxFilesPerTrigger", "2").parquet(multiDir)
+    val outDir = Files.createTempDirectory("graft-upsert-out").toString + "/state"
+    val ckpt = Files.createTempDirectory("graft-upsert-ckpt").toString
+    val q = StreamingEnergy.dailyUpsertSink(stream, outDir, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(outDir)
+      .select(col("user_id"), col("date"),
+        col("dsum").cast("double").as("daily_value"), col("n"))
+    val batch = graft.queries.Parity.daily(spark, TestSpark.sf0001)
+      .select(col("user_id"), col("date"), col("daily_value"),
+        col("num_readings").as("n"))
+    assert(got.count() == batch.count())
+    assert(got.exceptAll(batch).count() == 0,
+      "upserted state diverges from the batch rollup")
+  }
+
   test("checkpointed stream resumes exactly-once across restart") {
     import org.apache.spark.sql.functions.input_file_name
     val src = Files.createTempDirectory("graft-cp-src").toString

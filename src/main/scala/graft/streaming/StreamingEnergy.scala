@@ -294,13 +294,31 @@ object StreamingEnergy {
         val conf = s.sparkContext.hadoopConfiguration
         val out = new org.apache.hadoop.fs.Path(outDir)
         val fs = out.getFileSystem(conf)
+        // staging derives from the NORMALIZED path — raw string concat on a
+        // trailing-slash outDir would nest staging inside the live store,
+        // and the swap would delete both
+        val staging = new org.apache.hadoop.fs.Path(
+          out.getParent, out.getName + ".staging")
+        // recover an interrupted swap: if the previous batch crashed
+        // between delete(out) and rename, staging holds the ONLY copy of
+        // the merged state — complete the rename before reading. A staging
+        // dir alongside an intact store is a stale leftover; drop it.
+        if (!fs.exists(out) && fs.exists(staging)) {
+          if (!fs.rename(staging, out))
+            throw new java.io.IOException(
+              s"recovery rename $staging -> $out failed")
+        } else if (fs.exists(staging)) fs.delete(staging, true)
         val merged =
           if (fs.exists(out)) {
-            val existing = s.read.parquet(outDir)
-            existing.join(batch, Seq("user_id", "date"), "left_anti")
+            // null-safe key equality: a null date (null ts upstream) is a
+            // legitimate group the stream re-emits; EqualTo would keep the
+            // stale row AND union the refreshed one, duplicating per batch
+            val existing = s.read.parquet(out.toString).alias("e")
+            existing.join(batch.alias("b"),
+                col("e.user_id") <=> col("b.user_id") &&
+                  col("e.date") <=> col("b.date"), "left_anti")
               .unionByName(batch)
           } else batch
-        val staging = new org.apache.hadoop.fs.Path(outDir + ".staging")
         merged.write.mode("overwrite").parquet(staging.toString)
         fs.delete(out, true)
         if (!fs.rename(staging, out))

@@ -161,6 +161,37 @@ class StreamingSpec extends SparkSpec {
       "upserted state diverges from the batch rollup")
   }
 
+  test("upsert sink survives trailing-slash outDir and null-date groups") {
+    import spark.implicits._
+    // hand-built source with a null-ts event (→ null date group) split
+    // into several files for multiple micro-batches
+    val rows = Seq(
+      (1L, Some(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")), 5.0),
+      (1L, Some(java.sql.Timestamp.valueOf("2024-01-01 11:00:00")), 7.0),
+      (1L, None, 3.0),
+      (2L, Some(java.sql.Timestamp.valueOf("2024-01-02 09:00:00")), 4.0),
+      (2L, None, 2.0))
+    val srcDir2 = Files.createTempDirectory("graft-upsert-null-src").toString
+    rows.toDF("user_id", "ts", "value").repartition(4)
+      .write.mode("overwrite").parquet(srcDir2)
+    val sc = spark.read.parquet(srcDir2).schema
+    val stream = spark.readStream.schema(sc)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir2)
+    val outBase = Files.createTempDirectory("graft-upsert-null-out").toString
+    val outDir = outBase + "/state/" // trailing slash on purpose
+    val ckpt = Files.createTempDirectory("graft-upsert-null-ckpt").toString
+    val q = StreamingEnergy.dailyUpsertSink(stream, outDir, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(outBase + "/state")
+    // exactly one row per (user, date) INCLUDING the null-date groups —
+    // a non-null-safe merge would duplicate those per re-emission
+    assert(got.count() == 4)
+    val nullRows = got.filter(col("date").isNull)
+      .select(col("user_id"), col("dsum").cast("double"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(nullRows == Set((1L, 3.0, 1L), (2L, 2.0, 1L)))
+  }
+
   test("checkpointed stream resumes exactly-once across restart") {
     import org.apache.spark.sql.functions.input_file_name
     val src = Files.createTempDirectory("graft-cp-src").toString

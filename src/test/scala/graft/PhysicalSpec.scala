@@ -398,4 +398,37 @@ class PhysicalSpec extends SparkSpec {
       l.contains("Exchange hashpartitioning") && l.contains("span#"))
     assert(spanShuffles <= 1, s"span payload crosses >1 shuffle:\n$plan")
   }
+
+  test("AQE splits a skewed join partition (skew=true in the final plan)") {
+    import spark.implicits._
+    // 1 hot key carrying ~all rows + a uniform tail, joined to a dim too
+    // big to broadcast under the lowered threshold — AQE must mark the
+    // sort-merge join skew-handled and split the hot partition
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.range(0, 200000)
+        .select(when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id"))
+          .as("k"), col("id").as("payload"))
+      val dim = spark.range(0, 50000)
+        .select(col("id").as("k"), (col("id") * 2).as("attr"))
+      val joined = fact.join(dim, "k")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffled join:\n$plan")
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

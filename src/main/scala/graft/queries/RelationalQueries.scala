@@ -513,6 +513,44 @@ object RelationalQueries {
             x => x.getField("event_type")), ",").as("seq"))
         .orderBy(col("user_id"), col("date"))),
 
+    // Distributed iterative graph compute: 3 unrolled PageRank steps on
+    // the co-purchase graph (damping 0.85; isolated nodes hold the
+    // teleport mass). Each step is ONE join + ONE aggregate on the edge
+    // partitioning — the loop unrolls in the driver while all data stays
+    // distributed; the oracle unrolls the same 3 steps as CTEs.
+    "q_pagerank3" -> ((s, dir) => {
+      val op = incidence(s, dir)
+      val guarded = op
+        .withColumn("basket",
+          count(lit(1)).over(Window.partitionBy(col("ok"))))
+        .filter(col("basket") <= MaxBasket)
+        .select(col("ok"), col("pk"))
+      // cache: the edge list and the node set drive every iteration
+      val edges = guarded.as("a").join(guarded.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        .distinct().cache()
+      val nodes = op.select(col("pk").as("node")).distinct().cache()
+      val n = nodes.count()
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      var r = nodes.withColumn("r", lit(1.0 / n))
+      for (_ <- 1 to 3) {
+        val contrib = edges
+          .join(r.withColumnRenamed("node", "src"), "src")
+          .join(deg, "src")
+          .groupBy(col("dst"))
+          .agg(sum(col("r") / col("d")).as("in_sum"))
+        r = nodes.join(contrib.withColumnRenamed("dst", "node"),
+            Seq("node"), "left")
+          .select(col("node"),
+            (lit(0.15 / n) + lit(0.85) * coalesce(col("in_sum"), lit(0.0)))
+              .as("r"))
+      }
+      r.select(col("node"), ground(col("r") * 1e4, 6).as("rank1e4"))
+        .orderBy(col("rank1e4").desc, col("node"))
+        .limit(20)
+    }),
+
     // SQL front-end parity: the SAME portable SQL text runs through
     // spark.sql over a temp view and through DuckDB — byte-identical
     // query, hash-identical result.
@@ -877,6 +915,50 @@ object RelationalQueries {
         |  string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
         |FROM events
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_pagerank3" ->
+      s"""WITH op AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+         |), guarded AS (
+         |  SELECT ok, pk FROM (
+         |    SELECT ok, pk, count(*) OVER (PARTITION BY ok) AS basket
+         |    FROM op
+         |  ) WHERE basket <= $MaxBasket
+         |), edges AS (
+         |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+         |  FROM guarded a JOIN guarded b ON a.ok = b.ok AND a.pk <> b.pk
+         |), nodes AS (
+         |  SELECT DISTINCT pk AS node FROM op
+         |), nn AS (
+         |  SELECT count(*) AS n FROM nodes
+         |), deg AS (
+         |  SELECT src, count(*) AS d FROM edges GROUP BY 1
+         |), r0 AS (
+         |  SELECT node, 1.0 / n AS r FROM nodes CROSS JOIN nn
+         |), c1 AS (
+         |  SELECT e.dst, sum(r0.r / deg.d) AS in_sum
+         |  FROM edges e JOIN r0 ON r0.node = e.src JOIN deg ON deg.src = e.src
+         |  GROUP BY 1
+         |), r1 AS (
+         |  SELECT node, 0.15 / n + 0.85 * coalesce(in_sum, 0) AS r
+         |  FROM nodes CROSS JOIN nn LEFT JOIN c1 ON c1.dst = node
+         |), c2 AS (
+         |  SELECT e.dst, sum(r1.r / deg.d) AS in_sum
+         |  FROM edges e JOIN r1 ON r1.node = e.src JOIN deg ON deg.src = e.src
+         |  GROUP BY 1
+         |), r2 AS (
+         |  SELECT node, 0.15 / n + 0.85 * coalesce(in_sum, 0) AS r
+         |  FROM nodes CROSS JOIN nn LEFT JOIN c2 ON c2.dst = node
+         |), c3 AS (
+         |  SELECT e.dst, sum(r2.r / deg.d) AS in_sum
+         |  FROM edges e JOIN r2 ON r2.node = e.src JOIN deg ON deg.src = e.src
+         |  GROUP BY 1
+         |), r3 AS (
+         |  SELECT node, 0.15 / n + 0.85 * coalesce(in_sum, 0) AS r
+         |  FROM nodes CROSS JOIN nn LEFT JOIN c3 ON c3.dst = node
+         |)
+         |SELECT node, round(r * 1e4 + 1e-9, 6) AS rank1e4
+         |FROM r3 ORDER BY rank1e4 DESC, node LIMIT 20""".stripMargin,
 
     "q_sql_api" -> PortableSql,
 

@@ -302,6 +302,17 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("pagerank: ranks bounded below by teleport, hubs above uniform") {
+    val rows = SparkEntry.queries("q_pagerank3")(spark, dir).collect()
+    assert(rows.length == 20)
+    val n = Tables.lineitem(spark, dir)
+      .select("l_partkey").distinct().count()
+    val floor = 0.15 / n * 1e4
+    rows.foreach(r => assert(r.getDouble(1) >= floor - 1e-6, r.toString))
+    // the top-ranked node must beat the uniform rank (it has in-edges)
+    assert(rows.head.getDouble(1) > 1e4 / n)
+  }
+
   test("skyline sweep equals the NOT-EXISTS dominance brute force") {
     val got = SparkEntry.queries("q_skyline")(spark, dir)
       .select(col("o_orderpriority"), col("o_orderkey"))

@@ -532,19 +532,28 @@ object RelationalQueries {
         .distinct().cache()
       val nodes = op.select(col("pk").as("node")).distinct().cache()
       val n = nodes.count()
+      // pre-divide each edge's contribution weight ONCE (r rides through
+      // as a multiplier) and cache: uncached, the deg aggregate and edge
+      // join would replay inside every iteration of the growing lineage
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      val weighted = edges.join(deg, "src")
+        .select(col("src"), col("dst"), (lit(1.0) / col("d")).as("w"))
+        .cache()
       var r = nodes.withColumn("r", lit(1.0 / n))
-      for (_ <- 1 to 3) {
-        val contrib = edges
+      for (i <- 1 to 3) {
+        val contrib = weighted
           .join(r.withColumnRenamed("node", "src"), "src")
-          .join(deg, "src")
           .groupBy(col("dst"))
-          .agg(sum(col("r") / col("d")).as("in_sum"))
+          .agg(sum(col("r") * col("w")).as("in_sum"))
         r = nodes.join(contrib.withColumnRenamed("dst", "node"),
             Seq("node"), "left")
           .select(col("node"),
             (lit(0.15 / n) + lit(0.85) * coalesce(col("in_sum"), lit(0.0)))
               .as("r"))
+        // materialize each iteration: the node-sized rank frame is tiny,
+        // and an uncached 3-deep lineage re-executes earlier iterations'
+        // joins inside later ones
+        if (i < 3) { r = r.cache(); r.count() }
       }
       r.select(col("node"), ground(col("r") * 1e4, 6).as("rank1e4"))
         .orderBy(col("rank1e4").desc, col("node"))

@@ -560,6 +560,31 @@ object RelationalQueries {
         .limit(20)
     }),
 
+    // Typed-Dataset custom aggregation: per-event-type top-5 users by
+    // lifetime value through the bounded TopKByScore Aggregator — each
+    // partition keeps only its local k best, merges are k-way
+    // truncations, the group never materializes (the 100 TB-safe
+    // alternative to sort-within-group). The oracle computes the same
+    // top-k with a rank window.
+    "q_topk_typed" -> ((s, dir) => {
+      import s.implicits._
+      val totals = Tables.events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(dsum(col("value")).as("total"))
+      val topk = totals
+        .select(col("event_type"), col("user_id"), col("total"))
+        .as[(String, Long, Double)]
+        .groupByKey(_._1)
+        .mapValues(t => (t._2, t._3))
+        .agg(graft.functions.TopKByScore(5).toColumn.name("topk"))
+        .toDF("event_type", "topk")
+      topk
+        .select(col("event_type"), posexplode(col("topk")))
+        .select(col("event_type"), (col("pos") + 1).cast("int").as("r"),
+          col("col._1").as("user_id"), col("col._2").as("total"))
+        .orderBy(col("event_type"), col("r"))
+    }),
+
     // SQL front-end parity: the SAME portable SQL text runs through
     // spark.sql over a temp view and through DuckDB — byte-identical
     // query, hash-identical result.
@@ -968,6 +993,18 @@ object RelationalQueries {
          |)
          |SELECT node, round(r * 1e4 + 1e-9, 6) AS rank1e4
          |FROM r3 ORDER BY rank1e4 DESC, node LIMIT 20""".stripMargin,
+
+    "q_topk_typed" ->
+      s"""WITH totals AS (
+         |  SELECT event_type, user_id, ${sqlDsum("value")} AS total
+         |  FROM events GROUP BY 1, 2
+         |), rk AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+         |    ORDER BY total DESC, user_id) AS INT) AS r
+         |  FROM totals
+         |)
+         |SELECT event_type, r, user_id, total
+         |FROM rk WHERE r <= 5 ORDER BY event_type, r""".stripMargin,
 
     "q_sql_api" -> PortableSql,
 

@@ -40,6 +40,36 @@ object RelationalQueries {
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct().cache()
 
+  /** Basket-guarded distinct directed co-purchase pairs — shared by
+    * q_copurchase_degree and q_pagerank3. The window-based guard rides the
+    * ok partitioning the self-join pays for anyway.
+    */
+  private def guardedEdges(s: SparkSession, dir: String): DataFrame = {
+    val inc = incidence(s, dir)
+      .withColumn("basket",
+        count(lit(1)).over(Window.partitionBy(col("ok"))))
+      .filter(col("basket") <= MaxBasket)
+      .select(col("ok"), col("pk"))
+    inc.as("a").join(inc.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .distinct()
+  }
+
+  /** Oracle CTE twin of [[guardedEdges]]: produces `op` and `edges`. */
+  private val guardedEdgesSql: String =
+    s"""op AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       |), guarded AS (
+       |  SELECT ok, pk FROM (
+       |    SELECT ok, pk, count(*) OVER (PARTITION BY ok) AS basket
+       |    FROM op
+       |  ) WHERE basket <= $MaxBasket
+       |), edges AS (
+       |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+       |  FROM guarded a JOIN guarded b ON a.ok = b.ok AND a.pk <> b.pk
+       |)""".stripMargin
+
   /** Distinct (user, active day) frame — shared by q_stickiness and
     * q_rolling_actives (both aggregate it along different axes).
     */
@@ -519,18 +549,10 @@ object RelationalQueries {
     // partitioning — the loop unrolls in the driver while all data stays
     // distributed; the oracle unrolls the same 3 steps as CTEs.
     "q_pagerank3" -> ((s, dir) => {
-      val op = incidence(s, dir)
-      val guarded = op
-        .withColumn("basket",
-          count(lit(1)).over(Window.partitionBy(col("ok"))))
-        .filter(col("basket") <= MaxBasket)
-        .select(col("ok"), col("pk"))
       // cache: the edge list and the node set drive every iteration
-      val edges = guarded.as("a").join(guarded.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
-        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
-        .distinct().cache()
-      val nodes = op.select(col("pk").as("node")).distinct().cache()
+      val edges = guardedEdges(s, dir).cache()
+      val nodes = incidence(s, dir)
+        .select(col("pk").as("node")).distinct().cache()
       val n = nodes.count()
       // pre-divide each edge's contribution weight ONCE (r rides through
       // as a multiplier) and cache: uncached, the deg aggregate and edge
@@ -597,25 +619,12 @@ object RelationalQueries {
     // on the order key — both sides hash-partition on the SAME key, one
     // shuffle each, no broadcast needed and no skew beyond basket size,
     // which the MaxBasket guard bounds. Degree = distinct partner count.
-    "q_copurchase_degree" -> ((s, dir) => {
-      val op = incidence(s, dir)
-      // basket guard as a window over the ok partition (not a groupBy +
-      // join-back): the self-join needs ok-partitioning anyway, so the
-      // count rides the exchange the join already pays for
-      val inc = op
-        .withColumn("basket",
-          count(lit(1)).over(Window.partitionBy(col("ok"))))
-        .filter(col("basket") <= MaxBasket)
-        .select(col("ok"), col("pk"))
-      inc.as("a").join(inc.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
-        .select(col("a.pk").as("part"), col("b.pk").as("partner"))
-        .distinct()
-        .groupBy(col("part"))
+    "q_copurchase_degree" -> ((s, dir) =>
+      guardedEdges(s, dir)
+        .groupBy(col("src").as("part"))
         .agg(count(lit(1)).as("degree"))
         .orderBy(col("degree").desc, col("part"))
-        .limit(20)
-    }),
+        .limit(20)),
   )
 
   /** q_sql_api: ONE dialect-portable SQL string executed verbatim by BOTH
@@ -951,17 +960,7 @@ object RelationalQueries {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_pagerank3" ->
-      s"""WITH op AS (
-         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-         |), guarded AS (
-         |  SELECT ok, pk FROM (
-         |    SELECT ok, pk, count(*) OVER (PARTITION BY ok) AS basket
-         |    FROM op
-         |  ) WHERE basket <= $MaxBasket
-         |), edges AS (
-         |  SELECT DISTINCT a.pk AS src, b.pk AS dst
-         |  FROM guarded a JOIN guarded b ON a.ok = b.ok AND a.pk <> b.pk
-         |), nodes AS (
+      s"""WITH $guardedEdgesSql, nodes AS (
          |  SELECT DISTINCT pk AS node FROM op
          |), nn AS (
          |  SELECT count(*) AS n FROM nodes
@@ -1009,18 +1008,9 @@ object RelationalQueries {
     "q_sql_api" -> PortableSql,
 
     "q_copurchase_degree" ->
-      s"""WITH op AS (
-         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-         |), small AS (
-         |  SELECT ok FROM op GROUP BY ok HAVING count(*) <= $MaxBasket
-         |), inc AS (
-         |  SELECT op.ok, op.pk FROM op JOIN small USING (ok)
-         |), pairs AS (
-         |  SELECT DISTINCT a.pk AS part, b.pk AS partner
-         |  FROM inc a JOIN inc b ON a.ok = b.ok AND a.pk <> b.pk
-         |)
-         |SELECT part, count(*) AS degree
-         |FROM pairs GROUP BY 1
+      s"""WITH $guardedEdgesSql
+         |SELECT src AS part, count(*) AS degree
+         |FROM edges GROUP BY 1
          |ORDER BY degree DESC, part LIMIT 20""".stripMargin,
   )
 }

@@ -299,11 +299,18 @@ object StreamingEnergy {
         // and the swap would delete both
         val staging = new org.apache.hadoop.fs.Path(
           out.getParent, out.getName + ".staging")
-        // recover an interrupted swap: if the previous batch crashed
-        // between delete(out) and rename, staging holds the ONLY copy of
-        // the merged state — complete the rename before reading. A staging
-        // dir alongside an intact store is a stale leftover; drop it.
-        if (!fs.exists(out) && fs.exists(staging)) {
+        // recover an interrupted swap. "out exists" does NOT mean "out is
+        // intact": a crash mid-delete(out) (recursive deletes are
+        // file-by-file) leaves a PARTIAL out beside a complete staging.
+        // The _SUCCESS marker is the completeness signal: a complete
+        // staging is always the newest full state (the replayed batch
+        // re-merges idempotently via the left-anti), so finish its swap;
+        // a marker-less staging is a torn write — drop it.
+        val stagingComplete = fs.exists(
+          new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))
+        if (stagingComplete) {
+          if (fs.exists(out) && !fs.delete(out, true))
+            throw new java.io.IOException(s"recovery delete $out failed")
           if (!fs.rename(staging, out))
             throw new java.io.IOException(
               s"recovery rename $staging -> $out failed")
@@ -320,7 +327,11 @@ object StreamingEnergy {
               .unionByName(batch)
           } else batch
         merged.write.mode("overwrite").parquet(staging.toString)
-        fs.delete(out, true)
+        // a silently failed delete would make rename nest staging INSIDE
+        // the still-existing out (Hadoop rename-onto-directory semantics)
+        // and report success over stale data
+        if (fs.exists(out) && !fs.delete(out, true))
+          throw new java.io.IOException(s"delete $out failed")
         if (!fs.rename(staging, out))
           throw new java.io.IOException(s"rename $staging -> $out failed")
       }

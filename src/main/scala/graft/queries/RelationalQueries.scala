@@ -607,6 +607,25 @@ object RelationalQueries {
         .orderBy(col("event_type"), col("r"))
     }),
 
+    // Data-quality profile: one single-pass aggregate over the raw table —
+    // row count, per-column null counts, NaN count, timestamp range, and
+    // exact cardinalities. The profiling scan every ingestion pipeline
+    // runs before trusting a drop; ONE job, no per-column passes.
+    "q_profile" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("ts").isNull.cast("long")).as("null_ts"),
+        sum(col("user_id").isNull.cast("long")).as("null_user"),
+        sum(col("event_type").isNull.cast("long")).as("null_type"),
+        sum(col("value").isNull.cast("long")).as("null_value"),
+        sum(isnan(col("value")).cast("long")).as("nan_value"),
+        sum(col("props").isNull.cast("long")).as("null_props"),
+        min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("n_types"))
+    }),
+
     // SQL front-end parity: the SAME portable SQL text runs through
     // spark.sql over a temp view and through DuckDB — byte-identical
     // query, hash-identical result.
@@ -1004,6 +1023,25 @@ object RelationalQueries {
          |)
          |SELECT event_type, r, user_id, total
          |FROM rk WHERE r <= 5 ORDER BY event_type, r""".stripMargin,
+
+    "q_profile" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS null_ts,
+        |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS null_user,
+        |  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS null_type,
+        |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS null_value,
+        |  CAST(sum(CASE WHEN isnan(value) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS nan_value,
+        |  CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS null_props,
+        |  min(ts) AS min_ts, max(ts) AS max_ts,
+        |  count(DISTINCT user_id) AS n_users,
+        |  count(DISTINCT event_type) AS n_types
+        |FROM events""".stripMargin,
 
     "q_sql_api" -> PortableSql,
 

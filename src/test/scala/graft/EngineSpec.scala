@@ -59,4 +59,25 @@ class EngineSpec extends SparkSpec {
       org.apache.spark.sql.SparkSession.setActiveSession(TestSpark.spark)
     }
   }
+
+
+  test("Observation attaches zero-cost metrics to a query in flight") {
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions._
+    // row counts and control totals ride the SAME job as the query —
+    // no second pass over the data, the audit pattern for 100 TB loads
+    // where a separate count() would double the scan
+    val obs = Observation("daily_audit")
+    val daily = graft.queries.Parity.daily(spark, TestSpark.sf0001)
+      .observe(obs, count(lit(1)).as("n_rows"),
+        sum(col("daily_value")).as("control_total"),
+        sum(col("daily_value").isNull.cast("long")).as("null_values"))
+    val collected = daily.collect()
+    val m = obs.get
+    assert(m("n_rows") == collected.length.toLong)
+    val expected = collected.map(_.getAs[Double]("daily_value")).sum
+    assert(math.abs(m("control_total").asInstanceOf[Double] - expected)
+      < 1e-6)
+    assert(m("null_values") == 0L)
+  }
 }

@@ -392,7 +392,11 @@ object RelationalQueries {
     // calendar-join shape stays identical.
     "q_rolling_actives" -> ((s, dir) => {
       val ud = userDays(s, dir)
-      val days = ud.select(col("d").as("day")).distinct()
+      // explicit broadcast: the non-equi range join plans as a nested-loop
+      // join, and the CALENDAR must be the broadcast side — left to the
+      // size estimator, a wide cached activity frame could win instead and
+      // ship the big side at scale
+      val days = broadcast(ud.select(col("d").as("day")).distinct())
       ud.join(days,
           col("d") <= col("day") && col("d") > date_sub(col("day"), 7))
         .groupBy(col("day"))

@@ -226,6 +226,19 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("rolling actives: the calendar is the broadcast side of the range join") {
+    val df = SparkEntry.queries("q_rolling_actives")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"range join should be broadcast nested-loop:\n$plan")
+    // the broadcast build side must be the tiny day calendar, not the
+    // (user, day) activity frame
+    assert(plan.contains("BuildRight") || plan.contains("BuildLeft"))
+    val buildRight = plan.contains("BroadcastNestedLoopJoin BuildRight")
+    assert(buildRight, s"calendar should be the build side:\n$plan")
+  }
+
   test("rolling 7-day actives match a brute-force recount") {
     val got = SparkEntry.queries("q_rolling_actives")(spark, dir)
       .collect().map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap

@@ -234,9 +234,8 @@ class RelationalSpec extends SparkSpec {
       s"range join should be broadcast nested-loop:\n$plan")
     // the broadcast build side must be the tiny day calendar, not the
     // (user, day) activity frame
-    assert(plan.contains("BuildRight") || plan.contains("BuildLeft"))
-    val buildRight = plan.contains("BroadcastNestedLoopJoin BuildRight")
-    assert(buildRight, s"calendar should be the build side:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin BuildRight"),
+      s"calendar should be the build side:\n$plan")
   }
 
   test("rolling 7-day actives match a brute-force recount") {

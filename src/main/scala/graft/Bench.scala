@@ -100,6 +100,25 @@ object Bench {
       (name, sec,
         (s1._1 - s0._1) / 1e6, (s1._2 - s0._2) / 1e6, (s1._3 - s0._3) / 1e6)
     }
+    // Second, WARM pass (skippable via SPARK_GRAFT_WARM=0): same order,
+    // caches cleared per query exactly like the cold pass, but the JVM now
+    // has every query's generated code JIT'd. Cold-pass numbers stay the
+    // headline (they are what a fresh cluster pays and what BASELINE.md
+    // compares against); the warm map lands in BENCH_DETAIL.json so a
+    // cold-run drift (suite ordering, Janino compile, JIT) can be triaged
+    // from the detail file without hand-running SeqTime. The memoized ML
+    // pair is excluded — its second run would measure the memo, not the
+    // work.
+    val warm: Map[String, Double] =
+      if (sys.env.getOrElse("SPARK_GRAFT_WARM", "1") == "0") Map.empty
+      else plainQs.map { case (name, fn) =>
+        spark.catalog.clearCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count()
+        catch { case _: Throwable => () } // already reported in the cold pass
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
     def jstr(s: String) =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
         .map(c => if (c < 0x20) ' ' else c) + "\"" // ALL control chars — one
@@ -138,7 +157,9 @@ object Bench {
     val shuffleQs = results.map { case (k, _, r, w, sp) =>
       jstr(k) + s""":{"read_mb":${jnum(r)},"write_mb":${jnum(w)},"spill_mb":${jnum(sp)}}"""
     }.mkString("{", ",", "}")
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"shuffle":$shuffleQs,"ml_fused":$mlFused,"errors":$errJsonFull,"sf":"$sfDir"}"""
+    val warmQs = warm.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"warm":$warmQs,"shuffle":$shuffleQs,"ml_fused":$mlFused,"errors":$errJsonFull,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
       try w.println(detail) finally w.close()

@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   * The Spark-side shape is real and tested — schema (`payload binary` +
   * metadata struct), partitioning, batch iteration via typed
   * `mapPartitions` (the JVM analogue of `mapInPandas`: one invocation per
-  * partition, streaming iterator in/out, no per-row overhead). The actual
-  * media decode is STUBBED ([[FakeCodec]]) because no image/audio libraries
-  * exist in this container: it derives deterministic pseudo-metadata from
-  * the payload bytes, exercising exactly the data path a real codec would.
+  * partition, streaming iterator in/out, no per-row overhead). The decode
+  * itself is REAL for the formats the JDK ships readers for ([[ImageIoCodec]]
+  * — PNG/JPEG/GIF/BMP via `javax.imageio`, header-only reads, zero new
+  * dependencies); payloads that are not decodable images fall back to the
+  * deterministic [[FakeCodec]] so the synthetic text-payload fixtures (and
+  * their DuckDB oracles) keep exercising the full data path.
   */
 object Multimodal {
 
@@ -20,13 +22,63 @@ object Multimodal {
   case class DecodedRow(doc_id: Long, byte_len: Long, width: Long,
                         height: Long, n_frames: Long, format: String)
 
-  /** STUB — stands in for a real image/audio decoder. Deterministic pure
-    * function of payload length so outputs are oracle-checkable.
+  /** Fallback codec for payloads that are not decodable images (the
+    * synthetic text-payload fixtures, unknown/audio formats). Deterministic
+    * pure function of payload length so outputs are oracle-checkable.
     */
   object FakeCodec {
     def decode(payload: Array[Byte], format: String): (Long, Long, Long) = {
       val n = payload.length.toLong
       (n % 640 + 16, (n * 7) % 480 + 16, n % 24 + 1)
+    }
+  }
+
+  /** REAL image decode via the JDK's built-in `javax.imageio` — no new
+    * dependencies. Magic-byte sniff first (PNG `\x89PNG`, JPEG `FFD8FF`,
+    * GIF `GIF8`, BMP `BM`) so the ImageIO reader lookup only runs on
+    * plausible image bytes; then a HEADER-ONLY read (`ImageReader.getWidth/
+    * getHeight` never decode pixel data) — the at-scale contract for a
+    * metadata pass over 100 TB of media is to touch headers, not rasters.
+    * Frame count uses the reader's cheap path (`getNumImages(false)`,
+    * falling back to a counting search only for multi-image containers like
+    * animated GIF, whose files are small). Any parse failure — including
+    * text that happens to start with a magic sequence — falls back to
+    * [[FakeCodec]], so the operator never throws on hostile bytes.
+    */
+  object ImageIoCodec {
+    private def isImageMagic(p: Array[Byte]): Boolean =
+      (p.length >= 8 && (p(0) & 0xFF) == 0x89 && p(1) == 'P' &&
+        p(2) == 'N' && p(3) == 'G') ||
+      (p.length >= 3 && (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8 &&
+        (p(2) & 0xFF) == 0xFF) ||
+      (p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' &&
+        p(3) == '8') ||
+      (p.length >= 2 && p(0) == 'B' && p(1) == 'M')
+
+    def decode(payload: Array[Byte], format: String): (Long, Long, Long) = {
+      if (!isImageMagic(payload)) return FakeCodec.decode(payload, format)
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) FakeCodec.decode(payload, format)
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(in)
+            val w = r.getWidth(0).toLong
+            val h = r.getHeight(0).toLong
+            val cheap = r.getNumImages(false)
+            val frames =
+              if (cheap > 0) cheap.toLong
+              else if (payload(0) == 'G') r.getNumImages(true).toLong
+              else 1L
+            (w, h, math.max(frames, 1L))
+          } finally r.dispose()
+        }
+      } catch {
+        case scala.util.control.NonFatal(_) => FakeCodec.decode(payload, format)
+      } finally in.close()
     }
   }
 
@@ -89,17 +141,20 @@ object Multimodal {
     }
   }
 
-  /** Batch "decode": typed mapPartitions — the real plumbing under any
+  /** Batch decode: typed mapPartitions — the real plumbing under any
     * decode/resize/frame-sample stage. Each partition's rows stream through
-    * one codec invocation context (where a real codec would amortize model/
-    * library init per batch, exactly like `mapInPandas` batch semantics).
+    * one codec invocation context (per-partition init amortizes library
+    * setup per batch, exactly like `mapInPandas` batch semantics). Real
+    * image bytes decode through [[ImageIoCodec]]; everything else takes the
+    * deterministic [[FakeCodec]] fallback.
     */
   def decodeBatches(spark: SparkSession, media: DataFrame): Dataset[DecodedRow] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
-      // per-partition init would go here (codec handles, model weights…)
+      // per-partition init would go here (codec handles, model weights…);
+      // ImageIO's reader registry is JVM-static, so nothing to set up
       rows.map { r =>
-        val (w, h, f) = FakeCodec.decode(r.payload, r.format)
+        val (w, h, f) = ImageIoCodec.decode(r.payload, r.format)
         DecodedRow(r.doc_id, r.payload.length.toLong, w, h, f, r.format)
       }
     }

@@ -1,7 +1,10 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.BinaryType
 
 /** Bloom-filter runtime pre-filtering for selective fact⋈dim joins.
   *
@@ -17,13 +20,13 @@ import org.apache.spark.sql.functions._
   * invisible — which is exactly what the DuckDB oracle checks (plain join,
   * no bloom).
   *
-  * Public API only: `DataFrameStatFunctions.bloomFilter` builds the sketch
-  * with a distributed `treeAggregate`; the probe side evaluates a broadcast
-  * `mightContainLong` per row. The probe predicate is a Scala UDF (the
-  * codegen'd `BloomFilterMightContain` expression is internal to Catalyst's
-  * runtime-filter rule and not registered publicly); the UDF sits directly
-  * on top of the scan, narrow, and costs far less than the shuffle bytes it
-  * saves.
+  * `DataFrameStatFunctions.bloomFilter` builds the sketch with a distributed
+  * `treeAggregate`; the probe is Catalyst's own `BloomFilterMightContain`
+  * expression (the same one `InjectRuntimeFilter` plants) over the serialized
+  * sketch as a binary literal — fully codegen'd, no per-row boxing, and the
+  * whole predicate stays inside the scan's WholeStageCodegen span. The
+  * literal ships with the serialized plan exactly like the scalar-subquery
+  * result in Spark's native rule does, so task-side cost is identical.
   */
 object RuntimeFilter {
 
@@ -48,6 +51,14 @@ object RuntimeFilter {
   /** The pruned-fact frame alone (no join) — for callers composing their own
     * join or aggregation after the runtime filter. False positives remain;
     * only follow with an exact semi/inner join or tolerate the `fpp`.
+    *
+    * An empty `dim` legitimately means "nothing can match" (and the
+    * convention of passing `expectedItems = dim.count()` then yields 0), so
+    * the empty short-circuit runs BEFORE the sizing requires: callers with a
+    * fully-filtered-out build side get an empty result, not an exception.
+    * Spark's `stat.bloomFilter` would NPE on that case anyway (the aggregate
+    * returns a null sketch buffer). The isEmpty probe is a limit-1 job on
+    * the (small by contract) dim.
     */
   def bloomPrune(
       fact: DataFrame,
@@ -56,17 +67,20 @@ object RuntimeFilter {
       dimKey: String,
       expectedItems: Long,
       fpp: Double = 0.01): DataFrame = {
+    if (dim.isEmpty) return fact.filter(lit(false))
     require(expectedItems > 0, s"expectedItems=$expectedItems must be positive")
     require(fpp > 0 && fpp < 1, s"fpp=$fpp must be in (0, 1)")
-    // Spark's stat.bloomFilter NPEs on an EMPTY build side (the aggregate
-    // returns a null sketch buffer); an empty dim legitimately means
-    // "nothing can match" — short-circuit with a false predicate. The
-    // isEmpty probe is a limit-1 job on the (small by contract) dim.
-    if (dim.isEmpty) return fact.filter(lit(false))
     val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
-    val bcast = fact.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((k: java.lang.Long) =>
-      k != null && bcast.value.mightContainLong(k))
-    fact.filter(mightContain(col(factKey)))
+    val bytes = {
+      val out = new java.io.ByteArrayOutputStream()
+      bf.writeTo(out)
+      out.toByteArray
+    }
+    // Same null semantics as the join that follows: a null probe key yields
+    // a null predicate, which filter() drops.
+    val mightContain = ColumnBridge.column(BloomFilterMightContain(
+      Literal(bytes, BinaryType),
+      ColumnBridge.expression(col(factKey))))
+    fact.filter(mightContain)
   }
 }

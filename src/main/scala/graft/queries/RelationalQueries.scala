@@ -31,25 +31,38 @@ object RelationalQueries {
   /** EWMA smoothing factor for q_ewma. */
   private val Alpha = 0.3
 
-  /** Distinct (order, part) incidence — shared by q_copurchase_degree and
-    * q_assoc_rules. Cached: each consumer references it from several plan
-    * branches (self-join sides, item counts, order total).
+  /** Distinct (order, part) incidence — the raw frame (q_pagerank3's node
+    * set must see EVERY part, hub orders included). Cached: consumed by the
+    * node set and by [[guardedIncidence]]; the cache entry lives for the
+    * session and is evicted LRU under storage pressure — long-lived sessions
+    * should `spark.catalog.clearCache()` between datasets.
     */
   private def incidence(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct().cache()
 
-  /** Basket-guarded distinct directed co-purchase pairs — shared by
-    * q_copurchase_degree and q_pagerank3. The window-based guard rides the
-    * ok partitioning the self-join pays for anyway.
+  /** [[incidence]] minus hub orders (more than [[MaxBasket]] distinct
+    * parts): EVERY incidence self-join in this file must start here — a
+    * degenerate hub order with n parts emits n² pair rows, the exact blowup
+    * that dominates a pair join at scale. The window guard rides the ok
+    * partitioning the self-joins pay for anyway. Cached (same session-
+    * lifetime contract as [[incidence]]): consumed from both self-join
+    * sides plus the item/order aggregates of q_assoc_rules.
     */
-  private def guardedEdges(s: SparkSession, dir: String): DataFrame = {
-    val inc = incidence(s, dir)
+  private def guardedIncidence(s: SparkSession, dir: String): DataFrame =
+    incidence(s, dir)
       .withColumn("basket",
         count(lit(1)).over(Window.partitionBy(col("ok"))))
       .filter(col("basket") <= MaxBasket)
       .select(col("ok"), col("pk"))
+      .cache()
+
+  /** Basket-guarded distinct directed co-purchase pairs — shared by
+    * q_copurchase_degree and q_pagerank3.
+    */
+  private def guardedEdges(s: SparkSession, dir: String): DataFrame = {
+    val inc = guardedIncidence(s, dir)
     inc.as("a").join(inc.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
       .select(col("a.pk").as("src"), col("b.pk").as("dst"))
@@ -204,18 +217,51 @@ object RelationalQueries {
         .orderBy(col("c_custkey"))
     }),
 
-    // Exact decile profile of per-user lifetime value: ntile runs over the
-    // per-user AGGREGATE (events already reduced by the groupBy shuffle),
-    // so the single-partition window sees |users| rows, not |events|. At
-    // extreme user counts swap ntile for approx_percentile bucket bounds —
-    // same output schema, sketch-sized state.
+    // Exact decile profile of per-user lifetime value — DISTRIBUTED rank,
+    // no global window: ntile over an unpartitioned window funnels every
+    // per-user total through ONE task (at 10⁸ users that task is the job).
+    // Instead: (1) ~32 approx-quantile cuts split the VALUE space into
+    // coarse range buckets (bucket order = global value order, ties share
+    // a bucket); (2) per-bucket counts (≤ 33 rows) collect to the driver,
+    // giving each bucket its exact global rank offset; (3) row_number PER
+    // BUCKET — parallel, max partition ≈ n/32 — plus the offset is the
+    // exact global rank; (4) ntile's own integer split (first n%10 deciles
+    // carry ⌈n/10⌉ rows) maps rank → decile. Bit-identical to single-window
+    // ntile, which is exactly what the unchanged oracle computes.
     "q_decile_stats" -> ((s, dir) => {
       val totals = Tables.events(s, dir)
         .groupBy(col("user_id"))
         .agg(dsum(col("value")).as("total"))
-      totals
-        .withColumn("decile",
-          ntile(10).over(Window.orderBy(col("total"), col("user_id"))))
+        .cache() // three consumers: cuts action, counts action, rank plan
+      val cuts = totals.stat
+        .approxQuantile("total", (1 to 31).map(_ / 32.0).toArray, 1e-3)
+        .distinct.sorted
+      val bucket = cuts.zipWithIndex.foldRight(lit(cuts.length)) {
+        case ((c, i), els) => when(col("total") <= c, lit(i)).otherwise(els)
+      }
+      val withB = totals.withColumn("b", bucket)
+      val counts = withB.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+        .collect().map(row => (row.getInt(0), row.getLong(1))).sortBy(_._1)
+      val n = counts.iterator.map(_._2).sum
+      var before = 0L
+      val offsets = counts.map { case (b, c) =>
+        val o = before; before += c; (b, o)
+      }
+      val offset = offsets.foldRight(lit(0L)) { case ((b, o), els) =>
+        when(col("b") === b, lit(o)).otherwise(els)
+      }
+      val nt = n / 10
+      val rem = n % 10
+      val rank = offset + row_number().over(
+        Window.partitionBy(col("b")).orderBy(col("total"), col("user_id")))
+      // integer ceil-division split; when n < 10, nt = 0 and every rank
+      // takes the first branch (decile = rank), matching ntile
+      val decile = when(rank <= lit(rem * (nt + 1)),
+          floor((rank + lit(nt)) / lit(nt + 1)))
+        .otherwise(lit(rem) + floor((rank - lit(rem * (nt + 1))
+          + lit(nt) - 1) / lit(math.max(nt, 1L))))
+      withB
+        .withColumn("decile", decile.cast("int"))
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n_users"),
           ground(avg(col("total")), 6).as("avg_total"),
@@ -284,8 +330,13 @@ object RelationalQueries {
     // 2D skyline (Pareto frontier) per priority: most-recent/most-valuable
     // orders via the SORT-BASED sweep — one window pass (running max of
     // price over the date-desc order), no quadratic dominance self-join.
-    // RelationalSpec proves the window formulation equals the NOT-EXISTS
-    // brute force; the oracle mirrors the sweep formula itself.
+    // Tie semantics (deliberate deviation from the textbook skyline, which
+    // keeps ALL points sharing an undominated (date, price)): identical
+    // (o_orderdate, o_totalprice) ties dedup to the smallest o_orderkey —
+    // the sweep's run_max uses > (not >=) only for the FIRST row of a tie
+    // group under the o_orderkey tiebreak order. RelationalSpec pins this
+    // against a brute force with the same tie rule; the oracle mirrors the
+    // sweep formula itself.
     "q_skyline" -> ((s, dir) => {
       val sweep = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("o_orderdate").desc, col("o_totalprice").desc,
@@ -340,12 +391,18 @@ object RelationalQueries {
     }),
 
     // Market-basket association rules on co-purchased part pairs:
-    // support/confidence/lift from exact integer counts. Aggregate-first
-    // everywhere — item counts and the order total collapse before any
-    // join; the pair frame joins two BROADCAST count frames (items ≪
-    // incidence). Top rules by lift, deterministic tiebreak.
+    // support/confidence/lift from exact integer counts over the basket-
+    // GUARDED incidence — hub orders are excluded from the whole analysis
+    // (universe, item counts, pairs) BEFORE the self-join, the same
+    // MaxBasket cut guardedEdges applies; an unguarded hub order with n
+    // parts would emit n² pair rows. Aggregate-first everywhere — item
+    // counts and the order total collapse before any join. The item-count
+    // frames are small at this SF but their domain is |parts|, so no
+    // forced broadcast hint: AQE broadcasts when runtime stats fit the
+    // threshold and falls back to a shuffled join when the part domain
+    // outgrows it.
     "q_assoc_rules" -> ((s, dir) => {
-      val op = incidence(s, dir)
+      val op = guardedIncidence(s, dir)
       val nOrders = op.select(col("ok")).distinct().count()
       val itemN = op.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
       val pairN = op.as("a").join(op.as("b"),
@@ -354,10 +411,10 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_ab"))
         .filter(col("n_ab") >= 3)
       pairN
-        .join(broadcast(itemN.select(col("pk").as("ant"),
-          col("n_item").as("n_a"))), "ant")
-        .join(broadcast(itemN.select(col("pk").as("cons"),
-          col("n_item").as("n_b"))), "cons")
+        .join(itemN.select(col("pk").as("ant"),
+          col("n_item").as("n_a")), "ant")
+        .join(itemN.select(col("pk").as("cons"),
+          col("n_item").as("n_b")), "cons")
         .select(col("ant"), col("cons"), col("n_ab"),
           ground(col("n_ab") / col("n_a"), 6).as("confidence"),
           ground(col("n_ab") * lit(nOrders) / (col("n_a") * col("n_b")), 6)
@@ -848,8 +905,13 @@ object RelationalQueries {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_assoc_rules" ->
-      """WITH op AS (
+      s"""WITH op0 AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), op AS (
+        |  SELECT ok, pk FROM (
+        |    SELECT ok, pk, count(*) OVER (PARTITION BY ok) AS basket
+        |    FROM op0
+        |  ) WHERE basket <= $MaxBasket
         |), n AS (
         |  SELECT count(DISTINCT ok) AS n_orders FROM op
         |), item AS (

@@ -166,9 +166,11 @@ class EdgeCaseSpec extends SparkSpec {
     val pruned = RuntimeFilter.bloomPrune(fact, dim, "k", "d",
       expectedItems = 1)
     assert(pruned.collect().map(_.getLong(0)).toSet == Set(1L))
+    // the documented convention expectedItems = dim.count() must survive a
+    // fully-filtered-out dim (count 0): short-circuit beats the size require
     val emptyDim = Seq.empty[Long].toDF("d")
     assert(RuntimeFilter.bloomPrune(fact, emptyDim, "k", "d",
-      expectedItems = 1).count() == 0)
+      expectedItems = emptyDim.count()).count() == 0)
     // prefix-jaccard: identical docs pair up; empty corpus yields empty
     val same = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
     val pj = Dedup.prefixJaccardPairs(same, "text", "doc_id", 0.9)

@@ -44,13 +44,16 @@ class PhysicalSpec extends SparkSpec {
   private def finalOpsWithCaches(p: SparkPlan): Seq[SparkPlan] = {
     // transitive over nested caches; per-use InMemoryRelation copies share
     // one CachedRDDBuilder — that is the cache's identity (plan-id differs
-    // per copy), so a builder-seen set counts each cache exactly once
-    val seen = scala.collection.mutable.Set.empty[Int]
+    // per copy). Reference identity, not hashCode: an identity-hash COLLISION
+    // between distinct builders would silently drop a cached plan from the
+    // audit if we kept a Set[Int]
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
     def walk(p: SparkPlan): Seq[SparkPlan] = {
       val top = finalOps(p)
       val caches = top
         .collect { case i: InMemoryTableScanExec => i.relation }
-        .filter(r => seen.add(System.identityHashCode(r.cacheBuilder)))
+        .filter(r => seen.add(r.cacheBuilder))
         .map(_.cachedPlan)
       top ++ caches.flatMap(walk)
     }
@@ -397,6 +400,25 @@ class PhysicalSpec extends SparkSpec {
     val spanShuffles = plan.linesIterator.count(l =>
       l.contains("Exchange hashpartitioning") && l.contains("span#"))
     assert(spanShuffles <= 1, s"span payload crosses >1 shuffle:\n$plan")
+  }
+
+  test("decile stats: rank window is bucket-partitioned — no " +
+    "single-partition window, no ntile") {
+    val df = SparkEntry.queries("q_decile_stats")(spark, TestSpark.sf0001)
+    df.collect()
+    val ops = finalOpsWithCaches(df.queryExecution.executedPlan)
+    val plan = df.queryExecution.executedPlan.toString
+    // the old plan ran ntile(10) over an UNPARTITIONED window: an Exchange
+    // SinglePartition funneling every per-user total through one task
+    assert(!plan.contains("ntile"), s"global ntile survived:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"single-partition exchange in:\n$plan")
+    // the distributed form ranks INSIDE each coarse value bucket: the
+    // row_number window's spec must lead with the bucket column
+    val wins = ops.filter(o => line(o).startsWith("Window"))
+    assert(wins.nonEmpty, s"expected a rank window in:\n$plan")
+    wins.foreach(w => assert(line(w).contains("windowspecdefinition(b#"),
+      s"window not partitioned by bucket: ${line(w)}"))
   }
 
   test("AQE splits a skewed join partition (skew=true in the final plan)") {

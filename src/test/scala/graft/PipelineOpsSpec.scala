@@ -132,6 +132,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(media.select("format").distinct().head.getString(0) == "img/bin")
   }
 
+  test("real PNG/JPEG bytes decode to true pixel dimensions; non-image " +
+    "payloads keep the deterministic fallback") {
+    import java.nio.file.{Files, Paths}
+    import java.awt.image.BufferedImage
+    def imageBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xFF8040)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
+      out.toByteArray
+    }
+    val dir = Files.createTempDirectory("graft-img").toString
+    Files.write(Paths.get(dir, "a.png"), imageBytes(17, 9, "png"))
+    Files.write(Paths.get(dir, "b.jpg"), imageBytes(33, 21, "jpg"))
+    Files.write(Paths.get(dir, "c.bin"), Array.fill[Byte](100)(7))
+    val media = graft.ext.Multimodal.asMediaFromFiles(
+      graft.io.Sources.binaryFiles(spark, dir, glob = "*"))
+    val decoded = graft.ext.Multimodal.decodeBatches(spark, media)
+      .collect().map(r => r.format -> ((r.width, r.height, r.n_frames))).toMap
+    assert(decoded("img/png") == ((17L, 9L, 1L)))
+    assert(decoded("img/jpg") == ((33L, 21L, 1L)))
+    // the non-image payload must fall back to FakeCodec's length formula
+    val (fw, fh, ff) = graft.ext.Multimodal.FakeCodec.decode(
+      Array.fill[Byte](100)(7), "img/bin")
+    assert(decoded("img/bin") == ((fw, fh, ff)))
+  }
+
   test("textLines source reads raw corpus dumps line-per-row") {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("graft-txt").toString

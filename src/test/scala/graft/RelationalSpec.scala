@@ -63,6 +63,33 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<l_orderkey:bigint," +
       "l_extendedprice:double,l_discount:double>"),
       s"fact scan not pruned:\n$plan")
+    // the bloom probe is Catalyst's native might_contain expression, fully
+    // codegen'd — a boxed ScalaUDF here would box every fact row in the
+    // scan's hot path
+    assert(plan.contains("might_contain"), s"native bloom probe:\n$plan")
+    assert(!plan.contains("UDF"), s"no ScalaUDF in the probe path:\n$plan")
+  }
+
+  test("assoc rules: a synthetic hub order is cut by the basket guard — " +
+    "no quadratic pair inflation") {
+    import spark.implicits._
+    // hub order 999 carries 60 parts (> MaxBasket = 50) and would alone emit
+    // 60·59 = 3540 directed pair rows; five small orders each carry parts
+    // {100, 101, 102} so their pairs clear the n_ab >= 3 support floor
+    val hub = (1L to 60L).map(p => (999L, p))
+    val small = (1L to 5L).flatMap(o => Seq(100L, 101L, 102L).map(p => (o, p)))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hub").toString
+    (hub ++ small).toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$tmp/lineitem.parquet")
+    val rules = SparkEntry.queries("q_assoc_rules")(spark, tmp).collect()
+    // only the 6 directed pairs among {100, 101, 102} survive; every
+    // hub-order part must be absent from both rule sides
+    assert(rules.length == 6, s"expected 6 rules, got ${rules.length}")
+    assert(rules.forall(r => r.getLong(0) >= 100L && r.getLong(1) >= 100L),
+      "hub-order parts leaked into the rules")
+    // and with the hub excluded from the universe, n_orders = 5 ⇒ every
+    // pair has confidence 1 and lift 1 (each part in every small order)
+    assert(rules.forall(_.getLong(2) == 5L))
   }
 
   test("big spenders: aggregate-first plan broadcasts both small sides") {

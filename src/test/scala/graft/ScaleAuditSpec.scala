@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+
+/** Whole-surface plan lint: every declared query's EXECUTED plan is walked
+  * for the three patterns that kill a job at 100 TB but pass silently at
+  * test SF —
+  *
+  *  1. unbounded nested-loop joins (`CartesianProduct` /
+  *     `BroadcastNestedLoopJoin`): O(n·m) row pairs unless one side is
+  *     provably tiny;
+  *  2. single-partition windows (`Window`/`WindowGroupLimit` fed by an
+  *     `Exchange SinglePartition`): the whole stream funnels through ONE
+  *     task;
+  *  3. `ScalaUDF` in the plan: per-row boxing, opaque to codegen and
+  *     pushdown.
+  *
+  * Each allowance below names the query and the reason the pattern is safe
+  * THERE (a declared-tiny side, a capped baseline) — adding a new query
+  * that trips a rule forces either a better plan or a written
+  * justification here. Global aggregates are NOT flagged: their
+  * final-merge `Exchange SinglePartition` moves partial-agg rows (one per
+  * upstream partition), which is exactly how a distributed global
+  * aggregate should look.
+  *
+  * The ML family (`q_ml_*`) is excluded: model training drives many jobs
+  * internally (audited by MlSpec/ProfileMl), and the memoized fit makes
+  * per-query plan attribution meaningless here.
+  */
+class ScaleAuditSpec extends SparkSpec {
+
+  /** Queries allowed a nested-loop join, with the reason it is bounded.
+    * These three are the ONLY nested-loop shapes on the whole surface.
+    */
+  private val nestedLoopOk: Map[String, String] = Map(
+    "q_ann_bruteforce" ->
+      ("the declared capped brute-force baseline: the probe side is " +
+        "limited before the cross join, the exact-scan kernel other ANN " +
+        "variants are validated against"),
+    "q_bm25" ->
+      ("1-row corpus-stats frame (n_docs, avg_len) broadcast under the " +
+        "postings stream — a scalar attach, not a pair explosion"),
+    "q_rolling_actives" ->
+      ("range join with the |days|-sized calendar pinned as the BROADCAST " +
+        "side; fan-out bounded at 7 calendar rows per activity row"))
+
+  /** Queries allowed a single-partition window, with the tiny-frame bound.
+    * Currently NONE: every window on the surface rides a hash-partitioned
+    * exchange (q_decile_stats' former global ntile was the last one).
+    */
+  private val singlePartitionWindowOk: Map[String, String] = Map()
+
+  /** Queries allowed a ScalaUDF, with why codegen cannot express it. */
+  private val scalaUdfOk: Map[String, String] = Map.empty
+
+  /** Final-plan walk incl. distinct cached subplans (reference-identity
+    * dedup on the shared CachedRDDBuilder — same contract as
+    * PhysicalSpec.finalOpsWithCaches).
+    */
+  private def allOps(p: SparkPlan): Seq[SparkPlan] = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
+    def finalOps(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => finalOps(a.executedPlan)
+      case q: QueryStageExec => q +: finalOps(q.plan)
+      case i: InMemoryTableScanExec => Seq(i)
+      case r: ReusedExchangeExec => Seq(r)
+      case other => other +: other.children.flatMap(finalOps)
+    }
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val top = finalOps(p)
+      val caches = top
+        .collect { case i: InMemoryTableScanExec => i.relation }
+        .filter(r => seen.add(r.cacheBuilder))
+        .map(_.cachedPlan)
+      top ++ caches.flatMap(walk)
+    }
+    walk(p)
+  }
+
+  /** A Window/WindowGroupLimit is single-partition when the nearest
+    * exchange below it (through narrow ops, descending into AQE query
+    * stages and reused exchanges) declares SinglePartition. Typed on the
+    * partitioning, not plan strings: AQE wraps the exchange in a
+    * ShuffleQueryStage whose string form hides it. A hash exchange that
+    * AQE merely COALESCED to one partition at runtime is not flagged —
+    * that is small data meeting an adaptive plan, not a plan defect.
+    */
+  private def feedsSinglePartition(p: SparkPlan): Boolean = p match {
+    case q: QueryStageExec => feedsSinglePartition(q.plan)
+    case r: ReusedExchangeExec => feedsSinglePartition(r.child)
+    case e: org.apache.spark.sql.execution.exchange.Exchange =>
+      e.outputPartitioning ==
+        org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    case other => other.children.exists(feedsSinglePartition)
+  }
+
+  private def windowOverSinglePartition(ops: Seq[SparkPlan]): Boolean =
+    ops.exists { o =>
+      val s = o.simpleString(8)
+      (s.startsWith("Window") || s.startsWith("WindowGroupLimit")) &&
+        o.children.exists(feedsSinglePartition)
+    }
+
+  private val dir = TestSpark.sf0001
+
+  test("the lint itself detects a single-partition window (not vacuous)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val bad = graft.io.Tables.events(spark, dir)
+      .withColumn("r", row_number().over(Window.orderBy(col("ts"))))
+    bad.collect()
+    assert(windowOverSinglePartition(allOps(bad.queryExecution.executedPlan)),
+      "detector missed a global-window plan — the whole lint is vacuous")
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1)
+    .filterNot(_._1.startsWith("q_ml_"))
+    .foreach { case (name, fn) =>
+      test(s"scale lint: $name") {
+        val df = fn(spark, dir)
+        df.collect()
+        val ops = allOps(df.queryExecution.executedPlan)
+        val lines = ops.map(_.simpleString(8))
+        val nested = lines.exists(l =>
+          l.startsWith("CartesianProduct") ||
+            l.startsWith("BroadcastNestedLoopJoin"))
+        if (nested && !nestedLoopOk.contains(name))
+          fail(s"unjustified nested-loop join in $name:\n" +
+            df.queryExecution.executedPlan)
+        if (windowOverSinglePartition(ops) &&
+            !singlePartitionWindowOk.contains(name))
+          fail(s"unjustified single-partition window in $name:\n" +
+            df.queryExecution.executedPlan)
+        val udf = lines.exists(_.contains("ScalaUDF"))
+        if (udf && !scalaUdfOk.contains(name))
+          fail(s"unjustified ScalaUDF in $name:\n" +
+            df.queryExecution.executedPlan)
+      }
+    }
+}

@@ -60,4 +60,43 @@ object Sketches {
       .groupBy(keys.columns.map(col): _*)
       .agg(min(col("cell")).as("est"))
   }
+
+  /** Per-day DataSketches HLL sketches of the id column — the mergeable
+    * distinct-count state a 100 TB engine keeps PER DAY so any trailing
+    * window is a register-wise union of ≤ `window` fixed-size sketches,
+    * never a rescan of raw ids. One map-side-combining shuffle of
+    * (day, sketch) rows; raw ids cross no further exchange.
+    */
+  def dailyIdSketches(events: DataFrame, idCol: String, tsCol: String)
+      : DataFrame =
+    events.select(to_date(col(tsCol)).as("d"), col(idCol).as("__id"))
+      .groupBy(col("d"))
+      .agg(hll_sketch_agg(col("__id")).as("sk"))
+
+  /** Approximate trailing-`windowDays` distinct actives per day — the
+    * documented scale swap for the exact `q_rolling_actives`: identical
+    * calendar-join shape (each per-day sketch fans out to ≤ `windowDays`
+    * calendar rows, the calendar side broadcasts), but the merge is
+    * `hll_union_agg` over fixed-size sketches instead of an exact
+    * distinct over (user, day) rows — per-day state is O(2^lgK) bytes
+    * regardless of cardinality. The estimate is DETERMINISTIC (HLL has
+    * no RNG; the union is register-wise max, order-independent) but not
+    * exact, so this op is spec-verified against the exact twin
+    * (SketchesSpec: ≤ 5% relative error, merge ≡ direct sketch) instead
+    * of DuckDB-oracled — DuckDB's approx_count_distinct uses a
+    * different HLL implementation and cannot hash-match.
+    */
+  def rollingActivesHll(events: DataFrame, idCol: String, tsCol: String,
+                        windowDays: Int = 7): DataFrame = {
+    require(windowDays > 0, s"windowDays=$windowDays must be positive")
+    val perDay = dailyIdSketches(events, idCol, tsCol)
+    val cal = perDay.select(col("d").as("cal_d"))
+    perDay.join(broadcast(cal),
+        col("cal_d") >= col("d") &&
+          col("cal_d") < date_add(col("d"), windowDays))
+      .groupBy(col("cal_d").as("d"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+        .as("approx_actives"))
+      .orderBy(col("d"))
+  }
 }

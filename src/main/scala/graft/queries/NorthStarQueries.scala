@@ -192,6 +192,31 @@ object NorthStarQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // SemDeDup-style SEMANTIC dedup: embedding near-dup pairs (cosine ≥ t
+    // inside coarse buckets — candidate generation is the bucket
+    // equi-join, never all pairs) → connected components (O(log d)
+    // pointer-doubling) → min-id keeper + cluster size. The composition an
+    // embedding-curation pipeline runs to drop semantically-redundant
+    // documents a text-hash dedup cannot see. Oracle recomputes the same
+    // cosine pairs (list_inner_product) and closes them with a recursive
+    // CTE.
+    "q_semantic_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = Similarity.neighborPairs(Tables.embeddings(s, dir),
+        "vec_id", "embedding", "label", threshold = 0.3)
+      val labels = Dedup.resolveClusters(
+        pairs.select(col("id_a"), col("id_b")))
+      Tables.embeddings(s, dir).select(col("vec_id"))
+        .join(labels.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+        .withColumn("is_keeper",
+          (col("vec_id") === col("cluster_id")).cast("long"))
+        .orderBy(col("vec_id"))
+    }),
+
     // LSH candidates + exact-Jaccard verification — the production
     // two-stage dedup (estimate prunes, exact verifies on the tiny
     // candidate set)
@@ -507,6 +532,37 @@ object NorthStarQueries {
          |    THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
          |FROM documents d LEFT JOIN comp c USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // Same pair formula as q_embedding_neardup, same transitive closure
+    // as q_dedup_clusters — composed.
+    "q_semantic_dedup" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        |), prs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE round(list_inner_product(a.v, b.v) /
+        |      (sqrt(list_inner_product(a.v, a.v)) *
+        |       sqrt(list_inner_product(b.v, b.v))) + 1e-9, 6) >= 0.3
+        |), edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM prs
+        |  UNION SELECT id_b, id_a FROM prs
+        |), reach(src, dst) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.src, e2.v FROM reach r JOIN edges e2 ON r.dst = e2.u
+        |), comp AS (
+        |  SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+        |  FROM reach GROUP BY src
+        |), labeled AS (
+        |  SELECT emb.vec_id, coalesce(c.cluster_id, emb.vec_id) AS cluster_id
+        |  FROM embeddings emb LEFT JOIN comp c USING (vec_id)
+        |)
+        |SELECT vec_id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+        |  CAST(CASE WHEN vec_id = cluster_id THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_keeper
+        |FROM labeled ORDER BY vec_id""".stripMargin,
 
     // Same transitive closure as q_dedup_clusters + the q_text_stats
     // quality formula; keeper = argmax(rounded quality, min doc_id).

@@ -445,8 +445,10 @@ object RelationalQueries {
     // DISTINCT frame (events collapsed once) range-joins the day calendar
     // — ≤ 7 calendar rows per activity row, bounded fan-out, then one
     // distinct count per day. At extreme scale swap the exact distinct
-    // for per-day HLL sketches merged over the trailing window; the
-    // calendar-join shape stays identical.
+    // for per-day HLL sketches merged over the trailing window — that
+    // swap is IMPLEMENTED as ext/Sketches.rollingActivesHll (identical
+    // calendar-join shape, fixed-size mergeable state; spec-verified
+    // within 5% of this exact twin, not oracled — DuckDB's HLL differs).
     "q_rolling_actives" -> ((s, dir) => {
       val ud = userDays(s, dir)
       // explicit broadcast: the non-equi range join plans as a nested-loop

@@ -83,6 +83,45 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("HLL rolling actives tracks the exact trailing-window distinct " +
+    "count within sketch error") {
+    val events = graft.io.Tables.events(spark, TestSpark.sf0001)
+    val approx = graft.ext.Sketches
+      .rollingActivesHll(events, "user_id", "ts", windowDays = 7)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // exact twin: the same calendar-join on the distinct (user, day) frame
+    val ud = events.select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val cal = ud.select(col("d").as("cal_d")).distinct()
+    val exact = ud.join(cal,
+        col("cal_d") >= col("d") && col("cal_d") < date_add(col("d"), 7))
+      .groupBy(col("cal_d"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (d, n) =>
+      val a = approx(d).toDouble
+      assert(math.abs(a - n) / n <= 0.05,
+        s"day $d: approx $a vs exact $n drifts > 5%")
+    }
+  }
+
+  test("HLL merge of per-day sketches equals one sketch over the union") {
+    // the property the trailing window RELIES on: register-wise union is
+    // lossless for same-lgK sketches, so merging daily state reproduces
+    // the direct sketch of the whole window
+    val events = graft.io.Tables.events(spark, TestSpark.sf0001)
+    val merged = graft.ext.Sketches
+      .dailyIdSketches(events, "user_id", "ts")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n"))
+      .head.getLong(0)
+    val direct = events
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("n"))
+      .head.getLong(0)
+    assert(merged == direct,
+      s"merged-estimate $merged != direct-sketch estimate $direct")
+  }
+
   test("bm25 matches the hand-computed score on a tiny corpus") {
     // corpus: d1 = "x x y", d2 = "y z", query = {x}
     // N=2, avg_len=2.5; x: df=1, idf=ln(1+(2-1+0.5)/1.5)=ln(2)

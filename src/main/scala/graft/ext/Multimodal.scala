@@ -59,6 +59,10 @@ object Multimodal {
       if (!isImageMagic(payload)) return FakeCodec.decode(payload, format)
       val in = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
+      // createImageInputStream returns NULL (not an exception) when no
+      // ImageInputStream SPI accepts the input — the finally close would
+      // NPE past the fallback and kill the partition task
+      if (in == null) return FakeCodec.decode(payload, format)
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(in)
         if (!readers.hasNext) FakeCodec.decode(payload, format)

@@ -89,7 +89,12 @@ object Sketches {
   def rollingActivesHll(events: DataFrame, idCol: String, tsCol: String,
                         windowDays: Int = 7): DataFrame = {
     require(windowDays > 0, s"windowDays=$windowDays must be positive")
-    val perDay = dailyIdSketches(events, idCol, tsCol)
+    // cache: BOTH join sides derive from perDay (the calendar branch
+    // column-prunes to a distinct-dates aggregate, so nothing reuses the
+    // probe side's exchange) — uncached, each side would rescan the raw
+    // events table end-to-end. One tiny row per day; session-lifetime
+    // cache contract as elsewhere in ext/.
+    val perDay = dailyIdSketches(events, idCol, tsCol).cache()
     val cal = perDay.select(col("d").as("cal_d"))
     perDay.join(broadcast(cal),
         col("cal_d") >= col("d") &&

@@ -174,4 +174,33 @@ object Writers {
       df.orderBy(org.apache.spark.sql.functions.col(c)).limit(n))
     csv(lim.coalesce(1), path)
   }
+
+  /** Small-files compaction — the table-maintenance pass every long-lived
+    * dataset needs: streaming/micro-batch sinks and over-parallel writers
+    * leave thousands of KB-sized files whose per-file open + footer-read
+    * cost comes to dominate scan time. Sizes the output by ACTUAL input
+    * bytes (⌈total / targetFileBytes⌉ files) and rewrites with a
+    * round-robin repartition, so output files are evenly sized regardless
+    * of how skewed the input layout was. The file-size listing is a
+    * driver-side loop over FILE METADATA only — O(#files), which is
+    * exactly the quantity being compacted away, and the same listing the
+    * scan itself performs. Returns the output file count.
+    */
+  def compactParquet(spark: SparkSession, inPath: String, outPath: String,
+                     targetFileBytes: Long = 128L << 20): Int = {
+    require(targetFileBytes > 0,
+      s"targetFileBytes=$targetFileBytes must be positive")
+    require(inPath != outPath,
+      "in-place compaction would read and overwrite the same files")
+    val df = spark.read.parquet(inPath)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val totalBytes = df.inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
+    val n = math.max(1L,
+      (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    df.repartition(n).write.mode(SaveMode.Overwrite).parquet(outPath)
+    n
+  }
 }

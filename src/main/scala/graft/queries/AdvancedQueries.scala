@@ -90,6 +90,27 @@ object AdvancedQueries {
           col("max_value"))
         .orderBy(col("event_type"))),
 
+    // Key-skew profile — the pre-flight diagnostic before choosing a
+    // partitioning/salting strategy at scale: per-key counts collapse
+    // FIRST (one map-side-combining shuffle of (key, count) rows), then
+    // one global aggregate over the per-key frame yields row total, key
+    // cardinality, the hottest key's share, and p50/p99 per-key counts —
+    // the p99/p50 ratio and top share are what decide between plain
+    // hash partitioning, salting, and AQE skew handling. Raw events
+    // never cross the second aggregate.
+    "q_skew_profile" -> ((s, dir) => {
+      val counts = Tables.events(s, dir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      counts.agg(
+        sum(col("c")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("c")).as("max_cnt"),
+        ground(max(col("c")).cast("double") / sum(col("c")), 6)
+          .as("top_share"),
+        ground(expr("percentile(c, 0.5)"), 4).as("p50_cnt"),
+        ground(expr("percentile(c, 0.99)"), 4).as("p99_cnt"))
+    }),
+
     // String-function surface: case, substring, length, concat, replace,
     // padding, trim
     "q_string_funcs" -> ((s, dir) =>
@@ -263,6 +284,18 @@ object AdvancedQueries {
          |  ${sqlGround("quantile_cont(value, 0.9)", 4)} AS p90,
          |  max(value) AS max_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_skew_profile" ->
+      s"""WITH c AS (
+         |  SELECT user_id, count(*) AS c FROM events GROUP BY 1
+         |)
+         |SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+         |  count(*) AS n_keys,
+         |  max(c) AS max_cnt,
+         |  ${sqlGround("CAST(max(c) AS DOUBLE) / sum(c)", 6)} AS top_share,
+         |  ${sqlGround("quantile_cont(c, 0.5)", 4)} AS p50_cnt,
+         |  ${sqlGround("quantile_cont(c, 0.99)", 4)} AS p99_cnt
+         |FROM c""".stripMargin,
 
     "q_string_funcs" ->
       """SELECT c_custkey,

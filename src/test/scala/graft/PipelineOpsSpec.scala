@@ -159,6 +159,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(decoded("img/bin") == ((fw, fh, ff)))
   }
 
+  test("compactParquet collapses a small-files layout, preserving data " +
+    "and sizing output by actual bytes") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft-compact").toString
+    val daily = graft.queries.Parity.daily(spark, TestSpark.sf0001)
+    // simulate a micro-batch sink's damage: 17 tiny files
+    daily.repartition(17).write.parquet(s"$base/small")
+    def partFiles(d: String) = new java.io.File(d).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    assert(partFiles(s"$base/small") == 17)
+    // generous target → everything fits in ONE file
+    val n = graft.io.Writers.compactParquet(spark, s"$base/small",
+      s"$base/compact", targetFileBytes = 1L << 30)
+    assert(n == 1 && partFiles(s"$base/compact") == 1)
+    // data round-trips exactly (same rows, nothing lost or duplicated)
+    val before = daily.orderBy("user_id", "date").collect()
+    val after = spark.read.parquet(s"$base/compact")
+      .orderBy("user_id", "date").collect()
+    assert(after.sameElements(before))
+    // a small target yields multiple, byte-bounded files
+    val n2 = graft.io.Writers.compactParquet(spark, s"$base/small",
+      s"$base/compact4", targetFileBytes = 16L << 10)
+    assert(n2 > 1 && partFiles(s"$base/compact4") == n2)
+  }
+
   test("textLines source reads raw corpus dumps line-per-row") {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("graft-txt").toString

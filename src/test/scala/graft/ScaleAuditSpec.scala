@@ -135,7 +135,11 @@ class ScaleAuditSpec extends SparkSpec {
             !singlePartitionWindowOk.contains(name))
           fail(s"unjustified single-partition window in $name:\n" +
             df.queryExecution.executedPlan)
-        val udf = lines.exists(_.contains("ScalaUDF"))
+        // typed expression walk, not string matching — simpleString(8)
+        // truncates wide projections and would hide a UDF past field 8
+        val udf = ops.exists(_.expressions.exists(_.collectFirst {
+          case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
+        }.isDefined))
         if (udf && !scalaUdfOk.contains(name))
           fail(s"unjustified ScalaUDF in $name:\n" +
             df.queryExecution.executedPlan)

@@ -183,6 +183,36 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Dedup.resolveClusters(noPairs).count() == 0)
   }
 
+  test("round-5 operators degrade on degenerate inputs, never throw") {
+    // HLL rolling actives: empty events → empty result, no null sketches
+    val noEvents = Seq.empty[(Long, java.sql.Timestamp)].toDF("user_id", "ts")
+    assert(graft.ext.Sketches.rollingActivesHll(noEvents, "user_id", "ts")
+      .count() == 0)
+    // one event → one day, estimate exactly 1 (HLL is exact at n=1)
+    val one = Seq((7L, java.sql.Timestamp.valueOf("2024-01-05 10:00:00")))
+      .toDF("user_id", "ts")
+    val r = graft.ext.Sketches.rollingActivesHll(one, "user_id", "ts")
+      .collect()
+    assert(r.length == 1 && r.head.getLong(1) == 1L)
+    // semantic-dedup composition on ALL-IDENTICAL vectors: one bucket,
+    // every pair at cosine 1 → a single cluster keyed by the min id
+    val same = (1L to 5L).map(i => (i, Array(1.0f, 0.0f), "b"))
+      .toDF("vec_id", "embedding", "label")
+    val pairs = graft.ext.Similarity.neighborPairs(
+      same, "vec_id", "embedding", "label", threshold = 0.9)
+    assert(pairs.count() == 10) // C(5,2)
+    val clusters = graft.ext.Dedup.resolveClusters(
+      pairs.select(col("id_a"), col("id_b"))).collect()
+    assert(clusters.length == 5 && clusters.forall(_.getLong(1) == 1L))
+    // image codec: truncated PNG magic with garbage body falls back, and
+    // an empty payload is fallback, not an exception
+    val junk = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 1, 2)
+    assert(graft.ext.Multimodal.ImageIoCodec.decode(junk, "img/png") ==
+      graft.ext.Multimodal.FakeCodec.decode(junk, "img/png"))
+    assert(graft.ext.Multimodal.ImageIoCodec.decode(Array.empty, "img/x") ==
+      graft.ext.Multimodal.FakeCodec.decode(Array.empty, "img/x"))
+  }
+
   test("round-4 time-series queries handle single-observation users") {
     import org.apache.spark.sql.expressions.Window
     val one = Seq((1L, java.sql.Date.valueOf("2024-01-05"), 10.0))

@@ -190,17 +190,30 @@ object Writers {
                      targetFileBytes: Long = 128L << 20): Int = {
     require(targetFileBytes > 0,
       s"targetFileBytes=$targetFileBytes must be positive")
-    require(inPath != outPath,
-      "in-place compaction would read and overwrite the same files")
-    val df = spark.read.parquet(inPath)
     val conf = spark.sparkContext.hadoopConfiguration
-    val totalBytes = df.inputFiles.map { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      p.getFileSystem(conf).getFileStatus(p).getLen
-    }.sum
-    val n = math.max(1L,
-      (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    df.repartition(n).write.mode(SaveMode.Overwrite).parquet(outPath)
-    n
+    // overlap guard on FULLY-QUALIFIED paths: a raw string compare lets
+    // "/t/" vs "/t", "./t" vs "t", or "file:/t" vs "/t" through, and
+    // SaveMode.Overwrite would then delete the files the lazy read is
+    // still streaming. Nesting either way is just as destructive.
+    val inP = new org.apache.hadoop.fs.Path(inPath)
+    val inFs = inP.getFileSystem(conf)
+    val inQ = inFs.makeQualified(inP).toString
+    val outP = new org.apache.hadoop.fs.Path(outPath)
+    val outQ = outP.getFileSystem(conf).makeQualified(outP).toString
+    require(outQ != inQ && !outQ.startsWith(inQ + "/") &&
+      !inQ.startsWith(outQ + "/"),
+      s"output $outQ overlaps input $inQ — in-place compaction would " +
+        "overwrite the files being read")
+    val df = spark.read.parquet(inPath)
+    // ONE recursive metadata RPC for the byte total — a per-file
+    // getFileStatus loop would pay N round-trips over exactly the
+    // thousands of tiny files this pass exists to eliminate
+    val totalBytes = inFs.getContentSummary(inP).getLength
+    val n = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes)
+    require(n <= Int.MaxValue,
+      s"$n output files from $totalBytes bytes at $targetFileBytes/file — " +
+        "raise targetFileBytes")
+    df.repartition(n.toInt).write.mode(SaveMode.Overwrite).parquet(outPath)
+    n.toInt
   }
 }

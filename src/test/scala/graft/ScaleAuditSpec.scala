@@ -68,7 +68,11 @@ class ScaleAuditSpec extends SparkSpec {
       case q: QueryStageExec => q +: finalOps(q.plan)
       case i: InMemoryTableScanExec => Seq(i)
       case r: ReusedExchangeExec => Seq(r)
-      case other => other +: other.children.flatMap(finalOps)
+      // subqueries: a scalar/IN subquery's plan hangs off the expression
+      // tree, not children — a UDF (or nested-loop join) hiding inside
+      // one must not escape the lint
+      case other => other +:
+        (other.children ++ other.subqueries).flatMap(finalOps)
     }
     def walk(p: SparkPlan): Seq[SparkPlan] = {
       val top = finalOps(p)

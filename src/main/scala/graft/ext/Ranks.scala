@@ -1,0 +1,70 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed exact ranking — the replacement for unpartitioned ranking
+  * windows, which funnel the whole frame through ONE task (at 10⁸ rows
+  * that task is the job).
+  *
+  * Shape: (1) ~`buckets` approx-quantile cut points split the VALUE space
+  * into coarse range buckets — bucket order IS global value order, ties
+  * on the value share a bucket; (2) per-bucket counts (≤ buckets+1 rows)
+  * collect to the driver, giving each bucket its exact global rank
+  * offset; (3) `row_number` PER BUCKET (parallel, expected max partition
+  * ≈ n/buckets) plus the offset is the exact global rank; (4) ntile's own
+  * integer split (first n mod t tiles carry ⌈n/t⌉ rows) maps rank → tile.
+  * Bit-identical to the single-window `ntile` for any input, including
+  * heavy ties — the tie columns order rows WITHIN a bucket exactly as the
+  * global window would, and value ties never straddle buckets.
+  *
+  * Degenerate inputs degrade gracefully, never wrongly: a constant value
+  * column yields one bucket (one partition — correctness holds, the
+  * parallelism win is gone, as for any total-order rank of a constant).
+  */
+object Ranks {
+
+  /** `df` plus an int `tileCol` = `ntile(nTiles)` over
+    * `ORDER BY valueCol, tieCols…` — computed without a global window.
+    * `tieCols` must make the total order unique (e.g. a key column);
+    * `valueCol` must be numeric (approx-quantile domain).
+    */
+  def distributedNtile(df: DataFrame, valueCol: String, tieCols: Seq[String],
+                       nTiles: Int, tileCol: String = "tile",
+                       buckets: Int = 32): DataFrame = {
+    require(nTiles > 0, s"nTiles=$nTiles must be positive")
+    require(buckets > 0, s"buckets=$buckets must be positive")
+    val cached = df.cache() // three consumers: cuts, counts, the rank plan
+    val cuts = cached.stat
+      .approxQuantile(valueCol, (1 until buckets).map(_.toDouble / buckets)
+        .toArray, 1e-3)
+      .distinct.sorted
+    val bucket = cuts.zipWithIndex.foldRight(lit(cuts.length)) {
+      case ((c, i), els) => when(col(valueCol) <= c, lit(i)).otherwise(els)
+    }
+    val withB = cached.withColumn("__b", bucket)
+    val counts = withB.groupBy(col("__b")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = counts.iterator.map(_._2).sum
+    var before = 0L
+    val offsets = counts.map { case (b, c) =>
+      val o = before; before += c; (b, o)
+    }
+    val offset = offsets.foldRight(lit(0L)) { case ((b, o), els) =>
+      when(col("__b") === b, lit(o)).otherwise(els)
+    }
+    val nt = n / nTiles
+    val rem = n % nTiles
+    val order = col(valueCol) +: tieCols.map(col)
+    val rank = offset + row_number().over(
+      Window.partitionBy(col("__b")).orderBy(order: _*))
+    // integer ceil-division split; when n < nTiles, nt = 0 and every rank
+    // takes the first branch (tile = rank), matching ntile
+    val tile = when(rank <= lit(rem * (nt + 1)),
+        floor((rank + lit(nt)) / lit(nt + 1)))
+      .otherwise(lit(rem) + floor((rank - lit(rem * (nt + 1))
+        + lit(nt) - 1) / lit(math.max(nt, 1L))))
+    withB.withColumn(tileCol, tile.cast("int")).drop("__b")
+  }
+}

@@ -113,6 +113,19 @@ object Writers {
     (if (gzip) w.option("compression", "gzip") else w).csv(path)
   }
 
+  /** Document-shaped export — the data contract of the reference's
+    * MongoDB ingest (`merge_csv_for_mongodb.py:162-234` builds per-row
+    * documents and inserts them) without the driver dependency SURVEY
+    * §2.1 excludes: one JSON object per line, optionally gzipped, which
+    * `mongoimport`, object-store loaders, and line-oriented tooling
+    * consume directly. Spark's json writer streams row-by-row per
+    * partition — no driver-side document building.
+    */
+  def jsonLines(df: DataFrame, path: String, gzip: Boolean = false): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (gzip) w.option("compression", "gzip") else w).json(path)
+  }
+
   /** Date-partitioned parquet layout (SURVEY.md §4): time-range filters
     * then prune whole files/directories at plan time (`PartitionFilters`),
     * which is the difference between scanning a day and scanning 100 TB for

@@ -217,51 +217,18 @@ object RelationalQueries {
         .orderBy(col("c_custkey"))
     }),
 
-    // Exact decile profile of per-user lifetime value — DISTRIBUTED rank,
-    // no global window: ntile over an unpartitioned window funnels every
-    // per-user total through ONE task (at 10⁸ users that task is the job).
-    // Instead: (1) ~32 approx-quantile cuts split the VALUE space into
-    // coarse range buckets (bucket order = global value order, ties share
-    // a bucket); (2) per-bucket counts (≤ 33 rows) collect to the driver,
-    // giving each bucket its exact global rank offset; (3) row_number PER
-    // BUCKET — parallel, max partition ≈ n/32 — plus the offset is the
-    // exact global rank; (4) ntile's own integer split (first n%10 deciles
-    // carry ⌈n/10⌉ rows) maps rank → decile. Bit-identical to single-window
-    // ntile, which is exactly what the unchanged oracle computes.
+    // Exact decile profile of per-user lifetime value — DISTRIBUTED rank
+    // via ext/Ranks.distributedNtile (coarse value buckets + exact driver
+    // offsets + per-bucket row_number + ntile's integer split): no global
+    // window, bit-identical to single-window ntile — which is exactly
+    // what the unchanged oracle computes. RanksSpec property-pins the
+    // equivalence on random data including heavy ties.
     "q_decile_stats" -> ((s, dir) => {
       val totals = Tables.events(s, dir)
         .groupBy(col("user_id"))
         .agg(dsum(col("value")).as("total"))
-        .cache() // three consumers: cuts action, counts action, rank plan
-      val cuts = totals.stat
-        .approxQuantile("total", (1 to 31).map(_ / 32.0).toArray, 1e-3)
-        .distinct.sorted
-      val bucket = cuts.zipWithIndex.foldRight(lit(cuts.length)) {
-        case ((c, i), els) => when(col("total") <= c, lit(i)).otherwise(els)
-      }
-      val withB = totals.withColumn("b", bucket)
-      val counts = withB.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
-        .collect().map(row => (row.getInt(0), row.getLong(1))).sortBy(_._1)
-      val n = counts.iterator.map(_._2).sum
-      var before = 0L
-      val offsets = counts.map { case (b, c) =>
-        val o = before; before += c; (b, o)
-      }
-      val offset = offsets.foldRight(lit(0L)) { case ((b, o), els) =>
-        when(col("b") === b, lit(o)).otherwise(els)
-      }
-      val nt = n / 10
-      val rem = n % 10
-      val rank = offset + row_number().over(
-        Window.partitionBy(col("b")).orderBy(col("total"), col("user_id")))
-      // integer ceil-division split; when n < 10, nt = 0 and every rank
-      // takes the first branch (decile = rank), matching ntile
-      val decile = when(rank <= lit(rem * (nt + 1)),
-          floor((rank + lit(nt)) / lit(nt + 1)))
-        .otherwise(lit(rem) + floor((rank - lit(rem * (nt + 1))
-          + lit(nt) - 1) / lit(math.max(nt, 1L))))
-      withB
-        .withColumn("decile", decile.cast("int"))
+      graft.ext.Ranks
+        .distributedNtile(totals, "total", Seq("user_id"), 10, "decile")
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n_users"),
           ground(avg(col("total")), 6).as("avg_total"),

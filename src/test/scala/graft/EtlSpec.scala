@@ -77,6 +77,26 @@ class EtlSpec extends SparkSpec {
     assert(spark.read.option("header", "true").csv(s"$dir/gz").count() == 100)
   }
 
+  test("S12 contract: jsonLines document export round-trips, gzips") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    val df = (1 to 50).map(i => (i.toLong, s"v$i", i * 1.5))
+      .toDF("id", "v", "x")
+    graft.io.Writers.jsonLines(df, s"$dir/docs")
+    val back = spark.read.json(s"$dir/docs")
+    assert(back.count() == 50)
+    assert(back.filter(col("id") === 7).head.getAs[String]("v") == "v7")
+    // each line is one self-contained JSON document (the mongoimport
+    // contract) — parse one raw line independently
+    val part = new java.io.File(s"$dir/docs").listFiles()
+      .find(_.getName.startsWith("part-")).get
+    val line = scala.io.Source.fromFile(part).getLines().next()
+    assert(line.startsWith("{") && line.endsWith("}"))
+    graft.io.Writers.jsonLines(df, s"$dir/gz", gzip = true)
+    assert(new java.io.File(s"$dir/gz").listFiles()
+      .exists(_.getName.endsWith(".json.gz")))
+    assert(spark.read.json(s"$dir/gz").count() == 50)
+  }
+
   test("A3 at scale: approx_count_distinct within 5% of exact") {
     val ev = graft.io.Tables.events(spark, TestSpark.sf0001)
     val exact = graft.analytics.Queries.kpis(ev, "value", "user_id")

@@ -417,7 +417,7 @@ class PhysicalSpec extends SparkSpec {
     // row_number window's spec must lead with the bucket column
     val wins = ops.filter(o => line(o).startsWith("Window"))
     assert(wins.nonEmpty, s"expected a rank window in:\n$plan")
-    wins.foreach(w => assert(line(w).contains("windowspecdefinition(b#"),
+    wins.foreach(w => assert(line(w).contains("windowspecdefinition(__b#"),
       s"window not partitioned by bucket: ${line(w)}"))
   }
 

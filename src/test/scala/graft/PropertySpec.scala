@@ -203,6 +203,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: distributedNtile equals the global ntile window, " +
+    "heavy ties included") {
+    import org.apache.spark.sql.expressions.Window
+    // values drawn from a SMALL domain → many exact ties, including ties
+    // that would straddle decile boundaries under the global order
+    val gen = for {
+      n <- Gen.chooseNum(1, 120)
+      tiles <- Gen.oneOf(1, 3, 10, 17)
+      vs <- Gen.listOfN(n, Gen.chooseNum(0, 8).map(_.toDouble))
+    } yield (tiles, vs)
+    forAll(gen) { case (tiles, vs) =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val got = graft.ext.Ranks
+        .distributedNtile(df, "v", Seq("id"), tiles, "t", buckets = 4)
+        .select("id", "t").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val want = df.withColumn("t",
+          ntile(tiles).over(Window.orderBy(col("v"), col("id"))))
+        .select("id", "t").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == want, s"tiles=$tiles vs=$vs")
+    }
+  }
+
   test("property: unigramNll equals the brute-force corpus LM") {
     forAll(corpusGen) { texts =>
       val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }

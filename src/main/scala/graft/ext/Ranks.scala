@@ -28,21 +28,30 @@ object Ranks {
   /** `df` plus an int `tileCol` = `ntile(nTiles)` over
     * `ORDER BY valueCol, tieCols…` — computed without a global window.
     * `tieCols` must make the total order unique (e.g. a key column);
-    * `valueCol` must be numeric (approx-quantile domain).
+    * `valueCol` must be numeric (approx-quantile domain). NULL values
+    * sort FIRST (bucket −1), matching the window form's default
+    * asc_nulls_first order — approxQuantile ignores nulls, so without
+    * the explicit bucket they would silently fall through to the LAST
+    * bucket and break the ntile equivalence.
     */
   def distributedNtile(df: DataFrame, valueCol: String, tieCols: Seq[String],
                        nTiles: Int, tileCol: String = "tile",
                        buckets: Int = 32): DataFrame = {
     require(nTiles > 0, s"nTiles=$nTiles must be positive")
     require(buckets > 0, s"buckets=$buckets must be positive")
+    require(!df.columns.contains("__b"),
+      "input already has a __b column — rename it before ranking")
+    require(!df.columns.contains(tileCol),
+      s"input already has a $tileCol column — pass a different tileCol")
     val cached = df.cache() // three consumers: cuts, counts, the rank plan
     val cuts = cached.stat
       .approxQuantile(valueCol, (1 until buckets).map(_.toDouble / buckets)
         .toArray, 1e-3)
       .distinct.sorted
-    val bucket = cuts.zipWithIndex.foldRight(lit(cuts.length)) {
-      case ((c, i), els) => when(col(valueCol) <= c, lit(i)).otherwise(els)
-    }
+    val bucket = when(col(valueCol).isNull, lit(-1)).otherwise(
+      cuts.zipWithIndex.foldRight(lit(cuts.length)) {
+        case ((c, i), els) => when(col(valueCol) <= c, lit(i)).otherwise(els)
+      })
     val withB = cached.withColumn("__b", bucket)
     val counts = withB.groupBy(col("__b")).agg(count(lit(1)).as("cnt"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)

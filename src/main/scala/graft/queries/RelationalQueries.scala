@@ -221,8 +221,8 @@ object RelationalQueries {
     // via ext/Ranks.distributedNtile (coarse value buckets + exact driver
     // offsets + per-bucket row_number + ntile's integer split): no global
     // window, bit-identical to single-window ntile — which is exactly
-    // what the unchanged oracle computes. RanksSpec property-pins the
-    // equivalence on random data including heavy ties.
+    // what the unchanged oracle computes. PropertySpec pins the
+    // equivalence on random data including heavy ties and nulls.
     "q_decile_stats" -> ((s, dir) => {
       val totals = Tables.events(s, dir)
         .groupBy(col("user_id"))

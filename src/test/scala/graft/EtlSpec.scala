@@ -86,11 +86,14 @@ class EtlSpec extends SparkSpec {
     assert(back.count() == 50)
     assert(back.filter(col("id") === 7).head.getAs[String]("v") == "v7")
     // each line is one self-contained JSON document (the mongoimport
-    // contract) — parse one raw line independently
-    val part = new java.io.File(s"$dir/docs").listFiles()
-      .find(_.getName.startsWith("part-")).get
-    val line = scala.io.Source.fromFile(part).getLines().next()
-    assert(line.startsWith("{") && line.endsWith("}"))
+    // contract) — check every raw line independently of the Spark reader
+    // (readAllLines: no handle leak, and empty part files are fine)
+    import scala.jdk.CollectionConverters._
+    val lines = new java.io.File(s"$dir/docs").listFiles()
+      .filter(_.getName.startsWith("part-"))
+      .flatMap(f => java.nio.file.Files.readAllLines(f.toPath).asScala)
+    assert(lines.length == 50)
+    assert(lines.forall(l => l.startsWith("{") && l.endsWith("}")))
     graft.io.Writers.jsonLines(df, s"$dir/gz", gzip = true)
     assert(new java.io.File(s"$dir/gz").listFiles()
       .exists(_.getName.endsWith(".json.gz")))

@@ -207,11 +207,15 @@ class PropertySpec extends SparkSpec {
     "heavy ties included") {
     import org.apache.spark.sql.expressions.Window
     // values drawn from a SMALL domain → many exact ties, including ties
-    // that would straddle decile boundaries under the global order
+    // that would straddle decile boundaries under the global order; ~10%
+    // nulls exercise the asc_nulls_first path (the window form ranks
+    // nulls FIRST — the bucket form must agree)
     val gen = for {
       n <- Gen.chooseNum(1, 120)
       tiles <- Gen.oneOf(1, 3, 10, 17)
-      vs <- Gen.listOfN(n, Gen.chooseNum(0, 8).map(_.toDouble))
+      vs <- Gen.listOfN(n, Gen.frequency(
+        9 -> Gen.chooseNum(0, 8).map(v => Option(v.toDouble)),
+        1 -> Gen.const(Option.empty[Double])))
     } yield (tiles, vs)
     forAll(gen) { case (tiles, vs) =>
       val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }

@@ -2,8 +2,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 
-/** Accumulates shuffle/spill bytes across completed stages so Bench can
-  * attribute them per query (snapshot-delta around each run). Stage events
+/** Accumulates shuffle/spill bytes and executor CPU-time across completed
+  * stages so Bench can attribute them per query (snapshot-delta around each
+  * run). CPU-time is the load-invariant timing signal: host load stretches
+  * wall-clock but not cycles consumed, so a wall regression with flat
+  * cpu_sec is host noise, not a plan change. Stage events
   * arrive asynchronously; the small post-query drain in Bench makes the
   * attribution accurate in practice and any residue lands on the NEXT
   * query — fine for the two-decimal MB reporting this feeds.
@@ -12,15 +15,18 @@ private final class ShuffleAccounting extends SparkListener {
   @volatile var shuffleReadB = 0L
   @volatile var shuffleWriteB = 0L
   @volatile var spillB = 0L
+  @volatile var cpuNs = 0L
   override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
     val m = s.stageInfo.taskMetrics
     if (m != null) {
       shuffleReadB += m.shuffleReadMetrics.totalBytesRead
       shuffleWriteB += m.shuffleWriteMetrics.bytesWritten
       spillB += m.diskBytesSpilled
+      cpuNs += m.executorCpuTime
     }
   }
-  def snapshot: (Long, Long, Long) = (shuffleReadB, shuffleWriteB, spillB)
+  def snapshot: (Long, Long, Long, Long) =
+    (shuffleReadB, shuffleWriteB, spillB, cpuNs)
 }
 
 /** Per-round benchmark main: runs every SparkEntry query against
@@ -50,6 +56,19 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val acct = new ShuffleAccounting
     spark.sparkContext.addSparkListener(acct)
+    // Host-load evidence: wall-clock on this box drifts ±20-60% under
+    // external load (verify notes), so each pass brackets itself with
+    // /proc/loadavg samples and every query additionally records executor
+    // CPU-time (load-invariant — a loaded host stretches wall time but not
+    // CPU cycles consumed). Regression triage: compare cpu_sec first; only a
+    // cpu_sec movement is a real plan change.
+    def loadavg: String =
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.mkString.trim.split(" ").take(3).mkString(" ")
+        finally src.close()
+      } catch { case scala.util.control.NonFatal(_) => "unavailable" }
+    val loadStart = loadavg
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // untimed warmup: the flagship spine at sf0.001 compiles the common
     // codegen paths (scan/shuffle/window/agg) and a count over each big
@@ -98,8 +117,10 @@ object Bench {
       Thread.sleep(30) // let async stage-completed events drain
       val s1 = acct.snapshot
       (name, sec,
-        (s1._1 - s0._1) / 1e6, (s1._2 - s0._2) / 1e6, (s1._3 - s0._3) / 1e6)
+        (s1._1 - s0._1) / 1e6, (s1._2 - s0._2) / 1e6, (s1._3 - s0._3) / 1e6,
+        (s1._4 - s0._4) / 1e9)
     }
+    val loadAfterCold = loadavg
     // Second, WARM pass (skippable via SPARK_GRAFT_WARM=0): same order,
     // caches cleared per query exactly like the cold pass, but the JVM now
     // has every query's generated code JIT'd. Cold-pass numbers stay the
@@ -109,16 +130,25 @@ object Bench {
     // from the detail file without hand-running SeqTime. The memoized ML
     // pair is excluded — its second run would measure the memo, not the
     // work.
-    val warm: Map[String, Double] =
+    // NonFatal only, and an errored query is OMITTED from the warm maps —
+    // a time-to-failure must not masquerade as a real warm timing (the cold
+    // pass already reported the error).
+    val warm: Map[String, (Double, Double)] =
       if (sys.env.getOrElse("SPARK_GRAFT_WARM", "1") == "0") Map.empty
-      else plainQs.map { case (name, fn) =>
+      else plainQs.flatMap { case (name, fn) =>
         spark.catalog.clearCache()
         System.gc()
+        val s0 = acct.snapshot
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
-        catch { case _: Throwable => () } // already reported in the cold pass
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case scala.util.control.NonFatal(_) => false }
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(30)
+        val s1 = acct.snapshot
+        if (ok) Some(name -> (sec, (s1._4 - s0._4) / 1e9)) else None
       }.toMap
+    val loadAfterWarm = loadavg
     def jstr(s: String) =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
         .map(c => if (c < 0x20) ' ' else c) + "\"" // ALL control chars — one
@@ -138,7 +168,7 @@ object Bench {
     val errJsonFull = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val mlFused = results.collect {
-      case (n, t, _, _, _) if n.startsWith("q_ml_") => t
+      case (n, t, _, _, _, _) if n.startsWith("q_ml_") => t
     }.sum
     val total = results.map(_._2).sum
     // The harness keeps only the last ~2000 chars of stdout and parses the
@@ -149,17 +179,22 @@ object Bench {
     // stage-metrics listener) to BENCH_DETAIL.json alongside.
     val sorted = results.sortBy(-_._2)
     val (top, rest) = sorted.splitAt(40)
-    val qs = top.map { case (k, v, _, _, _) => jstr(k) + ":" + jnum(v) }
+    val qs = top.map { case (k, v, _, _, _, _) => jstr(k) + ":" + jnum(v) }
       .mkString("{", ",",
         s""","other_n":${rest.size},"other_sec":${jnum(rest.map(_._2).sum)}}""")
-    val fullQs = results.map { case (k, v, _, _, _) => jstr(k) + ":" + v }
+    val fullQs = results.map { case (k, v, _, _, _, _) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val shuffleQs = results.map { case (k, _, r, w, sp) =>
-      jstr(k) + s""":{"read_mb":${jnum(r)},"write_mb":${jnum(w)},"spill_mb":${jnum(sp)}}"""
+    val shuffleQs = results.map { case (k, _, r, w, sp, cpu) =>
+      jstr(k) + s""":{"read_mb":${jnum(r)},"write_mb":${jnum(w)},"spill_mb":${jnum(sp)},"cpu_sec":${jnum(cpu)}}"""
     }.mkString("{", ",", "}")
     val warmQs = warm.toSeq.sortBy(_._1)
-      .map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"warm":$warmQs,"shuffle":$shuffleQs,"ml_fused":$mlFused,"errors":$errJsonFull,"sf":"$sfDir"}"""
+      .map { case (k, (v, _)) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val warmCpuQs = warm.toSeq.sortBy(_._1)
+      .map { case (k, (_, c)) => jstr(k) + ":" + jnum(c) }
+      .mkString("{", ",", "}")
+    val loadJson =
+      s"""{"start":${jstr(loadStart)},"after_cold":${jstr(loadAfterCold)},"after_warm":${jstr(loadAfterWarm)}}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"warm":$warmQs,"warm_cpu":$warmCpuQs,"shuffle":$shuffleQs,"loadavg":$loadJson,"ml_fused":$mlFused,"errors":$errJsonFull,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
       try w.println(detail) finally w.close()

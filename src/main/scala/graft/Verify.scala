@@ -34,11 +34,18 @@ object Verify {
       val isMl = name.startsWith("q_ml_")
       if (!isMl || !mlStarted) spark.catalog.clearCache()
       mlStarted |= isMl
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      // CacheScope: the write materializes inside the scope, then the
+      // operators' internal caches are released — the scoped-lifecycle
+      // pattern for many-corpora sessions (the clearCache above stays as
+      // the backstop for query-layer caches the scope doesn't own).
+      // ML pair excluded: its memoized frames must outlive the first query.
+      def run(): Unit =
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
+      if (isMl) run() else graft.ext.CacheScope.scoped(run())
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

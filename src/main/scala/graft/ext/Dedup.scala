@@ -3,6 +3,8 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.ext.CacheScope.Cacheable
+
 /** Deduplication operators for training-data pipelines: exact, n-gram
   * Jaccard, MinHash+LSH, SimHash.
   *
@@ -11,11 +13,13 @@ import org.apache.spark.sql.functions._
   * inside buckets (content buckets here; MinHash bands in [[minHashLsh]]),
   * so the join key prunes the quadratic blowup to per-bucket blocks.
   *
-  * Cache lifecycle: the near-dup functions `cache()` their small
+  * Cache lifecycle: the near-dup functions cache their small
   * shingle/signature frames (one row per doc) because multiple plan
-  * branches reference them. The entries stay registered for the session and
-  * are evicted LRU under storage-memory pressure; long-lived sessions doing
-  * many dedup passes should `spark.catalog.clearCache()` between corpora.
+  * branches reference them. By default the entries stay registered for the
+  * session and are evicted LRU under storage-memory pressure; long-lived
+  * sessions doing many dedup passes should materialize each pass inside
+  * [[CacheScope.scoped]], which releases that pass's entries on exit (all
+  * internal caches here register via `scopedCache()`).
   */
 object Dedup {
 
@@ -79,7 +83,7 @@ object Dedup {
     // per downstream row
     val sh = Spread.cpu(df, idCol).select(
       (col(idCol) +: bucketCols.map(col)) :+
-        shingles(col(textCol), n).as("g"): _*).cache()
+        shingles(col(textCol), n).as("g"): _*).scopedCache()
     val explAll = sh.select(
       (col(idCol) +: bucketCols.map(col)) :+ explode(col("g")).as("s"): _*)
     // Hot-shingle document-frequency cut: a shingle shared by D docs emits
@@ -187,7 +191,7 @@ object Dedup {
     // cache: the signature frame is referenced five times downstream (two
     // band branches, two attach joins, the agreement fold); materialize it
     // once instead of recomputing the shuffle per branch
-    val sig = minHashSignatures(df, textCol, idCol, numHashes).cache()
+    val sig = minHashSignatures(df, textCol, idCol, numHashes).scopedCache()
     // Candidate generation joins on ONE long (xxhash64 of the banded
     // signature slice), not the slice array: cheap shuffle key, and the
     // signature arrays stay out of the join. Pairs dedupe BEFORE the
@@ -241,7 +245,7 @@ object Dedup {
     // cache: the candidate frame (possibly an expensive LSH plan) feeds
     // the id extraction AND the pair joins — uncached it would execute
     // twice
-    val c = cands.select(col("id_a"), col("id_b")).cache()
+    val c = cands.select(col("id_a"), col("id_b")).scopedCache()
     // shingle ONLY docs that appear in a candidate pair — at corpus scale
     // the candidate set is orders of magnitude smaller than the corpus,
     // and shingling is the dominant cost; the semi-join restricts the
@@ -250,7 +254,7 @@ object Dedup {
       .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
     // cache: the shingle-set frame is probed by both pair-side joins
     val sh = docs.join(candIds, Seq(idCol), "left_semi")
-      .select(col(idCol), shingles(col(textCol), n).as("g")).cache()
+      .select(col(idCol), shingles(col(textCol), n).as("g")).scopedCache()
     verifyCandidatesJaccardSets(c, sh, idCol, threshold)
   }
 
@@ -306,7 +310,7 @@ object Dedup {
     // distinct) is the dominant CPU and must run once, not twice
     val shSets = Spread.cpu(df, idCol)
       .select(col(idCol), shingles(col(textCol), n).as("g"))
-      .cache()
+      .scopedCache()
     val shx = shSets.select(col(idCol),
       explode(col("g")).as("s")) // distinct per doc
     // dft via a window over the shingle partition, not groupBy+join-back:
@@ -330,7 +334,7 @@ object Dedup {
       .filter(col("pos") <=
         col("n_g") - ceil(lit(threshold) * col("n_g") - 1e-9) + 1)
       .select(col(idCol), col("s"), col("pos"), col("n_g"))
-      .cache()
+      .scopedCache()
     // PPJoin candidate pruning on top of the prefix collision:
     //  - LENGTH filter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so a size
     //    ratio below t can never reach the threshold;
@@ -403,7 +407,7 @@ object Dedup {
     val sh = simHashes(df, textCol, idCol)
       .join(df.select(col(idCol) +: bucketCols.map(col): _*), idCol)
       .withColumnRenamed("simhash", "sh")
-      .cache()
+      .scopedCache()
     val banded = sh.select(
       (col(idCol) +: bucketCols.map(col)) :+ col("sh") :+
         explode(sequence(lit(0), lit(nBands - 1))).as("band"): _*)
@@ -450,7 +454,7 @@ object Dedup {
     val content = coalesce(col(textCol), lit(""))
     // cache: the digest projection feeds the membership join AND the
     // first-in-batch min — one md5 pass per doc, not two
-    val b = batch.select(col(idCol), digest(content).as("h")).cache()
+    val b = batch.select(col(idCol), digest(content).as("h")).scopedCache()
     val known = corpus.select(digest(content).as("h")).distinct()
       .withColumn("__in_corpus", lit(1L))
     val firstIn = b.groupBy(col("h")).agg(min(col(idCol)).as("__first_id"))
@@ -484,7 +488,7 @@ object Dedup {
     // exploded overlap join and the sizes attach) — uncached, the regex
     // split + shingle transform would evaluate twice per doc
     val candSh = Spread.cpu(candidates, idCol).select(col(idCol),
-      shingles(col(textCol), n).as("g")).cache()
+      shingles(col(textCol), n).as("g")).scopedCache()
     val protSet = Spread.cpu(protected_, idCol)
       .select(explode(shingles(col(textCol), n)).as("s")).distinct()
     val shared = candSh.select(col(idCol), explode(col("g")).as("s"))
@@ -526,10 +530,10 @@ object Dedup {
     // cache the INPUT before symmetrizing: both union branches reference
     // it, so an uncached (possibly expensive — LSH band join) pair source
     // would execute twice
-    val p = pairs.cache()
+    val p = pairs.scopedCache()
     val edges = p.select(col(idA).as("u"), col(idB).as("v"))
       .union(p.select(col(idB).as("u"), col(idA).as("v")))
-      .distinct().cache()
+      .distinct().scopedCache()
     val integralIds = edges.schema.fields.forall(f =>
       f.dataType == org.apache.spark.sql.types.LongType ||
         f.dataType == org.apache.spark.sql.types.IntegerType)
@@ -639,7 +643,7 @@ object Dedup {
       i => array_join(slice(toks, i * spanTokens + 1, lit(spanTokens)), " "))
     // cache: the span frame feeds the doc-frequency agg AND the reassembly
     val spans = Spread.cpu(df.filter(col(textCol).isNotNull), idCol)
-      .select(col(idCol), posexplode(spanArr).as(Seq("pos", "span"))).cache()
+      .select(col(idCol), posexplode(spanArr).as(Seq("pos", "span"))).scopedCache()
     val hot = spans.select(col(idCol), col("span")).distinct()
       .groupBy(col("span")).agg(count(lit(1)).as("span_df"))
       .filter(col("span_df") > maxDocFreq)

@@ -3,6 +3,8 @@ package graft.ext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.ext.CacheScope.Cacheable
+
 /** Corpus-distribution diagnostics: how far each slice (source, split,
   * time-bucket) drifts from the overall token distribution — the monitoring
   * signal a training-data pipeline watches while mixing/ingesting.
@@ -29,7 +31,7 @@ object Drift {
     // cache: feeds the per-group counts AND the overall counts — one
     // explode pass instead of two
     val grpTok = toks.groupBy(col(groupCol), col("t"))
-      .agg(count(lit(1)).as("c_gt")).cache()
+      .agg(count(lit(1)).as("c_gt")).scopedCache()
     val grpTotals = grpTok.groupBy(col(groupCol))
       .agg(sum(col("c_gt")).as("n_g"))
     val overall = grpTok.groupBy(col("t")).agg(sum(col("c_gt")).as("c_t"))

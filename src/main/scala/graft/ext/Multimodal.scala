@@ -44,6 +44,19 @@ object Multimodal {
     * animated GIF, whose files are small). Any parse failure — including
     * text that happens to start with a magic sequence — falls back to
     * [[FakeCodec]], so the operator never throws on hostile bytes.
+    *
+    * Text-payload hardening: the GIF and BMP magic bytes are pure ASCII
+    * ("GIF8", "BM"), and the JDK GIF reader can parse ASCII text starting
+    * "GIF89a" to garbage dimensions WITHOUT throwing (0x2C — a comma — is
+    * GIF's image-separator byte), which would silently diverge from the
+    * FakeCodec formula the oracles replicate. Three guards close that:
+    * the GIF sniff requires the full 6-byte signature (`GIF87a`/`GIF89a`);
+    * a payload whose first 64 bytes are ALL printable ASCII is classified
+    * as text and routed to [[FakeCodec]] before any reader runs (a real
+    * GIF/BMP header carries control bytes in its packed dimension/offset
+    * fields — a fully-printable prefix is text, not an image); and decoded
+    * dimensions outside `[1, 2²⁰]` are rejected as implausible, falling
+    * back to [[FakeCodec]].
     */
   object ImageIoCodec {
     private def isImageMagic(p: Array[Byte]): Boolean =
@@ -52,11 +65,26 @@ object Multimodal {
       (p.length >= 3 && (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8 &&
         (p(2) & 0xFF) == 0xFF) ||
       (p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' &&
-        p(3) == '8') ||
+        p(3) == '8' && (p(4) == '7' || p(4) == '9') && p(5) == 'a') ||
       (p.length >= 2 && p(0) == 'B' && p(1) == 'M')
 
+    private def looksLikeText(p: Array[Byte]): Boolean = {
+      val n = math.min(p.length, 64)
+      var i = 0
+      while (i < n) {
+        val b = p(i) & 0xFF
+        if (b != 0x09 && b != 0x0A && b != 0x0D && (b < 0x20 || b > 0x7E))
+          return false
+        i += 1
+      }
+      true
+    }
+
+    private val MaxDim = 1L << 20
+
     def decode(payload: Array[Byte], format: String): (Long, Long, Long) = {
-      if (!isImageMagic(payload)) return FakeCodec.decode(payload, format)
+      if (!isImageMagic(payload) || looksLikeText(payload))
+        return FakeCodec.decode(payload, format)
       val in = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
       // createImageInputStream returns NULL (not an exception) when no
@@ -72,12 +100,16 @@ object Multimodal {
             r.setInput(in)
             val w = r.getWidth(0).toLong
             val h = r.getHeight(0).toLong
-            val cheap = r.getNumImages(false)
-            val frames =
-              if (cheap > 0) cheap.toLong
-              else if (payload(0) == 'G') r.getNumImages(true).toLong
-              else 1L
-            (w, h, math.max(frames, 1L))
+            if (w < 1 || w > MaxDim || h < 1 || h > MaxDim)
+              FakeCodec.decode(payload, format) // implausible header parse
+            else {
+              val cheap = r.getNumImages(false)
+              val frames =
+                if (cheap > 0) cheap.toLong
+                else if (payload(0) == 'G') r.getNumImages(true).toLong
+                else 1L
+              (w, h, math.max(frames, 1L))
+            }
           } finally r.dispose()
         }
       } catch {

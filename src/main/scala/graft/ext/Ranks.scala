@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.ext.CacheScope.Cacheable
+
 /** Distributed exact ranking — the replacement for unpartitioned ranking
   * windows, which funnel the whole frame through ONE task (at 10⁸ rows
   * that task is the job).
@@ -33,6 +35,14 @@ object Ranks {
     * asc_nulls_first order — approxQuantile ignores nulls, so without
     * the explicit bucket they would silently fall through to the LAST
     * bucket and break the ntile equivalence.
+    *
+    * Cache contract: the input is cached and stays cached after return
+    * (session-LRU lifetime, the documented `ext/` policy) — the returned
+    * plan still reads it, so it cannot be unpersisted here without
+    * re-executing the input lineage three times. Callers ranking many
+    * large frames in one session should materialize inside
+    * [[CacheScope.scoped]] (which releases the entry on exit) or
+    * unpersist the INPUT frame once the result is materialized.
     */
   def distributedNtile(df: DataFrame, valueCol: String, tieCols: Seq[String],
                        nTiles: Int, tileCol: String = "tile",
@@ -43,7 +53,7 @@ object Ranks {
       "input already has a __b column — rename it before ranking")
     require(!df.columns.contains(tileCol),
       s"input already has a $tileCol column — pass a different tileCol")
-    val cached = df.cache() // three consumers: cuts, counts, the rank plan
+    val cached = df.scopedCache() // three consumers: cuts, counts, the rank plan
     val cuts = cached.stat
       .approxQuantile(valueCol, (1 until buckets).map(_.toDouble / buckets)
         .toArray, 1e-3)

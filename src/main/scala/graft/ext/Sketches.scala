@@ -3,6 +3,8 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.ext.CacheScope.Cacheable
+
 /** Mergeable frequency sketches. Count-min here: a fixed `depth × width`
   * grid of counters where cell (r, h_r(k)) accumulates every occurrence of
   * key k, and the estimate for k is the MIN over its `depth` cells — an
@@ -94,7 +96,7 @@ object Sketches {
     // probe side's exchange) — uncached, each side would rescan the raw
     // events table end-to-end. One tiny row per day; session-lifetime
     // cache contract as elsewhere in ext/.
-    val perDay = dailyIdSketches(events, idCol, tsCol).cache()
+    val perDay = dailyIdSketches(events, idCol, tsCol).scopedCache()
     val cal = perDay.select(col("d").as("cal_d"))
     perDay.join(broadcast(cal),
         col("cal_d") >= col("d") &&

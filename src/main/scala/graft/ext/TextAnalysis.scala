@@ -3,6 +3,8 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.ext.CacheScope.Cacheable
+
 /** Text-analysis operators for a large-scale training-data pipeline:
   * tokenization, quality scoring, language ID, document fingerprinting.
   *
@@ -192,7 +194,7 @@ object TextAnalysis {
     val tf = Spread.cpu(df, idCol)
       .select(col(idCol), explode(tokens(lower(col(textCol)))).as("t"))
       .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("c"))
-    if (cached) tf.cache() else tf
+    if (cached) tf.scopedCache() else tf
   }
 
   /** BM25 relevance of every document against a fixed term set — the

@@ -1,0 +1,163 @@
+package graft.functions
+
+import org.apache.spark.ml.linalg.SQLDataTypes
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, UserDefinedType}
+
+/** Euclidean distance from an `ml.linalg.Vector` column to one of a fixed
+  * set of centroids selected by an integer column — the codegen'd form of
+  * the reference's per-row distance UDF (`anomaly_detection.py:120-128`,
+  * SURVEY.md §2.8 U1).
+  *
+  * The centroid matrix is embedded in the expression (k·dim doubles — a few
+  * KB for any realistic KMeans) and shipped to executors once inside the
+  * serialized plan, exactly like the closure the Scala udf it replaces
+  * captured — but the per-row work now runs inside whole-stage codegen: no
+  * ScalaUDF boxing, no `ml.linalg.Vector` object materialization per row.
+  * The vector is read directly through its UDT struct encoding
+  * (`type:tinyint, size:int, indices:array<int>, values:array<double>`).
+  *
+  * Bit-equality with `math.sqrt(Vectors.sqdist(v, centers(c)))`: sqdist
+  * accumulates `(x_i − c_i)²` in increasing index order for both the
+  * dense–dense and sparse–dense cases, so both paths here walk the full
+  * index range in order (the sparse path advances a pointer into the
+  * indices array) — same additions, same order, same floating-point result.
+  *
+  * Null when: vector or cluster is null, cluster is out of `[0, k)`, or the
+  * vector's dimension differs from the centroids' (where `Vectors.sqdist`
+  * would throw — null keeps the expression total, and the ML pipeline never
+  * produces it since the assembler fixes the dimension).
+  */
+case class CentroidDist(vector: Expression, cluster: Expression,
+                        centers: Array[Array[Double]])
+    extends BinaryExpression {
+
+  override def left: Expression = vector
+  override def right: Expression = cluster
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vOk = vector.dataType match {
+      case udt: UserDefinedType[_] => udt == SQLDataTypes.VectorType
+      case _ => false
+    }
+    if (!vOk)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_centroid_dist requires a vector column, got " +
+          vector.dataType.simpleString)
+    else if (cluster.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_centroid_dist requires an int cluster column, got " +
+          cluster.dataType.simpleString)
+    else if (centers.isEmpty || centers.exists(_.length != centers(0).length))
+      TypeCheckResult.TypeCheckFailure(
+        "graft_centroid_dist requires a non-empty rectangular centroid matrix")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_centroid_dist"
+  // Null beyond child nullability (out-of-range cluster, dim mismatch) —
+  // same codegen-safety rationale as DotProduct.nullable.
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any, c: Any): Any = {
+    val row = v.asInstanceOf[InternalRow]
+    val k = c.asInstanceOf[Int]
+    if (k < 0 || k >= centers.length) return null
+    val ctr = centers(k)
+    val dim = ctr.length
+    val vals = row.getArray(3)
+    var s = 0.0
+    if (row.getByte(0) == 1) { // dense
+      if (vals.numElements() != dim) return null
+      var i = 0
+      while (i < dim) {
+        val d = vals.getDouble(i) - ctr(i)
+        s += d * d
+        i += 1
+      }
+    } else { // sparse: full index walk, pointer into indices — sqdist order
+      if (row.getInt(1) != dim) return null
+      val idx = row.getArray(2)
+      val nnz = idx.numElements()
+      var p = 0
+      var i = 0
+      while (i < dim) {
+        val x = if (p < nnz && idx.getInt(p) == i) {
+          val xv = vals.getDouble(p); p += 1; xv
+        } else 0.0
+        val d = x - ctr(i)
+        s += d * d
+        i += 1
+      }
+    }
+    math.sqrt(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ctrsRef = ctx.addReferenceObj("centers", centers, "double[][]")
+    nullSafeCodeGen(ctx, ev, (v, c) => {
+      val ctr = ctx.freshName("ctr")
+      val dim = ctx.freshName("dim")
+      val vals = ctx.freshName("vals")
+      val idx = ctx.freshName("idx")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val nnz = ctx.freshName("nnz")
+      val x = ctx.freshName("x")
+      val ad = "org.apache.spark.sql.catalyst.util.ArrayData"
+      s"""
+         |if ($c < 0 || $c >= $ctrsRef.length) { ${ev.isNull} = true; }
+         |else {
+         |  double[] $ctr = $ctrsRef[$c];
+         |  int $dim = $ctr.length;
+         |  $ad $vals = $v.getArray(3);
+         |  double $s = 0.0;
+         |  if ($v.getByte(0) == (byte) 1) {
+         |    if ($vals.numElements() != $dim) { ${ev.isNull} = true; }
+         |    else {
+         |      for (int $i = 0; $i < $dim; $i++) {
+         |        double $d = $vals.getDouble($i) - $ctr[$i];
+         |        $s += $d * $d;
+         |      }
+         |    }
+         |  } else {
+         |    if ($v.getInt(1) != $dim) { ${ev.isNull} = true; }
+         |    else {
+         |      $ad $idx = $v.getArray(2);
+         |      int $nnz = $idx.numElements();
+         |      int $p = 0;
+         |      for (int $i = 0; $i < $dim; $i++) {
+         |        double $x = 0.0;
+         |        if ($p < $nnz && $idx.getInt($p) == $i) { $x = $vals.getDouble($p); $p++; }
+         |        double $d = $x - $ctr[$i];
+         |        $s += $d * $d;
+         |      }
+         |    }
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = java.lang.Math.sqrt($s); }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(vector = newLeft, cluster = newRight)
+}
+
+object CentroidFunctions {
+  /** Column API for [[CentroidDist]]. */
+  def graft_centroid_dist(vector: Column, cluster: Column,
+                          centers: Array[Array[Double]]): Column =
+    ColumnBridge.column(CentroidDist(
+      ColumnBridge.expression(vector), ColumnBridge.expression(cluster),
+      centers))
+}

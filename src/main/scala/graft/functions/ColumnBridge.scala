@@ -13,3 +13,12 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Test-facing probe for the `private[sql]` cache registry — lets specs
+  * assert cache-entry counts (CacheScope lifecycle) without reflection.
+  */
+object CacheProbe {
+  def numCachedEntries(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager.numCachedEntries
+}

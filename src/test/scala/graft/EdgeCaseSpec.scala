@@ -211,6 +211,29 @@ class EdgeCaseSpec extends SparkSpec {
       graft.ext.Multimodal.FakeCodec.decode(junk, "img/png"))
     assert(graft.ext.Multimodal.ImageIoCodec.decode(Array.empty, "img/x") ==
       graft.ext.Multimodal.FakeCodec.decode(Array.empty, "img/x"))
+    // ASCII text starting with a GIF signature AND containing 0x2C (the
+    // GIF image-separator byte, a comma) must be classified as text and
+    // take the FakeCodec path — the JDK GIF reader would otherwise parse
+    // it to garbage dimensions WITHOUT throwing, silently diverging from
+    // the formula the q_multimodal_* oracles replicate
+    val gifText = "GIF89a, a sentence that merely mentions the gif format"
+      .getBytes("UTF-8")
+    assert(graft.ext.Multimodal.ImageIoCodec.decode(gifText, "img/web") ==
+      graft.ext.Multimodal.FakeCodec.decode(gifText, "img/web"))
+    // same for a "BM"-prefixed sentence (BMP's ASCII magic)
+    val bmText = "BMW sales figures, quarterly".getBytes("UTF-8")
+    assert(graft.ext.Multimodal.ImageIoCodec.decode(bmText, "img/web") ==
+      graft.ext.Multimodal.FakeCodec.decode(bmText, "img/web"))
+    // a REAL (tiny) GIF must still decode through ImageIO, not fall back:
+    // 2x3 header-only GIF — control bytes in the packed fields keep it off
+    // the text path
+    val realGif = Array[Byte]('G', 'I', 'F', '8', '9', 'a',
+      2, 0, 3, 0, 0x80.toByte, 0, 0, // screen 2x3, GCT flag, 2 colors
+      0, 0, 0, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte, // palette
+      0x2C, 0, 0, 0, 0, 2, 0, 3, 0, 0, // image descriptor 2x3
+      2, 2, 0x44, 0x01, 0, 0x3B) // minimal LZW data + trailer
+    assert(graft.ext.Multimodal.ImageIoCodec.decode(realGif, "img/gif")._1 == 2L)
+    assert(graft.ext.Multimodal.ImageIoCodec.decode(realGif, "img/gif")._2 == 3L)
   }
 
   test("round-4 time-series queries handle single-observation users") {

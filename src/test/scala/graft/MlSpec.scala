@@ -153,4 +153,69 @@ class MlSpec extends SparkSpec {
     assert(meta.contains(s"Best Model: $expectName"))
     assert(meta.contains("RMSE:"))
   }
+
+  test("CentroidDist: bit-equal to sqrt(Vectors.sqdist), dense and sparse") {
+    import spark.implicits._
+    import org.apache.spark.ml.linalg.{Vector, Vectors}
+    val centers = Array(
+      Array(0.5, -1.25, 3.0, 0.0),
+      Array(2.0, 2.0, -0.75, 1.5),
+      Array(-3.5, 0.1, 0.0, 4.25))
+    val vecs: Seq[(Int, Vector, Int)] = Seq(
+      (0, Vectors.dense(1.1, -2.2, 3.3, 0.4), 0),
+      (1, Vectors.dense(0.0, 0.0, 0.0, 0.0), 2),
+      (2, Vectors.sparse(4, Array(1, 3), Array(-2.5, 7.0)), 1),
+      (3, Vectors.sparse(4, Array(), Array()), 0),
+      (4, Vectors.dense(5.0, 5.0, 5.0, 5.0), 99)) // out-of-range -> null
+    val df = vecs.toDF("id", "v", "c")
+    val got = df.select(col("id"),
+      graft.functions.CentroidFunctions.graft_centroid_dist(
+        col("v"), col("c"), centers).as("d"))
+      .orderBy("id").collect()
+    vecs.foreach { case (id, v, c) =>
+      val row = got(id)
+      if (c >= centers.length) assert(row.isNullAt(1), s"id=$id want null")
+      else {
+        val want = math.sqrt(Vectors.sqdist(v, Vectors.dense(centers(c))))
+        // bit-equality, not tolerance: same additions in the same order
+        assert(java.lang.Double.doubleToLongBits(row.getDouble(1)) ==
+          java.lang.Double.doubleToLongBits(want),
+          s"id=$id got ${row.getDouble(1)} want $want")
+      }
+    }
+    // null vector / null cluster -> null (nullSafeEval path)
+    val nulls = Seq((Option.empty[Vector], Option(0)),
+      (Option(Vectors.dense(1.0, 2.0, 3.0, 4.0)), Option.empty[Int]))
+      .toDF("v", "c")
+      .select(graft.functions.CentroidFunctions.graft_centroid_dist(
+        col("v"), col("c"), centers).as("d"))
+      .collect()
+    assert(nulls.forall(_.isNullAt(0)))
+  }
+
+  test("anomaly distance is the codegen'd CentroidDist, not a ScalaUDF") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // walk INCLUDING cached subplans — the distance column is computed
+    // inside the cached withDist frame, invisible from the top plan
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => q +: walk(q.plan)
+      case i: InMemoryTableScanExec => i +: walk(i.relation.cachedPlan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    val (preds, _) = Forecast.run(daily, fastGrid = true)
+    val out = Anomaly.run(daily, preds)
+    out.collect()
+    val ops = walk(out.queryExecution.executedPlan)
+    val ours = ops.flatMap(_.expressions.flatMap(_.collect {
+      case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF
+          if u.function.getClass.getName.startsWith("graft") => u
+    }))
+    assert(ours.isEmpty, "graft-authored ScalaUDF in anomaly plan")
+    assert(ops.exists(_.expressions.exists(_.collectFirst {
+      case c: graft.functions.CentroidDist => c
+    }.isDefined)), "expected CentroidDist in the anomaly plan")
+  }
 }

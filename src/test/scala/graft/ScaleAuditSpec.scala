@@ -26,9 +26,14 @@ import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
   * upstream partition), which is exactly how a distributed global
   * aggregate should look.
   *
-  * The ML family (`q_ml_*`) is excluded: model training drives many jobs
-  * internally (audited by MlSpec/ProfileMl), and the memoized fit makes
-  * per-query plan attribution meaningless here.
+  * The ML family (`q_ml_*`) is covered too (its final transform/serve plan
+  * — the training jobs `.fit` drives internally are separate jobs audited
+  * by MlSpec/ProfileMl). Its one nuance: `model.transform` injects Spark
+  * ML's OWN prediction ScalaUDFs (library internals we cannot
+  * expression-ize without reimplementing the models), so the UDF lint
+  * distinguishes authorship — a repo-authored (`graft.*`) ScalaUDF is
+  * unconditional failure everywhere with no allowance possible, while
+  * library-internal UDFs need a per-query allowance naming their origin.
   */
 class ScaleAuditSpec extends SparkSpec {
 
@@ -53,8 +58,20 @@ class ScaleAuditSpec extends SparkSpec {
     */
   private val singlePartitionWindowOk: Map[String, String] = Map()
 
-  /** Queries allowed a ScalaUDF, with why codegen cannot express it. */
-  private val scalaUdfOk: Map[String, String] = Map.empty
+  /** Queries allowed a LIBRARY-INTERNAL ScalaUDF, with its origin. Repo-
+    * authored UDFs can never be allowed here (asserted by authorship, not
+    * by name): the repo's last own ScalaUDF — the centroid distance in
+    * `ml/Anomaly` — became the codegen'd `CentroidDist` expression.
+    */
+  private val scalaUdfOk: Map[String, String] = Map(
+    "q_ml_forecast" -> SparkMlTransformUdf,
+    "q_ml_forecast_keys" -> SparkMlTransformUdf,
+    "q_ml_anomaly" -> SparkMlTransformUdf,
+    "q_ml_anomaly_keys" -> SparkMlTransformUdf)
+  private lazy val SparkMlTransformUdf =
+    "Spark ML model.transform's own prediction ScalaUDF " +
+      "(org.apache.spark.ml internals — not expressible without " +
+      "reimplementing the model's serve path)"
 
   /** Final-plan walk incl. distinct cached subplans (reference-identity
     * dedup on the shared CachedRDDBuilder — same contract as
@@ -122,7 +139,6 @@ class ScaleAuditSpec extends SparkSpec {
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1)
-    .filterNot(_._1.startsWith("q_ml_"))
     .foreach { case (name, fn) =>
       test(s"scale lint: $name") {
         val df = fn(spark, dir)
@@ -141,10 +157,19 @@ class ScaleAuditSpec extends SparkSpec {
             df.queryExecution.executedPlan)
         // typed expression walk, not string matching — simpleString(8)
         // truncates wide projections and would hide a UDF past field 8
-        val udf = ops.exists(_.expressions.exists(_.collectFirst {
+        val udfs = ops.flatMap(_.expressions.flatMap(_.collect {
           case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
-        }.isDefined))
-        if (udf && !scalaUdfOk.contains(name))
+        }))
+        // authorship split: a graft-authored UDF is a plan defect NOWHERE
+        // an allowance can excuse — the function's class name pins where
+        // the lambda was compiled
+        val ours = udfs.filter(_.function.getClass.getName.startsWith("graft"))
+        if (ours.nonEmpty)
+          fail(s"repo-authored ScalaUDF in $name (" +
+            ours.map(_.function.getClass.getName).distinct.mkString(", ") +
+            ") — write a codegen'd Expression instead:\n" +
+            df.queryExecution.executedPlan)
+        if (udfs.nonEmpty && !scalaUdfOk.contains(name))
           fail(s"unjustified ScalaUDF in $name:\n" +
             df.queryExecution.executedPlan)
       }

@@ -106,6 +106,60 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Multi-probe IVF nearest neighbor (VERDICT r5 item 6): single-assignment
+    * IVF ([[bucketedNN]]) misses neighbors that straddle a bucket boundary —
+    * a query lands in one cell and its true nearest neighbor sits in the
+    * adjacent one. The standard recall fix: score each query against the
+    * COARSE CENTROID CODEBOOK (one centroid per bucket — the element-wise
+    * mean), then probe the `nProbe` nearest cells, not just the best one.
+    *
+    * Scale shape: the codebook is |buckets| rows by construction (a coarse
+    * quantizer is coarse — hundreds to low thousands of cells at 100 TB),
+    * so probe scoring is a broadcast of the codebook under the query stream;
+    * the candidate join stays the same bucket EQUI-join as [[bucketedNN]],
+    * just with each query exploded to `nProbe` bucket keys (linear fan-out,
+    * no pair explosion). A corpus vector is assigned to exactly one cell, so
+    * a (query, neighbor) pair appears at most once — no dedup stage needed.
+    *
+    * Determinism/oracle parity: centroid cosine is guard-rounded to 6dp
+    * before probe ranking (ties → bucket id asc), absorbing FP summation-
+    * order drift between engines, same contract as every scored rank here.
+    */
+  def multiProbeNN(df: DataFrame, idCol: String, vecCol: String,
+                   bucketCol: String, k: Int, nProbe: Int): DataFrame = {
+    import graft.ext.CacheScope.Cacheable
+    // three consumers: centroid agg, query side, corpus side
+    val base = df.select(col(bucketCol).as("bkt"), col(idCol).as("uid"),
+      col(vecCol).cast("array<double>").as("vd"),
+      unitVec(col(vecCol)).as("uvec")).scopedCache()
+    // per-bucket element-wise mean, distributed: explode to (bucket, dim)
+    // cells, aggregate, reassemble in dimension order
+    val cents = base
+      .select(col("bkt"), posexplode(col("vd")).as(Seq("i", "x")))
+      .groupBy(col("bkt"), col("i")).agg(avg(col("x")).as("c"))
+      .groupBy(col("bkt"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("i"), col("c")))),
+        s => s("c")).as("cvec"))
+    val centUnit = cents.select(col("bkt").as("cb"),
+      unitVec(col("cvec")).as("cunit"))
+    val probes = base.select(col("uid").as("query_id"), col("uvec").as("q_vec"))
+      .crossJoin(broadcast(centUnit))
+      .withColumn("cent_cosine",
+        round(dot(col("q_vec"), col("cunit")) + lit(1e-9), 6))
+      .withColumn("pr", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cent_cosine").desc, col("cb"))))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("q_vec"), col("cb").as("bkt"))
+    val scored = probes
+      .join(base.select(col("bkt"), col("uid").as("neighbor_id"),
+        col("uvec").as("c_vec")), "bkt")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        round(dot(col("q_vec"), col("c_vec")) + lit(1e-9), 6))
+    topKByCosine(scored, k)
+  }
+
   /** Random-hyperplane LSH bucket id for a vector: sign-bit signature over
     * `nPlanes` fixed pseudo-random hyperplanes. The planes are generated
     * from a deterministic integer hash (no RNG at plan time), so bucket

@@ -151,6 +151,14 @@ object NorthStarQueries {
           "vec_id", "embedding", "label", k = 1)
         .orderBy(col("query_id"))),
 
+    // Multi-probe IVF: each query probes its 2 nearest coarse centroids
+    // (label-mean codebook) — the recall fix for cell-boundary neighbors;
+    // candidate generation stays a bucket equi-join
+    "q_ann_multiprobe" -> ((s, dir) =>
+      Similarity.multiProbeNN(Tables.embeddings(s, dir),
+          "vec_id", "embedding", "label", k = 5, nProbe = 2)
+        .orderBy(col("query_id"), col("rank"))),
+
     // Multimodal: binary payload + typed-metadata batch decode (stubbed
     // codec, real plumbing — see graft.ext.Multimodal)
     "q_multimodal_meta" -> ((s, dir) => {
@@ -744,6 +752,45 @@ object NorthStarQueries {
         |  FROM scored
         |)
         |SELECT * FROM ranked WHERE rank <= 1 ORDER BY query_id""".stripMargin,
+
+    "q_ann_multiprobe" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        |), uv AS (
+        |  SELECT vec_id, label,
+        |    list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS q
+        |  FROM e
+        |), cent AS (
+        |  SELECT label, t.i AS i, avg(v[t.i]) AS c
+        |  FROM e CROSS JOIN range(1, 65) t(i)
+        |  GROUP BY label, t.i
+        |), cvec AS (
+        |  SELECT label, list(c ORDER BY i) AS cv FROM cent GROUP BY label
+        |), cunit AS (
+        |  SELECT label,
+        |    list_transform(cv, x -> x / sqrt(list_inner_product(cv, cv))) AS cu
+        |  FROM cvec
+        |), probes AS (
+        |  SELECT q.vec_id AS query_id, c.label AS bkt,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_inner_product(q.q, c.cu) + 1e-9, 6) DESC,
+        |        c.label) AS pr
+        |  FROM uv q CROSS JOIN cunit c
+        |), cand AS (
+        |  SELECT p.query_id, nv.vec_id AS neighbor_id,
+        |    round(list_inner_product(qv.q, nv.q) + 1e-9, 6) AS cosine
+        |  FROM probes p
+        |  JOIN uv qv ON qv.vec_id = p.query_id
+        |  JOIN uv nv ON nv.label = p.bkt AND nv.vec_id <> p.query_id
+        |  WHERE p.pr <= 2
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM cand
+        |)
+        |SELECT * FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
 
     "q_embedding_neardup" ->
       """WITH e AS (

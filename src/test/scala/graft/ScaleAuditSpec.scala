@@ -48,6 +48,10 @@ class ScaleAuditSpec extends SparkSpec {
     "q_bm25" ->
       ("1-row corpus-stats frame (n_docs, avg_len) broadcast under the " +
         "postings stream — a scalar attach, not a pair explosion"),
+    "q_ann_multiprobe" ->
+      ("IVF probe selection: the coarse-centroid codebook (|buckets| rows " +
+        "by construction) broadcast under the query stream; the candidate " +
+        "join itself stays a bucket equi-join"),
     "q_rolling_actives" ->
       ("range join with the |days|-sized calendar pinned as the BROADCAST " +
         "side; fan-out bounded at 7 calendar rows per activity row"))

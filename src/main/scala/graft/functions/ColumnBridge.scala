@@ -22,3 +22,15 @@ object CacheProbe {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sharedState.cacheManager.numCachedEntries
 }
+
+/** Test-facing probe for a streaming query's last executed micro-batch
+  * physical plan (`private[sql]` StreamExecution internals) — lets the
+  * streaming scale lint walk real executed plans, not plan strings.
+  */
+object StreamProbe {
+  def lastExecutedPlan(q: org.apache.spark.sql.streaming.StreamingQuery)
+      : org.apache.spark.sql.execution.SparkPlan =
+    q.asInstanceOf[
+        org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery.lastExecution.executedPlan
+}

@@ -349,6 +349,76 @@ class StreamingSpec extends SparkSpec {
     assert(s2.sums.keySet == Set("2024-01-09", "2024-01-10"))
   }
 
+  test("streaming scale lint: executed micro-batch plans carry no " +
+      "nested-loop join, single-partition window, or repo-authored UDF") {
+    import org.apache.spark.sql.execution.SparkPlan
+    // the micro-batch analogues of ScaleAuditSpec's three killers; stream
+    // plans have no AQE/cache wrappers, so a plain child walk suffices
+    def allOps(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p.children ++ p.subqueries).flatMap(allOps)
+    def feedsSinglePartition(p: SparkPlan): Boolean = p match {
+      case e: org.apache.spark.sql.execution.exchange.Exchange =>
+        e.outputPartitioning ==
+          org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+      case other => other.children.exists(feedsSinglePartition)
+    }
+    def lint(name: String, plan: SparkPlan): Unit = {
+      val ops = allOps(plan)
+      val lines = ops.map(_.simpleString(8))
+      assert(!lines.exists(l => l.startsWith("CartesianProduct") ||
+        l.startsWith("BroadcastNestedLoopJoin")),
+        s"nested-loop join in streaming $name:\n$plan")
+      assert(!ops.exists { o =>
+        val s = o.simpleString(8)
+        (s.startsWith("Window") || s.startsWith("WindowGroupLimit")) &&
+          o.children.exists(feedsSinglePartition)
+      }, s"single-partition window in streaming $name:\n$plan")
+      val ours = ops.flatMap(_.expressions.flatMap(_.collect {
+        case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF
+            if u.function.getClass.getName.startsWith("graft") => u
+      }))
+      assert(ours.isEmpty, s"repo-authored ScalaUDF in streaming $name")
+    }
+    val profile = Tables.events(spark, TestSpark.sf0001)
+      .groupBy("user_id").agg(avg("value").as("profile_mean"),
+        stddev("value").as("profile_std"))
+    def src() = StreamingEnergy.readStream(spark, srcDir, schema)
+    val ops: Seq[(String, org.apache.spark.sql.DataFrame, String)] = Seq(
+      ("hourlyAgg", StreamingEnergy.hourlyAgg(src()), "complete"),
+      ("runningTotals",
+        StreamingEnergy.runningTotals(spark, src()).toDF(), "update"),
+      ("streamingDailyFeatures",
+        StreamingEnergy.streamingDailyFeatures(spark, src()).toDF(), "append"),
+      ("flagAgainstProfile",
+        StreamingEnergy.flagAgainstProfile(src(), profile, z = 2.0), "append"),
+      ("sessionWindows", graft.feat.Sessions.sessionWindows(
+        src().withColumn("ts", col("ts").cast("timestamp"))
+          .withWatermark("ts", "2 hours"), "user_id", "ts", 30), "append"),
+      ("funnelStages",
+        StreamingEnergy.funnelStages(spark, src()).toDF(), "update"),
+      ("dedupStream",
+        StreamingEnergy.dedupStream(src(), Seq("event_id")), "append"),
+      ("clickAttribution",
+        StreamingEnergy.clickAttribution(src(), windowMinutes = 30), "append"))
+    var sawStateful = false
+    ops.foreach { case (name, df, mode) =>
+      val q = df.writeStream.outputMode(mode)
+        .format("memory").queryName(s"lint_$name").start()
+      try {
+        q.processAllAvailable()
+        val plan = org.apache.spark.sql.graft.StreamProbe.lastExecutedPlan(q)
+        // non-vacuity: these must be real executed micro-batch plans —
+        // the stateful ops must show their state stores (a stateless op's
+        // LAST batch can legitimately be a tiny empty-batch plan)
+        assert(allOps(plan).nonEmpty, s"empty plan for $name")
+        sawStateful |= plan.toString.contains("StateStore")
+        lint(name, plan)
+      } finally q.stop()
+    }
+    assert(sawStateful,
+      "no StateStore in any plan — lint walked the wrong plans")
+  }
+
   test("stream-stream interval join matches the batch attribution join") {
     val stream = StreamingEnergy.readStream(spark, srcDir, schema)
     val joined = StreamingEnergy.clickAttribution(stream, windowMinutes = 30)

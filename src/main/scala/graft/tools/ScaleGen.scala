@@ -1,0 +1,94 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: materialize an N× scale-up of a testdata directory by
+  * union-with-remap, preserving each table's problem STRUCTURE — the input
+  * for the scaling-exponent study (SCALING.md). Usage:
+  *
+  *   ScaleGen <srcDir> <outDir> <factor>
+  *
+  * Scaling model per table (copy 0 is the untouched original):
+  *  - `events`: key-space scaling — event_id and user_id offset per copy,
+  *    so user count grows N× with per-user history unchanged (the "more
+  *    users, same window" growth a production stream sees). `ts` is kept
+  *    as raw int64 nanos (read with `nanosAsLong`) so `Tables.events`
+  *    reads the scaled directory exactly like the fixture.
+  *  - `documents`: doc_id offset per copy; every token of a copied text is
+  *    prefixed `c<copy>_`, a BIJECTION on shingles/tokens — intra-copy
+  *    duplicate/near-dup structure (Jaccard values, signature collisions)
+  *    is preserved exactly while cross-copy shingle overlap is ZERO, so
+  *    near-dup pair density stays constant instead of exploding
+  *    quadratically on identical copies. `n_chars` keeps the original
+  *    value (length-band bucketing stays aligned across scales).
+  *  - `orders`/`lineitem`: o_orderkey/l_orderkey share one offset (joins
+  *    stay consistent), o_custkey aligns with the scaled customer keys;
+  *    l_partkey is NOT remapped — the part catalog is a fixed dimension,
+  *    so basket count grows N× over the same catalog (co-purchase graphs
+  *    densify, the realistic model for fact-over-dim growth).
+  *  - `customer`: c_custkey offset (matches orders).
+  *  - dims and `embeddings`: copied unchanged.
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, outDir, factorStr) = args.take(3)
+    val factor = factorStr.toInt
+    require(factor >= 1, s"factor=$factor")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def raw(name: String): DataFrame =
+      spark.read.parquet(s"$srcDir/$name.parquet")
+    def write(df: DataFrame, name: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      println(s"[scalegen] $name x$factor written")
+    }
+    def scaled(df: DataFrame)(remap: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(c => remap(df, c)).reduce(_.union(_))
+
+    // offsets: one past the source max, so copies never collide
+    def maxOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head.getLong(0) + 1
+
+    val ev = raw("events")
+    val (evOff, userOff) = (maxOf(ev, "event_id"), maxOf(ev, "user_id"))
+    write(scaled(ev) { (d, c) =>
+      d.withColumn("event_id", col("event_id") + lit(c * evOff))
+        .withColumn("user_id", col("user_id") + lit(c * userOff))
+    }, "events")
+
+    val docs = raw("documents")
+    val docOff = maxOf(docs, "doc_id")
+    write(scaled(docs) { (d, c) =>
+      val remapped = d.withColumn("doc_id", col("doc_id") + lit(c * docOff))
+      if (c == 0) remapped
+      else remapped.withColumn("text",
+        regexp_replace(col("text"), "(\\S+)", s"c${c}_$$1"))
+    }, "documents")
+
+    val orders = raw("orders")
+    val lineitem = raw("lineitem")
+    val customer = raw("customer")
+    val okOff = maxOf(orders, "o_orderkey")
+    val custOff = maxOf(customer, "c_custkey")
+    write(scaled(orders) { (d, c) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + lit(c * okOff))
+        .withColumn("o_custkey", col("o_custkey") + lit(c * custOff))
+    }, "orders")
+    write(scaled(lineitem) { (d, c) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + lit(c * okOff))
+    }, "lineitem")
+    write(scaled(customer) { (d, c) =>
+      d.withColumn("c_custkey", col("c_custkey") + lit(c * custOff))
+    }, "customer")
+
+    Seq("supplier", "part", "nation", "region", "embeddings")
+      .foreach(n => write(raw(n), n))
+    spark.stop()
+  }
+}

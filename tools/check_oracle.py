@@ -17,7 +17,18 @@ outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 con = duckdb.connect()
 for t in ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split():
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    # ScaleGen output (tools/ScaleGen.scala) writes each table as a
+    # DIRECTORY of part files with events.ts as raw int64 nanos; the
+    # fixture is a single file with nanos-typed ts. Same view either way.
+    path = f"{sfdir}/{t}.parquet"
+    src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+    cols = "*"
+    if t == "events":
+        (ts_type,) = [r[1] for r in
+                      con.sql(f"DESCRIBE SELECT ts FROM {src}").fetchall()]
+        if ts_type == "BIGINT":  # raw nanos -> micros timestamp
+            cols = ("* REPLACE (make_timestamp(ts // 1000) AS ts)")
+    con.sql(f"CREATE VIEW {t} AS SELECT {cols} FROM {src}")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 

@@ -31,13 +31,21 @@ import org.apache.spark.sql.DataFrame
   * next action.
   *
   * Scopes nest: an inner scope releases only its own registrations.
+  * Spark's cache registry is keyed by LOGICAL PLAN, not by registration —
+  * caching the same plan twice is one entry, and unpersisting it once
+  * removes it for everyone — so the inner exit SKIPS any plan an
+  * enclosing scope also registered (matched with `sameResult` on the
+  * analyzed plans); the owning outer scope releases it at its own exit.
   * Registration is driver-side at plan-construction time (operators build
-  * plans on the calling thread), so a ThreadLocal carries the open scope;
-  * code outside any scope keeps the session-LRU default.
+  * plans on the calling thread), so a ThreadLocal carries the scope
+  * stack; code outside any scope keeps the session-LRU default.
   */
 object CacheScope {
 
-  private val active = new ThreadLocal[ArrayBuffer[DataFrame]]
+  /** Innermost-first stack of open scopes on this thread. */
+  private val active = new ThreadLocal[List[ArrayBuffer[DataFrame]]] {
+    override def initialValue(): List[ArrayBuffer[DataFrame]] = Nil
+  }
 
   /** `df.cache()` + registration with the innermost open scope on this
     * thread (plain session-lifetime cache when none). All `ext/` internal
@@ -45,8 +53,10 @@ object CacheScope {
     */
   private[graft] def cache(df: DataFrame): DataFrame = {
     df.cache()
-    val buf = active.get()
-    if (buf != null) buf += df
+    active.get() match {
+      case buf :: _ => buf += df
+      case Nil => ()
+    }
     df
   }
 
@@ -58,21 +68,27 @@ object CacheScope {
   }
 
   /** Run `body`; unpersist every cache registered during it on exit
-    * (including on exception). Returns `body`'s result.
+    * (including on exception) — except plans an enclosing scope also
+    * registered, which stay cached until that scope closes. Returns
+    * `body`'s result.
     */
   def scoped[T](body: => T): T = {
-    val outer = active.get()
     val buf = new ArrayBuffer[DataFrame]
-    active.set(buf)
+    active.set(buf :: active.get())
     try body
     finally {
-      if (outer != null) active.set(outer) else active.remove()
+      val outers = active.get().tail
+      active.set(outers)
       // blocking=false: eviction proceeds async, same as Dataset.unpersist's
       // default; double-unpersist (operators that already release their own
       // short-lived caches) is a no-op
       buf.foreach { df =>
-        try df.unpersist()
-        catch { case NonFatal(_) => () }
+        val ownedByOuter = outers.exists(_.exists(o =>
+          o.queryExecution.analyzed.sameResult(df.queryExecution.analyzed)))
+        if (!ownedByOuter) {
+          try df.unpersist()
+          catch { case NonFatal(_) => () }
+        }
       }
     }
   }

@@ -54,9 +54,16 @@ object Multimodal {
     * a payload whose first 64 bytes are ALL printable ASCII is classified
     * as text and routed to [[FakeCodec]] before any reader runs (a real
     * GIF/BMP header carries control bytes in its packed dimension/offset
-    * fields — a fully-printable prefix is text, not an image); and decoded
-    * dimensions outside `[1, 2²⁰]` are rejected as implausible, falling
-    * back to [[FakeCodec]].
+    * fields — a fully-printable prefix is text, not an image); for the
+    * ASCII-magic formats (GIF/BMP) the header must additionally contain a
+    * byte < 0x09 in its first 14 bytes — text (any encoding, including
+    * multi-byte UTF-8) never contains such bytes, while a real GIF header
+    * has them in the dimension high bytes / background / aspect fields
+    * (any dimension < 2304 guarantees one) and a real BMP's reserved
+    * bytes 6-9 are zero by spec; and decoded dimensions outside
+    * `[1, 2²⁰]` are rejected as implausible, falling back to
+    * [[FakeCodec]]. (A dimension bound alone cannot reject garbage GIF
+    * parses — GIF dims are 16-bit, always under any plausibility bound.)
     */
   object ImageIoCodec {
     private def isImageMagic(p: Array[Byte]): Boolean =
@@ -80,10 +87,29 @@ object Multimodal {
       true
     }
 
+    /** Bytes < 0x09 never occur in text of any encoding (UTF-8 multi-byte
+      * sequences are all ≥ 0x80; controls below TAB are not text) but are
+      * structurally guaranteed in real GIF/BMP headers — the discriminator
+      * for the two ASCII-magic formats that `looksLikeText` alone cannot
+      * classify when the payload mixes ASCII with multi-byte characters.
+      */
+    private def hasHeaderControlByte(p: Array[Byte]): Boolean = {
+      val n = math.min(p.length, 14)
+      var i = 0
+      while (i < n) {
+        if ((p(i) & 0xFF) < 0x09) return true
+        i += 1
+      }
+      false
+    }
+
     private val MaxDim = 1L << 20
 
     def decode(payload: Array[Byte], format: String): (Long, Long, Long) = {
       if (!isImageMagic(payload) || looksLikeText(payload))
+        return FakeCodec.decode(payload, format)
+      if ((payload(0) == 'G' || payload(0) == 'B') &&
+          !hasHeaderControlByte(payload))
         return FakeCodec.decode(payload, format)
       val in = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))

@@ -128,14 +128,17 @@ object Similarity {
   def multiProbeNN(df: DataFrame, idCol: String, vecCol: String,
                    bucketCol: String, k: Int, nProbe: Int): DataFrame = {
     import graft.ext.CacheScope.Cacheable
-    // three consumers: centroid agg, query side, corpus side
+    // cached frame holds ONLY the unit vectors (query side + corpus side
+    // read it); the centroid aggregation scans the source once, uncached —
+    // caching the raw doubles alongside would double the vector bytes held
+    // in storage memory for a single consumer
     val base = df.select(col(bucketCol).as("bkt"), col(idCol).as("uid"),
-      col(vecCol).cast("array<double>").as("vd"),
       unitVec(col(vecCol)).as("uvec")).scopedCache()
     // per-bucket element-wise mean, distributed: explode to (bucket, dim)
     // cells, aggregate, reassemble in dimension order
-    val cents = base
-      .select(col("bkt"), posexplode(col("vd")).as(Seq("i", "x")))
+    val cents = df
+      .select(col(bucketCol).as("bkt"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "x")))
       .groupBy(col("bkt"), col("i")).agg(avg(col("x")).as("c"))
       .groupBy(col("bkt"))
       .agg(transform(

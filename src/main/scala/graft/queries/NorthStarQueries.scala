@@ -762,7 +762,7 @@ object NorthStarQueries {
         |  FROM e
         |), cent AS (
         |  SELECT label, t.i AS i, avg(v[t.i]) AS c
-        |  FROM e CROSS JOIN range(1, 65) t(i)
+        |  FROM e, unnest(range(1, len(v) + 1)) AS t(i)
         |  GROUP BY label, t.i
         |), cvec AS (
         |  SELECT label, list(c ORDER BY i) AS cv FROM cent GROUP BY label

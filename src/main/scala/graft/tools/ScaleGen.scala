@@ -64,6 +64,15 @@ object ScaleGen {
 
     val docs = raw("documents")
     val docOff = maxOf(docs, "doc_id")
+    // the prefix bijection is only collision-free against a corpus with no
+    // pre-existing c<k>_ tokens — a source token "c1_foo" would equal copy
+    // 1's remap of "foo", silently re-creating cross-copy shingle overlap
+    // and invalidating every scaling curve built on this data
+    val collisions = docs
+      .filter(col("text").rlike("(^|\\s)c[0-9]+_")).count()
+    require(collisions == 0,
+      s"$collisions source documents contain c<k>_ tokens — the copy-" +
+        "prefix remap would collide; choose a different prefix scheme")
     write(scaled(docs) { (d, c) =>
       val remapped = d.withColumn("doc_id", col("doc_id") + lit(c * docOff))
       if (c == 0) remapped

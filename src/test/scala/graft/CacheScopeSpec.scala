@@ -52,6 +52,26 @@ class CacheScopeSpec extends SparkSpec {
     assert(entries == 0)
   }
 
+  test("nested scopes: a plan the outer scope also registered survives " +
+      "the inner exit (cache registry is plan-keyed)") {
+    spark.catalog.clearCache()
+    import spark.implicits._
+    val df = Seq(1, 2, 3).toDF("a")
+    CacheScope.scoped {
+      CacheScope.cache(df).count()
+      CacheScope.scoped {
+        // SAME logical plan, registered again by the inner scope — Spark's
+        // registry holds ONE entry for it; the inner exit must not evict
+        // the outer scope's claim
+        CacheScope.cache(Seq(1, 2, 3).toDF("a")).count()
+      }
+      assert(df.storageLevel != StorageLevel.NONE,
+        "inner scope evicted a plan the outer scope still owns")
+    }
+    assert(df.storageLevel == StorageLevel.NONE)
+    assert(entries == 0)
+  }
+
   test("outside any scope, scopedCache keeps the session-LRU default") {
     spark.catalog.clearCache()
     import spark.implicits._

@@ -224,6 +224,14 @@ class EdgeCaseSpec extends SparkSpec {
     val bmText = "BMW sales figures, quarterly".getBytes("UTF-8")
     assert(graft.ext.Multimodal.ImageIoCodec.decode(bmText, "img/web") ==
       graft.ext.Multimodal.FakeCodec.decode(bmText, "img/web"))
+    // NON-pure-ASCII text (multi-byte UTF-8) with the full GIF signature:
+    // the printable sniff alone cannot classify it (bytes >= 0x80), and
+    // GIF's 16-bit dims always pass any plausibility bound — the header
+    // control-byte check (< 0x09, impossible in text) must catch it
+    val gifUtf8 = "GIF89a café image description, résumé of gifs"
+      .getBytes("UTF-8")
+    assert(graft.ext.Multimodal.ImageIoCodec.decode(gifUtf8, "img/web") ==
+      graft.ext.Multimodal.FakeCodec.decode(gifUtf8, "img/web"))
     // a REAL (tiny) GIF must still decode through ImageIO, not fall back:
     // 2x3 header-only GIF — control bytes in the packed fields keep it off
     // the text path

@@ -163,6 +163,78 @@ object Similarity {
     topKByCosine(scored, k)
   }
 
+  /** Two-stage scalar-quantized retrieval (SQ8): int8 codes score the
+    * candidate join, exact float cosine re-ranks the short list — the
+    * standard memory-bound ANN shape at corpus scale, where the float
+    * vectors are 8× the code bytes and must NOT ride the candidate join.
+    *
+    * Stage A (index): per-dimension global [min, max] over the corpus
+    * (distributed posexplode + agg; `dim` rows collect to the driver and
+    * ship as literals). Code: `q_i = round((x_i − mn_i) · 255/(mx_i −
+    * mn_i))` clamped to a constant-dimension degenerate 0.
+    * Stage B (candidate scoring): the same bucket equi-join as
+    * [[bucketedNN]] but carrying CODES, scored by the cosine of the
+    * RECONSTRUCTED vectors (`x̂_i = mn_i + q_i · (mx_i − mn_i)/255` — a
+    * pure function of the codes, so the DuckDB oracle reproduces it
+    * bit-for-bit); per-query top-`k·overfetch` survive.
+    * Stage C (re-rank): the survivors join back to the float unit vectors
+    * BY ID (short list only), exact cosine orders the final top-k.
+    *
+    * Output cosines are EXACT (stage C), approximation affects only which
+    * `k·overfetch` candidates reach the re-rank — the quantization error
+    * per dim is bounded by (mx−mn)/510, so with overfetch ≥ 2 the sq8
+    * top-k matches the float top-k except at genuine near-ties.
+    */
+  def sq8TopK(df: DataFrame, idCol: String, vecCol: String,
+              bucketCol: String, k: Int, overfetch: Int = 3): DataFrame = {
+    import graft.ext.CacheScope.Cacheable
+    val vd = col(vecCol).cast("array<double>")
+    // Stage A: per-dim stats → driver (dim rows) → literal arrays
+    val stats = df.select(posexplode(vd).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val mn = stats.map(_._2)
+    val mx = stats.map(_._3)
+    val mnLit = typedLit(mn.toSeq)
+    val spanLit = typedLit(mx.zip(mn).map { case (h, l) => h - l }.toSeq)
+    // codes: int in [0,255]; zero-span dims code to 0
+    def codesOf(v: Column): Column =
+      zip_with(zip_with(v, mnLit, (x, m) => x - m), spanLit,
+        (d, s) => when(s > 0, round(d * lit(255.0) / s)).otherwise(lit(0.0))
+          .cast("int"))
+    // reconstruction (same arithmetic the oracle mirrors): mn + q·span/255
+    def reconOf(c: Column): Column =
+      zip_with(zip_with(c.cast("array<double>"), spanLit,
+        (q, s) => q * s / lit(255.0)), mnLit, (d, m) => d + m)
+    val coded = df.select(col(bucketCol).as("bkt"), col(idCol).as("uid"),
+      codesOf(vd).as("code")).scopedCache()
+    val unit = df.select(col(idCol).as("uid"), unitVec(col(vecCol)).as("uvec"))
+      .scopedCache()
+    // Stage B: bucket equi-join on codes, approx score from reconstruction
+    val a = coded.select(col("bkt"), col("uid").as("query_id"),
+      col("code").as("qc"))
+    val b = coded.select(col("bkt"), col("uid").as("neighbor_id"),
+      col("code").as("cc"))
+    val shortlist = a.join(b, "bkt")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx",
+        round(cosine(reconOf(col("qc")), reconOf(col("cc"))) + lit(1e-9), 6))
+      .withColumn("ar", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("approx").desc, col("neighbor_id"))))
+      .filter(col("ar") <= k * overfetch)
+      .select(col("query_id"), col("neighbor_id"))
+    // Stage C: exact re-rank of the short list only
+    val scored = shortlist
+      .join(unit.select(col("uid").as("query_id"), col("uvec").as("q_vec")),
+        "query_id")
+      .join(unit.select(col("uid").as("neighbor_id"), col("uvec").as("c_vec")),
+        "neighbor_id")
+      .withColumn("cosine",
+        round(dot(col("q_vec"), col("c_vec")) + lit(1e-9), 6))
+    topKByCosine(scored, k)
+  }
+
   /** Random-hyperplane LSH bucket id for a vector: sign-bit signature over
     * `nPlanes` fixed pseudo-random hyperplanes. The planes are generated
     * from a deterministic integer hash (no RNG at plan time), so bucket

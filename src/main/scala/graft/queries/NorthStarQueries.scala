@@ -159,6 +159,14 @@ object NorthStarQueries {
           "vec_id", "embedding", "label", k = 5, nProbe = 2)
         .orderBy(col("query_id"), col("rank"))),
 
+    // Two-stage SQ8 retrieval: int8 codes score the bucket join (8x fewer
+    // candidate-join bytes than floats), exact cosine re-ranks the
+    // per-query top-15 shortlist to the final top-5
+    "q_ann_sq8" -> ((s, dir) =>
+      Similarity.sq8TopK(Tables.embeddings(s, dir),
+          "vec_id", "embedding", "label", k = 5, overfetch = 3)
+        .orderBy(col("query_id"), col("rank"))),
+
     // Multimodal: binary payload + typed-metadata batch decode (stubbed
     // codec, real plumbing — see graft.ext.Multimodal)
     "q_multimodal_meta" -> ((s, dir) => {
@@ -783,6 +791,61 @@ object NorthStarQueries {
         |  JOIN uv qv ON qv.vec_id = p.query_id
         |  JOIN uv nv ON nv.label = p.bkt AND nv.vec_id <> p.query_id
         |  WHERE p.pr <= 2
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM cand
+        |)
+        |SELECT * FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q_ann_sq8" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        |), dims AS (
+        |  SELECT t.i AS i, min(v[t.i]) AS mn, max(v[t.i]) AS mx
+        |  FROM e, unnest(range(1, len(v) + 1)) AS t(i)
+        |  GROUP BY t.i
+        |), d1 AS (
+        |  SELECT list(mn ORDER BY i) AS mnl,
+        |    list(mx - mn ORDER BY i) AS spanl
+        |  FROM dims
+        |), coded AS (
+        |  SELECT vec_id, label,
+        |    list_transform(range(1, len(v) + 1),
+        |      i -> CASE WHEN spanl[i] > 0
+        |        THEN CAST(round((v[i] - mnl[i]) * 255 / spanl[i]) AS INT)
+        |        ELSE 0 END) AS code
+        |  FROM e CROSS JOIN d1
+        |), recon AS (
+        |  SELECT vec_id, label,
+        |    list_transform(range(1, len(code) + 1),
+        |      i -> (CAST(code[i] AS DOUBLE) * spanl[i] / 255) + mnl[i]) AS r
+        |  FROM coded CROSS JOIN d1
+        |), approx AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    round(list_inner_product(a.r, b.r) /
+        |      (sqrt(list_inner_product(a.r, a.r)) *
+        |       sqrt(list_inner_product(b.r, b.r))) + 1e-9, 6) AS approx
+        |  FROM recon a JOIN recon b
+        |    ON a.label = b.label AND a.vec_id <> b.vec_id
+        |), short AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY approx DESC, neighbor_id) AS ar
+        |  FROM approx
+        |), uv AS (
+        |  SELECT vec_id,
+        |    list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS q
+        |  FROM e
+        |), cand AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    round(list_inner_product(qa.q, qb.q) + 1e-9, 6) AS cosine
+        |  FROM short s
+        |  JOIN uv qa ON qa.vec_id = s.query_id
+        |  JOIN uv qb ON qb.vec_id = s.neighbor_id
+        |  WHERE s.ar <= 15
         |), ranked AS (
         |  SELECT query_id, neighbor_id, cosine,
         |    CAST(row_number() OVER (PARTITION BY query_id

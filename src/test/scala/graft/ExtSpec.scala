@@ -247,6 +247,47 @@ class SimilaritySpec extends SparkSpec {
       s"nProbe=2 recall $fix2 not above single-probe $fix1 on the fixture")
   }
 
+  test("SQ8 rerank: exact final cosines, near-total top-k agreement, " +
+      "bounded quantization error") {
+    val emb = graft.io.Tables.embeddings(spark, TestSpark.sf0001)
+    val sq8 = Similarity.sq8TopK(emb, "vec_id", "embedding", "label",
+      k = 5, overfetch = 3)
+    val exact = Similarity.bucketedNN(emb, "vec_id", "embedding", "label",
+      k = 5)
+    val g = sq8.select("query_id", "neighbor_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val e = exact.select("query_id", "neighbor_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // stage C re-ranks with FLOAT vectors: every pair both methods return
+    // must carry the IDENTICAL cosine (approximation may only change
+    // membership at near-ties, never the reported score)
+    val common = g.keySet.intersect(e.keySet)
+    assert(common.forall(p => g(p) == e(p)), "sq8 cosine not exact")
+    // overfetch=3 absorbs int8 quantization on this fixture: measured
+    // agreement 1.0; pinned with slack for near-tie flips
+    assert(common.size.toDouble / e.size >= 0.99,
+      s"sq8/exact top-5 agreement ${common.size.toDouble / e.size} < 0.99")
+    // quantization roundtrip bound: |recon - x| <= span/510 per dim
+    import spark.implicits._
+    val vecs = emb.select(col("embedding").cast("array<double>")).as[Seq[Double]]
+      .collect()
+    val dim = vecs.head.length
+    val mn = (0 until dim).map(i => vecs.map(_(i)).min)
+    val mx = (0 until dim).map(i => vecs.map(_(i)).max)
+    val worst = vecs.flatMap { v =>
+      (0 until dim).map { i =>
+        val span = mx(i) - mn(i)
+        if (span <= 0) 0.0
+        else {
+          val q = math.round((v(i) - mn(i)) * 255.0 / span).toDouble
+          val recon = q * span / 255.0 + mn(i)
+          math.abs(recon - v(i)) - span / 510.0
+        }
+      }
+    }.max
+    assert(worst <= 1e-12, s"roundtrip error exceeds span/510 by $worst")
+  }
+
   test("rows-only queries are stable across partitioning (driver reruns)") {
     for (name <- Seq("q_minhash_lsh", "q_simhash_pairs")) {
       val a = SparkEntry.queries(name)(spark, TestSpark.sf0001).collect()

@@ -64,6 +64,13 @@ object Multimodal {
     * `[1, 2²⁰]` are rejected as implausible, falling back to
     * [[FakeCodec]]. (A dimension bound alone cannot reject garbage GIF
     * parses — GIF dims are 16-bit, always under any plausibility bound.)
+    *
+    * Deliberate precision/recall trade: an exotic real GIF can evade the
+    * control-byte guarantee (both dimensions ≥ 2304 AND background index
+    * ≥ 9 AND a nonzero aspect byte) and be misrouted to [[FakeCodec]] —
+    * the SAFE direction (deterministic fallback metadata) — whereas
+    * weakening the guard re-admits the silent garbage-dimension parse of
+    * text payloads, the UNSAFE direction this codec exists to prevent.
     */
   object ImageIoCodec {
     private def isImageMagic(p: Array[Byte]): Boolean =

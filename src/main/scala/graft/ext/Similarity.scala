@@ -216,10 +216,15 @@ object Similarity {
       col("code").as("qc"))
     val b = coded.select(col("bkt"), col("uid").as("neighbor_id"),
       col("code").as("cc"))
+    // fused null-safe cosine (graft_cosine): one pass over the pair, and a
+    // zero-norm reconstruction (all-zero vector in a min=0 corpus) yields
+    // null — sorts last, never ranks — instead of an ANSI divide-by-zero
+    // killing the query (same contract as unitVec's try_divide)
     val shortlist = a.join(b, "bkt")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("approx",
-        round(cosine(reconOf(col("qc")), reconOf(col("cc"))) + lit(1e-9), 6))
+        round(graft.functions.VectorFunctions.graft_cosine(
+          reconOf(col("qc")), reconOf(col("cc"))) + lit(1e-9), 6))
       .withColumn("ar", row_number().over(Window.partitionBy(col("query_id"))
         .orderBy(col("approx").desc, col("neighbor_id"))))
       .filter(col("ar") <= k * overfetch)

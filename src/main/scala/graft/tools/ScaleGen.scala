@@ -68,8 +68,11 @@ object ScaleGen {
     // pre-existing c<k>_ tokens — a source token "c1_foo" would equal copy
     // 1's remap of "foo", silently re-creating cross-copy shingle overlap
     // and invalidating every scaling curve built on this data
+    // (?i): several consumers (simhash, fingerprint, drift) lowercase
+    // before tokenizing, so an UPPERCASE "C1_foo" source token would
+    // collide after lower() even though the raw-text check missed it
     val collisions = docs
-      .filter(col("text").rlike("(^|\\s)c[0-9]+_")).count()
+      .filter(col("text").rlike("(?i)(^|\\s)c[0-9]+_")).count()
     require(collisions == 0,
       s"$collisions source documents contain c<k>_ tokens — the copy-" +
         "prefix remap would collide; choose a different prefix scheme")

@@ -286,6 +286,16 @@ class SimilaritySpec extends SparkSpec {
       }
     }.max
     assert(worst <= 1e-12, s"roundtrip error exceeds span/510 by $worst")
+    // zero-vector robustness: a min=0 corpus (ReLU-style) with one
+    // all-zero vector reconstructs to the exact zero vector — the fused
+    // null-safe cosine must yield null (never-ranks), not an ANSI
+    // divide-by-zero that kills the query
+    val relu = (Seq((0L, Array(0.0f, 0.0f, 0.0f), 0)) ++
+      (1L to 6L).map(i => (i, Array(i * 1.0f, (7 - i) * 1.0f, 1.0f), 0)))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.sq8TopK(relu, "vec_id", "embedding", "label",
+      k = 2, overfetch = 2).collect() // must not throw
+    assert(out.nonEmpty)
   }
 
   test("rows-only queries are stable across partitioning (driver reruns)") {

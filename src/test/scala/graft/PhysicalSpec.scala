@@ -453,4 +453,29 @@ class PhysicalSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("sq8 candidate join moves int8 codes, not float vectors") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+    val df = SparkEntry.queries("q_ann_sq8")(spark, TestSpark.sf0001)
+    df.collect()
+    val ops = finalOpsWithCaches(df.queryExecution.executedPlan)
+    val bktJoins = ops.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.leftKeys.exists(_.references.exists(_.name == "bkt")) => j
+    }
+    assert(bktJoins.nonEmpty, "no bucket equi-join found in the sq8 plan")
+    // the whole point of SQ8: the candidate join's rows carry the int8
+    // codes (array<int>), never the 8x-larger float vectors — the floats
+    // only appear in the post-shortlist re-rank joins keyed by id
+    bktJoins.foreach { j =>
+      val types = j.output.map(_.dataType)
+      assert(types.contains(ArrayType(IntegerType, containsNull = false)) ||
+        types.contains(ArrayType(IntegerType, containsNull = true)),
+        s"bucket join carries no code arrays: ${j.output.map(_.name)}")
+      assert(!types.exists {
+        case ArrayType(DoubleType, _) => true
+        case _ => false
+      }, s"float vector rides the sq8 candidate join: ${j.output.map(_.name)}")
+    }
+  }
 }

@@ -203,10 +203,6 @@ object Similarity {
       zip_with(zip_with(v, mnLit, (x, m) => x - m), spanLit,
         (d, s) => when(s > 0, round(d * lit(255.0) / s)).otherwise(lit(0.0))
           .cast("int"))
-    // reconstruction (same arithmetic the oracle mirrors): mn + q·span/255
-    def reconOf(c: Column): Column =
-      zip_with(zip_with(c.cast("array<double>"), spanLit,
-        (q, s) => q * s / lit(255.0)), mnLit, (d, m) => d + m)
     val coded = df.select(col(bucketCol).as("bkt"), col(idCol).as("uid"),
       codesOf(vd).as("code")).scopedCache()
     val unit = df.select(col(idCol).as("uid"), unitVec(col(vecCol)).as("uvec"))
@@ -216,15 +212,20 @@ object Similarity {
       col("code").as("qc"))
     val b = coded.select(col("bkt"), col("uid").as("neighbor_id"),
       col("code").as("cc"))
-    // fused null-safe cosine (graft_cosine): one pass over the pair, and a
-    // zero-norm reconstruction (all-zero vector in a min=0 corpus) yields
-    // null — sorts last, never ranks — instead of an ANSI divide-by-zero
-    // killing the query (same contract as unitVec's try_divide)
+    // fused codegen'd decode+cosine (graft_sq8_cosine): ONE primitive loop
+    // decodes both int8 code arrays through the embedded affine codebook
+    // and accumulates dot/norms — no interpreted zip_with reconstruction
+    // in the per-pair hot path (HOFs evaluate per element with boxed
+    // lambdas; this was 7 CPU-s of the query before). Zero-norm decode
+    // (all-zero vector in a min=0 corpus) yields null — sorts last, never
+    // ranks — instead of an ANSI divide-by-zero killing the query (same
+    // contract as unitVec's try_divide).
+    val span = mx.zip(mn).map { case (h, l) => h - l }
     val shortlist = a.join(b, "bkt")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("approx",
-        round(graft.functions.VectorFunctions.graft_cosine(
-          reconOf(col("qc")), reconOf(col("cc"))) + lit(1e-9), 6))
+        round(graft.functions.Sq8Functions.graft_sq8_cosine(
+          col("qc"), col("cc"), mn, span) + lit(1e-9), 6))
       .withColumn("ar", row_number().over(Window.partitionBy(col("query_id"))
         .orderBy(col("approx").desc, col("neighbor_id"))))
       .filter(col("ar") <= k * overfetch)

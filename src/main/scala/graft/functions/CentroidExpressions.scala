@@ -161,3 +161,102 @@ object CentroidFunctions {
       ColumnBridge.expression(vector), ColumnBridge.expression(cluster),
       centers))
 }
+
+/** Fused SQ8 decode + cosine: both inputs are `array<int>` quantization
+  * codes; each element decodes through the embedded affine codebook
+  * (`x̂_i = q_i · span_i / 255 + mn_i` — the exact arithmetic the
+  * [[graft.ext.Similarity.sq8TopK]] oracle mirrors) and dot/norms
+  * accumulate in ONE index-order loop inside whole-stage codegen.
+  *
+  * Replaces the interpreted nested `zip_with` reconstruction that
+  * dominated the sq8 candidate scoring (higher-order functions evaluate
+  * per element with boxed lambdas — ~512 boxed evals per candidate pair;
+  * this loop is primitive arithmetic). Null on: null inputs, null
+  * elements, code arrays shorter than the codebook, or a zero-norm
+  * reconstruction (the never-ranks contract, no ANSI divide-by-zero).
+  */
+case class Sq8Cosine(left: Expression, right: Expression,
+                     mn: Array[Double], span: Array[Double])
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, _) => true
+      case _ => false
+    })
+    if (!ok)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_sq8_cosine requires array<int> code inputs, got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    else if (mn.length != span.length || mn.isEmpty)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_sq8_cosine requires matching non-empty mn/span codebooks")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_sq8_cosine"
+  // Null beyond child nullability (zero-norm decode, dim mismatch) — same
+  // codegen-safety rationale as DotProduct.nullable.
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = mn.length
+    if (x.numElements() < n || y.numElements() < n) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xa = x.getInt(i) * span(i) / 255.0 + mn(i)
+      val xb = y.getInt(i) * span(i) / 255.0 + mn(i)
+      dot += xa * xb; na += xa * xa; nb += xb * xb
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mnRef = ctx.addReferenceObj("mn", mn, "double[]")
+    val spanRef = ctx.addReferenceObj("span", span, "double[]")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val d = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xa = ctx.freshName("xa"); val xb = ctx.freshName("xb")
+      s"""
+         |int $n = $mnRef.length;
+         |if ($a.numElements() < $n || $b.numElements() < $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $d = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $xa = $a.getInt($i) * $spanRef[$i] / 255.0 + $mnRef[$i];
+         |    double $xb = $b.getInt($i) * $spanRef[$i] / 255.0 + $mnRef[$i];
+         |    $d += $xa * $xb; $na += $xa * $xa; $nb += $xb * $xb;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    if ($na == 0.0 || $nb == 0.0) { ${ev.isNull} = true; }
+         |    else { ${ev.value} = $d / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)); }
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object Sq8Functions {
+  /** Column API for [[Sq8Cosine]]. */
+  def graft_sq8_cosine(codesA: Column, codesB: Column,
+                       mn: Array[Double], span: Array[Double]): Column =
+    ColumnBridge.column(Sq8Cosine(
+      ColumnBridge.expression(codesA), ColumnBridge.expression(codesB),
+      mn, span))
+}

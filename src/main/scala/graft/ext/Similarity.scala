@@ -48,6 +48,31 @@ object Similarity {
     transform(vd, x => try_divide(x, norm))
   }
 
+  /** Deterministic per-bucket candidate cap — the ANN analogue of the
+    * dedup family's hot-bucket guards ([[Dedup.minHashLsh]]'s
+    * `maxBandBucket`, the hot-shingle DF cut): a coarse cell whose
+    * population grows with the corpus turns the bucket equi-join quadratic
+    * in exactly that cell. Rows beyond `cap` in a bucket are dropped from
+    * the CANDIDATE side only (queries keep their ranking), selected by
+    * md5-of-id order — a uniform, RNG-free, engine-portable sample of the
+    * hot cell (same portable-hash discipline as [[graft.ext.Sampling]]),
+    * not an id-biased prefix. The `row_number <= cap` filter rewrites to
+    * WindowGroupLimit, so the guard itself is a bounded map-side top-cap
+    * per partition, never a full per-bucket sort at scale.
+    *
+    * `cap == Int.MaxValue` (the default) bypasses the window entirely —
+    * existing callers keep their exact plan.
+    */
+  private def capPerBucket(frame: DataFrame, bktCol: String, uidCol: String,
+                           cap: Int): DataFrame =
+    if (cap == Int.MaxValue) frame
+    else {
+      val w = Window.partitionBy(col(bktCol))
+        .orderBy(md5(col(uidCol).cast("string")), col(uidCol))
+      frame.withColumn("__bkt_rn", row_number().over(w))
+        .filter(col("__bkt_rn") <= cap).drop("__bkt_rn")
+    }
+
   private def topKByCosine(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -73,15 +98,19 @@ object Similarity {
     topKByCosine(scored, k)
   }
 
-  /** IVF-style nearest neighbor within a coarse bucket column. */
+  /** IVF-style nearest neighbor within a coarse bucket column.
+    * `maxBucket` bounds per-cell candidate fan-in (see [[capPerBucket]]).
+    */
   def bucketedNN(df: DataFrame, idCol: String, vecCol: String,
-                 bucketCol: String, k: Int): DataFrame = {
+                 bucketCol: String, k: Int,
+                 maxBucket: Int = Int.MaxValue): DataFrame = {
     val unit = df.select(col(bucketCol).as("bkt"), col(idCol).as("uid"),
       unitVec(col(vecCol)).as("uvec"))
     val a = unit.select(col("bkt"), col("uid").as("query_id"),
       col("uvec").as("q_vec"))
-    val b = unit.select(col("bkt"), col("uid").as("neighbor_id"),
-      col("uvec").as("c_vec"))
+    val b = capPerBucket(unit, "bkt", "uid", maxBucket)
+      .select(col("bkt"), col("uid").as("neighbor_id"),
+        col("uvec").as("c_vec"))
     val scored = a.join(b, "bkt")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
@@ -94,9 +123,15 @@ object Similarity {
     * generation identical (bucket equi-join), no per-query ranking.
     */
   def neighborPairs(df: DataFrame, idCol: String, vecCol: String,
-                    bucketCol: String, threshold: Double): DataFrame = {
-    val unit = df.select(col(bucketCol).as("bkt"), col(idCol).as("uid"),
-      unitVec(col(vecCol)).as("uvec"))
+                    bucketCol: String, threshold: Double,
+                    maxBucket: Int = Int.MaxValue): DataFrame = {
+    // pair mining is symmetric, so the guard caps bucket MEMBERSHIP (both
+    // sides see the same md5-ordered sample) — an asymmetric candidate cap
+    // would break the id_a < id_b pair contract
+    val unit = capPerBucket(
+      df.select(col(bucketCol).as("bkt"), col(idCol).as("uid"),
+        unitVec(col(vecCol)).as("uvec")),
+      "bkt", "uid", maxBucket)
     unit.select(col("bkt"), col("uid").as("id_a"), col("uvec").as("va"))
       .join(unit.select(col("bkt"), col("uid").as("id_b"), col("uvec").as("vb")),
         "bkt")
@@ -126,7 +161,8 @@ object Similarity {
     * order drift between engines, same contract as every scored rank here.
     */
   def multiProbeNN(df: DataFrame, idCol: String, vecCol: String,
-                   bucketCol: String, k: Int, nProbe: Int): DataFrame = {
+                   bucketCol: String, k: Int, nProbe: Int,
+                   maxBucket: Int = Int.MaxValue): DataFrame = {
     import graft.ext.CacheScope.Cacheable
     // cached frame holds ONLY the unit vectors (query side + corpus side
     // read it); the centroid aggregation scans the source once, uncached —
@@ -154,9 +190,14 @@ object Similarity {
         .orderBy(col("cent_cosine").desc, col("cb"))))
       .filter(col("pr") <= nProbe)
       .select(col("query_id"), col("q_vec"), col("cb").as("bkt"))
+    // the cap applies to the corpus candidate side only — every query
+    // still probes its nProbe cells and gets a full ranking; the centroid
+    // codebook is computed over the FULL corpus (capping the means would
+    // shift cell geometry, not just bound join fan-in)
     val scored = probes
-      .join(base.select(col("bkt"), col("uid").as("neighbor_id"),
-        col("uvec").as("c_vec")), "bkt")
+      .join(capPerBucket(base, "bkt", "uid", maxBucket)
+        .select(col("bkt"), col("uid").as("neighbor_id"),
+          col("uvec").as("c_vec")), "bkt")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         round(dot(col("q_vec"), col("c_vec")) + lit(1e-9), 6))
@@ -186,14 +227,28 @@ object Similarity {
     * top-k matches the float top-k except at genuine near-ties.
     */
   def sq8TopK(df: DataFrame, idCol: String, vecCol: String,
-              bucketCol: String, k: Int, overfetch: Int = 3): DataFrame = {
+              bucketCol: String, k: Int, overfetch: Int = 3,
+              maxBucket: Int = Int.MaxValue): DataFrame = {
     import graft.ext.CacheScope.Cacheable
     val vd = col(vecCol).cast("array<double>")
-    // Stage A: per-dim stats → driver (dim rows) → literal arrays
+    // Stage A: per-dim stats → driver (dim rows) → literal arrays. A dim
+    // whose min/max aggregates to null (all values null there) is treated
+    // as zero-span — codes 0, decodes to 0, contributes nothing — keeping
+    // the codebook aligned with the code-array dimension.
     val stats = df.select(posexplode(vd).as(Seq("i", "x")))
       .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .collect().map { r =>
+        if (r.isNullAt(1) || r.isNullAt(2)) (r.getInt(0), 0.0, 0.0)
+        else (r.getInt(0), r.getDouble(1), r.getDouble(2))
+      }
       .sortBy(_._1)
+    // empty/all-null corpus: no codebook to build — empty result with the
+    // output schema, matching the other Similarity operators' behavior
+    // (Sq8Cosine would otherwise fail analysis on an empty mn/span)
+    if (stats.isEmpty)
+      return df.limit(0).select(col(idCol).as("query_id"),
+        col(idCol).as("neighbor_id"), lit(0.0).as("cosine"),
+        lit(0L).as("rank"))
     val mn = stats.map(_._2)
     val mx = stats.map(_._3)
     val mnLit = typedLit(mn.toSeq)
@@ -210,8 +265,9 @@ object Similarity {
     // Stage B: bucket equi-join on codes, approx score from reconstruction
     val a = coded.select(col("bkt"), col("uid").as("query_id"),
       col("code").as("qc"))
-    val b = coded.select(col("bkt"), col("uid").as("neighbor_id"),
-      col("code").as("cc"))
+    val b = capPerBucket(coded, "bkt", "uid", maxBucket)
+      .select(col("bkt"), col("uid").as("neighbor_id"),
+        col("code").as("cc"))
     // fused codegen'd decode+cosine (graft_sq8_cosine): ONE primitive loop
     // decodes both int8 code arrays through the embedded affine codebook
     // and accumulates dot/norms — no interpreted zip_with reconstruction
@@ -239,6 +295,72 @@ object Similarity {
       .withColumn("cosine",
         round(dot(col("q_vec"), col("c_vec")) + lit(1e-9), 6))
     topKByCosine(scored, k)
+  }
+
+  /** Deterministic distributed Lloyd coarse quantizer: learns `k` centroids
+    * over the vector column and returns `df` with an assignment column —
+    * closing the loop the bucket operators above leave to the caller (the
+    * `bucketCol` is no longer a given label; `k` scales with corpus size).
+    *
+    * Why hand-rolled Lloyd instead of MLlib `KMeans`: identical algorithm
+    * (assign to nearest center by squared L2, recenter on the mean), but
+    * with a DETERMINISTIC, engine-portable seed — the `k` smallest-id
+    * vectors init the centers and iterations are fixed — so the whole
+    * quantizer is reproducible in plain SQL and the queries built on it
+    * stay hash-exact against the DuckDB oracle (MLlib's kmeans|| init is
+    * seed-pinned but not expressible outside Spark, which is why the ML
+    * family needs keys-envelope oracles). Distances are guard-rounded to
+    * 6dp before the argmin (ties → lowest center index), the same contract
+    * every scored rank in this file uses, so FP summation-order drift in
+    * the distributed means cannot flip assignments between engines.
+    *
+    * Scale shape: the per-iteration work is one narrow scan + one
+    * (bucket, dim)-key aggregation; centers live on the driver between
+    * iterations (`k·dim` doubles — the codebook, bounded by construction,
+    * same allowance as [[sq8TopK]]'s stats collect) and ship back as plan
+    * literals, so assignment is a codegen'd expression, not a join. An
+    * empty cell keeps its previous center (mirrored by the oracle's
+    * `coalesce`). Null vectors are excluded from init/means and assign a
+    * null bucket (they fall out of any downstream bucket equi-join).
+    */
+  def kmeansBuckets(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                    iters: Int = 2, bucketCol: String = "bucket"): DataFrame = {
+    import graft.ext.CacheScope.Cacheable
+    require(k > 0 && iters >= 0, "kmeansBuckets requires k > 0 and iters >= 0")
+    def assignOn(vec: Column, centers: Array[Array[Double]]): Column = {
+      val v = vec.cast("array<double>")
+      val dists = centers.map { c =>
+        // driver-side Σc², index order — matches the oracle's
+        // list_inner_product(c, c) summation order exactly
+        val cc = c.foldLeft(0.0)((a, x) => a + x * x)
+        round(dot(v, v) - lit(2.0) * dot(v, typedLit(c.toSeq)) + lit(cc)
+          + lit(1e-9), 6)
+      }
+      val darr = array(dists: _*)
+      (array_position(darr, array_min(darr)) - 1).cast("int")
+    }
+    val base = df.select(col(idCol).as("__kid"),
+        col(vecCol).cast("array<double>").as("__kv"))
+      .filter(col("__kv").isNotNull)
+      .scopedCache()
+    var centers: Array[Array[Double]] = base.orderBy(col("__kid")).limit(k)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(centers.nonEmpty, "kmeansBuckets requires a non-empty input")
+    for (_ <- 1 to iters) {
+      val means = base.withColumn("__kb", assignOn(col("__kv"), centers))
+        .filter(col("__kb").isNotNull)
+        .select(col("__kb"), posexplode(col("__kv")).as(Seq("__i", "__x")))
+        .groupBy(col("__kb"), col("__i")).agg(avg(col("__x")).as("__c"))
+        .collect() // ≤ k·dim rows — the codebook
+      val byBucket = means.groupBy(_.getInt(0))
+      centers = centers.indices.map { j =>
+        byBucket.get(j) match {
+          case Some(rows) => rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+          case None       => centers(j)
+        }
+      }.toArray
+    }
+    df.withColumn(bucketCol, assignOn(col(vecCol), centers))
   }
 
   /** Random-hyperplane LSH bucket id for a vector: sign-bit signature over

@@ -34,8 +34,17 @@ import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, UserDefine
   * produces it since the assembler fixes the dimension).
   */
 case class CentroidDist(vector: Expression, cluster: Expression,
-                        centers: Array[Array[Double]])
+                        centers: IndexedSeq[IndexedSeq[Double]])
     extends BinaryExpression {
+
+  // Seq params (not Array): case-class equals/hashCode on arrays is
+  // reference identity, which would defeat expression canonicalization —
+  // semanticEquals, subexpression elimination, ReuseExchange, and
+  // cache-manager sameResult matching (CacheScope's ownedByOuter check)
+  // all need separately-constructed-but-identical expressions to compare
+  // equal. The hot loops and codegen use this primitive mirror.
+  @transient private lazy val centerArr: Array[Array[Double]] =
+    centers.map(_.toArray).toArray
 
   override def left: Expression = vector
   override def right: Expression = cluster
@@ -68,8 +77,8 @@ case class CentroidDist(vector: Expression, cluster: Expression,
   override def nullSafeEval(v: Any, c: Any): Any = {
     val row = v.asInstanceOf[InternalRow]
     val k = c.asInstanceOf[Int]
-    if (k < 0 || k >= centers.length) return null
-    val ctr = centers(k)
+    if (k < 0 || k >= centerArr.length) return null
+    val ctr = centerArr(k)
     val dim = ctr.length
     val vals = row.getArray(3)
     var s = 0.0
@@ -100,7 +109,7 @@ case class CentroidDist(vector: Expression, cluster: Expression,
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ctrsRef = ctx.addReferenceObj("centers", centers, "double[][]")
+    val ctrsRef = ctx.addReferenceObj("centers", centerArr, "double[][]")
     nullSafeCodeGen(ctx, ev, (v, c) => {
       val ctr = ctx.freshName("ctr")
       val dim = ctx.freshName("dim")
@@ -159,7 +168,7 @@ object CentroidFunctions {
                           centers: Array[Array[Double]]): Column =
     ColumnBridge.column(CentroidDist(
       ColumnBridge.expression(vector), ColumnBridge.expression(cluster),
-      centers))
+      centers.map(_.toIndexedSeq).toIndexedSeq))
 }
 
 /** Fused SQ8 decode + cosine: both inputs are `array<int>` quantization
@@ -176,8 +185,13 @@ object CentroidFunctions {
   * reconstruction (the never-ranks contract, no ANSI divide-by-zero).
   */
 case class Sq8Cosine(left: Expression, right: Expression,
-                     mn: Array[Double], span: Array[Double])
+                     mn: IndexedSeq[Double], span: IndexedSeq[Double])
     extends BinaryExpression {
+
+  // Seq params for content-based equals/hashCode — same canonicalization
+  // rationale as CentroidDist; primitive mirrors for eval/codegen.
+  @transient private lazy val mnArr: Array[Double] = mn.toArray
+  @transient private lazy val spanArr: Array[Double] = span.toArray
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -203,14 +217,14 @@ case class Sq8Cosine(left: Expression, right: Expression,
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val n = mn.length
+    val n = mnArr.length
     if (x.numElements() < n || y.numElements() < n) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val xa = x.getInt(i) * span(i) / 255.0 + mn(i)
-      val xb = y.getInt(i) * span(i) / 255.0 + mn(i)
+      val xa = x.getInt(i) * spanArr(i) / 255.0 + mnArr(i)
+      val xb = y.getInt(i) * spanArr(i) / 255.0 + mnArr(i)
       dot += xa * xb; na += xa * xa; nb += xb * xb
       i += 1
     }
@@ -219,8 +233,8 @@ case class Sq8Cosine(left: Expression, right: Expression,
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val mnRef = ctx.addReferenceObj("mn", mn, "double[]")
-    val spanRef = ctx.addReferenceObj("span", span, "double[]")
+    val mnRef = ctx.addReferenceObj("mn", mnArr, "double[]")
+    val spanRef = ctx.addReferenceObj("span", spanArr, "double[]")
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val d = ctx.freshName("dot"); val na = ctx.freshName("na")
@@ -258,5 +272,5 @@ object Sq8Functions {
                        mn: Array[Double], span: Array[Double]): Column =
     ColumnBridge.column(Sq8Cosine(
       ColumnBridge.expression(codesA), ColumnBridge.expression(codesB),
-      mn, span))
+      mn.toIndexedSeq, span.toIndexedSeq))
 }

@@ -145,27 +145,47 @@ object NorthStarQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // ANN at scale: IVF-style nearest neighbor within coarse buckets
+    // ANN at scale: IVF-style nearest neighbor within coarse buckets. The
+    // hot-bucket guard is EXERCISED here (cap 40 binds on the 44-59-row
+    // fixture cells — same discipline as q_minhash_lsh's maxBandBucket):
+    // per-cell candidate fan-in stays bounded however the corpus grows,
+    // and the md5-order cap rule is mirrored verbatim in the oracle.
     "q_ann_ivf" -> ((s, dir) =>
       Similarity.bucketedNN(Tables.embeddings(s, dir),
-          "vec_id", "embedding", "label", k = 1)
+          "vec_id", "embedding", "label", k = 1, maxBucket = 40)
         .orderBy(col("query_id"))),
 
     // Multi-probe IVF: each query probes its 2 nearest coarse centroids
     // (label-mean codebook) — the recall fix for cell-boundary neighbors;
-    // candidate generation stays a bucket equi-join
+    // candidate generation stays a bucket equi-join, candidate fan-in
+    // bounded by the same oracle-mirrored hot-bucket cap
     "q_ann_multiprobe" -> ((s, dir) =>
       Similarity.multiProbeNN(Tables.embeddings(s, dir),
-          "vec_id", "embedding", "label", k = 5, nProbe = 2)
+          "vec_id", "embedding", "label", k = 5, nProbe = 2, maxBucket = 40)
         .orderBy(col("query_id"), col("rank"))),
 
     // Two-stage SQ8 retrieval: int8 codes score the bucket join (8x fewer
     // candidate-join bytes than floats), exact cosine re-ranks the
-    // per-query top-15 shortlist to the final top-5
+    // per-query top-15 shortlist to the final top-5; bucket fan-in capped
     "q_ann_sq8" -> ((s, dir) =>
       Similarity.sq8TopK(Tables.embeddings(s, dir),
-          "vec_id", "embedding", "label", k = 5, overfetch = 3)
+          "vec_id", "embedding", "label", k = 5, overfetch = 3,
+          maxBucket = 40)
         .orderBy(col("query_id"), col("rank"))),
+
+    // End-to-end learned-quantizer ANN: deterministic distributed Lloyd
+    // (k=8, 2 iterations, k-smallest-id init) assigns the coarse cells —
+    // no caller-supplied label — then the guarded bucket join ranks
+    // within-cell neighbors. Fully SQL-expressible quantizer → hash-exact
+    // oracle (the reason for Lloyd over MLlib kmeans||; see
+    // Similarity.kmeansBuckets scaladoc).
+    "q_ann_kmeans" -> ((s, dir) => {
+      val bucketed = Similarity.kmeansBuckets(Tables.embeddings(s, dir),
+        "vec_id", "embedding", k = 8, iters = 2, bucketCol = "kb")
+      Similarity.bucketedNN(bucketed, "vec_id", "embedding", "kb",
+          k = 1, maxBucket = 40)
+        .orderBy(col("query_id"))
+    }),
 
     // Multimodal: binary payload + typed-metadata batch decode (stubbed
     // codec, real plumbing — see graft.ext.Multimodal)
@@ -558,8 +578,8 @@ object NorthStarQueries {
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |  WHERE round(list_inner_product(a.v, b.v) /
-        |      (sqrt(list_inner_product(a.v, a.v)) *
-        |       sqrt(list_inner_product(b.v, b.v))) + 1e-9, 6) >= 0.3
+        |      (NULLIF(sqrt(list_inner_product(a.v, a.v)), 0) *
+        |       NULLIF(sqrt(list_inner_product(b.v, b.v)), 0)) + 1e-9, 6) >= 0.3
         |), edges AS (
         |  SELECT id_a AS u, id_b AS v FROM prs
         |  UNION SELECT id_b, id_a FROM prs
@@ -726,14 +746,19 @@ object NorthStarQueries {
         |FROM toks GROUP BY t
         |ORDER BY tf DESC, t LIMIT 20""".stripMargin,
 
+    // NULLIF on the norms everywhere below: a zero-norm vector yields NULL
+    // cosine on the Spark side (unitVec's try_divide / Sq8Cosine contract
+    // — sorts last, never ranks); without it DuckDB computes 0/0 = NaN,
+    // which its ordering places FIRST under DESC.
     "q_ann_bruteforce" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         |), scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |    round(list_inner_product(q.v, c.v) /
-        |      (sqrt(list_inner_product(q.v, q.v)) *
-        |       sqrt(list_inner_product(c.v, c.v))) + 1e-9, 6) AS cosine
+        |      (NULLIF(sqrt(list_inner_product(q.v, q.v)), 0) *
+        |       NULLIF(sqrt(list_inner_product(c.v, c.v)), 0)) + 1e-9, 6)
+        |      AS cosine
         |  FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
         |), ranked AS (
         |  SELECT query_id, neighbor_id, cosine,
@@ -744,15 +769,24 @@ object NorthStarQueries {
         |SELECT * FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
 
+    // mem mirrors Similarity.capPerBucket verbatim: md5-of-id order,
+    // candidate side only, cap 40
     "q_ann_ivf" ->
       """WITH e AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        |), mem AS (
+        |  SELECT vec_id,
+        |    row_number() OVER (PARTITION BY label
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        |  FROM e
         |), scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |    round(list_inner_product(q.v, c.v) /
-        |      (sqrt(list_inner_product(q.v, q.v)) *
-        |       sqrt(list_inner_product(c.v, c.v))) + 1e-9, 6) AS cosine
+        |      (NULLIF(sqrt(list_inner_product(q.v, q.v)), 0) *
+        |       NULLIF(sqrt(list_inner_product(c.v, c.v)), 0)) + 1e-9, 6)
+        |      AS cosine
         |  FROM e q JOIN e c ON q.label = c.label AND q.vec_id <> c.vec_id
+        |  JOIN mem m ON m.vec_id = c.vec_id AND m.rn <= 40
         |), ranked AS (
         |  SELECT query_id, neighbor_id, cosine,
         |    CAST(row_number() OVER (PARTITION BY query_id
@@ -766,7 +800,13 @@ object NorthStarQueries {
         |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
         |), uv AS (
         |  SELECT vec_id, label,
-        |    list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS q
+        |    list_transform(v,
+        |      x -> x / NULLIF(sqrt(list_inner_product(v, v)), 0)) AS q
+        |  FROM e
+        |), mem AS (
+        |  SELECT vec_id,
+        |    row_number() OVER (PARTITION BY label
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
         |  FROM e
         |), cent AS (
         |  SELECT label, t.i AS i, avg(v[t.i]) AS c
@@ -776,7 +816,8 @@ object NorthStarQueries {
         |  SELECT label, list(c ORDER BY i) AS cv FROM cent GROUP BY label
         |), cunit AS (
         |  SELECT label,
-        |    list_transform(cv, x -> x / sqrt(list_inner_product(cv, cv))) AS cu
+        |    list_transform(cv,
+        |      x -> x / NULLIF(sqrt(list_inner_product(cv, cv)), 0)) AS cu
         |  FROM cvec
         |), probes AS (
         |  SELECT q.vec_id AS query_id, c.label AS bkt,
@@ -790,6 +831,7 @@ object NorthStarQueries {
         |  FROM probes p
         |  JOIN uv qv ON qv.vec_id = p.query_id
         |  JOIN uv nv ON nv.label = p.bkt AND nv.vec_id <> p.query_id
+        |  JOIN mem m ON m.vec_id = nv.vec_id AND m.rn <= 40
         |  WHERE p.pr <= 2
         |), ranked AS (
         |  SELECT query_id, neighbor_id, cosine,
@@ -823,13 +865,20 @@ object NorthStarQueries {
         |    list_transform(range(1, len(code) + 1),
         |      i -> (CAST(code[i] AS DOUBLE) * spanl[i] / 255) + mnl[i]) AS r
         |  FROM coded CROSS JOIN d1
+        |), mem AS (
+        |  SELECT vec_id,
+        |    row_number() OVER (PARTITION BY label
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        |  FROM e
         |), approx AS (
         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
         |    round(list_inner_product(a.r, b.r) /
-        |      (sqrt(list_inner_product(a.r, a.r)) *
-        |       sqrt(list_inner_product(b.r, b.r))) + 1e-9, 6) AS approx
+        |      (NULLIF(sqrt(list_inner_product(a.r, a.r)), 0) *
+        |       NULLIF(sqrt(list_inner_product(b.r, b.r)), 0)) + 1e-9, 6)
+        |      AS approx
         |  FROM recon a JOIN recon b
         |    ON a.label = b.label AND a.vec_id <> b.vec_id
+        |  JOIN mem m ON m.vec_id = b.vec_id AND m.rn <= 40
         |), short AS (
         |  SELECT query_id, neighbor_id,
         |    row_number() OVER (PARTITION BY query_id
@@ -837,7 +886,8 @@ object NorthStarQueries {
         |  FROM approx
         |), uv AS (
         |  SELECT vec_id,
-        |    list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS q
+        |    list_transform(v,
+        |      x -> x / NULLIF(sqrt(list_inner_product(v, v)), 0)) AS q
         |  FROM e
         |), cand AS (
         |  SELECT s.query_id, s.neighbor_id,
@@ -855,14 +905,105 @@ object NorthStarQueries {
         |SELECT * FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
+    // Deterministic Lloyd mirror: init = 8 smallest-id vectors, two
+    // unrolled assign/recenter iterations (empty cells coalesce to the
+    // previous center), distances guard-rounded to 6dp with lowest-index
+    // tiebreak — then the capped bucket join, all per the Spark side.
+    "q_ann_kmeans" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL
+        |), init AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j,
+        |    v AS c
+        |  FROM e ORDER BY vec_id LIMIT 8
+        |), d1 AS (
+        |  SELECT e.vec_id, i.j,
+        |    round(list_inner_product(e.v, e.v)
+        |      - 2 * list_inner_product(e.v, i.c)
+        |      + list_inner_product(i.c, i.c) + 1e-9, 6) AS dist
+        |  FROM e CROSS JOIN init i
+        |), a1 AS (
+        |  SELECT vec_id, j AS b FROM (
+        |    SELECT vec_id, j,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+        |    FROM d1 WHERE dist IS NOT NULL) WHERE rn = 1
+        |), m1 AS (
+        |  SELECT a1.b AS j, t.i AS i, avg(e.v[t.i]) AS c
+        |  FROM e JOIN a1 USING (vec_id),
+        |    unnest(range(1, len(e.v) + 1)) AS t(i)
+        |  GROUP BY a1.b, t.i
+        |), c1l AS (
+        |  SELECT j, list(c ORDER BY i) AS c FROM m1 GROUP BY j
+        |), c1 AS (
+        |  SELECT i.j, coalesce(l.c, i.c) AS c
+        |  FROM init i LEFT JOIN c1l l USING (j)
+        |), d2 AS (
+        |  SELECT e.vec_id, k.j,
+        |    round(list_inner_product(e.v, e.v)
+        |      - 2 * list_inner_product(e.v, k.c)
+        |      + list_inner_product(k.c, k.c) + 1e-9, 6) AS dist
+        |  FROM e CROSS JOIN c1 k
+        |), a2 AS (
+        |  SELECT vec_id, j AS b FROM (
+        |    SELECT vec_id, j,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+        |    FROM d2 WHERE dist IS NOT NULL) WHERE rn = 1
+        |), m2 AS (
+        |  SELECT a2.b AS j, t.i AS i, avg(e.v[t.i]) AS c
+        |  FROM e JOIN a2 USING (vec_id),
+        |    unnest(range(1, len(e.v) + 1)) AS t(i)
+        |  GROUP BY a2.b, t.i
+        |), c2l AS (
+        |  SELECT j, list(c ORDER BY i) AS c FROM m2 GROUP BY j
+        |), c2 AS (
+        |  SELECT k.j, coalesce(l.c, k.c) AS c
+        |  FROM c1 k LEFT JOIN c2l l USING (j)
+        |), df AS (
+        |  SELECT e.vec_id, k.j,
+        |    round(list_inner_product(e.v, e.v)
+        |      - 2 * list_inner_product(e.v, k.c)
+        |      + list_inner_product(k.c, k.c) + 1e-9, 6) AS dist
+        |  FROM e CROSS JOIN c2 k
+        |), af AS (
+        |  SELECT vec_id, j AS b FROM (
+        |    SELECT vec_id, j,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+        |    FROM df WHERE dist IS NOT NULL) WHERE rn = 1
+        |), uv AS (
+        |  SELECT vec_id,
+        |    list_transform(v,
+        |      x -> x / NULLIF(sqrt(list_inner_product(v, v)), 0)) AS q
+        |  FROM e
+        |), mem AS (
+        |  SELECT vec_id,
+        |    row_number() OVER (PARTITION BY b
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        |  FROM af
+        |), scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_inner_product(qa.q, qb.q) + 1e-9, 6) AS cosine
+        |  FROM af q JOIN af c ON c.b = q.b AND c.vec_id <> q.vec_id
+        |  JOIN mem m ON m.vec_id = c.vec_id AND m.rn <= 40
+        |  JOIN uv qa ON qa.vec_id = q.vec_id
+        |  JOIN uv qb ON qb.vec_id = c.vec_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM scored
+        |)
+        |SELECT * FROM ranked WHERE rank <= 1 ORDER BY query_id""".stripMargin,
+
     "q_embedding_neardup" ->
       """WITH e AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
         |), scored AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |    round(list_inner_product(a.v, b.v) /
-        |      (sqrt(list_inner_product(a.v, a.v)) *
-        |       sqrt(list_inner_product(b.v, b.v))) + 1e-9, 6) AS cosine
+        |      (NULLIF(sqrt(list_inner_product(a.v, a.v)), 0) *
+        |       NULLIF(sqrt(list_inner_product(b.v, b.v)), 0)) + 1e-9, 6)
+        |      AS cosine
         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |)
         |SELECT * FROM scored WHERE cosine >= 0.3

@@ -326,6 +326,132 @@ class SimilaritySpec extends SparkSpec {
       Similarity.hyperplaneBucket(col("embedding"), 3).as("b"))
     assert(b.collect().toSeq == again.collect().toSeq)
   }
+
+  // one hot cell (400 rows) + one small cell — the skew shape the guard
+  // exists for; embeddings vary so cosines are non-degenerate
+  private def skewed = {
+    val rows = (0 until 400).map(i =>
+      (i.toLong, Array(math.sin(i * 0.7).toFloat,
+        math.cos(i * 1.3).toFloat, (i % 7).toFloat), 0)) ++
+      (400 until 410).map(i =>
+        (i.toLong, Array(1.0f, i.toFloat / 500f, 0.5f), 1))
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  test("hot-bucket cap: pair work bounded sub-quadratically, all queries " +
+      "kept, deterministic") {
+    // membership cap: a 400-row cell at cap 20 yields at most C(20,2)
+    // pairs — versus 79800 unguarded
+    val pairs = Similarity.neighborPairs(skewed, "vec_id", "embedding",
+      "label", threshold = -1.0, maxBucket = 20)
+    val n = pairs.count()
+    assert(n <= 190 + 45, s"capped pair count $n exceeds the C(cap,2) bound")
+    assert(n > 0)
+    val again = Similarity.neighborPairs(skewed, "vec_id", "embedding",
+      "label", threshold = -1.0, maxBucket = 20).collect()
+    assert(pairs.collect().map(_.toString).sorted
+      .sameElements(again.map(_.toString).sorted))
+    // candidate-side cap: every query still gets a ranking (queries are
+    // never dropped — only per-cell fan-in is bounded)
+    val nn = Similarity.bucketedNN(skewed, "vec_id", "embedding", "label",
+      k = 50, maxBucket = 20)
+    val byQuery = nn.groupBy("query_id").count().collect()
+    assert(byQuery.length == 410, "capped bucketedNN dropped queries")
+    assert(byQuery.forall(_.getLong(1) <= 20),
+      "per-query candidate fan-in exceeds the cap")
+  }
+
+  test("hot-bucket cap compiles to WindowGroupLimit, not a full sort") {
+    val nn = Similarity.bucketedNN(skewed, "vec_id", "embedding", "label",
+      k = 1, maxBucket = 20)
+    nn.collect()
+    // node-NAME match on the full adaptive plan string (expressions
+    // truncate in simpleString; operator names do not) — the guard's
+    // row_number filter must run as a Partial+Final group limit, never a
+    // full per-bucket sort
+    val plan = nn.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "capPerBucket's row_number filter did not rewrite to WindowGroupLimit")
+  }
+
+  test("kmeansBuckets: recovers well-separated clusters, deterministic, " +
+      "respects k") {
+    // interleaved ids (id % 10 = true cluster) so the k-smallest-id init
+    // seeds one center per true cluster; Lloyd must then converge to a
+    // pure partition
+    val dim = 16
+    val rows = for {
+      c <- 0 until 10
+      j <- 0 until 20
+    } yield {
+      val base = Array.tabulate(dim)(d =>
+        math.sin((d + 1) * (c + 1) * 0.7391))
+      val noise = Array.tabulate(dim)(d =>
+        0.05 * math.sin((d + 1) * (c * 20 + j + 7) * 1.234))
+      (j * 10L + c, base.zip(noise).map { case (b, n) => (b + n).toFloat }, c)
+    }
+    val df = rows.toDF("vec_id", "embedding", "truec")
+    val out = Similarity.kmeansBuckets(df, "vec_id", "embedding",
+      k = 10, iters = 3, bucketCol = "kb")
+    val assign = out.select("truec", "kb").collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    assert(assign.forall(_._2 != null))
+    assert(assign.map(_._2).distinct.length <= 10)
+    // purity: each true cluster lands in exactly one learned bucket and
+    // no bucket mixes two true clusters
+    val byTrue = assign.groupBy(_._1).map { case (_, v) => v.map(_._2).distinct }
+    assert(byTrue.forall(_.length == 1), "a true cluster split across buckets")
+    assert(assign.map(_._2).distinct.length == 10, "buckets merged clusters")
+    val again = Similarity.kmeansBuckets(df, "vec_id", "embedding",
+      k = 10, iters = 3, bucketCol = "kb").select("vec_id", "kb").collect()
+    assert(out.select("vec_id", "kb").collect().map(_.toString).sorted
+      .sameElements(again.map(_.toString).sorted))
+  }
+
+  test("sq8TopK: empty and all-null corpora return an empty frame with " +
+      "the output schema") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val r1 = Similarity.sq8TopK(empty, "vec_id", "embedding", "label", k = 3)
+    assert(r1.columns.toSeq ==
+      Seq("query_id", "neighbor_id", "cosine", "rank"))
+    assert(r1.count() == 0)
+    val allNull = Seq((1L, null.asInstanceOf[Array[Float]], 0),
+      (2L, null.asInstanceOf[Array[Float]], 0))
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.sq8TopK(allNull, "vec_id", "embedding", "label",
+      k = 3).count() == 0)
+  }
+
+  test("codebook expressions canonicalize by content, not array identity") {
+    // separately-constructed codebooks (fresh arrays each call) must
+    // compare equal — array-identity equals would defeat semanticEquals,
+    // subexpression elimination, and cache sameResult matching
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, IntegerType}
+    def codes = Literal.create(Seq(1, 2), ArrayType(IntegerType))
+    val a = graft.functions.Sq8Cosine(codes, codes,
+      Array(1.0, 2.0).toIndexedSeq, Array(3.0, 4.0).toIndexedSeq)
+    val b = graft.functions.Sq8Cosine(codes, codes,
+      Array(1.0, 2.0).toIndexedSeq, Array(3.0, 4.0).toIndexedSeq)
+    assert(a == b && a.hashCode == b.hashCode,
+      "separately-built Sq8Cosine with equal codebooks must compare equal")
+    assert(a.semanticEquals(b))
+    def vec = Literal.create(null,
+      org.apache.spark.ml.linalg.SQLDataTypes.VectorType)
+    def cl = Literal.create(0, IntegerType)
+    val c1 = graft.functions.CentroidDist(vec, cl,
+      Array(Array(1.0, 2.0), Array(3.0, 4.0)).map(_.toIndexedSeq).toIndexedSeq)
+    val c2 = graft.functions.CentroidDist(vec, cl,
+      Array(Array(1.0, 2.0), Array(3.0, 4.0)).map(_.toIndexedSeq).toIndexedSeq)
+    assert(c1 == c2 && c1.hashCode == c2.hashCode,
+      "separately-built CentroidDist with equal centers must compare equal")
+    assert(c1.semanticEquals(c2))
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {

@@ -95,4 +95,80 @@ class CacheScopeSpec extends SparkSpec {
     assert(df.storageLevel == StorageLevel.NONE)
     assert(entries == 0)
   }
+
+  test("cross-thread: un-adopted worker-thread cache falls back to " +
+      "session-LRU (documented gap, warned, never mis-released)") {
+    spark.catalog.clearCache()
+    import spark.implicits._
+    @volatile var escaped: org.apache.spark.sql.DataFrame = null
+    CacheScope.scoped {
+      val t = new Thread(() => {
+        escaped = CacheScope.cache(Seq(9, 9).toDF("z"))
+        escaped.count(): Unit
+      })
+      t.start(); t.join()
+    }
+    // the scope must NOT have claimed (and released) a registration it
+    // never saw — the worker's cache keeps the session-LRU default
+    assert(escaped.storageLevel != StorageLevel.NONE,
+      "scope released a cache registered on a foreign thread")
+    escaped.unpersist(blocking = true)
+  }
+
+  test("cross-thread: adopt(handle) attaches worker caches to the " +
+      "owning scope") {
+    spark.catalog.clearCache()
+    import spark.implicits._
+    @volatile var adopted: org.apache.spark.sql.DataFrame = null
+    CacheScope.scoped {
+      val h = CacheScope.handle()
+      assert(h.nonEmpty)
+      val t = new Thread(() => CacheScope.adopt(h) {
+        adopted = CacheScope.cache(Seq(8).toDF("w"))
+        adopted.count(): Unit
+      })
+      t.start(); t.join() // worker completes BEFORE the scope exits
+      assert(adopted.storageLevel != StorageLevel.NONE)
+    }
+    assert(adopted.storageLevel == StorageLevel.NONE,
+      "adopted worker cache survived the owning scope")
+    assert(entries == 0)
+    // adopt of None (no scope open) is a plain pass-through
+    assert(CacheScope.adopt(None) { 41 + 1 } == 42)
+  }
+
+  test("multi-corpus session soak: storage returns to baseline after " +
+      "every scoped pass") {
+    // the 100 TB session pattern CacheScope exists for: N sequential
+    // corpora through the dedup + ANN families under one SparkSession,
+    // storage memory drained between corpora — distinct plans per pass,
+    // so a leak would ACCUMULATE ten corpora of cached signatures/codes
+    spark.catalog.clearCache()
+    assert(entries == 0)
+    val docs = graft.io.Tables.documents(spark, TestSpark.sf0001)
+    val emb = graft.io.Tables.embeddings(spark, TestSpark.sf0001)
+    def storageBytes: Long =
+      spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
+    for (pass <- 0 until 10) {
+      var peak = 0
+      val n = CacheScope.scoped {
+        val corpus = docs.filter(col("doc_id") % 10 === pass)
+        val dd = Dedup.minHashLsh(corpus, "text", "doc_id").count()
+        val ann = graft.ext.Similarity.sq8TopK(
+          emb.filter(col("vec_id") % 10 === pass),
+          "vec_id", "embedding", "label", k = 2).count()
+        peak = entries
+        dd + ann
+      }
+      assert(n >= 0)
+      assert(peak > 0, s"pass $pass registered no caches — soak is vacuous")
+      // unpersist is async (blocking=false): poll to baseline
+      val deadline = System.currentTimeMillis + 30000
+      while ((entries != 0 || storageBytes != 0) &&
+        System.currentTimeMillis < deadline) Thread.sleep(50)
+      assert(entries == 0, s"pass $pass leaked $entries cache entries")
+      assert(storageBytes == 0,
+        s"pass $pass left $storageBytes bytes in storage memory")
+    }
+  }
 }

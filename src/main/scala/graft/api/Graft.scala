@@ -1,0 +1,146 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{CacheScope, Dedup, Packing, Sampling, Similarity, TextAnalysis}
+
+/** The public façade: one short, defaulted call per engine capability, so a
+  * user does not need to know the `graft.ext.*` operator internals or their
+  * tuning knobs to run the common pipelines. Every method delegates to the
+  * exact operator the oracled `SparkEntry.queries` surface exercises — the
+  * façade adds defaults, not behavior.
+  *
+  * Quickstart (each compiles and runs as written — pinned by `ApiSpec`):
+  *
+  * {{{
+  * import graft.api.Graft
+  *
+  * // deduplicate a corpus: exact digests, then MinHash+LSH near-dups
+  * val keepers  = Graft.dedupExact(docs, "text", "doc_id")
+  * val clusters = Graft.dedupNear(docs, "text", "doc_id", threshold = 0.5)
+  *
+  * // ANN top-k over an embedding column (learned coarse quantizer)
+  * val nn = Graft.annTopK(vectors, "vec_id", "embedding", k = 5)
+  *
+  * // score text quality / language, split, and chunk for training
+  * val scored  = Graft.quality(docs, "text")
+  * val tagged  = Graft.languageId(docs, "text")
+  * val split   = Graft.trainValTestSplit(docs, "doc_id", salt = "v1")
+  * val chunks  = Graft.chunk(docs, "text", "doc_id", chunkSize = 128)
+  *
+  * // the reference's five-stage energy pipeline, end to end
+  * val out = Graft.energyPipeline(spark, csvGlob, tariffs)
+  * }}}
+  *
+  * Long-lived sessions processing many corpora should wrap each corpus
+  * pass in [[graft.ext.CacheScope.scoped]] (see [[scopedPass]]) so
+  * operator-internal caches drain between corpora.
+  */
+object Graft {
+
+  // --- deduplication ----------------------------------------------------
+
+  /** Exact dedup: one keeper row per distinct text digest.
+    * Output: `content_hash, n_copies, keeper_id` — one shuffle of 32-byte
+    * rows at any corpus size.
+    */
+  def dedupExact(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    Dedup.exactGroups(docs, textCol, idCol)
+
+  /** Near-dedup, the production two-stage shape: MinHash+LSH candidates
+    * (banded equi-join, hot-bucket capped) → exact Jaccard verification on
+    * the candidate set → connected components. Output: `id, cluster_id`
+    * for every doc in a duplicate cluster (keeper = min id); docs absent
+    * from the output are unique.
+    */
+  def dedupNear(docs: DataFrame, textCol: String, idCol: String,
+                threshold: Double = 0.5,
+                maxBandBucket: Int = 1000): DataFrame = {
+    val cands = Dedup.minHashLsh(docs, textCol, idCol,
+      maxBandBucket = maxBandBucket)
+    val verified = Dedup.verifyCandidatesJaccard(cands, docs, textCol, idCol,
+      threshold = threshold)
+    Dedup.resolveClusters(verified.select(col("id_a"), col("id_b")))
+  }
+
+  // --- similarity search ------------------------------------------------
+
+  /** ANN top-k over an embedding column: a deterministic Lloyd coarse
+    * quantizer learns `nBuckets` cells, then the guarded within-cell
+    * cosine join ranks neighbors. `maxBucket` bounds per-cell candidate
+    * fan-in (the hot-bucket guard); raise `nBuckets` with corpus size so
+    * cells stay small. Output: `query_id, neighbor_id, cosine, rank`.
+    */
+  def annTopK(vectors: DataFrame, idCol: String, vecCol: String, k: Int,
+              nBuckets: Int = 64, maxBucket: Int = 4096): DataFrame = {
+    val bucketed = Similarity.kmeansBuckets(vectors, idCol, vecCol,
+      k = nBuckets, iters = 2, bucketCol = "__cell")
+    Similarity.bucketedNN(bucketed, idCol, vecCol, "__cell", k = k,
+      maxBucket = maxBucket)
+  }
+
+  /** Embedding near-dup pairs (SemDeDup candidate stage): cosine ≥
+    * `threshold` within learned coarse cells. Output: `id_a, id_b, cosine`.
+    */
+  def semanticPairs(vectors: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, nBuckets: Int = 64,
+                    maxBucket: Int = 4096): DataFrame = {
+    val bucketed = Similarity.kmeansBuckets(vectors, idCol, vecCol,
+      k = nBuckets, iters = 2, bucketCol = "__cell")
+    Similarity.neighborPairs(bucketed, idCol, vecCol, "__cell",
+      threshold = threshold, maxBucket = maxBucket)
+  }
+
+  // --- text analysis ----------------------------------------------------
+
+  /** Token stats + the composite quality score as a `quality` column. */
+  def quality(docs: DataFrame, textCol: String): DataFrame = {
+    val st = TextAnalysis.withTokenStats(docs, textCol)
+    st.withColumn("quality", TextAnalysis.qualityScore(col("n_tokens"),
+      col("token_chars"), col("n_punct"), col("n_stopwords")))
+  }
+
+  /** N-gram-marker language ID as a `lang_pred` column (`und` when no
+    * marker fires); per-language `score_*` columns stay for inspection.
+    */
+  def languageId(docs: DataFrame, textCol: String): DataFrame =
+    TextAnalysis.withLanguageId(docs, textCol)
+
+  // --- sampling & packing ----------------------------------------------
+
+  /** Deterministic, partition-stable train/val/test split (md5 buckets —
+    * no RNG, stable under repartitioning) as a `split` column.
+    */
+  def trainValTestSplit(df: DataFrame, idCol: String, salt: String,
+                        trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    Sampling.withSplit(df, idCol, salt, trainPct, valPct)
+
+  /** Strided token chunks for context-window training. Output: one row per
+    * chunk with `chunk_id, chunk_start, n_chunk_tokens, chunk_text`.
+    * `stride <= 0` (the default) means non-overlapping chunks.
+    */
+  def chunk(docs: DataFrame, textCol: String, idCol: String,
+            chunkSize: Int, stride: Int = 0): DataFrame =
+    Packing.chunkTokens(docs, textCol, idCol, chunkSize,
+      if (stride <= 0) chunkSize else stride)
+
+  // --- the reference pipeline ------------------------------------------
+
+  /** The reference's five-stage energy pipeline (ingest → preprocess →
+    * features → forecast → anomalies); materializes every stage under
+    * `outDir` when set. Returns the stage frames by name.
+    */
+  def energyPipeline(spark: SparkSession, csvPath: String,
+                     tariffs: DataFrame,
+                     outDir: Option[String] = None): Map[String, DataFrame] =
+    graft.pipeline.EnergyPipeline.run(spark, csvPath, tariffs, outDir)
+
+  // --- session hygiene --------------------------------------------------
+
+  /** Run one corpus pass with operator-internal caches scoped to it —
+    * the multi-corpus session pattern (results must be materialized
+    * inside `body`).
+    */
+  def scopedPass[T](body: => T): T = CacheScope.scoped(body)
+}

@@ -345,7 +345,11 @@ object Similarity {
       .scopedCache()
     var centers: Array[Array[Double]] = base.orderBy(col("__kid")).limit(k)
       .collect().map(_.getSeq[Double](1).toArray)
-    require(centers.nonEmpty, "kmeansBuckets requires a non-empty input")
+    // empty / all-null-vector corpus: nothing to learn — every row gets a
+    // null bucket (and falls out of any bucket equi-join), matching
+    // sq8TopK's empty-input contract instead of throwing
+    if (centers.isEmpty)
+      return df.withColumn(bucketCol, lit(null).cast("int"))
     for (_ <- 1 to iters) {
       val means = base.withColumn("__kb", assignOn(col("__kv"), centers))
         .filter(col("__kb").isNotNull)

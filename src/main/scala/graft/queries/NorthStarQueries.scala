@@ -850,8 +850,8 @@ object NorthStarQueries {
         |  FROM e, unnest(range(1, len(v) + 1)) AS t(i)
         |  GROUP BY t.i
         |), d1 AS (
-        |  SELECT list(mn ORDER BY i) AS mnl,
-        |    list(mx - mn ORDER BY i) AS spanl
+        |  SELECT list(coalesce(mn, 0) ORDER BY i) AS mnl,
+        |    list(coalesce(mx - mn, 0) ORDER BY i) AS spanl
         |  FROM dims
         |), coded AS (
         |  SELECT vec_id, label,

@@ -82,10 +82,14 @@ object PipelineScale {
 
     def stage(name: String)(body: => Long): Unit = {
       spark.sparkContext.setJobGroup(name, name)
+      // drain the listener bus around the delta: stage-completed events
+      // deliver async, so without it a stage's tail CPU bills to the next
+      org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
       val cpu0 = acct.cpuNs
       val t0 = System.nanoTime()
       val rows = body
       val wall = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
       val cpu = (acct.cpuNs - cpu0) / 1e9
       println(f"[pipescale] $name: wall=$wall%.2f s cpu=$cpu%.2f s rows=$rows")
     }

@@ -138,7 +138,14 @@ object ScaleGen {
     if (want("embeddings")) {
       val emb = raw("embeddings")
       val vecOff = maxOf(emb, "vec_id")
-      val dim = emb.select(size(col("embedding"))).head.getInt(0)
+      // rectangularity guard: a varying or null dimension would silently
+      // truncate/null-pad rotated copies and corrupt every ANN curve
+      val dims = emb.agg(min(size(col("embedding"))),
+        max(size(col("embedding")))).head
+      require(!dims.isNullAt(0) && dims.getInt(0) == dims.getInt(1),
+        s"embeddings must be rectangular non-null to rotate, got " +
+          s"dims [${dims.get(0)}, ${dims.get(1)}]")
+      val dim = dims.getInt(0)
       write(scaled(emb) { (d, c) =>
         val remapped = d.withColumn("vec_id", col("vec_id") + lit(c * vecOff))
         if (c == 0) remapped

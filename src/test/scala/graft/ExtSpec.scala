@@ -393,9 +393,9 @@ class SimilaritySpec extends SparkSpec {
     val df = rows.toDF("vec_id", "embedding", "truec")
     val out = Similarity.kmeansBuckets(df, "vec_id", "embedding",
       k = 10, iters = 3, bucketCol = "kb")
-    val assign = out.select("truec", "kb").collect()
-      .map(r => (r.getInt(0), r.getInt(1)))
-    assert(assign.forall(_._2 != null))
+    val collected = out.select("truec", "kb").collect()
+    assert(collected.forall(!_.isNullAt(1)), "null bucket on non-null input")
+    val assign = collected.map(r => (r.getInt(0), r.getInt(1)))
     assert(assign.map(_._2).distinct.length <= 10)
     // purity: each true cluster lands in exactly one learned bucket and
     // no bucket mixes two true clusters
@@ -424,6 +424,16 @@ class SimilaritySpec extends SparkSpec {
       (2L, null.asInstanceOf[Array[Float]], 0))
       .toDF("vec_id", "embedding", "label")
     assert(Similarity.sq8TopK(allNull, "vec_id", "embedding", "label",
+      k = 3).count() == 0)
+    // kmeansBuckets shares the contract: nothing to learn -> null buckets
+    // (never a throw), and the facade's quantized ANN yields empty
+    val kb = Similarity.kmeansBuckets(empty, "vec_id", "embedding", k = 4)
+    assert(kb.columns.contains("bucket") && kb.count() == 0)
+    val kbNull = Similarity.kmeansBuckets(allNull, "vec_id", "embedding",
+      k = 4)
+    assert(kbNull.filter(org.apache.spark.sql.functions.col("bucket")
+      .isNotNull).count() == 0)
+    assert(graft.api.Graft.annTopK(empty, "vec_id", "embedding",
       k = 3).count() == 0)
   }
 

@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
@@ -134,6 +134,88 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Unit-normalize an `array<double>` in ONE pass: norm computed once per
+  * ROW, then each element divided by it. The Column-level spelling
+  * (`transform(v, x => try_divide(x, sqrt(graft_dot(v, v))))`) re-evaluates
+  * the norm dot product PER ELEMENT — O(d²) per row — and higher-order
+  * functions are interpreted (CodegenFallback), which at 100× corpus scale
+  * made normalization, not pair scoring, the ANN bottleneck.
+  *
+  * Null contract is BIT-IDENTICAL to the Column spelling it replaces:
+  * null array → null; any null ELEMENT → the norm is null, so every output
+  * element is null; zero norm → every output element is null (try_divide's
+  * x/0); NaN/Inf norms flow through IEEE division unchanged. Note the
+  * all-or-nothing shape: element nulls never occur in isolation, so the
+  * fast path can emit a primitive `UnsafeArrayData` and the degenerate
+  * path an all-null array.
+  */
+case class UnitVec(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_unit requires an array<double> input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def prettyName: String = "graft_unit"
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var s = 0.0
+    var i = 0
+    var anyNull = false
+    while (i < n && !anyNull) {
+      if (x.isNullAt(i)) anyNull = true else { val v = x.getDouble(i); s += v * v }
+      i += 1
+    }
+    if (anyNull || s == 0.0) new GenericArrayData(new Array[Any](n))
+    else {
+      val norm = math.sqrt(s)
+      val out = new Array[Double](n)
+      i = 0
+      while (i < n) { out(i) = x.getDouble(i) / norm; i += 1 }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val anyNull = ctx.freshName("anyNull")
+      val norm = ctx.freshName("norm")
+      val out = ctx.freshName("out")
+      val ad = classOf[ArrayData].getName
+      val gad = classOf[GenericArrayData].getName
+      val uad = classOf[UnsafeArrayData].getName
+      s"""
+         |int $n = $a.numElements();
+         |double $s = 0.0;
+         |boolean $anyNull = false;
+         |for (int $i = 0; $i < $n && !$anyNull; $i++) {
+         |  if ($a.isNullAt($i)) { $anyNull = true; }
+         |  else { double v = $a.getDouble($i); $s += v * v; }
+         |}
+         |if ($anyNull || $s == 0.0) {
+         |  ${ev.value} = ($ad) new $gad(new Object[$n]);
+         |} else {
+         |  double $norm = java.lang.Math.sqrt($s);
+         |  double[] $out = new double[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $out[$i] = $a.getDouble($i) / $norm;
+         |  }
+         |  ${ev.value} = ($ad) $uad.fromPrimitiveArray($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API for [[DotProduct]]. */
   def graft_dot(a: Column, b: Column): Column =
@@ -144,4 +226,8 @@ object VectorFunctions {
   def graft_cosine(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column API for [[UnitVec]]. */
+  def graft_unit(v: Column): Column =
+    ColumnBridge.column(UnitVec(ColumnBridge.expression(v)))
 }

@@ -46,6 +46,33 @@ class EdgeCaseSpec extends SparkSpec {
     assert(withZero.filter(col("cosine").isNotNull).count() == 0)
   }
 
+  test("graft_unit: all-or-nothing nulls, exact unit values") {
+    val rows = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, Seq(3.0, 4.0)),
+        org.apache.spark.sql.Row(2L, Seq(0.0, 0.0)),      // zero norm
+        org.apache.spark.sql.Row(3L, Seq(1.0, null)),     // null element
+        org.apache.spark.sql.Row(4L, null)),              // null array
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+    val out = rows.select(col("id"),
+        Similarity.unitVec(col("v")).as("u"))
+      .orderBy(col("id")).collect()
+    // normal vector: exactly x_i / sqrt(Σx²) (same fp ops as the Column
+    // spelling this expression replaced — 3-4-5 triangle is exact binary)
+    assert(out(0).getSeq[Double](1) == Seq(0.6, 0.8))
+    // zero norm and null element: ALL elements null, length preserved
+    // (try_divide-by-zero contract; a null element poisons the norm)
+    assert(out(1).getSeq[java.lang.Double](1) == Seq(null, null))
+    assert(out(2).getSeq[java.lang.Double](1) == Seq(null, null))
+    // null array stays null (not an array of nulls)
+    assert(out(3).isNullAt(1))
+  }
+
   test("empty input through agg + windows yields empty, not error") {
     val empty = Seq.empty[(Long, java.sql.Timestamp, Double)]
       .toDF("user_id", "ts", "value")

@@ -123,6 +123,25 @@ class PhysicalSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("graft_dot"), s"expected graft_dot in:\n$plan")
     assert(plan.contains("*("), s"no codegen spans in:\n$plan")
+    // normalization must be the one-pass graft_unit expression, not the
+    // interpreted higher-order transform() it replaced (O(d²) per row —
+    // the 100× probe's bottleneck, SCALING.md)
+    assert(plan.contains("graft_unit"), s"expected graft_unit in:\n$plan")
+    assert(!plan.contains("transform("),
+      s"interpreted HOF normalize crept back in:\n$plan")
+  }
+
+  test("brute-force baseline broadcasts the probe side, one corpus pass") {
+    val df = SparkEntry.queries("q_ann_bruteforce")(spark, TestSpark.sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // an unhinted cross join plans CartesianProduct, which re-evaluates
+    // the corpus scan + normalize per left partition (measured 45 s at a
+    // 200k corpus vs ~2 s broadcast — SCALING.md, ANN at 100×)
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected the 5-row probe side broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian re-evaluates the corpus side per left partition:\n$plan")
   }
 
   test("sessionization pays ONE shuffle + ONE sort for all its windows") {

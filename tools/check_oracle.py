@@ -21,6 +21,10 @@ for t in ("region nation customer supplier part orders lineitem events "
     # DIRECTORY of part files with events.ts as raw int64 nanos; the
     # fixture is a single file with nanos-typed ts. Same view either way.
     path = f"{sfdir}/{t}.parquet"
+    if not os.path.exists(path):
+        # partial ScaleGen directory (e.g. embeddings-only 100x probe) —
+        # queries that touch the missing table fail loudly at oracle time
+        continue
     src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
     cols = "*"
     if t == "events":

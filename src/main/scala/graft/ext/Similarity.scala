@@ -332,18 +332,17 @@ object Similarity {
                     iters: Int = 2, bucketCol: String = "bucket"): DataFrame = {
     import graft.ext.CacheScope.Cacheable
     require(k > 0 && iters >= 0, "kmeansBuckets requires k > 0 and iters >= 0")
-    def assignOn(vec: Column, centers: Array[Array[Double]]): Column = {
-      val v = vec.cast("array<double>")
-      val dists = centers.map { c =>
-        // driver-side Σc², index order — matches the oracle's
-        // list_inner_product(c, c) summation order exactly
-        val cc = c.foldLeft(0.0)((a, x) => a + x * x)
-        round(dot(v, v) - lit(2.0) * dot(v, typedLit(c.toSeq)) + lit(cc)
-          + lit(1e-9), 6)
-      }
-      val darr = array(dists: _*)
-      (array_position(darr, array_min(darr)) - 1).cast("int")
-    }
+    // ONE codegen'd expression looping over the centers matrix
+    // ([[graft.functions.ArgMinCentroid]]) — bit-equal to the k-wide
+    // `array(round(dot − 2·dot + cc + 1e-9, 6))` → `array_min` →
+    // `array_position` column stack it replaced, which carried k·dim
+    // doubles as k plan literals and fell out of whole-stage codegen
+    // (64KB method limit) past a few hundred centers — breaking the
+    // documented "grow k with the corpus" recall lever. Constant bytecode
+    // at any k; the matrix ships once as a reference object.
+    def assignOn(vec: Column, centers: Array[Array[Double]]): Column =
+      graft.functions.ArgMinFunctions.graft_argmin_centroid(
+        vec.cast("array<double>"), centers)
     val base = df.select(col(idCol).as("__kid"),
         col(vecCol).cast("array<double>").as("__kv"))
       .filter(col("__kv").isNotNull)

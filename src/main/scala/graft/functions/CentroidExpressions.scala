@@ -4,7 +4,7 @@ import org.apache.spark.ml.linalg.SQLDataTypes
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, UserDefinedType}
@@ -273,4 +273,152 @@ object Sq8Functions {
     ColumnBridge.column(Sq8Cosine(
       ColumnBridge.expression(codesA), ColumnBridge.expression(codesB),
       mn.toIndexedSeq, span.toIndexedSeq))
+}
+
+/** Nearest-centroid assignment over an embedded centers matrix: the argmin
+  * of the guard-rounded squared-L2 distance to each center, ties to the
+  * lowest center index — ONE expression looping over centers in generated
+  * code, replacing [[graft.ext.Similarity.kmeansBuckets]]'s k-wide column
+  * stack (`array(round(dot − 2·dot + cc + 1e-9, 6), …k…)` → `array_min` →
+  * `array_position`). That stack broke the quantizer's documented
+  * production lever ("grow k with the corpus") twice: the plan carried
+  * k·dim doubles as k separate `typedLit` literals, and whole-stage
+  * codegen blew the 64KB method limit around a few hundred array entries,
+  * silently falling back to interpreted eval on the hottest expression.
+  * Here the matrix ships once as a reference object and the generated code
+  * is two fixed-size loops — constant bytecode at any k.
+  *
+  * Bit-parity contract with the stack it replaces (and the DuckDB oracle):
+  *  - per center j: `d_j = round6(Σv_i² − 2·Σ(v_i·c_j_i) + cc_j + 1e-9)`
+  *    with every Σ accumulated in increasing index order; `cc_j` is the
+  *    driver-side index-order fold (= the oracle's
+  *    `list_inner_product(c, c)`);
+  *  - `round6` is exactly Spark's `round(_, 6)` on double: NaN/Infinity
+  *    pass through, else `BigDecimal.valueOf(x).setScale(6, HALF_UP)`;
+  *  - argmin uses Spark's double ordering (`-0.0 == 0.0` equal, NaN
+  *    greatest), first-minimum wins — the `array_position` tiebreak;
+  *  - cross terms sum over `min(|v|, dim_j)` elements, mirroring
+  *    [[graft.functions.DotProduct]]'s min-length fold;
+  *  - null iff the vector is null or any element is null (a null element
+  *    nulled every distance in the stack, so `array_min` → `array_position`
+  *    yielded null).
+  */
+case class ArgMinCentroid(child: Expression,
+                          centers: IndexedSeq[IndexedSeq[Double]])
+    extends UnaryExpression {
+
+  // Seq param for content-based equals/hashCode — same canonicalization
+  // rationale as CentroidDist; primitive mirrors for eval/codegen.
+  @transient private lazy val centerArr: Array[Array[Double]] =
+    centers.map(_.toArray).toArray
+  // Σc² per center, index order — matches the oracle's
+  // list_inner_product(c, c) summation order exactly.
+  @transient private lazy val ccArr: Array[Double] =
+    centers.map(_.foldLeft(0.0)((a, x) => a + x * x)).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(DoubleType, _) =>
+      if (centers.isEmpty)
+        TypeCheckResult.TypeCheckFailure(
+          "graft_argmin_centroid requires a non-empty centers matrix")
+      else TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_argmin_centroid requires an array<double> input, got " +
+        other.simpleString)
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_argmin_centroid"
+  // Null beyond child nullability (null array element) — same
+  // codegen-safety rationale as DotProduct.nullable.
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = x.numElements()
+    var vv = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val v = x.getDouble(i); vv += v * v
+      i += 1
+    }
+    var best = -1
+    var bestD = 0.0
+    var j = 0
+    while (j < centerArr.length) {
+      val c = centerArr(j)
+      val m = math.min(n, c.length)
+      var cross = 0.0
+      var t = 0
+      while (t < m) { cross += x.getDouble(t) * c(t); t += 1 }
+      val raw = vv - 2.0 * cross + ccArr(j) + 1e-9
+      val d =
+        if (java.lang.Double.isNaN(raw) || java.lang.Double.isInfinite(raw)) raw
+        else java.math.BigDecimal.valueOf(raw)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      // Spark double ordering: == first (-0.0 equals 0.0), NaN greatest via
+      // Double.compare; strict < keeps the FIRST minimum (array_position)
+      if (best < 0 ||
+          (d != bestD && java.lang.Double.compare(d, bestD) < 0)) {
+        bestD = d; best = j
+      }
+      j += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ctrsRef = ctx.addReferenceObj("centers", centerArr, "double[][]")
+    val ccRef = ctx.addReferenceObj("cc", ccArr, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val vv = ctx.freshName("vv")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val t = ctx.freshName("t"); val m = ctx.freshName("m")
+      val c = ctx.freshName("c"); val cross = ctx.freshName("cross")
+      val raw = ctx.freshName("raw"); val d = ctx.freshName("d")
+      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      s"""
+         |int $n = $a.numElements();
+         |double $vv = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  double v = $a.getDouble($i); $vv += v * v;
+         |}
+         |if (!${ev.isNull}) {
+         |  int $best = -1; double $bestD = 0.0;
+         |  for (int $j = 0; $j < $ctrsRef.length; $j++) {
+         |    double[] $c = $ctrsRef[$j];
+         |    int $m = java.lang.Math.min($n, $c.length);
+         |    double $cross = 0.0;
+         |    for (int $t = 0; $t < $m; $t++) {
+         |      $cross += $a.getDouble($t) * $c[$t];
+         |    }
+         |    double $raw = $vv - 2.0 * $cross + $ccRef[$j] + 1.0E-9;
+         |    double $d;
+         |    if (Double.isNaN($raw) || Double.isInfinite($raw)) { $d = $raw; }
+         |    else {
+         |      $d = java.math.BigDecimal.valueOf($raw)
+         |        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
+         |    }
+         |    if ($best < 0 ||
+         |        ($d != $bestD && java.lang.Double.compare($d, $bestD) < 0)) {
+         |      $bestD = $d; $best = $j;
+         |    }
+         |  }
+         |  ${ev.value} = $best;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ArgMinFunctions {
+  /** Column API for [[ArgMinCentroid]]. */
+  def graft_argmin_centroid(vec: Column,
+                            centers: Array[Array[Double]]): Column =
+    ColumnBridge.column(ArgMinCentroid(ColumnBridge.expression(vec),
+      centers.map(_.toIndexedSeq).toIndexedSeq))
 }

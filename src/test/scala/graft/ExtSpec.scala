@@ -408,6 +408,54 @@ class SimilaritySpec extends SparkSpec {
       .sameElements(again.map(_.toString).sorted))
   }
 
+  test("ArgMinCentroid: bit-equal to the k-wide round/array_min/" +
+      "array_position column stack it replaced") {
+    // the exact formula kmeansBuckets used before r8 (k separate literal-
+    // embedded distance columns) — the new single expression must agree
+    // bit-for-bit, including the 6dp HALF_UP guard-round, the +1e-9, the
+    // min-length cross fold, and first-min tie-break
+    def legacyAssign(vec: org.apache.spark.sql.Column,
+                     centers: Array[Array[Double]]): org.apache.spark.sql.Column = {
+      val v = vec.cast("array<double>")
+      val dists = centers.map { c =>
+        val cc = c.foldLeft(0.0)((a, x) => a + x * x)
+        round(Similarity.dot(v, v) - lit(2.0) *
+          Similarity.dot(v, typedLit(c.toSeq)) + lit(cc) + lit(1e-9), 6)
+      }
+      val darr = array(dists: _*)
+      (array_position(darr, array_min(darr)) - 1).cast("int")
+    }
+    val dim = 16
+    val centers = Array.tabulate(12, dim)((j, d) =>
+      math.sin((d + 1) * (j + 1) * 0.7391)) :+
+      // duplicate of center 0: forces exact distance ties — both paths
+      // must pick the LOWER index
+      Array.tabulate(dim)(d => math.sin((d + 1) * 0.7391))
+    val rows: Seq[(Long, Array[Double])] = (0 until 300).map { i =>
+      (i.toLong, Array.tabulate(dim)(d =>
+        math.sin((d + 1) * (i + 3) * 1.234) * 5.0))
+    }
+    val df = rows.toDF("id", "v")
+    val both = df.select(col("id"),
+        graft.functions.ArgMinFunctions.graft_argmin_centroid(
+          col("v").cast("array<double>"), centers).as("nu"),
+        legacyAssign(col("v"), centers).as("old"))
+      .collect()
+    both.foreach(r => assert(r.getInt(1) == r.getInt(2),
+      s"assignment mismatch at id=${r.getLong(0)}: ${r.getInt(1)} vs ${r.getInt(2)}"))
+    // null contract: null vector and null-element vector both yield null,
+    // like the stack (null dist in every slot -> null argmin)
+    val nulls = Seq(
+      (1L, null.asInstanceOf[Array[java.lang.Double]]),
+      (2L, Array[java.lang.Double](1.0, null, 3.0) ++
+        Array.fill[java.lang.Double](dim - 3)(0.0)))
+      .toDF("id", "v")
+      .select(graft.functions.ArgMinFunctions.graft_argmin_centroid(
+        col("v").cast("array<double>"), centers).as("b"))
+      .collect()
+    assert(nulls.forall(_.isNullAt(0)), "null contract broken")
+  }
+
   test("sq8TopK: empty and all-null corpora return an empty frame with " +
       "the output schema") {
     import org.apache.spark.sql.types._

@@ -80,6 +80,49 @@ object Graft {
       maxBucket = maxBucket)
   }
 
+  /** [[annTopK]] with multi-probe recall: each query probes its `nProbe`
+    * nearest learned cells (centroid-codebook ranking) instead of only its
+    * own, recovering neighbors that straddle a cell boundary. Same output
+    * schema; cost grows linearly in `nProbe`.
+    */
+  def annTopKMultiProbe(vectors: DataFrame, idCol: String, vecCol: String,
+                        k: Int, nProbe: Int = 2, nBuckets: Int = 64,
+                        maxBucket: Int = 4096): DataFrame = {
+    val bucketed = Similarity.kmeansBuckets(vectors, idCol, vecCol,
+      k = nBuckets, iters = 2, bucketCol = "__cell")
+    Similarity.multiProbeNN(bucketed, idCol, vecCol, "__cell", k = k,
+      nProbe = nProbe, maxBucket = maxBucket)
+  }
+
+  /** [[annTopK]] with SQ8 two-stage scoring: int8 codes ride the candidate
+    * join (8× fewer bytes than floats), exact float cosine re-ranks the
+    * per-query `k·overfetch` shortlist. Output cosines are exact; same
+    * schema. The memory-bound shape for corpus-scale retrieval.
+    */
+  def annTopKSq8(vectors: DataFrame, idCol: String, vecCol: String, k: Int,
+                 overfetch: Int = 3, nBuckets: Int = 64,
+                 maxBucket: Int = 4096): DataFrame = {
+    val bucketed = Similarity.kmeansBuckets(vectors, idCol, vecCol,
+      k = nBuckets, iters = 2, bucketCol = "__cell")
+    Similarity.sq8TopK(bucketed, idCol, vecCol, "__cell", k = k,
+      overfetch = overfetch, maxBucket = maxBucket)
+  }
+
+  /** The full production IVF retrieval pipeline: learned quantizer →
+    * multi-probe candidate generation → SQ8 code scoring → exact float
+    * re-rank. The shape a 100 TB deployment runs; combines the recall of
+    * [[annTopKMultiProbe]] with the candidate-join economy of
+    * [[annTopKSq8]]. Same output schema.
+    */
+  def annTopKIvfSq8(vectors: DataFrame, idCol: String, vecCol: String,
+                    k: Int, nProbe: Int = 2, overfetch: Int = 3,
+                    nBuckets: Int = 64, maxBucket: Int = 4096): DataFrame = {
+    val bucketed = Similarity.kmeansBuckets(vectors, idCol, vecCol,
+      k = nBuckets, iters = 2, bucketCol = "__cell")
+    Similarity.ivfSq8TopK(bucketed, idCol, vecCol, "__cell", k = k,
+      nProbe = nProbe, overfetch = overfetch, maxBucket = maxBucket)
+  }
+
   /** Embedding near-dup pairs (SemDeDup candidate stage): cosine ≥
     * `threshold` within learned coarse cells. Output: `id_a, id_b, cosine`.
     */

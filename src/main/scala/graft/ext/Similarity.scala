@@ -302,6 +302,107 @@ object Similarity {
     topKByCosine(scored, k)
   }
 
+  /** The full production IVF retrieval pipeline in one operator: multi-probe
+    * candidate generation (each query probes its `nProbe` nearest coarse
+    * cells by centroid cosine) scored by SQ8 int8 codes, then exact float
+    * re-rank of the per-query shortlist — the end-to-end shape a 100 TB
+    * deployment runs, where [[kmeansBuckets]] supplies the learned
+    * `bucketCol`. Composition of the three standalone stages with the
+    * float-vector discipline intact end to end:
+    *
+    *  - the candidate join moves ONLY (bucket, id, int8 codes) — the floats
+    *    never ride the probe fan-out (8× fewer bytes through the shuffle,
+    *    the reason SQ8 exists);
+    *  - the centroid codebook is |buckets| rows (coarse by construction)
+    *    and broadcasts under the query stream, same as [[multiProbeNN]];
+    *  - per-cell fan-in is bounded by the md5-order [[capPerBucket]] guard;
+    *  - a corpus vector lives in exactly one cell, so (query, neighbor)
+    *    pairs are unique across probes — no dedup stage.
+    *
+    * Output cosines are EXACT (stage C re-rank); approximation affects only
+    * which `k·overfetch` candidates reach the re-rank. Determinism contract
+    * as everywhere in this file: every score guard-rounded to 6dp before
+    * ranking, ties to the lower id/bucket.
+    */
+  def ivfSq8TopK(df: DataFrame, idCol: String, vecCol: String,
+                 bucketCol: String, k: Int, nProbe: Int, overfetch: Int = 3,
+                 maxBucket: Int = Int.MaxValue): DataFrame = {
+    import graft.ext.CacheScope.Cacheable
+    val vd = col(vecCol).cast("array<double>")
+    // sq8 codebook: per-dim global [min, max] → driver (dim rows) →
+    // literals; all-null dims degrade to zero-span (code 0), as in sq8TopK
+    val stats = df.select(posexplode(vd).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect().map { r =>
+        if (r.isNullAt(1) || r.isNullAt(2)) (r.getInt(0), 0.0, 0.0)
+        else (r.getInt(0), r.getDouble(1), r.getDouble(2))
+      }
+      .sortBy(_._1)
+    if (stats.isEmpty)
+      return df.limit(0).select(col(idCol).as("query_id"),
+        col(idCol).as("neighbor_id"), lit(0.0).as("cosine"),
+        lit(0L).as("rank"))
+    val mn = stats.map(_._2)
+    val span = stats.map { case (_, lo, hi) => hi - lo }
+    val mnLit = typedLit(mn.toSeq)
+    val spanLit = typedLit(span.toSeq)
+    def codesOf(v: Column): Column =
+      zip_with(zip_with(v, mnLit, (x, m) => x - m), spanLit,
+        (d, s) => when(s > 0, round(d * lit(255.0) / s)).otherwise(lit(0.0))
+          .cast("int"))
+    // codes cache feeds the query side AND the capped corpus side; unit
+    // vectors cache feeds probe scoring and the stage-C re-rank
+    val coded = df.select(col(bucketCol).as("bkt"), col(idCol).as("uid"),
+      codesOf(vd).as("code")).scopedCache()
+    val unit = df.select(col(idCol).as("uid"), unitVec(col(vecCol)).as("uvec"))
+      .scopedCache()
+    // coarse centroid codebook: per-bucket element-wise mean over the FULL
+    // corpus (capping the means would shift cell geometry — multiProbeNN's
+    // contract), reassembled in dimension order
+    val cents = df
+      .select(col(bucketCol).as("bkt"), posexplode(vd).as(Seq("i", "x")))
+      .groupBy(col("bkt"), col("i")).agg(avg(col("x")).as("c"))
+      .groupBy(col("bkt"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("i"), col("c")))),
+        s => s("c")).as("cvec"))
+    val centUnit = cents.select(col("bkt").as("cb"),
+      unitVec(col("cvec")).as("cunit"))
+    val probes = unit.select(col("uid").as("query_id"), col("uvec").as("q_vec"))
+      .crossJoin(broadcast(centUnit))
+      .withColumn("cent_cosine",
+        round(dot(col("q_vec"), col("cunit")) + lit(1e-9), 6))
+      .withColumn("pr", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cent_cosine").desc, col("cb"))))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("cb").as("bkt"))
+    // stage B: probe fan-out joins CODES only — query codes ride by id,
+    // the capped corpus side by bucket; fused sq8 decode+cosine scores
+    val qcodes = coded.select(col("uid").as("query_id"), col("code").as("qc"))
+    val shortlist = probes
+      .join(qcodes, "query_id")
+      .join(capPerBucket(coded, "bkt", "uid", maxBucket)
+        .select(col("bkt"), col("uid").as("neighbor_id"),
+          col("code").as("cc")), "bkt")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx",
+        round(graft.functions.Sq8Functions.graft_sq8_cosine(
+          col("qc"), col("cc"), mn, span) + lit(1e-9), 6))
+      .withColumn("ar", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("approx").desc, col("neighbor_id"))))
+      .filter(col("ar") <= k * overfetch)
+      .select(col("query_id"), col("neighbor_id"))
+    // stage C: exact re-rank of the shortlist, floats joined by id only
+    val scored = shortlist
+      .join(unit.select(col("uid").as("query_id"), col("uvec").as("q_vec")),
+        "query_id")
+      .join(unit.select(col("uid").as("neighbor_id"), col("uvec").as("c_vec")),
+        "neighbor_id")
+      .withColumn("cosine",
+        round(dot(col("q_vec"), col("c_vec")) + lit(1e-9), 6))
+    topKByCosine(scored, k)
+  }
+
   /** Deterministic distributed Lloyd coarse quantizer: learns `k` centroids
     * over the vector column and returns `df` with an assignment column —
     * closing the loop the bucket operators above leave to the caller (the
@@ -371,24 +472,39 @@ object Similarity {
     df.withColumn(bucketCol, assignOn(col(vecCol), centers))
   }
 
+  /** Deterministic hyperplane component `j` of plane `p` — a pure integer
+    * hash mapped into [-1, 1]: exact in ANY engine (the integer arithmetic
+    * has one answer; /1000.0 and −1.0 are single IEEE ops), unlike the
+    * earlier `sin(j·(p+1)·0.7391)` planes whose libm last-ulp drift between
+    * JVMs and DuckDB sat underneath every sign test. Same portable-hash
+    * discipline as [[graft.ext.Sampling]]'s md5 buckets. 2654435761 is the
+    * Knuth multiplicative-hash constant; 2001 cells over /1000 − 1 spread
+    * the components uniformly in [-1, 1.001).
+    */
+  private[graft] def planeComponent(p: Int, j: Int): Double =
+    ((j.toLong * 2654435761L + (p + 1).toLong * 40503L) % 2001L) / 1000.0 - 1.0
+
   /** Random-hyperplane LSH bucket id for a vector: sign-bit signature over
-    * `nPlanes` fixed pseudo-random hyperplanes. The planes are generated
-    * from a deterministic integer hash (no RNG at plan time), so bucket
-    * assignment is reproducible across runs/partitions. Bucket-join on this
-    * id is the text-free analogue of [[graft.ext.Dedup.minHashLsh]].
+    * `nPlanes` fixed pseudo-random hyperplanes — the text-free analogue of
+    * [[graft.ext.Dedup.minHashLsh]]; bucket-join on this id is the
+    * candidate generator when no trained quantizer exists yet (day-one
+    * ingest, before [[kmeansBuckets]] has a corpus to learn from).
+    *
+    * ONE codegen'd expression ([[graft.functions.SignBits]]): the planes
+    * matrix (`nPlanes·dim` doubles, built here from [[planeComponent]])
+    * ships once as a reference object and the per-row work is two primitive
+    * loops — replacing the interpreted
+    * `aggregate(zip_with(transform(sequence(...))))` HOF stack that
+    * re-generated plane components per element per row. Projections are
+    * guard-rounded to 6dp before the sign test (the house determinism
+    * contract), so the DuckDB oracle reproduces every bit exactly.
     */
   def hyperplaneBucket(vec: Column, dim: Int, nPlanes: Int = 8): Column = {
-    val vd = vec.cast("array<double>")
-    val bits = (0 until nPlanes).map { p =>
-      // plane component j = sin(j * p') — fixed, cheap, well-spread
-      val proj = aggregate(
-        zip_with(vd,
-          transform(sequence(lit(0), lit(dim - 1)),
-            j => sin(j.cast("double") * (p + 1) * 0.7391)),
-          (x, h) => x * h),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+    require(dim > 0 && nPlanes > 0 && nPlanes <= 63,
+      s"hyperplaneBucket requires dim > 0 and 1..63 planes, got " +
+        s"dim=$dim nPlanes=$nPlanes")
+    val planes = Array.tabulate(nPlanes, dim)(planeComponent)
+    graft.functions.SignBitsFunctions.graft_sign_bits(
+      vec.cast("array<double>"), planes)
   }
 }

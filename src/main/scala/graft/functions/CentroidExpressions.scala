@@ -415,6 +415,125 @@ case class ArgMinCentroid(child: Expression,
     copy(child = newChild)
 }
 
+/** Random-hyperplane LSH signature: bit `p` of the result is the sign of
+  * the projection of the input vector onto fixed hyperplane `p` — the
+  * codegen'd replacement for [[graft.ext.Similarity.hyperplaneBucket]]'s
+  * interpreted `aggregate(zip_with(transform(sequence(...))))` HOF stack,
+  * which evaluated per row with boxed lambdas AND re-generated the plane
+  * components per element (r7/r8 verdict item: codegen it or delete it).
+  * The planes matrix is built once on the driver and ships as a reference
+  * object; the generated code is two fixed-size primitive loops — same
+  * shape as [[ArgMinCentroid]].
+  *
+  * Determinism/oracle contract: each projection is accumulated in index
+  * order over `min(|v|, dim_p)` elements and guard-rounded to 6dp
+  * (`round(proj + 1e-9, 6)`, Spark `round` semantics) BEFORE the sign
+  * test, so an engine recomputing the same integer-hash planes (see
+  * `hyperplaneBucket`) reproduces every bit exactly — transcendental-free
+  * planes + the guard absorb any FP summation drift. Null iff the vector
+  * is null or any element is null.
+  */
+case class SignBits(child: Expression,
+                    planes: IndexedSeq[IndexedSeq[Double]])
+    extends UnaryExpression {
+
+  // Seq param for content-based equals/hashCode — same canonicalization
+  // rationale as CentroidDist; primitive mirror for eval/codegen.
+  @transient private lazy val planeArr: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(DoubleType, _) =>
+      if (planes.isEmpty || planes.length > 63)
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_sign_bits requires 1..63 planes, got ${planes.length}")
+      else TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_sign_bits requires an array<double> input, got " +
+        other.simpleString)
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_sign_bits"
+  // Null beyond child nullability (null array element) — same
+  // codegen-safety rationale as DotProduct.nullable.
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = x.numElements()
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      i += 1
+    }
+    var sig = 0L
+    var p = 0
+    while (p < planeArr.length) {
+      val w = planeArr(p)
+      val m = math.min(n, w.length)
+      var s = 0.0
+      var j = 0
+      while (j < m) { s += x.getDouble(j) * w(j); j += 1 }
+      val raw = s + 1e-9
+      val pr =
+        if (java.lang.Double.isNaN(raw) || java.lang.Double.isInfinite(raw)) raw
+        else java.math.BigDecimal.valueOf(raw)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      if (pr > 0) sig |= 1L << p
+      p += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val plRef = ctx.addReferenceObj("planes", planeArr, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val p = ctx.freshName("p"); val j = ctx.freshName("j")
+      val m = ctx.freshName("m"); val w = ctx.freshName("w")
+      val s = ctx.freshName("s"); val raw = ctx.freshName("raw")
+      val pr = ctx.freshName("pr"); val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $a.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |}
+         |if (!${ev.isNull}) {
+         |  long $sig = 0L;
+         |  for (int $p = 0; $p < $plRef.length; $p++) {
+         |    double[] $w = $plRef[$p];
+         |    int $m = java.lang.Math.min($n, $w.length);
+         |    double $s = 0.0;
+         |    for (int $j = 0; $j < $m; $j++) {
+         |      $s += $a.getDouble($j) * $w[$j];
+         |    }
+         |    double $raw = $s + 1.0E-9;
+         |    double $pr;
+         |    if (Double.isNaN($raw) || Double.isInfinite($raw)) { $pr = $raw; }
+         |    else {
+         |      $pr = java.math.BigDecimal.valueOf($raw)
+         |        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
+         |    }
+         |    if ($pr > 0) { $sig |= 1L << $p; }
+         |  }
+         |  ${ev.value} = $sig;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SignBitsFunctions {
+  /** Column API for [[SignBits]]. */
+  def graft_sign_bits(vec: Column,
+                      planes: Array[Array[Double]]): Column =
+    ColumnBridge.column(SignBits(ColumnBridge.expression(vec),
+      planes.map(_.toIndexedSeq).toIndexedSeq))
+}
+
 object ArgMinFunctions {
   /** Column API for [[ArgMinCentroid]]. */
   def graft_argmin_centroid(vec: Column,

@@ -59,25 +59,45 @@ object Tables {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark has no native type
-    * for — read it as raw nanos (legacy conf) and integer-divide down to a
-    * micros TIMESTAMP_NTZ (naive, matching DuckDB's read of the same file).
-    * `div` not `/`: nanos exceed 2^53, double division would lose micros.
+  /** Schema-adaptive read of `events` — `ts` has shipped as BOTH parquet
+    * TIMESTAMP(NANOS) (older fixtures) and TIMESTAMP(MICROS, tz=naive)
+    * (current fixtures), so we dispatch on what the file ACTUALLY contains
+    * instead of hard-coding either era:
     *
-    * SESSION-WIDE SIDE EFFECT (deliberate): `nanosAsLong` stays set for the
-    * rest of the session, so later parquet reads of nanos-typed files also
-    * get longs. Save-and-restore around this call would be WRONG: the
-    * DataFrame is lazy and the scan consults the conf again at action time
-    * — a restored conf makes the returned frame throw
-    * PARQUET_TYPE_ILLEGAL when first executed. Callers needing pristine
-    * semantics for other nanos files should use a separate session
-    * (`spark.newSession()` isolates SQL conf).
+    *  - NANOS: Spark has no native type for it — read as raw longs (legacy
+    *    conf) and integer-divide down to a micros TIMESTAMP_NTZ. `div` not
+    *    `/`: nanos exceed 2^53, double division would lose micros.
+    *  - MICROS (naive): Spark reads TIMESTAMP_NTZ natively — pass through.
+    *  - MICROS (instant, tz=UTC): reads as TIMESTAMP — cast to NTZ (the
+    *    session runs in UTC, so the cast is a re-label, matching DuckDB's
+    *    naive read of the same file).
+    *
+    * SESSION-WIDE SIDE EFFECT (deliberate): `nanosAsLong` must be set
+    * BEFORE schema resolution — a NANOS file throws PARQUET_TYPE_ILLEGAL at
+    * read time otherwise, so the dispatch could never see LongType. The
+    * conf is a no-op for non-nanos columns and stays set for the session;
+    * save-and-restore would be WRONG because the scan re-consults the conf
+    * lazily at action time. Callers needing pristine semantics for other
+    * nanos files should use a separate session (`spark.newSession()`).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events").withColumn("ts",
-      org.apache.spark.sql.functions.expr(
-        "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts",
+          expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      case TimestampNTZType => raw
+      case TimestampType =>
+        raw.withColumn("ts", col("ts").cast(TimestampNTZType))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts read back as unsupported type $other — expected " +
+            "parquet TIMESTAMP(NANOS) (as BIGINT via nanosAsLong), " +
+            "TIMESTAMP_NTZ, or TIMESTAMP")
+    }
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame   = t(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = t(spark, dir, "orders")

@@ -63,6 +63,76 @@ object NorthStarQueries {
        |)""".stripMargin
   }
 
+  /** Shared DuckDB CTE chain ending in `af(vec_id, b)` — the deterministic
+    * Lloyd mirror of [[Similarity.kmeansBuckets]] at the fixture pins
+    * (k=8, iters=2): init = 8 smallest-id vectors, two unrolled
+    * assign/recenter iterations (empty cells coalesce to the previous
+    * center), distances guard-rounded to 6dp, lowest-index tiebreak.
+    * Reused by the `q_ann_kmeans` and `q_ann_ivf_sq8` oracles.
+    */
+  private def lloydAfCte: String =
+    """e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |  WHERE embedding IS NOT NULL
+      |), init AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j,
+      |    v AS c
+      |  FROM e ORDER BY vec_id LIMIT 8
+      |), d1 AS (
+      |  SELECT e.vec_id, i.j,
+      |    round(list_inner_product(e.v, e.v)
+      |      - 2 * list_inner_product(e.v, i.c)
+      |      + list_inner_product(i.c, i.c) + 1e-9, 6) AS dist
+      |  FROM e CROSS JOIN init i
+      |), a1 AS (
+      |  SELECT vec_id, j AS b FROM (
+      |    SELECT vec_id, j,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+      |    FROM d1 WHERE dist IS NOT NULL) WHERE rn = 1
+      |), m1 AS (
+      |  SELECT a1.b AS j, t.i AS i, avg(e.v[t.i]) AS c
+      |  FROM e JOIN a1 USING (vec_id),
+      |    unnest(range(1, len(e.v) + 1)) AS t(i)
+      |  GROUP BY a1.b, t.i
+      |), c1l AS (
+      |  SELECT j, list(c ORDER BY i) AS c FROM m1 GROUP BY j
+      |), c1 AS (
+      |  SELECT i.j, coalesce(l.c, i.c) AS c
+      |  FROM init i LEFT JOIN c1l l USING (j)
+      |), d2 AS (
+      |  SELECT e.vec_id, k.j,
+      |    round(list_inner_product(e.v, e.v)
+      |      - 2 * list_inner_product(e.v, k.c)
+      |      + list_inner_product(k.c, k.c) + 1e-9, 6) AS dist
+      |  FROM e CROSS JOIN c1 k
+      |), a2 AS (
+      |  SELECT vec_id, j AS b FROM (
+      |    SELECT vec_id, j,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+      |    FROM d2 WHERE dist IS NOT NULL) WHERE rn = 1
+      |), m2 AS (
+      |  SELECT a2.b AS j, t.i AS i, avg(e.v[t.i]) AS c
+      |  FROM e JOIN a2 USING (vec_id),
+      |    unnest(range(1, len(e.v) + 1)) AS t(i)
+      |  GROUP BY a2.b, t.i
+      |), c2l AS (
+      |  SELECT j, list(c ORDER BY i) AS c FROM m2 GROUP BY j
+      |), c2 AS (
+      |  SELECT k.j, coalesce(l.c, k.c) AS c
+      |  FROM c1 k LEFT JOIN c2l l USING (j)
+      |), df AS (
+      |  SELECT e.vec_id, k.j,
+      |    round(list_inner_product(e.v, e.v)
+      |      - 2 * list_inner_product(e.v, k.c)
+      |      + list_inner_product(k.c, k.c) + 1e-9, 6) AS dist
+      |  FROM e CROSS JOIN c2 k
+      |), af AS (
+      |  SELECT vec_id, j AS b FROM (
+      |    SELECT vec_id, j,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+      |    FROM df WHERE dist IS NOT NULL) WHERE rn = 1
+      |)""".stripMargin
+
   private def simhashCte: String = {
     val votes = (0 until 32).map(i =>
       s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i")
@@ -185,6 +255,34 @@ object NorthStarQueries {
       Similarity.bucketedNN(bucketed, "vec_id", "embedding", "kb",
           k = 1, maxBucket = 40)
         .orderBy(col("query_id"))
+    }),
+
+    // Quantizer-free ANN: random-hyperplane LSH signature (4 portable
+    // integer-hash planes → 16 cells, codegen'd SignBits) assigns the
+    // coarse bucket — the day-one candidate generator before a quantizer
+    // is trained — then the same guarded bucket join ranks within-cell
+    // neighbors. Every sign bit mirrored exactly in the oracle
+    // (transcendental-free planes + 6dp guard).
+    "q_ann_hyperplane" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).withColumn("hb",
+        Similarity.hyperplaneBucket(col("embedding"), dim = 64, nPlanes = 4))
+      Similarity.bucketedNN(emb, "vec_id", "embedding", "hb",
+          k = 1, maxBucket = 40)
+        .orderBy(col("query_id"))
+    }),
+
+    // The full production IVF pipeline end-to-end (VERDICT r7 item 2 /
+    // r8 item 4): learned Lloyd quantizer assigns coarse cells → each
+    // query multi-probes its 2 nearest cell centroids → SQ8 int8 codes
+    // score the probed candidates (floats never ride the fan-out) →
+    // exact float re-rank of the per-query top-15 shortlist to top-5.
+    // Every stage deterministic and mirrored in the DuckDB oracle.
+    "q_ann_ivf_sq8" -> ((s, dir) => {
+      val bucketed = Similarity.kmeansBuckets(Tables.embeddings(s, dir),
+        "vec_id", "embedding", k = 8, iters = 2, bucketCol = "kb")
+      Similarity.ivfSq8TopK(bucketed, "vec_id", "embedding", "kb",
+          k = 5, nProbe = 2, overfetch = 3, maxBucket = 40)
+        .orderBy(col("query_id"), col("rank"))
     }),
 
     // Multimodal: binary payload + typed-metadata batch decode (stubbed
@@ -910,67 +1008,7 @@ object NorthStarQueries {
     // previous center), distances guard-rounded to 6dp with lowest-index
     // tiebreak — then the capped bucket join, all per the Spark side.
     "q_ann_kmeans" ->
-      """WITH e AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-        |  WHERE embedding IS NOT NULL
-        |), init AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j,
-        |    v AS c
-        |  FROM e ORDER BY vec_id LIMIT 8
-        |), d1 AS (
-        |  SELECT e.vec_id, i.j,
-        |    round(list_inner_product(e.v, e.v)
-        |      - 2 * list_inner_product(e.v, i.c)
-        |      + list_inner_product(i.c, i.c) + 1e-9, 6) AS dist
-        |  FROM e CROSS JOIN init i
-        |), a1 AS (
-        |  SELECT vec_id, j AS b FROM (
-        |    SELECT vec_id, j,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
-        |    FROM d1 WHERE dist IS NOT NULL) WHERE rn = 1
-        |), m1 AS (
-        |  SELECT a1.b AS j, t.i AS i, avg(e.v[t.i]) AS c
-        |  FROM e JOIN a1 USING (vec_id),
-        |    unnest(range(1, len(e.v) + 1)) AS t(i)
-        |  GROUP BY a1.b, t.i
-        |), c1l AS (
-        |  SELECT j, list(c ORDER BY i) AS c FROM m1 GROUP BY j
-        |), c1 AS (
-        |  SELECT i.j, coalesce(l.c, i.c) AS c
-        |  FROM init i LEFT JOIN c1l l USING (j)
-        |), d2 AS (
-        |  SELECT e.vec_id, k.j,
-        |    round(list_inner_product(e.v, e.v)
-        |      - 2 * list_inner_product(e.v, k.c)
-        |      + list_inner_product(k.c, k.c) + 1e-9, 6) AS dist
-        |  FROM e CROSS JOIN c1 k
-        |), a2 AS (
-        |  SELECT vec_id, j AS b FROM (
-        |    SELECT vec_id, j,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
-        |    FROM d2 WHERE dist IS NOT NULL) WHERE rn = 1
-        |), m2 AS (
-        |  SELECT a2.b AS j, t.i AS i, avg(e.v[t.i]) AS c
-        |  FROM e JOIN a2 USING (vec_id),
-        |    unnest(range(1, len(e.v) + 1)) AS t(i)
-        |  GROUP BY a2.b, t.i
-        |), c2l AS (
-        |  SELECT j, list(c ORDER BY i) AS c FROM m2 GROUP BY j
-        |), c2 AS (
-        |  SELECT k.j, coalesce(l.c, k.c) AS c
-        |  FROM c1 k LEFT JOIN c2l l USING (j)
-        |), df AS (
-        |  SELECT e.vec_id, k.j,
-        |    round(list_inner_product(e.v, e.v)
-        |      - 2 * list_inner_product(e.v, k.c)
-        |      + list_inner_product(k.c, k.c) + 1e-9, 6) AS dist
-        |  FROM e CROSS JOIN c2 k
-        |), af AS (
-        |  SELECT vec_id, j AS b FROM (
-        |    SELECT vec_id, j,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
-        |    FROM df WHERE dist IS NOT NULL) WHERE rn = 1
-        |), uv AS (
+      s"""WITH $lloydAfCte, uv AS (
         |  SELECT vec_id,
         |    list_transform(v,
         |      x -> x / NULLIF(sqrt(list_inner_product(v, v)), 0)) AS q
@@ -994,6 +1032,137 @@ object NorthStarQueries {
         |  FROM scored
         |)
         |SELECT * FROM ranked WHERE rank <= 1 ORDER BY query_id""".stripMargin,
+
+    // Hyperplane signature mirror: the SAME integer-hash plane formula as
+    // Similarity.planeComponent (exact in both engines — no
+    // transcendentals), projections guard-rounded to 6dp before the sign
+    // test, then the capped bucket join per q_ann_ivf.
+    "q_ann_hyperplane" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), pl AS (
+        |  SELECT p.p AS p,
+        |    list(((j.j * 2654435761 + (p.p + 1) * 40503) % 2001) / 1000.0
+        |      - 1.0 ORDER BY j.j) AS w
+        |  FROM range(0, 4) p(p), range(0, 64) j(j)
+        |  GROUP BY p.p
+        |), proj AS (
+        |  SELECT e.vec_id, pl.p,
+        |    round(list_inner_product(e.v, pl.w) + 1e-9, 6) AS pr
+        |  FROM e CROSS JOIN pl
+        |), sig AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN pr > 0 THEN (1 << p) ELSE 0 END) AS BIGINT)
+        |      AS hb
+        |  FROM proj GROUP BY vec_id
+        |), mem AS (
+        |  SELECT vec_id,
+        |    row_number() OVER (PARTITION BY hb
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        |  FROM sig
+        |), scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_inner_product(qv.v, cv.v) /
+        |      (NULLIF(sqrt(list_inner_product(qv.v, qv.v)), 0) *
+        |       NULLIF(sqrt(list_inner_product(cv.v, cv.v)), 0)) + 1e-9, 6)
+        |      AS cosine
+        |  FROM sig q JOIN sig c ON q.hb = c.hb AND q.vec_id <> c.vec_id
+        |  JOIN mem m ON m.vec_id = c.vec_id AND m.rn <= 40
+        |  JOIN e qv ON qv.vec_id = q.vec_id
+        |  JOIN e cv ON cv.vec_id = c.vec_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM scored
+        |)
+        |SELECT * FROM ranked WHERE rank <= 1 ORDER BY query_id""".stripMargin,
+
+    // Composed production pipeline mirror: Lloyd cells (shared chain) →
+    // per-cell mean centroid codebook → 2-probe ranking → SQ8 codes score
+    // the probed candidates through the reconstructed vectors → exact
+    // re-rank of the top-15 shortlist, all per the Spark side.
+    "q_ann_ivf_sq8" ->
+      s"""WITH $lloydAfCte, cb AS (
+         |  SELECT af.b, t.i AS i, avg(e.v[t.i]) AS c
+         |  FROM e JOIN af USING (vec_id),
+         |    unnest(range(1, len(e.v) + 1)) AS t(i)
+         |  GROUP BY af.b, t.i
+         |), cbl AS (
+         |  SELECT b, list(c ORDER BY i) AS cv FROM cb GROUP BY b
+         |), cbu AS (
+         |  SELECT b,
+         |    list_transform(cv,
+         |      x -> x / NULLIF(sqrt(list_inner_product(cv, cv)), 0)) AS cu
+         |  FROM cbl
+         |), uv AS (
+         |  SELECT vec_id,
+         |    list_transform(v,
+         |      x -> x / NULLIF(sqrt(list_inner_product(v, v)), 0)) AS q
+         |  FROM e
+         |), probes AS (
+         |  SELECT vec_id AS query_id, b FROM (
+         |    SELECT u.vec_id, c.b,
+         |      row_number() OVER (PARTITION BY u.vec_id
+         |        ORDER BY round(list_inner_product(u.q, c.cu) + 1e-9, 6)
+         |          DESC, c.b) AS pr
+         |    FROM uv u CROSS JOIN cbu c) WHERE pr <= 2
+         |), dims AS (
+         |  SELECT t.i AS i, min(v[t.i]) AS mn, max(v[t.i]) AS mx
+         |  FROM e, unnest(range(1, len(v) + 1)) AS t(i)
+         |  GROUP BY t.i
+         |), dl AS (
+         |  SELECT list(coalesce(mn, 0) ORDER BY i) AS mnl,
+         |    list(coalesce(mx - mn, 0) ORDER BY i) AS spanl
+         |  FROM dims
+         |), coded AS (
+         |  SELECT vec_id,
+         |    list_transform(range(1, len(v) + 1),
+         |      i -> CASE WHEN spanl[i] > 0
+         |        THEN CAST(round((v[i] - mnl[i]) * 255 / spanl[i]) AS INT)
+         |        ELSE 0 END) AS code
+         |  FROM e CROSS JOIN dl
+         |), recon AS (
+         |  SELECT vec_id,
+         |    list_transform(range(1, len(code) + 1),
+         |      i -> (CAST(code[i] AS DOUBLE) * spanl[i] / 255) + mnl[i]) AS r
+         |  FROM coded CROSS JOIN dl
+         |), mem AS (
+         |  SELECT vec_id,
+         |    row_number() OVER (PARTITION BY b
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |  FROM af
+         |), approx AS (
+         |  SELECT p.query_id, c.vec_id AS neighbor_id,
+         |    round(list_inner_product(ra.r, rb.r) /
+         |      (NULLIF(sqrt(list_inner_product(ra.r, ra.r)), 0) *
+         |       NULLIF(sqrt(list_inner_product(rb.r, rb.r)), 0)) + 1e-9, 6)
+         |      AS approx
+         |  FROM probes p
+         |  JOIN af c ON c.b = p.b AND c.vec_id <> p.query_id
+         |  JOIN mem m ON m.vec_id = c.vec_id AND m.rn <= 40
+         |  JOIN recon ra ON ra.vec_id = p.query_id
+         |  JOIN recon rb ON rb.vec_id = c.vec_id
+         |), short AS (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY approx DESC, neighbor_id) AS ar
+         |  FROM approx
+         |), cand AS (
+         |  SELECT s.query_id, s.neighbor_id,
+         |    round(list_inner_product(qa.q, qb.q) + 1e-9, 6) AS cosine
+         |  FROM short s
+         |  JOIN uv qa ON qa.vec_id = s.query_id
+         |  JOIN uv qb ON qb.vec_id = s.neighbor_id
+         |  WHERE s.ar <= 15
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM cand
+         |)
+         |SELECT * FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
 
     "q_embedding_neardup" ->
       """WITH e AS (

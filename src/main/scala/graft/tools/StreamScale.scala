@@ -45,10 +45,20 @@ object StreamScale {
     val ckptBase = Files.createTempDirectory("streamscale").toString
     println(s"[streamscale] $totalRows events from $path")
 
-    def stream: DataFrame = spark.readStream.schema(rawSchema)
-      .option("maxFilesPerTrigger", "2").parquet(path)
-      .withColumn("ts",
-        expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    // schema-adaptive ts (same dispatch as Tables.events): nanos-era files
+    // read as BIGINT under the legacy conf and need the div-1000 shim;
+    // current micros fixtures read natively as TIMESTAMP_NTZ
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    def stream: DataFrame = {
+      val raw = spark.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", "2").parquet(path)
+      rawSchema("ts").dataType match {
+        case LongType => raw.withColumn("ts",
+          expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+        case TimestampNTZType => raw
+        case _ => raw.withColumn("ts", col("ts").cast(TimestampNTZType))
+      }
+    }
 
     def run(name: String, mode: String)(build: DataFrame => DataFrame): Unit = {
       val q = build(stream).writeStream.format("noop").outputMode(mode)

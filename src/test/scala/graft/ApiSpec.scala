@@ -39,6 +39,33 @@ class ApiSpec extends SparkSpec {
     assert(pairs.filter(col("id_a") >= col("id_b")).count() == 0)
   }
 
+  test("quickstart: every ANN facade path shares the output contract") {
+    // same schema, per-query k bound, rank 1..n contiguous — for the
+    // multi-probe, sq8, and full ivf+sq8 paths the facade now exposes
+    // (r7/r8 item: annTopK alone hard-coded bucketedNN)
+    val paths: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "multiprobe" -> Graft.annTopKMultiProbe(vectors, "vec_id", "embedding",
+        k = 5, nProbe = 2, nBuckets = 8),
+      "sq8" -> Graft.annTopKSq8(vectors, "vec_id", "embedding",
+        k = 5, nBuckets = 8),
+      "ivf_sq8" -> Graft.annTopKIvfSq8(vectors, "vec_id", "embedding",
+        k = 5, nProbe = 2, nBuckets = 8))
+    for ((name, nn) <- paths) {
+      assert(nn.columns.toSeq ==
+        Seq("query_id", "neighbor_id", "cosine", "rank"), s"$name schema")
+      val byQuery = nn.groupBy("query_id")
+        .agg(count(lit(1)).as("n"), max(col("rank")).as("mx")).collect()
+      assert(byQuery.nonEmpty, s"$name returned no rows")
+      byQuery.foreach { r =>
+        assert(r.getLong(1) <= 5 && r.getLong(2) == r.getLong(1),
+          s"$name rank contract broken for ${r.get(0)}: $r")
+      }
+      // multi-probe paths must not duplicate a (query, neighbor) pair
+      assert(nn.groupBy("query_id", "neighbor_id").count()
+        .filter(col("count") > 1).count() == 0, s"$name duplicated pairs")
+    }
+  }
+
   test("quickstart: quality, language ID, split, chunking") {
     val scored = Graft.quality(docs, "text")
     assert(scored.columns.contains("quality"))

@@ -473,6 +473,38 @@ class PhysicalSpec extends SparkSpec {
     }
   }
 
+  test("kmeans assignment codegens as ONE ArgMinCentroid at k=256 — " +
+    "no 64KB fallback") {
+    // k=256 is the cliff point of the k-wide column stack this expression
+    // replaced: k typedLit center literals + k round(...) distance columns
+    // blew whole-stage codegen's 64KB method limit and silently fell back
+    // to interpreted eval. The single-expression form must stay inside a
+    // codegen span at that k — constant bytecode, centers as ONE reference
+    // object.
+    val emb = graft.io.Tables.embeddings(spark, TestSpark.sf0001)
+    val df = graft.ext.Similarity.kmeansBuckets(
+      emb, "vec_id", "embedding", k = 256, iters = 1)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val assignLines = plan.linesIterator
+      .filter(_.contains("graft_argmin_centroid")).toSeq
+    assert(assignLines.nonEmpty,
+      s"expected graft_argmin_centroid in:\n$plan")
+    // whole-stage-codegen'd operators print with a "*(n)" prefix; an
+    // interpreted fallback (the old cliff) loses it on exactly this line
+    assert(assignLines.forall(_.trim.matches("""^[+:\-\s]*\*\(\d+\).*""")),
+      s"assignment fell out of whole-stage codegen:\n$plan")
+    // and exactly ONE assignment expression — not a k-wide stack
+    assert(!plan.contains("array_min"),
+      s"k-wide distance stack crept back in:\n$plan")
+    // every row assigned to a real center
+    val buckets = df.agg(min(col("bucket")), max(col("bucket")),
+      count(when(col("bucket").isNull, 1))).head
+    assert(buckets.getInt(0) >= 0 && buckets.getInt(1) < 256 &&
+      buckets.getLong(2) == 0, s"bad assignment range: $buckets")
+  }
+
   test("sq8 candidate join moves int8 codes, not float vectors") {
     import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
     val df = SparkEntry.queries("q_ann_sq8")(spark, TestSpark.sf0001)

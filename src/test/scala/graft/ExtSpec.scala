@@ -247,6 +247,44 @@ class SimilaritySpec extends SparkSpec {
       s"nProbe=2 recall $fix2 not above single-probe $fix1 on the fixture")
   }
 
+  test("composed IVF+SQ8 pipeline: recall vs brute force on clustered " +
+      "data, exact final cosines") {
+    // the full production composition (learned Lloyd cells → multi-probe →
+    // SQ8 shortlist → exact re-rank) must recall near-everything when the
+    // corpus IS clustered — same deterministic 10-cluster data as the
+    // multi-probe test, quantizer learning the cells instead of trusting
+    // the label column
+    val dim = 16
+    val rows = for {
+      c <- 0 until 10
+      j <- 0 until 20
+    } yield {
+      val base = Array.tabulate(dim)(d =>
+        math.sin((d + 1) * (c + 1) * 0.7391))
+      val noise = Array.tabulate(dim)(d =>
+        0.05 * math.sin((d + 1) * (c * 20 + j + 7) * 1.234))
+      val v = base.zip(noise).map { case (b, n) => (b + n).toFloat }
+      (c * 20L + j, v, c)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val exact = Similarity.bruteForceTopK(df, df, "vec_id", "embedding", k = 5)
+    val bucketed = Similarity.kmeansBuckets(df, "vec_id", "embedding",
+      k = 10, iters = 2, bucketCol = "qb")
+    val composed = Similarity.ivfSq8TopK(bucketed, "vec_id", "embedding",
+      "qb", k = 5, nProbe = 2, overfetch = 3)
+    val r = recallAt5(composed, exact)
+    assert(r >= 0.9, s"composed IVF+SQ8 recall $r < 0.9 on clustered data")
+    // final cosines are stage-C exact: every pair shared with brute force
+    // carries the identical score
+    val g = composed.select("query_id", "neighbor_id", "cosine").collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    val e = exact.select("query_id", "neighbor_id", "cosine").collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    val common = g.keySet.intersect(e.keySet)
+    assert(common.nonEmpty && common.forall(p => g(p) == e(p)),
+      "composed pipeline cosine not exact")
+  }
+
   test("SQ8 rerank: exact final cosines, near-total top-k agreement, " +
       "bounded quantization error") {
     val emb = graft.io.Tables.embeddings(spark, TestSpark.sf0001)

@@ -52,6 +52,35 @@ class FixturesSpec extends SparkSpec {
     assert(df.limit(1).count() == 1, "events: empty or unreadable")
   }
 
+  test("events: nanos-era files still read through the legacy shim branch") {
+    // current fixtures are all TIMESTAMP(MICROS), so the LongType branch of
+    // Tables.events (raw int64 nanos under nanosAsLong -> div 1000 ->
+    // TIMESTAMP_NTZ) would otherwise be dead code until the next nanos file
+    // appears. A BIGINT ts column presents to the reader exactly like a
+    // nanos-typed column under the legacy conf, so this pins the shim's
+    // arithmetic end-to-end.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-nanos").toString
+    val microsOfNoon = 1704110400000000L // 2024-01-01 12:00:00 UTC
+    spark.range(3).select(
+        col("id").as("event_id"),
+        (lit(microsOfNoon * 1000L) + col("id") * 1000000000L).as("ts"),
+        col("id").as("user_id"),
+        lit("purchase").as("event_type"),
+        lit(1.5).as("value"),
+        lit(null).cast("string").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val df = graft.io.Tables.events(spark, dir)
+    assert(df.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType,
+      s"shim branch did not produce TIMESTAMP_NTZ: ${df.schema("ts")}")
+    val got = df.orderBy("event_id")
+      .select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")).collect()
+      .map(_.getString(0)).toSeq
+    assert(got == Seq("2024-01-01 12:00:00", "2024-01-01 12:00:01",
+      "2024-01-01 12:00:02"), s"nanos shim arithmetic drifted: $got")
+  }
+
   test("documents: doc_id/text/source/lang as expected") {
     val df = graft.io.Tables.documents(spark, dir)
     assertCols("documents", df.schema,

@@ -256,15 +256,14 @@ object Similarity {
         lit(0L).as("rank"))
     val mn = stats.map(_._2)
     val mx = stats.map(_._3)
-    val mnLit = typedLit(mn.toSeq)
-    val spanLit = typedLit(mx.zip(mn).map { case (h, l) => h - l }.toSeq)
-    // codes: int in [0,255]; zero-span dims code to 0
-    def codesOf(v: Column): Column =
-      zip_with(zip_with(v, mnLit, (x, m) => x - m), spanLit,
-        (d, s) => when(s > 0, round(d * lit(255.0) / s)).otherwise(lit(0.0))
-          .cast("int"))
+    val span = mx.zip(mn).map { case (h, l) => h - l }
+    // codes: int in [0,255]; zero-span dims code to 0. ONE codegen'd
+    // expression (graft_sq8_encode, bit-equal to the nested zip_with
+    // stack it replaced) — encode runs over EVERY corpus vector, the
+    // same interpreted-HOF-on-the-scan trap unitVec hit at 100×.
     val coded = df.select(col(bucketCol).as("bkt"), col(idCol).as("uid"),
-      codesOf(vd).as("code")).scopedCache()
+      graft.functions.Sq8Functions.graft_sq8_encode(vd, mn, span)
+        .as("code")).scopedCache()
     val unit = df.select(col(idCol).as("uid"), unitVec(col(vecCol)).as("uvec"))
       .scopedCache()
     // Stage B: bucket equi-join on codes, approx score from reconstruction
@@ -281,7 +280,6 @@ object Similarity {
     // (all-zero vector in a min=0 corpus) yields null — sorts last, never
     // ranks — instead of an ANSI divide-by-zero killing the query (same
     // contract as unitVec's try_divide).
-    val span = mx.zip(mn).map { case (h, l) => h - l }
     val shortlist = a.join(b, "bkt")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("approx",
@@ -344,16 +342,13 @@ object Similarity {
         lit(0L).as("rank"))
     val mn = stats.map(_._2)
     val span = stats.map { case (_, lo, hi) => hi - lo }
-    val mnLit = typedLit(mn.toSeq)
-    val spanLit = typedLit(span.toSeq)
-    def codesOf(v: Column): Column =
-      zip_with(zip_with(v, mnLit, (x, m) => x - m), spanLit,
-        (d, s) => when(s > 0, round(d * lit(255.0) / s)).otherwise(lit(0.0))
-          .cast("int"))
     // codes cache feeds the query side AND the capped corpus side; unit
-    // vectors cache feeds probe scoring and the stage-C re-rank
+    // vectors cache feeds probe scoring and the stage-C re-rank. Encode is
+    // the codegen'd graft_sq8_encode (see sq8TopK) — one primitive loop
+    // per corpus vector, no interpreted zip_with on the scan.
     val coded = df.select(col(bucketCol).as("bkt"), col(idCol).as("uid"),
-      codesOf(vd).as("code")).scopedCache()
+      graft.functions.Sq8Functions.graft_sq8_encode(vd, mn, span)
+        .as("code")).scopedCache()
     val unit = df.select(col(idCol).as("uid"), unitVec(col(vecCol)).as("uvec"))
       .scopedCache()
     // coarse centroid codebook: per-bucket element-wise mean over the FULL

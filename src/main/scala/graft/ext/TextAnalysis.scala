@@ -56,14 +56,19 @@ object TextAnalysis {
     * Counting choices are cost-driven (identical values, cheaper eval):
     * n_punct as a translate length-diff (two char scans, no regex engine);
     * n_bpe_tokens via `regexp_count` (same non-overlapping match count as
-    * sizing [[bpeTokens]]'s output, minus the per-row array allocation).
+    * sizing [[bpeTokens]]'s output, minus the per-row array allocation);
+    * token_chars as the length of the whitespace-stripped text — equal by
+    * construction to the sum of token lengths (the tokens ARE the
+    * non-whitespace runs), in one codegen'd regex pass instead of the
+    * interpreted `aggregate(transform(...))` fold it replaces (higher-order
+    * functions evaluate per element with boxed lambdas — the same hot-path
+    * trap unitVec and hyperplaneBucket hit at scale).
     */
   def withTokenStats(df: DataFrame, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))
     df.withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("token_chars",
-        aggregate(transform(toks, t => length(t).cast("long")),
-          lit(0L), (acc, x) => acc + x))
+        length(regexp_replace(trim(col(textCol)), "\\s+", "")).cast("long"))
       .withColumn("n_punct",
         (length(col(textCol)) -
           length(translate(col(textCol), PunctChars, ""))).cast("long"))

@@ -266,12 +266,141 @@ case class Sq8Cosine(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused SQ8 encode: `array<double>` vector → `array<int>` quantization
+  * codes through the embedded affine codebook, one primitive loop in
+  * whole-stage codegen — replacing the interpreted nested `zip_with`
+  * (`codesOf`) that was the last higher-order function on a corpus-wide
+  * pass in the ANN family (boxed lambda per element per row; encode runs
+  * over EVERY corpus vector, so at 100 TB it is a scan-dominating cost).
+  *
+  * Bit-parity contract with the stack it replaces:
+  * `zip_with(zip_with(v, mn, x − m), span, when(s > 0,
+  * round((d·255)/s)).otherwise(0).cast("int"))` —
+  *  - output length is `max(|v|, dim)` (zip_with null-pads the shorter
+  *    side);
+  *  - the `when` keys on SPAN: a null-padded span (`i ≥ dim`) and a
+  *    zero/negative span both take the `otherwise` branch → element 0,
+  *    REGARDLESS of the vector element (even a null one); only a
+  *    positive span with a missing/null vector element (`i ≥ |v|` or
+  *    `v[i]` null) yields a null element (null rode through the round);
+  *  - arithmetic is `((v_i − mn_i) · 255.0) / span_i` in exactly that
+  *    association, rounded with Spark `round(_, 0)` semantics
+  *    (BigDecimal HALF_UP; NaN/Infinity pass through) then cast to int.
+  *
+  * ONE deliberate divergence (pinned by spec): a NaN span. Spark's NaN
+  * ordering makes `NaN > 0` TRUE, so the stack sent `x·255/NaN = NaN`
+  * into the int cast — an ANSI CAST_OVERFLOW that killed the whole query
+  * the first time a corpus carried a NaN value (min/max propagate NaN to
+  * the span). Here a NaN span codes to 0, the same "degenerate dimension
+  * contributes nothing" contract as zero span — totality over parity,
+  * matching Sq8Cosine's zero-norm-null rationale.
+  */
+case class Sq8Encode(child: Expression,
+                     mn: IndexedSeq[Double], span: IndexedSeq[Double])
+    extends UnaryExpression {
+
+  // Seq params for content-based equals/hashCode — same canonicalization
+  // rationale as CentroidDist; primitive mirrors for eval/codegen.
+  @transient private lazy val mnArr: Array[Double] = mn.toArray
+  @transient private lazy val spanArr: Array[Double] = span.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(DoubleType, _) =>
+      if (mn.length != span.length || mn.isEmpty)
+        TypeCheckResult.TypeCheckFailure(
+          "graft_sq8_encode requires matching non-empty mn/span codebooks")
+      else TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_sq8_encode requires an array<double> input, got " +
+        other.simpleString)
+  }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(IntegerType, containsNull = true)
+  override def prettyName: String = "graft_sq8_encode"
+
+  /** Shared by eval and the codegen template via static call: Spark
+    * `round(_, 0)` then non-ANSI double→int cast, as one step.
+    */
+  @inline private def roundToInt(raw: Double): Int =
+    if (java.lang.Double.isNaN(raw)) 0
+    else if (java.lang.Double.isInfinite(raw))
+      if (raw > 0) Int.MaxValue else Int.MinValue
+    else java.math.BigDecimal.valueOf(raw)
+      .setScale(0, java.math.RoundingMode.HALF_UP).intValue()
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = x.numElements()
+    val dim = mnArr.length
+    val out = new Array[Any](math.max(n, dim))
+    var i = 0
+    while (i < out.length) {
+      out(i) =
+        if (i >= dim || !(spanArr(i) > 0)) 0 // otherwise-branch (incl. NaN
+        // span: `when(s > 0)` is false for NaN, same as this negation)
+        else if (i >= n || x.isNullAt(i)) null
+        else roundToInt((x.getDouble(i) - mnArr(i)) * 255.0 / spanArr(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mnRef = ctx.addReferenceObj("mn", mnArr, "double[]")
+    val spanRef = ctx.addReferenceObj("span", spanArr, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val dim = ctx.freshName("dim")
+      val len = ctx.freshName("len"); val i = ctx.freshName("i")
+      val out = ctx.freshName("out"); val code = ctx.freshName("code")
+      val raw = ctx.freshName("raw")
+      // Object[] + GenericArrayData: the output mixes ints and nulls, and
+      // one box per element is still orders cheaper than the per-element
+      // interpreted lambda this replaces
+      s"""
+         |int $n = $a.numElements();
+         |int $dim = $mnRef.length;
+         |int $len = java.lang.Math.max($n, $dim);
+         |Object[] $out = new Object[$len];
+         |for (int $i = 0; $i < $len; $i++) {
+         |  if ($i >= $dim || !($spanRef[$i] > 0)) {
+         |    $out[$i] = 0; // otherwise-branch: span keys it (incl. NaN span)
+         |  } else if ($i >= $n || $a.isNullAt($i)) {
+         |    // stays null: positive span, missing/null vector element
+         |  } else {
+         |    double $raw = ($a.getDouble($i) - $mnRef[$i]) * 255.0 / $spanRef[$i];
+         |    int $code;
+         |    if (Double.isNaN($raw)) { $code = 0; }
+         |    else if (Double.isInfinite($raw)) {
+         |      $code = $raw > 0 ? Integer.MAX_VALUE : Integer.MIN_VALUE;
+         |    } else {
+         |      $code = java.math.BigDecimal.valueOf($raw)
+         |        .setScale(0, java.math.RoundingMode.HALF_UP).intValue();
+         |    }
+         |    $out[$i] = $code;
+         |  }
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object Sq8Functions {
   /** Column API for [[Sq8Cosine]]. */
   def graft_sq8_cosine(codesA: Column, codesB: Column,
                        mn: Array[Double], span: Array[Double]): Column =
     ColumnBridge.column(Sq8Cosine(
       ColumnBridge.expression(codesA), ColumnBridge.expression(codesB),
+      mn.toIndexedSeq, span.toIndexedSeq))
+
+  /** Column API for [[Sq8Encode]]. */
+  def graft_sq8_encode(vec: Column, mn: Array[Double],
+                       span: Array[Double]): Column =
+    ColumnBridge.column(Sq8Encode(ColumnBridge.expression(vec),
       mn.toIndexedSeq, span.toIndexedSeq))
 }
 

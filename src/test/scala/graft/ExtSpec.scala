@@ -446,6 +446,88 @@ class SimilaritySpec extends SparkSpec {
       .sameElements(again.map(_.toString).sorted))
   }
 
+  test("Sq8Encode: bit-equal to the nested zip_with stack it replaced") {
+    // the exact legacy formula from sq8TopK's codesOf, including the
+    // span-keyed otherwise branch (null-padded/zero/NaN span -> 0 even
+    // for a null vector element) and the zip_with max-length null padding
+    def legacyCodes(vec: org.apache.spark.sql.Column, mn: Array[Double],
+                    span: Array[Double]): org.apache.spark.sql.Column =
+      zip_with(zip_with(vec.cast("array<double>"),
+          typedLit(mn.toSeq), (x, m) => x - m),
+        typedLit(span.toSeq),
+        (d, s) => when(s > 0, round(d * lit(255.0) / s)).otherwise(lit(0.0))
+          .cast("int"))
+    val dim = 8
+    val mn = Array.tabulate(dim)(d => -1.0 - d * 0.1)
+    // exercise the span branches the stack was total on: positive, zero,
+    // negative (NaN span is the pinned DIVERGENCE — separate test below)
+    val span = Array.tabulate(dim)(d => 2.0 + d * 0.3)
+    span(2) = 0.0; span(5) = -1.0
+    val rows: Seq[(Long, Array[java.lang.Double])] =
+      (0 until 200).map { i =>
+        (i.toLong, Array.tabulate[java.lang.Double](dim)(d =>
+          math.sin((d + 1) * (i + 3) * 1.234) * 3.0))
+      } ++ Seq(
+        // null element under a positive span (-> null code) AND under the
+        // zero span (-> 0), short vector (null-padded), long vector
+        // (span-padded -> 0 beyond dim)
+        (500L, Array[java.lang.Double](1.0, null, null) ++
+          Array.fill[java.lang.Double](dim - 3)(0.5)),
+        (501L, Array[java.lang.Double](1.0, 2.0)),
+        (502L, Array.fill[java.lang.Double](dim + 3)(0.25)))
+    val df = rows.toDF("id", "v")
+    val both = df.select(col("id"),
+        graft.functions.Sq8Functions.graft_sq8_encode(
+          col("v").cast("array<double>"), mn, span).as("nu"),
+        legacyCodes(col("v"), mn, span).as("old"))
+      .collect()
+    both.foreach { r =>
+      assert(!r.isNullAt(1) && !r.isNullAt(2) &&
+        r.getSeq[Any](1) == r.getSeq[Any](2),
+        s"code mismatch at id=${r.getLong(0)}: " +
+          s"${r.getSeq[Any](1)} vs ${r.getSeq[Any](2)}")
+    }
+    // whole-null vector: both sides null
+    val nul = Seq((1L, null.asInstanceOf[Array[java.lang.Double]]))
+      .toDF("id", "v")
+      .select(graft.functions.Sq8Functions.graft_sq8_encode(
+          col("v").cast("array<double>"), mn, span).as("nu"),
+        legacyCodes(col("v"), mn, span).as("old"))
+      .head()
+    assert(nul.isNullAt(0) && nul.isNullAt(1), "null-vector contract broken")
+  }
+
+  test("Sq8Encode: NaN span codes to 0 where the legacy stack died " +
+      "(ANSI CAST_OVERFLOW)") {
+    // Spark's NaN ordering makes `NaN > 0` TRUE, so the old zip_with
+    // stack fed x*255/NaN = NaN into the int cast and the QUERY died the
+    // first time a corpus carried a NaN (min/max propagate NaN into the
+    // span). The expression's totality contract: NaN span = degenerate
+    // dim = code 0, like zero span.
+    val mn = Array(0.0, 0.0)
+    val span = Array(2.0, Double.NaN)
+    val df = Seq((1L, Array(1.0, 1.0))).toDF("id", "v")
+    val got = df.select(graft.functions.Sq8Functions.graft_sq8_encode(
+        col("v").cast("array<double>"), mn, span).as("c"))
+      .head().getSeq[Any](0)
+    assert(got == Seq(128, 0), s"NaN-span totality broken: $got")
+    // and the legacy spelling really did die (pins WHY the divergence is
+    // an improvement, so a future refactor doesn't "fix" it back)
+    val legacy = df.select(
+      zip_with(zip_with(col("v").cast("array<double>"),
+          typedLit(mn.toSeq), (x, m) => x - m),
+        typedLit(span.toSeq),
+        (d, s) => when(s > 0, round(d * lit(255.0) / s)).otherwise(lit(0.0))
+          .cast("int")).as("c"))
+    // SparkArithmeticException extends ArithmeticException (not
+    // SparkException) and may arrive wrapped depending on the exec path
+    val e = intercept[Exception] { legacy.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("CAST_OVERFLOW")),
+      s"expected the legacy stack to die with CAST_OVERFLOW: ${msgs(e)}")
+  }
+
   test("ArgMinCentroid: bit-equal to the k-wide round/array_min/" +
       "array_position column stack it replaced") {
     // the exact formula kmeansBuckets used before r8 (k separate literal-

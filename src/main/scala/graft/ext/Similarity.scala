@@ -16,9 +16,12 @@ import org.apache.spark.sql.functions._
   *    join is equi-key on the bucket → shuffle-partitioned blocks instead of
   *    a full cross product; at 100 TB this is the only viable shape.
   *
-  * Cosine is computed with `zip_with`/`aggregate` HOF expressions (JVM
-  * expression eval, no UDF serialization); arrays are cast to double so the
-  * fold matches the oracle bit-for-bit modulo guard-rounding.
+  * All per-row vector math (dot, normalize, SQ8 encode/score, centroid
+  * argmin, hyperplane signature) runs as native codegen'd Catalyst
+  * expressions (`graft.functions.*` — no UDF serialization, no interpreted
+  * higher-order functions in any scan or pair hot path); arrays are cast
+  * to double so every fold matches the DuckDB oracle bit-for-bit modulo
+  * the 6dp guard-rounding contract.
   */
 object Similarity {
 

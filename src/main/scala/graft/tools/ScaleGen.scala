@@ -16,9 +16,11 @@ import org.apache.spark.sql.functions._
   * Scaling model per table (copy 0 is the untouched original):
   *  - `events`: key-space scaling — event_id and user_id offset per copy,
   *    so user count grows N× with per-user history unchanged (the "more
-  *    users, same window" growth a production stream sees). `ts` is kept
-  *    as raw int64 nanos (read with `nanosAsLong`) so `Tables.events`
-  *    reads the scaled directory exactly like the fixture.
+  *    users, same window" growth a production stream sees). `ts` keeps
+  *    whatever temporal encoding the source era shipped (int64 nanos under
+  *    `nanosAsLong`, or native micros) — `Tables.events` dispatches on the
+  *    read schema either way, so the scaled directory reads like the
+  *    fixture.
   *  - `documents`: doc_id offset per copy; every token of a copied text is
   *    prefixed `c<copy>_`, a BIJECTION on shingles/tokens — intra-copy
   *    duplicate/near-dup structure (Jaccard values, signature collisions)

@@ -52,6 +52,10 @@ class ScaleAuditSpec extends SparkSpec {
       ("IVF probe selection: the coarse-centroid codebook (|buckets| rows " +
         "by construction) broadcast under the query stream; the candidate " +
         "join itself stays a bucket equi-join"),
+    "q_ann_ivf_sq8" ->
+      ("same centroid-codebook broadcast as q_ann_multiprobe (the composed " +
+        "pipeline's probe stage); the SQ8 candidate join and both re-rank " +
+        "joins are equi-joins"),
     "q_rolling_actives" ->
       ("range join with the |days|-sized calendar pinned as the BROADCAST " +
         "side; fan-out bounded at 7 calendar rows per activity row"))

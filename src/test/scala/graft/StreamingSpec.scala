@@ -12,8 +12,9 @@ import graft.streaming.StreamingEnergy
   */
 class StreamingSpec extends SparkSpec {
 
-  // one-time: re-materialize events as micros-NTZ parquet (the raw testdata
-  // is TIMESTAMP(NANOS), unreadable by a stream schema directly)
+  // one-time: re-materialize events as micros-NTZ parquet through the
+  // schema-adaptive Tables.events read, so the stream schema is a plain
+  // TIMESTAMP_NTZ whatever era (nanos/micros) the fixture shipped in
   private lazy val srcDir: String = {
     val dir = Files.createTempDirectory("graft-stream-src").toString
     Tables.events(spark, TestSpark.sf0001).write.mode("overwrite").parquet(dir)
@@ -40,6 +41,53 @@ class StreamingSpec extends SparkSpec {
         abs(got("hourly_value") - batch("hourly_value")) > 1e-9).count()
       assert(bad == 0)
     } finally q.stop()
+  }
+
+  test("stateful operators are provider-agnostic: RocksDB state store " +
+      "produces the same results") {
+    // the production provider (README "Streaming state at production key
+    // counts") must be a pure swap: same watermarked agg and same
+    // mapGroupsWithState totals, state off-heap. Conf is read at QUERY
+    // start, so setting it per-test works against the shared session.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      val stream = StreamingEnergy.readStream(spark, srcDir, schema)
+      val q = StreamingEnergy.hourlyAgg(stream).writeStream
+        .outputMode("complete").format("memory")
+        .queryName("hourly_rocks").start()
+      val totals = StreamingEnergy.runningTotals(spark,
+          StreamingEnergy.readStream(spark, srcDir, schema)).toDF()
+        .writeStream.outputMode("update").format("memory")
+        .queryName("totals_rocks").start()
+      try {
+        q.processAllAvailable(); totals.processAllAvailable()
+        // the running query really is on RocksDB, not silently defaulted
+        assert(q.lastProgress.stateOperators.nonEmpty)
+        val batchAgg = Tables.events(spark, TestSpark.sf0001)
+          .groupBy(date_trunc("hour", col("ts").cast("timestamp"))
+            .as("hour_start"), col("user_id"))
+          .agg(sum(col("value")).as("hourly_value"))
+        val gotAgg = spark.table("hourly_rocks")
+        assert(gotAgg.count() == batchAgg.count())
+        assert(gotAgg.join(batchAgg, Seq("hour_start", "user_id"))
+          .filter(abs(gotAgg("hourly_value") - batchAgg("hourly_value"))
+            > 1e-9).count() == 0)
+        val gotTot = spark.table("totals_rocks")
+          .groupBy("user_id").agg(max("n").as("n"), max("total").as("total"))
+        val batchTot = Tables.events(spark, TestSpark.sf0001)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n"), sum("value").as("total"))
+        assert(gotTot.join(batchTot, "user_id")
+          .filter(gotTot("n") =!= batchTot("n") ||
+            abs(gotTot("total") - batchTot("total")) > 1e-6).count() == 0)
+      } finally { q.stop(); totals.stop() }
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   test("mapGroupsWithState running totals equal batch totals") {

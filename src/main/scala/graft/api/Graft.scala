@@ -123,6 +123,21 @@ object Graft {
       nProbe = nProbe, overfetch = overfetch, maxBucket = maxBucket)
   }
 
+  /** Quantizer-free ANN for day-one ingest, before [[annTopK]]'s Lloyd
+    * quantizer has a corpus to learn from: a codegen'd random-hyperplane
+    * LSH signature (engine-exact integer-hash planes) assigns the coarse
+    * bucket, then the same guarded within-bucket join ranks neighbors.
+    * `nPlanes` controls cell count (2^nPlanes); same output schema.
+    */
+  def annTopKHyperplane(vectors: DataFrame, idCol: String, vecCol: String,
+                        k: Int, dim: Int, nPlanes: Int = 8,
+                        maxBucket: Int = 4096): DataFrame = {
+    val bucketed = vectors.withColumn("__cell",
+      Similarity.hyperplaneBucket(col(vecCol), dim, nPlanes))
+    Similarity.bucketedNN(bucketed, idCol, vecCol, "__cell", k = k,
+      maxBucket = maxBucket)
+  }
+
   /** Embedding near-dup pairs (SemDeDup candidate stage): cosine ≥
     * `threshold` within learned coarse cells. Output: `id_a, id_b, cosine`.
     */

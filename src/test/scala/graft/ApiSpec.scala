@@ -49,7 +49,9 @@ class ApiSpec extends SparkSpec {
       "sq8" -> Graft.annTopKSq8(vectors, "vec_id", "embedding",
         k = 5, nBuckets = 8),
       "ivf_sq8" -> Graft.annTopKIvfSq8(vectors, "vec_id", "embedding",
-        k = 5, nProbe = 2, nBuckets = 8))
+        k = 5, nProbe = 2, nBuckets = 8),
+      "hyperplane" -> Graft.annTopKHyperplane(vectors, "vec_id", "embedding",
+        k = 5, dim = 64, nPlanes = 4))
     for ((name, nn) <- paths) {
       assert(nn.columns.toSeq ==
         Seq("query_id", "neighbor_id", "cosine", "rank"), s"$name schema")

@@ -603,6 +603,17 @@ class SimilaritySpec extends SparkSpec {
       .isNotNull).count() == 0)
     assert(graft.api.Graft.annTopK(empty, "vec_id", "embedding",
       k = 3).count() == 0)
+    // the composed pipeline shares the early-return contract at both
+    // entry points: empty and all-null corpora yield an empty frame with
+    // the output schema, never a throw
+    val c1 = Similarity.ivfSq8TopK(empty, "vec_id", "embedding", "label",
+      k = 3, nProbe = 2)
+    assert(c1.columns.toSeq ==
+      Seq("query_id", "neighbor_id", "cosine", "rank") && c1.count() == 0)
+    assert(Similarity.ivfSq8TopK(allNull, "vec_id", "embedding", "label",
+      k = 3, nProbe = 2).count() == 0)
+    assert(graft.api.Graft.annTopKIvfSq8(empty, "vec_id", "embedding",
+      k = 3).count() == 0)
   }
 
   test("codebook expressions canonicalize by content, not array identity") {

@@ -11,7 +11,12 @@ import graft.streaming.StreamingEnergy
   * the SCALING.md evidence that the streaming surface holds when per-key
   * state stops fitting in executor heap (VERDICT r7 item 5).
   *
-  *   StateScale [nKeys] [eventsPerKey]     // default 1,000,000 × 4
+  *   StateScale [nKeys] [eventsPerKey] [provider]   // default 1M × 4 both
+  *
+  * `provider` = `memory` | `rocksdb` | `both` (default): run one provider
+  * in isolation — at key counts where the in-memory provider approaches
+  * its heap ceiling, its failure must not take the RocksDB measurement
+  * down with it.
   *
   * Synthesizes `nKeys · eventsPerKey` readings DISTRIBUTED (key space
   * 0..nKeys, event times spread so arrival order is realistic), stages
@@ -72,11 +77,13 @@ object StateScale {
     val schema = spark.read.parquet(staged).schema
     println(s"[statescale] $n events over $nKeys keys staged")
 
+    val only = args.lift(2).getOrElse("both")
     val providers = Seq(
       "memory" ->
         "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
       "rocksdb" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .filter { case (name, _) => only == "both" || only == name }
 
     for ((name, cls) <- providers) {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass", cls)

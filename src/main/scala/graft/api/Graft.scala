@@ -66,16 +66,42 @@ object Graft {
 
   // --- similarity search ------------------------------------------------
 
+  /** Mean vectors per learned cell the auto-quantizer aims for — ¼ of the
+    * default `maxBucket` hot-cell cap, so natural cell-size skew (the
+    * measured k=1024 band in SCALING.md is ~6× mean at the tail) rarely
+    * trips the cap's recall-losing truncation.
+    */
+  private val AutoTargetCell = 1024L
+  private val AutoMinK = 16L
+  private val AutoMaxK = 4096L
+
+  /** The measured "grow k with the corpus" lever (SCALING.md: assignment is
+    * one constant-bytecode expression at any k, 128× centers ≈ 13× wall) as
+    * the API default: `nBuckets <= 0` selects
+    * `k = clamp(ceil(n / 1024), 16, 4096)` from a corpus count — one extra
+    * O(n) count job, marginal next to the Lloyd fit's own scans. Explicit
+    * `nBuckets > 0` bypasses the count entirely.
+    */
+  private def resolveBuckets(vectors: DataFrame, nBuckets: Int): Int =
+    if (nBuckets > 0) nBuckets
+    else {
+      val n = vectors.count()
+      math.min(AutoMaxK,
+        math.max(AutoMinK, (n + AutoTargetCell - 1) / AutoTargetCell)).toInt
+    }
+
   /** ANN top-k over an embedding column: a deterministic Lloyd coarse
-    * quantizer learns `nBuckets` cells, then the guarded within-cell
+    * quantizer learns the coarse cells, then the guarded within-cell
     * cosine join ranks neighbors. `maxBucket` bounds per-cell candidate
-    * fan-in (the hot-bucket guard); raise `nBuckets` with corpus size so
-    * cells stay small. Output: `query_id, neighbor_id, cosine, rank`.
+    * fan-in (the hot-bucket guard). `nBuckets` defaults to AUTO (≤ 0):
+    * `clamp(ceil(corpusSize/1024), 16, 4096)`, so cells stay small as the
+    * corpus grows without caller tuning; pass an explicit positive value
+    * to pin k. Output: `query_id, neighbor_id, cosine, rank`.
     */
   def annTopK(vectors: DataFrame, idCol: String, vecCol: String, k: Int,
-              nBuckets: Int = 64, maxBucket: Int = 4096): DataFrame = {
+              nBuckets: Int = 0, maxBucket: Int = 4096): DataFrame = {
     val bucketed = Similarity.kmeansBuckets(vectors, idCol, vecCol,
-      k = nBuckets, iters = 2, bucketCol = "__cell")
+      k = resolveBuckets(vectors, nBuckets), iters = 2, bucketCol = "__cell")
     Similarity.bucketedNN(bucketed, idCol, vecCol, "__cell", k = k,
       maxBucket = maxBucket)
   }
@@ -86,10 +112,10 @@ object Graft {
     * schema; cost grows linearly in `nProbe`.
     */
   def annTopKMultiProbe(vectors: DataFrame, idCol: String, vecCol: String,
-                        k: Int, nProbe: Int = 2, nBuckets: Int = 64,
+                        k: Int, nProbe: Int = 2, nBuckets: Int = 0,
                         maxBucket: Int = 4096): DataFrame = {
     val bucketed = Similarity.kmeansBuckets(vectors, idCol, vecCol,
-      k = nBuckets, iters = 2, bucketCol = "__cell")
+      k = resolveBuckets(vectors, nBuckets), iters = 2, bucketCol = "__cell")
     Similarity.multiProbeNN(bucketed, idCol, vecCol, "__cell", k = k,
       nProbe = nProbe, maxBucket = maxBucket)
   }
@@ -100,10 +126,10 @@ object Graft {
     * schema. The memory-bound shape for corpus-scale retrieval.
     */
   def annTopKSq8(vectors: DataFrame, idCol: String, vecCol: String, k: Int,
-                 overfetch: Int = 3, nBuckets: Int = 64,
+                 overfetch: Int = 3, nBuckets: Int = 0,
                  maxBucket: Int = 4096): DataFrame = {
     val bucketed = Similarity.kmeansBuckets(vectors, idCol, vecCol,
-      k = nBuckets, iters = 2, bucketCol = "__cell")
+      k = resolveBuckets(vectors, nBuckets), iters = 2, bucketCol = "__cell")
     Similarity.sq8TopK(bucketed, idCol, vecCol, "__cell", k = k,
       overfetch = overfetch, maxBucket = maxBucket)
   }
@@ -116,9 +142,9 @@ object Graft {
     */
   def annTopKIvfSq8(vectors: DataFrame, idCol: String, vecCol: String,
                     k: Int, nProbe: Int = 2, overfetch: Int = 3,
-                    nBuckets: Int = 64, maxBucket: Int = 4096): DataFrame = {
+                    nBuckets: Int = 0, maxBucket: Int = 4096): DataFrame = {
     val bucketed = Similarity.kmeansBuckets(vectors, idCol, vecCol,
-      k = nBuckets, iters = 2, bucketCol = "__cell")
+      k = resolveBuckets(vectors, nBuckets), iters = 2, bucketCol = "__cell")
     Similarity.ivfSq8TopK(bucketed, idCol, vecCol, "__cell", k = k,
       nProbe = nProbe, overfetch = overfetch, maxBucket = maxBucket)
   }
@@ -142,10 +168,10 @@ object Graft {
     * `threshold` within learned coarse cells. Output: `id_a, id_b, cosine`.
     */
   def semanticPairs(vectors: DataFrame, idCol: String, vecCol: String,
-                    threshold: Double, nBuckets: Int = 64,
+                    threshold: Double, nBuckets: Int = 0,
                     maxBucket: Int = 4096): DataFrame = {
     val bucketed = Similarity.kmeansBuckets(vectors, idCol, vecCol,
-      k = nBuckets, iters = 2, bucketCol = "__cell")
+      k = resolveBuckets(vectors, nBuckets), iters = 2, bucketCol = "__cell")
     Similarity.neighborPairs(bucketed, idCol, vecCol, "__cell",
       threshold = threshold, maxBucket = maxBucket)
   }

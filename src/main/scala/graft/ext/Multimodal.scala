@@ -11,10 +11,13 @@ import org.apache.spark.sql.functions._
   * `mapPartitions` (the JVM analogue of `mapInPandas`: one invocation per
   * partition, streaming iterator in/out, no per-row overhead). The decode
   * itself is REAL for the formats the JDK ships readers for ([[ImageIoCodec]]
-  * — PNG/JPEG/GIF/BMP via `javax.imageio`, header-only reads, zero new
-  * dependencies); payloads that are not decodable images fall back to the
-  * deterministic [[FakeCodec]] so the synthetic text-payload fixtures (and
-  * their DuckDB oracles) keep exercising the full data path.
+  * — PNG/JPEG/GIF/BMP/TIFF via `javax.imageio`, header-only reads, zero new
+  * dependencies), and so are the raster stages: [[resizeMedia]] resamples
+  * actual pixels through `Graphics2D` and re-encodes PNG bytes;
+  * [[frameExtract]] decodes every sampled frame of a multi-image container
+  * and digests its raster. Payloads that are not decodable images fall back
+  * to the deterministic [[FakeCodec]] so the synthetic text-payload fixtures
+  * (and their DuckDB oracles) keep exercising the full data path.
   */
 object Multimodal {
 
@@ -80,7 +83,14 @@ object Multimodal {
         (p(2) & 0xFF) == 0xFF) ||
       (p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' &&
         p(3) == '8' && (p(4) == '7' || p(4) == '9') && p(5) == 'a') ||
-      (p.length >= 2 && p(0) == 'B' && p(1) == 'M')
+      (p.length >= 2 && p(0) == 'B' && p(1) == 'M') ||
+      // TIFF (the JDK ships a TIFF plugin since Java 9): II*\0 / MM\0*;
+      // both signatures carry a 0x00 in the first four bytes, so the
+      // looksLikeText guard can never misroute a real TIFF
+      (p.length >= 4 && p(0) == 'I' && p(1) == 'I' &&
+        (p(2) & 0xFF) == 0x2A && p(3) == 0) ||
+      (p.length >= 4 && p(0) == 'M' && p(1) == 'M' && p(2) == 0 &&
+        (p(3) & 0xFF) == 0x2A)
 
     private def looksLikeText(p: Array[Byte]): Boolean = {
       val n = math.min(p.length, 64)
@@ -112,11 +122,18 @@ object Multimodal {
 
     private val MaxDim = 1L << 20
 
-    def decode(payload: Array[Byte], format: String): (Long, Long, Long) = {
-      if (!isImageMagic(payload) || looksLikeText(payload))
-        return FakeCodec.decode(payload, format)
-      if ((payload(0) == 'G' || payload(0) == 'B') &&
+    /** The shared routing decision: does this payload plausibly hold image
+      * bytes the JDK can read? All three text-hardening guards in one place
+      * so the header pass, the raster resize, and the frame extractor agree
+      * on which codec a payload takes.
+      */
+    private[ext] def isPlausibleImage(payload: Array[Byte]): Boolean =
+      isImageMagic(payload) && !looksLikeText(payload) &&
+        !((payload(0) == 'G' || payload(0) == 'B') &&
           !hasHeaderControlByte(payload))
+
+    def decode(payload: Array[Byte], format: String): (Long, Long, Long) = {
+      if (!isPlausibleImage(payload))
         return FakeCodec.decode(payload, format)
       val in = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
@@ -139,7 +156,8 @@ object Multimodal {
               val cheap = r.getNumImages(false)
               val frames =
                 if (cheap > 0) cheap.toLong
-                else if (payload(0) == 'G') r.getNumImages(true).toLong
+                else if (payload(0) == 'G' || payload(0) == 'I' ||
+                         payload(0) == 'M') r.getNumImages(true).toLong
                 else 1L
               (w, h, math.max(frames, 1L))
             }
@@ -179,35 +197,282 @@ object Multimodal {
         .as("format"))
 
   case class ResizedRow(doc_id: Long, width: Long, height: Long,
-                        target_w: Long, target_h: Long, scale: Double)
-  case class FrameRow(doc_id: Long, frame_idx: Long, frame_hash: Long)
+                        resized_w: Long, resized_h: Long, scale: Double,
+                        raster: Boolean, resized_bytes: Array[Byte])
+  case class FrameRow(doc_id: Long, frame_idx: Long, frame_w: Long,
+                      frame_h: Long, frame_hash: Long, raster: Boolean)
 
-  /** STUB resize: computes the letterboxed target geometry a real resizer
-    * would use (aspect-preserving fit into maxW×maxH) — all the planning
-    * math, none of the pixels.
+  /** Aspect-preserving letterbox fit of `w×h` into `maxW×maxH`, never
+    * upscaling. Integer-exact across engines: two IEEE double divisions, a
+    * min, a multiply, a floor — DuckDB's
+    * `least(1.0, least(maxW/w, maxH/h))` then `greatest(1, floor(w*s))`
+    * reproduces every bit, so resized dimensions are oracle-checkable.
     */
-  def resizeMeta(spark: SparkSession, decoded: Dataset[DecodedRow],
-                 maxW: Long, maxH: Long): Dataset[ResizedRow] = {
+  def letterbox(w: Long, h: Long, maxW: Long, maxH: Long): (Long, Long, Double) = {
+    val s = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+    (math.max(1L, (w * s).toLong), math.max(1L, (h * s).toLong), s)
+  }
+
+  /** REAL raster operations over the JDK's imaging stack — full-frame
+    * decode (`ImageIO.read`-level, via the same reader registry as the
+    * header pass), `Graphics2D` bilinear resample into the letterboxed
+    * target, PNG re-encode. Zero new dependencies. The full-raster path is
+    * bounded: payloads whose HEADER dimensions exceed [[MaxRasterPixels]]
+    * are refused before any pixel allocation (the at-scale contract — a
+    * hostile 2³⁰-pixel header must not OOM an executor; such rows take the
+    * geometry-only fallback and are flagged `raster = false`).
+    */
+  object RasterCodec {
+    /** Decoded-pixel budget per frame (16 MP ≈ 64 MB ARGB) — chosen so a
+      * 32-thread executor resizing concurrently stays ~2 GB peak raster.
+      */
+    val MaxRasterPixels: Long = 1L << 24
+    /** Frame-count cap for multi-image containers (runaway-header guard). */
+    val MaxFrames: Long = 4096L
+
+    private def withReader[A](payload: Array[Byte])(
+        f: javax.imageio.ImageReader => Option[A]): Option[A] = {
+      if (!ImageIoCodec.isPlausibleImage(payload)) return None
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      if (in == null) return None
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try { r.setInput(in); f(r) } finally r.dispose()
+        }
+      } catch {
+        case scala.util.control.NonFatal(_) => None
+      } finally in.close()
+    }
+
+    /** FNV-1a over the RGB raster in row-major order — the keyframe digest
+      * a dedup/sampling stage keys on. Cost is linear in pixels, the same
+      * order as the decode that produced them.
+      */
+    def rasterHash(img: java.awt.image.BufferedImage): Long = {
+      var h = -3750763034362895579L // FNV-1a 64-bit offset basis
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          h = (h ^ (img.getRGB(x, y) & 0xFFFFFF).toLong) * 1099511628211L
+          x += 1
+        }
+        y += 1
+      }
+      h
+    }
+
+    /** Decode → letterbox-resize → PNG-encode → header-verify, one frame.
+      * Returns `(pngBytes, outW, outH)` where `outW/outH` are RE-DECODED
+      * from the produced PNG (the honest evidence that real pixels moved),
+      * or None when the payload is not a raster-decodable image within the
+      * pixel budget.
+      */
+    def resizePng(payload: Array[Byte], maxW: Long,
+                  maxH: Long): Option[(Array[Byte], Long, Long)] =
+      withReader(payload) { r =>
+        val w = r.getWidth(0).toLong
+        val h = r.getHeight(0).toLong
+        if (w < 1 || h < 1 || w * h > MaxRasterPixels) None
+        else {
+          val img = r.read(0)
+          val (tw, th, _) = letterbox(w, h, maxW, maxH)
+          val out = new java.awt.image.BufferedImage(tw.toInt, th.toInt,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, tw.toInt, th.toInt, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          if (!javax.imageio.ImageIO.write(out, "png", bos)) None
+          else {
+            val png = bos.toByteArray
+            // verify by re-decoding the header of what we just wrote
+            val (vw, vh, _) = ImageIoCodec.decode(png, "img/png")
+            Some((png, vw, vh))
+          }
+        }
+      }
+
+    /** Decode every k-th frame of a multi-image container (animated GIF,
+      * multi-page TIFF), returning per-frame `(idx, w, h, rasterHash)` from
+      * the ACTUAL decoded rasters. None when not raster-decodable.
+      */
+    def readFrames(payload: Array[Byte],
+                   everyK: Long): Option[Seq[(Long, Long, Long, Long)]] =
+      withReader(payload) { r =>
+        val n = math.min(math.max(r.getNumImages(true).toLong, 1L), MaxFrames)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        var i = 0L
+        var overBudget = false
+        while (i < n && !overBudget) {
+          val w = r.getWidth(i.toInt).toLong
+          val h = r.getHeight(i.toInt).toLong
+          if (w < 1 || h < 1 || w * h > MaxRasterPixels) overBudget = true
+          else {
+            val img = r.read(i.toInt)
+            out += ((i, img.getWidth.toLong, img.getHeight.toLong,
+              rasterHash(img)))
+            i += everyK
+          }
+        }
+        if (overBudget) None else Some(out.toSeq)
+      }
+  }
+
+  /** REAL resize: aspect-preserving raster resample of each payload into
+    * `maxW×maxH` via [[RasterCodec.resizePng]] — actual pixels through
+    * `Graphics2D`, PNG bytes out, output dimensions re-decoded from the
+    * produced PNG. Payloads that are not raster-decodable images (the text
+    * fixtures, hostile bytes, over-budget rasters) take the deterministic
+    * geometry-only fallback — [[ImageIoCodec.decode]] dimensions through
+    * the same [[letterbox]] math, empty payload, `raster = false` — so the
+    * operator is total and every row stays oracle-checkable.
+    */
+  def resizeMedia(spark: SparkSession, media: DataFrame, maxW: Long,
+                  maxH: Long): Dataset[ResizedRow] = {
     import spark.implicits._
-    decoded.map { r =>
-      val scale = math.min(maxW.toDouble / r.width, maxH.toDouble / r.height)
-      val s = math.min(scale, 1.0)
-      ResizedRow(r.doc_id, r.width, r.height,
-        math.max(1L, (r.width * s).toLong), math.max(1L, (r.height * s).toLong), s)
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { m =>
+        RasterCodec.resizePng(m.payload, maxW, maxH) match {
+          case Some((png, vw, vh)) =>
+            val (w, h, _) = ImageIoCodec.decode(m.payload, m.format)
+            val (_, _, s) = letterbox(w, h, maxW, maxH)
+            ResizedRow(m.doc_id, w, h, vw, vh, s, raster = true, png)
+          case None =>
+            val (w, h, _) = ImageIoCodec.decode(m.payload, m.format)
+            val (tw, th, s) = letterbox(w, h, maxW, maxH)
+            ResizedRow(m.doc_id, w, h, tw, th, s, raster = false,
+              Array.emptyByteArray)
+        }
+      }
     }
   }
 
-  /** STUB frame sampling: every k-th frame index plus a deterministic
-    * pseudo-hash per frame (stands in for a decoded keyframe digest).
-    * `flatMap` = the 1→N row shape a real frame extractor produces.
+  /** REAL frame sampling: every k-th frame of each payload decoded via
+    * [[RasterCodec.readFrames]] — actual per-frame rasters, dimensions and
+    * FNV digest from the decoded pixels. Non-raster payloads fall back to
+    * the deterministic pseudo-frame formula over [[ImageIoCodec.decode]]
+    * metadata (`raster = false`), preserving the 1→N `flatMap` shape and
+    * oracle-checkability for the text fixtures.
     */
-  def frameSample(spark: SparkSession, decoded: Dataset[DecodedRow],
-                  everyK: Long): Dataset[FrameRow] = {
+  def frameExtract(spark: SparkSession, media: DataFrame,
+                   everyK: Long): Dataset[FrameRow] = {
     import spark.implicits._
-    decoded.flatMap { r =>
-      (0L until r.n_frames by everyK).map(i =>
-        FrameRow(r.doc_id, i, r.byte_len * 31L + i))
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { m =>
+        RasterCodec.readFrames(m.payload, everyK) match {
+          case Some(frames) =>
+            frames.map { case (i, w, h, hash) =>
+              FrameRow(m.doc_id, i, w, h, hash, raster = true)
+            }
+          case None =>
+            val (w, h, nf) = ImageIoCodec.decode(m.payload, m.format)
+            val len = m.payload.length.toLong
+            (0L until nf by everyK).map(i =>
+              FrameRow(m.doc_id, i, w, h, len * 31L + i, raster = false))
+        }
+      }
     }
+  }
+
+  /** Deterministic REAL-image fixtures derived from the documents table —
+    * the container ships no media files, so the raster path is exercised by
+    * synthesizing actual PNG / multi-page-TIFF bytes on the executors whose
+    * GEOMETRY is a pure integer function of fixture columns. The DuckDB
+    * oracles predict that geometry in SQL; a hash-exact match on the
+    * re-decoded output dimensions therefore proves the full
+    * decode→resample→encode→decode chain ran on real pixels.
+    */
+  object Synthetic {
+    private def fill(img: java.awt.image.BufferedImage, rgb: Int): Unit = {
+      val g = img.createGraphics()
+      try {
+        g.setColor(new java.awt.Color(rgb))
+        g.fillRect(0, 0, img.getWidth, img.getHeight)
+        // a contrasting diagonal so the bilinear resample has structure
+        g.setColor(new java.awt.Color(~rgb & 0xFFFFFF))
+        g.drawLine(0, 0, img.getWidth - 1, img.getHeight - 1)
+      } finally g.dispose()
+    }
+
+    private def colorOf(seed: Long): Int =
+      ((seed * 2654435761L) & 0xFFFFFFL).toInt
+
+    def png(w: Int, h: Int, seed: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      fill(img, colorOf(seed))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Multi-page TIFF — the JDK-writable multi-image container (the GIF
+      * writer needs per-frame metadata surgery; TIFF's `writeToSequence`
+      * does not), standing in for video keyframe stacks.
+      */
+    def tiff(w: Int, h: Int, nFrames: Int, seed: Long): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer =
+        javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var i = 0
+        while (i < nFrames) {
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          fill(img, colorOf(seed * 31L + i))
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, null), null)
+          i += 1
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+  }
+
+  /** Real-PNG media fixture: one `(len % 96 + 32) × (doc_id % 64 + 24)`
+    * PNG per document (`len` = UTF-8 byte length of `text`) — the geometry
+    * formula the resize oracle mirrors in SQL.
+    */
+  def syntheticImageMedia(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"),
+        octet_length(encode(coalesce(col("text"), lit("")), "UTF-8"))
+          .cast("long").as("len"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, len) =>
+        MediaRow(id, Synthetic.png((len % 96 + 32).toInt,
+          (id % 64 + 24).toInt, id), "img/png")
+      }).toDF()
+  }
+
+  /** Real multi-frame media fixture: one `(len % 48 + 16) × (doc_id % 32
+    * + 16)` TIFF with `doc_id % 4 + 2` pages per document — the frame
+    * oracle's SQL-predictable geometry.
+    */
+  def syntheticMultiFrameMedia(spark: SparkSession,
+                               docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"),
+        octet_length(encode(coalesce(col("text"), lit("")), "UTF-8"))
+          .cast("long").as("len"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, len) =>
+        MediaRow(id, Synthetic.tiff((len % 48 + 16).toInt,
+          (id % 32 + 16).toInt, (id % 4 + 2).toInt, id), "img/tiff")
+      }).toDF()
   }
 
   /** Batch decode: typed mapPartitions — the real plumbing under any

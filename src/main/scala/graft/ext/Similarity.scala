@@ -476,8 +476,8 @@ object Similarity {
     * earlier `sin(j·(p+1)·0.7391)` planes whose libm last-ulp drift between
     * JVMs and DuckDB sat underneath every sign test. Same portable-hash
     * discipline as [[graft.ext.Sampling]]'s md5 buckets. 2654435761 is the
-    * Knuth multiplicative-hash constant; 2001 cells over /1000 − 1 spread
-    * the components uniformly in [-1, 1.001).
+    * Knuth multiplicative-hash constant; 2001 residues (0..2000) over
+    * /1000 − 1 spread the components uniformly in [-1, 1].
     */
   private[graft] def planeComponent(p: Int, j: Int): Double =
     ((j.toLong * 2654435761L + (p + 1).toLong * 40503L) % 2001L) / 1000.0 - 1.0

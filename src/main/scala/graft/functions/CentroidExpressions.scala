@@ -319,12 +319,17 @@ case class Sq8Encode(child: Expression,
   override def prettyName: String = "graft_sq8_encode"
 
   /** Shared by eval and the codegen template via static call: Spark
-    * `round(_, 0)` then non-ANSI double→int cast, as one step.
+    * `round(_, 0)` then non-ANSI double→int cast, as one step. The int-range
+    * clamps cover Infinity AND large-finite values — `BigDecimal.intValue()`
+    * would wrap (low 32 bits) past int range, diverging from the saturating
+    * non-ANSI cast; unreachable for in-corpus vectors (raw ≤ 255 by
+    * construction) but safe when encode is applied outside the codebook's
+    * min/max corpus.
     */
   @inline private def roundToInt(raw: Double): Int =
     if (java.lang.Double.isNaN(raw)) 0
-    else if (java.lang.Double.isInfinite(raw))
-      if (raw > 0) Int.MaxValue else Int.MinValue
+    else if (raw >= Int.MaxValue.toDouble) Int.MaxValue
+    else if (raw <= Int.MinValue.toDouble) Int.MinValue
     else java.math.BigDecimal.valueOf(raw)
       .setScale(0, java.math.RoundingMode.HALF_UP).intValue()
 
@@ -370,8 +375,10 @@ case class Sq8Encode(child: Expression,
          |    double $raw = ($a.getDouble($i) - $mnRef[$i]) * 255.0 / $spanRef[$i];
          |    int $code;
          |    if (Double.isNaN($raw)) { $code = 0; }
-         |    else if (Double.isInfinite($raw)) {
-         |      $code = $raw > 0 ? Integer.MAX_VALUE : Integer.MIN_VALUE;
+         |    else if ($raw >= (double) Integer.MAX_VALUE) {
+         |      $code = Integer.MAX_VALUE;  // saturate: Infinity + large-finite
+         |    } else if ($raw <= (double) Integer.MIN_VALUE) {
+         |      $code = Integer.MIN_VALUE;
          |    } else {
          |      $code = java.math.BigDecimal.valueOf($raw)
          |        .setScale(0, java.math.RoundingMode.HALF_UP).intValue();

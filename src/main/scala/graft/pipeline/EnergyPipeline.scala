@@ -106,7 +106,8 @@ object EnergyPipeline {
     * file.
     */
   def run(spark: SparkSession, csvPath: String, tariffs: DataFrame,
-          outDir: Option[String] = None): Map[String, DataFrame] = {
+          outDir: Option[String] = None,
+          partitionDaily: Boolean = false): Map[String, DataFrame] = {
     val raw = ingest(spark, csvPath)
     val (hourly, daily) = preprocess(raw, tariffs)
     val dailyCached = daily.cache()
@@ -122,6 +123,13 @@ object EnergyPipeline {
       out.foreach { case (name, df) =>
         Writers.parquet(df, s"$d/$name", numFiles = Some(4))
       }
+      // SURVEY §7.4.8 layout: daily also lands date-partitioned so the P5
+      // chronological train/test split prunes whole date directories at
+      // plan time instead of scanning the full history (the 100 TB posture
+      // — PhysicalSpec asserts the pruned scan)
+      if (partitionDaily)
+        Writers.parquetPartitioned(dailyCached, s"$d/daily_by_date",
+          Seq("date"))
     }
     out
   }

@@ -168,12 +168,36 @@ object NorthStarQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // Multimodal frame sampling: 1→N batch shape through the stubbed codec
+    // Multimodal frame sampling: 1→N batch shape; text payloads take the
+    // deterministic fallback codec (raster=false), keeping the oracle exact
     "q_multimodal_frames" -> ((s, dir) => {
       val media = Multimodal.asMedia(Tables.documents(s, dir),
         "doc_id", "text", "source")
-      Multimodal.frameSample(s, Multimodal.decodeBatches(s, media), everyK = 4)
+      Multimodal.frameExtract(s, media, everyK = 4)
         .toDF().orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // REAL raster resize: synthesized PNGs (geometry = pure function of
+    // fixture columns) → Graphics2D resample → PNG re-encode → the output
+    // dims are RE-DECODED from the produced bytes; the oracle predicts them
+    // from the letterbox math, so a hash match proves real pixels moved
+    "q_multimodal_resize" -> ((s, dir) => {
+      val media = Multimodal.syntheticImageMedia(s, Tables.documents(s, dir))
+      Multimodal.resizeMedia(s, media, maxW = 64, maxH = 48)
+        .select(col("doc_id"), col("width"), col("height"),
+          col("resized_w"), col("resized_h"), col("raster"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // REAL frame extraction: synthesized multi-page TIFFs → per-frame
+    // raster decode; dims per frame come from the decoded rasters
+    "q_multimodal_framex" -> ((s, dir) => {
+      val media =
+        Multimodal.syntheticMultiFrameMedia(s, Tables.documents(s, dir))
+      Multimodal.frameExtract(s, media, everyK = 2)
+        .select(col("doc_id"), col("frame_idx"), col("frame_w"),
+          col("frame_h"), col("raster"))
+        .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
     // Language ID: marker-token argmax heuristic
@@ -1040,6 +1064,7 @@ object NorthStarQueries {
     "q_ann_hyperplane" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL
         |), pl AS (
         |  SELECT p.p AS p,
         |    list(((j.j * 2654435761 + (p.p + 1) * 40503) % 2001) / 1000.0
@@ -1217,8 +1242,48 @@ object NorthStarQueries {
         |  FROM documents
         |)
         |SELECT doc_id, CAST(t.i AS BIGINT) AS frame_idx,
-        |       CAST(byte_len * 31 + t.i AS BIGINT) AS frame_hash
+        |       CAST(byte_len % 640 + 16 AS BIGINT) AS frame_w,
+        |       CAST((byte_len * 7) % 480 + 16 AS BIGINT) AS frame_h,
+        |       CAST(byte_len * 31 + t.i AS BIGINT) AS frame_hash,
+        |       FALSE AS raster
         |FROM m, unnest(range(0, n_frames, 4)) AS t(i)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // Real-raster resize: the oracle predicts the letterboxed dimensions
+    // (two IEEE divisions, min, multiply, floor — bit-identical in both
+    // engines) of synthetic PNGs whose geometry derives from fixture
+    // columns; the Spark side RE-DECODES the produced PNG bytes, so a hash
+    // match certifies the decode→resample→encode→decode chain
+    "q_multimodal_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    octet_length(encode(coalesce(text, ''))) % 96 + 32 AS w,
+        |    doc_id % 64 + 24 AS h
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, w, h, least(1.0, least(64.0 / w, 48.0 / h)) AS sc
+        |  FROM m
+        |)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(greatest(1, floor(w * sc)) AS BIGINT) AS resized_w,
+        |  CAST(greatest(1, floor(h * sc)) AS BIGINT) AS resized_h,
+        |  TRUE AS raster
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Real frame extraction over synthetic multi-page TIFFs: per-frame
+    // dimensions come from actually-decoded rasters on the Spark side
+    "q_multimodal_framex" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    octet_length(encode(coalesce(text, ''))) % 48 + 16 AS w,
+        |    doc_id % 32 + 16 AS h,
+        |    doc_id % 4 + 2 AS nf
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(t.i AS BIGINT) AS frame_idx,
+        |  CAST(w AS BIGINT) AS frame_w, CAST(h AS BIGINT) AS frame_h,
+        |  TRUE AS raster
+        |FROM m, unnest(range(0, nf, 2)) AS t(i)
         |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q_multimodal_meta" ->

@@ -32,23 +32,24 @@ object RelationalQueries {
   private val Alpha = 0.3
 
   /** Distinct (order, part) incidence — the raw frame (q_pagerank3's node
-    * set must see EVERY part, hub orders included). Cached: consumed by the
-    * node set and by [[guardedIncidence]]; the cache entry lives for the
-    * session and is evicted LRU under storage pressure — long-lived sessions
-    * should `spark.catalog.clearCache()` between datasets.
+    * set must see EVERY part, hub orders included). Cached through
+    * [[graft.ext.CacheScope.cache]]: consumed by the node set and by
+    * [[guardedIncidence]]; inside a `CacheScope.scoped` pass (Verify wraps
+    * each query in one) the entry drains at scope exit, outside any scope
+    * it keeps the session-LRU lifetime.
     */
   private def incidence(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct().cache()
+      .distinct().transform(graft.ext.CacheScope.cache)
 
   /** [[incidence]] minus hub orders (more than [[MaxBasket]] distinct
     * parts): EVERY incidence self-join in this file must start here — a
     * degenerate hub order with n parts emits n² pair rows, the exact blowup
     * that dominates a pair join at scale. The window guard rides the ok
-    * partitioning the self-joins pay for anyway. Cached (same session-
-    * lifetime contract as [[incidence]]): consumed from both self-join
-    * sides plus the item/order aggregates of q_assoc_rules.
+    * partitioning the self-joins pay for anyway. Cached (same
+    * [[graft.ext.CacheScope]] contract as [[incidence]]): consumed from
+    * both self-join sides plus the item/order aggregates of q_assoc_rules.
     */
   private def guardedIncidence(s: SparkSession, dir: String): DataFrame =
     incidence(s, dir)
@@ -56,7 +57,7 @@ object RelationalQueries {
         count(lit(1)).over(Window.partitionBy(col("ok"))))
       .filter(col("basket") <= MaxBasket)
       .select(col("ok"), col("pk"))
-      .cache()
+      .transform(graft.ext.CacheScope.cache)
 
   /** Basket-guarded distinct directed co-purchase pairs — shared by
     * q_copurchase_degree and q_pagerank3.
@@ -89,7 +90,7 @@ object RelationalQueries {
   private def userDays(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .select(col("user_id"), to_date(col("ts")).as("d"))
-      .distinct().cache()
+      .distinct().transform(graft.ext.CacheScope.cache)
 
   /** Blocked fuzzy-match candidate pairs over customer names — shared by
     * q_record_linkage (the pairs themselves) and q_entity_resolution (the
@@ -664,6 +665,15 @@ object RelationalQueries {
       s.sql(PortableSql)
     }),
 
+    // Corpus-side twin of q_sql_api: the documents table through the same
+    // byte-identical portable-SQL entry path (tokenize → filter →
+    // aggregate), hardening the spark.sql front end over the LLM-pipeline
+    // corpus, not just the events spine.
+    "q_sql_corpus" -> ((s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      s.sql(PortableCorpusSql)
+    }),
+
     // Co-purchase graph degree: distinct (order, part) incidence self-joins
     // on the order key — both sides hash-partition on the SAME key, one
     // shuffle each, no broadcast needed and no skew beyond basket size,
@@ -696,6 +706,31 @@ object RelationalQueries {
       |)
       |SELECT y, mo, user_id, mv, r FROM rk
       |WHERE r <= 3 ORDER BY y, mo, r""".stripMargin
+
+  /** q_sql_corpus: the documents-corpus twin of [[PortableSql]] — ONE
+    * dialect-portable string (whitespace token count via the
+    * `length − length(replace)` identity, so no engine-specific split/
+    * explode), executed verbatim by both engines. Integer sums cast
+    * explicitly (DuckDB widens to HUGEINT, Spark to BIGINT); the average
+    * goes through exact integer sum / count with the house guard-round.
+    */
+  private val PortableCorpusSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, source,
+      |    CAST(length(text) AS BIGINT) AS n_chars,
+      |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |      ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+      |    END AS BIGINT) AS n_tokens
+      |  FROM documents WHERE text IS NOT NULL
+      |)
+      |SELECT lang, source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  round(CAST(sum(n_tokens) AS DOUBLE) / count(*) + 1e-9, 4)
+      |    AS avg_tokens
+      |FROM t GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin
 
   /** Attribution lookback window (minutes), mirrored in the oracle. */
   private val AttrWindowMin = 30
@@ -1079,6 +1114,7 @@ object RelationalQueries {
         |FROM events""".stripMargin,
 
     "q_sql_api" -> PortableSql,
+    "q_sql_corpus" -> PortableCorpusSql,
 
     "q_copurchase_degree" ->
       s"""WITH $guardedEdgesSql

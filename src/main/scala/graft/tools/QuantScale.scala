@@ -47,8 +47,12 @@ object QuantScale {
       if (pass == "cold") {
         // codegen audit at THIS k: the assignment projection must carry the
         // whole-stage prefix — losing it is the 64KB cliff this tool guards
-        bucketed.limit(1).collect()
-        val plan = bucketed.limit(1).queryExecution.executedPlan.toString
+        // bind ONE Dataset and inspect the plan of the probe that actually
+        // ran — under AQE a fresh `bucketed.limit(1)` would expose the
+        // unexecuted initial plan, not the final one (PhysicalSpec pattern)
+        val probe = bucketed.limit(1)
+        probe.collect()
+        val plan = probe.queryExecution.executedPlan.toString
           .split("== Initial Plan ==").head
         val lines = plan.linesIterator
           .filter(_.contains("graft_argmin_centroid")).toSeq

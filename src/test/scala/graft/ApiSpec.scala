@@ -68,6 +68,24 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("auto-k default: nBuckets<=0 derives k from the corpus count") {
+    // the facade default (nBuckets = 0) must run end-to-end and honor the
+    // output contract — at fixture scale (≤1024 vectors) auto-k resolves
+    // to the floor of 16 cells
+    val nn = Graft.annTopK(vectors, "vec_id", "embedding", k = 5)
+    assert(nn.columns.toSeq ==
+      Seq("query_id", "neighbor_id", "cosine", "rank"))
+    val byQuery = nn.groupBy("query_id").count().collect()
+    assert(byQuery.nonEmpty && byQuery.forall(_.getLong(1) <= 5))
+    // the documented clamp: ceil(n/1024) bounded to [16, 4096] — spot the
+    // formula at three decades so the SCALING.md lever stays honest
+    def autoK(n: Long): Long =
+      math.min(4096L, math.max(16L, (n + 1023L) / 1024L))
+    assert(autoK(2000L) == 16L)       // 1× fixture decade
+    assert(autoK(200000L) == 196L)    // the measured QuantScale corpus
+    assert(autoK(20000000L) == 4096L) // clamped at the measured k ceiling
+  }
+
   test("quickstart: quality, language ID, split, chunking") {
     val scored = Graft.quality(docs, "text")
     assert(scored.columns.contains("quality"))

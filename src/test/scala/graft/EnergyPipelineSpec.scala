@@ -133,7 +133,17 @@ class EnergyPipelineSpec extends SparkSpec {
 
   test("materialized run writes all stage tables + metadata (S6/S7/S14)") {
     val dir = Files.createTempDirectory("graft-energy-out").toString
-    EnergyPipeline.run(spark, s"$csvDir/*.csv", tariffs, Some(dir))
+    EnergyPipeline.run(spark, s"$csvDir/*.csv", tariffs, Some(dir),
+      partitionDaily = true)
+    // §7.4.8 layout variant: daily also lands date-partitioned, one
+    // directory per day, and a date filter round-trips from it
+    val byDate = new java.io.File(s"$dir/daily_by_date").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("date="))
+    assert(byDate.length >= 2, "expected per-date partition directories")
+    val firstDate = byDate.map(_.getName.stripPrefix("date=")).min
+    val pruned = spark.read.parquet(s"$dir/daily_by_date")
+      .filter(col("date") === lit(java.sql.Date.valueOf(firstDate)))
+    assert(pruned.count() > 0)
     for (t <- Seq("raw_energy_data", "hourly", "daily", "energy_features",
         "forecasting_results", "anomalies"))
       assert(spark.read.parquet(s"$dir/$t").count() > 0, t)

@@ -689,15 +689,62 @@ class MultimodalSpec extends SparkSpec {
     assert(mismatch == 0)
   }
 
-  test("resize planning and frame sampling shapes") {
+  test("real raster resize: decode-resize-decode roundtrip") {
+    val png = Multimodal.Synthetic.png(100, 50, seed = 7L)
+    val (out, w, h) = Multimodal.RasterCodec.resizePng(png, 32, 32).get
+    assert((w, h) == (32L, 16L)) // letterbox: 100x50 into 32x32
+    // the produced bytes are a REAL PNG: magic + independent header decode
+    assert((out(0) & 0xFF) == 0x89 && out(1) == 'P' && out(2) == 'N')
+    val (w2, h2, f2) = Multimodal.ImageIoCodec.decode(out, "img/png")
+    assert((w2, h2, f2) == (32L, 16L, 1L))
+    // the resample moved actual pixels: an off-diagonal pixel keeps the
+    // deterministic fill color (bilinear over a solid region is exact)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out))
+    val expected = ((7L * 2654435761L) & 0xFFFFFFL).toInt
+    assert((img.getRGB(30, 2) & 0xFFFFFF) == expected)
+    // identical input → identical bytes (deterministic encode)
+    assert(java.util.Arrays.equals(
+      Multimodal.RasterCodec.resizePng(png, 32, 32).get._1, out))
+  }
+
+  test("real frame extraction: multi-page TIFF rasters") {
+    val tiff = Multimodal.Synthetic.tiff(20, 10, 5, seed = 3L)
+    // header decode sees the container: 5 frames, TIFF magic accepted
+    assert(Multimodal.ImageIoCodec.decode(tiff, "img/tiff") == (20L, 10L, 5L))
+    val frames = Multimodal.RasterCodec.readFrames(tiff, everyK = 2).get
+    assert(frames.map(_._1) == Seq(0L, 2L, 4L))
+    assert(frames.forall(f => f._2 == 20L && f._3 == 10L))
+    // per-frame colors differ → per-frame raster digests differ, and the
+    // digest is deterministic across reads
+    assert(frames.map(_._4).distinct.size == 3)
+    assert(Multimodal.RasterCodec.readFrames(tiff, everyK = 2).get == frames)
+  }
+
+  test("resizeMedia: raster path on synthetic PNGs, fallback on text") {
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
-    val decoded = Multimodal.decodeBatches(spark,
-      Multimodal.asMedia(docs, "doc_id", "text", "source"))
-    val resized = Multimodal.resizeMeta(spark, decoded, maxW = 64, maxH = 64)
-    assert(resized.filter(col("target_w") > 64 || col("target_h") > 64)
+    val media = Multimodal.syntheticImageMedia(spark, docs)
+    val resized = Multimodal.resizeMedia(spark, media, maxW = 64, maxH = 48)
+    assert(resized.count() == docs.count())
+    assert(resized.filter(!col("raster")).count() == 0) // all real rasters
+    assert(resized.filter(col("resized_w") > 64 || col("resized_h") > 48)
       .count() == 0)
     assert(resized.filter(col("scale") > 1.0).count() == 0) // never upscale
-    val frames = Multimodal.frameSample(spark, decoded, everyK = 4)
+    // every raster row carries real re-encoded PNG bytes
+    assert(resized.toDF()
+      .filter(octet_length(col("resized_bytes")) === 0).count() == 0)
+    // text payloads are total: geometry-only fallback, flagged raster=false
+    val tr = Multimodal.resizeMedia(spark,
+      Multimodal.asMedia(docs, "doc_id", "text", "source"), 64, 64)
+    assert(tr.filter(col("raster")).count() == 0)
+    assert(tr.count() == docs.count())
+  }
+
+  test("frameExtract: every-k shape holds on the fallback path") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val media = Multimodal.asMedia(docs, "doc_id", "text", "source")
+    val decoded = Multimodal.decodeBatches(spark, media)
+    val frames = Multimodal.frameExtract(spark, media, everyK = 4)
     // every doc contributes ceil(n_frames / 4) frames
     val perDoc = frames.groupBy("doc_id").count()
       .join(decoded.toDF(), "doc_id")

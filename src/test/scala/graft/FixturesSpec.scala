@@ -101,16 +101,46 @@ class FixturesSpec extends SparkSpec {
     val li = graft.io.Tables.lineitem(spark, dir)
     assertCols("lineitem", li.schema,
       ("l_orderkey", numeric, "numeric key"),
+      ("l_partkey", numeric, "numeric key"),
       ("l_quantity", numeric, "numeric"),
+      ("l_extendedprice", numeric, "numeric"),
+      ("l_discount", numeric, "numeric"),
+      ("l_returnflag", stringy, "string flag"),
       ("l_shipdate", d => temporal(d) || d == StringType,
         "date-like (DATE or string)"))
     val o = graft.io.Tables.orders(spark, dir)
     assertCols("orders", o.schema,
       ("o_orderkey", numeric, "numeric key"),
-      ("o_custkey", numeric, "numeric key"))
+      ("o_custkey", numeric, "numeric key"),
+      ("o_totalprice", numeric, "numeric"),
+      ("o_orderdate", d => temporal(d) || d == StringType,
+        "date-like (DATE or string)"))
     val c = graft.io.Tables.customer(spark, dir)
     assertCols("customer", c.schema,
       ("c_custkey", numeric, "numeric key"),
-      ("c_nationkey", numeric, "numeric key"))
+      ("c_nationkey", numeric, "numeric key"),
+      ("c_name", stringy, "string name"),
+      ("c_acctbal", numeric, "numeric"))
+  }
+
+  test("TPC-H dims: every remaining Tables accessor pinned") {
+    val s = graft.io.Tables.supplier(spark, dir)
+    assertCols("supplier", s.schema,
+      ("s_suppkey", numeric, "numeric key"),
+      ("s_nationkey", numeric, "numeric key"),
+      ("s_name", stringy, "string name"))
+    val p = graft.io.Tables.part(spark, dir)
+    assertCols("part", p.schema,
+      ("p_partkey", numeric, "numeric key"),
+      ("p_name", stringy, "string name"))
+    val n = graft.io.Tables.nation(spark, dir)
+    assertCols("nation", n.schema,
+      ("n_nationkey", numeric, "numeric key"),
+      ("n_regionkey", numeric, "numeric key"),
+      ("n_name", stringy, "string name"))
+    val r = graft.io.Tables.region(spark, dir)
+    assertCols("region", r.schema,
+      ("r_regionkey", numeric, "numeric key"),
+      ("r_name", stringy, "string name"))
   }
 }

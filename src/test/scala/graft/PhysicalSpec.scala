@@ -361,6 +361,40 @@ class PhysicalSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/by_user").count() == daily.count())
   }
 
+  test("date-partitioned write prunes the scan to matching date dirs (P5)") {
+    // SURVEY §7.4.8: raw/daily output partitioned by date so the
+    // chronological train/test split (P5) prunes whole directories at plan
+    // time — the difference between scanning a day and scanning 100 TB.
+    val dir = Files.createTempDirectory("graft-ppart").toString
+    val daily = Parity.daily(spark, TestSpark.sf0001)
+    Writers.parquetPartitioned(daily, s"$dir/daily_by_date", Seq("date"))
+    val root = new java.io.File(s"$dir/daily_by_date")
+    val dateDirs = root.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("date="))
+    assert(dateDirs.length >= 3,
+      s"expected several date partitions, got ${dateDirs.length}")
+    val totalFiles = dateDirs.flatMap(_.listFiles())
+      .count(_.getName.endsWith(".parquet"))
+    val back = spark.read.parquet(s"$dir/daily_by_date")
+    val cutoff = back.agg(max(col("date"))).head.get(0)
+    val expectedFiles = dateDirs.filter(_.getName == s"date=$cutoff")
+      .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
+    assert(expectedFiles >= 1 && expectedFiles < totalFiles)
+    val df = back.filter(col("date") === lit(cutoff))
+    df.collect()
+    val scan = finalOps(df.queryExecution.executedPlan).collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no FileSourceScan in plan"))
+    // plan-time evidence: the date predicate landed as a PARTITION filter
+    assert(scan.partitionFilters
+        .exists(_.references.exists(_.name == "date")),
+      s"date not a partition filter: ${scan.partitionFilters}")
+    // runtime evidence: only the matching partition's files were opened
+    assert(scan.metrics("numFiles").value == expectedFiles,
+      s"scan read ${scan.metrics("numFiles").value} files of $totalFiles; " +
+        s"expected only the $expectedFiles matching files")
+  }
+
   test("LOCF fill reuses the grid's key partitioning under broadcast") {
     import spark.implicits._
     val obs = (1L to 50L).flatMap(k => Seq(

@@ -451,6 +451,10 @@ object Multimodal {
     docs.select(col("doc_id").cast("long"),
         octet_length(encode(coalesce(col("text"), lit("")), "UTF-8"))
           .cast("long").as("len"))
+      // the fixture parquet reads as 1-2 partitions — spread the
+      // encode-heavy synthesis across the cluster (row-deterministic, so
+      // partitioning never changes the output)
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Long)]
       .mapPartitions(_.map { case (id, len) =>
         MediaRow(id, Synthetic.png((len % 96 + 32).toInt,
@@ -468,6 +472,7 @@ object Multimodal {
     docs.select(col("doc_id").cast("long"),
         octet_length(encode(coalesce(col("text"), lit("")), "UTF-8"))
           .cast("long").as("len"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Long)]
       .mapPartitions(_.map { case (id, len) =>
         MediaRow(id, Synthetic.tiff((len % 48 + 16).toInt,

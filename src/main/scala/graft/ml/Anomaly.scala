@@ -43,7 +43,19 @@ object Anomaly {
       .setOutputCol("scaled_features")
     val km = new KMeans().setK(k).setSeed(seed)
       .setFeaturesCol("scaled_features").setPredictionCol("cluster")
-    val model = new Pipeline().setStages(Array(assembler, scaler, km)).fit(df)
+    // cache the input once: the sizing count, the scaler/KMeans fit passes,
+    // and the transform below would otherwise each replay the upstream
+    // join+features lineage (lifecycle: session-LRU, same policy as
+    // withDist). Fit on the compacted view — KMeans is iterative, the same
+    // scheduling-overhead lever as the tree grids (Forecast.sizedForTrees'
+    // measured A/B); the TRANSFORM stays on the 32-partition view so
+    // downstream partitioning is untouched. Cluster floats legitimately
+    // vary with fit partitioning (init sampling) — the verification
+    // contract pins metric invariants and the oracled key envelope, never
+    // cluster-float hashes.
+    val input = df.cache()
+    val model = new Pipeline().setStages(Array(assembler, scaler, km))
+      .fit(graft.ml.Forecast.sizedForTrees(input))
     val centers: Array[Vector] = model.stages.collectFirst {
       case m: org.apache.spark.ml.clustering.KMeansModel => m.clusterCenters
     }.get
@@ -55,7 +67,7 @@ object Anomaly {
     // cache: consumed by both the stats agg and the join-back — uncached,
     // the KMeans transform + full upstream lineage would execute twice per
     // materialization (lifecycle: session-LRU, same policy as Dedup)
-    val withDist = model.transform(df)
+    val withDist = model.transform(input)
       .withColumn("distance_to_center",
         graft.functions.CentroidFunctions.graft_centroid_dist(
           col("scaled_features"), col("cluster"), centers.map(_.toArray)))

@@ -150,14 +150,22 @@ object Forecast {
   /** Partition-sizing for tree-ensemble fits: tree training is iterative
     * (one distributed stats pass per node group per depth level), so its
     * cost is jobs × per-task overhead — 32 partitions of a few hundred
-    * rows each turns a seconds-long fit into minutes of scheduling. Target
-    * ~64k rows per partition, capped at the cluster parallelism: at 100 TB
-    * this leaves partitioning untouched; at dev SF it coalesces the fit
-    * input to a handful of tasks (measured 103 s → seconds for the RF grid
-    * at sf0.1).
+    * rows each turns a seconds-long fit into minutes of scheduling
+    * (measured 103 s → seconds for the RF grid at sf0.1). But the floor
+    * matters as much as the ceiling: the grid fits CONCURRENTLY (4 points
+    * at once), so 1 partition per fit strands all but 4 cores. The r10
+    * MlPhases A/B at sf0.1 (each config twice, JIT-warmed): 1 part 11.9 s,
+    * 4 parts 7.6 s, 8 parts 6.1 s, 32 parts 7.7 s for the 4-point grid —
+    * the optimum is partitions-per-fit ≈ cores / concurrent-fits. Target
+    * ~2k rows per partition, capped at the cluster parallelism: at 100 TB
+    * the cap leaves partitioning at the cluster's own width (unchanged
+    * from before); at dev SF it lands the fit near the measured optimum.
+    * (RF float outputs legitimately vary with fit partitioning — bagging
+    * seeds per partition index — which is why MlSpec pins metric ranges
+    * and the oracled `_keys` envelopes, never float hashes.)
     */
-  private def sizedForTrees(df: DataFrame,
-                            rowsPerPartition: Long = 65536): DataFrame = {
+  private[ml] def sizedForTrees(df: DataFrame,
+                                rowsPerPartition: Long = 2048): DataFrame = {
     val n = df.count()
     val parts = math.max(1, math.min(
       ((n + rowsPerPartition - 1) / rowsPerPartition).toInt,

@@ -84,6 +84,42 @@ object MlPhases {
       Forecast.trainRandomForest(train, test, fcols, "daily_value",
         valCutoff)
     }
+    // RF A/B: result-identical scheduling levers only. maxMemoryInMB
+    // controls how many tree nodes share one distributed stats pass
+    // (bigger = fewer passes, same split decisions); nPart trades
+    // per-fit treeAggregate parallelism against task scheduling overhead.
+    // Each config runs twice (JIT warm-up + measured) — order effects
+    // dominated the first cut of this A/B.
+    for ((mem, cache, nPart) <- Seq(
+        (256, false, 1), (256, false, 1),
+        (256, false, 4), (256, false, 4),
+        (256, false, 8), (256, false, 8),
+        (256, false, 0), (256, false, 0))) {
+      timed(s"rf_ab mem=$mem cache=$cache np=$nPart") {
+        val assembler = new org.apache.spark.ml.feature.VectorAssembler()
+          .setInputCols(fcols).setOutputCol("features")
+          .setHandleInvalid("skip")
+        val inner0 = assembler.transform(
+          train.filter(col("date") < lit(valCutoff))).cache()
+        inner0.count()
+        val inner = if (nPart > 0) inner0.coalesce(nPart) else inner0 // 0 = leave at source partitioning
+        val grid = for {t <- Seq(50, 100); d <- Seq(5, 10)} yield (t, d)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val fits = Await.result(Future.sequence(grid.map { case (t, d) =>
+          Future {
+            new org.apache.spark.ml.regression.RandomForestRegressor()
+              .setFeaturesCol("features").setLabelCol("daily_value")
+              .setNumTrees(t).setMaxDepth(d).setSeed(42)
+              .setMaxMemoryInMB(mem).setCacheNodeIds(cache)
+              .fit(inner)
+          }
+        }), scala.concurrent.duration.Duration.Inf)
+        println(s"[mlphases]   rf fits=${fits.size}")
+        inner0.unpersist()
+      }
+    }
+
     val best = Seq(lrFit, rfFit).minBy(_.rmse)
     val preds = timed("winner_transform") {
       val p = best.model.transform(feats)

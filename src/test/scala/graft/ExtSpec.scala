@@ -740,6 +740,33 @@ class MultimodalSpec extends SparkSpec {
     assert(tr.count() == docs.count())
   }
 
+  test("raster pixel budget refuses hostile headers before allocation") {
+    // a REAL 10x10 PNG whose IHDR is patched to claim 2^20 x 64 = 64M
+    // pixels (chunk CRC recomputed so the reader trusts it): the header
+    // pass may report the claimed dims, but the raster path must refuse
+    // before allocating a 256MB raster for a 200-byte payload
+    val p = Multimodal.Synthetic.png(10, 10, seed = 1L).clone()
+    def putInt(off: Int, v: Int): Unit = {
+      p(off) = (v >>> 24).toByte; p(off + 1) = (v >>> 16).toByte
+      p(off + 2) = (v >>> 8).toByte; p(off + 3) = v.toByte
+    }
+    putInt(16, 1 << 20) // IHDR width
+    putInt(20, 64)      // IHDR height
+    val crc = new java.util.zip.CRC32()
+    crc.update(p, 12, 17) // chunk type (4B) + IHDR data (13B)
+    putInt(29, crc.getValue.toInt)
+    // header-only decode reports the claimed (in-MaxDim) dimensions…
+    assert(Multimodal.ImageIoCodec.decode(p, "img/png")._1 == (1L << 20))
+    // …but both raster entries refuse: over MaxRasterPixels
+    assert(Multimodal.RasterCodec.resizePng(p, 64, 64).isEmpty)
+    assert(Multimodal.RasterCodec.readFrames(p, everyK = 1).isEmpty)
+    // and the operator stays total: the row takes the geometry fallback
+    val media = spark.createDataFrame(Seq(
+      (1L, p, "img/png"))).toDF("doc_id", "payload", "format")
+    val r = Multimodal.resizeMedia(spark, media, 64, 64).head()
+    assert(!r.raster && r.resized_bytes.isEmpty)
+  }
+
   test("frameExtract: every-k shape holds on the fallback path") {
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
     val media = Multimodal.asMedia(docs, "doc_id", "text", "source")

@@ -415,9 +415,35 @@ object Multimodal {
       bos.toByteArray
     }
 
-    /** Multi-page TIFF — the JDK-writable multi-image container (the GIF
-      * writer needs per-frame metadata surgery; TIFF's `writeToSequence`
-      * does not), standing in for video keyframe stacks.
+    /** Animated GIF via the JDK's GIF writer sequence API — the web-corpus
+      * multi-frame format. Frames carry default metadata (a
+      * GraphicControlExtension is optional per the GIF89a spec); the reader
+      * still counts and decodes every frame.
+      */
+    def gif(w: Int, h: Int, nFrames: Int, seed: Long): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer =
+        javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var i = 0
+        while (i < nFrames) {
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          fill(img, colorOf(seed * 31L + i))
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, null), null)
+          i += 1
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+
+    /** Multi-page TIFF — the other JDK-writable multi-image container,
+      * standing in for video keyframe stacks.
       */
     def tiff(w: Int, h: Int, nFrames: Int, seed: Long): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()

@@ -708,6 +708,21 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.RasterCodec.resizePng(png, 32, 32).get._1, out))
   }
 
+  test("real frame extraction: animated GIF rasters") {
+    val gif = Multimodal.Synthetic.gif(12, 8, 4, seed = 9L)
+    assert(gif(0) == 'G' && gif(3) == '8') // real GIF8xa container
+    // header decode counts every frame; all guards pass on real GIF bytes
+    assert(Multimodal.ImageIoCodec.decode(gif, "img/gif") == (12L, 8L, 4L))
+    val frames = Multimodal.RasterCodec.readFrames(gif, everyK = 1).get
+    assert(frames.map(_._1) == Seq(0L, 1L, 2L, 3L))
+    assert(frames.forall(f => f._2 == 12L && f._3 == 8L))
+    // per-frame colors differ → per-frame raster digests differ
+    assert(frames.map(_._4).distinct.size == 4)
+    // the resize path handles the animated container (frame 0)
+    val (png, w, h) = Multimodal.RasterCodec.resizePng(gif, 6, 6).get
+    assert((w, h) == (6L, 4L) && png.nonEmpty)
+  }
+
   test("real frame extraction: multi-page TIFF rasters") {
     val tiff = Multimodal.Synthetic.tiff(20, 10, 5, seed = 3L)
     // header decode sees the container: 5 frames, TIFF magic accepted

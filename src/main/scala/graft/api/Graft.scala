@@ -209,6 +209,42 @@ object Graft {
     Packing.chunkTokens(docs, textCol, idCol, chunkSize,
       if (stride <= 0) chunkSize else stride)
 
+  // --- multimodal -------------------------------------------------------
+
+  /** Batch-decode a media frame (`doc_id, payload binary, format`) to typed
+    * metadata — real header-only image decode (PNG/JPEG/GIF/BMP/TIFF via
+    * the JDK), deterministic fallback for non-image bytes. Build the media
+    * frame from files with [[mediaFromFiles]] or any `(id, bytes, tag)`
+    * projection.
+    */
+  def decodeMedia(spark: SparkSession, media: DataFrame): DataFrame =
+    graft.ext.Multimodal.decodeBatches(spark, media).toDF()
+
+  /** `binaryFile` ingest → the media shape: stable xxhash64 doc ids,
+    * format from the file extension. The entry point for real media bytes.
+    */
+  def mediaFromFiles(spark: SparkSession, path: String,
+                     glob: String = "*"): DataFrame =
+    graft.ext.Multimodal.asMediaFromFiles(
+      graft.io.Sources.binaryFiles(spark, path, glob))
+
+  /** REAL raster resize: aspect-preserving `Graphics2D` resample of each
+    * image payload into `maxW×maxH`, PNG bytes out, output dimensions
+    * re-decoded from the produced bytes; non-raster payloads take the
+    * deterministic geometry-only fallback (`raster = false`).
+    */
+  def resizeMedia(spark: SparkSession, media: DataFrame, maxW: Long,
+                  maxH: Long): DataFrame =
+    graft.ext.Multimodal.resizeMedia(spark, media, maxW, maxH).toDF()
+
+  /** REAL frame extraction: every k-th frame of each multi-image payload
+    * (animated GIF, multi-page TIFF) decoded, with per-frame dimensions
+    * and an FNV raster digest; 1→N row shape.
+    */
+  def extractFrames(spark: SparkSession, media: DataFrame,
+                    everyK: Long = 1L): DataFrame =
+    graft.ext.Multimodal.frameExtract(spark, media, everyK).toDF()
+
   // --- the reference pipeline ------------------------------------------
 
   /** The reference's five-stage energy pipeline (ingest → preprocess →

@@ -86,6 +86,29 @@ class ApiSpec extends SparkSpec {
     assert(autoK(20000000L) == 4096L) // clamped at the measured k ceiling
   }
 
+  test("multimodal facade: files → decode → resize → frames") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-api-media").toString
+    Files.write(Paths.get(dir, "a.png"),
+      graft.ext.Multimodal.Synthetic.png(40, 20, seed = 1L))
+    Files.write(Paths.get(dir, "b.gif"),
+      graft.ext.Multimodal.Synthetic.gif(10, 10, 3, seed = 2L))
+    val media = Graft.mediaFromFiles(spark, dir)
+    val meta = Graft.decodeMedia(spark, media)
+      .orderBy("format").collect()
+    assert(meta.map(_.getAs[String]("format")).toSeq ==
+      Seq("img/gif", "img/png"))
+    assert(meta.map(r => (r.getAs[Long]("width"), r.getAs[Long]("n_frames")))
+      .toSeq == Seq((10L, 3L), (40L, 1L)))
+    val resized = Graft.resizeMedia(spark, media, 16, 16)
+    assert(resized.filter(col("raster")).count() == 2)
+    assert(resized.filter(col("resized_w") > 16 || col("resized_h") > 16)
+      .count() == 0)
+    val frames = Graft.extractFrames(spark, media)
+    assert(frames.count() == 4) // 3 GIF frames + 1 PNG frame
+    assert(frames.filter(!col("raster")).count() == 0)
+  }
+
   test("quickstart: quality, language ID, split, chunking") {
     val scored = Graft.quality(docs, "text")
     assert(scored.columns.contains("quality"))

@@ -157,6 +157,15 @@ class PipelineOpsSpec extends SparkSpec {
     val (fw, fh, ff) = graft.ext.Multimodal.FakeCodec.decode(
       Array.fill[Byte](100)(7), "img/bin")
     assert(decoded("img/bin") == ((fw, fh, ff)))
+    // end-to-end through the REAL raster resize: file bytes → letterboxed
+    // resample → re-encoded PNG whose re-decoded dims match the letterbox
+    // prediction; the .bin row takes the geometry fallback
+    val resized = graft.ext.Multimodal.resizeMedia(spark, media, 16, 16)
+      .collect().map(r => ((r.width, r.height) ->
+        ((r.resized_w, r.resized_h, r.raster)))).toMap
+    assert(resized((17L, 9L)) == ((16L, 8L, true)))   // 17x9 → 16x8
+    assert(resized((33L, 21L)) == ((16L, 10L, true))) // 33x21 → 16x10
+    assert(resized((fw, fh))._3 == false)
   }
 
   test("compactParquet collapses a small-files layout, preserving data " +

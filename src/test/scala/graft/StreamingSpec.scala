@@ -497,4 +497,34 @@ class StreamingSpec extends SparkSpec {
         .exceptAll(got.select("purchase_id", "view_id")).count() == 0)
     } finally q.stop()
   }
+
+  test("streaming media ingest: incremental file decode, exactly-once") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val inDir = Files.createTempDirectory("graft-media-in").toString
+    val outDir = Files.createTempDirectory("graft-media-out").toString
+    val ckpt = Files.createTempDirectory("graft-media-ckpt").toString
+    JFiles.write(Paths.get(inDir, "a.png"),
+      graft.ext.Multimodal.Synthetic.png(24, 12, seed = 1L))
+    JFiles.write(Paths.get(inDir, "b.gif"),
+      graft.ext.Multimodal.Synthetic.gif(10, 8, 3, seed = 2L))
+    val q = graft.streaming.StreamingMedia.run(spark, inDir, outDir, ckpt)
+    try {
+      q.processAllAvailable()
+      val first = spark.read.parquet(outDir)
+      assert(first.count() == 2)
+      // real header decode ran inside the stream
+      assert(first.filter(col("format") === "img/gif")
+        .select("width", "n_frames").head().toSeq == Seq(10L, 3L))
+      // a file landing LATER is picked up incrementally — and the two
+      // already-processed files are not re-emitted (file-source
+      // exactly-once bookkeeping via the checkpoint)
+      JFiles.write(Paths.get(inDir, "c.tiff"),
+        graft.ext.Multimodal.Synthetic.tiff(16, 16, 2, seed = 3L))
+      q.processAllAvailable()
+      val second = spark.read.parquet(outDir)
+      assert(second.count() == 3)
+      assert(second.filter(col("format") === "img/tiff")
+        .select("n_frames").head().getLong(0) == 2L)
+    } finally q.stop()
+  }
 }

@@ -689,6 +689,28 @@ class MultimodalSpec extends SparkSpec {
     assert(mismatch == 0)
   }
 
+  test("letterbox properties: bounded, never upscales, aspect preserved") {
+    // deterministic pseudo-random sweep (no RNG — the house convention)
+    for (i <- 1 to 500) {
+      val w = (i * 2654435761L % 4000) + 1
+      val h = (i * 40503L % 3000) + 1
+      val maxW = (i * 69069L % 500) + 1
+      val maxH = (i * 12345L % 500) + 1
+      val (tw, th, s) = Multimodal.letterbox(w, h, maxW, maxH)
+      assert(s <= 1.0 && s > 0.0, s"scale out of range: $s")
+      assert(tw >= 1 && th >= 1, s"degenerate target: ${(tw, th)}")
+      assert(tw <= math.max(maxW, 1) && th <= math.max(maxH, 1),
+        s"target exceeds box: ${(w, h, maxW, maxH)} -> ${(tw, th)}")
+      if (w <= maxW && h <= maxH) // already fits: identity, no upscale
+        assert((tw, th) == ((w, h)))
+      // aspect preserved within the floor's 1px quantization
+      if (s < 1.0 && tw > 4 && th > 4)
+        assert(math.abs(tw.toDouble / th - w.toDouble / h) <=
+          w.toDouble / h * (1.0 / tw + 1.0 / th),
+          s"aspect drifted: ${(w, h)} -> ${(tw, th)}")
+    }
+  }
+
   test("real raster resize: decode-resize-decode roundtrip") {
     val png = Multimodal.Synthetic.png(100, 50, seed = 7L)
     val (out, w, h) = Multimodal.RasterCodec.resizePng(png, 32, 32).get

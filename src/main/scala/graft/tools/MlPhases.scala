@@ -84,17 +84,20 @@ object MlPhases {
       Forecast.trainRandomForest(train, test, fcols, "daily_value",
         valCutoff)
     }
-    // RF A/B: result-identical scheduling levers only. maxMemoryInMB
-    // controls how many tree nodes share one distributed stats pass
-    // (bigger = fewer passes, same split decisions); nPart trades
-    // per-fit treeAggregate parallelism against task scheduling overhead.
-    // Each config runs twice (JIT warm-up + measured) — order effects
-    // dominated the first cut of this A/B.
-    for ((mem, cache, nPart) <- Seq(
+    // RF A/B (opt-in: `MlPhases <sfDir> ab`): result-identical scheduling
+    // levers only. maxMemoryInMB controls how many tree nodes share one
+    // distributed stats pass (bigger = fewer passes, same split
+    // decisions); nPart trades per-fit treeAggregate parallelism against
+    // task scheduling overhead. Each config runs twice (JIT warm-up +
+    // measured) — order effects dominated the first cut of this A/B.
+    // Measured r10 (sf0.1): 1 part 11.9 s, 4 parts 7.6 s, 8 parts 6.1 s,
+    // 32 parts 7.7 s; mem=1024 6-8x SLOWER than 256 at this scale.
+    val abConfigs = if (args.lift(1).contains("ab")) Seq(
         (256, false, 1), (256, false, 1),
         (256, false, 4), (256, false, 4),
         (256, false, 8), (256, false, 8),
-        (256, false, 0), (256, false, 0))) {
+        (256, false, 0), (256, false, 0)) else Nil
+    for ((mem, cache, nPart) <- abConfigs) {
       timed(s"rf_ab mem=$mem cache=$cache np=$nPart") {
         val assembler = new org.apache.spark.ml.feature.VectorAssembler()
           .setInputCols(fcols).setOutputCol("features")

@@ -149,6 +149,24 @@ object Graft {
       nProbe = nProbe, overfetch = overfetch, maxBucket = maxBucket)
   }
 
+  /** [[annTopK]] with product-quantization SDC scoring: `m` per-subspace
+    * Lloyd codebooks (`kSub` centers each) compress every vector to
+    * `m` small codes — `m·log2(kSub)` bits vs SQ8's byte-per-dimension —
+    * and the candidate join is scored by precomputed sub-centroid
+    * inner-product table lookups (no per-pair decode at all); exact float
+    * cosine re-ranks the per-query `k·overfetch` shortlist. Output cosines
+    * are exact; same schema. The shape for corpora where even int8 codes
+    * don't fit the candidate shuffle.
+    */
+  def annTopKPq(vectors: DataFrame, idCol: String, vecCol: String, k: Int,
+                dim: Int, m: Int = 4, kSub: Int = 16, overfetch: Int = 3,
+                nBuckets: Int = 0, maxBucket: Int = 4096): DataFrame = {
+    val bucketed = Similarity.kmeansBuckets(vectors, idCol, vecCol,
+      k = resolveBuckets(vectors, nBuckets), iters = 2, bucketCol = "__cell")
+    Similarity.pqTopK(bucketed, idCol, vecCol, "__cell", k = k, dim = dim,
+      m = m, kSub = kSub, overfetch = overfetch, maxBucket = maxBucket)
+  }
+
   /** Quantizer-free ANN for day-one ingest, before [[annTopK]]'s Lloyd
     * quantizer has a corpus to learn from: a codegen'd random-hyperplane
     * LSH signature (engine-exact integer-hash planes) assigns the coarse

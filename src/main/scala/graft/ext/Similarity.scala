@@ -429,30 +429,47 @@ object Similarity {
     */
   def kmeansBuckets(df: DataFrame, idCol: String, vecCol: String, k: Int,
                     iters: Int = 2, bucketCol: String = "bucket"): DataFrame = {
-    import graft.ext.CacheScope.Cacheable
-    require(k > 0 && iters >= 0, "kmeansBuckets requires k > 0 and iters >= 0")
-    // ONE codegen'd expression looping over the centers matrix
-    // ([[graft.functions.ArgMinCentroid]]) — bit-equal to the k-wide
-    // `array(round(dot − 2·dot + cc + 1e-9, 6))` → `array_min` →
-    // `array_position` column stack it replaced, which carried k·dim
-    // doubles as k plan literals and fell out of whole-stage codegen
-    // (64KB method limit) past a few hundred centers — breaking the
-    // documented "grow k with the corpus" recall lever. Constant bytecode
-    // at any k; the matrix ships once as a reference object.
-    def assignOn(vec: Column, centers: Array[Array[Double]]): Column =
-      graft.functions.ArgMinFunctions.graft_argmin_centroid(
-        vec.cast("array<double>"), centers)
-    val base = df.select(col(idCol).as("__kid"),
-        col(vecCol).cast("array<double>").as("__kv"))
-      .filter(col("__kv").isNotNull)
-      .scopedCache()
-    var centers: Array[Array[Double]] = base.orderBy(col("__kid")).limit(k)
-      .collect().map(_.getSeq[Double](1).toArray)
+    val centers = lloydCenters(df, idCol, col(vecCol), k, iters)
     // empty / all-null-vector corpus: nothing to learn — every row gets a
     // null bucket (and falls out of any bucket equi-join), matching
     // sq8TopK's empty-input contract instead of throwing
     if (centers.isEmpty)
       return df.withColumn(bucketCol, lit(null).cast("int"))
+    df.withColumn(bucketCol, assignOn(col(vecCol), centers))
+  }
+
+  /** Nearest-center assignment as ONE codegen'd expression looping over the
+    * centers matrix ([[graft.functions.ArgMinCentroid]]) — bit-equal to the
+    * k-wide `array(round(dot − 2·dot + cc + 1e-9, 6))` → `array_min` →
+    * `array_position` column stack it replaced, which carried k·dim doubles
+    * as k plan literals and fell out of whole-stage codegen (64KB method
+    * limit) past a few hundred centers — breaking the documented "grow k
+    * with the corpus" recall lever. Constant bytecode at any k; the matrix
+    * ships once as a reference object.
+    */
+  private def assignOn(vec: Column, centers: Array[Array[Double]]): Column =
+    graft.functions.ArgMinFunctions.graft_argmin_centroid(
+      vec.cast("array<double>"), centers)
+
+  /** The Lloyd center-learning loop behind [[kmeansBuckets]], factored out
+    * so [[pqTopK]] can learn one codebook per SUBSPACE over a sliced vector
+    * expression: deterministic k-smallest-id init, `iters` assign/recenter
+    * passes (empty cells keep their previous center), centers on the driver
+    * between iterations (≤ k·dim doubles — the codebook allowance every
+    * ANN operator in this file shares). Returns empty when the corpus has
+    * no non-null vectors; callers own that contract.
+    */
+  private[graft] def lloydCenters(df: DataFrame, idCol: String, vec: Column,
+                                  k: Int, iters: Int): Array[Array[Double]] = {
+    import graft.ext.CacheScope.Cacheable
+    require(k > 0 && iters >= 0, "lloydCenters requires k > 0 and iters >= 0")
+    val base = df.select(col(idCol).as("__kid"),
+        vec.cast("array<double>").as("__kv"))
+      .filter(col("__kv").isNotNull)
+      .scopedCache()
+    var centers: Array[Array[Double]] = base.orderBy(col("__kid")).limit(k)
+      .collect().map(_.getSeq[Double](1).toArray)
+    if (centers.isEmpty) return centers
     for (_ <- 1 to iters) {
       val means = base.withColumn("__kb", assignOn(col("__kv"), centers))
         .filter(col("__kb").isNotNull)
@@ -467,7 +484,107 @@ object Similarity {
         }
       }.toArray
     }
-    df.withColumn(bucketCol, assignOn(col(vecCol), centers))
+    centers
+  }
+
+  /** Product-quantization top-k within a coarse bucket: the memory-scaling
+    * step past [[sq8TopK]]. SQ8 stores one byte PER DIMENSION (64 B for a
+    * 64-d vector); PQ splits the vector into `m` subspaces, learns a
+    * `kSub`-center Lloyd codebook per subspace ([[lloydCenters]] on
+    * `slice`s — same deterministic init/iteration contract as
+    * [[kmeansBuckets]], so the whole quantizer stays SQL-expressible), and
+    * stores one SMALL code per subspace: m·log2(kSub) bits — 2 B here for
+    * the same 64-d vector, a 32× compression of what the candidate shuffle
+    * moves.
+    *
+    * Scoring is symmetric SDC through a codegen'd table lookup
+    * ([[graft.functions.PqSdcCosine]]): the m × kSub × kSub inner-product
+    * tables between sub-centroids are built ONCE on the driver
+    * (m·kSub²·8 bytes — 8 KB here, codebook-bounded like every driver
+    * collect in this file) and shipped as one reference object; per
+    * candidate pair the approximate cosine is m table lookups — no
+    * per-pair decode at all, the reason FAISS-style engines run PQ where
+    * SQ8 would already fit in memory. Output cosines are EXACT (stage-C
+    * float re-rank of the per-query `k·overfetch` shortlist, floats joined
+    * by id only); the codes decide only WHICH candidates reach the
+    * re-rank. Determinism contract as everywhere in this file: scores
+    * guard-rounded to 6dp (+1e-9) before ranking, ties to the lower id.
+    */
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String,
+             bucketCol: String, k: Int, dim: Int, m: Int = 4,
+             kSub: Int = 16, iters: Int = 1, overfetch: Int = 3,
+             maxBucket: Int = Int.MaxValue): DataFrame = {
+    import graft.ext.CacheScope.Cacheable
+    require(m > 0 && dim % m == 0,
+      s"pqTopK requires dim divisible by m, got dim=$dim m=$m")
+    val dsub = dim / m
+    val vd = col(vecCol).cast("array<double>")
+    // Stage A: one Lloyd codebook per subspace over the sliced corpus.
+    // m driver round-trips of ≤ kSub·dsub doubles each — the same
+    // codebook-learning allowance as kmeansBuckets; at 100 TB this stage
+    // runs on a sample, the codes pass below is the full-corpus work.
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      lloydCenters(df, idCol, slice(vd, j * dsub + 1, dsub), kSub, iters)
+    }
+    // empty/all-null corpus: no codebooks — empty result with the output
+    // schema, the sq8TopK empty-input contract
+    if (books.exists(_.isEmpty))
+      return df.limit(0).select(col(idCol).as("query_id"),
+        col(idCol).as("neighbor_id"), lit(0.0).as("cosine"),
+        lit(0L).as("rank"))
+    // codes: array of m sub-assignments, each ONE codegen'd argmin over
+    // its subspace slice — the full-corpus encode pass moves m ints/row
+    val codeArr = array((0 until m).map { j =>
+      assignOn(slice(vd, j * dsub + 1, dsub), books(j))
+    }: _*)
+    val coded = df.select(col(bucketCol).as("bkt"), col(idCol).as("uid"),
+      codeArr.as("code")).scopedCache()
+    val unit = df.select(col(idCol).as("uid"), unitVec(col(vecCol)).as("uvec"))
+      .scopedCache()
+    // SDC tables: tables(j)(a·kSub + b) = Σ_d c_a[d]·c_b[d] over subspace
+    // j, summed in dimension order (left fold) so the per-subspace partial
+    // matches the oracle's list_inner_product over the same sub-centroid
+    val tables: Array[Array[Double]] = books.map { cs =>
+      val t = new Array[Double](kSub * kSub)
+      var a = 0
+      while (a < cs.length) {
+        var b = 0
+        while (b < cs.length) {
+          var s = 0.0
+          var d = 0
+          while (d < dsub) { s += cs(a)(d) * cs(b)(d); d += 1 }
+          t(a * kSub + b) = s
+          b += 1
+        }
+        a += 1
+      }
+      t
+    }
+    // Stage B: bucket equi-join on CODES (m small ints per row through the
+    // shuffle), scored by the fused SDC lookup expression
+    val a = coded.select(col("bkt"), col("uid").as("query_id"),
+      col("code").as("qc"))
+    val b = capPerBucket(coded, "bkt", "uid", maxBucket)
+      .select(col("bkt"), col("uid").as("neighbor_id"),
+        col("code").as("cc"))
+    val shortlist = a.join(b, "bkt")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx",
+        round(graft.functions.PqFunctions.graft_pq_cosine(
+          col("qc"), col("cc"), tables, kSub) + lit(1e-9), 6))
+      .withColumn("ar", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("approx").desc, col("neighbor_id"))))
+      .filter(col("ar") <= k * overfetch)
+      .select(col("query_id"), col("neighbor_id"))
+    // Stage C: exact re-rank of the short list only
+    val scored = shortlist
+      .join(unit.select(col("uid").as("query_id"), col("uvec").as("q_vec")),
+        "query_id")
+      .join(unit.select(col("uid").as("neighbor_id"), col("uvec").as("c_vec")),
+        "neighbor_id")
+      .withColumn("cosine",
+        round(dot(col("q_vec"), col("c_vec")) + lit(1e-9), 6))
+    topKByCosine(scored, k)
   }
 
   /** Deterministic hyperplane component `j` of plane `p` — a pure integer

@@ -677,3 +677,123 @@ object ArgMinFunctions {
     ColumnBridge.column(ArgMinCentroid(ColumnBridge.expression(vec),
       centers.map(_.toIndexedSeq).toIndexedSeq))
 }
+
+/** Symmetric product-quantization (SDC) cosine: both inputs are `array<int>`
+  * PQ codes — one sub-codebook index per subspace — and the approximate
+  * cosine between the two RECONSTRUCTED vectors is computed without ever
+  * touching a vector: the inner products between every pair of sub-centroids
+  * were precomputed per subspace into `tables` (m flat kSub×kSub grids,
+  * `tables(j)(a·kSub + b) = ⟨c_ja, c_jb⟩`, built by
+  * [[graft.ext.Similarity.pqTopK]] on the driver), so the per-pair work is
+  * 3·m array lookups — dot, and both self-norms off the table diagonals —
+  * inside whole-stage codegen. This is the FAISS-style scoring shape: at
+  * 100 TB the candidate shuffle moves m small ints per vector and the
+  * scoring loop never decodes.
+  *
+  * Subspace partials are accumulated in subspace order (left fold), and the
+  * driver builds each table entry by a dimension-order fold, so the DuckDB
+  * oracle's `lip(sub_0) + lip(sub_1) + …` over the same reconstructed
+  * sub-centroids reproduces the float bit-for-bit modulo the house 6dp
+  * guard-round. Null on: null inputs, null elements, code arrays shorter
+  * than m, any code outside `[0, kSub)`, or a zero reconstructed norm
+  * (the never-ranks contract shared with [[Sq8Cosine]]).
+  */
+case class PqSdcCosine(left: Expression, right: Expression,
+                       tables: IndexedSeq[IndexedSeq[Double]], kSub: Int)
+    extends BinaryExpression {
+
+  // Seq params for content-based equals/hashCode — same canonicalization
+  // rationale as CentroidDist; primitive mirror for eval/codegen.
+  @transient private lazy val tblArr: Array[Array[Double]] =
+    tables.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, _) => true
+      case _ => false
+    })
+    if (!ok)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_pq_cosine requires array<int> code inputs, got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    else if (tables.isEmpty || kSub <= 0 ||
+        tables.exists(_.length != kSub * kSub))
+      TypeCheckResult.TypeCheckFailure(
+        "graft_pq_cosine requires m non-empty kSub×kSub lookup tables")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_cosine"
+  // Null beyond child nullability (out-of-range code, zero norm) — same
+  // codegen-safety rationale as Sq8Cosine.nullable.
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val m = tblArr.length
+    if (x.numElements() < m || y.numElements() < m) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var j = 0
+    while (j < m) {
+      if (x.isNullAt(j) || y.isNullAt(j)) return null
+      val ca = x.getInt(j); val cb = y.getInt(j)
+      if (ca < 0 || ca >= kSub || cb < 0 || cb >= kSub) return null
+      val t = tblArr(j)
+      dot += t(ca * kSub + cb)
+      na += t(ca * kSub + ca)
+      nb += t(cb * kSub + cb)
+      j += 1
+    }
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tblRef = ctx.addReferenceObj("tables", tblArr, "double[][]")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val j = ctx.freshName("j"); val mN = ctx.freshName("m")
+      val d = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val ca = ctx.freshName("ca"); val cb = ctx.freshName("cb")
+      val t = ctx.freshName("t")
+      s"""
+         |int $mN = $tblRef.length;
+         |if ($a.numElements() < $mN || $b.numElements() < $mN) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $d = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $j = 0; $j < $mN; $j++) {
+         |    if ($a.isNullAt($j) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
+         |    int $ca = $a.getInt($j); int $cb = $b.getInt($j);
+         |    if ($ca < 0 || $ca >= $kSub || $cb < 0 || $cb >= $kSub) {
+         |      ${ev.isNull} = true; break;
+         |    }
+         |    double[] $t = $tblRef[$j];
+         |    $d += $t[$ca * $kSub + $cb];
+         |    $na += $t[$ca * $kSub + $ca];
+         |    $nb += $t[$cb * $kSub + $cb];
+         |  }
+         |  if (!${ev.isNull}) {
+         |    if ($na == 0.0 || $nb == 0.0) { ${ev.isNull} = true; }
+         |    else { ${ev.value} = $d / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)); }
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqFunctions {
+  /** Column API for [[PqSdcCosine]]. */
+  def graft_pq_cosine(codesA: Column, codesB: Column,
+                      tables: Array[Array[Double]], kSub: Int): Column =
+    ColumnBridge.column(PqSdcCosine(
+      ColumnBridge.expression(codesA), ColumnBridge.expression(codesB),
+      tables.map(_.toIndexedSeq).toIndexedSeq, kSub))
+}

@@ -133,6 +133,132 @@ object NorthStarQueries {
       |    FROM df WHERE dist IS NOT NULL) WHERE rn = 1
       |)""".stripMargin
 
+  /** One subspace of the PQ quantizer as a DuckDB CTE chain mirroring
+    * [[Similarity.pqTopK]]'s per-slice [[Similarity.lloydCenters]] run with
+    * `iters = 1`: `sub` slices the vectors, `ini` takes the kSub
+    * smallest-id subvectors, `da`/`aa` assign on the init centers
+    * (guard-rounded squared-L2, lowest-index tiebreak — the ArgMinCentroid
+    * contract), `mm`/`ml`/`cb` recenter (empty cells keep their init
+    * center), `dz`/`af` re-assign on the refined centers = the final PQ
+    * code, and `rc` is the per-doc reconstructed sub-centroid the SDC
+    * score decodes to. Null embeddings never enter the sub-Lloyd (the
+    * Spark side filters them from learning) and carry no `rc` row — the
+    * LEFT JOINs in the scoring CTE turn that into a null score, Spark's
+    * null-code contract.
+    */
+  private def pqSubCte(j: Int, dsub: Int, kSub: Int): String = {
+    val lo = j * dsub + 1
+    val hi = (j + 1) * dsub
+    s"""sub$j AS (
+       |  SELECT vec_id, v[$lo:$hi] AS sv FROM e WHERE v IS NOT NULL
+       |), ini$j AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cj,
+       |    sv AS c
+       |  FROM sub$j ORDER BY vec_id LIMIT $kSub
+       |), da$j AS (
+       |  SELECT s.vec_id, i.cj,
+       |    round(list_inner_product(s.sv, s.sv)
+       |      - 2 * list_inner_product(s.sv, i.c)
+       |      + list_inner_product(i.c, i.c) + 1e-9, 6) AS dist
+       |  FROM sub$j s CROSS JOIN ini$j i
+       |), aa$j AS (
+       |  SELECT vec_id, cj AS b FROM (
+       |    SELECT vec_id, cj,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cj) AS rn
+       |    FROM da$j WHERE dist IS NOT NULL) WHERE rn = 1
+       |), mm$j AS (
+       |  SELECT aa$j.b AS cj, t.i AS i, avg(s.sv[t.i]) AS c
+       |  FROM sub$j s JOIN aa$j USING (vec_id),
+       |    unnest(range(1, len(s.sv) + 1)) AS t(i)
+       |  GROUP BY aa$j.b, t.i
+       |), ml$j AS (
+       |  SELECT cj, list(c ORDER BY i) AS c FROM mm$j GROUP BY cj
+       |), cb$j AS (
+       |  SELECT i.cj, coalesce(l.c, i.c) AS c
+       |  FROM ini$j i LEFT JOIN ml$j l USING (cj)
+       |), dz$j AS (
+       |  SELECT s.vec_id, k.cj,
+       |    round(list_inner_product(s.sv, s.sv)
+       |      - 2 * list_inner_product(s.sv, k.c)
+       |      + list_inner_product(k.c, k.c) + 1e-9, 6) AS dist
+       |  FROM sub$j s CROSS JOIN cb$j k
+       |), af$j AS (
+       |  SELECT vec_id, cj AS b FROM (
+       |    SELECT vec_id, cj,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cj) AS rn
+       |    FROM dz$j WHERE dist IS NOT NULL) WHERE rn = 1
+       |), rc$j AS (
+       |  SELECT a.vec_id, c.c AS r FROM af$j a JOIN cb$j c ON c.cj = a.b
+       |)""".stripMargin
+  }
+
+  /** The complete `q_ann_pq` oracle: four [[pqSubCte]] sub-Lloyd chains,
+    * then the SDC score as the SUM OF PER-SUBSPACE inner products over the
+    * reconstructed sub-centroids — the same left-fold association the
+    * Spark side's driver-built lookup tables accumulate in
+    * (`graft.functions.PqSdcCosine`), so the float matches bit-for-bit
+    * modulo the house 6dp guard-round — and the sq8-shaped capped bucket
+    * join + exact re-rank tail.
+    */
+  private def pqOracleSql: String = {
+    val m = 4; val dsub = 16; val kSub = 16
+    val subCtes = (0 until m).map(j => pqSubCte(j, dsub, kSub)).mkString(", ")
+    val num = (0 until m)
+      .map(j => s"list_inner_product(qa$j.r, nb$j.r)").mkString(" + ")
+    val qn = (0 until m)
+      .map(j => s"list_inner_product(qa$j.r, qa$j.r)").mkString(" + ")
+    val cn = (0 until m)
+      .map(j => s"list_inner_product(nb$j.r, nb$j.r)").mkString(" + ")
+    val qJoins = (0 until m)
+      .map(j => s"  LEFT JOIN rc$j qa$j ON qa$j.vec_id = a.vec_id")
+      .mkString("\n")
+    val nJoins = (0 until m)
+      .map(j => s"  LEFT JOIN rc$j nb$j ON nb$j.vec_id = b.vec_id")
+      .mkString("\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+       |), $subCtes, mem AS (
+       |  SELECT vec_id,
+       |    row_number() OVER (PARTITION BY label
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |  FROM e
+       |), approx AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    round(($num) /
+       |      (NULLIF(sqrt($qn), 0) *
+       |       NULLIF(sqrt($cn), 0)) + 1e-9, 6) AS approx
+       |  FROM e a JOIN e b
+       |    ON a.label = b.label AND a.vec_id <> b.vec_id
+       |  JOIN mem m ON m.vec_id = b.vec_id AND m.rn <= 40
+       |$qJoins
+       |$nJoins
+       |), short AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY approx DESC, neighbor_id) AS ar
+       |  FROM approx
+       |), uv AS (
+       |  SELECT vec_id,
+       |    list_transform(v,
+       |      x -> x / NULLIF(sqrt(list_inner_product(v, v)), 0)) AS q
+       |  FROM e
+       |), cand AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    round(list_inner_product(qa.q, qb.q) + 1e-9, 6) AS cosine
+       |  FROM short s
+       |  JOIN uv qa ON qa.vec_id = s.query_id
+       |  JOIN uv qb ON qb.vec_id = s.neighbor_id
+       |  WHERE s.ar <= 15
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM cand
+       |)
+       |SELECT * FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   private def simhashCte: String = {
     val votes = (0 until 32).map(i =>
       s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i")
@@ -265,6 +391,18 @@ object NorthStarQueries {
       Similarity.sq8TopK(Tables.embeddings(s, dir),
           "vec_id", "embedding", "label", k = 5, overfetch = 3,
           maxBucket = 40)
+        .orderBy(col("query_id"), col("rank"))),
+
+    // Product quantization (SDC): the memory step past SQ8 — 4
+    // sub-codebooks (kSub=16, smallest-id init, one Lloyd refine) learned
+    // on embedding slices, candidates scored by table-lookup cosine (2
+    // bytes of code per vector through the candidate shuffle vs SQ8's 64),
+    // exact re-rank on top. The quantizer is deterministic Lloyd end to
+    // end, so the oracle replays all four sub-Lloyds in SQL.
+    "q_ann_pq" -> ((s, dir) =>
+      Similarity.pqTopK(Tables.embeddings(s, dir),
+          "vec_id", "embedding", "label", k = 5, dim = 64, m = 4,
+          kSub = 16, iters = 1, overfetch = 3, maxBucket = 40)
         .orderBy(col("query_id"), col("rank"))),
 
     // End-to-end learned-quantizer ANN: deterministic distributed Lloyd
@@ -1026,6 +1164,13 @@ object NorthStarQueries {
         |)
         |SELECT * FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    // Product-quantization mirror: four per-subspace Lloyd replays
+    // (smallest-id init, one refine) reconstruct each doc as its assigned
+    // sub-centroids; the SDC score sums per-subspace inner products in
+    // subspace order, then the sq8-shaped capped bucket join + exact
+    // re-rank. See pqOracleSql/pqSubCte.
+    "q_ann_pq" -> pqOracleSql,
 
     // Deterministic Lloyd mirror: init = 8 smallest-id vectors, two
     // unrolled assign/recenter iterations (empty cells coalesce to the

@@ -563,4 +563,34 @@ class PhysicalSpec extends SparkSpec {
       }, s"float vector rides the sq8 candidate join: ${j.output.map(_.name)}")
     }
   }
+
+  test("pq candidate join moves m-int codes and the SDC lookup scoring " +
+      "stays inside whole-stage codegen") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val df = SparkEntry.queries("q_ann_pq")(spark, TestSpark.sf0001)
+    df.collect()
+    val ops = finalOpsWithCaches(df.queryExecution.executedPlan)
+    // the PQ point sharpened: the candidate join's rows carry the m
+    // sub-codes (2 bytes of payload per vector here), never float vectors
+    val bktJoins = ops.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.leftKeys.exists(_.references.exists(_.name == "bkt")) => j
+    }
+    assert(bktJoins.nonEmpty, "no bucket equi-join found in the pq plan")
+    bktJoins.foreach { j =>
+      assert(!j.output.map(_.dataType).exists {
+        case ArrayType(DoubleType, _) => true
+        case _ => false
+      }, s"float vector rides the pq candidate join: ${j.output.map(_.name)}")
+    }
+    // and the table-lookup cosine runs codegen'd — no interpreted
+    // fallback in the per-pair hot path
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scoreLines = plan.linesIterator
+      .filter(_.contains("graft_pq_cosine")).toSeq
+    assert(scoreLines.nonEmpty, s"expected graft_pq_cosine in:\n$plan")
+    assert(scoreLines.forall(_.trim.matches("""^[+:\-\s]*\*\(\d+\).*""")),
+      s"pq scoring fell out of whole-stage codegen:\n$plan")
+  }
 }

@@ -149,6 +149,24 @@ object Graft {
       nProbe = nProbe, overfetch = overfetch, maxBucket = maxBucket)
   }
 
+  /** The FAISS-IVFPQ composition: learned quantizer → multi-probe
+    * candidate generation → product-quantized SDC scoring (m small codes
+    * per candidate through the shuffle — 32× less than floats at
+    * m=4/kSub=16) → exact float re-rank. Same output schema. The shape for
+    * corpora where even [[annTopKIvfSq8]]'s int8 codes dominate the
+    * candidate shuffle.
+    */
+  def annTopKIvfPq(vectors: DataFrame, idCol: String, vecCol: String,
+                   k: Int, dim: Int, nProbe: Int = 2, m: Int = 4,
+                   kSub: Int = 16, overfetch: Int = 3, nBuckets: Int = 0,
+                   maxBucket: Int = 4096): DataFrame = {
+    val bucketed = Similarity.kmeansBuckets(vectors, idCol, vecCol,
+      k = resolveBuckets(vectors, nBuckets), iters = 2, bucketCol = "__cell")
+    Similarity.ivfPqTopK(bucketed, idCol, vecCol, "__cell", k = k,
+      nProbe = nProbe, dim = dim, m = m, kSub = kSub,
+      overfetch = overfetch, maxBucket = maxBucket)
+  }
+
   /** [[annTopK]] with product-quantization SDC scoring: `m` per-subspace
     * Lloyd codebooks (`kSub` centers each) compress every vector to
     * `m` small codes — `m·log2(kSub)` bits vs SQ8's byte-per-dimension —

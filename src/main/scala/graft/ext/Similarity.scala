@@ -401,6 +401,108 @@ object Similarity {
     topKByCosine(scored, k)
   }
 
+  /** The composed IVF-PQ retrieval pipeline — [[ivfSq8TopK]]'s multi-probe
+    * candidate generation with [[pqTopK]]'s product-quantized scoring: each
+    * query probes its `nProbe` nearest coarse cells by centroid cosine, the
+    * probed candidates are scored by m-subspace PQ codes through the
+    * codegen'd SDC table lookup (2 bytes of payload per candidate at
+    * m=4/kSub=16 — 32× less than the floats, 8× less than SQ8's int8
+    * codes), and the per-query `k·overfetch` shortlist is re-ranked on
+    * exact float cosines joined by id only. This is the FAISS IVFPQ shape —
+    * the configuration a 100 TB corpus actually deploys, where even int8
+    * codes dominate the candidate shuffle.
+    *
+    * Structure mirrors [[ivfSq8TopK]] stage for stage (coarse centroid
+    * codebook = per-cell means over the FULL corpus, broadcast under the
+    * query stream; one cell per corpus vector so no pair dedup; md5-order
+    * `capPerBucket` fan-in guard), with PQ codebooks/tables built as in
+    * [[pqTopK]]. Output cosines are EXACT; determinism contract as
+    * everywhere in this file.
+    */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+                bucketCol: String, k: Int, nProbe: Int, dim: Int,
+                m: Int = 4, kSub: Int = 16, iters: Int = 1,
+                overfetch: Int = 3,
+                maxBucket: Int = Int.MaxValue): DataFrame = {
+    import graft.ext.CacheScope.Cacheable
+    require(m > 0 && dim % m == 0,
+      s"ivfPqTopK requires dim divisible by m, got dim=$dim m=$m")
+    val dsub = dim / m
+    val vd = col(vecCol).cast("array<double>")
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      lloydCenters(df, idCol, slice(vd, j * dsub + 1, dsub), kSub, iters)
+    }
+    if (books.exists(_.isEmpty))
+      return df.limit(0).select(col(idCol).as("query_id"),
+        col(idCol).as("neighbor_id"), lit(0.0).as("cosine"),
+        lit(0L).as("rank"))
+    val codeArr = array((0 until m).map { j =>
+      assignOn(slice(vd, j * dsub + 1, dsub), books(j))
+    }: _*)
+    val coded = df.select(col(bucketCol).as("bkt"), col(idCol).as("uid"),
+      codeArr.as("code")).scopedCache()
+    val unit = df.select(col(idCol).as("uid"), unitVec(col(vecCol)).as("uvec"))
+      .scopedCache()
+    val tables: Array[Array[Double]] = books.map { cs =>
+      val t = new Array[Double](kSub * kSub)
+      var a = 0
+      while (a < cs.length) {
+        var b = 0
+        while (b < cs.length) {
+          var s = 0.0
+          var d = 0
+          while (d < dsub) { s += cs(a)(d) * cs(b)(d); d += 1 }
+          t(a * kSub + b) = s
+          b += 1
+        }
+        a += 1
+      }
+      t
+    }
+    // coarse centroid codebook + probes: same construction as ivfSq8TopK
+    val cents = df
+      .select(col(bucketCol).as("bkt"), posexplode(vd).as(Seq("i", "x")))
+      .groupBy(col("bkt"), col("i")).agg(avg(col("x")).as("c"))
+      .groupBy(col("bkt"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("i"), col("c")))),
+        s => s("c")).as("cvec"))
+    val centUnit = cents.select(col("bkt").as("cb"),
+      unitVec(col("cvec")).as("cunit"))
+    val probes = unit.select(col("uid").as("query_id"), col("uvec").as("q_vec"))
+      .crossJoin(broadcast(centUnit))
+      .withColumn("cent_cosine",
+        round(dot(col("q_vec"), col("cunit")) + lit(1e-9), 6))
+      .withColumn("pr", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cent_cosine").desc, col("cb"))))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("cb").as("bkt"))
+    // stage B: probe fan-out joins PQ CODES only, scored by table lookups
+    val qcodes = coded.select(col("uid").as("query_id"), col("code").as("qc"))
+    val shortlist = probes
+      .join(qcodes, "query_id")
+      .join(capPerBucket(coded, "bkt", "uid", maxBucket)
+        .select(col("bkt"), col("uid").as("neighbor_id"),
+          col("code").as("cc")), "bkt")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx",
+        round(graft.functions.PqFunctions.graft_pq_cosine(
+          col("qc"), col("cc"), tables, kSub) + lit(1e-9), 6))
+      .withColumn("ar", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("approx").desc, col("neighbor_id"))))
+      .filter(col("ar") <= k * overfetch)
+      .select(col("query_id"), col("neighbor_id"))
+    // stage C: exact re-rank of the shortlist, floats joined by id only
+    val scored = shortlist
+      .join(unit.select(col("uid").as("query_id"), col("uvec").as("q_vec")),
+        "query_id")
+      .join(unit.select(col("uid").as("neighbor_id"), col("uvec").as("c_vec")),
+        "neighbor_id")
+      .withColumn("cosine",
+        round(dot(col("q_vec"), col("c_vec")) + lit(1e-9), 6))
+    topKByCosine(scored, k)
+  }
+
   /** Deterministic distributed Lloyd coarse quantizer: learns `k` centroids
     * over the vector column and returns `df` with an assignment column —
     * closing the loop the bucket operators above leave to the caller (the

@@ -259,6 +259,89 @@ object NorthStarQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** The complete `q_ann_ivf_pq` oracle: the shared coarse-Lloyd chain
+    * (`lloydAfCte` — cells `af`), the per-cell mean centroid codebook and
+    * 2-probe ranking from the `q_ann_ivf_sq8` mirror, four [[pqSubCte]]
+    * sub-Lloyd chains, and the PQ-SDC score summed per subspace in the
+    * same left-fold association as the Spark side's lookup tables — then
+    * the exact re-rank tail.
+    */
+  private def ivfPqOracleSql: String = {
+    val m = 4; val dsub = 16; val kSub = 16
+    val subCtes = (0 until m).map(j => pqSubCte(j, dsub, kSub)).mkString(", ")
+    val num = (0 until m)
+      .map(j => s"list_inner_product(qa$j.r, nb$j.r)").mkString(" + ")
+    val qn = (0 until m)
+      .map(j => s"list_inner_product(qa$j.r, qa$j.r)").mkString(" + ")
+    val cn = (0 until m)
+      .map(j => s"list_inner_product(nb$j.r, nb$j.r)").mkString(" + ")
+    val qJoins = (0 until m)
+      .map(j => s"  LEFT JOIN rc$j qa$j ON qa$j.vec_id = p.query_id")
+      .mkString("\n")
+    val nJoins = (0 until m)
+      .map(j => s"  LEFT JOIN rc$j nb$j ON nb$j.vec_id = c.vec_id")
+      .mkString("\n")
+    s"""WITH $lloydAfCte, $subCtes, cb AS (
+       |  SELECT af.b, t.i AS i, avg(e.v[t.i]) AS c
+       |  FROM e JOIN af USING (vec_id),
+       |    unnest(range(1, len(e.v) + 1)) AS t(i)
+       |  GROUP BY af.b, t.i
+       |), cbl AS (
+       |  SELECT b, list(c ORDER BY i) AS cv FROM cb GROUP BY b
+       |), cbu AS (
+       |  SELECT b,
+       |    list_transform(cv,
+       |      x -> x / NULLIF(sqrt(list_inner_product(cv, cv)), 0)) AS cu
+       |  FROM cbl
+       |), uv AS (
+       |  SELECT vec_id,
+       |    list_transform(v,
+       |      x -> x / NULLIF(sqrt(list_inner_product(v, v)), 0)) AS q
+       |  FROM e
+       |), probes AS (
+       |  SELECT vec_id AS query_id, b FROM (
+       |    SELECT u.vec_id, c.b,
+       |      row_number() OVER (PARTITION BY u.vec_id
+       |        ORDER BY round(list_inner_product(u.q, c.cu) + 1e-9, 6)
+       |          DESC, c.b) AS pr
+       |    FROM uv u CROSS JOIN cbu c) WHERE pr <= 2
+       |), mem AS (
+       |  SELECT vec_id,
+       |    row_number() OVER (PARTITION BY b
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |  FROM af
+       |), approx AS (
+       |  SELECT p.query_id, c.vec_id AS neighbor_id,
+       |    round(($num) /
+       |      (NULLIF(sqrt($qn), 0) *
+       |       NULLIF(sqrt($cn), 0)) + 1e-9, 6) AS approx
+       |  FROM probes p
+       |  JOIN af c ON c.b = p.b AND c.vec_id <> p.query_id
+       |  JOIN mem m ON m.vec_id = c.vec_id AND m.rn <= 40
+       |$qJoins
+       |$nJoins
+       |), short AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY approx DESC, neighbor_id) AS ar
+       |  FROM approx
+       |), cand AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    round(list_inner_product(qa.q, qb.q) + 1e-9, 6) AS cosine
+       |  FROM short s
+       |  JOIN uv qa ON qa.vec_id = s.query_id
+       |  JOIN uv qb ON qb.vec_id = s.neighbor_id
+       |  WHERE s.ar <= 15
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM cand
+       |)
+       |SELECT * FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   private def simhashCte: String = {
     val votes = (0 until 32).map(i =>
       s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i")
@@ -444,6 +527,20 @@ object NorthStarQueries {
         "vec_id", "embedding", k = 8, iters = 2, bucketCol = "kb")
       Similarity.ivfSq8TopK(bucketed, "vec_id", "embedding", "kb",
           k = 5, nProbe = 2, overfetch = 3, maxBucket = 40)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // The FAISS-IVFPQ shape: same learned cells and 2-probe candidate
+    // generation as q_ann_ivf_sq8, but candidates are scored by 4-subspace
+    // PQ codes through the SDC table lookup (2 bytes of payload per
+    // candidate vs SQ8's 64) before the exact float re-rank. The oracle
+    // replays the coarse Lloyd AND all four sub-space Lloyds in SQL.
+    "q_ann_ivf_pq" -> ((s, dir) => {
+      val bucketed = Similarity.kmeansBuckets(Tables.embeddings(s, dir),
+        "vec_id", "embedding", k = 8, iters = 2, bucketCol = "kb")
+      Similarity.ivfPqTopK(bucketed, "vec_id", "embedding", "kb",
+          k = 5, nProbe = 2, dim = 64, m = 4, kSub = 16, iters = 1,
+          overfetch = 3, maxBucket = 40)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -1164,6 +1261,11 @@ object NorthStarQueries {
         |)
         |SELECT * FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    // Composed IVF-PQ mirror: shared coarse-Lloyd chain + per-cell mean
+    // codebook + 2-probe ranking (as q_ann_ivf_sq8) with the PQ-SDC
+    // score over four sub-Lloyd reconstructions. See ivfPqOracleSql.
+    "q_ann_ivf_pq" -> ivfPqOracleSql,
 
     // Product-quantization mirror: four per-subspace Lloyd replays
     // (smallest-id init, one refine) reconstruct each doc as its assigned

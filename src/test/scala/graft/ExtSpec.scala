@@ -312,6 +312,21 @@ class SimilaritySpec extends SparkSpec {
       k = 5, dim = dim, m = 4, kSub = 16, iters = 2, overfetch = 6)
     val r = recallAt5(pq, exact)
     assert(r >= 0.85, s"pq recall $r < 0.85 on clustered data")
+    // the composed IVF-PQ pipeline recalls at least as much: multi-probe
+    // recovers the cell-boundary neighbors single-cell PQ loses
+    val composed = Similarity.ivfPqTopK(bucketed, "vec_id", "embedding",
+      "qb", k = 5, nProbe = 2, dim = dim, m = 4, kSub = 16, iters = 2,
+      overfetch = 6)
+    val rc = recallAt5(composed, exact)
+    assert(rc >= r, s"ivf-pq recall $rc below single-cell pq $r")
+    // stage-C exactness holds through the composition
+    val g = composed.select("query_id", "neighbor_id", "cosine").collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    val e2 = exact.select("query_id", "neighbor_id", "cosine").collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    val common = g.keySet.intersect(e2.keySet)
+    assert(common.nonEmpty && common.forall(p => g(p) == e2(p)),
+      "ivf-pq cosine not exact")
   }
 
   test("pqTopK: exact final cosines, strong top-k agreement at 32x " +
@@ -391,6 +406,10 @@ class SimilaritySpec extends SparkSpec {
         k = 3, dim = 64, m = 5)
     }
     assert(graft.api.Graft.annTopKPq(empty, "vec_id", "embedding",
+      k = 3, dim = 64).count() == 0)
+    assert(Similarity.ivfPqTopK(allNull, "vec_id", "embedding", "label",
+      k = 3, nProbe = 2, dim = 64).count() == 0)
+    assert(graft.api.Graft.annTopKIvfPq(empty, "vec_id", "embedding",
       k = 3, dim = 64).count() == 0)
   }
 

@@ -56,6 +56,10 @@ class ScaleAuditSpec extends SparkSpec {
       ("same centroid-codebook broadcast as q_ann_multiprobe (the composed " +
         "pipeline's probe stage); the SQ8 candidate join and both re-rank " +
         "joins are equi-joins"),
+    "q_ann_ivf_pq" ->
+      ("same centroid-codebook broadcast as q_ann_multiprobe (the composed " +
+        "pipeline's probe stage); the PQ candidate join and both re-rank " +
+        "joins are equi-joins"),
     "q_rolling_actives" ->
       ("range join with the |days|-sized calendar pinned as the BROADCAST " +
         "side; fan-out bounded at 7 calendar rows per activity row"))

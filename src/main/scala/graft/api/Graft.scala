@@ -185,6 +185,22 @@ object Graft {
       m = m, kSub = kSub, overfetch = overfetch, maxBucket = maxBucket)
   }
 
+  /** [[annTopKPq]] with asymmetric (ADC) scoring — FAISS's default mode:
+    * the corpus side of the candidate join stays m-code compressed, each
+    * query scores with its raw floats against reconstructed sub-centroids
+    * (one quantization per pair instead of SDC's two — better shortlists
+    * at the same corpus memory). Same output schema.
+    */
+  def annTopKPqAdc(vectors: DataFrame, idCol: String, vecCol: String,
+                   k: Int, dim: Int, m: Int = 4, kSub: Int = 16,
+                   overfetch: Int = 3, nBuckets: Int = 0,
+                   maxBucket: Int = 4096): DataFrame = {
+    val bucketed = Similarity.kmeansBuckets(vectors, idCol, vecCol,
+      k = resolveBuckets(vectors, nBuckets), iters = 2, bucketCol = "__cell")
+    Similarity.pqAdcTopK(bucketed, idCol, vecCol, "__cell", k = k, dim = dim,
+      m = m, kSub = kSub, overfetch = overfetch, maxBucket = maxBucket)
+  }
+
   /** Quantizer-free ANN for day-one ingest, before [[annTopK]]'s Lloyd
     * quantizer has a corpus to learn from: a codegen'd random-hyperplane
     * LSH signature (engine-exact integer-hash planes) assigns the coarse

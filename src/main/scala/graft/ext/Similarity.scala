@@ -401,6 +401,67 @@ object Similarity {
     topKByCosine(scored, k)
   }
 
+  /** [[pqTopK]] with ASYMMETRIC (ADC) scoring — FAISS's default mode: the
+    * corpus side of the candidate join stays m-code compressed (the big,
+    * per-cell-capped side), but each query scores with its RAW float
+    * vector against the candidate's reconstructed sub-centroids
+    * ([[graft.functions.PqAdcCosine]], one codegen'd loop with the
+    * codebooks embedded). Per-pair error drops to ONE quantization instead
+    * of SDC's two — better shortlists at the same corpus memory — in
+    * exchange for the query's floats riding the join (queries are the
+    * small side of a retrieval workload; the corpus compression is what
+    * matters at 100 TB). Stage-C exact re-rank and the determinism
+    * contract are unchanged from [[pqTopK]].
+    */
+  def pqAdcTopK(df: DataFrame, idCol: String, vecCol: String,
+                bucketCol: String, k: Int, dim: Int, m: Int = 4,
+                kSub: Int = 16, iters: Int = 1, overfetch: Int = 3,
+                maxBucket: Int = Int.MaxValue): DataFrame = {
+    import graft.ext.CacheScope.Cacheable
+    require(m > 0 && dim % m == 0,
+      s"pqAdcTopK requires dim divisible by m, got dim=$dim m=$m")
+    val dsub = dim / m
+    val vd = col(vecCol).cast("array<double>")
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      lloydCenters(df, idCol, slice(vd, j * dsub + 1, dsub), kSub, iters)
+    }
+    if (books.exists(_.isEmpty))
+      return df.limit(0).select(col(idCol).as("query_id"),
+        col(idCol).as("neighbor_id"), lit(0.0).as("cosine"),
+        lit(0L).as("rank"))
+    val codeArr = array((0 until m).map { j =>
+      assignOn(slice(vd, j * dsub + 1, dsub), books(j))
+    }: _*)
+    // corpus side: codes only (capped); query side: raw doubles
+    val coded = df.select(col(bucketCol).as("bkt"), col(idCol).as("uid"),
+      codeArr.as("code")).scopedCache()
+    val unit = df.select(col(idCol).as("uid"), unitVec(col(vecCol)).as("uvec"))
+      .scopedCache()
+    val flatBooks: Array[Array[Double]] = books.map(_.flatten)
+    val a = df.select(col(bucketCol).as("bkt"),
+      col(idCol).as("query_id"), vd.as("qv"))
+    val b = capPerBucket(coded, "bkt", "uid", maxBucket)
+      .select(col("bkt"), col("uid").as("neighbor_id"),
+        col("code").as("cc"))
+    val shortlist = a.join(b, "bkt")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx",
+        round(graft.functions.PqFunctions.graft_pq_adc_cosine(
+          col("qv"), col("cc"), flatBooks, kSub) + lit(1e-9), 6))
+      .withColumn("ar", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("approx").desc, col("neighbor_id"))))
+      .filter(col("ar") <= k * overfetch)
+      .select(col("query_id"), col("neighbor_id"))
+    val scored = shortlist
+      .join(unit.select(col("uid").as("query_id"), col("uvec").as("q_vec")),
+        "query_id")
+      .join(unit.select(col("uid").as("neighbor_id"), col("uvec").as("c_vec")),
+        "neighbor_id")
+      .withColumn("cosine",
+        round(dot(col("q_vec"), col("c_vec")) + lit(1e-9), 6))
+    topKByCosine(scored, k)
+  }
+
   /** The composed IVF-PQ retrieval pipeline — [[ivfSq8TopK]]'s multi-probe
     * candidate generation with [[pqTopK]]'s product-quantized scoring: each
     * query probes its `nProbe` nearest coarse cells by centroid cosine, the

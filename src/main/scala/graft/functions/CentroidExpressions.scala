@@ -796,4 +796,155 @@ object PqFunctions {
     ColumnBridge.column(PqSdcCosine(
       ColumnBridge.expression(codesA), ColumnBridge.expression(codesB),
       tables.map(_.toIndexedSeq).toIndexedSeq, kSub))
+
+  /** Column API for [[PqAdcCosine]]. */
+  def graft_pq_adc_cosine(qvec: Column, codes: Column,
+                          books: Array[Array[Double]], kSub: Int): Column =
+    ColumnBridge.column(PqAdcCosine(
+      ColumnBridge.expression(qvec), ColumnBridge.expression(codes),
+      books.map(_.toIndexedSeq).toIndexedSeq, kSub))
+}
+
+/** Asymmetric product-quantization (ADC) cosine: the query side is a RAW
+  * `array<double>` vector, the candidate side is `array<int>` PQ codes, and
+  * the approximate cosine is computed against the candidate's reconstructed
+  * sub-centroids with the embedded codebooks (`books(j)` = subspace j's
+  * kSub×dsub centers, flattened row-major) — FAISS's default scoring mode:
+  * the CORPUS side (the big side, capped per cell) stays 2-byte codes while
+  * each query pays its own floats once, and per-pair error drops to one
+  * quantization instead of [[PqSdcCosine]]'s two.
+  *
+  * Float-association contract with the DuckDB mirror: the query norm is ONE
+  * sequential fold over all dims (`list_inner_product(v, v)`); the dot and
+  * candidate norm accumulate per-subspace partials in dimension order and
+  * sum them in subspace order (`lip(v[lo:hi], rc_j) + …` left fold). Null
+  * on: null inputs, null elements, short arrays, any code outside
+  * `[0, kSub)`, or a zero norm on either side (the never-ranks contract).
+  */
+case class PqAdcCosine(left: Expression, right: Expression,
+                       books: IndexedSeq[IndexedSeq[Double]],
+                       kSub: Int)
+    extends BinaryExpression {
+
+  // Seq params for content-based equals/hashCode — same canonicalization
+  // rationale as CentroidDist; primitive mirror for eval/codegen.
+  @transient private lazy val bookArr: Array[Array[Double]] =
+    books.map(_.toArray).toArray
+
+  private def dsub: Int = books(0).length / kSub
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    import org.apache.spark.sql.types.ArrayType
+    val lOk = left.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    val rOk = right.dataType match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    }
+    if (!lOk || !rOk)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_pq_adc_cosine requires (array<double>, array<int>), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    else if (books.isEmpty || kSub <= 0 ||
+        books.exists(b => b.isEmpty || b.length % kSub != 0) ||
+        books.exists(_.length != books(0).length))
+      TypeCheckResult.TypeCheckFailure(
+        "graft_pq_adc_cosine requires m same-shape kSub×dsub codebooks")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_adc_cosine"
+  // Null beyond child nullability (out-of-range code, zero norm) — same
+  // codegen-safety rationale as Sq8Cosine.nullable.
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val m = bookArr.length
+    val ds = dsub
+    if (x.numElements() < m * ds || y.numElements() < m) return null
+    var qn = 0.0
+    var i = 0
+    while (i < m * ds) {
+      if (x.isNullAt(i)) return null
+      val v = x.getDouble(i); qn += v * v
+      i += 1
+    }
+    var num = 0.0; var cn = 0.0
+    var j = 0
+    while (j < m) {
+      if (y.isNullAt(j)) return null
+      val ca = y.getInt(j)
+      if (ca < 0 || ca >= kSub) return null
+      val book = bookArr(j)
+      val base = ca * ds
+      var s = 0.0; var t = 0.0
+      var d = 0
+      while (d < ds) {
+        val cd = book(base + d)
+        s += x.getDouble(j * ds + d) * cd
+        t += cd * cd
+        d += 1
+      }
+      num += s; cn += t
+      j += 1
+    }
+    if (qn == 0.0 || cn == 0.0) null
+    else num / (math.sqrt(qn) * math.sqrt(cn))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("books", bookArr, "double[][]")
+    val kSubV = kSub
+    val dsV = dsub
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val d = ctx.freshName("d"); val mN = ctx.freshName("m")
+      val qn = ctx.freshName("qn"); val num = ctx.freshName("num")
+      val cn = ctx.freshName("cn"); val v = ctx.freshName("v")
+      val ca = ctx.freshName("ca"); val book = ctx.freshName("book")
+      val base = ctx.freshName("base"); val s = ctx.freshName("s")
+      val t = ctx.freshName("t"); val cd = ctx.freshName("cd")
+      s"""
+         |int $mN = $booksRef.length;
+         |if ($a.numElements() < $mN * $dsV || $b.numElements() < $mN) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $qn = 0.0;
+         |  for (int $i = 0; $i < $mN * $dsV; $i++) {
+         |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $v = $a.getDouble($i); $qn += $v * $v;
+         |  }
+         |  double $num = 0.0; double $cn = 0.0;
+         |  if (!${ev.isNull}) {
+         |    for (int $j = 0; $j < $mN; $j++) {
+         |      if ($b.isNullAt($j)) { ${ev.isNull} = true; break; }
+         |      int $ca = $b.getInt($j);
+         |      if ($ca < 0 || $ca >= $kSubV) { ${ev.isNull} = true; break; }
+         |      double[] $book = $booksRef[$j];
+         |      int $base = $ca * $dsV;
+         |      double $s = 0.0; double $t = 0.0;
+         |      for (int $d = 0; $d < $dsV; $d++) {
+         |        double $cd = $book[$base + $d];
+         |        $s += $a.getDouble($j * $dsV + $d) * $cd;
+         |        $t += $cd * $cd;
+         |      }
+         |      $num += $s; $cn += $t;
+         |    }
+         |  }
+         |  if (!${ev.isNull}) {
+         |    if ($qn == 0.0 || $cn == 0.0) { ${ev.isNull} = true; }
+         |    else { ${ev.value} = $num / (java.lang.Math.sqrt($qn) * java.lang.Math.sqrt($cn)); }
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }

@@ -259,6 +259,69 @@ object NorthStarQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** The complete `q_ann_pq_adc` oracle: [[pqOracleSql]]'s sub-Lloyd
+    * chains and capped label-bucket join, but the query side of the score
+    * is the RAW vector — per-subspace slices inner-product the candidate's
+    * reconstructed sub-centroids (summed in subspace order, the
+    * `PqAdcCosine` left-fold contract) and the query norm is one
+    * sequential fold over the full vector.
+    */
+  private def pqAdcOracleSql: String = {
+    val m = 4; val dsub = 16; val kSub = 16
+    val subCtes = (0 until m).map(j => pqSubCte(j, dsub, kSub)).mkString(", ")
+    val num = (0 until m)
+      .map { j =>
+        val lo = j * dsub + 1; val hi = (j + 1) * dsub
+        s"list_inner_product(a.v[$lo:$hi], nb$j.r)"
+      }.mkString(" + ")
+    val cn = (0 until m)
+      .map(j => s"list_inner_product(nb$j.r, nb$j.r)").mkString(" + ")
+    val nJoins = (0 until m)
+      .map(j => s"  LEFT JOIN rc$j nb$j ON nb$j.vec_id = b.vec_id")
+      .mkString("\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+       |), $subCtes, mem AS (
+       |  SELECT vec_id,
+       |    row_number() OVER (PARTITION BY label
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |  FROM e
+       |), approx AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    round(($num) /
+       |      (NULLIF(sqrt(list_inner_product(a.v, a.v)), 0) *
+       |       NULLIF(sqrt($cn), 0)) + 1e-9, 6) AS approx
+       |  FROM e a JOIN e b
+       |    ON a.label = b.label AND a.vec_id <> b.vec_id
+       |  JOIN mem m ON m.vec_id = b.vec_id AND m.rn <= 40
+       |$nJoins
+       |), short AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY approx DESC, neighbor_id) AS ar
+       |  FROM approx
+       |), uv AS (
+       |  SELECT vec_id,
+       |    list_transform(v,
+       |      x -> x / NULLIF(sqrt(list_inner_product(v, v)), 0)) AS q
+       |  FROM e
+       |), cand AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    round(list_inner_product(qa.q, qb.q) + 1e-9, 6) AS cosine
+       |  FROM short s
+       |  JOIN uv qa ON qa.vec_id = s.query_id
+       |  JOIN uv qb ON qb.vec_id = s.neighbor_id
+       |  WHERE s.ar <= 15
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM cand
+       |)
+       |SELECT * FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** The complete `q_ann_ivf_pq` oracle: the shared coarse-Lloyd chain
     * (`lloydAfCte` — cells `af`), the per-cell mean centroid codebook and
     * 2-probe ranking from the `q_ann_ivf_sq8` mirror, four [[pqSubCte]]
@@ -484,6 +547,16 @@ object NorthStarQueries {
     // end, so the oracle replays all four sub-Lloyds in SQL.
     "q_ann_pq" -> ((s, dir) =>
       Similarity.pqTopK(Tables.embeddings(s, dir),
+          "vec_id", "embedding", "label", k = 5, dim = 64, m = 4,
+          kSub = 16, iters = 1, overfetch = 3, maxBucket = 40)
+        .orderBy(col("query_id"), col("rank"))),
+
+    // Asymmetric PQ (ADC — FAISS's default): corpus side stays 2-byte
+    // codes through the capped candidate join, queries score with raw
+    // floats against reconstructed sub-centroids (one quantization per
+    // pair instead of SDC's two). Same sub-Lloyd codebooks as q_ann_pq.
+    "q_ann_pq_adc" -> ((s, dir) =>
+      Similarity.pqAdcTopK(Tables.embeddings(s, dir),
           "vec_id", "embedding", "label", k = 5, dim = 64, m = 4,
           kSub = 16, iters = 1, overfetch = 3, maxBucket = 40)
         .orderBy(col("query_id"), col("rank"))),
@@ -1261,6 +1334,10 @@ object NorthStarQueries {
         |)
         |SELECT * FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    // Asymmetric-PQ mirror: raw query slices against reconstructed
+    // sub-centroids, query norm one sequential fold. See pqAdcOracleSql.
+    "q_ann_pq_adc" -> pqAdcOracleSql,
 
     // Composed IVF-PQ mirror: shared coarse-Lloyd chain + per-cell mean
     // codebook + 2-probe ranking (as q_ann_ivf_sq8) with the PQ-SDC

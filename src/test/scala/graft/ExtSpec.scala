@@ -353,6 +353,18 @@ class SimilaritySpec extends SparkSpec {
     // against brute force below.
     val agree = common.size.toDouble / e.size
     assert(agree >= 0.45, s"pq/exact top-5 agreement $agree too low")
+    // asymmetric (ADC) scoring quantizes only ONE side per pair — its
+    // shortlists must agree at least as well as symmetric SDC's
+    val adc = Similarity.pqAdcTopK(emb, "vec_id", "embedding", "label",
+      k = 5, dim = 64, m = 4, kSub = 16, iters = 1, overfetch = 3)
+    val ga = adc.select("query_id", "neighbor_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val commonAdc = ga.keySet.intersect(e.keySet)
+    assert(commonAdc.forall(p => ga(p) == e(p)), "adc cosine not exact")
+    val agreeAdc = commonAdc.size.toDouble / e.size
+    assert(agreeAdc >= agree,
+      s"adc agreement $agreeAdc below sdc $agree — one-sided quantization " +
+        "should never be worse")
     // the SDC lookup is a genuine cosine: reconstructing both vectors
     // from their assigned sub-centroids and scoring with the float path
     // must reproduce the expression's value bit-for-bit
@@ -411,6 +423,11 @@ class SimilaritySpec extends SparkSpec {
       k = 3, nProbe = 2, dim = 64).count() == 0)
     assert(graft.api.Graft.annTopKIvfPq(empty, "vec_id", "embedding",
       k = 3, dim = 64).count() == 0)
+    assert(Similarity.pqAdcTopK(allNull, "vec_id", "embedding", "label",
+      k = 3, dim = 64).count() == 0)
+    assert(Similarity.pqAdcTopK(empty, "vec_id", "embedding", "label",
+      k = 3, dim = 64).columns.toSeq ==
+      Seq("query_id", "neighbor_id", "cosine", "rank"))
   }
 
   test("SQ8 rerank: exact final cosines, near-total top-k agreement, " +

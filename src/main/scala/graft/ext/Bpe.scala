@@ -1,0 +1,134 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding merge training — the "proper
+  * trained-merges tokenizer" that [[TextAnalysis.bpeTokens]]'s scaladoc
+  * leaves open. Learns the classic BPE vocabulary (Sennrich et al. 2016:
+  * iterate "count adjacent symbol pairs over the word-frequency
+  * dictionary, merge the most frequent pair") as a sequence of Spark
+  * jobs, then tokenizes the corpus by joining the learned segmentation
+  * back onto it.
+  *
+  * Scale shape (the reason production BPE trainers are feasible at all):
+  * the training loop never touches the corpus after the first pass —
+  *
+  *  1. ONE corpus-wide shuffle builds the word-frequency dictionary,
+  *     whose size is the DISTINCT vocabulary (Zipf-bounded: tens of
+  *     millions of rows at 100 TB, not trillions);
+  *  2. each merge iteration is a dictionary-sized pair-count aggregate
+  *     plus a 1-row `limit(1).collect()` for the argmax (bounded driver
+  *     traffic, same contract as the one-hot label guard) plus one
+  *     narrow `replace` projection — no corpus I/O;
+  *  3. encoding rejoins the final dictionary to the corpus as a
+  *     BROADCAST join (the dictionary is the small side by construction).
+  *
+  * Symbol sequences are carried as strings — `" a  b  c "`: two-space
+  * separator between symbols, single-space sentinels at both ends — so a
+  * merge step is ONE literal `replace`. On that representation
+  * left-to-right non-overlapping replacement of `" a  b "` with
+  * `" ab "` is exactly BPE's greedy left-to-right merge: the trailing
+  * sentinel a match consumes is re-supplied by the two-space separator
+  * it leaves behind, so back-to-back pairs (`a b a b` → `ab ab`) all
+  * merge, while overlapping triples (`a a a` with pair `(a,a)` →
+  * `aa a`) correctly don't. The same identity runs in the DuckDB oracle,
+  * which unrolls the loop as one MATERIALIZED CTE block per merge.
+  *
+  * Determinism: pair counts are exact integers; argmax ties break on
+  * (count desc, left asc, right asc). Hash-exact across engines and
+  * partitionings.
+  */
+object Bpe {
+
+  /** One learned merge rule, in application order. */
+  final case class Merge(rank: Int, leftSym: String, rightSym: String,
+                         merged: String, pairCount: Long)
+
+  /** Two-space separator; see the representation contract above. */
+  private val Sep = "  "
+
+  /** Word-frequency dictionary over whitespace-pre-tokenized text:
+    * `(word, freq, syms)` with `syms` the char-level symbol string
+    * (`"cat"` → `" c  a  t "`). The one corpus-wide shuffle of training.
+    */
+  def wordDict(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(explode(split(trim(col(textCol)), " +")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"))
+      // each char c → " c "; concatenation fuses boundaries into the
+      // two-space separator and leaves single-space sentinels at the ends
+      .withColumn("syms", regexp_replace(col("word"), "(.)", " $1 "))
+
+  /** Learn `nMerges` merge rules. Returns the rules (driver-side, bounded
+    * at `nMerges` rows) and the final dictionary `(word, freq, syms)`
+    * with all merges applied — the corpus-independent tokenizer state.
+    *
+    * Stops early if no pair remains (fully merged dictionary). Each
+    * iteration caches its dictionary via [[CacheScope.cache]] (scoped
+    * draining inside Verify; session-LRU otherwise) and unpersists the
+    * previous one once the pair-count action has materialized from it.
+    */
+  def train(docs: DataFrame, textCol: String,
+            nMerges: Int): (Seq[Merge], DataFrame) = {
+    var dict = CacheScope.cache(wordDict(docs, textCol))
+    val merges = Seq.newBuilder[Merge]
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      val arr = split(trim(col("syms")), Sep)
+      val best = dict
+        .select(col("freq"), arr.as("arr"))
+        .filter(size(col("arr")) >= 2)
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), size(col("arr")) - 1),
+          i => struct(element_at(col("arr"), i).as("a"),
+            element_at(col("arr"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += Merge(rank, a, b, a + b, cnt)
+        val next = CacheScope.cache(dict.withColumn("syms",
+          replace(col("syms"), lit(s" $a$Sep$b "), lit(s" ${a + b} "))))
+        // the collect above materialized `dict`'s cache; `next` fills on
+        // the NEXT iteration's collect (or the caller's first action)
+        dict.unpersist()
+        dict = next
+        rank += 1
+      }
+    }
+    (merges.result(), dict)
+  }
+
+  /** Tokenized-corpus statistics under a trained dictionary: per
+    * (`groupCols`) doc/word/token counts and mean tokens-per-word. The
+    * corpus-side pass of BPE encoding — words join the dictionary's
+    * segmentation broadcast-side, so the only corpus-wide work is the
+    * final aggregate.
+    */
+  def encodeStats(docs: DataFrame, textCol: String, idCol: String,
+                  dict: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val nToks = dict.select(col("word"),
+      size(split(trim(col("syms")), Sep)).cast("long").as("n_toks"))
+    val words = docs
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select((groupCols.map(col) :+ col(idCol) :+
+        explode(split(trim(col(textCol)), " +")).as("word")): _*)
+    words
+      .join(broadcast(nToks), Seq("word"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(col("n_toks")).as("bpe_tokens"))
+      .withColumn("avg_tokens_per_word",
+        round(col("bpe_tokens").cast("double") /
+          col("n_words").cast("double") + lit(1e-9), 4))
+  }
+}

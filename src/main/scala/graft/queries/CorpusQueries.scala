@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, TextAnalysis => TA}
+import graft.ext.{Bpe, Dedup, TextAnalysis => TA}
 import graft.io.Tables
 import Parity._
 
@@ -15,7 +15,59 @@ import Parity._
   */
 object CorpusQueries {
 
+  /** Merge count for the BPE queries — mirrored by [[bpeCtes]]'s unroll
+    * depth in the oracle. 8 is deep enough that learned merges compound
+    * (rank-8 merges a rank-≤7 product on both test corpora). */
+  private val BpeMerges = 8
+
+  /** One BPE training per (session, sfDir): `q_bpe_vocab` reports the
+    * merge rules and `q_bpe_encode` tokenizes the corpus under the same
+    * rules — retraining per query would double the iteration jobs for no
+    * semantic difference (same memo contract as MlQueries). Weak session
+    * keys so a stopped session isn't pinned. */
+  private val bpeMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, (Seq[Bpe.Merge], DataFrame)]]())
+
+  private def bpeTrained(s: SparkSession, dir: String)
+      : (Seq[Bpe.Merge], DataFrame) = {
+    val perSession = bpeMemo.synchronized {
+      var m = bpeMemo.get(s)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty
+        bpeMemo.put(s, m)
+      }
+      m
+    }
+    perSession.synchronized(perSession.getOrElseUpdate(dir,
+      Bpe.train(Tables.documents(s, dir), "text", BpeMerges)))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Learned BPE merge table: the distributed trainer's argmax sequence
+    // (count desc, pair asc tie-break). The frame itself is driver-built
+    // from the nMerges collected argmax rows — bounded by construction,
+    // like the Ranks driver cuts — but each row is the result of a
+    // dictionary-wide distributed pair-count job.
+    "q_bpe_vocab" -> ((s, dir) => {
+      import s.implicits._
+      bpeTrained(s, dir)._1
+        .map(m => (m.rank, m.leftSym, m.rightSym, m.merged, m.pairCount))
+        .toDF("rank", "left_sym", "right_sym", "merged", "pair_count")
+        .orderBy(col("rank"))
+    }),
+
+    // Corpus tokenized under the learned merges: per (lang, source)
+    // doc/word/token counts and mean tokens-per-word. The dictionary
+    // carries the segmentation, so the corpus pass is one broadcast join
+    // plus one aggregate — the production BPE-encode shape.
+    "q_bpe_encode" -> ((s, dir) => {
+      val dict = bpeTrained(s, dir)._2
+      Bpe.encodeStats(Tables.documents(s, dir), "text", "doc_id", dict,
+          Seq("lang", "source"))
+        .orderBy(col("lang"), col("source"))
+    }),
 
     // Span-level corpus dedup: every doc loses spans whose corpus document
     // frequency exceeds 1 — boilerplate is removed from ALL copies, the
@@ -148,7 +200,80 @@ object CorpusQueries {
     }),
   )
 
+  /** Unrolled BPE training loop for the DuckDB oracle: one CTE trio per
+    * merge — pair counts `p{i}`, argmax `b{i}`, merged dictionary `d{i}` —
+    * over the same two-space symbol-string representation the Spark
+    * trainer uses, so `replace` has identical greedy left-to-right merge
+    * semantics in both engines. CTEs are MATERIALIZED: each `d{i}`
+    * references `d{i-1}` four times (pair scan + three argmax scalar
+    * subqueries), so inlining would expand the chain 4^n-fold.
+    */
+  private def bpeCtes(n: Int): String = {
+    val head =
+      """WITH w AS MATERIALIZED (
+        |  SELECT unnest(string_split_regex(trim(text), ' +')) AS word
+        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+        |),
+        |d0 AS MATERIALIZED (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+        |    ' ' || array_to_string(string_split(word, ''), '  ') || ' '
+        |      AS syms
+        |  FROM w GROUP BY 1
+        |)""".stripMargin
+    val steps = (1 to n).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT arr[i] AS a, arr[i+1] AS b,
+         |    CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT string_split(trim(syms), '  ') AS arr, freq
+         |        FROM d${i - 1}),
+         |       unnest(generate_series(1, len(arr)-1)) AS t(i)
+         |  GROUP BY 1, 2
+         |),
+         |b$i AS MATERIALIZED (
+         |  SELECT $i AS rank, a, b, a || b AS ab, cnt FROM p$i
+         |  ORDER BY cnt DESC, a, b LIMIT 1
+         |),
+         |d$i AS MATERIALIZED (
+         |  SELECT word, freq,
+         |    replace(syms,
+         |      ' ' || (SELECT a FROM b$i) || '  ' || (SELECT b FROM b$i)
+         |        || ' ',
+         |      ' ' || (SELECT ab FROM b$i) || ' ') AS syms
+         |  FROM d${i - 1}
+         |)""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
+
   val oracles: Map[String, String] = Map(
+
+    "q_bpe_vocab" -> (bpeCtes(BpeMerges) + "\n" +
+      s"""SELECT CAST(rank AS INT) AS rank, a AS left_sym, b AS right_sym,
+         |  ab AS merged, cnt AS pair_count
+         |FROM (${(1 to BpeMerges).map(i => s"SELECT * FROM b$i")
+          .mkString(" UNION ALL ")})
+         |ORDER BY rank""".stripMargin),
+
+    "q_bpe_encode" -> (bpeCtes(BpeMerges) + ",\n" +
+      s"""ws AS MATERIALIZED (
+         |  SELECT lang, source, doc_id,
+         |    unnest(string_split_regex(trim(text), ' +')) AS word
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND length(trim(text)) > 0
+         |),
+         |enc AS MATERIALIZED (
+         |  SELECT ws.lang, ws.source, ws.doc_id,
+         |    CAST(len(string_split(trim(d$BpeMerges.syms), '  '))
+         |      AS BIGINT) AS n_toks
+         |  FROM ws JOIN d$BpeMerges ON ws.word = d$BpeMerges.word
+         |)
+         |SELECT lang, source,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(n_toks) AS BIGINT) AS bpe_tokens,
+         |  round(CAST(sum(n_toks) AS DOUBLE) / count(*) + 1e-9, 4)
+         |    AS avg_tokens_per_word
+         |FROM enc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     "q_span_dedup" ->
       """WITH base AS (

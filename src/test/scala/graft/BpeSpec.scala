@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Bpe
+
+/** Distributed BPE merge training ([[graft.ext.Bpe]]): greedy-merge
+  * semantics on the two-space symbol-string representation, argmax
+  * tie-breaking, early exhaustion, and encode consistency.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dictOf(df: org.apache.spark.sql.DataFrame)
+      : Map[String, (Long, String)] =
+    df.collect().map(r =>
+      r.getAs[String]("word") ->
+        (r.getAs[Long]("freq"), r.getAs[String]("syms"))).toMap
+
+  test("wordDict builds char-level symbol strings with exact frequencies") {
+    val docs = Seq((1L, "cat cat dog"), (2L, "  cat  ")).toDF("doc_id", "text")
+    val d = dictOf(Bpe.wordDict(docs, "text"))
+    assert(d("cat") == (3L, " c  a  t "))
+    assert(d("dog") == (1L, " d  o  g "))
+    assert(d.size == 2)
+  }
+
+  test("wordDict skips null and whitespace-only docs") {
+    val docs = Seq((1L, "ab"), (2L, null), (3L, "   ")).toDF("doc_id", "text")
+    val d = dictOf(Bpe.wordDict(docs, "text"))
+    assert(d == Map("ab" -> (1L, " a  b ")))
+  }
+
+  test("back-to-back pairs all merge (a b a b -> ab ab)") {
+    // the trailing-sentinel re-supply property the representation exists
+    // for: a consumed boundary space is restored by the 2-space separator
+    val docs = Seq((1L, "abab abab")).toDF("doc_id", "text")
+    val (ms, dict) = Bpe.train(docs, "text", 1)
+    assert(ms.map(m => (m.rank, m.leftSym, m.rightSym, m.merged)) ==
+      Seq((1, "a", "b", "ab")))
+    // (a,b) count 4 beats (b,a) count 2 — and BOTH ab pairs merged
+    assert(ms.head.pairCount == 4L)
+    assert(dictOf(dict)("abab")._2 == " ab  ab ")
+  }
+
+  test("overlapping triples merge greedily left-to-right (a a a -> aa a)") {
+    val docs = Seq((1L, "aaa aaa aaa")).toDF("doc_id", "text")
+    val (ms, dict) = Bpe.train(docs, "text", 1)
+    assert(ms.head.merged == "aa")
+    assert(ms.head.pairCount == 6L) // 2 adjacent (a,a) pairs x freq 3
+    assert(dictOf(dict)("aaa")._2 == " aa  a ")
+  }
+
+  test("merged symbols match whole symbols only, never substrings") {
+    // after (a,b)->ab, word "xab" holds symbol 'b' preceded by 'a' INSIDE
+    // no pair: x,a,b -> (x,a),(a,b); but "cab ab" style boundary: the
+    // pattern ' ab  c ' must not fire on '...b  c...' where b is the tail
+    // of a longer symbol
+    val docs = Seq((1L, "ab ab ab xb")).toDF("doc_id", "text")
+    val (ms, dict) = Bpe.train(docs, "text", 2)
+    assert(ms.head.merged == "ab") // count 3 beats (x,b) count 1
+    val d = dictOf(dict)
+    assert(d("ab")._2 == " ab ")
+    // second merge is (x,b): 'b' in the merged symbol 'ab' must not match
+    assert(ms(1).merged == "xb")
+    assert(d("xb")._2 == " xb ")
+  }
+
+  test("ties break on (count desc, left asc, right asc)") {
+    // (a,b) and (b,a) both appear twice in "abab" x1 + ... construct:
+    // "ab" freq 2 gives (a,b)=2; "ba" freq 2 gives (b,a)=2 -> (a,b) wins
+    val docs = Seq((1L, "ab ab ba ba")).toDF("doc_id", "text")
+    val (ms, _) = Bpe.train(docs, "text", 1)
+    assert(ms.head.leftSym == "a" && ms.head.rightSym == "b")
+  }
+
+  test("merges compound: later ranks consume earlier merged symbols") {
+    val docs = Seq((1L, "abc abc abc")).toDF("doc_id", "text")
+    val (ms, dict) = Bpe.train(docs, "text", 2)
+    assert(ms.map(_.merged) == Seq("ab", "abc"))
+    assert(dictOf(dict)("abc")._2 == " abc ")
+  }
+
+  test("training exhausts when every word is one symbol") {
+    val docs = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    val (ms, dict) = Bpe.train(docs, "text", 10)
+    // 2 merges fully fuse both words; loop must stop, not error
+    assert(ms.size == 2)
+    assert(dictOf(dict).values.forall(_._2.count(_ == ' ') == 2))
+  }
+
+  test("encodeStats counts tokens under the trained segmentation") {
+    val docs = Seq(
+      (1L, "en", "abab cd", "s1"),
+      (2L, "en", "abab", "s1"),
+      (3L, "fr", "cd cd", "s2")).toDF("doc_id", "lang", "text", "source")
+    val (_, dict) = Bpe.train(docs, "text", 1) // learns (a,b) count 4
+    val r = Bpe.encodeStats(docs, "text", "doc_id", dict,
+        Seq("lang", "source"))
+      .orderBy("lang").collect()
+    // en/s1: words=3 (abab,cd,abab) tokens= [ab,ab]=2 + [c,d]=2 + 2 = 6
+    assert(r(0).getAs[Long]("n_docs") == 2L)
+    assert(r(0).getAs[Long]("n_words") == 3L)
+    assert(r(0).getAs[Long]("bpe_tokens") == 6L)
+    assert(r(0).getAs[Double]("avg_tokens_per_word") == 2.0)
+    // fr/s2: 2 words, cd stays [c,d] -> 4 tokens
+    assert(r(1).getAs[Long]("bpe_tokens") == 4L)
+  }
+
+  test("q_bpe_vocab merges are deterministic across reruns on sf0.001") {
+    val q = SparkEntry.queries("q_bpe_vocab")
+    val a = q(spark, TestSpark.sf0001).collect().map(_.toSeq)
+    val b = q(spark, TestSpark.sf0001).collect().map(_.toSeq)
+    assert(a.length == 8)
+    assert(a.toSeq == b.toSeq)
+    // rank-8 merge on this corpus compounds a rank-7 product
+    val merged = a.map(_(3).asInstanceOf[String])
+    assert(merged.last.length > 2)
+  }
+}

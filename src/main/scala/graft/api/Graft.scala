@@ -185,6 +185,24 @@ object Graft {
       m = m, kSub = kSub, overfetch = overfetch, maxBucket = maxBucket)
   }
 
+  /** [[annTopKIvfPq]] with RESIDUAL coding — the configuration FAISS's
+    * IVFPQ actually ships: sub-quantizers train on and code the residual
+    * `x − c(cell)` (better-conditioned codebooks at the same 2-byte
+    * budget), and candidates score asymmetrically against their
+    * reconstruction `c(cell) + book(code)` in one codegen'd expression.
+    * Same output schema; exact cosines from the stage-C re-rank.
+    */
+  def annTopKIvfPqRes(vectors: DataFrame, idCol: String, vecCol: String,
+                      k: Int, dim: Int, nProbe: Int = 2, m: Int = 4,
+                      kSub: Int = 16, overfetch: Int = 3, nBuckets: Int = 0,
+                      maxBucket: Int = 4096): DataFrame = {
+    val bucketed = Similarity.kmeansBuckets(vectors, idCol, vecCol,
+      k = resolveBuckets(vectors, nBuckets), iters = 2, bucketCol = "__cell")
+    Similarity.ivfPqResTopK(bucketed, idCol, vecCol, "__cell", k = k,
+      nProbe = nProbe, dim = dim, m = m, kSub = kSub,
+      overfetch = overfetch, maxBucket = maxBucket)
+  }
+
   /** [[annTopKPq]] with asymmetric (ADC) scoring — FAISS's default mode:
     * the corpus side of the candidate join stays m-code compressed, each
     * query scores with its raw floats against reconstructed sub-centroids

@@ -564,6 +564,103 @@ object Similarity {
     topKByCosine(scored, k)
   }
 
+  /** [[ivfPqTopK]] with RESIDUAL coding — the configuration FAISS's IVFPQ
+    * actually ships: sub-quantizers are trained on and code the residual
+    * `r = x − c(cell)` instead of the raw vector, so the kSub cells of
+    * each subspace model only the spread the coarse quantizer left behind
+    * (a much better-conditioned codebook at the same 2-byte budget), and
+    * candidates are scored ASYMMETRICALLY against their reconstruction
+    * `x̂ = c(cell) + book_j(code_j)` through the codegen'd
+    * [[graft.functions.PqResAdcCosine]] — one quantization per pair.
+    *
+    * Join payload shape vs [[ivfPqTopK]]: the corpus side of the candidate
+    * join is unchanged (m codes per vector, capped per cell); the probe
+    * side carries the query's raw floats plus the probed cell's mean
+    * centroid (2·dim doubles per (query, cell) row — queries × nProbe
+    * rows, the small side of a retrieval workload, and the payload never
+    * shuffles per PAIR: pairs stream through the scorer inside the join's
+    * codegen stage). Stage-C exact re-rank and the determinism contract
+    * are unchanged.
+    */
+  def ivfPqResTopK(df: DataFrame, idCol: String, vecCol: String,
+                   bucketCol: String, k: Int, nProbe: Int, dim: Int,
+                   m: Int = 4, kSub: Int = 16, iters: Int = 1,
+                   overfetch: Int = 3,
+                   maxBucket: Int = Int.MaxValue): DataFrame = {
+    import graft.ext.CacheScope.Cacheable
+    require(m > 0 && dim % m == 0,
+      s"ivfPqResTopK requires dim divisible by m, got dim=$dim m=$m")
+    val dsub = dim / m
+    val vd = col(vecCol).cast("array<double>")
+    // per-cell mean centroids over the FULL corpus (same construction as
+    // ivfPqTopK's probe codebook, but also the residual origin here)
+    val cents = df
+      .select(col(bucketCol).as("bkt"), posexplode(vd).as(Seq("i", "x")))
+      .groupBy(col("bkt"), col("i")).agg(avg(col("x")).as("c"))
+      .groupBy(col("bkt"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("i"), col("c")))),
+        s => s("c")).as("cvec"))
+      .scopedCache()
+    // residuals: one broadcast join against the k-row codebook; zip_with
+    // is training-side only (codes are computed from it once)
+    val resDf = df
+      .select(col(idCol).as("uid"), col(bucketCol).as("bkt"), vd.as("v"))
+      .join(broadcast(cents), "bkt")
+      .withColumn("rv", zip_with(col("v"), col("cvec"), (x, c) => x - c))
+      .scopedCache()
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      lloydCenters(resDf, "uid", slice(col("rv"), j * dsub + 1, dsub),
+        kSub, iters)
+    }
+    if (books.exists(_.isEmpty))
+      return df.limit(0).select(col(idCol).as("query_id"),
+        col(idCol).as("neighbor_id"), lit(0.0).as("cosine"),
+        lit(0L).as("rank"))
+    val codeArr = array((0 until m).map { j =>
+      assignOn(slice(col("rv"), j * dsub + 1, dsub), books(j))
+    }: _*)
+    val coded = resDf.select(col("bkt"), col("uid"), codeArr.as("code"))
+      .scopedCache()
+    val unit = df.select(col(idCol).as("uid"), unitVec(col(vecCol)).as("uvec"))
+      .scopedCache()
+    val flatBooks: Array[Array[Double]] = books.map(_.flatten)
+    // probes: nProbe nearest cells by unit-centroid cosine, carrying the
+    // probed cell's RAW mean for the residual reconstruction
+    val centUnit = cents.select(col("bkt").as("cb"),
+      unitVec(col("cvec")).as("cunit"), col("cvec"))
+    val probes = unit.select(col("uid").as("query_id"), col("uvec").as("qu"))
+      .crossJoin(broadcast(centUnit))
+      .withColumn("cent_cosine",
+        round(dot(col("qu"), col("cunit")) + lit(1e-9), 6))
+      .withColumn("pr", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cent_cosine").desc, col("cb"))))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("cb").as("bkt"), col("cvec"))
+    val qraw = df.select(col(idCol).as("query_id"), vd.as("qv"))
+    val shortlist = probes
+      .join(qraw, "query_id")
+      .join(capPerBucket(coded, "bkt", "uid", maxBucket)
+        .select(col("bkt"), col("uid").as("neighbor_id"),
+          col("code").as("cc")), "bkt")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx",
+        round(graft.functions.PqFunctions.graft_pq_res_adc_cosine(
+          col("qv"), col("cvec"), col("cc"), flatBooks, kSub) + lit(1e-9), 6))
+      .withColumn("ar", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("approx").desc, col("neighbor_id"))))
+      .filter(col("ar") <= k * overfetch)
+      .select(col("query_id"), col("neighbor_id"))
+    val scored = shortlist
+      .join(unit.select(col("uid").as("query_id"), col("uvec").as("q_vec")),
+        "query_id")
+      .join(unit.select(col("uid").as("neighbor_id"), col("uvec").as("c_vec")),
+        "neighbor_id")
+      .withColumn("cosine",
+        round(dot(col("q_vec"), col("c_vec")) + lit(1e-9), 6))
+    topKByCosine(scored, k)
+  }
+
   /** Deterministic distributed Lloyd coarse quantizer: learns `k` centroids
     * over the vector column and returns `df` with an assignment column —
     * closing the loop the bucket operators above leave to the caller (the

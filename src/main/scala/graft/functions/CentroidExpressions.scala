@@ -4,7 +4,7 @@ import org.apache.spark.ml.linalg.SQLDataTypes
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, UserDefinedType}
@@ -803,6 +803,15 @@ object PqFunctions {
     ColumnBridge.column(PqAdcCosine(
       ColumnBridge.expression(qvec), ColumnBridge.expression(codes),
       books.map(_.toIndexedSeq).toIndexedSeq, kSub))
+
+  /** Column API for [[PqResAdcCosine]]. */
+  def graft_pq_res_adc_cosine(qvec: Column, cvec: Column, codes: Column,
+                              books: Array[Array[Double]],
+                              kSub: Int): Column =
+    ColumnBridge.column(PqResAdcCosine(
+      ColumnBridge.expression(qvec), ColumnBridge.expression(cvec),
+      ColumnBridge.expression(codes),
+      books.map(_.toIndexedSeq).toIndexedSeq, kSub))
 }
 
 /** Asymmetric product-quantization (ADC) cosine: the query side is a RAW
@@ -947,4 +956,147 @@ case class PqAdcCosine(left: Expression, right: Expression,
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Residual-ADC cosine — the scorer of FAISS's true IVFPQ coding: the
+  * candidate is stored as PQ codes of its RESIDUAL `r = x − c(cell)`, so
+  * its reconstruction is `x̂ = cvec + book_j(code_j)` and the approximate
+  * cosine is `q · x̂ / (|q|·|x̂|)` with the probed cell's mean centroid
+  * `cvec` supplied per pair (it rides the probe side of the candidate
+  * join — queries × nProbe rows — while the corpus side stays m codes).
+  * Residual codebooks are far better conditioned than raw-vector
+  * codebooks at the same bit budget: the coarse quantizer has already
+  * removed the cell mean, so the sub-quantizers spend their kSub cells on
+  * the remaining spread.
+  *
+  * Float-association contract with the DuckDB mirror (which computes
+  * `full = list_transform(range, i -> cvec[i] + rcat[i])` then
+  * `list_inner_product(q, full)` etc.): reconstruction, dot, and both
+  * norms each accumulate in strict dimension order as single sequential
+  * folds. Null on: null/short inputs, null elements, out-of-range codes,
+  * or a zero norm on either side (the never-ranks contract, as
+  * [[PqAdcCosine]]).
+  */
+case class PqResAdcCosine(first: Expression, second: Expression,
+                          third: Expression,
+                          books: IndexedSeq[IndexedSeq[Double]],
+                          kSub: Int)
+    extends TernaryExpression {
+
+  @transient private lazy val bookArr: Array[Array[Double]] =
+    books.map(_.toArray).toArray
+
+  private def dsub: Int = books(0).length / kSub
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    import org.apache.spark.sql.types.ArrayType
+    val qOk = first.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    val cOk = second.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    val kOk = third.dataType match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    }
+    if (!qOk || !cOk || !kOk)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_pq_res_adc_cosine requires (array<double>, array<double>, " +
+          s"array<int>), got (${first.dataType.simpleString}, " +
+          s"${second.dataType.simpleString}, ${third.dataType.simpleString})")
+    else if (books.isEmpty || kSub <= 0 ||
+        books.exists(b => b.isEmpty || b.length % kSub != 0) ||
+        books.exists(_.length != books(0).length))
+      TypeCheckResult.TypeCheckFailure(
+        "graft_pq_res_adc_cosine requires m same-shape kSub×dsub codebooks")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_res_adc_cosine"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    val q = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val cv = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val code = c.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val m = bookArr.length
+    val ds = dsub
+    val dim = m * ds
+    if (q.numElements() < dim || cv.numElements() < dim ||
+      code.numElements() < m) return null
+    var qn = 0.0
+    var i = 0
+    while (i < dim) {
+      if (q.isNullAt(i)) return null
+      val v = q.getDouble(i); qn += v * v
+      i += 1
+    }
+    var num = 0.0; var cn = 0.0
+    i = 0
+    while (i < dim) {
+      val j = i / ds
+      if (cv.isNullAt(i) || code.isNullAt(j)) return null
+      val ca = code.getInt(j)
+      if (ca < 0 || ca >= kSub) return null
+      val f = cv.getDouble(i) + bookArr(j)(ca * ds + i % ds)
+      num += q.getDouble(i) * f
+      cn += f * f
+      i += 1
+    }
+    if (qn == 0.0 || cn == 0.0) null
+    else num / (math.sqrt(qn) * math.sqrt(cn))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("books", bookArr, "double[][]")
+    val kSubV = kSub
+    val dsV = dsub
+    nullSafeCodeGen(ctx, ev, (a, b, c) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val mN = ctx.freshName("m"); val dim = ctx.freshName("dim")
+      val qn = ctx.freshName("qn"); val num = ctx.freshName("num")
+      val cn = ctx.freshName("cn"); val v = ctx.freshName("v")
+      val ca = ctx.freshName("ca"); val f = ctx.freshName("f")
+      s"""
+         |int $mN = $booksRef.length;
+         |int $dim = $mN * $dsV;
+         |if ($a.numElements() < $dim || $b.numElements() < $dim ||
+         |    $c.numElements() < $mN) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $qn = 0.0;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $v = $a.getDouble($i); $qn += $v * $v;
+         |  }
+         |  double $num = 0.0; double $cn = 0.0;
+         |  if (!${ev.isNull}) {
+         |    for (int $i = 0; $i < $dim; $i++) {
+         |      int $j = $i / $dsV;
+         |      if ($b.isNullAt($i) || $c.isNullAt($j)) {
+         |        ${ev.isNull} = true; break;
+         |      }
+         |      int $ca = $c.getInt($j);
+         |      if ($ca < 0 || $ca >= $kSubV) { ${ev.isNull} = true; break; }
+         |      double $f = $b.getDouble($i) + $booksRef[$j][$ca * $dsV + $i % $dsV];
+         |      $num += $a.getDouble($i) * $f;
+         |      $cn += $f * $f;
+         |    }
+         |  }
+         |  if (!${ev.isNull}) {
+         |    if ($qn == 0.0 || $cn == 0.0) { ${ev.isNull} = true; }
+         |    else { ${ev.value} = $num / (java.lang.Math.sqrt($qn) * java.lang.Math.sqrt($cn)); }
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }

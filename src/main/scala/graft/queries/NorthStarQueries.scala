@@ -146,11 +146,13 @@ object NorthStarQueries {
     * LEFT JOINs in the scoring CTE turn that into a null score, Spark's
     * null-code contract.
     */
-  private def pqSubCte(j: Int, dsub: Int, kSub: Int): String = {
+  private def pqSubCte(j: Int, dsub: Int, kSub: Int,
+                       src: String = "e", vcol: String = "v"): String = {
     val lo = j * dsub + 1
     val hi = (j + 1) * dsub
     s"""sub$j AS (
-       |  SELECT vec_id, v[$lo:$hi] AS sv FROM e WHERE v IS NOT NULL
+       |  SELECT vec_id, $vcol[$lo:$hi] AS sv FROM $src
+       |  WHERE $vcol IS NOT NULL
        |), ini$j AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cj,
        |    sv AS c
@@ -405,6 +407,97 @@ object NorthStarQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** The complete `q_ann_ivf_pq_res` oracle — [[ivfPqOracleSql]] with
+    * RESIDUAL sub-quantizers and asymmetric scoring: the `res` CTE
+    * subtracts each vector's cell-mean centroid, the four [[pqSubCte]]
+    * chains train on `res.rv` instead of raw `e.v`, `rcat` concatenates
+    * the reconstructed residual sub-centroids, and the approx score is
+    * the true cosine of the raw query against `cvec + rcat` (single
+    * sequential `list_inner_product` folds — the exact float-association
+    * contract of [[graft.functions.PqResAdcCosine]]). Probe ranking, the
+    * md5 cap, and the exact re-rank tail are unchanged.
+    */
+  private def ivfPqResOracleSql: String = {
+    val m = 4; val dsub = 16; val kSub = 16
+    val subCtes = (0 until m)
+      .map(j => pqSubCte(j, dsub, kSub, src = "res", vcol = "rv"))
+      .mkString(", ")
+    val rcJoins = (1 until m)
+      .map(j => s"JOIN rc$j r$j USING (vec_id)").mkString(" ")
+    val rcConcat = (0 until m).map(j => s"r$j.r").mkString(" || ")
+    s"""WITH $lloydAfCte, cb AS (
+       |  SELECT af.b, t.i AS i, avg(e.v[t.i]) AS c
+       |  FROM e JOIN af USING (vec_id),
+       |    unnest(range(1, len(e.v) + 1)) AS t(i)
+       |  GROUP BY af.b, t.i
+       |), cbl AS (
+       |  SELECT b, list(c ORDER BY i) AS cv FROM cb GROUP BY b
+       |), res AS (
+       |  SELECT e.vec_id,
+       |    list_transform(range(1, len(e.v) + 1),
+       |      i -> e.v[i] - cl.cv[i]) AS rv
+       |  FROM e JOIN af USING (vec_id) JOIN cbl cl ON cl.b = af.b
+       |), $subCtes, rcat AS (
+       |  SELECT r0.vec_id, $rcConcat AS rc
+       |  FROM rc0 r0 $rcJoins
+       |), cbu AS (
+       |  SELECT b,
+       |    list_transform(cv,
+       |      x -> x / NULLIF(sqrt(list_inner_product(cv, cv)), 0)) AS cu
+       |  FROM cbl
+       |), uv AS (
+       |  SELECT vec_id,
+       |    list_transform(v,
+       |      x -> x / NULLIF(sqrt(list_inner_product(v, v)), 0)) AS q
+       |  FROM e
+       |), probes AS (
+       |  SELECT vec_id AS query_id, b FROM (
+       |    SELECT u.vec_id, c.b,
+       |      row_number() OVER (PARTITION BY u.vec_id
+       |        ORDER BY round(list_inner_product(u.q, c.cu) + 1e-9, 6)
+       |          DESC, c.b) AS pr
+       |    FROM uv u CROSS JOIN cbu c) WHERE pr <= 2
+       |), mem AS (
+       |  SELECT vec_id,
+       |    row_number() OVER (PARTITION BY b
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |  FROM af
+       |), approx AS (
+       |  SELECT p.query_id, c.vec_id AS neighbor_id,
+       |    round(list_inner_product(q.v, f.fv) /
+       |      (NULLIF(sqrt(list_inner_product(q.v, q.v)), 0) *
+       |       NULLIF(sqrt(list_inner_product(f.fv, f.fv)), 0))
+       |      + 1e-9, 6) AS approx
+       |  FROM probes p
+       |  JOIN e q ON q.vec_id = p.query_id
+       |  JOIN af c ON c.b = p.b AND c.vec_id <> p.query_id
+       |  JOIN mem mb ON mb.vec_id = c.vec_id AND mb.rn <= 40
+       |  JOIN cbl pc ON pc.b = p.b
+       |  LEFT JOIN rcat rr ON rr.vec_id = c.vec_id,
+       |  LATERAL (SELECT list_transform(range(1, len(pc.cv) + 1),
+       |      i -> pc.cv[i] + rr.rc[i]) AS fv) f
+       |), short AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY approx DESC, neighbor_id) AS ar
+       |  FROM approx
+       |), cand AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    round(list_inner_product(qa.q, qb.q) + 1e-9, 6) AS cosine
+       |  FROM short s
+       |  JOIN uv qa ON qa.vec_id = s.query_id
+       |  JOIN uv qb ON qb.vec_id = s.neighbor_id
+       |  WHERE s.ar <= 15
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM cand
+       |)
+       |SELECT * FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   private def simhashCte: String = {
     val votes = (0 until 32).map(i =>
       s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i")
@@ -612,6 +705,20 @@ object NorthStarQueries {
       val bucketed = Similarity.kmeansBuckets(Tables.embeddings(s, dir),
         "vec_id", "embedding", k = 8, iters = 2, bucketCol = "kb")
       Similarity.ivfPqTopK(bucketed, "vec_id", "embedding", "kb",
+          k = 5, nProbe = 2, dim = 64, m = 4, kSub = 16, iters = 1,
+          overfetch = 3, maxBucket = 40)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Residual IVF-PQ — the configuration FAISS's IVFPQ actually ships:
+    // sub-quantizers code the residual x − c(cell), candidates score
+    // asymmetrically against cvec + reconstructed residual through the
+    // codegen'd PqResAdcCosine. The oracle replays the coarse Lloyd, the
+    // cell-mean subtraction, AND all four residual sub-Lloyds in SQL.
+    "q_ann_ivf_pq_res" -> ((s, dir) => {
+      val bucketed = Similarity.kmeansBuckets(Tables.embeddings(s, dir),
+        "vec_id", "embedding", k = 8, iters = 2, bucketCol = "kb")
+      Similarity.ivfPqResTopK(bucketed, "vec_id", "embedding", "kb",
           k = 5, nProbe = 2, dim = 64, m = 4, kSub = 16, iters = 1,
           overfetch = 3, maxBucket = 40)
         .orderBy(col("query_id"), col("rank"))
@@ -1343,6 +1450,7 @@ object NorthStarQueries {
     // codebook + 2-probe ranking (as q_ann_ivf_sq8) with the PQ-SDC
     // score over four sub-Lloyd reconstructions. See ivfPqOracleSql.
     "q_ann_ivf_pq" -> ivfPqOracleSql,
+    "q_ann_ivf_pq_res" -> ivfPqResOracleSql,
 
     // Product-quantization mirror: four per-subspace Lloyd replays
     // (smallest-id init, one refine) reconstruct each doc as its assigned

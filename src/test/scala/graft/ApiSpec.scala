@@ -57,7 +57,9 @@ class ApiSpec extends SparkSpec {
       "ivf_pq" -> Graft.annTopKIvfPq(vectors, "vec_id", "embedding",
         k = 5, dim = 64, nProbe = 2, nBuckets = 8),
       "pq_adc" -> Graft.annTopKPqAdc(vectors, "vec_id", "embedding",
-        k = 5, dim = 64, nBuckets = 8))
+        k = 5, dim = 64, nBuckets = 8),
+      "ivf_pq_res" -> Graft.annTopKIvfPqRes(vectors, "vec_id", "embedding",
+        k = 5, dim = 64, nProbe = 2, nBuckets = 8))
     for ((name, nn) <- paths) {
       assert(nn.columns.toSeq ==
         Seq("query_id", "neighbor_id", "cosine", "rank"), s"$name schema")

@@ -396,6 +396,90 @@ class SimilaritySpec extends SparkSpec {
     assert(bad.forall(_.isNullAt(0)), "pq null contract broken")
   }
 
+  test("ivfPqResTopK: residual coding recalls at least as much as raw " +
+      "IVF-PQ on clustered data, with exact stage-C cosines") {
+    // clustered corpus = residual coding's contract case: the coarse cells
+    // absorb the cluster means, so the sub-codebooks spend all kSub cells
+    // on the within-cluster noise instead of spanning cluster centers
+    val dim = 16
+    val rows = for {
+      c <- 0 until 10
+      j <- 0 until 20
+    } yield {
+      val base = Array.tabulate(dim)(d =>
+        math.sin((d + 1) * (c + 1) * 0.7391))
+      val noise = Array.tabulate(dim)(d =>
+        0.05 * math.sin((d + 1) * (c * 20 + j + 7) * 1.234))
+      val v = base.zip(noise).map { case (b, n) => (b + n).toFloat }
+      (c * 20L + j, v, c)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val exact = Similarity.bruteForceTopK(df, df, "vec_id", "embedding",
+      k = 5)
+    val bucketed = Similarity.kmeansBuckets(df, "vec_id", "embedding",
+      k = 10, iters = 2, bucketCol = "qb")
+    val raw = Similarity.ivfPqTopK(bucketed, "vec_id", "embedding", "qb",
+      k = 5, nProbe = 2, dim = dim, m = 4, kSub = 16, iters = 2,
+      overfetch = 6)
+    val res = Similarity.ivfPqResTopK(bucketed, "vec_id", "embedding", "qb",
+      k = 5, nProbe = 2, dim = dim, m = 4, kSub = 16, iters = 2,
+      overfetch = 6)
+    val rRaw = recallAt5(raw, exact)
+    val rRes = recallAt5(res, exact)
+    assert(rRes >= 0.9, s"residual ivf-pq recall $rRes < 0.9 on clustered")
+    assert(rRes >= rRaw,
+      s"residual recall $rRes below raw ivf-pq $rRaw — residual codebooks " +
+        "should never be worse conditioned on clustered data")
+    // stage-C exactness holds: every returned cosine is the float cosine
+    val g = res.select("query_id", "neighbor_id", "cosine").collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    val e = exact.select("query_id", "neighbor_id", "cosine").collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    val common = g.keySet.intersect(e.keySet)
+    assert(common.nonEmpty && common.forall(p => g(p) == e(p)),
+      "residual ivf-pq cosine not exact")
+  }
+
+  test("PqResAdcCosine: reconstruction identity, null contracts") {
+    import graft.functions.PqFunctions.graft_pq_res_adc_cosine
+    // m=2 subspaces of 2 dims, kSub=2: books row-major (kSub x dsub flat)
+    val books = Array(
+      Array(1.0, 0.0, /* sub0 code0 */ 0.0, 2.0), // sub0 code1
+      Array(3.0, 0.0, /* sub1 code0 */ 0.0, 4.0)) // sub1 code1
+    val kSub = 2
+    val cvec = Seq(0.5, -0.5, 1.0, 0.0)
+    // codes (1, 0): recon = cvec + [0,2, 3,0] = [0.5, 1.5, 4.0, 0.0]
+    val recon = Array(0.5, 1.5, 4.0, 0.0)
+    // q aligned with recon -> cosine exactly 1; q = 2*recon keeps it 1
+    val rows = Seq(
+      (recon.map(_ * 2).toSeq, cvec, Seq(1, 0)),
+      // null code -> null; out-of-range code -> null
+      (recon.toSeq, cvec, null),
+      (recon.toSeq, cvec, Seq(2, 0)),
+      // zero query norm -> null (never-ranks)
+      (Seq(0.0, 0.0, 0.0, 0.0), cvec, Seq(1, 0)))
+      .toDF("q", "c", "k")
+    val got = rows.select(graft_pq_res_adc_cosine(
+      col("q").cast("array<double>"), col("c").cast("array<double>"),
+      col("k").cast("array<int>"), books, kSub).as("s")).collect()
+    assert(got(0).getDouble(0) == 1.0, s"reconstruction cosine ${got(0)}")
+    assert(got(1).isNullAt(0) && got(2).isNullAt(0) && got(3).isNullAt(0),
+      "residual-ADC null contract broken")
+    // misaligned q gets the true cosine against the reconstruction
+    val q2 = Array(1.0, 0.0, 0.0, 0.0)
+    val expected = {
+      val num = q2.zip(recon).map { case (a, b) => a * b }.sum
+      num / (math.sqrt(q2.map(x => x * x).sum) *
+        math.sqrt(recon.map(x => x * x).sum))
+    }
+    val got2 = Seq((q2.toSeq, cvec, Seq(1, 0))).toDF("q", "c", "k")
+      .select(graft_pq_res_adc_cosine(
+        col("q").cast("array<double>"), col("c").cast("array<double>"),
+        col("k").cast("array<int>"), books, kSub).as("s"))
+      .collect()(0).getDouble(0)
+    assert(got2 == expected, s"got $got2 expected $expected")
+  }
+
   test("pqTopK: empty and all-null corpora return an empty frame with " +
       "the output schema; dim must divide by m") {
     import org.apache.spark.sql.types._
@@ -427,6 +511,11 @@ class SimilaritySpec extends SparkSpec {
       k = 3, dim = 64).count() == 0)
     assert(Similarity.pqAdcTopK(empty, "vec_id", "embedding", "label",
       k = 3, dim = 64).columns.toSeq ==
+      Seq("query_id", "neighbor_id", "cosine", "rank"))
+    assert(Similarity.ivfPqResTopK(allNull, "vec_id", "embedding", "label",
+      k = 3, nProbe = 2, dim = 64).count() == 0)
+    assert(Similarity.ivfPqResTopK(empty, "vec_id", "embedding", "label",
+      k = 3, nProbe = 2, dim = 64).columns.toSeq ==
       Seq("query_id", "neighbor_id", "cosine", "rank"))
   }
 

@@ -593,4 +593,30 @@ class PhysicalSpec extends SparkSpec {
     assert(scoreLines.forall(_.trim.matches("""^[+:\-\s]*\*\(\d+\).*""")),
       s"pq scoring fell out of whole-stage codegen:\n$plan")
   }
+
+  test("residual ivf-pq: corpus side of the candidate join stays codes, " +
+      "and the residual-ADC scorer stays inside whole-stage codegen") {
+    val df = SparkEntry.queries("q_ann_ivf_pq_res")(spark, TestSpark.sf0001)
+    df.collect()
+    // by design the PROBE side carries the query floats + probed cell
+    // mean (2·dim doubles per (query, cell) row), so no all-sides float
+    // assertion here — the corpus compression is what matters at scale:
+    // the coded frame in the plan carries (bkt, uid, code) only
+    val cachedSchemas = finalOpsWithCaches(df.queryExecution.executedPlan)
+      .collect {
+        case i: org.apache.spark.sql.execution.columnar
+            .InMemoryTableScanExec => i.relation.schema
+      }
+    assert(cachedSchemas.exists(s =>
+      s.fieldNames.toSet == Set("bkt", "uid", "code")),
+      s"no codes-only corpus frame cached: ${cachedSchemas.map(_.fieldNames.mkString("(", ",", ")"))}")
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scoreLines = plan.linesIterator
+      .filter(_.contains("graft_pq_res_adc_cosine")).toSeq
+    assert(scoreLines.nonEmpty,
+      s"expected graft_pq_res_adc_cosine in:\n$plan")
+    assert(scoreLines.forall(_.trim.matches("""^[+:\-\s]*\*\(\d+\).*""")),
+      s"residual-ADC scoring fell out of whole-stage codegen:\n$plan")
+  }
 }

@@ -60,6 +60,11 @@ class ScaleAuditSpec extends SparkSpec {
       ("same centroid-codebook broadcast as q_ann_multiprobe (the composed " +
         "pipeline's probe stage); the PQ candidate join and both re-rank " +
         "joins are equi-joins"),
+    "q_ann_ivf_pq_res" ->
+      ("same centroid-codebook broadcast as q_ann_multiprobe (the probe " +
+        "stage, plus the k-row cell-mean broadcast the residual subtraction " +
+        "joins by bucket); the residual-ADC candidate join and both " +
+        "re-rank joins are equi-joins"),
     "q_rolling_actives" ->
       ("range join with the |days|-sized calendar pinned as the BROADCAST " +
         "side; fan-out bounded at 7 calendar rows per activity row"))

@@ -107,6 +107,25 @@ object Bpe {
     (merges.result(), dict)
   }
 
+  /** Per-document BPE token counts under a trained dictionary — the
+    * handoff from tokenizer training to sequence packing: each doc's
+    * words join the dictionary's segmentation broadcast-side and the
+    * per-word token counts sum per (`carryCols`, `idCol`) row. The
+    * frame [[Packing.packByOffset]] consumes directly.
+    */
+  def docTokenCounts(docs: DataFrame, textCol: String, idCol: String,
+                     dict: DataFrame, carryCols: Seq[String]): DataFrame = {
+    val nToks = dict.select(col("word"),
+      size(split(trim(col("syms")), Sep)).cast("long").as("n_toks"))
+    docs
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select((carryCols.map(col) :+ col(idCol) :+
+        explode(split(trim(col(textCol)), " +")).as("word")): _*)
+      .join(broadcast(nToks), Seq("word"))
+      .groupBy((carryCols.map(col) :+ col(idCol)): _*)
+      .agg(sum(col("n_toks")).as("n_tokens"))
+  }
+
   /** Tokenized-corpus statistics under a trained dictionary: per
     * (`groupCols`) doc/word/token counts and mean tokens-per-word. The
     * corpus-side pass of BPE encoding — words join the dictionary's

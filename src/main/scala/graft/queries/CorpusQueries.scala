@@ -69,6 +69,22 @@ object CorpusQueries {
         .orderBy(col("lang"), col("source"))
     }),
 
+    // The tokenizer-to-packing handoff, end to end in one plan: per-doc
+    // token counts under the LEARNED segmentation (broadcast dict join)
+    // feed the same offset-packing window q_seq_pack uses — corpus prep
+    // as a training pipeline would actually run it (train tokenizer →
+    // tokenize → pack fixed context windows).
+    "q_bpe_pack" -> ((s, dir) => {
+      val dict = bpeTrained(s, dir)._2
+      val perDoc = Bpe.docTokenCounts(Tables.documents(s, dir), "text",
+        "doc_id", dict, Seq("lang"))
+      val packed = graft.ext.Packing.packByOffset(perDoc, Seq("lang"),
+        "doc_id", "n_tokens", ctxTokens = 256)
+      graft.ext.Packing.packSummary(packed, Seq("lang"), "doc_id",
+          "n_tokens")
+        .orderBy(col("lang"), col("pack_id"))
+    }),
+
     // Span-level corpus dedup: every doc loses spans whose corpus document
     // frequency exceeds 1 — boilerplate is removed from ALL copies, the
     // complement of whole-doc dedup (which keeps one copy intact)
@@ -253,6 +269,32 @@ object CorpusQueries {
          |FROM (${(1 to BpeMerges).map(i => s"SELECT * FROM b$i")
           .mkString(" UNION ALL ")})
          |ORDER BY rank""".stripMargin),
+
+    "q_bpe_pack" -> (bpeCtes(BpeMerges) + ",\n" +
+      s"""ws AS MATERIALIZED (
+         |  SELECT lang, doc_id,
+         |    unnest(string_split_regex(trim(text), ' +')) AS word
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND length(trim(text)) > 0
+         |),
+         |pd AS MATERIALIZED (
+         |  SELECT ws.lang, ws.doc_id,
+         |    CAST(sum(len(string_split(trim(d$BpeMerges.syms), '  ')))
+         |      AS BIGINT) AS n_tokens
+         |  FROM ws JOIN d$BpeMerges ON ws.word = d$BpeMerges.word
+         |  GROUP BY 1, 2
+         |),
+         |o AS (
+         |  SELECT lang, doc_id, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS tok_offset
+         |  FROM pd
+         |)
+         |SELECT lang, CAST(tok_offset // 256 AS BIGINT) AS pack_id,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM o GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin),
 
     "q_bpe_encode" -> (bpeCtes(BpeMerges) + ",\n" +
       s"""ws AS MATERIALIZED (

@@ -107,6 +107,20 @@ class BpeSpec extends SparkSpec {
     assert(r(1).getAs[Long]("bpe_tokens") == 4L)
   }
 
+  test("docTokenCounts: per-doc sums under the trained segmentation") {
+    val docs = Seq(
+      (1L, "en", "abab cd abab"),
+      (2L, "en", "cd"),
+      (3L, "fr", "   ")).toDF("doc_id", "lang", "text")
+    val (_, dict) = Bpe.train(docs, "text", 1) // learns (a,b)
+    val r = Bpe.docTokenCounts(docs, "text", "doc_id", dict, Seq("lang"))
+      .orderBy("doc_id").collect()
+    // doc 1: [ab,ab]=2 + [c,d]=2 + [ab,ab]=2 = 6; doc 2: 2; doc 3 skipped
+    assert(r.map(x => (x.getAs[Long]("doc_id"), x.getAs[String]("lang"),
+      x.getAs[Long]("n_tokens"))).toSeq ==
+      Seq((1L, "en", 6L), (2L, "en", 2L)))
+  }
+
   test("q_bpe_vocab merges are deterministic across reruns on sf0.001") {
     val q = SparkEntry.queries("q_bpe_vocab")
     val a = q(spark, TestSpark.sf0001).collect().map(_.toSeq)

@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{CacheScope, Dedup, Packing, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Bpe, CacheScope, Dedup, Packing, Sampling, Similarity, TextAnalysis}
 
 /** The public façade: one short, defaulted call per engine capability, so a
   * user does not need to know the `graft.ext.*` operator internals or their
@@ -247,6 +247,25 @@ object Graft {
   }
 
   // --- text analysis ----------------------------------------------------
+
+  /** Train a BPE tokenizer over the corpus: `nMerges` merge rules learned
+    * on the word-frequency dictionary (one corpus-wide shuffle; each
+    * iteration is dictionary-sized). Returns the ordered rules and the
+    * final dictionary `(word, freq, syms)` — the corpus-independent
+    * tokenizer state [[bpeTokenCounts]] consumes.
+    */
+  def bpeTrain(docs: DataFrame, textCol: String,
+               nMerges: Int): (Seq[Bpe.Merge], DataFrame) =
+    Bpe.train(docs, textCol, nMerges)
+
+  /** Per-document token counts under a trained BPE dictionary (broadcast
+    * segmentation join) — the frame [[packContexts]]-style offset packing
+    * consumes. `carryCols` ride through (e.g. the packing stream key).
+    */
+  def bpeTokenCounts(docs: DataFrame, textCol: String, idCol: String,
+                     dict: DataFrame,
+                     carryCols: Seq[String] = Nil): DataFrame =
+    Bpe.docTokenCounts(docs, textCol, idCol, dict, carryCols)
 
   /** Token stats + the composite quality score as a `quality` column. */
   def quality(docs: DataFrame, textCol: String): DataFrame = {

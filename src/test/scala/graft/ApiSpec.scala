@@ -135,6 +135,19 @@ class ApiSpec extends SparkSpec {
     assert(chunks.filter(col("n_chunk_tokens") > 128).count() == 0)
   }
 
+  test("quickstart: BPE train + token counts with defaults") {
+    val (merges, dict) = Graft.bpeTrain(docs, "text", nMerges = 4)
+    assert(merges.size == 4 &&
+      merges.map(_.rank) == Seq(1, 2, 3, 4))
+    assert(dict.columns.toSet == Set("word", "freq", "syms"))
+    val counts = Graft.bpeTokenCounts(docs, "text", "doc_id", dict,
+      carryCols = Seq("lang"))
+    assert(counts.columns.toSeq == Seq("lang", "doc_id", "n_tokens"))
+    // every doc has at least one token and no more than its char count
+    assert(counts.filter(col("n_tokens") < 1).count() == 0)
+    assert(counts.count() == docs.count())
+  }
+
   test("quickstart: scoped corpus pass drains operator caches") {
     spark.catalog.clearCache()
     val n = Graft.scopedPass {

@@ -498,6 +498,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ANN index: stateless cell assignment is batch-exact, " +
+      "exactly-once across incremental files, and serves top-k") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val inDir = Files.createTempDirectory("graft-idx-in").toString
+    val outDir = Files.createTempDirectory("graft-idx-out").toString
+    val ckpt = Files.createTempDirectory("graft-idx-ckpt").toString
+    val firstHalf = emb.filter(col("vec_id") % 2 === 0)
+    val secondHalf = emb.filter(col("vec_id") % 2 === 1)
+    firstHalf.write.parquet(s"$inDir/batch1")
+    // flatten: file source watches a directory tree; write under subdirs
+    val schema = emb.schema
+    val q = graft.streaming.StreamingIndex.run(spark, s"$inDir/*", outDir,
+      ckpt, schema, "embedding", dim = 64, nPlanes = 4)
+    try {
+      q.processAllAvailable()
+      val idx1 = spark.read.parquet(outDir)
+      assert(idx1.count() == firstHalf.count())
+      // vectors landing LATER are absorbed incrementally, nothing re-emits
+      secondHalf.write.parquet(s"$inDir/batch2")
+      q.processAllAvailable()
+      val idx = spark.read.parquet(outDir)
+      assert(idx.count() == emb.count())
+      // the streamed assignment IS the batch assignment, row for row —
+      // stateless projection, no learned state to drift
+      val batch = graft.streaming.StreamingIndex.assignCells(emb,
+        "embedding", dim = 64, nPlanes = 4)
+        .select(col("vec_id"), col("cell"))
+      assert(idx.select(col("vec_id"), col("cell"))
+        .exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(idx.select(col("vec_id"), col("cell")))
+        .count() == 0)
+      // and the accumulated index serves the same top-k the batch
+      // hyperplane facade path computes over the full corpus
+      val fromIndex = graft.streaming.StreamingIndex.topK(spark, outDir,
+        "vec_id", "embedding", k = 5)
+      val fromBatch = graft.api.Graft.annTopKHyperplane(emb, "vec_id",
+        "embedding", k = 5, dim = 64, nPlanes = 4)
+      assert(fromIndex.exceptAll(fromBatch).count() == 0 &&
+        fromBatch.exceptAll(fromIndex).count() == 0,
+        "index-served top-k diverged from the batch hyperplane path")
+    } finally q.stop()
+  }
+
   test("streaming media ingest: incremental file decode, exactly-once") {
     import java.nio.file.{Files => JFiles, Paths}
     val inDir = Files.createTempDirectory("graft-media-in").toString

@@ -847,6 +847,41 @@ object Similarity {
     topKByCosine(scored, k)
   }
 
+  /** Deterministic signed permutation — the "random rotation" PQ
+    * pre-conditioner (OPQ's cheap cousin: FAISS `RandomRotationMatrix`
+    * restricted to the signed-permutation subgroup, which needs no
+    * matrix multiply): applied before [[pqTopK]], it spreads
+    * per-dimension energy across the m subspaces, so a corpus whose
+    * variance concentrates in a few leading dimensions doesn't waste
+    * all but one sub-codebook on noise. Orthogonal, so cosines are
+    * mathematically unchanged; engine-exact (the permutation and signs
+    * are integer-hash-derived and emitted as literals into the oracle).
+    */
+  private[graft] def mix32(i: Int): Int = {
+    var x = i * 0x9E3779B9
+    x ^= x >>> 16; x *= 0x85EBCA6B
+    x ^= x >>> 13; x *= 0xC2B2AE35
+    x ^ (x >>> 16)
+  }
+
+  /** The permutation: indices sorted by integer hash (id tiebreak). */
+  def rotationPerm(dim: Int): Array[Int] =
+    Array.range(0, dim).sortBy(i => (mix32(i), i))
+
+  /** The per-dimension sign (±1), hash-derived. */
+  def rotationSign(dim: Int): Array[Int] =
+    Array.tabulate(dim)(i => if (((mix32(i) >>> 7) & 1) == 0) 1 else -1)
+
+  /** The rotated vector as ONE array projection (no shuffle, no UDF):
+    * `out_i = vec[perm(i)] · sign(i)` over an `array<double>` column.
+    */
+  def rotate(vec: Column, dim: Int): Column = {
+    val perm = rotationPerm(dim)
+    val sign = rotationSign(dim)
+    array((0 until dim).map(i =>
+      element_at(vec, perm(i) + 1) * lit(sign(i).toDouble)): _*)
+  }
+
   /** Deterministic hyperplane component `j` of plane `p` — a pure integer
     * hash mapped into [-1, 1]: exact in ANY engine (the integer arithmetic
     * has one answer; /1000.0 and −1.0 are single IEEE ops), unlike the

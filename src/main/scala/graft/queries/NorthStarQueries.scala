@@ -202,7 +202,14 @@ object NorthStarQueries {
     * modulo the house 6dp guard-round — and the sq8-shaped capped bucket
     * join + exact re-rank tail.
     */
-  private def pqOracleSql: String = {
+  private def pqOracleSql: String = pqOracleSqlFrom(
+    """e AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+      |)""".stripMargin)
+
+  /** [[pqOracleSql]] over a caller-supplied `e(vec_id, label, v)` CTE —
+    * shared by the raw and rotated PQ oracles. */
+  private def pqOracleSqlFrom(eCte: String): String = {
     val m = 4; val dsub = 16; val kSub = 16
     val subCtes = (0 until m).map(j => pqSubCte(j, dsub, kSub)).mkString(", ")
     val num = (0 until m)
@@ -217,9 +224,7 @@ object NorthStarQueries {
     val nJoins = (0 until m)
       .map(j => s"  LEFT JOIN rc$j nb$j ON nb$j.vec_id = b.vec_id")
       .mkString("\n")
-    s"""WITH e AS (
-       |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
-       |), $subCtes, mem AS (
+    s"""WITH $eCte, $subCtes, mem AS (
        |  SELECT vec_id,
        |    row_number() OVER (PARTITION BY label
        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
@@ -268,6 +273,29 @@ object NorthStarQueries {
     * `PqAdcCosine` left-fold contract) and the query norm is one
     * sequential fold over the full vector.
     */
+  /** The `q_ann_pq_rot` oracle: [[pqOracleSqlFrom]] over the signed
+    * permutation emitted as LITERALS from the same integer-hash
+    * derivation the Spark side uses ([[Similarity.rotationPerm]]/
+    * [[Similarity.rotationSign]]) — both engines code and score the
+    * identically rotated vectors, so the whole PQ replay matches
+    * hash-exact without DuckDB re-deriving any hash.
+    */
+  private def pqRotOracleSql: String = {
+    val dim = 64
+    val perm = Similarity.rotationPerm(dim)
+    val sign = Similarity.rotationSign(dim)
+    val terms = (0 until dim).map { i =>
+      val s = if (sign(i) == 1) "1.0" else "-1.0"
+      s"v[${perm(i) + 1}] * $s"
+    }.mkString(", ")
+    pqOracleSqlFrom(
+      s"""e AS (
+         |  SELECT vec_id, label, [$terms] AS v
+         |  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v
+         |        FROM embeddings)
+         |)""".stripMargin)
+  }
+
   private def pqAdcOracleSql: String = {
     val m = 4; val dsub = 16; val kSub = 16
     val subCtes = (0 until m).map(j => pqSubCte(j, dsub, kSub)).mkString(", ")
@@ -641,6 +669,20 @@ object NorthStarQueries {
     "q_ann_pq" -> ((s, dir) =>
       Similarity.pqTopK(Tables.embeddings(s, dir),
           "vec_id", "embedding", "label", k = 5, dim = 64, m = 4,
+          kSub = 16, iters = 1, overfetch = 3, maxBucket = 40)
+        .orderBy(col("query_id"), col("rank"))),
+
+    // Rotation-PQ ("OPQ-lite"): a deterministic signed permutation
+    // spreads per-dimension energy across the m subspaces before coding
+    // (FAISS's RandomRotationMatrix restricted to the signed-permutation
+    // subgroup — orthogonal, so cosines are mathematically unchanged).
+    // The oracle receives the permutation as literals and replays the
+    // whole PQ chain over the identically rotated vectors.
+    "q_ann_pq_rot" -> ((s, dir) =>
+      Similarity.pqTopK(
+          Tables.embeddings(s, dir).withColumn("remb",
+            Similarity.rotate(col("embedding").cast("array<double>"), 64)),
+          "vec_id", "remb", "label", k = 5, dim = 64, m = 4,
           kSub = 16, iters = 1, overfetch = 3, maxBucket = 40)
         .orderBy(col("query_id"), col("rank"))),
 
@@ -1458,6 +1500,7 @@ object NorthStarQueries {
     // subspace order, then the sq8-shaped capped bucket join + exact
     // re-rank. See pqOracleSql/pqSubCte.
     "q_ann_pq" -> pqOracleSql,
+    "q_ann_pq_rot" -> pqRotOracleSql,
 
     // Deterministic Lloyd mirror: init = 8 smallest-id vectors, two
     // unrolled assign/recenter iterations (empty cells coalesce to the

@@ -440,6 +440,52 @@ class SimilaritySpec extends SparkSpec {
       "residual ivf-pq cosine not exact")
   }
 
+  test("rotation-PQ: signed permutation is orthogonal, deterministic, " +
+      "and spreads concentrated energy across subspaces") {
+    val dim = 64
+    val perm = Similarity.rotationPerm(dim)
+    val sign = Similarity.rotationSign(dim)
+    // bijection + stability
+    assert(perm.sorted.toSeq == (0 until dim))
+    assert(perm.toSeq == Similarity.rotationPerm(dim).toSeq)
+    assert(sign.forall(s => s == 1 || s == -1))
+    // energy concentrated in ONE subspace (dims 0..15 = subspace 0 at
+    // m=4) is spread across subspaces by the permutation — the whole
+    // point of the pre-conditioner: no subspace keeps even half of it
+    val landing = (0 until dim).filter(i => perm(i) < 16) // where 0..15 go
+      .groupBy(_ / 16).view.mapValues(_.size).toMap
+    assert(landing.size >= 3 && landing.values.max <= 8,
+      s"signal dims not spread: $landing")
+    // orthogonality: dot products and norms survive rotation (float
+    // tolerance: the permuted sum runs in a different order)
+    val a = Array.tabulate(dim)(i => math.sin(i * 0.73) * (i % 7 + 1))
+    val b = Array.tabulate(dim)(i => math.cos(i * 1.31) - 0.2 * i)
+    def rot(v: Array[Double]) =
+      Array.tabulate(dim)(i => v(perm(i)) * sign(i))
+    def dotd(x: Array[Double], y: Array[Double]) =
+      x.zip(y).map { case (p, q) => p * q }.sum
+    assert(math.abs(dotd(rot(a), rot(b)) - dotd(a, b)) < 1e-9)
+    assert(math.abs(dotd(rot(a), rot(a)) - dotd(a, a)) < 1e-9)
+    // the Column form computes the same rotation row-for-row
+    val got = Seq(Tuple1(a.toSeq)).toDF("v")
+      .select(Similarity.rotate(col("v").cast("array<double>"), dim)
+        .as("r")).collect()(0).getSeq[Double](0)
+    assert(got == rot(a).toSeq)
+    // and the rotated-PQ query's exact stage-C cosines agree with the
+    // raw-PQ query's for every common pair at the shared 6dp rounding
+    // (rotation is orthogonal — only float association differs)
+    val pq = SparkEntry.queries("q_ann_pq")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val rotQ = SparkEntry.queries("q_ann_pq_rot")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val common = pq.keySet.intersect(rotQ.keySet)
+    assert(common.nonEmpty)
+    assert(common.forall(p => math.abs(pq(p) - rotQ(p)) <= 1e-6 + 1e-12),
+      "rotated cosine diverged beyond the rounding grid")
+  }
+
   test("PqResAdcCosine: reconstruction identity, null contracts") {
     import graft.functions.PqFunctions.graft_pq_res_adc_cosine
     // m=2 subspaces of 2 dims, kSub=2: books row-major (kSub x dsub flat)

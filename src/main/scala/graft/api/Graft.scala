@@ -203,6 +203,24 @@ object Graft {
       overfetch = overfetch, maxBucket = maxBucket)
   }
 
+  /** Retrieval with an EXTERNAL query set — the serve-time contract every
+    * `annTopK*` self-search is a special case of: the index (learned
+    * cells, residual codebooks, codes) is built from `corpus` alone, and
+    * `queries` — any `(idCol, vecCol)` frame, typically vectors not in
+    * the corpus — probe it. Residual IVF-PQ path; same output schema,
+    * exact cosines from the stage-C re-rank.
+    */
+  def annSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, dim: Int, nProbe: Int = 2,
+                m: Int = 4, kSub: Int = 16, overfetch: Int = 3,
+                nBuckets: Int = 0, maxBucket: Int = 4096): DataFrame = {
+    val bucketed = Similarity.kmeansBuckets(corpus, idCol, vecCol,
+      k = resolveBuckets(corpus, nBuckets), iters = 2, bucketCol = "__cell")
+    Similarity.ivfPqResSearch(bucketed, queries, idCol, vecCol, "__cell",
+      k = k, nProbe = nProbe, dim = dim, m = m, kSub = kSub,
+      overfetch = overfetch, maxBucket = maxBucket)
+  }
+
   /** [[annTopKPq]] with asymmetric (ADC) scoring — FAISS's default mode:
     * the corpus side of the candidate join stays m-code compressed, each
     * query scores with its raw floats against reconstructed sub-centroids

@@ -586,10 +586,28 @@ object Similarity {
                    bucketCol: String, k: Int, nProbe: Int, dim: Int,
                    m: Int = 4, kSub: Int = 16, iters: Int = 1,
                    overfetch: Int = 3,
-                   maxBucket: Int = Int.MaxValue): DataFrame = {
+                   maxBucket: Int = Int.MaxValue): DataFrame =
+    ivfPqResSearch(df, df.select(col(idCol), col(vecCol)), idCol, vecCol,
+      bucketCol, k, nProbe, dim, m, kSub, iters, overfetch, maxBucket)
+
+  /** [[ivfPqResTopK]] with an EXTERNAL query set — the retrieval shape a
+    * deployment actually serves: the index (cells, residual codebooks,
+    * codes) is built from the CORPUS alone, and `queries` — any frame of
+    * `(idCol, vecCol)` rows, typically vectors that are not in the
+    * corpus at all — probe it. Every self-query operator in this file is
+    * the special case `queries = corpus`; this is the general form
+    * (query ids matching a corpus id are excluded from their own result
+    * list, so self-search returns identical output through this path).
+    */
+  def ivfPqResSearch(df: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, bucketCol: String, k: Int,
+                     nProbe: Int, dim: Int,
+                     m: Int = 4, kSub: Int = 16, iters: Int = 1,
+                     overfetch: Int = 3,
+                     maxBucket: Int = Int.MaxValue): DataFrame = {
     import graft.ext.CacheScope.Cacheable
     require(m > 0 && dim % m == 0,
-      s"ivfPqResTopK requires dim divisible by m, got dim=$dim m=$m")
+      s"ivfPqResSearch requires dim divisible by m, got dim=$dim m=$m")
     val dsub = dim / m
     val vd = col(vecCol).cast("array<double>")
     // per-cell mean centroids over the FULL corpus (same construction as
@@ -624,12 +642,15 @@ object Similarity {
       .scopedCache()
     val unit = df.select(col(idCol).as("uid"), unitVec(col(vecCol)).as("uvec"))
       .scopedCache()
+    val qunit = queries
+      .select(col(idCol).as("uid"), unitVec(col(vecCol)).as("uvec"))
+      .scopedCache()
     val flatBooks: Array[Array[Double]] = books.map(_.flatten)
     // probes: nProbe nearest cells by unit-centroid cosine, carrying the
     // probed cell's RAW mean for the residual reconstruction
     val centUnit = cents.select(col("bkt").as("cb"),
       unitVec(col("cvec")).as("cunit"), col("cvec"))
-    val probes = unit.select(col("uid").as("query_id"), col("uvec").as("qu"))
+    val probes = qunit.select(col("uid").as("query_id"), col("uvec").as("qu"))
       .crossJoin(broadcast(centUnit))
       .withColumn("cent_cosine",
         round(dot(col("qu"), col("cunit")) + lit(1e-9), 6))
@@ -637,7 +658,8 @@ object Similarity {
         .orderBy(col("cent_cosine").desc, col("cb"))))
       .filter(col("pr") <= nProbe)
       .select(col("query_id"), col("cb").as("bkt"), col("cvec"))
-    val qraw = df.select(col(idCol).as("query_id"), vd.as("qv"))
+    val qraw = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
     val shortlist = probes
       .join(qraw, "query_id")
       .join(capPerBucket(coded, "bkt", "uid", maxBucket)
@@ -652,7 +674,7 @@ object Similarity {
       .filter(col("ar") <= k * overfetch)
       .select(col("query_id"), col("neighbor_id"))
     val scored = shortlist
-      .join(unit.select(col("uid").as("query_id"), col("uvec").as("q_vec")),
+      .join(qunit.select(col("uid").as("query_id"), col("uvec").as("q_vec")),
         "query_id")
       .join(unit.select(col("uid").as("neighbor_id"), col("uvec").as("c_vec")),
         "neighbor_id")

@@ -70,11 +70,18 @@ object NorthStarQueries {
     * center), distances guard-rounded to 6dp, lowest-index tiebreak.
     * Reused by the `q_ann_kmeans` and `q_ann_ivf_sq8` oracles.
     */
-  private def lloydAfCte: String =
-    """e AS (
+  private def lloydAfCte: String = lloydAfCteWhere("")
+
+  /** [[lloydAfCte]] with an extra corpus predicate — the external-query
+    * search oracle learns its cells on the corpus HALF only. */
+  private def lloydAfCteWhere(extraWhere: String): String =
+    s"""e AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-      |  WHERE embedding IS NOT NULL
-      |), init AS (
+      |  WHERE embedding IS NOT NULL$extraWhere
+      |), init AS (""".stripMargin + lloydAfCteTail
+
+  private def lloydAfCteTail: String =
+    """
       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j,
       |    v AS c
       |  FROM e ORDER BY vec_id LIMIT 8
@@ -526,6 +533,101 @@ object NorthStarQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** The `q_ann_search` oracle — [[ivfPqResOracleSql]] with the corpus and
+    * query roles SPLIT: cells, cell means, residual sub-Lloyds, and codes
+    * are learned from the even-id CORPUS half only; the odd-id QUERY half
+    * probes them (never contributes to any codebook). The external-serve
+    * retrieval contract: query vectors need not exist in the index.
+    */
+  private def ivfPqResSearchOracleSql: String = {
+    val m = 4; val dsub = 16; val kSub = 16
+    val subCtes = (0 until m)
+      .map(j => pqSubCte(j, dsub, kSub, src = "res", vcol = "rv"))
+      .mkString(", ")
+    val rcJoins = (1 until m)
+      .map(j => s"JOIN rc$j r$j USING (vec_id)").mkString(" ")
+    val rcConcat = (0 until m).map(j => s"r$j.r").mkString(" || ")
+    s"""WITH ${lloydAfCteWhere(" AND vec_id % 2 = 0")}, cb AS (
+       |  SELECT af.b, t.i AS i, avg(e.v[t.i]) AS c
+       |  FROM e JOIN af USING (vec_id),
+       |    unnest(range(1, len(e.v) + 1)) AS t(i)
+       |  GROUP BY af.b, t.i
+       |), cbl AS (
+       |  SELECT b, list(c ORDER BY i) AS cv FROM cb GROUP BY b
+       |), res AS (
+       |  SELECT e.vec_id,
+       |    list_transform(range(1, len(e.v) + 1),
+       |      i -> e.v[i] - cl.cv[i]) AS rv
+       |  FROM e JOIN af USING (vec_id) JOIN cbl cl ON cl.b = af.b
+       |), $subCtes, rcat AS (
+       |  SELECT r0.vec_id, $rcConcat AS rc
+       |  FROM rc0 r0 $rcJoins
+       |), qe AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL AND vec_id % 2 = 1
+       |), cbu AS (
+       |  SELECT b,
+       |    list_transform(cv,
+       |      x -> x / NULLIF(sqrt(list_inner_product(cv, cv)), 0)) AS cu
+       |  FROM cbl
+       |), uv AS (
+       |  SELECT vec_id,
+       |    list_transform(v,
+       |      x -> x / NULLIF(sqrt(list_inner_product(v, v)), 0)) AS q
+       |  FROM e
+       |), uvq AS (
+       |  SELECT vec_id,
+       |    list_transform(v,
+       |      x -> x / NULLIF(sqrt(list_inner_product(v, v)), 0)) AS q
+       |  FROM qe
+       |), probes AS (
+       |  SELECT vec_id AS query_id, b FROM (
+       |    SELECT u.vec_id, c.b,
+       |      row_number() OVER (PARTITION BY u.vec_id
+       |        ORDER BY round(list_inner_product(u.q, c.cu) + 1e-9, 6)
+       |          DESC, c.b) AS pr
+       |    FROM uvq u CROSS JOIN cbu c) WHERE pr <= 2
+       |), mem AS (
+       |  SELECT vec_id,
+       |    row_number() OVER (PARTITION BY b
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |  FROM af
+       |), approx AS (
+       |  SELECT p.query_id, c.vec_id AS neighbor_id,
+       |    round(list_inner_product(q.v, f.fv) /
+       |      (NULLIF(sqrt(list_inner_product(q.v, q.v)), 0) *
+       |       NULLIF(sqrt(list_inner_product(f.fv, f.fv)), 0))
+       |      + 1e-9, 6) AS approx
+       |  FROM probes p
+       |  JOIN qe q ON q.vec_id = p.query_id
+       |  JOIN af c ON c.b = p.b AND c.vec_id <> p.query_id
+       |  JOIN mem mb ON mb.vec_id = c.vec_id AND mb.rn <= 40
+       |  JOIN cbl pc ON pc.b = p.b
+       |  LEFT JOIN rcat rr ON rr.vec_id = c.vec_id,
+       |  LATERAL (SELECT list_transform(range(1, len(pc.cv) + 1),
+       |      i -> pc.cv[i] + rr.rc[i]) AS fv) f
+       |), short AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY approx DESC, neighbor_id) AS ar
+       |  FROM approx
+       |), cand AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    round(list_inner_product(qa.q, qb.q) + 1e-9, 6) AS cosine
+       |  FROM short s
+       |  JOIN uvq qa ON qa.vec_id = s.query_id
+       |  JOIN uv qb ON qb.vec_id = s.neighbor_id
+       |  WHERE s.ar <= 15
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM cand
+       |)
+       |SELECT * FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   private def simhashCte: String = {
     val votes = (0 until 32).map(i =>
       s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i")
@@ -762,6 +864,24 @@ object NorthStarQueries {
         "vec_id", "embedding", k = 8, iters = 2, bucketCol = "kb")
       Similarity.ivfPqResTopK(bucketed, "vec_id", "embedding", "kb",
           k = 5, nProbe = 2, dim = 64, m = 4, kSub = 16, iters = 1,
+          overfetch = 3, maxBucket = 40)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // External-query retrieval — the serve-time contract: the index
+    // (cells, cell means, residual codebooks, codes) is built from the
+    // even-id CORPUS half only; the odd-id QUERY half probes it without
+    // ever contributing to a codebook. Every other ANN query is the
+    // self-search special case of this operator.
+    "q_ann_search" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val corpus = emb.filter(col("vec_id") % 2 === 0)
+      val queries = emb.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"), col("embedding"))
+      val bucketed = Similarity.kmeansBuckets(corpus, "vec_id",
+        "embedding", k = 8, iters = 2, bucketCol = "kb")
+      Similarity.ivfPqResSearch(bucketed, queries, "vec_id", "embedding",
+          "kb", k = 5, nProbe = 2, dim = 64, m = 4, kSub = 16, iters = 1,
           overfetch = 3, maxBucket = 40)
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -1493,6 +1613,7 @@ object NorthStarQueries {
     // score over four sub-Lloyd reconstructions. See ivfPqOracleSql.
     "q_ann_ivf_pq" -> ivfPqOracleSql,
     "q_ann_ivf_pq_res" -> ivfPqResOracleSql,
+    "q_ann_search" -> ivfPqResSearchOracleSql,
 
     // Product-quantization mirror: four per-subspace Lloyd replays
     // (smallest-id init, one refine) reconstruct each doc as its assigned

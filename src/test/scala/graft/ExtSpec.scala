@@ -486,6 +486,54 @@ class SimilaritySpec extends SparkSpec {
       "rotated cosine diverged beyond the rounding grid")
   }
 
+  test("ivfPqResSearch: external queries probe a corpus-only index with " +
+      "high recall and exact cosines") {
+    // same clustered corpus as the residual test, split: even ids are the
+    // CORPUS (build every codebook), odd ids are external QUERIES
+    val dim = 16
+    val rows = for {
+      c <- 0 until 10
+      j <- 0 until 20
+    } yield {
+      val base = Array.tabulate(dim)(d =>
+        math.sin((d + 1) * (c + 1) * 0.7391))
+      val noise = Array.tabulate(dim)(d =>
+        0.05 * math.sin((d + 1) * (c * 20 + j + 7) * 1.234))
+      val v = base.zip(noise).map { case (b, n) => (b + n).toFloat }
+      (c * 20L + j, v, c)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val corpus = df.filter(col("vec_id") % 2 === 0)
+    val queries = df.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding"))
+    val exact = Similarity.bruteForceTopK(queries, corpus, "vec_id",
+      "embedding", k = 5)
+    val bucketed = Similarity.kmeansBuckets(corpus, "vec_id", "embedding",
+      k = 10, iters = 2, bucketCol = "qb")
+    val got = Similarity.ivfPqResSearch(bucketed, queries, "vec_id",
+      "embedding", "qb", k = 5, nProbe = 2, dim = dim, m = 4, kSub = 16,
+      iters = 2, overfetch = 6)
+    // role separation: every query id is odd, every neighbor id even
+    assert(got.filter(col("query_id") % 2 === 0).count() == 0)
+    assert(got.filter(col("neighbor_id") % 2 === 1).count() == 0)
+    val r = recallAt5(got, exact)
+    assert(r >= 0.9, s"external-query recall $r < 0.9 on clustered data")
+    // exact stage-C cosines against the brute-force floats
+    val g = got.select("query_id", "neighbor_id", "cosine").collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    val e = exact.select("query_id", "neighbor_id", "cosine").collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    val common = g.keySet.intersect(e.keySet)
+    assert(common.nonEmpty && common.forall(p => g(p) == e(p)),
+      "external-search cosine not exact")
+    // the facade path wires the same operator
+    val viaFacade = graft.api.Graft.annSearch(corpus, queries, "vec_id",
+      "embedding", k = 5, dim = dim, nBuckets = 10, overfetch = 6)
+    assert(viaFacade.columns.toSeq ==
+      Seq("query_id", "neighbor_id", "cosine", "rank"))
+    assert(viaFacade.count() > 0)
+  }
+
   test("PqResAdcCosine: reconstruction identity, null contracts") {
     import graft.functions.PqFunctions.graft_pq_res_adc_cosine
     // m=2 subspaces of 2 dims, kSub=2: books row-major (kSub x dsub flat)

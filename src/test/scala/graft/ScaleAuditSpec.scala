@@ -65,6 +65,11 @@ class ScaleAuditSpec extends SparkSpec {
         "stage, plus the k-row cell-mean broadcast the residual subtraction " +
         "joins by bucket); the residual-ADC candidate join and both " +
         "re-rank joins are equi-joins"),
+    "q_ann_search" ->
+      ("q_ann_ivf_pq_res's probe-stage centroid broadcast with the corpus " +
+        "and query roles split — the external query stream crosses only " +
+        "the |cells|-row codebook; all candidate/re-rank joins stay " +
+        "equi-joins"),
     "q_rolling_actives" ->
       ("range join with the |days|-sized calendar pinned as the BROADCAST " +
         "side; fan-out bounded at 7 calendar rows per activity row"))

@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Bpe, CacheScope, Dedup, Packing, Sampling, Similarity, TextAnalysis}
+import graft.ext.{AnnIndex, Bpe, CacheScope, Dedup, Packing, Sampling, Similarity, TextAnalysis}
 
 /** The public façade: one short, defaulted call per engine capability, so a
   * user does not need to know the `graft.ext.*` operator internals or their
@@ -220,6 +220,31 @@ object Graft {
       k = k, nProbe = nProbe, dim = dim, m = m, kSub = kSub,
       overfetch = overfetch, maxBucket = maxBucket)
   }
+
+  /** Build a PERSISTED ANN index from the corpus (plain-parquet
+    * artifacts under `dir`: centroids, residual PQ codes, unit vectors,
+    * codebooks, params) — the build-once half of the deployment
+    * lifecycle. Serve with [[annIndexSearch]]; see [[graft.ext.AnnIndex]].
+    */
+  def annIndexBuild(corpus: DataFrame, idCol: String, vecCol: String,
+                    dir: String, dim: Int, m: Int = 4, kSub: Int = 16,
+                    nBuckets: Int = 0): Unit = {
+    val bucketed = Similarity.kmeansBuckets(corpus, idCol, vecCol,
+      k = resolveBuckets(corpus, nBuckets), iters = 2, bucketCol = "__cell")
+    AnnIndex.build(bucketed, idCol, vecCol, "__cell", dir, dim = dim,
+      m = m, kSub = kSub)
+  }
+
+  /** Serve queries from a persisted index with no re-learning — the
+    * query-many half. Same output contract as every ANN path; the serve
+    * plan is EXACTLY the live [[annSearch]] tail (spec-pinned equal).
+    */
+  def annIndexSearch(spark: SparkSession, dir: String, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     nProbe: Int = 2, overfetch: Int = 3,
+                     maxBucket: Int = 4096): DataFrame =
+    AnnIndex.search(spark, dir, queries, idCol, vecCol, k = k,
+      nProbe = nProbe, overfetch = overfetch, maxBucket = maxBucket)
 
   /** [[annTopKPq]] with asymmetric (ADC) scoring — FAISS's default mode:
     * the corpus side of the candidate join stays m-code compressed, each

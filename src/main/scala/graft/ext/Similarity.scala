@@ -604,10 +604,33 @@ object Similarity {
                      nProbe: Int, dim: Int,
                      m: Int = 4, kSub: Int = 16, iters: Int = 1,
                      overfetch: Int = 3,
-                     maxBucket: Int = Int.MaxValue): DataFrame = {
+                     maxBucket: Int = Int.MaxValue): DataFrame =
+    ivfPqResIndexParts(df, idCol, vecCol, bucketCol, dim, m, kSub,
+        iters) match {
+      case None =>
+        df.limit(0).select(col(idCol).as("query_id"),
+          col(idCol).as("neighbor_id"), lit(0.0).as("cosine"),
+          lit(0L).as("rank"))
+      case Some((cents, coded, unit, books)) =>
+        ivfPqResServe(cents, coded, unit, queries, idCol, vecCol,
+          books.map(_.flatten), kSub, k, nProbe, overfetch, maxBucket)
+    }
+
+  /** The index-construction half of [[ivfPqResSearch]]: per-cell mean
+    * centroids, residual PQ codes, corpus unit vectors, and the residual
+    * sub-codebooks — the four artifacts a persisted index ([[AnnIndex]])
+    * writes. `None` when the corpus has no non-null vectors (no codebook
+    * can be learned).
+    */
+  private[graft] def ivfPqResIndexParts(df: DataFrame, idCol: String,
+                                        vecCol: String, bucketCol: String,
+                                        dim: Int, m: Int, kSub: Int,
+                                        iters: Int)
+      : Option[(DataFrame, DataFrame, DataFrame,
+        Array[Array[Array[Double]]])] = {
     import graft.ext.CacheScope.Cacheable
     require(m > 0 && dim % m == 0,
-      s"ivfPqResSearch requires dim divisible by m, got dim=$dim m=$m")
+      s"residual IVF-PQ requires dim divisible by m, got dim=$dim m=$m")
     val dsub = dim / m
     val vd = col(vecCol).cast("array<double>")
     // per-cell mean centroids over the FULL corpus (same construction as
@@ -631,10 +654,7 @@ object Similarity {
       lloydCenters(resDf, "uid", slice(col("rv"), j * dsub + 1, dsub),
         kSub, iters)
     }
-    if (books.exists(_.isEmpty))
-      return df.limit(0).select(col(idCol).as("query_id"),
-        col(idCol).as("neighbor_id"), lit(0.0).as("cosine"),
-        lit(0L).as("rank"))
+    if (books.exists(_.isEmpty)) return None
     val codeArr = array((0 until m).map { j =>
       assignOn(slice(col("rv"), j * dsub + 1, dsub), books(j))
     }: _*)
@@ -642,10 +662,26 @@ object Similarity {
       .scopedCache()
     val unit = df.select(col(idCol).as("uid"), unitVec(col(vecCol)).as("uvec"))
       .scopedCache()
+    Some((cents, coded, unit, books))
+  }
+
+  /** The serve tail of [[ivfPqResSearch]] over ALREADY-MATERIALIZED index
+    * parts — cells' mean centroids `(bkt, cvec)`, residual PQ codes
+    * `(bkt, uid, code)`, corpus unit vectors `(uid, uvec)`, and the flat
+    * residual codebooks — so a PERSISTED index ([[AnnIndex]]) serves
+    * queries through exactly the plan the live operator runs.
+    */
+  private[graft] def ivfPqResServe(cents: DataFrame, coded: DataFrame,
+                                   unit: DataFrame, queries: DataFrame,
+                                   idCol: String, vecCol: String,
+                                   flatBooks: Array[Array[Double]],
+                                   kSub: Int, k: Int, nProbe: Int,
+                                   overfetch: Int,
+                                   maxBucket: Int): DataFrame = {
+    import graft.ext.CacheScope.Cacheable
     val qunit = queries
       .select(col(idCol).as("uid"), unitVec(col(vecCol)).as("uvec"))
       .scopedCache()
-    val flatBooks: Array[Array[Double]] = books.map(_.flatten)
     // probes: nProbe nearest cells by unit-centroid cosine, carrying the
     // probed cell's RAW mean for the residual reconstruction
     val centUnit = cents.select(col("bkt").as("cb"),

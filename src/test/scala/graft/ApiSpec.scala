@@ -135,6 +135,27 @@ class ApiSpec extends SparkSpec {
     assert(chunks.filter(col("n_chunk_tokens") > 128).count() == 0)
   }
 
+  test("quickstart: persisted ANN index build + search with defaults") {
+    val corpus = vectors.filter(col("vec_id") % 2 === 0)
+    val queries = vectors.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-api-index").toString
+    Graft.annIndexBuild(corpus, "vec_id", "embedding", dir, dim = 64,
+      nBuckets = 8)
+    val served = Graft.annIndexSearch(spark, dir, queries, "vec_id",
+      "embedding", k = 5)
+    assert(served.columns.toSeq ==
+      Seq("query_id", "neighbor_id", "cosine", "rank"))
+    assert(served.count() > 0)
+    assert(served.filter(col("neighbor_id") % 2 === 1).count() == 0)
+    val live = Graft.annSearch(corpus, queries, "vec_id", "embedding",
+      k = 5, dim = 64, nBuckets = 8)
+    assert(served.exceptAll(live).count() == 0 &&
+      live.exceptAll(served).count() == 0,
+      "facade persisted-index results diverged from live annSearch")
+  }
+
   test("quickstart: BPE train + token counts with defaults") {
     val (merges, dict) = Graft.bpeTrain(docs, "text", nMerges = 4)
     assert(merges.size == 4 &&

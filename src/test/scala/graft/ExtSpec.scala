@@ -534,6 +534,37 @@ class SimilaritySpec extends SparkSpec {
     assert(viaFacade.count() > 0)
   }
 
+  test("AnnIndex: a persisted index serves the exact rows the live " +
+      "search returns, across sessions of queries") {
+    val emb = graft.io.Tables.embeddings(spark, TestSpark.sf0001)
+    val corpus = emb.filter(col("vec_id") % 2 === 0)
+    val queries = emb.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding"))
+    val bucketed = Similarity.kmeansBuckets(corpus, "vec_id", "embedding",
+      k = 8, iters = 2, bucketCol = "kb")
+    val live = Similarity.ivfPqResSearch(bucketed, queries, "vec_id",
+      "embedding", "kb", k = 5, nProbe = 2, dim = 64, maxBucket = 40)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-annindex").toString
+    graft.ext.AnnIndex.build(bucketed, "vec_id", "embedding", "kb", dir,
+      dim = 64)
+    val served = graft.ext.AnnIndex.search(spark, dir, queries, "vec_id",
+      "embedding", k = 5, nProbe = 2, maxBucket = 40)
+    assert(served.exceptAll(live).count() == 0 &&
+      live.exceptAll(served).count() == 0,
+      "persisted-index results diverged from the live search")
+    // a SECOND query batch (different vectors) serves from the same
+    // artifacts with no rebuild — and only from corpus neighbors
+    val q2 = emb.filter(col("vec_id") % 4 === 1)
+      .select(col("vec_id"), col("embedding"))
+    val served2 = graft.ext.AnnIndex.search(spark, dir, q2, "vec_id",
+      "embedding", k = 3, nProbe = 2, maxBucket = 40)
+    assert(served2.count() > 0)
+    assert(served2.filter(col("neighbor_id") % 2 === 1).count() == 0)
+    assert(served2.groupBy("query_id").count()
+      .filter(col("count") > 3).count() == 0)
+  }
+
   test("PqResAdcCosine: reconstruction identity, null contracts") {
     import graft.functions.PqFunctions.graft_pq_res_adc_cosine
     // m=2 subspaces of 2 dims, kSub=2: books row-major (kSub x dsub flat)

@@ -952,6 +952,37 @@ object NorthStarQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // Embedding-cluster domain discovery: learned Lloyd cells over the
+    // embedding table joined to the documents' metadata — the curation
+    // step that tells a training-mixture recipe WHAT each semantic
+    // cluster contains (per-cell doc counts, language/source diversity,
+    // and the dominant language with its share). The oracle replays the
+    // coarse Lloyd and the join in SQL.
+    "q_domain_profile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = Similarity.kmeansBuckets(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 8, iters = 2, bucketCol = "cell")
+        .select(col("vec_id").as("doc_id"), col("cell"))
+      val joined = Tables.documents(s, dir).join(cells, "doc_id")
+      val perLang = joined.groupBy(col("cell"), col("lang"))
+        .agg(count(lit(1)).as("lc"))
+        .withColumn("lr", row_number().over(Window.partitionBy(col("cell"))
+          .orderBy(col("lc").desc, col("lang"))))
+        .filter(col("lr") === 1)
+        .select(col("cell"), col("lang").as("top_lang"),
+          col("lc").as("top_lang_docs"))
+      joined.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("n_chars")).as("total_chars"))
+        .join(broadcast(perLang), "cell")
+        .withColumn("top_lang_share",
+          round(col("top_lang_docs").cast("double") /
+            col("n_docs").cast("double") + lit(1e-9), 4))
+        .orderBy(col("cell"))
+    }),
+
     // LSH candidates + exact-Jaccard verification — the production
     // two-stage dedup (estimate prunes, exact verifies on the tiny
     // candidate set)
@@ -1614,6 +1645,28 @@ object NorthStarQueries {
     "q_ann_ivf_pq" -> ivfPqOracleSql,
     "q_ann_ivf_pq_res" -> ivfPqResOracleSql,
     "q_ann_search" -> ivfPqResSearchOracleSql,
+
+    "q_domain_profile" ->
+      s"""WITH $lloydAfCte, j AS (
+         |  SELECT af.b AS cell, d.doc_id, d.lang, d.source, d.n_chars
+         |  FROM documents d JOIN af ON af.vec_id = d.doc_id
+         |), pl AS (
+         |  SELECT cell, lang AS top_lang, lc AS top_lang_docs FROM (
+         |    SELECT cell, lang, CAST(count(*) AS BIGINT) AS lc,
+         |      row_number() OVER (PARTITION BY cell
+         |        ORDER BY count(*) DESC, lang) AS lr
+         |    FROM j GROUP BY cell, lang) WHERE lr = 1
+         |)
+         |SELECT j.cell, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT j.lang) AS BIGINT) AS n_langs,
+         |  CAST(count(DISTINCT j.source) AS BIGINT) AS n_sources,
+         |  CAST(sum(j.n_chars) AS BIGINT) AS total_chars,
+         |  any_value(pl.top_lang) AS top_lang,
+         |  CAST(any_value(pl.top_lang_docs) AS BIGINT) AS top_lang_docs,
+         |  round(CAST(any_value(pl.top_lang_docs) AS DOUBLE) / count(*)
+         |    + 1e-9, 4) AS top_lang_share
+         |FROM j JOIN pl ON pl.cell = j.cell
+         |GROUP BY j.cell ORDER BY j.cell""".stripMargin,
 
     // Product-quantization mirror: four per-subspace Lloyd replays
     // (smallest-id init, one refine) reconstruct each doc as its assigned

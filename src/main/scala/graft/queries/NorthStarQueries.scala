@@ -983,6 +983,21 @@ object NorthStarQueries {
         .orderBy(col("cell"))
     }),
 
+    // Cluster-balanced selection: deterministic per-CELL stratified
+    // sample over the learned semantic cells — the "equal share per
+    // semantic cluster" data-selection recipe, composed from the Lloyd
+    // quantizer and the hash-rank sampler (both already oracled alone).
+    "q_domain_sample" -> ((s, dir) => {
+      val cells = Similarity.kmeansBuckets(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 8, iters = 2, bucketCol = "cell")
+        .select(col("vec_id").as("doc_id"), col("cell"))
+      graft.ext.Sampling.stratifiedSample(
+          Tables.documents(s, dir).join(cells, "doc_id"),
+          Seq("cell"), "doc_id", salt = "domain", n = 10)
+        .select(col("cell"), col("doc_id"), col("samp_rank"))
+        .orderBy(col("cell"), col("samp_rank"))
+    }),
+
     // LSH candidates + exact-Jaccard verification — the production
     // two-stage dedup (estimate prunes, exact verifies on the tiny
     // candidate set)
@@ -1645,6 +1660,20 @@ object NorthStarQueries {
     "q_ann_ivf_pq" -> ivfPqOracleSql,
     "q_ann_ivf_pq_res" -> ivfPqResOracleSql,
     "q_ann_search" -> ivfPqResSearchOracleSql,
+
+    "q_domain_sample" ->
+      s"""WITH $lloydAfCte, j AS (
+         |  SELECT af.b AS cell, d.doc_id
+         |  FROM documents d JOIN af ON af.vec_id = d.doc_id
+         |), r AS (
+         |  SELECT cell, doc_id,
+         |    row_number() OVER (PARTITION BY cell
+         |      ORDER BY ${sqlHashKey("domain", "doc_id")}, doc_id)
+         |      AS samp_rank
+         |  FROM j
+         |)
+         |SELECT cell, doc_id, CAST(samp_rank AS BIGINT) AS samp_rank
+         |FROM r WHERE samp_rank <= 10 ORDER BY cell, samp_rank""".stripMargin,
 
     "q_domain_profile" ->
       s"""WITH $lloydAfCte, j AS (

@@ -498,6 +498,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("BPE token counting streams unchanged: static trained dict, " +
+      "stream-static broadcast join, batch-equal totals") {
+    import graft.ext.Bpe
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    // tokenizer state is trained BATCH-side (the nightly job); the stream
+    // consumes it as a static broadcast — no retraining in-flight
+    val (_, dict) = Bpe.train(docs, "text", 4)
+    val batchCounts = Bpe.docTokenCounts(docs, "text", "doc_id", dict,
+      Seq("lang"))
+    val inDir = Files.createTempDirectory("graft-bpe-stream").toString
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$inDir/b1")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 8).parquet(s"$inDir/*")
+    // the SAME operator, unchanged, over the streaming frame
+    val counts = Bpe.docTokenCounts(stream, "text", "doc_id", dict,
+      Seq("lang"))
+    val q = counts.writeStream.format("memory").queryName("bpe_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val half = spark.sql("SELECT count(*) FROM bpe_stream")
+        .head().getLong(0)
+      assert(half == batchCounts.filter(col("doc_id") % 2 === 0).count())
+      // late-arriving docs are absorbed; totals converge to the batch run
+      docs.filter(col("doc_id") % 2 === 1).write.parquet(s"$inDir/b2")
+      q.processAllAvailable()
+      val streamed = spark.table("bpe_stream")
+      assert(streamed.exceptAll(batchCounts).count() == 0 &&
+        batchCounts.exceptAll(streamed).count() == 0,
+        "streamed BPE token counts diverged from the batch run")
+    } finally q.stop()
+  }
+
   test("streaming ANN index: stateless cell assignment is batch-exact, " +
       "exactly-once across incremental files, and serves top-k") {
     val emb = Tables.embeddings(spark, TestSpark.sf0001)

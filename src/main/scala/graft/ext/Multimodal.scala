@@ -466,6 +466,33 @@ object Multimodal {
       } finally { writer.dispose(); ios.close() }
       bos.toByteArray
     }
+
+    /** Canonical 44-byte-header mono 16-bit PCM WAV of a sine wave at
+      * `freqHz`, amplitude 0.5. The header is written BY HAND (not
+      * `AudioSystem.write`) so `byte_len = 44 + 2·n` is exact for the
+      * oracle; sample `i` quantizes as
+      * `floor(0.5·32767·sin(2π·f·i/rate) + 0.5)` — the formula the SQL
+      * mirror replays literally.
+      */
+    def wav(rateHz: Int, ms: Int, freqHz: Int): Array[Byte] = {
+      val n = rateHz * ms / 1000
+      val buf = java.nio.ByteBuffer.allocate(44 + 2 * n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1) // PCM, mono
+        .putInt(rateHz).putInt(rateHz * 2).putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(2 * n)
+      var i = 0
+      while (i < n) {
+        val x = 0.5 * 32767.0 *
+          math.sin(2.0 * math.Pi * freqHz * i / rateHz)
+        buf.putShort(math.floor(x + 0.5).toShort)
+        i += 1
+      }
+      buf.array()
+    }
   }
 
   /** Real-PNG media fixture: one `(len % 96 + 32) × (doc_id % 64 + 24)`
@@ -521,6 +548,100 @@ object Multimodal {
       rows.map { r =>
         val (w, h, f) = ImageIoCodec.decode(r.payload, r.format)
         DecodedRow(r.doc_id, r.payload.length.toLong, w, h, f, r.format)
+      }
+    }
+  }
+
+  /** Real decoded-audio row: header facts plus two genuine DSP features
+    * computed from the decoded PCM waveform (not the header) — RMS energy
+    * and peak amplitude, both over samples normalized to [-1, 1).
+    */
+  case class AudioRow(doc_id: Long, byte_len: Long, sample_rate: Long,
+                      channels: Long, n_samples: Long, duration_ms: Long,
+                      rms: Double, peak: Double)
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` — the audio
+    * twin of [[ImageIoCodec]], zero new dependencies: header facts come
+    * from `AudioSystem.getAudioInputStream`'s parsed format and the
+    * samples are the actual 16-bit PCM frames (little-endian per the WAV
+    * spec), normalized by 1/32768. Hostile/undecodable payloads return
+    * None (never throw) — the same totality contract as the image codec.
+    */
+  object AudioCodec {
+    def decode(payload: Array[Byte])
+        : Option[(Long, Long, Array[Double])] = {
+      if (payload == null || payload.length < 44) return None
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = in.getFormat
+          if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
+          else {
+            val bytes = in.readAllBytes()
+            val n = bytes.length / (2 * fmt.getChannels)
+            // first channel only: the mono feature contract
+            val out = new Array[Double](n)
+            val stride = 2 * fmt.getChannels
+            var i = 0
+            while (i < n) {
+              val lo = bytes(i * stride) & 0xFF
+              val hi = bytes(i * stride + 1).toInt
+              out(i) = ((hi << 8) | lo).toShort / 32768.0
+              i += 1
+            }
+            Some((fmt.getSampleRate.toLong, fmt.getChannels.toLong, out))
+          }
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
+  /** Synthetic-but-REAL audio fixture: one mono 16-bit PCM WAV sine per
+    * document, parameters closed-form in `doc_id` so the decode oracle is
+    * SQL-computable — `rate = 8000·(doc_id%4+1)` (n stays integral for
+    * 10 ms-multiple durations), `ms = 20 + (doc_id%5)·10`,
+    * `f = 220 + (doc_id%12)·55`. Quantization is `floor(x + 0.5)`
+    * EXPLICITLY (not Math.round semantics by accident) because the oracle
+    * replays it as `floor(... + 0.5)`.
+    */
+  def syntheticAudioMedia(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        MediaRow(id, Synthetic.wav(
+          rateHz = (8000 * (id % 4 + 1)).toInt,
+          ms = (20 + (id % 5) * 10).toInt,
+          freqHz = (220 + (id % 12) * 55).toInt), "aud/wav")
+      }).toDF()
+  }
+
+  /** Batch audio decode + waveform features: typed mapPartitions, the
+    * same streaming-batch plumbing as [[decodeBatches]]. Undecodable
+    * payloads are DROPPED (flatMap) — callers wanting a row per input
+    * anti-join against the source.
+    */
+  def audioStats(spark: SparkSession, media: DataFrame): Dataset[AudioRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        AudioCodec.decode(r.payload).map { case (rate, ch, v) =>
+          var ss = 0.0
+          var peak = 0.0
+          var i = 0
+          while (i < v.length) {
+            ss += v(i) * v(i)
+            val a = math.abs(v(i))
+            if (a > peak) peak = a
+            i += 1
+          }
+          val rms = if (v.isEmpty) 0.0 else math.sqrt(ss / v.length)
+          AudioRow(r.doc_id, r.payload.length.toLong, rate, ch,
+            v.length.toLong, if (rate == 0) 0L else v.length * 1000L / rate,
+            rms, peak)
+        }
       }
     }
   }

@@ -895,6 +895,21 @@ object NorthStarQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Real audio decode: one synthetic-but-real PCM WAV per document
+    // (sine, parameters closed-form in doc_id), decoded through the
+    // JDK's javax.sound.sampled — header facts AND two genuine DSP
+    // features (RMS, peak) computed from the decoded waveform. The
+    // oracle replays the quantized sine sample-for-sample in SQL.
+    "q_audio_meta" -> ((s, dir) => {
+      val media = Multimodal.syntheticAudioMedia(s, Tables.documents(s, dir))
+      Multimodal.audioStats(s, media).toDF()
+        .select(col("doc_id"), col("byte_len"), col("sample_rate"),
+          col("channels"), col("n_samples"), col("duration_ms"),
+          ground(col("rms"), 6).as("rms"),
+          ground(col("peak"), 6).as("peak"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SimHash near-dup via pigeonhole banding (portable md5-derived token
     // hash → fully DuckDB-oracled; the oracle uses the semantically-equal
     // pairwise form since the banding is exact, not approximate)
@@ -1963,6 +1978,30 @@ object NorthStarQueries {
         |  TRUE AS raster
         |FROM m, unnest(range(0, nf, 2)) AS t(i)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q_audio_meta" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(8000 * (doc_id % 4 + 1) AS BIGINT) AS rate,
+        |    CAST(20 + (doc_id % 5) * 10 AS BIGINT) AS ms,
+        |    CAST(220 + (doc_id % 12) * 55 AS BIGINT) AS f
+        |  FROM documents
+        |), sz AS (
+        |  SELECT doc_id, rate, ms, f, rate * ms / 1000 AS n FROM p
+        |), x AS MATERIALIZED (
+        |  SELECT sz.doc_id, sz.rate, sz.ms, sz.n,
+        |    floor(0.5 * 32767 * sin(2 * pi() * sz.f * t.i / sz.rate) + 0.5)
+        |      / 32768.0 AS v
+        |  FROM sz, unnest(generate_series(0, CAST(sz.n AS BIGINT) - 1))
+        |    AS t(i)
+        |)
+        |SELECT doc_id, CAST(44 + 2 * n AS BIGINT) AS byte_len,
+        |  rate AS sample_rate, CAST(1 AS BIGINT) AS channels,
+        |  CAST(n AS BIGINT) AS n_samples, ms AS duration_ms,
+        |  round(sqrt(sum(v * v) / n) + 1e-9, 6) AS rms,
+        |  round(max(abs(v)) + 1e-9, 6) AS peak
+        |FROM x GROUP BY doc_id, rate, ms, n
+        |ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_meta" ->
       """WITH m AS (

@@ -1033,6 +1033,37 @@ class TextAnalysisSpec extends SparkSpec {
 
 class MultimodalSpec extends SparkSpec {
 
+  test("audio: real WAV roundtrip — header facts exact, sine DSP " +
+      "features match theory, hostile bytes total") {
+    // a 50 ms 440 Hz sine at 32 kHz, amplitude 0.5: decode must recover
+    // the header exactly and the WAVEFORM features must match theory
+    // (sine RMS = amp/sqrt(2)) — proof the samples are real, not header
+    val wav = Multimodal.Synthetic.wav(rateHz = 32000, ms = 50,
+      freqHz = 440)
+    assert(wav.length == 44 + 2 * 1600)
+    val Some((rate, ch, v)) = Multimodal.AudioCodec.decode(wav)
+    assert(rate == 32000L && ch == 1L && v.length == 1600)
+    val rms = math.sqrt(v.map(x => x * x).sum / v.length)
+    assert(math.abs(rms - 0.5 / math.sqrt(2.0)) < 1e-3,
+      s"sine RMS $rms not amp/sqrt(2)")
+    assert(math.abs(v.map(math.abs).max - 0.5) < 1e-3)
+    // hostile payloads: truncated, garbage, null — None, never a throw
+    assert(Multimodal.AudioCodec.decode(wav.take(20)).isEmpty)
+    assert(Multimodal.AudioCodec.decode(
+      Array.fill[Byte](128)(0x41)).isEmpty)
+    assert(Multimodal.AudioCodec.decode(null).isEmpty)
+    // frame-accurate duration through the DataFrame op
+    import spark.implicits._
+    val media = Seq(Multimodal.MediaRow(7L, wav, "aud/wav")).toDF()
+    val row = Multimodal.audioStats(spark, media).head()
+    assert(row.duration_ms == 50L && row.n_samples == 1600L &&
+      row.sample_rate == 32000L && row.byte_len == wav.length.toLong)
+    // undecodable media rows are dropped, not poisoned
+    val bad = Seq(Multimodal.MediaRow(8L,
+      Array.fill[Byte](64)(0x42), "aud/wav")).toDF()
+    assert(Multimodal.audioStats(spark, bad).count() == 0)
+  }
+
   test("binary plumbing: payload bytes survive, decode is deterministic") {
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
     val media = Multimodal.asMedia(docs, "doc_id", "text", "source")

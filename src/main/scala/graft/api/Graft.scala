@@ -221,6 +221,15 @@ object Graft {
       overfetch = overfetch, maxBucket = maxBucket)
   }
 
+  /** Hard-negative mining over any ANN result frame (the output of
+    * [[annSearch]] or any `annTopK*` path): rank-1 = pseudo-positive,
+    * ranks 2..k = contrastive-training negatives with their cosine
+    * `margin` below the positive. See
+    * [[graft.ext.Similarity.hardNegatives]].
+    */
+  def annHardNegatives(retrieved: DataFrame): DataFrame =
+    Similarity.hardNegatives(retrieved)
+
   /** Build a PERSISTED ANN index from the corpus (plain-parquet
     * artifacts under `dir`: centroids, residual PQ codes, unit vectors,
     * codebooks, params) — the build-once half of the deployment
@@ -331,6 +340,18 @@ object Graft {
   def trainValTestSplit(df: DataFrame, idCol: String, salt: String,
                         trainPct: Int = 80, valPct: Int = 10): DataFrame =
     Sampling.withSplit(df, idCol, salt, trainPct, valPct)
+
+  /** Temperature-derived mixture sample (w_i ∝ n_i^alpha, the
+    * multilingual-pretraining flattening recipe): keeps exactly
+    * `min(floor(w_i · floor(share·N)), n_i)` rows per group under a
+    * deterministic hash order. See
+    * [[graft.ext.Sampling.temperatureSample]] /
+    * [[graft.ext.Sampling.temperatureTargets]].
+    */
+  def temperatureSample(df: DataFrame, groupCol: String, idCol: String,
+                        salt: String, alpha: Double = 0.5,
+                        share: Double = 1.0): DataFrame =
+    Sampling.temperatureSample(df, groupCol, idCol, salt, alpha, share)
 
   /** Strided token chunks for context-window training. Output: one row per
     * chunk with `chunk_id, chunk_start, n_chunk_tokens, chunk_text`.

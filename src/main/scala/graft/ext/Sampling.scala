@@ -118,4 +118,62 @@ object Sampling {
       .drop("__pct")
       .withColumn("epoch", col("epoch").cast("long"))
   }
+
+  /** Temperature-derived mixture targets — the multilingual-pretraining
+    * recipe where per-group sampling weight is LEARNED from the corpus's
+    * own group sizes instead of hand-set ([[mixtureSample]]'s contract):
+    * `w_i = n_i^alpha / Σ_j n_j^alpha`, flattening the head and boosting
+    * the tail as `alpha → 0` (alpha = 1/T in the usual parameterization;
+    * alpha = 1 reproduces natural proportions). Returns one row per group:
+    * `(group, n_docs, w_temp, n_target)` with `w_temp` guard-rounded to
+    * 6dp (the house determinism contract — `n_target` derives from the
+    * ROUNDED weight so an oracle replays it bit-exactly) and
+    * `n_target = min(floor(w_temp · floor(share·N)), n_docs)` where N is
+    * the corpus size.
+    *
+    * Scale: one map-side-combined count aggregate (|groups| rows — tiny),
+    * then an unpartitioned window over that tiny frame for the normalizer.
+    * No data-sized shuffle and no driver-side count: N rides the same
+    * window, so the whole computation stays in-plan.
+    */
+  def temperatureTargets(df: DataFrame, groupCol: String, alpha: Double,
+                         share: Double): DataFrame = {
+    require(alpha > 0, s"alpha=$alpha must be positive")
+    require(share > 0 && share <= 1, s"share=$share must be in (0,1]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("__pw", pow(col("n_docs").cast("double"), lit(alpha)))
+      .withColumn("w_temp",
+        round(col("__pw") / sum(col("__pw")).over(w) + lit(1e-9), 6))
+      .withColumn("__budget",
+        floor(lit(share) * sum(col("n_docs")).over(w) + lit(1e-9)))
+      .withColumn("n_target",
+        least(floor(col("w_temp") * col("__budget") + lit(1e-9)).cast("long"),
+          col("n_docs")))
+      .drop("__pw", "__budget")
+  }
+
+  /** Realize [[temperatureTargets]]: keep exactly `n_target` rows per
+    * group under the deterministic [[hashKey]] order (id tie-break), so
+    * membership is reproducible, engine-portable, and stable under
+    * repartitioning. Adds `samp_rank` ∈ [1, n_target].
+    *
+    * Scale: the targets frame is |groups| rows → broadcast join; the rank
+    * window is the same one-shuffle shape as [[stratifiedSample]] (for few
+    * huge strata prefer a rate-based variant — see that method's note).
+    */
+  def temperatureSample(df: DataFrame, groupCol: String, idCol: String,
+                        salt: String, alpha: Double,
+                        share: Double): DataFrame = {
+    val targets = temperatureTargets(df, groupCol, alpha, share)
+      .select(col(groupCol), col("n_target"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(hashKey(col(idCol), salt), col(idCol))
+    df.join(broadcast(targets), Seq(groupCol))
+      .withColumn("samp_rank", row_number().over(w).cast("long"))
+      .filter(col("samp_rank") <= col("n_target"))
+      .drop("n_target")
+  }
 }

@@ -975,4 +975,29 @@ object Similarity {
     graft.functions.SignBitsFunctions.graft_sign_bits(
       vec.cast("array<double>"), planes)
   }
+
+  /** Hard-negative mining over a retrieval frame — the contrastive-training
+    * data step downstream of ANN search: the rank-1 neighbor is the
+    * pseudo-positive and ranks 2..k become negatives, each with its cosine
+    * `margin` below the positive (the quantity a triplet/InfoNCE loss
+    * consumes, and the knob distillation recipes threshold on). Input
+    * contract is the output of ANY top-k operator in this file:
+    * `(query_id, neighbor_id, cosine, rank)`.
+    *
+    * Scale: one window partitioned by `query_id` over a frame of k rows per
+    * query — the retrieval tail already hash-partitioned by `query_id` for
+    * its own rank window, so this adds no data-sized shuffle; no join (the
+    * positive is pulled down the frame with `first() OVER`).
+    */
+  def hardNegatives(retrieved: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    retrieved
+      .withColumn("pos_id", first(col("neighbor_id")).over(w))
+      .withColumn("pos_cosine", first(col("cosine")).over(w))
+      .filter(col("rank") > 1)
+      .select(col("query_id"), col("pos_id"),
+        col("neighbor_id").as("neg_id"),
+        (col("rank") - 1).as("neg_rank"), col("cosine"),
+        round(col("pos_cosine") - col("cosine") + lit(1e-9), 6).as("margin"))
+  }
 }

@@ -628,6 +628,26 @@ object NorthStarQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** The `q_hard_negatives` oracle — [[ivfPqResSearchOracleSql]]'s ranked
+    * retrieval with the mining tail: rank-1 as pseudo-positive, ranks 2..k
+    * as negatives with their cosine margin below the positive (the
+    * [[graft.ext.Similarity.hardNegatives]] contract).
+    */
+  private def hardNegativesOracleSql: String = {
+    val base = ivfPqResSearchOracleSql
+    val cut = base.lastIndexOf("SELECT * FROM ranked")
+    base.substring(0, cut) +
+      s"""SELECT t.query_id, p.pos_id, t.neighbor_id AS neg_id,
+         |  t.rank - 1 AS neg_rank, t.cosine,
+         |  round(p.pos_cosine - t.cosine + 1e-9, 6) AS margin
+         |FROM (SELECT * FROM ranked WHERE rank <= 5) t
+         |JOIN (SELECT query_id, neighbor_id AS pos_id,
+         |        cosine AS pos_cosine
+         |      FROM ranked WHERE rank = 1) p USING (query_id)
+         |WHERE t.rank > 1
+         |ORDER BY query_id, neg_rank""".stripMargin
+  }
+
   private def simhashCte: String = {
     val votes = (0 until 32).map(i =>
       s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i")
@@ -884,6 +904,23 @@ object NorthStarQueries {
           "kb", k = 5, nProbe = 2, dim = 64, m = 4, kSub = 16, iters = 1,
           overfetch = 3, maxBucket = 40)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Hard-negative mining — the contrastive-training data step composed
+    // directly on the external-retrieval path: rank-1 = pseudo-positive,
+    // ranks 2..k = negatives with their cosine margin below the positive
+    "q_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val corpus = emb.filter(col("vec_id") % 2 === 0)
+      val queries = emb.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"), col("embedding"))
+      val bucketed = Similarity.kmeansBuckets(corpus, "vec_id",
+        "embedding", k = 8, iters = 2, bucketCol = "kb")
+      Similarity.hardNegatives(
+          Similarity.ivfPqResSearch(bucketed, queries, "vec_id",
+            "embedding", "kb", k = 5, nProbe = 2, dim = 64, m = 4,
+            kSub = 16, iters = 1, overfetch = 3, maxBucket = 40))
+        .orderBy(col("query_id"), col("neg_rank"))
     }),
 
     // Multimodal: binary payload + typed-metadata batch decode (stubbed
@@ -1675,6 +1712,7 @@ object NorthStarQueries {
     "q_ann_ivf_pq" -> ivfPqOracleSql,
     "q_ann_ivf_pq_res" -> ivfPqResOracleSql,
     "q_ann_search" -> ivfPqResSearchOracleSql,
+    "q_hard_negatives" -> hardNegativesOracleSql,
 
     "q_domain_sample" ->
       s"""WITH $lloydAfCte, j AS (

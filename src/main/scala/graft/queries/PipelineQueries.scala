@@ -80,6 +80,25 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("source"), col("epoch"))),
 
+    // Temperature mixture: per-lang weights DERIVED from corpus counts
+    // (w ∝ n^0.5 — the multilingual-pretraining flattening recipe),
+    // realized as an exact deterministic per-group sample; n_kept and
+    // min_kept_doc prove the realization, not just the arithmetic
+    "q_temperature_mix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val kept = Sampling
+        .temperatureSample(docs, "lang", "doc_id", salt = "temp",
+          alpha = 0.5, share = 0.5)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_kept_doc"))
+      Sampling.temperatureTargets(docs, "lang", alpha = 0.5, share = 0.5)
+        .join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"), col("w_temp"), col("n_target"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          col("min_kept_doc"))
+        .orderBy(col("lang"))
+    }),
+
     // Ordered funnel (view → click → purchase, each within 24 h of the
     // previous stage — the conversion-window rule that creates real stage
     // attrition): three conditional-min passes, each a shuffle on user_id
@@ -514,6 +533,34 @@ object PipelineQueries {
          |FROM e WHERE epoch * 100 + bkt < pct
          |GROUP BY 1, 2 ORDER BY source, epoch""".stripMargin
     },
+
+    "q_temperature_mix" ->
+      s"""WITH c AS (
+         |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1
+         |), t AS (
+         |  SELECT lang, n_docs,
+         |    ${sqlGround("pow(n_docs, 0.5) / sum(pow(n_docs, 0.5)) OVER ()", 6)}
+         |      AS w_temp,
+         |    floor(0.5 * sum(n_docs) OVER () + 1e-9) AS budget
+         |  FROM c
+         |), tt AS (
+         |  SELECT lang, n_docs, w_temp,
+         |    least(CAST(floor(w_temp * budget + 1e-9) AS BIGINT), n_docs)
+         |      AS n_target
+         |  FROM t
+         |), r AS (
+         |  SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${sqlHashKey("temp", "doc_id")}, doc_id) AS samp_rank
+         |  FROM documents
+         |), k AS (
+         |  SELECT r.lang, count(*) AS n_kept, min(doc_id) AS min_kept_doc
+         |  FROM r JOIN tt USING (lang)
+         |  WHERE samp_rank <= n_target GROUP BY 1
+         |)
+         |SELECT tt.lang, n_docs, w_temp, n_target,
+         |  coalesce(n_kept, 0) AS n_kept, min_kept_doc
+         |FROM tt LEFT JOIN k USING (lang) ORDER BY lang""".stripMargin,
 
     "q_funnel" ->
       """WITH e AS (

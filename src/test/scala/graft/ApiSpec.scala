@@ -135,6 +135,26 @@ class ApiSpec extends SparkSpec {
     assert(chunks.filter(col("n_chunk_tokens") > 128).count() == 0)
   }
 
+  test("quickstart: temperature mixture sample and hard-negative mining") {
+    // temperature sample with defaults: full budget, sqrt flattening —
+    // every group keeps at most its own size, and the total is bounded
+    // by the corpus
+    val kept = Graft.temperatureSample(docs, "lang", "doc_id", salt = "v1")
+    assert(kept.count() > 0 && kept.count() <= docs.count())
+    val perLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang.forall { case (l, n) => n <= sizes(l) })
+    // hard negatives compose on any ANN result frame
+    val nn = Graft.annTopK(vectors, "vec_id", "embedding", k = 4)
+    val neg = Graft.annHardNegatives(nn)
+    assert(neg.columns.toSeq == Seq("query_id", "pos_id", "neg_id",
+      "neg_rank", "cosine", "margin"))
+    assert(neg.filter(col("neg_rank") < 1 || col("margin") < 0)
+      .count() == 0)
+  }
+
   test("quickstart: persisted ANN index build + search with defaults") {
     val corpus = vectors.filter(col("vec_id") % 2 === 0)
     val queries = vectors.filter(col("vec_id") % 2 === 1)

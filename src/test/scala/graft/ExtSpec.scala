@@ -1000,6 +1000,34 @@ class SimilaritySpec extends SparkSpec {
       "separately-built CentroidDist with equal centers must compare equal")
     assert(c1.semanticEquals(c2))
   }
+
+  test("hardNegatives: rank-1 is the positive, margins ordered, " +
+    "bruteforce composition keeps k-1 per query") {
+    import spark.implicits._
+    // hand-built retrieval frame: 2 queries, k=3
+    val ret = Seq(
+      (10L, 1L, 0.9, 1L), (10L, 2L, 0.7, 2L), (10L, 3L, 0.5, 3L),
+      (20L, 4L, 0.8, 1L), (20L, 5L, 0.8, 2L))
+      .toDF("query_id", "neighbor_id", "cosine", "rank")
+    val hn = Similarity.hardNegatives(ret)
+      .orderBy("query_id", "neg_rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(5)))
+    assert(hn.toSeq == Seq(
+      (10L, 1L, 2L, 1L, 0.2), (10L, 1L, 3L, 2L, 0.4),
+      (20L, 4L, 5L, 1L, 0.0)))  // tie with the positive → margin 0
+    // composed on real retrieval: every query yields exactly k-1
+    // negatives, all margins non-negative (rank order ⇒ cosine order)
+    val emb = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 7 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val topk = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding",
+      k = 4)
+    val neg = Similarity.hardNegatives(topk)
+    assert(neg.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) == 3L))
+    assert(neg.filter(col("margin") < 0).count() == 0)
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {

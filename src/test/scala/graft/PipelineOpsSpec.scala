@@ -89,6 +89,59 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("temperatureTargets: alpha=1 is natural proportions, alpha<1 " +
+    "flattens toward the tail, targets bounded by group size") {
+    // 90/10 split: natural share of the tail is 0.1; sqrt-temperature
+    // lifts it to sqrt(10)/(sqrt(90)+sqrt(10)) = 0.25
+    val docs = (1L to 100L).map(i => (i, if (i <= 90) "big" else "small"))
+      .toDF("id", "lang")
+    val nat = Sampling.temperatureTargets(docs, "lang", alpha = 1.0,
+        share = 1.0).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toMap
+    assert(nat("big") == ((90L, 0.9, 90L)) &&
+      nat("small") == ((10L, 0.1, 10L)))
+    val flat = Sampling.temperatureTargets(docs, "lang", alpha = 0.5,
+        share = 0.5).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(flat("small")._1 == 0.25 && flat("big")._1 == 0.75)
+    // budget = 50: big keeps floor(0.75*50)=37; small's boosted target
+    // floor(0.25*50)=12 exceeds its 10 docs → capped at the group size
+    assert(flat("big")._2 == 37L && flat("small")._2 == 10L)
+    // a tail smaller than its boosted target is capped at its size
+    val tiny = (1L to 82L).map(i => (i, if (i <= 80) "big" else "small"))
+      .toDF("id", "lang")
+    val capped = Sampling.temperatureTargets(tiny, "lang", alpha = 0.1,
+        share = 1.0).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(capped("small") == ((2L, 2L)),
+      "n_target must never exceed n_docs")
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureTargets(docs, "lang", alpha = 0.0, share = 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureTargets(docs, "lang", alpha = 1.0, share = 0.0)
+    }
+  }
+
+  test("temperatureSample: realizes exactly n_target per group, stable " +
+    "under repartition") {
+    val docs = (1L to 100L).map(i => (i, if (i <= 90) "big" else "small"))
+      .toDF("id", "lang")
+    val s = Sampling.temperatureSample(docs, "lang", "id", "tmx",
+      alpha = 0.5, share = 0.5)
+    val counts = s.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("big" -> 37L, "small" -> 10L))
+    // membership is a pure function of (salt, id): repartitioning the
+    // input cannot change the kept set
+    val ids1 = s.select("id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.temperatureSample(docs.repartition(13), "lang",
+        "id", "tmx", alpha = 0.5, share = 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+  }
+
   test("repetitionStats: type-token ratio and top-bigram share") {
     val docs = Seq(
       (1L, "spam spam spam spam"),     // 4 tokens, 1 distinct, top bigram 3×

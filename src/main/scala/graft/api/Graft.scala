@@ -332,6 +332,14 @@ object Graft {
   def languageId(docs: DataFrame, textCol: String): DataFrame =
     TextAnalysis.withLanguageId(docs, textCol)
 
+  /** Gopher-style quality rule battery: the five classic web-filter
+    * predicates as per-doc booleans plus the combined `keep` flag. See
+    * [[graft.ext.TextAnalysis.gopherRules]].
+    */
+  def gopherRules(docs: DataFrame, textCol: String, idCol: String,
+                  minTokens: Long = 50): DataFrame =
+    TextAnalysis.gopherRules(docs, textCol, idCol, minTokens)
+
   // --- sampling & packing ----------------------------------------------
 
   /** Deterministic, partition-stable train/val/test split (md5 buckets —

@@ -187,6 +187,46 @@ object TextAnalysis {
     * equi-key on the token; Zipf skew is bounded because tf already
     * collapsed per-doc repeats. Returns (id, n_tokens, avg_nll).
     */
+  /** Gopher-style quality rule battery (Rae et al. 2021 §A1.1, adapted
+    * thresholds): the five classic web-filter predicates as per-document
+    * booleans plus the combined `keep` flag — token-count band, mean word
+    * length band, stopword presence, symbol/punctuation ratio, and
+    * repetition (top-bigram share + distinct-token ratio). Each ratio is
+    * guard-rounded to 6dp BEFORE its comparison, so a boundary document
+    * evaluates identically in any engine — the house determinism contract
+    * applied to predicates, not just output floats.
+    *
+    * Shape: [[withTokenStats]] is a narrow projection over the scan; the
+    * repetition rule rides [[repetitionStats]]' one (doc, bigram)
+    * pre-aggregating shuffle; one equi-join on the id stitches them. No
+    * collect, no cross-document state — scale-safe as a filter stage.
+    */
+  def gopherRules(df: DataFrame, textCol: String, idCol: String,
+                  minTokens: Long = 50, maxTokens: Long = 100000)
+      : DataFrame = {
+    def g6(c: Column): Column = round(c + lit(1e-9), 6)
+    val nSafe = greatest(col("n_tokens"), lit(1L)).cast("double")
+    val st = withTokenStats(df, textCol)
+      .select(col(idCol), col("n_tokens"), col("token_chars"),
+        col("n_punct"), col("n_stopwords"))
+    val rep = repetitionStats(df, textCol, idCol)
+      .select(col(idCol), col("distinct_ratio"), col("top_bigram_frac"))
+    st.join(rep, Seq(idCol))
+      .withColumn("mean_word_len",
+        g6(col("token_chars").cast("double") / nSafe))
+      .withColumn("punct_ratio", g6(col("n_punct").cast("double") / nSafe))
+      .select(col(idCol), col("n_tokens"), col("mean_word_len"),
+        col("n_tokens").between(minTokens, maxTokens).as("r_len"),
+        col("mean_word_len").between(3.0, 10.0).as("r_word_len"),
+        (col("n_stopwords") >= 2).as("r_stop"),
+        (col("punct_ratio") <= 0.1).as("r_punct"),
+        (g6(col("top_bigram_frac")) <= 0.2 &&
+          g6(col("distinct_ratio")) >= 0.5).as("r_rep"))
+      .withColumn("keep",
+        col("r_len") && col("r_word_len") && col("r_stop") &&
+          col("r_punct") && col("r_rep"))
+  }
+
   /** The shared (doc, token) → count pre-agg every corpus-level text
     * metric starts from (entropy, NLL, OOV, vocab, tf-idf): one spread
     * explode, one partial-aggregating shuffle of pre-combined pairs.

@@ -683,6 +683,14 @@ object NorthStarQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher rule battery: the five classic web-filter predicates as
+    // per-doc booleans + combined keep (thresholds: 10..100k tokens so
+    // the fixture's short docs exercise both branches)
+    "q_gopher_rules" -> ((s, dir) =>
+      TA.gopherRules(Tables.documents(s, dir), "text", "doc_id",
+          minTokens = 10)
+        .orderBy(col("doc_id"))),
+
     // Multimodal frame sampling: 1→N batch shape; text payloads take the
     // deterministic fallback codec (raster=false), keeping the oracle exact
     "q_multimodal_frames" -> ((s, dir) => {
@@ -1218,6 +1226,57 @@ object NorthStarQueries {
          |    + least(CAST(n_stopwords AS DOUBLE) * 5.0 / greatest(n_tokens, 1), 1.0) * 0.3
          |    + 1e-9, 4) AS quality
          |FROM st ORDER BY doc_id""".stripMargin,
+
+    "q_gopher_rules" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    regexp_split_to_array(trim(text), '[\\s\\x0b]+') AS toks,
+         |    regexp_split_to_array(trim(lower(text)), '[\\s\\x0b]+') AS ltoks
+         |  FROM documents
+         |), st AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+         |      AS token_chars,
+         |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)
+         |      AS n_punct,
+         |    CAST(len(list_filter(toks, t -> t IN ($StopSql))) AS BIGINT)
+         |      AS n_stopwords,
+         |    CAST(len(list_distinct(ltoks)) AS BIGINT) AS n_distinct
+         |  FROM t
+         |), bg AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(len(ltoks) - 1),
+         |      i -> ltoks[i+1] || ' ' || ltoks[i+2])) AS b
+         |  FROM t WHERE len(ltoks) >= 2
+         |), top AS (
+         |  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n FROM (
+         |    SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2
+         |  ) GROUP BY 1
+         |), m AS (
+         |  SELECT st.doc_id, n_tokens,
+         |    round(token_chars / greatest(n_tokens, 1) + 1e-9, 6)
+         |      AS mean_word_len,
+         |    round(n_punct / greatest(n_tokens, 1) + 1e-9, 6) AS punct_ratio,
+         |    n_stopwords,
+         |    round(n_distinct / greatest(n_tokens, 1) + 1e-9, 6)
+         |      AS distinct_ratio,
+         |    round(coalesce(top_bigram_n, 0) / greatest(n_tokens - 1, 1)
+         |      + 1e-9, 6) AS top_bigram_frac
+         |  FROM st LEFT JOIN top USING (doc_id)
+         |), r AS (
+         |  SELECT doc_id, n_tokens, mean_word_len,
+         |    (n_tokens BETWEEN 10 AND 100000) AS r_len,
+         |    (mean_word_len BETWEEN 3 AND 10) AS r_word_len,
+         |    (n_stopwords >= 2) AS r_stop,
+         |    (punct_ratio <= 0.1) AS r_punct,
+         |    (round(top_bigram_frac + 1e-9, 6) <= 0.2
+         |      AND round(distinct_ratio + 1e-9, 6) >= 0.5) AS r_rep
+         |  FROM m
+         |)
+         |SELECT *, (r_len AND r_word_len AND r_stop AND r_punct AND r_rep)
+         |  AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     "q_lang_id" -> {
       val markers = TA.LangMarkers.map { case (l, ms) =>

@@ -128,6 +128,10 @@ class ApiSpec extends SparkSpec {
     val kinds = split.select("split").distinct().collect()
       .map(_.getString(0)).toSet
     assert(kinds.subsetOf(Set("train", "val", "test")) && kinds("train"))
+    val rules = Graft.gopherRules(docs, "text", "doc_id", minTokens = 10)
+    assert(rules.columns.takeRight(6).toSeq ==
+      Seq("r_len", "r_word_len", "r_stop", "r_punct", "r_rep", "keep"))
+    assert(rules.count() == docs.count())
     val chunks = Graft.chunk(docs, "text", "doc_id", chunkSize = 128)
     assert(chunks.columns.toSet ==
       Set("doc_id", "chunk_id", "chunk_start", "n_chunk_tokens",

@@ -1057,6 +1057,32 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(_.getString(0))
     assert(fp(0) == fp(1) && fp(1) != fp(2))
   }
+
+  test("gopherRules: each rule trips on its own pathology, keep is the " +
+    "conjunction") {
+    // 11 diverse tokens, stops {the, a}, mean word len ~4.2 — passes all
+    val good = "the quick brown fox jumps over a lazy dog near riverbank"
+    val spammy = ("spam ham " * 10).trim             // one bigram dominates
+    val noStops = ("alpha beta gamma delta " * 5).trim
+    val longWords = ("extraordinarily incomprehensible " * 8).trim
+    val df = Seq((1L, good), (2L, spammy), (3L, noStops), (4L, longWords),
+      (5L, "tiny doc")).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(df, "text", "doc_id", minTokens = 10)
+      .orderBy("doc_id").collect()
+      .map(x => x.getLong(0) -> (x.getBoolean(3), x.getBoolean(4),
+        x.getBoolean(5), x.getBoolean(6), x.getBoolean(7),
+        x.getBoolean(8))).toMap
+    // (r_len, r_word_len, r_stop, r_punct, r_rep, keep)
+    assert(r(1L) == ((true, true, true, true, true, true)))
+    assert(r(2L)._5 == false && r(2L)._6 == false,
+      "repeated bigram must trip r_rep")
+    assert(r(3L)._3 == false && r(3L)._6 == false,
+      "no stopwords must trip r_stop")
+    assert(r(4L)._2 == false && r(4L)._6 == false,
+      "mean word length out of band must trip r_word_len")
+    assert(r(5L)._1 == false && r(5L)._6 == false,
+      "short doc must trip r_len")
+  }
 }
 
 class MultimodalSpec extends SparkSpec {

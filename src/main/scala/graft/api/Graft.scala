@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AnnIndex, Bpe, CacheScope, Dedup, Packing, Sampling, Similarity, TextAnalysis}
+import graft.ext.{AnnIndex, Bpe, CacheScope, Dedup, NbClassifier, Packing, Sampling, Similarity, TextAnalysis}
 
 /** The public façade: one short, defaulted call per engine capability, so a
   * user does not need to know the `graft.ext.*` operator internals or their
@@ -331,6 +331,16 @@ object Graft {
     */
   def languageId(docs: DataFrame, textCol: String): DataFrame =
     TextAnalysis.withLanguageId(docs, textCol)
+
+  /** Model-based quality filter: train a deterministic multinomial Naive
+    * Bayes on weakly-labeled docs (`labelCol` boolean — e.g. a [[quality]]
+    * threshold) and score any doc frame with the smoothed log-odds
+    * `margin` + `pred`. See [[graft.ext.NbClassifier]].
+    */
+  def qualityClassifier(train: DataFrame, score: DataFrame,
+                        textCol: String, idCol: String,
+                        labelCol: String): DataFrame =
+    NbClassifier.trainScore(train, score, textCol, idCol, labelCol)
 
   /** Gopher-style quality rule battery: the five classic web-filter
     * predicates as per-doc booleans plus the combined `keep` flag. See

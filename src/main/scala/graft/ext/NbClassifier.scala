@@ -1,0 +1,75 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multinomial Naive Bayes text classifier — the model-based corpus
+  * quality filter (the FineWeb-Edu recipe shape: cheap weak labels train a
+  * model that generalizes past the heuristic), built so TRAINING is
+  * deterministic and engine-replayable: the learned model is nothing but
+  * integer count frames (per-class token counts, class doc counts) plus
+  * Laplace smoothing — no RNG, no iterative float optimization, no
+  * partition-order sensitivity. The same corpus yields the same model on
+  * any engine, so a SQL oracle can replay training AND scoring — the house
+  * determinism contract extended to a trained model, where an LBFGS
+  * logistic regression would force the weaker rows-only gate.
+  *
+  * Scale shape: training is the shared (doc, token) pre-agg
+  * ([[TextAnalysis.termFreq]]) plus a vocab-bounded per-class count
+  * aggregate; the model (vocab-sized) broadcasts to scoring, which is a
+  * narrow per-(doc, token) multiply and a per-doc aggregate. Corpus
+  * scalars ride a 1-row cross join, never a driver loop.
+  */
+object NbClassifier {
+
+  private def g6(c: Column): Column = round(c + lit(1e-9), 6)
+
+  /** Train on `train` (must carry boolean `labelCol`), score `score`:
+    * returns `(idCol, n_tokens, margin, pred)` where `margin` is the
+    * smoothed log-odds `ln P(pos|doc) − ln P(neg|doc)` (guard-rounded to
+    * 6dp) and `pred = margin > 0`. Tokens unseen in training score through
+    * the Laplace floor `1/(tot_c + V)`; priors are add-one smoothed so an
+    * empty class stays finite.
+    */
+  def trainScore(train: DataFrame, score: DataFrame, textCol: String,
+                 idCol: String, labelCol: String): DataFrame = {
+    val tfTrain = TextAnalysis
+      .termFreq(train.select(col(idCol), col(textCol)), textCol, idCol,
+        cached = false)
+      .join(train.select(col(idCol), col(labelCol).cast("boolean")
+        .as("__lbl")), Seq(idCol))
+    // the model: per-token per-class counts (vocab-sized, broadcastable)
+    val classTok = tfTrain.groupBy(col("t"))
+      .agg(sum(when(col("__lbl"), col("c")).otherwise(lit(0L))).as("c_pos"),
+        sum(when(!col("__lbl"), col("c")).otherwise(lit(0L))).as("c_neg"))
+    // corpus scalars in ONE 1-row frame: class token totals, vocab size,
+    // class doc counts (for the prior) — cross-joined, never collected
+    val stats = classTok
+      .agg(sum(col("c_pos")).as("tot_pos"), sum(col("c_neg")).as("tot_neg"),
+        count(lit(1)).as("v"))
+      .crossJoin(train.agg(
+        sum(when(col(labelCol), lit(1L)).otherwise(lit(0L))).as("n_pos"),
+        sum(when(!col(labelCol), lit(1L)).otherwise(lit(0L))).as("n_neg")))
+    val tfScore = TextAnalysis
+      .termFreq(score.select(col(idCol), col(textCol)), textCol, idCol,
+        cached = false)
+    def lw(cnt: Column, tot: Column): Column =
+      log((coalesce(cnt, lit(0L)) + lit(1L)).cast("double") /
+        (tot + col("v")).cast("double"))
+    tfScore
+      .join(broadcast(classTok), Seq("t"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("__lw", col("c").cast("double") *
+        (lw(col("c_pos"), col("tot_pos")) - lw(col("c_neg"), col("tot_neg"))))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("__lw")).as("__s"),
+        // scalars are constant over the group; min() carries them through
+        min(col("n_pos")).as("__np"), min(col("n_neg")).as("__nn"))
+      .withColumn("margin", g6(col("__s") +
+        log((col("__np") + lit(1L)).cast("double") /
+          (col("__nn") + lit(1L)).cast("double"))))
+      .select(col(idCol), col("n_tokens"), col("margin"),
+        (col("margin") > 0).as("pred"))
+  }
+}

@@ -128,6 +128,13 @@ class ApiSpec extends SparkSpec {
     val kinds = split.select("split").distinct().collect()
       .map(_.getString(0)).toSet
     assert(kinds.subsetOf(Set("train", "val", "test")) && kinds("train"))
+    val labeled = Graft.quality(docs, "text")
+      .withColumn("lbl", col("quality") >= 0.5)
+    val scoredNb = Graft.qualityClassifier(labeled, labeled, "text",
+      "doc_id", "lbl")
+    assert(scoredNb.columns.toSeq ==
+      Seq("doc_id", "n_tokens", "margin", "pred"))
+    assert(scoredNb.count() == docs.count())
     val rules = Graft.gopherRules(docs, "text", "doc_id", minTokens = 10)
     assert(rules.columns.takeRight(6).toSeq ==
       Seq("r_len", "r_word_len", "r_stop", "r_punct", "r_rep", "keep"))

@@ -66,6 +66,36 @@ class CorpusOpsSpec extends SparkSpec {
     assert(TextAnalysis.unigramNll(empty, "text", "doc_id").count() == 0)
   }
 
+  test("NbClassifier: learns a separable vocabulary and generalizes to " +
+    "held-out docs; one-class training stays finite") {
+    val train2 = Seq(
+      (1L, "good clean prose text", true),
+      (2L, "clean good readable text", true),
+      (3L, "spam junk garbage noise", false),
+      (4L, "junk spam noise clutter", false))
+      .toDF("doc_id", "text", "lbl")
+    // held-out docs reuse each class's vocabulary plus an unseen token
+    val heldOut = Seq((10L, "good prose unseen"), (11L, "garbage spam zzz"))
+      .toDF("doc_id", "text")
+    val r = graft.ext.NbClassifier
+      .trainScore(train2, heldOut, "text", "doc_id", "lbl")
+      .collect().map(x => x.getLong(0) -> (x.getDouble(2), x.getBoolean(3)))
+      .toMap
+    assert(r(10L)._2 && r(10L)._1 > 0, "positive-vocab doc must score pos")
+    assert(!r(11L)._2 && r(11L)._1 < 0, "negative-vocab doc must score neg")
+    // one-class training: Laplace smoothing keeps every margin finite
+    // (no ln(0) from the empty class), and a doc made of the observed
+    // class's vocabulary still lands in that class; an all-unseen-token
+    // doc may legitimately fall below the empty class (its smoothing
+    // denominator is smaller) — finiteness is the contract, not the sign
+    val onePos = train2.filter(col("lbl"))
+    val r1 = graft.ext.NbClassifier
+      .trainScore(onePos, heldOut, "text", "doc_id", "lbl")
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r1.values.forall(m => !m.isNaN && !m.isInfinite))
+    assert(r1(10L) > 0, "doc of observed-class vocabulary stays positive")
+  }
+
   test("Spread.cpu widens an under-split scan, skips shuffled/streaming") {
     val scan = spark.read
       .parquet(s"${TestSpark.sf0001}/documents.parquet")

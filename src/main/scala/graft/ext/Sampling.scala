@@ -132,26 +132,28 @@ object Sampling {
     * the corpus size.
     *
     * Scale: one map-side-combined count aggregate (|groups| rows — tiny),
-    * then an unpartitioned window over that tiny frame for the normalizer.
-    * No data-sized shuffle and no driver-side count: N rides the same
-    * window, so the whole computation stays in-plan.
+    * then the normalizer and corpus total ride a 1-row global aggregate
+    * cross-joined back under the groups frame — a scalar attach (the
+    * q_bm25 corpus-stats pattern), never a single-partition window and
+    * never a driver-side count: the whole computation stays in-plan.
     */
   def temperatureTargets(df: DataFrame, groupCol: String, alpha: Double,
                          share: Double): DataFrame = {
     require(alpha > 0, s"alpha=$alpha must be positive")
     require(share > 0 && share <= 1, s"share=$share must be in (0,1]")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(1))
-    df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"))
       .withColumn("__pw", pow(col("n_docs").cast("double"), lit(alpha)))
-      .withColumn("w_temp",
-        round(col("__pw") / sum(col("__pw")).over(w) + lit(1e-9), 6))
+    val norm = counts.agg(sum(col("__pw")).as("__z"),
+      sum(col("n_docs")).as("__n"))
+    counts.crossJoin(broadcast(norm))
+      .withColumn("w_temp", round(col("__pw") / col("__z") + lit(1e-9), 6))
       .withColumn("__budget",
-        floor(lit(share) * sum(col("n_docs")).over(w) + lit(1e-9)))
+        floor(lit(share) * col("__n") + lit(1e-9)))
       .withColumn("n_target",
         least(floor(col("w_temp") * col("__budget") + lit(1e-9)).cast("long"),
           col("n_docs")))
-      .drop("__pw", "__budget")
+      .drop("__pw", "__z", "__n", "__budget")
   }
 
   /** Realize [[temperatureTargets]]: keep exactly `n_target` rows per

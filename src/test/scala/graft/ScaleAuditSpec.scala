@@ -72,7 +72,20 @@ class ScaleAuditSpec extends SparkSpec {
         "equi-joins"),
     "q_rolling_actives" ->
       ("range join with the |days|-sized calendar pinned as the BROADCAST " +
-        "side; fan-out bounded at 7 calendar rows per activity row"))
+        "side; fan-out bounded at 7 calendar rows per activity row"),
+    "q_hard_negatives" ->
+      ("q_ann_search's probe-stage centroid-codebook broadcast, inherited " +
+        "unchanged (the mining tail adds only a window on the retrieval's " +
+        "existing partitioning — zero new joins or exchanges)"),
+    "q_quality_nb" ->
+      ("two 1-row scalar attaches (class token totals + vocab size under " +
+        "the scoring stream, class priors onto the per-doc aggregate) and " +
+        "the |groups|-row temperature-normalizer pattern; the vocab-sized " +
+        "NB model itself joins by token equi-key"),
+    "q_temperature_mix" ->
+      ("1-row normalizer/total frame (Σ n^α, Σ n) broadcast under the " +
+        "|groups|-row counts frame — a scalar attach; realization joins " +
+        "the |groups|-row targets by equi-key"))
 
   /** Queries allowed a single-partition window, with the tiny-frame bound.
     * Currently NONE: every window on the surface rides a hash-partitioned

@@ -347,8 +347,9 @@ object Graft {
     * [[graft.ext.TextAnalysis.gopherRules]].
     */
   def gopherRules(docs: DataFrame, textCol: String, idCol: String,
-                  minTokens: Long = 50): DataFrame =
-    TextAnalysis.gopherRules(docs, textCol, idCol, minTokens)
+                  minTokens: Long = 50,
+                  maxTokens: Long = 100000): DataFrame =
+    TextAnalysis.gopherRules(docs, textCol, idCol, minTokens, maxTokens)
 
   // --- sampling & packing ----------------------------------------------
 

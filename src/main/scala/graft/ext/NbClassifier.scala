@@ -48,8 +48,12 @@ object NbClassifier {
       .agg(sum(col("c_pos")).as("tot_pos"), sum(col("c_neg")).as("tot_neg"),
         count(lit(1)).as("v"))
       .crossJoin(train.agg(
-        sum(when(col(labelCol), lit(1L)).otherwise(lit(0L))).as("n_pos"),
-        sum(when(!col(labelCol), lit(1L)).otherwise(lit(0L))).as("n_neg")))
+        // same boolean cast as the token counts above — a 0/1 integer
+        // weak label must behave identically in both halves of training
+        sum(when(col(labelCol).cast("boolean"), lit(1L)).otherwise(lit(0L)))
+          .as("n_pos"),
+        sum(when(!col(labelCol).cast("boolean"), lit(1L)).otherwise(lit(0L)))
+          .as("n_neg")))
     val tfScore = TextAnalysis
       .termFreq(score.select(col(idCol), col(textCol)), textCol, idCol,
         cached = false)

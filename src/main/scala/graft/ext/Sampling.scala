@@ -161,19 +161,31 @@ object Sampling {
     * membership is reproducible, engine-portable, and stable under
     * repartitioning. Adds `samp_rank` ∈ [1, n_target].
     *
-    * Scale: the targets frame is |groups| rows → broadcast join; the rank
+    * Scale: the targets frame is |groups| rows → broadcast join (null-safe
+    * on the group key, so a NULL group is sampled like any other — the
+    * targets frame reports it, the realization must honor it); the rank
     * window is the same one-shuffle shape as [[stratifiedSample]] (for few
     * huge strata prefer a rate-based variant — see that method's note).
     */
   def temperatureSample(df: DataFrame, groupCol: String, idCol: String,
                         salt: String, alpha: Double,
-                        share: Double): DataFrame = {
-    val targets = temperatureTargets(df, groupCol, alpha, share)
-      .select(col(groupCol), col("n_target"))
+                        share: Double): DataFrame =
+    temperatureSampleWith(df, temperatureTargets(df, groupCol, alpha, share),
+      groupCol, idCol, salt)
+
+  /** [[temperatureSample]] against ALREADY-COMPUTED targets (the frame
+    * [[temperatureTargets]] returns) — callers that also publish the
+    * targets avoid recomputing the count + normalizer subplan twice.
+    */
+  def temperatureSampleWith(df: DataFrame, targets: DataFrame,
+                            groupCol: String, idCol: String,
+                            salt: String): DataFrame = {
+    val t = targets.select(col(groupCol).as("__grp"), col("n_target"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
       .orderBy(hashKey(col(idCol), salt), col(idCol))
-    df.join(broadcast(targets), Seq(groupCol))
+    df.join(broadcast(t), col(groupCol) <=> col("__grp"))
+      .drop("__grp")
       .withColumn("samp_rank", row_number().over(w).cast("long"))
       .filter(col("samp_rank") <= col("n_target"))
       .drop("n_target")

@@ -631,22 +631,24 @@ object NorthStarQueries {
   /** The `q_hard_negatives` oracle — [[ivfPqResSearchOracleSql]]'s ranked
     * retrieval with the mining tail: rank-1 as pseudo-positive, ranks 2..k
     * as negatives with their cosine margin below the positive (the
-    * [[graft.ext.Similarity.hardNegatives]] contract).
+    * [[graft.ext.Similarity.hardNegatives]] contract). The base oracle's
+    * full text is wrapped as a subquery (no string surgery — a reformat of
+    * the base cannot break this), and `rank <= 5` is inherited from the
+    * base's own final filter, keeping the two queries' k in lockstep.
     */
-  private def hardNegativesOracleSql: String = {
-    val base = ivfPqResSearchOracleSql
-    val cut = base.lastIndexOf("SELECT * FROM ranked")
-    base.substring(0, cut) +
-      s"""SELECT t.query_id, p.pos_id, t.neighbor_id AS neg_id,
-         |  t.rank - 1 AS neg_rank, t.cosine,
-         |  round(p.pos_cosine - t.cosine + 1e-9, 6) AS margin
-         |FROM (SELECT * FROM ranked WHERE rank <= 5) t
-         |JOIN (SELECT query_id, neighbor_id AS pos_id,
-         |        cosine AS pos_cosine
-         |      FROM ranked WHERE rank = 1) p USING (query_id)
-         |WHERE t.rank > 1
-         |ORDER BY query_id, neg_rank""".stripMargin
-  }
+  private def hardNegativesOracleSql: String =
+    s"""WITH ranked AS (
+       |${ivfPqResSearchOracleSql}
+       |)
+       |SELECT t.query_id, p.pos_id, t.neighbor_id AS neg_id,
+       |  t.rank - 1 AS neg_rank, t.cosine,
+       |  round(p.pos_cosine - t.cosine + 1e-9, 6) AS margin
+       |FROM ranked t
+       |JOIN (SELECT query_id, neighbor_id AS pos_id,
+       |        cosine AS pos_cosine
+       |      FROM ranked WHERE rank = 1) p USING (query_id)
+       |WHERE t.rank > 1
+       |ORDER BY query_id, neg_rank""".stripMargin
 
   private def simhashCte: String = {
     val votes = (0 until 32).map(i =>

@@ -86,12 +86,14 @@ object PipelineQueries {
     // min_kept_doc prove the realization, not just the arithmetic
     "q_temperature_mix" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      val targets = Sampling.temperatureTargets(docs, "lang",
+        alpha = 0.5, share = 0.5)
       val kept = Sampling
-        .temperatureSample(docs, "lang", "doc_id", salt = "temp",
-          alpha = 0.5, share = 0.5)
+        .temperatureSampleWith(docs, targets, "lang", "doc_id",
+          salt = "temp")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_kept_doc"))
-      Sampling.temperatureTargets(docs, "lang", alpha = 0.5, share = 0.5)
+      targets
         .join(kept, Seq("lang"), "left")
         .select(col("lang"), col("n_docs"), col("w_temp"), col("n_target"),
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),

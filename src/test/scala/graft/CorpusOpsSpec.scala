@@ -94,6 +94,13 @@ class CorpusOpsSpec extends SparkSpec {
       .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
     assert(r1.values.forall(m => !m.isNaN && !m.isInfinite))
     assert(r1(10L) > 0, "doc of observed-class vocabulary stays positive")
+    // a 0/1 integer weak label behaves identically to a boolean one in
+    // BOTH halves of training (token counts AND the prior)
+    val intLbl = train2.withColumn("lbl", col("lbl").cast("int"))
+    val ri = graft.ext.NbClassifier
+      .trainScore(intLbl, heldOut, "text", "doc_id", "lbl")
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(ri == r.map { case (k, v) => k -> v._1 })
   }
 
   test("Spread.cpu widens an under-split scan, skips shuffled/streaming") {

@@ -140,6 +140,16 @@ class PipelineOpsSpec extends SparkSpec {
         "id", "tmx", alpha = 0.5, share = 0.5)
       .select("id").collect().map(_.getLong(0)).toSet
     assert(ids1 == ids2)
+    // a NULL group is a group: the null-safe targets join must realize
+    // its n_target instead of silently dropping every null-group row
+    val withNull = (1L to 40L)
+      .map(i => (i, if (i <= 30) "x" else null)).toDF("id", "lang")
+    val nullKept = Sampling
+      .temperatureSample(withNull, "lang", "id", "tmx",
+        alpha = 1.0, share = 1.0)
+      .filter(col("lang").isNull).count()
+    assert(nullKept == 10L, s"null group must keep its 10 rows, got " +
+      s"$nullKept")
   }
 
   test("repetitionStats: type-token ratio and top-bigram share") {

@@ -898,6 +898,38 @@ object NorthStarQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ANN self-evaluation: per-query recall@5 of the residual IVF-PQ
+    // path against the exact brute-force baseline, over a deterministic
+    // 20% hash-sampled query panel — the index-quality monitor a
+    // production retrieval deployment alerts on (the corpus side stays
+    // exact; the panel bounds the brute-force probe side, which is the
+    // only honest way to afford ground truth at scale). Both sides are
+    // deterministic (6dp ties broken by id, capped candidate rule), so
+    // the recall fractions themselves sit inside the hash-exact gate.
+    "q_ann_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val panel = Sampling.deterministicSample(emb, "vec_id", "recall", 20)
+        .select(col("vec_id"), col("embedding"))
+      val bucketed = Similarity.kmeansBuckets(emb, "vec_id", "embedding",
+        k = 8, iters = 2, bucketCol = "kb")
+      val approx = Similarity.ivfPqResTopK(bucketed, "vec_id", "embedding",
+          "kb", k = 5, nProbe = 2, dim = 64, m = 4, kSub = 16, iters = 1,
+          overfetch = 3, maxBucket = 40)
+        .join(panel.select(col("vec_id").as("query_id")), Seq("query_id"),
+          "left_semi")
+      val exact = Similarity.bruteForceTopK(panel, emb, "vec_id",
+        "embedding", k = 5)
+      exact
+        .join(approx.select(col("query_id"), col("neighbor_id"),
+          lit(1L).as("hit")), Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+        .withColumn("recall", ground(col("n_hit").cast("double") /
+          col("n_exact").cast("double"), 6))
+        .orderBy(col("query_id"))
+    }),
+
     // External-query retrieval — the serve-time contract: the index
     // (cells, cell means, residual codebooks, codes) is built from the
     // even-id CORPUS half only; the odd-id QUERY half probes it without
@@ -1772,6 +1804,36 @@ object NorthStarQueries {
     // score over four sub-Lloyd reconstructions. See ivfPqOracleSql.
     "q_ann_ivf_pq" -> ivfPqOracleSql,
     "q_ann_ivf_pq_res" -> ivfPqResOracleSql,
+    "q_ann_recall" ->
+      s"""WITH ap AS (
+         |${ivfPqResOracleSql}
+         |), pe AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |  WHERE ${sqlBucket("recall", "vec_id")} < 20
+         |), ce AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |), sc AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(list_inner_product(q.v, c.v) /
+         |      (NULLIF(sqrt(list_inner_product(q.v, q.v)), 0) *
+         |       NULLIF(sqrt(list_inner_product(c.v, c.v)), 0)) + 1e-9, 6)
+         |      AS cosine
+         |  FROM pe q JOIN ce c ON q.vec_id <> c.vec_id
+         |), ex AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cosine DESC, neighbor_id) AS rank
+         |    FROM sc) WHERE rank <= 5
+         |)
+         |SELECT ex.query_id, count(*) AS n_exact,
+         |  CAST(sum(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hit,
+         |  round(sum(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    / count(*) + 1e-9, 6) AS recall
+         |FROM ex LEFT JOIN ap ON ap.query_id = ex.query_id
+         |  AND ap.neighbor_id = ex.neighbor_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_ann_search" -> ivfPqResSearchOracleSql,
     "q_hard_negatives" -> hardNegativesOracleSql,
 

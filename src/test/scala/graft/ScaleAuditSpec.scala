@@ -85,7 +85,13 @@ class ScaleAuditSpec extends SparkSpec {
     "q_temperature_mix" ->
       ("1-row normalizer/total frame (Σ n^α, Σ n) broadcast under the " +
         "|groups|-row counts frame — a scalar attach; realization joins " +
-        "the |groups|-row targets by equi-key"))
+        "the |groups|-row targets by equi-key"),
+    "q_ann_recall" ->
+      ("recall evaluation: the exact-baseline cross join's probe side is " +
+        "the 20% hash-sampled query panel (bounded before the join — the " +
+        "only honest way to afford ground truth at scale), plus " +
+        "q_ann_ivf_pq_res's inherited centroid-codebook broadcast; the " +
+        "hit join is equi-key"))
 
   /** Queries allowed a single-partition window, with the tiny-frame bound.
     * Currently NONE: every window on the surface rides a hash-partitioned

@@ -33,6 +33,10 @@ object NbClassifier {
     */
   def trainScore(train: DataFrame, score: DataFrame, textCol: String,
                  idCol: String, labelCol: String): DataFrame = {
+    // fail fast on the clearly-wrong call: an empty training frame would
+    // otherwise flow NULL class totals into every scored margin
+    require(!train.isEmpty,
+      "NbClassifier.trainScore: training frame is empty")
     val tfTrain = TextAnalysis
       .termFreq(train.select(col(idCol), col(textCol)), textCol, idCol,
         cached = false)
@@ -44,8 +48,12 @@ object NbClassifier {
         sum(when(!col("__lbl"), col("c")).otherwise(lit(0L))).as("c_neg"))
     // corpus scalars in ONE 1-row frame: class token totals, vocab size,
     // class doc counts (for the prior) — cross-joined, never collected
+    // a non-empty but token-less training frame (all-blank texts) yields
+    // an empty classTok: coalesce the totals to 0 and floor v at 1 in
+    // lw() below, so every doc scores at the prior margin instead of NaN
     val stats = classTok
-      .agg(sum(col("c_pos")).as("tot_pos"), sum(col("c_neg")).as("tot_neg"),
+      .agg(coalesce(sum(col("c_pos")), lit(0L)).as("tot_pos"),
+        coalesce(sum(col("c_neg")), lit(0L)).as("tot_neg"),
         count(lit(1)).as("v"))
       .crossJoin(train.agg(
         // same boolean cast as the token counts above — a 0/1 integer
@@ -59,7 +67,7 @@ object NbClassifier {
         cached = false)
     def lw(cnt: Column, tot: Column): Column =
       log((coalesce(cnt, lit(0L)) + lit(1L)).cast("double") /
-        (tot + col("v")).cast("double"))
+        (tot + greatest(col("v"), lit(1L))).cast("double"))
     tfScore
       .join(broadcast(classTok), Seq("t"), "left")
       .crossJoin(broadcast(stats))

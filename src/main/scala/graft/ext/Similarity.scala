@@ -990,7 +990,11 @@ object Similarity {
     * positive is pulled down the frame with `first() OVER`).
     */
   def hardNegatives(retrieved: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    // neighbor_id tie-break: a single top-k output has unique ranks, but
+    // an input that bends the contract (e.g. a union of two retrievals)
+    // must still pick a deterministic positive among tied rank-1 rows
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rank"), col("neighbor_id"))
     retrieved
       .withColumn("pos_id", first(col("neighbor_id")).over(w))
       .withColumn("pos_cosine", first(col("cosine")).over(w))

@@ -88,13 +88,17 @@ object PipelineQueries {
       val docs = Tables.documents(s, dir)
       val targets = Sampling.temperatureTargets(docs, "lang",
         alpha = 0.5, share = 0.5)
+      // the join-back is null-safe (<=>, mirrored by IS NOT DISTINCT FROM
+      // in the oracle) so a NULL-lang group — which the operator samples
+      // like any other — survives the query-level realization too
       val kept = Sampling
         .temperatureSampleWith(docs, targets, "lang", "doc_id",
           salt = "temp")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_kept_doc"))
+        .withColumnRenamed("lang", "__klang")
       targets
-        .join(kept, Seq("lang"), "left")
+        .join(kept, col("lang") <=> col("__klang"), "left")
         .select(col("lang"), col("n_docs"), col("w_temp"), col("n_target"),
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           col("min_kept_doc"))
@@ -557,12 +561,13 @@ object PipelineQueries {
          |  FROM documents
          |), k AS (
          |  SELECT r.lang, count(*) AS n_kept, min(doc_id) AS min_kept_doc
-         |  FROM r JOIN tt USING (lang)
+         |  FROM r JOIN tt ON r.lang IS NOT DISTINCT FROM tt.lang
          |  WHERE samp_rank <= n_target GROUP BY 1
          |)
          |SELECT tt.lang, n_docs, w_temp, n_target,
          |  coalesce(n_kept, 0) AS n_kept, min_kept_doc
-         |FROM tt LEFT JOIN k USING (lang) ORDER BY lang""".stripMargin,
+         |FROM tt LEFT JOIN k ON tt.lang IS NOT DISTINCT FROM k.lang
+         |ORDER BY tt.lang""".stripMargin,
 
     "q_funnel" ->
       """WITH e AS (

@@ -101,6 +101,29 @@ class CorpusOpsSpec extends SparkSpec {
       .trainScore(intLbl, heldOut, "text", "doc_id", "lbl")
       .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
     assert(ri == r.map { case (k, v) => k -> v._1 })
+    // an empty training frame fails fast instead of flowing NULL class
+    // totals into every margin
+    val emptyTrain = Seq.empty[(Long, String, Boolean)]
+      .toDF("doc_id", "text", "lbl")
+    val ex = intercept[IllegalArgumentException] {
+      graft.ext.NbClassifier
+        .trainScore(emptyTrain, heldOut, "text", "doc_id", "lbl")
+    }
+    assert(ex.getMessage.contains("training frame is empty"))
+    // a non-empty but TOKEN-LESS training frame (all-NULL texts — a blank
+    // "" still tokenizes to one empty-string token, NULL drops the row in
+    // explode) is the documented degenerate model: empty vocabulary,
+    // every doc scores at the prior margin — finite, not NaN
+    val blank = Seq((1L, null, true), (2L, null, false), (3L, null, false))
+      .map { case (i, t, l) => (i, t: String, l) }
+      .toDF("doc_id", "text", "lbl")
+    val rb = graft.ext.NbClassifier
+      .trainScore(blank, heldOut, "text", "doc_id", "lbl")
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    val prior = math.log((1 + 1.0) / (2 + 1.0)) // ln((n_pos+1)/(n_neg+1))
+    assert(rb.values.forall(m => !m.isNaN && !m.isInfinite))
+    assert(rb.values.forall(m => math.abs(m - prior) < 1e-6),
+      s"token-less training must score every doc at the prior, got $rb")
   }
 
   test("Spread.cpu widens an under-split scan, skips shuffled/streaming") {

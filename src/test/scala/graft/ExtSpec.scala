@@ -1027,6 +1027,16 @@ class SimilaritySpec extends SparkSpec {
     assert(neg.groupBy("query_id").count().collect()
       .forall(_.getLong(1) == 3L))
     assert(neg.filter(col("margin") < 0).count() == 0)
+    // contract-bending input: duplicate rank values (a union of two
+    // retrievals) — the neighbor_id tie-break makes the positive pick
+    // deterministic: lowest neighbor_id among tied rank-1 rows
+    val tied = Seq(
+      (30L, 7L, 0.9, 1L), (30L, 6L, 0.9, 1L), (30L, 8L, 0.4, 2L))
+      .toDF("query_id", "neighbor_id", "cosine", "rank")
+    val tr = Similarity.hardNegatives(tied).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(tr == Set((6L, 7L), (6L, 8L)),
+      s"tied rank-1 must resolve to neighbor_id 6, got $tr")
   }
 }
 

@@ -152,6 +152,31 @@ class PipelineOpsSpec extends SparkSpec {
       s"$nullKept")
   }
 
+  test("temperature mix query shape: NULL group survives the null-safe " +
+    "join-back (the q_temperature_mix composition)") {
+    // the query-level realization joins targets back to the realized
+    // per-group counts; both that join and its DuckDB oracle twin are
+    // null-safe (<=> / IS NOT DISTINCT FROM), so a NULL group reports a
+    // realized n_kept instead of a zeroed left-join miss
+    val withNull = (1L to 40L)
+      .map(i => (i, if (i <= 30) "x" else null)).toDF("id", "lang")
+    val targets = Sampling.temperatureTargets(withNull, "lang",
+      alpha = 1.0, share = 1.0)
+    val kept = Sampling
+      .temperatureSampleWith(withNull, targets, "lang", "id", salt = "tmx")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"))
+      .withColumnRenamed("lang", "__klang")
+    val out = targets.join(kept, col("lang") <=> col("__klang"), "left")
+      .select(col("lang"), col("n_target"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .collect().map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(Some("x")) == ((30L, 30L)))
+    assert(out(None) == ((10L, 10L)),
+      s"NULL group must realize through the join-back, got ${out(None)}")
+  }
+
   test("repetitionStats: type-token ratio and top-bigram share") {
     val docs = Seq(
       (1L, "spam spam spam spam"),     // 4 tokens, 1 distinct, top bigram 3×

@@ -72,20 +72,28 @@ object Tables {
     *    session runs in UTC, so the cast is a re-label, matching DuckDB's
     *    naive read of the same file).
     *
-    * SESSION-WIDE SIDE EFFECT (deliberate): `nanosAsLong` must be set
-    * BEFORE schema resolution — a NANOS file throws PARQUET_TYPE_ILLEGAL at
-    * read time otherwise, so the dispatch could never see LongType. The
-    * conf is a no-op for non-nanos columns and stays set for the session;
-    * save-and-restore would be WRONG because the scan re-consults the conf
-    * lazily at action time. Callers needing pristine semantics for other
-    * nanos files should use a separate session (`spark.newSession()`).
+    * The NANOS case needs `spark.sql.legacy.parquet.nanosAsLong` set
+    * BEFORE schema resolution (the file throws PARQUET_TYPE_ILLEGAL
+    * otherwise, so the dispatch could never see LongType) — and the scan
+    * re-consults the conf lazily at action time, so save-and-restore on
+    * the caller's session would be WRONG. Containment: the caller's
+    * session is NEVER mutated. Schema resolution is first attempted with
+    * the caller's own conf (micros eras and raw-BIGINT ScaleGen output —
+    * every current fixture — resolve cleanly, zero side effect); only a
+    * genuinely NANOS-annotated file falls back to a memoized child
+    * session (`spark.newSession()`, one per caller session) that carries
+    * the legacy conf for its whole lifetime, so the lazy conf re-reads
+    * stay consistent without ever touching the parent. The returned frame
+    * then rides the child session — fine for DataFrame composition with
+    * parent frames (the scan captures its own session), but
+    * `createOrReplaceTempView` on it would land in the CHILD catalog;
+    * SQL-first users on a legacy nanos fixture should run against the
+    * frame, not a view.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = t(spark, dir, "events")
-    raw.schema("ts").dataType match {
+    def shim(raw: DataFrame): DataFrame = raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts",
           expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
@@ -98,7 +106,41 @@ object Tables {
             "parquet TIMESTAMP(NANOS) (as BIGINT via nanosAsLong), " +
             "TIMESTAMP_NTZ, or TIMESTAMP")
     }
+    // Dataset creation analyzes eagerly, so the PARQUET_TYPE_ILLEGAL from
+    // a NANOS file throws from the read call itself — wrap the whole probe
+    val raw =
+      try { val r = t(spark, dir, "events"); r.schema; Some(r) }
+      catch {
+        case e: Exception
+          if String.valueOf(e.getMessage).contains("NANOS") &&
+            String.valueOf(e.getMessage).toLowerCase.contains("parquet") =>
+          None
+      }
+    raw match {
+      case Some(r) => shim(r)
+      case None =>
+        shim(t(nanosSessions.computeIfAbsent(spark, newNanosSession), dir,
+          "events"))
+    }
   }
+
+  /** One legacy-conf child session per caller session (weak keys — a
+    * stopped parent drops its entry). The child inherits the parent's
+    * BUILDER-time confs (timezone, shuffle partitions, AQE) via
+    * `newSession()`; runtime-set confs do not carry over, which is exactly
+    * the isolation wanted here.
+    */
+  private val nanosSessions =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, SparkSession]())
+  private val newNanosSession =
+    new java.util.function.Function[SparkSession, SparkSession] {
+      def apply(parent: SparkSession): SparkSession = {
+        val c = parent.newSession()
+        c.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        c
+      }
+    }
   def lineitem(spark: SparkSession, dir: String): DataFrame   = t(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = t(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame   = t(spark, dir, "customer")

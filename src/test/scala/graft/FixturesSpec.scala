@@ -50,6 +50,11 @@ class FixturesSpec extends SparkSpec {
       ("user_id", numeric, "numeric key"),
       ("event_type", stringy, "string"))
     assert(df.limit(1).count() == 1, "events: empty or unreadable")
+    // containment contract: an events read NEVER mutates the caller's
+    // session — the legacy nanosAsLong conf lives in a child session only
+    assert(spark.conf
+      .get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true",
+      "Tables.events leaked nanosAsLong into the caller's session")
   }
 
   test("events: nanos-era files still read through the legacy shim branch") {
@@ -79,6 +84,68 @@ class FixturesSpec extends SparkSpec {
       .map(_.getString(0)).toSeq
     assert(got == Seq("2024-01-01 12:00:00", "2024-01-01 12:00:01",
       "2024-01-01 12:00:02"), s"nanos shim arithmetic drifted: $got")
+    assert(spark.conf
+      .get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true",
+      "a BIGINT-ts read must not touch the caller's session conf")
+  }
+
+  test("events: NANOS-annotated files read through an isolated child " +
+    "session; the caller's session stays pristine") {
+    // a REAL parquet TIMESTAMP(NANOS) column (the round-≤7 fixture era) —
+    // Spark cannot write one, so build it with parquet-mr directly. The
+    // unconf'd read throws at schema resolution; Tables.events must fall
+    // back to its memoized nanosAsLong child session, shim ts to
+    // TIMESTAMP_NTZ, and leave the caller's conf untouched.
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.spark.sql.functions._
+    val schema = Types.buildMessage()
+      .required(INT64).named("event_id")
+      .required(INT64).as(LogicalTypeAnnotation.timestampType(false,
+        LogicalTypeAnnotation.TimeUnit.NANOS)).named("ts")
+      .required(INT64).named("user_id")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType())
+        .named("event_type")
+      .required(DOUBLE).named("value")
+      .named("events")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nanos-ann")
+      .toString
+    val w = ExampleParquetWriter
+      .builder(new Path(s"$tmp/events.parquet/part-00000.parquet"))
+      .withType(schema).build()
+    val microsOfNoon = 1704110400000000L // 2024-01-01 12:00:00 UTC
+    val gf = new SimpleGroupFactory(schema)
+    try (0 until 3).foreach { i =>
+      val g = gf.newGroup()
+      g.append("event_id", i.toLong)
+      g.append("ts", microsOfNoon * 1000L + i * 1000000000L)
+      g.append("user_id", i.toLong)
+      g.append("event_type", "purchase")
+      g.append("value", 1.5)
+      w.write(g)
+    } finally w.close()
+    val df = graft.io.Tables.events(spark, tmp)
+    assert(df.schema("ts").dataType == TimestampNTZType,
+      s"NANOS branch did not produce TIMESTAMP_NTZ: ${df.schema("ts")}")
+    val got = df.orderBy("event_id")
+      .select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")).collect()
+      .map(_.getString(0)).toSeq
+    assert(got == Seq("2024-01-01 12:00:00", "2024-01-01 12:00:01",
+      "2024-01-01 12:00:02"), s"NANOS-era arithmetic drifted: $got")
+    assert(spark.conf
+      .get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true",
+      "Tables.events leaked nanosAsLong into the caller's session")
+    // the child-session frame must compose with PARENT-session frames:
+    // a parent-driven join + collect re-consults the scan's conf at
+    // action time — it must see the child's conf, not the parent's
+    val users = spark.range(3).select(col("id").as("user_id"),
+      lit("u").as("tag"))
+    val joined = users.join(df, "user_id")
+    assert(joined.count() == 3,
+      "cross-session composition of the NANOS-era frame broke")
   }
 
   test("documents: doc_id/text/source/lang as expected") {

@@ -580,22 +580,33 @@ object RelationalQueries {
     // partitioning — the loop unrolls in the driver while all data stays
     // distributed; the oracle unrolls the same 3 steps as CTEs.
     "q_pagerank3" -> ((s, dir) => {
-      // cache: the edge list and the node set drive every iteration
+      // cache: the edge list feeds the degree aggregate AND the weighted
+      // build; the node set drives the count and all 3 teleport joins
       val edges = guardedEdges(s, dir).cache()
       val nodes = incidence(s, dir)
         .select(col("pk").as("node")).distinct().cache()
       val n = nodes.count()
-      // pre-divide each edge's contribution weight ONCE (r rides through
-      // as a multiplier) and cache: uncached, the deg aggregate and edge
-      // join would replay inside every iteration of the growing lineage
+      // Plan shape (r10→r11 rework, measured in SCALING.md): everything
+      // node-sized — the degree frame and each iteration's rank frame —
+      // is BROADCAST (nodes here are the part dimension, broadcastable by
+      // the same logic as every dim join; for a web-scale node set flip
+      // the iteration join to the src-partitioned shuffle shape), and the
+      // edge-sized `weighted` frame is cached PRE-PARTITIONED BY dst, so
+      // each iteration is: broadcast-hash-join (no edge shuffle) →
+      // groupBy(dst) whose exchange is already satisfied by the cache's
+      // partitioning. Zero edge-sized shuffles per iteration, vs 1–2 in
+      // the r10 shape; the whole 3-step unroll is ONE linear-lineage job
+      // (each iteration's subplan appears exactly once), so the
+      // per-iteration cache+count materializations are gone too.
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      val weighted = edges.join(deg, "src")
+      val weighted = edges.join(broadcast(deg), "src")
         .select(col("src"), col("dst"), (lit(1.0) / col("d")).as("w"))
+        .repartition(col("dst"))
         .cache()
       var r = nodes.withColumn("r", lit(1.0 / n))
-      for (i <- 1 to 3) {
+      for (_ <- 1 to 3) {
         val contrib = weighted
-          .join(r.withColumnRenamed("node", "src"), "src")
+          .join(broadcast(r.withColumnRenamed("node", "src")), "src")
           .groupBy(col("dst"))
           .agg(sum(col("r") * col("w")).as("in_sum"))
         r = nodes.join(contrib.withColumnRenamed("dst", "node"),
@@ -603,10 +614,6 @@ object RelationalQueries {
           .select(col("node"),
             (lit(0.15 / n) + lit(0.85) * coalesce(col("in_sum"), lit(0.0)))
               .as("r"))
-        // materialize each iteration: the node-sized rank frame is tiny,
-        // and an uncached 3-deep lineage re-executes earlier iterations'
-        // joins inside later ones
-        if (i < 3) { r = r.cache(); r.count() }
       }
       r.select(col("node"), ground(col("r") * 1e4, 6).as("rank1e4"))
         .orderBy(col("rank1e4").desc, col("node"))

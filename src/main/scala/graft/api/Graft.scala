@@ -310,6 +310,16 @@ object Graft {
                nMerges: Int): (Seq[Bpe.Merge], DataFrame) =
     Bpe.train(docs, textCol, nMerges)
 
+  /** Batched BPE training — up to `batch` symbol-disjoint merges per
+    * iteration (~batch× fewer driver round-trips; the production shape
+    * for 32k-merge vocabularies — ~9× sustained merges/sec measured at
+    * B=16 over 500k docs, SCALING.md round 11). Iteration-based contract;
+    * see [[graft.ext.Bpe.trainBatched]] for the selection rule.
+    */
+  def bpeTrainBatched(docs: DataFrame, textCol: String, nIters: Int,
+                      batch: Int): (Seq[Bpe.Merge], DataFrame) =
+    Bpe.trainBatched(docs, textCol, nIters, batch)
+
   /** Per-document token counts under a trained BPE dictionary (broadcast
     * segmentation join) — the frame [[packContexts]]-style offset packing
     * consumes. `carryCols` ride through (e.g. the packing stream key).

@@ -107,6 +107,87 @@ object Bpe {
     (merges.result(), dict)
   }
 
+  /** Batched merge training — the production-vocabulary shape: `train`
+    * pays one job + one 1-row collect PER MERGE (32k sequential driver
+    * round-trips at a 32k-merge production vocabulary), this variant
+    * applies up to `batch` NON-CONFLICTING merges per iteration, cutting
+    * driver round-trips ~batch×. Contract differences from [[train]],
+    * both deliberate so the DuckDB oracle can replay it non-recursively:
+    *
+    *  - iteration-based: runs exactly `nIters` iterations (early-stops
+    *    only when no pair remains), yielding UP TO `nIters · batch`
+    *    merges — a fixed unroll depth the oracle mirrors 1:1;
+    *  - selection rule: rank this iteration's pair counts by
+    *    (count desc, left asc, right asc); a candidate within the top
+    *    `candPool · batch` pool is selected iff it shares NO symbol with
+    *    ANY higher-ranked pool candidate (selected or not — stricter
+    *    than greedy, but expressible as one window + anti-join instead
+    *    of a recursive scan); the first `batch` survivors merge, applied
+    *    in rank order (they are symbol-disjoint, so sequential equals
+    *    simultaneous).
+    *
+    * Batch-BPE is a documented approximation of sequential BPE: a merge
+    * created THIS iteration (e.g. `(x, ab)` after `(a,b)`) cannot win
+    * until the next iteration, so rule order may differ from `train`'s
+    * beyond the first batch. Determinism is unchanged — counts are exact
+    * integers, ties break lexically, and the whole loop replays in SQL.
+    */
+  def trainBatched(docs: DataFrame, textCol: String, nIters: Int,
+                   batch: Int, candPool: Int = 4): (Seq[Merge], DataFrame) = {
+    require(nIters > 0 && batch > 0 && candPool > 0,
+      s"nIters=$nIters, batch=$batch, candPool=$candPool must be positive")
+    var dict = CacheScope.cache(wordDict(docs, textCol))
+    val merges = Seq.newBuilder[Merge]
+    var rank = 1
+    var iter = 0
+    var exhausted = false
+    while (iter < nIters && !exhausted) {
+      val arr = split(trim(col("syms")), Sep)
+      val pool = dict
+        .select(col("freq"), arr.as("arr"))
+        .filter(size(col("arr")) >= 2)
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), size(col("arr")) - 1),
+          i => struct(element_at(col("arr"), i).as("a"),
+            element_at(col("arr"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(candPool * batch).collect()
+      if (pool.isEmpty) exhausted = true
+      else {
+        // a pool candidate survives iff it conflicts with NO higher-ranked
+        // pool candidate — the same non-recursive rule the oracle runs
+        val selected = Seq.newBuilder[(String, String, Long)]
+        var nSel = 0
+        for (idx <- pool.indices if nSel < batch) {
+          val (a, b) = (pool(idx).getString(0), pool(idx).getString(1))
+          val clash = (0 until idx).exists { j =>
+            val (ha, hb) = (pool(j).getString(0), pool(j).getString(1))
+            ha == a || ha == b || hb == a || hb == b
+          }
+          if (!clash) {
+            selected += ((a, b, pool(idx).getLong(2)))
+            nSel += 1
+          }
+        }
+        val sel = selected.result()
+        sel.foreach { case (a, b, cnt) =>
+          merges += Merge(rank, a, b, a + b, cnt)
+          rank += 1
+        }
+        val next = CacheScope.cache(sel.foldLeft(dict) {
+          case (d, (a, b, _)) => d.withColumn("syms",
+            replace(col("syms"), lit(s" $a$Sep$b "), lit(s" ${a + b} ")))
+        })
+        dict.unpersist()
+        dict = next
+        iter += 1
+      }
+    }
+    (merges.result(), dict)
+  }
+
   /** Per-document BPE token counts under a trained dictionary — the
     * handoff from tokenizer training to sequence packing: each doc's
     * words join the dictionary's segmentation broadcast-side and the

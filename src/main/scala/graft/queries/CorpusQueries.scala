@@ -20,6 +20,13 @@ object CorpusQueries {
     * (rank-8 merges a rank-≤7 product on both test corpora). */
   private val BpeMerges = 8
 
+  /** Batched-BPE shape for `q_bpe_batch`: 3 iterations × up to 4 merges
+    * from a 16-candidate pool — small enough for [[bpeBatchCtes]] to
+    * unroll, deep enough that the conflict rule actually excludes pairs
+    * on both test corpora. */
+  private val BpeBatchIters = 3
+  private val BpeBatch = 4
+
   /** One BPE training per (session, sfDir): `q_bpe_vocab` reports the
     * merge rules and `q_bpe_encode` tokenizes the corpus under the same
     * rules — retraining per query would double the iteration jobs for no
@@ -83,6 +90,20 @@ object CorpusQueries {
       graft.ext.Packing.packSummary(packed, Seq("lang"), "doc_id",
           "n_tokens")
         .orderBy(col("lang"), col("pack_id"))
+    }),
+
+    // Batched BPE training (the production-vocabulary driver-round-trip
+    // cut): 3 iterations of up to 4 symbol-disjoint merges from a ranked
+    // 16-candidate pool — the whole loop, pool ranking, conflict
+    // exclusion, and batch application replayed non-recursively by the
+    // oracle. Ranks are global (iteration, selection) order.
+    "q_bpe_batch" -> ((s, dir) => {
+      import s.implicits._
+      Bpe.trainBatched(Tables.documents(s, dir), "text",
+          nIters = BpeBatchIters, batch = BpeBatch)._1
+        .map(m => (m.rank, m.leftSym, m.rightSym, m.merged, m.pairCount))
+        .toDF("rank", "left_sym", "right_sym", "merged", "pair_count")
+        .orderBy(col("rank"))
     }),
 
     // Span-level corpus dedup: every doc loses spans whose corpus document
@@ -283,7 +304,78 @@ object CorpusQueries {
     (head +: steps).mkString(",\n")
   }
 
+  /** Unrolled BATCHED-BPE loop for the oracle — one CTE quartet per
+    * iteration: pair counts `p{i}`, the ranked candidate pool `c{i}`
+    * (top `poolSize` by count desc, pair asc), conflict-free survivors
+    * `s{i}` (a candidate survives iff NO higher-ranked pool member
+    * shares a symbol — [[graft.ext.Bpe.trainBatched]]'s non-recursive
+    * rule), the batch `b{i}` (first `batch` survivors), and the merged
+    * dictionary `d{i}` applying the batch as `batch` nested replaces —
+    * absent slots no-op through a never-matching chr(1) pattern, which
+    * also makes exhaustion (empty pools) replay exactly.
+    */
+  private def bpeBatchCtes(nIters: Int, batch: Int): String = {
+    val poolSize = 4 * batch
+    val head =
+      """WITH w AS MATERIALIZED (
+        |  SELECT unnest(string_split_regex(trim(text), ' +')) AS word
+        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+        |),
+        |d0 AS MATERIALIZED (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+        |    ' ' || array_to_string(string_split(word, ''), '  ') || ' '
+        |      AS syms
+        |  FROM w GROUP BY 1
+        |)""".stripMargin
+    val steps = (1 to nIters).map { i =>
+      val replaces = (1 to batch).foldLeft("syms") { (inner, j) =>
+        s"""replace($inner,
+           |      coalesce((SELECT ' ' || a || '  ' || b || ' '
+           |                FROM b$i WHERE sel_rank = $j), chr(1)),
+           |      coalesce((SELECT ' ' || ab || ' '
+           |                FROM b$i WHERE sel_rank = $j), ''))""".stripMargin
+      }
+      s"""p$i AS MATERIALIZED (
+         |  SELECT arr[i] AS a, arr[i+1] AS b,
+         |    CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT string_split(trim(syms), '  ') AS arr, freq
+         |        FROM d${i - 1}),
+         |       unnest(generate_series(1, len(arr)-1)) AS t(i)
+         |  GROUP BY 1, 2
+         |),
+         |c$i AS MATERIALIZED (
+         |  SELECT a, b, a || b AS ab, cnt,
+         |    row_number() OVER (ORDER BY cnt DESC, a, b) AS r
+         |  FROM p$i ORDER BY cnt DESC, a, b LIMIT $poolSize
+         |),
+         |b$i AS MATERIALIZED (
+         |  SELECT a, b, ab, cnt, sel_rank FROM (
+         |    SELECT a, b, ab, cnt,
+         |      row_number() OVER (ORDER BY r) AS sel_rank
+         |    FROM c$i c
+         |    WHERE NOT EXISTS (SELECT 1 FROM c$i h WHERE h.r < c.r
+         |      AND (h.a IN (c.a, c.b) OR h.b IN (c.a, c.b)))
+         |  ) WHERE sel_rank <= $batch
+         |),
+         |d$i AS MATERIALIZED (
+         |  SELECT word, freq,
+         |    $replaces AS syms
+         |  FROM d${i - 1}
+         |)""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
+
   val oracles: Map[String, String] = Map(
+
+    "q_bpe_batch" -> (bpeBatchCtes(BpeBatchIters, BpeBatch) + "\n" +
+      s"""SELECT CAST(row_number() OVER (ORDER BY it, sel_rank) AS INT)
+         |    AS rank,
+         |  a AS left_sym, b AS right_sym, ab AS merged, cnt AS pair_count
+         |FROM (${(1 to BpeBatchIters)
+          .map(i => s"SELECT $i AS it, * FROM b$i")
+          .mkString(" UNION ALL ")})
+         |ORDER BY rank""".stripMargin),
 
     "q_bpe_vocab" -> (bpeCtes(BpeMerges) + "\n" +
       s"""SELECT CAST(rank AS INT) AS rank, a AS left_sym, b AS right_sym,

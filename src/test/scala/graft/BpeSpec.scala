@@ -121,6 +121,43 @@ class BpeSpec extends SparkSpec {
       Seq((1L, "en", 6L), (2L, "en", 2L)))
   }
 
+  test("trainBatched: batch=1 reproduces sequential train exactly") {
+    // with batch=1 the pool rule degenerates to the argmax: rank-1 never
+    // conflicts, the cap stops after it — so the batched trainer is a
+    // strict generalization of the sequential one
+    val docs = Seq((1L, "abc abc abc xy xy zq")).toDF("doc_id", "text")
+    val seq = Bpe.train(docs, "text", 4)._1
+    val bat = Bpe.trainBatched(docs, "text", nIters = 4, batch = 1)._1
+    assert(seq == bat)
+  }
+
+  test("trainBatched: disjoint pairs merge together, conflicting pairs " +
+    "wait for the next iteration") {
+    // counts: (a,b)=6, (c,d)=4, (b,c)=3 — (b,c) shares 'b' with the
+    // higher-ranked (a,b) and 'c' with (c,d), so one iteration of
+    // batch=4 selects exactly {(a,b),(c,d)}; the merged dict then shows
+    // both applied simultaneously
+    val docs = Seq((1L, "ab ab ab ab ab abcd cd cd cd"))
+      .toDF("doc_id", "text")
+    val (ms, dict) = Bpe.trainBatched(docs, "text", nIters = 1, batch = 4)
+    assert(ms.map(m => (m.rank, m.merged, m.pairCount)) ==
+      Seq((1, "ab", 6L), (2, "cd", 4L)),
+      s"selection drifted: $ms")
+    assert(dictOf(dict)("abcd")._2 == " ab  cd ")
+    // a second iteration is then free to merge the (ab, cd) product
+    val (ms2, dict2) = Bpe.trainBatched(docs, "text", nIters = 2, batch = 4)
+    assert(ms2.map(_.merged) == Seq("ab", "cd", "abcd"))
+    assert(dictOf(dict2)("abcd")._2 == " abcd ")
+  }
+
+  test("trainBatched: exhaustion stops the loop early, ranks stay global") {
+    val docs = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    val (ms, dict) = Bpe.trainBatched(docs, "text", nIters = 10, batch = 2)
+    // (a,b) and (c,d) are disjoint -> ONE iteration fuses both words
+    assert(ms.map(m => (m.rank, m.merged)) == Seq((1, "ab"), (2, "cd")))
+    assert(dictOf(dict).values.forall(_._2.count(_ == ' ') == 2))
+  }
+
   test("q_bpe_vocab merges are deterministic across reruns on sf0.001") {
     val q = SparkEntry.queries("q_bpe_vocab")
     val a = q(spark, TestSpark.sf0001).collect().map(_.toSeq)

@@ -106,6 +106,22 @@ object Graft {
       maxBucket = maxBucket)
   }
 
+  /** Learned coarse-quantizer cells as a column — the bucketing step every
+    * `annTopK*` path runs internally, exposed for callers composing the
+    * bucket-level operators directly. `trainFraction` < 1 learns the
+    * centers from a deterministic hash sample of the corpus while still
+    * assigning every row (the 100 TB codebook posture — a 0.1 fraction
+    * trains ~3× faster at parity recall on clustered data; SCALING.md
+    * round 11).
+    */
+  def vectorCells(vectors: DataFrame, idCol: String, vecCol: String,
+                  nBuckets: Int = 0, iters: Int = 2,
+                  trainFraction: Double = 1.0,
+                  cellCol: String = "cell"): DataFrame =
+    Similarity.kmeansBuckets(vectors, idCol, vecCol,
+      k = resolveBuckets(vectors, nBuckets), iters = iters,
+      bucketCol = cellCol, trainFraction = trainFraction)
+
   /** [[annTopK]] with multi-probe recall: each query probes its `nProbe`
     * nearest learned cells (centroid-codebook ranking) instead of only its
     * own, recovering neighbors that straddle a cell boundary. Same output
@@ -151,13 +167,20 @@ object Graft {
 
   /** The FAISS-IVFPQ composition: learned quantizer → multi-probe
     * candidate generation → product-quantized SDC scoring (m small codes
-    * per candidate through the shuffle — 32× less than floats at
-    * m=4/kSub=16) → exact float re-rank. Same output schema. The shape for
-    * corpora where even [[annTopKIvfSq8]]'s int8 codes dominate the
-    * candidate shuffle.
+    * per candidate through the shuffle) → exact float re-rank. Same
+    * output schema. The shape for corpora where even [[annTopKIvfSq8]]'s
+    * int8 codes dominate the candidate shuffle.
+    *
+    * The PQ family defaults to `m = 8` (4-byte codes at kSub=16;
+    * requires `dim % m == 0`): the round-10 recall monitor diagnosed
+    * m=4's 2-byte codes as code-bound, and the round-11 RecallTune sweep
+    * measured m=8 at +31–44% recall over m=4 for 2 extra bytes, with
+    * m=16 approaching SQ8 recall at 1/8 its code size (SCALING.md
+    * recall-vs-(m, nProbe) table — the documented tuning loop when the
+    * `annRecall`-style monitor alerts).
     */
   def annTopKIvfPq(vectors: DataFrame, idCol: String, vecCol: String,
-                   k: Int, dim: Int, nProbe: Int = 2, m: Int = 4,
+                   k: Int, dim: Int, nProbe: Int = 2, m: Int = 8,
                    kSub: Int = 16, overfetch: Int = 3, nBuckets: Int = 0,
                    maxBucket: Int = 4096): DataFrame = {
     val bucketed = Similarity.kmeansBuckets(vectors, idCol, vecCol,
@@ -177,7 +200,7 @@ object Graft {
     * don't fit the candidate shuffle.
     */
   def annTopKPq(vectors: DataFrame, idCol: String, vecCol: String, k: Int,
-                dim: Int, m: Int = 4, kSub: Int = 16, overfetch: Int = 3,
+                dim: Int, m: Int = 8, kSub: Int = 16, overfetch: Int = 3,
                 nBuckets: Int = 0, maxBucket: Int = 4096): DataFrame = {
     val bucketed = Similarity.kmeansBuckets(vectors, idCol, vecCol,
       k = resolveBuckets(vectors, nBuckets), iters = 2, bucketCol = "__cell")
@@ -193,7 +216,7 @@ object Graft {
     * Same output schema; exact cosines from the stage-C re-rank.
     */
   def annTopKIvfPqRes(vectors: DataFrame, idCol: String, vecCol: String,
-                      k: Int, dim: Int, nProbe: Int = 2, m: Int = 4,
+                      k: Int, dim: Int, nProbe: Int = 2, m: Int = 8,
                       kSub: Int = 16, overfetch: Int = 3, nBuckets: Int = 0,
                       maxBucket: Int = 4096): DataFrame = {
     val bucketed = Similarity.kmeansBuckets(vectors, idCol, vecCol,
@@ -212,7 +235,7 @@ object Graft {
     */
   def annSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int, dim: Int, nProbe: Int = 2,
-                m: Int = 4, kSub: Int = 16, overfetch: Int = 3,
+                m: Int = 8, kSub: Int = 16, overfetch: Int = 3,
                 nBuckets: Int = 0, maxBucket: Int = 4096): DataFrame = {
     val bucketed = Similarity.kmeansBuckets(corpus, idCol, vecCol,
       k = resolveBuckets(corpus, nBuckets), iters = 2, bucketCol = "__cell")
@@ -236,7 +259,7 @@ object Graft {
     * lifecycle. Serve with [[annIndexSearch]]; see [[graft.ext.AnnIndex]].
     */
   def annIndexBuild(corpus: DataFrame, idCol: String, vecCol: String,
-                    dir: String, dim: Int, m: Int = 4, kSub: Int = 16,
+                    dir: String, dim: Int, m: Int = 8, kSub: Int = 16,
                     nBuckets: Int = 0): Unit = {
     val bucketed = Similarity.kmeansBuckets(corpus, idCol, vecCol,
       k = resolveBuckets(corpus, nBuckets), iters = 2, bucketCol = "__cell")
@@ -262,7 +285,7 @@ object Graft {
     * at the same corpus memory). Same output schema.
     */
   def annTopKPqAdc(vectors: DataFrame, idCol: String, vecCol: String,
-                   k: Int, dim: Int, m: Int = 4, kSub: Int = 16,
+                   k: Int, dim: Int, m: Int = 8, kSub: Int = 16,
                    overfetch: Int = 3, nBuckets: Int = 0,
                    maxBucket: Int = 4096): DataFrame = {
     val bucketed = Similarity.kmeansBuckets(vectors, idCol, vecCol,

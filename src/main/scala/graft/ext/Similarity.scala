@@ -746,8 +746,10 @@ object Similarity {
     * null bucket (they fall out of any downstream bucket equi-join).
     */
   def kmeansBuckets(df: DataFrame, idCol: String, vecCol: String, k: Int,
-                    iters: Int = 2, bucketCol: String = "bucket"): DataFrame = {
-    val centers = lloydCenters(df, idCol, col(vecCol), k, iters)
+                    iters: Int = 2, bucketCol: String = "bucket",
+                    trainFraction: Double = 1.0): DataFrame = {
+    val centers = lloydCenters(df, idCol, col(vecCol), k, iters,
+      trainFraction)
     // empty / all-null-vector corpus: nothing to learn — every row gets a
     // null bucket (and falls out of any bucket equi-join), matching
     // sq8TopK's empty-input contract instead of throwing
@@ -776,14 +778,31 @@ object Similarity {
     * between iterations (≤ k·dim doubles — the codebook allowance every
     * ANN operator in this file shares). Returns empty when the corpus has
     * no non-null vectors; callers own that contract.
+    *
+    * `trainFraction` < 1 trains on a DETERMINISTIC hash sample of the
+    * corpus (salted md5 bucket of the id over 10k buckets — the
+    * [[Sampling.hashBucket]] family, so an oracle can replay the exact
+    * training set) while assignment still covers every row: the 100 TB
+    * codebook posture, where a few hundred thousand sampled vectors
+    * train centers statistically identical to the full corpus's at a
+    * tiny fraction of the per-iteration scan (SCALING.md round 11).
+    * Default 1.0 — every existing oracle chain is unchanged.
     */
   private[graft] def lloydCenters(df: DataFrame, idCol: String, vec: Column,
-                                  k: Int, iters: Int): Array[Array[Double]] = {
+                                  k: Int, iters: Int,
+                                  trainFraction: Double = 1.0)
+      : Array[Array[Double]] = {
     import graft.ext.CacheScope.Cacheable
     require(k > 0 && iters >= 0, "lloydCenters requires k > 0 and iters >= 0")
-    val base = df.select(col(idCol).as("__kid"),
+    require(trainFraction > 0 && trainFraction <= 1,
+      s"trainFraction=$trainFraction must be in (0,1]")
+    val all = df.select(col(idCol).as("__kid"),
         vec.cast("array<double>").as("__kv"))
       .filter(col("__kv").isNotNull)
+    val base = (if (trainFraction >= 1.0) all
+      else all.filter(
+        Sampling.hashBucket(col("__kid"), "lloyd", buckets = 10000) <
+          math.round(trainFraction * 10000).toInt))
       .scopedCache()
     var centers: Array[Array[Double]] = base.orderBy(col("__kid")).limit(k)
       .collect().map(_.getSeq[Double](1).toArray)

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * codegen past a few hundred centers; the `ArgMinCentroid` rewrite must
   * be shown fast AT that k, not just bit-correct).
   *
-  *   QuantScale <embeddingsDir> <k> [iters]
+  *   QuantScale <embeddingsDir> <k> [iters] [trainFraction]
   *
   * Prints learn+assign wall (two passes — cold then warm), the assignment
   * distribution (cells, min/max population), and asserts the executed
@@ -22,6 +22,7 @@ object QuantScale {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val k = args.lift(1).map(_.toInt).getOrElse(256)
     val iters = args.lift(2).map(_.toInt).getOrElse(2)
+    val frac = args.lift(3).map(_.toDouble).getOrElse(1.0)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -30,13 +31,15 @@ object QuantScale {
 
     val emb = graft.io.Tables.embeddings(spark, dir)
     val nVec = emb.count()
-    println(s"[quantscale] $nVec vectors from $dir, k=$k iters=$iters")
+    println(s"[quantscale] $nVec vectors from $dir, k=$k iters=$iters " +
+      s"trainFraction=$frac")
 
     for (pass <- Seq("cold", "warm")) {
       spark.catalog.clearCache(); System.gc()
       val t0 = System.nanoTime()
       val bucketed = graft.ext.Similarity.kmeansBuckets(
-        emb, "vec_id", "embedding", k = k, iters = iters, bucketCol = "qb")
+        emb, "vec_id", "embedding", k = k, iters = iters, bucketCol = "qb",
+        trainFraction = frac)
       val dist = bucketed.groupBy("qb").count()
         .agg(count(lit(1)).as("cells"), min("count").as("mn"),
           max("count").as("mx"))

@@ -208,6 +208,51 @@ class SimilaritySpec extends SparkSpec {
     a.intersect(e).size.toDouble / e.size
   }
 
+  test("lloydCenters trainFraction: 0.1 hash-sample training keeps " +
+    "clustered recall; assignment still covers every row") {
+    // 10 well-separated clusters x 100 rows: a 10% deterministic sample
+    // (~100 vectors) must learn centers good enough that bucketed NN over
+    // the sampled-trained buckets recalls like the full-corpus training —
+    // the 100 TB codebook posture (train on a sample, assign everything)
+    val dim = 16
+    val rows = for {
+      c <- 0 until 10
+      j <- 0 until 100
+    } yield {
+      val base = Array.tabulate(dim)(d =>
+        math.sin((d + 1) * (c + 1) * 0.7391))
+      val noise = Array.tabulate(dim)(d =>
+        0.05 * math.sin((d + 1) * (c * 100 + j + 7) * 1.234))
+      (c * 100L + j, base.zip(noise).map { case (b, n) => (b + n).toFloat })
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(df, df, "vec_id", "embedding",
+      k = 5)
+    def recallAtFraction(f: Double): Double = {
+      val b = Similarity.kmeansBuckets(df, "vec_id", "embedding", k = 10,
+        iters = 2, trainFraction = f)
+      assert(b.filter(col("bucket").isNull).count() == 0,
+        "sampled training must still assign every row")
+      recallAt5(Similarity.bucketedNN(b, "vec_id", "embedding", "bucket",
+        k = 5), exact)
+    }
+    val full = recallAtFraction(1.0)
+    val sampled = recallAtFraction(0.1)
+    assert(full >= 0.9, s"full-corpus clustered recall $full < 0.9")
+    assert(sampled >= full - 0.05,
+      s"0.1-fraction recall $sampled fell below full-corpus $full - 0.05")
+    // determinism: the sampled training set is a pure hash function of
+    // the ids — same centers, same buckets, on a repartitioned input
+    val b1 = Similarity.kmeansBuckets(df, "vec_id", "embedding", k = 10,
+      iters = 2, trainFraction = 0.1).select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b2 = Similarity.kmeansBuckets(df.repartition(7), "vec_id",
+      "embedding", k = 10, iters = 2, trainFraction = 0.1)
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(b1 == b2, "sampled training must be partitioning-invariant")
+  }
+
   test("multi-probe IVF: recall >= 0.95 on clustered data, monotone in nProbe") {
     // IVF's contract holds when buckets ARE cosine clusters — build 10
     // well-separated centroids (near-orthogonal deterministic directions)
@@ -1033,9 +1078,11 @@ class SimilaritySpec extends SparkSpec {
     val tied = Seq(
       (30L, 7L, 0.9, 1L), (30L, 6L, 0.9, 1L), (30L, 8L, 0.4, 2L))
       .toDF("query_id", "neighbor_id", "cosine", "rank")
+    // the OTHER tied rank-1 row (neighbor 7) is dropped by the rank > 1
+    // filter — only the deterministic positive choice matters
     val tr = Similarity.hardNegatives(tied).collect()
       .map(r => (r.getLong(1), r.getLong(2))).toSet
-    assert(tr == Set((6L, 7L), (6L, 8L)),
+    assert(tr == Set((6L, 8L)),
       s"tied rank-1 must resolve to neighbor_id 6, got $tr")
   }
 }

@@ -149,6 +149,24 @@ object Bench {
         if (ok) Some(name -> (sec, (s1._4 - s0._4) / 1e9)) else None
       }.toMap
     val loadAfterWarm = loadavg
+    // Shared-artifact attribution: per-query clearCache is the correct
+    // isolation cadence (each query pays exactly its own plan), but it
+    // means every q_ann_* query re-learns the SAME coarse quantizer
+    // chain. Time that build ONCE, separately, so the suite total stays
+    // interpretable as queries accumulate: headline carries
+    // shared.ann_coarse_sec (one build) and shared.ann_relearn_sec (the
+    // implied re-learn overhead inside the named ann totals — what a
+    // production session sharing one index would NOT pay).
+    val annN = results.count(_._1.startsWith("q_ann_"))
+    val annCoarseSec =
+      try {
+        spark.catalog.clearCache(); System.gc()
+        val t0 = System.nanoTime()
+        graft.ext.Similarity.kmeansBuckets(
+          graft.io.Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+          k = 8, iters = 2, bucketCol = "kb").count()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case scala.util.control.NonFatal(_) => 0.0 }
     def jstr(s: String) =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
         .map(c => if (c < 0x20) ' ' else c) + "\"" // ALL control chars — one
@@ -194,12 +212,24 @@ object Bench {
       .mkString("{", ",", "}")
     val loadJson =
       s"""{"start":${jstr(loadStart)},"after_cold":${jstr(loadAfterCold)},"after_warm":${jstr(loadAfterWarm)}}"""
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"warm":$warmQs,"warm_cpu":$warmCpuQs,"shuffle":$shuffleQs,"loadavg":$loadJson,"ml_fused":$mlFused,"errors":$errJsonFull,"sf":"$sfDir"}"""
+    // per-family cost attribution (family = first token after q_): the
+    // suite total decomposed into ~15 stable groups, so round-over-round
+    // growth reads as "which family got more expensive / gained queries"
+    // instead of an opaque scalar
+    val families = results
+      .groupBy(r => r._1.stripPrefix("q_").split("_").head)
+      .toSeq.sortBy(-_._2.map(_._2).sum)
+      .map { case (fam, rs) =>
+        jstr(fam) + s""":{"n":${rs.size},"sec":${jnum(rs.map(_._2).sum)},"cpu_sec":${jnum(rs.map(_._6).sum)}}"""
+      }.mkString("{", ",", "}")
+    val sharedJson =
+      s"""{"ann_coarse_sec":${jnum(annCoarseSec)},"ann_n":$annN,"ann_relearn_sec":${jnum(annCoarseSec * math.max(0, annN - 1))}}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"warm":$warmQs,"warm_cpu":$warmCpuQs,"shuffle":$shuffleQs,"families":$families,"shared":$sharedJson,"loadavg":$loadJson,"ml_fused":$mlFused,"errors":$errJsonFull,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
       try w.println(detail) finally w.close()
     } catch { case _: java.io.IOException => () } // detail file is best-effort
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"ml_fused":${jnum(mlFused)},"errors":$errJson,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"ml_fused":${jnum(mlFused)},"shared":$sharedJson,"errors":$errJson,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

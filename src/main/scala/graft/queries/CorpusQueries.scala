@@ -106,6 +106,53 @@ object CorpusQueries {
         .orderBy(col("rank"))
     }),
 
+    // The full LLM corpus-build recipe in ONE plan — the round-10
+    // operator family composed end-to-end: Gopher rule gate → trained-NB
+    // quality gate (fit on the survivors' 80% hash split) → exact-dedup
+    // keepers → temperature-mixture realization (alpha 0.5, share 0.5
+    // per lang) → BPE encode under the memoized corpus-trained
+    // dictionary → fixed-context packing. No driver round-trip BETWEEN
+    // stages: the NB model and the temperature normalizer are in-plan
+    // scalar attaches; the only collects are the upstream tokenizer
+    // training's bounded argmaxes (memoized once per session) and NB's
+    // fail-fast empty-train probe. The oracle replays every gate,
+    // the trained model, the realized sample, AND the trained
+    // segmentation in one SQL chain.
+    "q_corpus_build" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val aDocs = docs.join(
+        TA.gopherRules(docs, "text", "doc_id", minTokens = 10)
+          .filter(col("keep")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val labeled = TA.withTokenStats(aDocs, "text")
+        .withColumn("label_weak",
+          ground(TA.qualityScore(col("n_tokens"), col("token_chars"),
+            col("n_punct"), col("n_stopwords")), 4) >= 0.5)
+        .select(col("doc_id"), col("text"), col("label_weak"))
+      val nbTrain = labeled
+        .filter(Sampling.hashBucket(col("doc_id"), "graft") < 80)
+      val bDocs = aDocs.join(
+        NbClassifier.trainScore(nbTrain, labeled, "text", "doc_id",
+            "label_weak")
+          .filter(col("pred")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val cDocs = bDocs.join(
+        Dedup.exactGroups(bDocs, "text", "doc_id")
+          .select(col("keeper_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val dDocs = Sampling.temperatureSampleWith(cDocs,
+        Sampling.temperatureTargets(cDocs, "lang", alpha = 0.5,
+          share = 0.5),
+        "lang", "doc_id", salt = "build")
+      val perDoc = Bpe.docTokenCounts(dDocs, "text", "doc_id",
+        bpeTrained(s, dir)._2, Seq("lang"))
+      val packed = graft.ext.Packing.packByOffset(perDoc, Seq("lang"),
+        "doc_id", "n_tokens", ctxTokens = 256)
+      graft.ext.Packing.packSummary(packed, Seq("lang"), "doc_id",
+          "n_tokens")
+        .orderBy(col("lang"), col("pack_id"))
+    }),
+
     // Span-level corpus dedup: every doc loses spans whose corpus document
     // frequency exceeds 1 — boilerplate is removed from ALL copies, the
     // complement of whole-doc dedup (which keeps one copy intact)
@@ -366,7 +413,166 @@ object CorpusQueries {
     (head +: steps).mkString(",\n")
   }
 
+  /** Oracle for `q_corpus_build`: every stage's PROVEN oracle fragment
+    * chained in one WITH — the Gopher battery (q_gopher_rules), the
+    * trained NB scorer (q_quality_nb, refit on the Gopher survivors'
+    * 80% split), the min-id exact-dedup keeper (q_corpus_pack), the
+    * temperature realization with null-safe group joins
+    * (q_temperature_mix), and the unrolled BPE training + segmentation
+    * join + offset packing (q_bpe_pack). A hash match certifies the
+    * whole composed pipeline, gate by gate.
+    */
+  private def corpusBuildOracle: String = {
+    val stopSql = TA.Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH t0 AS MATERIALIZED (
+       |  SELECT doc_id, lang, text,
+       |    regexp_split_to_array(trim(text), '[\\s\\x0b]+') AS toks,
+       |    regexp_split_to_array(trim(lower(text)), '[\\s\\x0b]+') AS ltoks
+       |  FROM documents
+       |), gst AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+       |      AS token_chars,
+       |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)
+       |      AS n_punct,
+       |    CAST(len(list_filter(toks, t -> t IN ($stopSql))) AS BIGINT)
+       |      AS n_stopwords,
+       |    CAST(len(list_distinct(ltoks)) AS BIGINT) AS n_distinct
+       |  FROM t0
+       |), gbg AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(len(ltoks) - 1),
+       |      i -> ltoks[i+1] || ' ' || ltoks[i+2])) AS b
+       |  FROM t0 WHERE len(ltoks) >= 2
+       |), gtop AS (
+       |  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n FROM (
+       |    SELECT doc_id, b, count(*) AS c FROM gbg GROUP BY 1, 2
+       |  ) GROUP BY 1
+       |), gm AS (
+       |  SELECT gst.doc_id, n_tokens,
+       |    round(token_chars / greatest(n_tokens, 1) + 1e-9, 6)
+       |      AS mean_word_len,
+       |    round(n_punct / greatest(n_tokens, 1) + 1e-9, 6) AS punct_ratio,
+       |    n_stopwords,
+       |    round(n_distinct / greatest(n_tokens, 1) + 1e-9, 6)
+       |      AS distinct_ratio,
+       |    round(coalesce(top_bigram_n, 0) / greatest(n_tokens - 1, 1)
+       |      + 1e-9, 6) AS top_bigram_frac
+       |  FROM gst LEFT JOIN gtop USING (doc_id)
+       |), ga AS MATERIALIZED (
+       |  SELECT doc_id FROM gm
+       |  WHERE (n_tokens BETWEEN 10 AND 100000)
+       |    AND (mean_word_len BETWEEN 3 AND 10)
+       |    AND (n_stopwords >= 2)
+       |    AND (punct_ratio <= 0.1)
+       |    AND (round(top_bigram_frac + 1e-9, 6) <= 0.2
+       |      AND round(distinct_ratio + 1e-9, 6) >= 0.5)
+       |), lab AS MATERIALIZED (
+       |  SELECT t0.doc_id, ltoks,
+       |    (round(least(gst.n_tokens / 100.0, 1.0) * 0.3
+       |      + (1.0 - least(CAST(gst.n_punct AS DOUBLE)
+       |          / greatest(gst.n_tokens, 1), 1.0)) * 0.4
+       |      + least(CAST(gst.n_stopwords AS DOUBLE) * 5.0
+       |          / greatest(gst.n_tokens, 1), 1.0) * 0.3
+       |      + 1e-9, 4) >= 0.5) AS label_weak
+       |  FROM t0 JOIN gst USING (doc_id) JOIN ga USING (doc_id)
+       |), tfc AS MATERIALIZED (
+       |  SELECT doc_id, tok, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(ltoks) AS tok FROM lab)
+       |  GROUP BY 1, 2
+       |), trc AS (
+       |  SELECT f.doc_id, tok, c, label_weak
+       |  FROM tfc f JOIN lab USING (doc_id)
+       |  WHERE ${sqlBucket("graft", "f.doc_id")} < 80
+       |), ct AS MATERIALIZED (
+       |  SELECT tok,
+       |    CAST(sum(CASE WHEN label_weak THEN c ELSE 0 END) AS BIGINT)
+       |      AS c_pos,
+       |    CAST(sum(CASE WHEN NOT label_weak THEN c ELSE 0 END) AS BIGINT)
+       |      AS c_neg
+       |  FROM trc GROUP BY 1
+       |), nstats AS (
+       |  SELECT CAST(coalesce(sum(c_pos), 0) AS BIGINT) AS tot_pos,
+       |    CAST(coalesce(sum(c_neg), 0) AS BIGINT) AS tot_neg,
+       |    CAST(count(*) AS BIGINT) AS v
+       |  FROM ct
+       |), pri AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN label_weak THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_pos,
+       |    CAST(sum(CASE WHEN NOT label_weak THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_neg
+       |  FROM lab WHERE ${sqlBucket("graft", "doc_id")} < 80
+       |), sc AS (
+       |  SELECT f.doc_id,
+       |    sum(c * (ln((coalesce(c_pos, 0) + 1) / (tot_pos + v))
+       |           - ln((coalesce(c_neg, 0) + 1) / (tot_neg + v)))) AS sval
+       |  FROM tfc f LEFT JOIN ct USING (tok) CROSS JOIN nstats
+       |  GROUP BY 1
+       |), gb AS MATERIALIZED (
+       |  SELECT sc.doc_id FROM sc CROSS JOIN pri
+       |  WHERE round(sval + ln((n_pos + 1.0) / (n_neg + 1.0)) + 1e-9, 6) > 0
+       |), gc AS MATERIALIZED (
+       |  SELECT min(doc_id) AS doc_id
+       |  FROM t0 JOIN gb USING (doc_id)
+       |  GROUP BY md5(text)
+       |), cdocs AS MATERIALIZED (
+       |  SELECT t0.doc_id, t0.lang, t0.text FROM t0 JOIN gc USING (doc_id)
+       |), tc AS (
+       |  SELECT lang, count(*) AS n_docs FROM cdocs GROUP BY 1
+       |), tt0 AS (
+       |  SELECT lang, n_docs,
+       |    ${sqlGround("pow(n_docs, 0.5) / sum(pow(n_docs, 0.5)) OVER ()", 6)}
+       |      AS w_temp,
+       |    floor(0.5 * sum(n_docs) OVER () + 1e-9) AS budget
+       |  FROM tc
+       |), tt AS (
+       |  SELECT lang,
+       |    least(CAST(floor(w_temp * budget + 1e-9) AS BIGINT), n_docs)
+       |      AS n_target
+       |  FROM tt0
+       |), tr AS (
+       |  SELECT lang, doc_id,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY ${sqlHashKey("build", "doc_id")}, doc_id) AS samp_rank
+       |  FROM cdocs
+       |), ddocs AS MATERIALIZED (
+       |  SELECT tr.doc_id
+       |  FROM tr JOIN tt ON tr.lang IS NOT DISTINCT FROM tt.lang
+       |  WHERE samp_rank <= n_target
+       |),
+       |""".stripMargin +
+    // concatenated AFTER stripMargin: bpeCtes has continuation lines
+    // starting with `||`, which a second stripMargin would mangle
+    bpeCtes(BpeMerges).stripPrefix("WITH ") + ",\n" +
+    s"""ws AS MATERIALIZED (
+       |  SELECT t0.lang, t0.doc_id,
+       |    unnest(string_split_regex(trim(t0.text), ' +')) AS word
+       |  FROM t0 JOIN ddocs USING (doc_id)
+       |  WHERE text IS NOT NULL AND length(trim(text)) > 0
+       |), pd AS MATERIALIZED (
+       |  SELECT ws.lang, ws.doc_id,
+       |    CAST(sum(len(string_split(trim(d$BpeMerges.syms), '  ')))
+       |      AS BIGINT) AS n_tokens
+       |  FROM ws JOIN d$BpeMerges ON ws.word = d$BpeMerges.word
+       |  GROUP BY 1, 2
+       |), po AS (
+       |  SELECT lang, doc_id, n_tokens,
+       |    coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS tok_offset
+       |  FROM pd
+       |)
+       |SELECT lang, CAST(tok_offset // 256 AS BIGINT) AS pack_id,
+       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM po GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+
+    "q_corpus_build" -> corpusBuildOracle,
 
     "q_bpe_batch" -> (bpeBatchCtes(BpeBatchIters, BpeBatch) + "\n" +
       s"""SELECT CAST(row_number() OVER (ORDER BY it, sel_rank) AS INT)

@@ -91,7 +91,15 @@ class ScaleAuditSpec extends SparkSpec {
         "the 20% hash-sampled query panel (bounded before the join — the " +
         "only honest way to afford ground truth at scale), plus " +
         "q_ann_ivf_pq_res's inherited centroid-codebook broadcast; the " +
-        "hit join is equi-key"))
+        "hit join is equi-key"),
+    "q_corpus_build" ->
+      ("the composed corpus-build recipe inherits EXACTLY its stages' " +
+        "existing allowances — q_quality_nb's 1-row scalar attaches " +
+        "(class totals + priors) and q_temperature_mix's 1-row " +
+        "normalizer attach — with zero new shapes: every gate join is a " +
+        "doc_id left-semi equi-join, the dedup keeper is a groupBy, and " +
+        "the BPE/pack tail joins the broadcast dictionary by word " +
+        "equi-key"))
 
   /** Queries allowed a single-partition window, with the tiny-frame bound.
     * Currently NONE: every window on the surface rides a hash-partitioned

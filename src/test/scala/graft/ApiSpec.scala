@@ -198,6 +198,22 @@ class ApiSpec extends SparkSpec {
     // every doc has at least one token and no more than its char count
     assert(counts.filter(col("n_tokens") < 1).count() == 0)
     assert(counts.count() == docs.count())
+    // batched trainer (README snippet): iteration-based contract, global
+    // ranks; batch=1 would reproduce bpeTrain exactly (BpeSpec pins it)
+    val (rulesB, dictB) = Graft.bpeTrainBatched(docs, "text", nIters = 2,
+      batch = 4)
+    assert(rulesB.nonEmpty && rulesB.size <= 8 &&
+      rulesB.map(_.rank) == (1 to rulesB.size))
+    assert(dictB.columns.toSet == Set("word", "freq", "syms"))
+  }
+
+  test("quickstart: sampled-training quantizer cells (vectorCells)") {
+    val cells = Graft.vectorCells(vectors, "vec_id", "embedding",
+      trainFraction = 0.1)
+    assert(cells.columns.contains("cell"))
+    // sampled TRAINING, full ASSIGNMENT: every vector gets a cell
+    assert(cells.filter(col("cell").isNull).count() == 0)
+    assert(cells.count() == vectors.count())
   }
 
   test("quickstart: scoped corpus pass drains operator caches") {

@@ -119,11 +119,16 @@ object CorpusQueries {
     // the trained model, the realized sample, AND the trained
     // segmentation in one SQL chain.
     "q_corpus_build" -> ((s, dir) => {
+      // each gate frame feeds TWO+ consumers (the next gate's operator
+      // AND its semi-join back) — cache them via the CacheScope contract
+      // (scoped draining inside Verify/Bench passes, session-LRU outside)
+      // or the upstream battery replays once per consumer
+      import graft.ext.CacheScope
       val docs = Tables.documents(s, dir)
       val aDocs = docs.join(
         TA.gopherRules(docs, "text", "doc_id", minTokens = 10)
           .filter(col("keep")).select(col("doc_id")),
-        Seq("doc_id"), "left_semi")
+        Seq("doc_id"), "left_semi").transform(CacheScope.cache)
       val labeled = TA.withTokenStats(aDocs, "text")
         .withColumn("label_weak",
           ground(TA.qualityScore(col("n_tokens"), col("token_chars"),
@@ -135,11 +140,11 @@ object CorpusQueries {
         NbClassifier.trainScore(nbTrain, labeled, "text", "doc_id",
             "label_weak")
           .filter(col("pred")).select(col("doc_id")),
-        Seq("doc_id"), "left_semi")
+        Seq("doc_id"), "left_semi").transform(CacheScope.cache)
       val cDocs = bDocs.join(
         Dedup.exactGroups(bDocs, "text", "doc_id")
           .select(col("keeper_id").as("doc_id")),
-        Seq("doc_id"), "left_semi")
+        Seq("doc_id"), "left_semi").transform(CacheScope.cache)
       val dDocs = Sampling.temperatureSampleWith(cDocs,
         Sampling.temperatureTargets(cDocs, "lang", alpha = 0.5,
           share = 0.5),

@@ -384,6 +384,66 @@ object Graft {
                   maxTokens: Long = 100000): DataFrame =
     TextAnalysis.gopherRules(docs, textCol, idCol, minTokens, maxTokens)
 
+  /** The full corpus-production recipe in ONE plan — the pipeline a
+    * pretraining data team actually runs, composed from this facade's
+    * own stages with no driver round-trip between them:
+    *
+    *  1. Gopher rule gate ([[gopherRules]], keep = all five predicates);
+    *  2. trained-NB quality gate ([[qualityClassifier]] fit on the
+    *     survivors' `trainPct` hash split of quality ≥ 0.5 weak labels,
+    *     keep = positive margin);
+    *  3. exact-dedup keepers (min id per content digest);
+    *  4. temperature-mixture realization (w ∝ n^alpha per `groupCol`,
+    *     exact deterministic per-group sample);
+    *  5. BPE encode under the trained `dict` ([[bpeTrain]] output) →
+    *     fixed-context offset packing.
+    *
+    * Returns the per-(`groupCol`, pack) summary frame. The identical
+    * composition is DuckDB-oracled hash-exact end-to-end as
+    * `q_corpus_build` — every gate, the trained model, the realized
+    * sample, and the trained segmentation replay in one SQL chain.
+    * Gate frames are [[CacheScope]]-cached (scoped draining inside a
+    * [[scopedPass]]; session-LRU otherwise).
+    */
+  def corpusBuild(docs: DataFrame, textCol: String, idCol: String,
+                  groupCol: String, dict: DataFrame,
+                  salt: String = "build", minTokens: Long = 10,
+                  trainPct: Int = 80, alpha: Double = 0.5,
+                  share: Double = 0.5, ctxTokens: Int = 256): DataFrame = {
+    val aDocs = docs.join(
+      TextAnalysis.gopherRules(docs, textCol, idCol,
+          minTokens = minTokens)
+        .filter(col("keep")).select(col(idCol)),
+      Seq(idCol), "left_semi").transform(CacheScope.cache)
+    val labeled = TextAnalysis.withTokenStats(aDocs, textCol)
+      .withColumn("label_weak",
+        round(TextAnalysis.qualityScore(col("n_tokens"),
+          col("token_chars"), col("n_punct"), col("n_stopwords")) +
+          lit(1e-9), 4) >= 0.5)
+      .select(col(idCol), col(textCol), col("label_weak"))
+    val nbTrain = labeled
+      .filter(Sampling.hashBucket(col(idCol), "graft") < trainPct)
+    val bDocs = aDocs.join(
+      NbClassifier.trainScore(nbTrain, labeled, textCol, idCol,
+          "label_weak")
+        .filter(col("pred")).select(col(idCol)),
+      Seq(idCol), "left_semi").transform(CacheScope.cache)
+    val cDocs = bDocs.join(
+      Dedup.exactGroups(bDocs, textCol, idCol)
+        .select(col("keeper_id").as(idCol)),
+      Seq(idCol), "left_semi").transform(CacheScope.cache)
+    val dDocs = Sampling.temperatureSampleWith(cDocs,
+      Sampling.temperatureTargets(cDocs, groupCol, alpha = alpha,
+        share = share),
+      groupCol, idCol, salt = salt)
+    val perDoc = Bpe.docTokenCounts(dDocs, textCol, idCol, dict,
+      Seq(groupCol))
+    Packing.packSummary(
+      Packing.packByOffset(perDoc, Seq(groupCol), idCol, "n_tokens",
+        ctxTokens = ctxTokens),
+      Seq(groupCol), idCol, "n_tokens")
+  }
+
   // --- sampling & packing ----------------------------------------------
 
   /** Deterministic, partition-stable train/val/test split (md5 buckets —

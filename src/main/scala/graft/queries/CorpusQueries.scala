@@ -118,45 +118,15 @@ object CorpusQueries {
     // fail-fast empty-train probe. The oracle replays every gate,
     // the trained model, the realized sample, AND the trained
     // segmentation in one SQL chain.
-    "q_corpus_build" -> ((s, dir) => {
-      // each gate frame feeds TWO+ consumers (the next gate's operator
-      // AND its semi-join back) — cache them via the CacheScope contract
-      // (scoped draining inside Verify/Bench passes, session-LRU outside)
-      // or the upstream battery replays once per consumer
-      import graft.ext.CacheScope
-      val docs = Tables.documents(s, dir)
-      val aDocs = docs.join(
-        TA.gopherRules(docs, "text", "doc_id", minTokens = 10)
-          .filter(col("keep")).select(col("doc_id")),
-        Seq("doc_id"), "left_semi").transform(CacheScope.cache)
-      val labeled = TA.withTokenStats(aDocs, "text")
-        .withColumn("label_weak",
-          ground(TA.qualityScore(col("n_tokens"), col("token_chars"),
-            col("n_punct"), col("n_stopwords")), 4) >= 0.5)
-        .select(col("doc_id"), col("text"), col("label_weak"))
-      val nbTrain = labeled
-        .filter(Sampling.hashBucket(col("doc_id"), "graft") < 80)
-      val bDocs = aDocs.join(
-        NbClassifier.trainScore(nbTrain, labeled, "text", "doc_id",
-            "label_weak")
-          .filter(col("pred")).select(col("doc_id")),
-        Seq("doc_id"), "left_semi").transform(CacheScope.cache)
-      val cDocs = bDocs.join(
-        Dedup.exactGroups(bDocs, "text", "doc_id")
-          .select(col("keeper_id").as("doc_id")),
-        Seq("doc_id"), "left_semi").transform(CacheScope.cache)
-      val dDocs = Sampling.temperatureSampleWith(cDocs,
-        Sampling.temperatureTargets(cDocs, "lang", alpha = 0.5,
-          share = 0.5),
-        "lang", "doc_id", salt = "build")
-      val perDoc = Bpe.docTokenCounts(dDocs, "text", "doc_id",
-        bpeTrained(s, dir)._2, Seq("lang"))
-      val packed = graft.ext.Packing.packByOffset(perDoc, Seq("lang"),
-        "doc_id", "n_tokens", ctxTokens = 256)
-      graft.ext.Packing.packSummary(packed, Seq("lang"), "doc_id",
-          "n_tokens")
-        .orderBy(col("lang"), col("pack_id"))
-    }),
+    "q_corpus_build" -> ((s, dir) =>
+      // the composition lives on the facade ([[graft.api.Graft.corpusBuild]],
+      // gate frames CacheScope-cached there); the query pins its knobs and
+      // the memoized corpus-trained dictionary
+      graft.api.Graft.corpusBuild(Tables.documents(s, dir), "text",
+          "doc_id", "lang", bpeTrained(s, dir)._2, salt = "build",
+          minTokens = 10, trainPct = 80, alpha = 0.5, share = 0.5,
+          ctxTokens = 256)
+        .orderBy(col("lang"), col("pack_id"))),
 
     // Span-level corpus dedup: every doc loses spans whose corpus document
     // frequency exceeds 1 — boilerplate is removed from ALL copies, the

@@ -207,6 +207,26 @@ class ApiSpec extends SparkSpec {
     assert(dictB.columns.toSet == Set("word", "freq", "syms"))
   }
 
+  test("quickstart: the one-plan corpus-build recipe (corpusBuild)") {
+    // gates compose: output is the per-(group, pack) summary and the
+    // surviving doc count can only shrink through the gate chain
+    val (_, dict) = Graft.bpeTrain(docs, "text", nMerges = 4)
+    val packs = Graft.corpusBuild(docs, "text", "doc_id", "lang", dict,
+      minTokens = 10)
+    assert(packs.columns.toSeq == Seq("lang", "pack_id", "n_docs",
+      "pack_tokens", "first_doc", "last_doc"))
+    val survivors = packs.agg(sum(col("n_docs"))).head.getLong(0)
+    assert(survivors > 0 && survivors <= docs.count(),
+      s"gate chain produced $survivors of ${docs.count()} docs")
+    // every pack respects the per-group offset discipline: pack_ids are
+    // contiguous from 0 within each group
+    val bad = packs.groupBy("lang")
+      .agg(min(col("pack_id")).as("mn"), max(col("pack_id")).as("mx"),
+        count(lit(1)).as("n"))
+      .filter(col("mn") =!= 0 || col("mx") =!= col("n") - 1).count()
+    assert(bad == 0, "pack_id not contiguous per group")
+  }
+
   test("quickstart: sampled-training quantizer cells (vectorCells)") {
     val cells = Graft.vectorCells(vectors, "vec_id", "embedding",
       trainFraction = 0.1)

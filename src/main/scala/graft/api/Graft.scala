@@ -384,6 +384,27 @@ object Graft {
                   maxTokens: Long = 100000): DataFrame =
     TextAnalysis.gopherRules(docs, textCol, idCol, minTokens, maxTokens)
 
+  /** Extract a serve-time NB quality model (vocab-bounded weights
+    * collected once) — the train-batch half of the streaming split; feed
+    * it to [[qualityGate]] or
+    * [[graft.streaming.StreamingCorpus.qualityGate]].
+    */
+  def qualityModel(train: DataFrame, textCol: String, idCol: String,
+                   labelCol: String): NbClassifier.NbModel =
+    NbClassifier.train(train, textCol, idCol, labelCol)
+
+  /** The composed STATELESS quality gate (row-local Gopher battery →
+    * NB positive margin under a pre-trained [[qualityModel]]): zero
+    * shuffle, zero state, so the same call runs on a batch frame or an
+    * unbounded stream. Both local forms are value-identical to their
+    * shuffle twins (oracled as `q_gopher_local` / `q_nb_serve`).
+    */
+  def qualityGate(docs: DataFrame, textCol: String, idCol: String,
+                  model: NbClassifier.NbModel, minTokens: Long = 50,
+                  maxTokens: Long = 100000): DataFrame =
+    graft.streaming.StreamingCorpus.qualityGate(docs, textCol, idCol,
+      model, minTokens, maxTokens)
+
   /** The full corpus-production recipe in ONE plan — the pipeline a
     * pretraining data team actually runs, composed from this facade's
     * own stages with no driver round-trip between them:

@@ -24,6 +24,85 @@ object NbClassifier {
 
   private def g6(c: Column): Column = round(c + lit(1e-9), 6)
 
+  /** A trained NB model in serve-time form: per-token log-odds weights
+    * (vocab-bounded — the same driver-collect allowance as the ANN
+    * codebooks), the Laplace-floor weight for unseen tokens, and the
+    * smoothed class prior. `margin(doc) = Σ_occurrences w(t) + prior`,
+    * identical arithmetic to [[trainScore]]'s in-plan form (weights are
+    * COMPUTED in Spark SQL with the same expressions, then collected),
+    * so [[scoreLocal]] reproduces the distributed scorer to the 6dp
+    * guard-round.
+    */
+  final case class NbModel(weights: Map[String, Double], floorW: Double,
+                           prior: Double)
+
+  /** Extract a serve-time [[NbModel]] from a weakly-labeled training
+    * frame — the build half of the train-batch/serve-stream split
+    * ([[graft.streaming.StreamingCorpus]] consumes the model on an
+    * unbounded stream where the shuffling [[trainScore]] cannot run).
+    */
+  def train(train: DataFrame, textCol: String, idCol: String,
+            labelCol: String): NbModel = {
+    require(!train.isEmpty,
+      "NbClassifier.train: training frame is empty")
+    val tfTrain = TextAnalysis
+      .termFreq(train.select(col(idCol), col(textCol)), textCol, idCol,
+        cached = false)
+      .join(train.select(col(idCol), col(labelCol).cast("boolean")
+        .as("__lbl")), Seq(idCol))
+    val classTok = tfTrain.groupBy(col("t"))
+      .agg(sum(when(col("__lbl"), col("c")).otherwise(lit(0L))).as("c_pos"),
+        sum(when(!col("__lbl"), col("c")).otherwise(lit(0L))).as("c_neg"))
+    val stats = classTok
+      .agg(coalesce(sum(col("c_pos")), lit(0L)).as("tot_pos"),
+        coalesce(sum(col("c_neg")), lit(0L)).as("tot_neg"),
+        count(lit(1)).as("v"))
+      .crossJoin(train.agg(
+        sum(when(col(labelCol).cast("boolean"), lit(1L)).otherwise(lit(0L)))
+          .as("n_pos"),
+        sum(when(!col(labelCol).cast("boolean"), lit(1L)).otherwise(lit(0L)))
+          .as("n_neg")))
+    def lw(cnt: Column, tot: Column): Column =
+      log((coalesce(cnt, lit(0L)) + lit(1L)).cast("double") /
+        (tot + greatest(col("v"), lit(1L))).cast("double"))
+    // weights in SPARK SQL with trainScore's exact lw() arithmetic —
+    // bit-identical doubles reach the driver map
+    val w = classTok.crossJoin(broadcast(stats))
+      .select(col("t"),
+        (lw(col("c_pos"), col("tot_pos")) -
+          lw(col("c_neg"), col("tot_neg"))).as("w"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val scal = stats.select(
+        (lw(lit(null), col("tot_pos")) - lw(lit(null), col("tot_neg")))
+          .as("floor_w"),
+        log((col("n_pos") + lit(1L)).cast("double") /
+          (col("n_neg") + lit(1L)).cast("double")).as("prior"))
+      .head()
+    NbModel(w, scal.getDouble(0), scal.getDouble(1))
+  }
+
+  /** Score docs ROW-LOCALLY under a trained [[NbModel]] — zero shuffle,
+    * zero state, so it runs on an unbounded stream: per-occurrence
+    * weight-map lookups fold over the token array. Output matches
+    * [[trainScore]]'s `(idCol…, n_tokens, margin, pred)` columns (margin
+    * guard-rounded to 6dp; FP summation order differs from the
+    * distributed scorer by design — the guard-round is the equality
+    * contract, pinned by spec). Token-less docs are dropped, matching
+    * the distributed scorer (their termFreq frame is empty).
+    */
+  def scoreLocal(df: DataFrame, textCol: String,
+                 model: NbModel): DataFrame = {
+    val wmap = typedlit(model.weights)
+    val toks = TextAnalysis.tokens(lower(col(textCol)))
+    df.filter(col(textCol).isNotNull)
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("margin", g6(aggregate(toks, lit(0.0),
+        (acc, t) => acc +
+          coalesce(element_at(wmap, t), lit(model.floorW))) +
+        lit(model.prior)))
+      .withColumn("pred", col("margin") > 0)
+  }
+
   /** Train on `train` (must carry boolean `labelCol`), score `score`:
     * returns `(idCol, n_tokens, margin, pred)` where `margin` is the
     * smoothed log-odds `ln P(pos|doc) − ln P(neg|doc)` (guard-rounded to

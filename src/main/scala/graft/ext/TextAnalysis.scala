@@ -227,6 +227,82 @@ object TextAnalysis {
           col("r_punct") && col("r_rep"))
   }
 
+  /** [[gopherRules]] computed ROW-LOCALLY — identical predicates and
+    * output columns, but the repetition stats fold over the token array
+    * with higher-order functions instead of riding the (doc, bigram)
+    * shuffle: the top-bigram multiplicity is the longest run in the
+    * SORTED bigram array (a sort + one linear fold per row). Zero
+    * shuffle, zero cross-document state — the form that runs on an
+    * unbounded STREAM ([[graft.streaming.StreamingCorpus]]), where the
+    * batch operator's aggregation would need watermarked state for no
+    * semantic gain. Same values row for row (integers and exact
+    * divisions; spec-pinned against the batch operator), so the two
+    * share one oracle.
+    *
+    * Batch-vs-local choice: at rest, prefer [[gopherRules]] — the
+    * pre-aggregating shuffle bounds per-row memory on adversarially
+    * long documents, while this form materializes the O(n_tokens)
+    * bigram array per row.
+    */
+  def gopherRulesLocal(df: DataFrame, textCol: String, idCol: String,
+                       minTokens: Long = 50, maxTokens: Long = 100000)
+      : DataFrame =
+    withGopherRulesLocal(df, textCol, minTokens, maxTokens)
+      .select(col(idCol), col("n_tokens"), col("mean_word_len"),
+        col("r_len"), col("r_word_len"), col("r_stop"), col("r_punct"),
+        col("r_rep"), col("keep"))
+
+  /** The additive form of [[gopherRulesLocal]]: every input column is
+    * preserved and the rule columns (`n_tokens`, `mean_word_len`,
+    * `r_*`, `keep`) are appended — the shape a streaming gate needs,
+    * where the payload must ride through the filter.
+    */
+  def withGopherRulesLocal(df: DataFrame, textCol: String,
+                           minTokens: Long = 50,
+                           maxTokens: Long = 100000): DataFrame = {
+    def g6(c: Column): Column = round(c + lit(1e-9), 6)
+    val nSafe = greatest(col("n_tokens"), lit(1L)).cast("double")
+    // longest run in the sorted bigram array == max bigram multiplicity;
+    // fold state: (prev, run, best) — best flushed at finish
+    val bigrams = array_sort(transform(
+      sequence(lit(0L), col("n_tokens") - 2),
+      i => array_join(slice(col("__lt"), i + 1, lit(2)), " ")))
+    val maxRun = aggregate(bigrams,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => struct(
+        x.as("prev"),
+        when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L)).as("run"),
+        greatest(acc.getField("best"),
+          when(x === acc.getField("prev"), acc.getField("run") + 1L)
+            .otherwise(lit(1L))).as("best")),
+      acc => acc.getField("best"))
+    withTokenStats(df, textCol)
+      .withColumn("__lt", tokens(lower(col(textCol))))
+      .withColumn("__distinct_ratio",
+        size(array_distinct(col("__lt"))).cast("double") / nSafe)
+      .withColumn("__top_bigram_frac",
+        when(col("n_tokens") >= 2, maxRun).otherwise(lit(0L))
+          .cast("double") /
+          greatest(col("n_tokens") - 1, lit(1L)).cast("double"))
+      .withColumn("mean_word_len",
+        g6(col("token_chars").cast("double") / nSafe))
+      .withColumn("__punct_ratio",
+        g6(col("n_punct").cast("double") / nSafe))
+      .withColumn("r_len", col("n_tokens").between(minTokens, maxTokens))
+      .withColumn("r_word_len", col("mean_word_len").between(3.0, 10.0))
+      .withColumn("r_stop", col("n_stopwords") >= 2)
+      .withColumn("r_punct", col("__punct_ratio") <= 0.1)
+      .withColumn("r_rep", g6(col("__top_bigram_frac")) <= 0.2 &&
+        g6(col("__distinct_ratio")) >= 0.5)
+      .withColumn("keep",
+        col("r_len") && col("r_word_len") && col("r_stop") &&
+          col("r_punct") && col("r_rep"))
+      .drop("__lt", "__distinct_ratio", "__top_bigram_frac",
+        "__punct_ratio", "token_chars", "n_punct", "n_stopwords",
+        "n_bpe_tokens")
+  }
+
   /** The shared (doc, token) → count pre-agg every corpus-level text
     * metric starts from (entropy, NLL, OOV, vocab, tf-idf): one spread
     * explode, one partial-aggregating shuffle of pre-combined pairs.

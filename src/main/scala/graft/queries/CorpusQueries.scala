@@ -166,6 +166,27 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Serve-time NB scoring — the streaming gate's scorer run over the
+    // batch table: the model is EXTRACTED once (NbClassifier.train,
+    // vocab-bounded weight collect — the codebook allowance) and applied
+    // ROW-LOCALLY with zero shuffle; margins must reproduce the
+    // distributed scorer's to the 6dp guard-round, certified against the
+    // same oracle CTE chain
+    "q_nb_serve" -> ((s, dir) => {
+      val labeled = TA.withTokenStats(Tables.documents(s, dir), "text")
+        .withColumn("label_weak",
+          ground(TA.qualityScore(col("n_tokens"), col("token_chars"),
+            col("n_punct"), col("n_stopwords")), 4) >= 0.5)
+        .select(col("doc_id"), col("text"), col("label_weak"))
+      val model = NbClassifier.train(
+        labeled.filter(Sampling.hashBucket(col("doc_id"), "graft") < 80),
+        "text", "doc_id", "label_weak")
+      NbClassifier.scoreLocal(labeled.select(col("doc_id"), col("text")),
+          "text", model)
+        .select(col("doc_id"), col("n_tokens"), col("margin"), col("pred"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Tokenizer-coverage metric: per-doc OOV rate against the top-K corpus
     // vocabulary (K=16 of 31 distinct tokens in the synthetic corpus, so
     // the tail is actually exercised). Vocab selection is deterministic
@@ -545,6 +566,70 @@ object CorpusQueries {
        |FROM po GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin
   }
 
+  /** Shared CTE chain for `q_quality_nb` and `q_nb_serve`: weak labels,
+    * the 80%-split trained NB model, and the per-doc score `s` — one SQL
+    * ground truth for the distributed scorer AND the serve-time local
+    * scorer. */
+  private lazy val nbOracleCtes: String = {
+    val stopSql = TA.Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    regexp_split_to_array(trim(text), '[\\s\\x0b]+') AS toks,
+         |    regexp_split_to_array(trim(lower(text)), '[\\s\\x0b]+') AS ltoks
+         |  FROM documents
+         |), st AS (
+         |  SELECT doc_id, ltoks,
+         |    len(toks) AS n_tokens,
+         |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)
+         |      AS n_punct,
+         |    CAST(len(list_filter(toks, x -> x IN ($stopSql))) AS BIGINT)
+         |      AS n_stopwords
+         |  FROM t
+         |), lab AS (
+         |  SELECT doc_id, ltoks,
+         |    (round(least(n_tokens / 100.0, 1.0) * 0.3
+         |      + (1.0 - least(CAST(n_punct AS DOUBLE)
+         |          / greatest(n_tokens, 1), 1.0)) * 0.4
+         |      + least(CAST(n_stopwords AS DOUBLE) * 5.0
+         |          / greatest(n_tokens, 1), 1.0) * 0.3
+         |      + 1e-9, 4) >= 0.5) AS label_weak
+         |  FROM st
+         |), tfc AS (
+         |  SELECT doc_id, tok, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(ltoks) AS tok FROM lab)
+         |  GROUP BY 1, 2
+         |), trc AS (
+         |  SELECT f.doc_id, tok, c, label_weak
+         |  FROM tfc f JOIN lab USING (doc_id)
+         |  WHERE ${sqlBucket("graft", "f.doc_id")} < 80
+         |), ct AS (
+         |  SELECT tok,
+         |    CAST(sum(CASE WHEN label_weak THEN c ELSE 0 END) AS BIGINT)
+         |      AS c_pos,
+         |    CAST(sum(CASE WHEN NOT label_weak THEN c ELSE 0 END) AS BIGINT)
+         |      AS c_neg
+         |  FROM trc GROUP BY 1
+         |), stats AS (
+         |  SELECT CAST(sum(c_pos) AS BIGINT) AS tot_pos,
+         |    CAST(sum(c_neg) AS BIGINT) AS tot_neg,
+         |    CAST(count(*) AS BIGINT) AS v
+         |  FROM ct
+         |), pri AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN label_weak THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_pos,
+         |    CAST(sum(CASE WHEN NOT label_weak THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_neg
+         |  FROM lab WHERE ${sqlBucket("graft", "doc_id")} < 80
+         |), sc AS (
+         |  SELECT f.doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    sum(c * (ln((coalesce(c_pos, 0) + 1) / (tot_pos + v))
+         |           - ln((coalesce(c_neg, 0) + 1) / (tot_neg + v)))) AS s
+         |  FROM tfc f LEFT JOIN ct USING (tok) CROSS JOIN stats
+         |  GROUP BY 1
+         |)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
 
     "q_corpus_build" -> corpusBuildOracle,
@@ -638,71 +723,24 @@ object CorpusQueries {
         |    '')) AS clean_fp
         |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    "q_quality_nb" -> {
-      val stopSql = TA.Stopwords.map(w => s"'$w'").mkString(", ")
-      s"""WITH t AS (
-         |  SELECT doc_id, text,
-         |    regexp_split_to_array(trim(text), '[\\s\\x0b]+') AS toks,
-         |    regexp_split_to_array(trim(lower(text)), '[\\s\\x0b]+') AS ltoks
-         |  FROM documents
-         |), st AS (
-         |  SELECT doc_id, ltoks,
-         |    len(toks) AS n_tokens,
-         |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)
-         |      AS n_punct,
-         |    CAST(len(list_filter(toks, x -> x IN ($stopSql))) AS BIGINT)
-         |      AS n_stopwords
-         |  FROM t
-         |), lab AS (
-         |  SELECT doc_id, ltoks,
-         |    (round(least(n_tokens / 100.0, 1.0) * 0.3
-         |      + (1.0 - least(CAST(n_punct AS DOUBLE)
-         |          / greatest(n_tokens, 1), 1.0)) * 0.4
-         |      + least(CAST(n_stopwords AS DOUBLE) * 5.0
-         |          / greatest(n_tokens, 1), 1.0) * 0.3
-         |      + 1e-9, 4) >= 0.5) AS label_weak
-         |  FROM st
-         |), tfc AS (
-         |  SELECT doc_id, tok, count(*) AS c
-         |  FROM (SELECT doc_id, unnest(ltoks) AS tok FROM lab)
-         |  GROUP BY 1, 2
-         |), trc AS (
-         |  SELECT f.doc_id, tok, c, label_weak
-         |  FROM tfc f JOIN lab USING (doc_id)
-         |  WHERE ${sqlBucket("graft", "f.doc_id")} < 80
-         |), ct AS (
-         |  SELECT tok,
-         |    CAST(sum(CASE WHEN label_weak THEN c ELSE 0 END) AS BIGINT)
-         |      AS c_pos,
-         |    CAST(sum(CASE WHEN NOT label_weak THEN c ELSE 0 END) AS BIGINT)
-         |      AS c_neg
-         |  FROM trc GROUP BY 1
-         |), stats AS (
-         |  SELECT CAST(sum(c_pos) AS BIGINT) AS tot_pos,
-         |    CAST(sum(c_neg) AS BIGINT) AS tot_neg,
-         |    CAST(count(*) AS BIGINT) AS v
-         |  FROM ct
-         |), pri AS (
-         |  SELECT
-         |    CAST(sum(CASE WHEN label_weak THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS n_pos,
-         |    CAST(sum(CASE WHEN NOT label_weak THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS n_neg
-         |  FROM lab WHERE ${sqlBucket("graft", "doc_id")} < 80
-         |), sc AS (
-         |  SELECT f.doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
-         |    sum(c * (ln((coalesce(c_pos, 0) + 1) / (tot_pos + v))
-         |           - ln((coalesce(c_neg, 0) + 1) / (tot_neg + v)))) AS s
-         |  FROM tfc f LEFT JOIN ct USING (tok) CROSS JOIN stats
-         |  GROUP BY 1
-         |)
-         |SELECT sc.doc_id, sc.n_tokens, lab.label_weak,
+    "q_quality_nb" -> (nbOracleCtes + "\n" +
+      s"""SELECT sc.doc_id, sc.n_tokens, lab.label_weak,
          |  round(s + ln((n_pos + 1.0) / (n_neg + 1.0)) + 1e-9, 6) AS margin,
          |  (round(s + ln((n_pos + 1.0) / (n_neg + 1.0)) + 1e-9, 6) > 0)
          |    AS pred
          |FROM sc JOIN lab USING (doc_id) CROSS JOIN pri
-         |ORDER BY doc_id""".stripMargin
-    },
+         |ORDER BY doc_id""".stripMargin),
+
+    // serve-time scorer: same trained model, margins identical — the
+    // label column is simply not part of the serving contract
+    "q_nb_serve" -> (nbOracleCtes + "\n" +
+      s"""SELECT sc.doc_id, sc.n_tokens,
+         |  round(s + ln((n_pos + 1.0) / (n_neg + 1.0)) + 1e-9, 6) AS margin,
+         |  (round(s + ln((n_pos + 1.0) / (n_neg + 1.0)) + 1e-9, 6) > 0)
+         |    AS pred
+         |FROM sc CROSS JOIN pri
+         |ORDER BY doc_id""".stripMargin),
+
 
     "q_unigram_nll" ->
       """WITH tok AS (

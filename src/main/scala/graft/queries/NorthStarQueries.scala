@@ -693,6 +693,15 @@ object NorthStarQueries {
           minTokens = 10)
         .orderBy(col("doc_id"))),
 
+    // Row-local Gopher battery — the STREAMING gate's fold form
+    // (StreamingCorpus.qualityGate): same predicates computed with
+    // array HOFs instead of the (doc, bigram) shuffle, value-identical
+    // by construction, certified against the SAME oracle SQL
+    "q_gopher_local" -> ((s, dir) =>
+      TA.gopherRulesLocal(Tables.documents(s, dir), "text", "doc_id",
+          minTokens = 10)
+        .orderBy(col("doc_id"))),
+
     // Multimodal frame sampling: 1→N batch shape; text payloads take the
     // deterministic fallback codec (raster=false), keeping the oracle exact
     "q_multimodal_frames" -> ((s, dir) => {
@@ -1261,7 +1270,17 @@ object NorthStarQueries {
          |    + 1e-9, 4) AS quality
          |FROM st ORDER BY doc_id""".stripMargin,
 
-    "q_gopher_rules" ->
+    "q_gopher_rules" -> gopherOracleSql,
+
+    // the row-local fold form is VALUE-identical to the shuffle form by
+    // construction — it shares the oracle verbatim, so a hash match
+    // certifies both spellings against the same SQL ground truth
+    "q_gopher_local" -> gopherOracleSql
+  ) ++ oracles2
+
+  /** Shared by `q_gopher_rules` (shuffle form) and `q_gopher_local`
+    * (row-local fold form) — one SQL ground truth for both spellings. */
+  private lazy val gopherOracleSql: String =
       s"""WITH t AS (
          |  SELECT doc_id, text,
          |    regexp_split_to_array(trim(text), '[\\s\\x0b]+') AS toks,
@@ -1310,7 +1329,9 @@ object NorthStarQueries {
          |)
          |SELECT *, (r_len AND r_word_len AND r_stop AND r_punct AND r_rep)
          |  AS keep
-         |FROM r ORDER BY doc_id""".stripMargin,
+         |FROM r ORDER BY doc_id""".stripMargin
+
+  private lazy val oracles2: Map[String, String] = Map(
 
     "q_lang_id" -> {
       val markers = TA.LangMarkers.map { case (l, ms) =>

@@ -227,6 +227,21 @@ class ApiSpec extends SparkSpec {
     assert(bad == 0, "pack_id not contiguous per group")
   }
 
+  test("quickstart: train-batch/serve-stream quality gate") {
+    val labeledDocs = Graft.quality(docs, "text")
+      .withColumn("lbl", col("quality") >= 0.5)
+      .select(col("doc_id"), col("text"), col("lbl"))
+    val model = Graft.qualityModel(labeledDocs, "text", "doc_id", "lbl")
+    val kept = Graft.qualityGate(docs, "text", "doc_id", model,
+      minTokens = 10)
+    val n = kept.count()
+    assert(n > 0 && n < docs.count(),
+      s"stateless gate kept $n of ${docs.count()}")
+    // payload columns ride through; margin/pred are appended
+    assert(docs.columns.toSet.subsetOf(kept.columns.toSet))
+    assert(kept.columns.contains("margin") && kept.columns.contains("pred"))
+  }
+
   test("quickstart: sampled-training quantizer cells (vectorCells)") {
     val cells = Graft.vectorCells(vectors, "vec_id", "embedding",
       trainFraction = 0.1)

@@ -126,6 +126,58 @@ class CorpusOpsSpec extends SparkSpec {
       s"token-less training must score every doc at the prior, got $rb")
   }
 
+  test("gopherRulesLocal ≡ gopherRules: the row-local fold reproduces " +
+    "the shuffle form, edge rows included") {
+    import graft.ext.{TextAnalysis => TA}
+    val edge = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (2L, null: String),                       // null text → null rules
+      (3L, "   "),                              // blank → 1 empty token
+      (4L, "the of and to in is was a an or words differ here nicely" +
+        " and the mix keeps ratios inside every single band today"),
+      (5L, "x"),                                // 1 token → no bigrams
+      (6L, "a b a b a b a b a b a b"))          // tied bigram runs
+      .toDF("doc_id", "text")
+    for (df <- Seq(edge, graft.io.Tables.documents(spark,
+        TestSpark.sf0001))) {
+      val batch = TA.gopherRules(df, "text", "doc_id", minTokens = 10)
+      val local = TA.gopherRulesLocal(df, "text", "doc_id", minTokens = 10)
+      assert(batch.columns.toSeq == local.columns.toSeq)
+      assert(local.exceptAll(batch).count() == 0 &&
+        batch.exceptAll(local).count() == 0,
+        "row-local Gopher battery diverged from the shuffle form")
+    }
+  }
+
+  test("NbClassifier.scoreLocal ≡ trainScore: the serve-time model " +
+    "reproduces the distributed scorer's margins") {
+    import graft.ext.{NbClassifier, TextAnalysis => TA, Sampling}
+    val docs = graft.io.Tables.documents(spark, TestSpark.sf0001)
+    val labeled = TA.withTokenStats(docs, "text")
+      .withColumn("label_weak",
+        round(TA.qualityScore(col("n_tokens"), col("token_chars"),
+          col("n_punct"), col("n_stopwords")) + lit(1e-9), 4) >= 0.5)
+      .select(col("doc_id"), col("text"), col("label_weak"))
+    val train = labeled
+      .filter(Sampling.hashBucket(col("doc_id"), "graft") < 80)
+    val dist = NbClassifier
+      .trainScore(train, labeled, "text", "doc_id", "label_weak")
+      .select("doc_id", "n_tokens", "margin", "pred")
+    val model = NbClassifier.train(train, "text", "doc_id", "label_weak")
+    val local = NbClassifier
+      .scoreLocal(labeled.select(col("doc_id"), col("text")), "text",
+        model)
+      .select("doc_id", "n_tokens", "margin", "pred")
+    assert(local.exceptAll(dist).count() == 0 &&
+      dist.exceptAll(local).count() == 0,
+      "serve-time local scorer diverged from the distributed scorer")
+    // an unseen-vocabulary doc scores through the Laplace floor weight
+    val unseen = NbClassifier.scoreLocal(
+      Seq((99L, "zzz qqq www")).toDF("doc_id", "text"), "text", model)
+      .head().getAs[Double]("margin")
+    assert(!unseen.isNaN && !unseen.isInfinite)
+  }
+
   test("Spread.cpu widens an under-split scan, skips shuffled/streaming") {
     val scan = spark.read
       .parquet(s"${TestSpark.sf0001}/documents.parquet")

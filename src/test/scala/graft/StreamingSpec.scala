@@ -603,4 +603,58 @@ class StreamingSpec extends SparkSpec {
         .select("n_frames").head().getLong(0) == 2L)
     } finally q.stop()
   }
+
+  test("streaming corpus quality gate: stateless, incremental, and " +
+    "identical to the batch gates") {
+    import java.nio.file.{Files => JFiles}
+    import graft.ext.{NbClassifier, Sampling, TextAnalysis => TA}
+    val docsAll = Tables.documents(spark, TestSpark.sf0001)
+    // model fit OFFLINE on the batch corpus — the train-batch/
+    // serve-stream split the operator exists for
+    val labeled = TA.withTokenStats(docsAll, "text")
+      .withColumn("label_weak",
+        round(TA.qualityScore(col("n_tokens"), col("token_chars"),
+          col("n_punct"), col("n_stopwords")) + lit(1e-9), 4) >= 0.5)
+      .select(col("doc_id"), col("text"), col("label_weak"))
+    val model = NbClassifier.train(
+      labeled.filter(Sampling.hashBucket(col("doc_id"), "graft") < 80),
+      "text", "doc_id", "label_weak")
+    // batch expectation: the same composed gate on the static frame
+    val expected = graft.streaming.StreamingCorpus.qualityGate(
+        docsAll, "text", "doc_id", model, minTokens = 10)
+      .select("doc_id", "n_tokens", "margin", "pred")
+    assert(expected.count() > 0 && expected.count() < docsAll.count(),
+      "gate must drop some docs and keep some on the fixture")
+    // stream the same docs in two halves; gate must be stateless
+    // (zero StateStore in any executed micro-batch plan) and converge
+    // to the batch result exactly
+    val inDir = Files.createTempDirectory("graft-corpus-in").toString
+    val outDir = Files.createTempDirectory("graft-corpus-out").toString
+    val ckpt = Files.createTempDirectory("graft-corpus-ckpt").toString
+    val half1 = docsAll.filter(col("doc_id") % 2 === 0)
+    val half2 = docsAll.filter(col("doc_id") % 2 === 1)
+    half1.write.parquet(s"$inDir/p1")
+    val schema = docsAll.schema
+    val q = graft.streaming.StreamingCorpus.run(spark, s"$inDir/p*",
+      outDir, ckpt, schema, "text", "doc_id", model, minTokens = 10)
+    try {
+      q.processAllAvailable()
+      val afterHalf = spark.read.parquet(outDir)
+      assert(afterHalf.count() ==
+        expected.filter(col("doc_id") % 2 === 0).count(),
+        "first half's survivors diverged from the batch gate")
+      half2.write.parquet(s"$inDir/p2")
+      q.processAllAvailable()
+      // stateless: the executed plan of the last micro-batch carries no
+      // state store
+      assert(!q.lastProgress.stateOperators.iterator.hasNext ||
+        q.lastProgress.stateOperators.isEmpty,
+        "quality gate must run with ZERO stateful operators")
+      val got = spark.read.parquet(outDir)
+        .select("doc_id", "n_tokens", "margin", "pred")
+      assert(got.exceptAll(expected).count() == 0 &&
+        expected.exceptAll(got).count() == 0,
+        "streamed survivors diverged from the batch gate")
+    } finally q.stop()
+  }
 }

@@ -40,9 +40,19 @@ object NbClassifier {
     * frame — the build half of the train-batch/serve-stream split
     * ([[graft.streaming.StreamingCorpus]] consumes the model on an
     * unbounded stream where the shuffling [[trainScore]] cannot run).
+    *
+    * `maxVocab` bounds the SERVED weight map (the literal every stream
+    * task carries): the top `maxVocab` tokens by training frequency
+    * (count desc, token asc — deterministic) keep their exact weights;
+    * tail tokens score through the Laplace floor, exactly like unseen
+    * ones. The smoothing totals (tot/v, priors) are always computed
+    * over the FULL vocabulary, so a capped model is the same model with
+    * a coarser tail — and a cap above the corpus vocabulary (the
+    * default at fixture scale) reproduces [[trainScore]] bit-for-bit.
     */
   def train(train: DataFrame, textCol: String, idCol: String,
-            labelCol: String): NbModel = {
+            labelCol: String, maxVocab: Int = 1 << 20): NbModel = {
+    require(maxVocab > 0, s"maxVocab=$maxVocab must be positive")
     require(!train.isEmpty,
       "NbClassifier.train: training frame is empty")
     val tfTrain = TextAnalysis
@@ -50,9 +60,13 @@ object NbClassifier {
         cached = false)
       .join(train.select(col(idCol), col(labelCol).cast("boolean")
         .as("__lbl")), Seq(idCol))
-    val classTok = tfTrain.groupBy(col("t"))
+    // three driver reads (weights, their stats broadcast, the scalar
+    // head) consume this frame — cache it or the corpus tokenization
+    // replays per read (CacheScope contract: scoped draining inside a
+    // scoped pass, session-LRU otherwise)
+    val classTok = CacheScope.cache(tfTrain.groupBy(col("t"))
       .agg(sum(when(col("__lbl"), col("c")).otherwise(lit(0L))).as("c_pos"),
-        sum(when(!col("__lbl"), col("c")).otherwise(lit(0L))).as("c_neg"))
+        sum(when(!col("__lbl"), col("c")).otherwise(lit(0L))).as("c_neg")))
     val stats = classTok
       .agg(coalesce(sum(col("c_pos")), lit(0L)).as("tot_pos"),
         coalesce(sum(col("c_neg")), lit(0L)).as("tot_neg"),
@@ -70,7 +84,10 @@ object NbClassifier {
     val w = classTok.crossJoin(broadcast(stats))
       .select(col("t"),
         (lw(col("c_pos"), col("tot_pos")) -
-          lw(col("c_neg"), col("tot_neg"))).as("w"))
+          lw(col("c_neg"), col("tot_neg"))).as("w"),
+        (col("c_pos") + col("c_neg")).as("__f"))
+      .orderBy(col("__f").desc, col("t"))
+      .limit(maxVocab)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     val scal = stats.select(
         (lw(lit(null), col("tot_pos")) - lw(lit(null), col("tot_neg")))
@@ -82,24 +99,25 @@ object NbClassifier {
   }
 
   /** Score docs ROW-LOCALLY under a trained [[NbModel]] — zero shuffle,
-    * zero state, so it runs on an unbounded stream: per-occurrence
-    * weight-map lookups fold over the token array. Output matches
-    * [[trainScore]]'s `(idCol…, n_tokens, margin, pred)` columns (margin
-    * guard-rounded to 6dp; FP summation order differs from the
-    * distributed scorer by design — the guard-round is the equality
-    * contract, pinned by spec). Token-less docs are dropped, matching
-    * the distributed scorer (their termFreq frame is empty).
+    * zero state, so it runs on an unbounded stream: ONE codegen'd
+    * expression ([[graft.functions.NbMargin]]) folds per-occurrence
+    * O(1)-hash weight lookups over the token array (the interpreted
+    * `aggregate(element_at(mapLit, …))` HOF stack it replaces paid a
+    * boxed lambda per element and a linear map-literal scan per lookup).
+    * Output matches [[trainScore]]'s `(idCol…, n_tokens, margin, pred)`
+    * columns (margin guard-rounded to 6dp; FP summation order differs
+    * from the distributed scorer by design — the guard-round is the
+    * equality contract, pinned by spec AND the shared oracle). Token-
+    * less docs are dropped, matching the distributed scorer (their
+    * termFreq frame is empty).
     */
   def scoreLocal(df: DataFrame, textCol: String,
                  model: NbModel): DataFrame = {
-    val wmap = typedlit(model.weights)
     val toks = TextAnalysis.tokens(lower(col(textCol)))
     df.filter(col(textCol).isNotNull)
       .withColumn("n_tokens", size(toks).cast("long"))
-      .withColumn("margin", g6(aggregate(toks, lit(0.0),
-        (acc, t) => acc +
-          coalesce(element_at(wmap, t), lit(model.floorW))) +
-        lit(model.prior)))
+      .withColumn("margin", graft.functions.NbFunctions.graft_nb_margin(
+        toks, model.weights, model.floorW, model.prior))
       .withColumn("pred", col("margin") > 0)
   }
 

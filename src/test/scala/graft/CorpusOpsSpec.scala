@@ -176,6 +176,17 @@ class CorpusOpsSpec extends SparkSpec {
       Seq((99L, "zzz qqq www")).toDF("doc_id", "text"), "text", model)
       .head().getAs[Double]("margin")
     assert(!unseen.isNaN && !unseen.isInfinite)
+    // maxVocab caps the SERVED weight map deterministically: top tokens
+    // by training frequency keep exact weights, the tail floors — the
+    // smoothing totals stay full-vocabulary, so a big-enough cap is the
+    // identical model
+    val capped = NbClassifier.train(train, "text", "doc_id",
+      "label_weak", maxVocab = 5)
+    assert(capped.weights.size == 5)
+    assert(capped.floorW == model.floorW && capped.prior == model.prior,
+      "cap must not move the full-vocabulary smoothing scalars")
+    assert(capped.weights.forall { case (t, wv) => model.weights(t) == wv },
+      "kept tokens must keep their exact full-model weights")
   }
 
   test("Spread.cpu widens an under-split scan, skips shuffled/streaming") {

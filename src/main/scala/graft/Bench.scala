@@ -157,16 +157,27 @@ object Bench {
     // shared.ann_coarse_sec (one build) and shared.ann_relearn_sec (the
     // implied re-learn overhead inside the named ann totals — what a
     // production session sharing one index would NOT pay).
-    val annN = results.count(_._1.startsWith("q_ann_"))
-    val annCoarseSec =
+    def timeShared(f: => Unit): Double =
       try {
         spark.catalog.clearCache(); System.gc()
         val t0 = System.nanoTime()
-        graft.ext.Similarity.kmeansBuckets(
-          graft.io.Tables.embeddings(spark, sfDir), "vec_id", "embedding",
-          k = 8, iters = 2, bucketCol = "kb").count()
+        f
         (System.nanoTime() - t0) / 1e9
       } catch { case scala.util.control.NonFatal(_) => 0.0 }
+    val annN = results.count(_._1.startsWith("q_ann_"))
+    val annCoarseSec = timeShared {
+      graft.ext.Similarity.kmeansBuckets(
+        graft.io.Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+        k = 8, iters = 2, bucketCol = "kb").count()
+    }
+    // the dedup family's shared artifact: the MinHash signature frame
+    // (shingle explode → 16 affine mins) every near-dup query rebuilds
+    val dedupN = results.count(r => r._1.startsWith("q_dedup_") ||
+      r._1.startsWith("q_minhash_"))
+    val minhashSec = timeShared {
+      graft.ext.Dedup.minHashSignatures(
+        graft.io.Tables.documents(spark, sfDir), "text", "doc_id").count()
+    }
     def jstr(s: String) =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
         .map(c => if (c < 0x20) ' ' else c) + "\"" // ALL control chars — one
@@ -223,7 +234,7 @@ object Bench {
         jstr(fam) + s""":{"n":${rs.size},"sec":${jnum(rs.map(_._2).sum)},"cpu_sec":${jnum(rs.map(_._6).sum)}}"""
       }.mkString("{", ",", "}")
     val sharedJson =
-      s"""{"ann_coarse_sec":${jnum(annCoarseSec)},"ann_n":$annN,"ann_relearn_sec":${jnum(annCoarseSec * math.max(0, annN - 1))}}"""
+      s"""{"ann_coarse_sec":${jnum(annCoarseSec)},"ann_n":$annN,"ann_relearn_sec":${jnum(annCoarseSec * math.max(0, annN - 1))},"dedup_minhash_sec":${jnum(minhashSec)},"dedup_n":$dedupN,"dedup_relearn_sec":${jnum(minhashSec * math.max(0, dedupN - 1))}}"""
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"warm":$warmQs,"warm_cpu":$warmCpuQs,"shuffle":$shuffleQs,"families":$families,"shared":$sharedJson,"loadavg":$loadJson,"ml_fused":$mlFused,"errors":$errJsonFull,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")

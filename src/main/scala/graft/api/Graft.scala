@@ -182,12 +182,15 @@ object Graft {
   def annTopKIvfPq(vectors: DataFrame, idCol: String, vecCol: String,
                    k: Int, dim: Int, nProbe: Int = 2, m: Int = 8,
                    kSub: Int = 16, overfetch: Int = 3, nBuckets: Int = 0,
-                   maxBucket: Int = 4096): DataFrame = {
+                   maxBucket: Int = 4096,
+                   trainFraction: Double = 1.0): DataFrame = {
     val bucketed = Similarity.kmeansBuckets(vectors, idCol, vecCol,
-      k = resolveBuckets(vectors, nBuckets), iters = 2, bucketCol = "__cell")
+      k = resolveBuckets(vectors, nBuckets), iters = 2,
+      bucketCol = "__cell", trainFraction = trainFraction)
     Similarity.ivfPqTopK(bucketed, idCol, vecCol, "__cell", k = k,
       nProbe = nProbe, dim = dim, m = m, kSub = kSub,
-      overfetch = overfetch, maxBucket = maxBucket)
+      overfetch = overfetch, maxBucket = maxBucket,
+      trainFraction = trainFraction)
   }
 
   /** [[annTopK]] with product-quantization SDC scoring: `m` per-subspace
@@ -201,11 +204,14 @@ object Graft {
     */
   def annTopKPq(vectors: DataFrame, idCol: String, vecCol: String, k: Int,
                 dim: Int, m: Int = 8, kSub: Int = 16, overfetch: Int = 3,
-                nBuckets: Int = 0, maxBucket: Int = 4096): DataFrame = {
+                nBuckets: Int = 0, maxBucket: Int = 4096,
+                trainFraction: Double = 1.0): DataFrame = {
     val bucketed = Similarity.kmeansBuckets(vectors, idCol, vecCol,
-      k = resolveBuckets(vectors, nBuckets), iters = 2, bucketCol = "__cell")
+      k = resolveBuckets(vectors, nBuckets), iters = 2,
+      bucketCol = "__cell", trainFraction = trainFraction)
     Similarity.pqTopK(bucketed, idCol, vecCol, "__cell", k = k, dim = dim,
-      m = m, kSub = kSub, overfetch = overfetch, maxBucket = maxBucket)
+      m = m, kSub = kSub, overfetch = overfetch, maxBucket = maxBucket,
+      trainFraction = trainFraction)
   }
 
   /** [[annTopKIvfPq]] with RESIDUAL coding — the configuration FAISS's
@@ -218,12 +224,15 @@ object Graft {
   def annTopKIvfPqRes(vectors: DataFrame, idCol: String, vecCol: String,
                       k: Int, dim: Int, nProbe: Int = 2, m: Int = 8,
                       kSub: Int = 16, overfetch: Int = 3, nBuckets: Int = 0,
-                      maxBucket: Int = 4096): DataFrame = {
+                      maxBucket: Int = 4096,
+                      trainFraction: Double = 1.0): DataFrame = {
     val bucketed = Similarity.kmeansBuckets(vectors, idCol, vecCol,
-      k = resolveBuckets(vectors, nBuckets), iters = 2, bucketCol = "__cell")
+      k = resolveBuckets(vectors, nBuckets), iters = 2,
+      bucketCol = "__cell", trainFraction = trainFraction)
     Similarity.ivfPqResTopK(bucketed, idCol, vecCol, "__cell", k = k,
       nProbe = nProbe, dim = dim, m = m, kSub = kSub,
-      overfetch = overfetch, maxBucket = maxBucket)
+      overfetch = overfetch, maxBucket = maxBucket,
+      trainFraction = trainFraction)
   }
 
   /** Retrieval with an EXTERNAL query set — the serve-time contract every
@@ -236,12 +245,15 @@ object Graft {
   def annSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int, dim: Int, nProbe: Int = 2,
                 m: Int = 8, kSub: Int = 16, overfetch: Int = 3,
-                nBuckets: Int = 0, maxBucket: Int = 4096): DataFrame = {
+                nBuckets: Int = 0, maxBucket: Int = 4096,
+                trainFraction: Double = 1.0): DataFrame = {
     val bucketed = Similarity.kmeansBuckets(corpus, idCol, vecCol,
-      k = resolveBuckets(corpus, nBuckets), iters = 2, bucketCol = "__cell")
+      k = resolveBuckets(corpus, nBuckets), iters = 2,
+      bucketCol = "__cell", trainFraction = trainFraction)
     Similarity.ivfPqResSearch(bucketed, queries, idCol, vecCol, "__cell",
       k = k, nProbe = nProbe, dim = dim, m = m, kSub = kSub,
-      overfetch = overfetch, maxBucket = maxBucket)
+      overfetch = overfetch, maxBucket = maxBucket,
+      trainFraction = trainFraction)
   }
 
   /** Hard-negative mining over any ANN result frame (the output of
@@ -260,11 +272,13 @@ object Graft {
     */
   def annIndexBuild(corpus: DataFrame, idCol: String, vecCol: String,
                     dir: String, dim: Int, m: Int = 8, kSub: Int = 16,
-                    nBuckets: Int = 0): Unit = {
+                    nBuckets: Int = 0,
+                    trainFraction: Double = 1.0): Unit = {
     val bucketed = Similarity.kmeansBuckets(corpus, idCol, vecCol,
-      k = resolveBuckets(corpus, nBuckets), iters = 2, bucketCol = "__cell")
+      k = resolveBuckets(corpus, nBuckets), iters = 2,
+      bucketCol = "__cell", trainFraction = trainFraction)
     AnnIndex.build(bucketed, idCol, vecCol, "__cell", dir, dim = dim,
-      m = m, kSub = kSub)
+      m = m, kSub = kSub, trainFraction = trainFraction)
   }
 
   /** Serve queries from a persisted index with no re-learning — the
@@ -287,11 +301,14 @@ object Graft {
   def annTopKPqAdc(vectors: DataFrame, idCol: String, vecCol: String,
                    k: Int, dim: Int, m: Int = 8, kSub: Int = 16,
                    overfetch: Int = 3, nBuckets: Int = 0,
-                   maxBucket: Int = 4096): DataFrame = {
+                   maxBucket: Int = 4096,
+                   trainFraction: Double = 1.0): DataFrame = {
     val bucketed = Similarity.kmeansBuckets(vectors, idCol, vecCol,
-      k = resolveBuckets(vectors, nBuckets), iters = 2, bucketCol = "__cell")
+      k = resolveBuckets(vectors, nBuckets), iters = 2,
+      bucketCol = "__cell", trainFraction = trainFraction)
     Similarity.pqAdcTopK(bucketed, idCol, vecCol, "__cell", k = k, dim = dim,
-      m = m, kSub = kSub, overfetch = overfetch, maxBucket = maxBucket)
+      m = m, kSub = kSub, overfetch = overfetch, maxBucket = maxBucket,
+      trainFraction = trainFraction)
   }
 
   /** Quantizer-free ANN for day-one ingest, before [[annTopK]]'s Lloyd

@@ -38,9 +38,10 @@ object AnnIndex {
     */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
             bucketCol: String, dir: String, dim: Int,
-            m: Int = 4, kSub: Int = 16, iters: Int = 1): Unit = {
+            m: Int = 4, kSub: Int = 16, iters: Int = 1,
+            trainFraction: Double = 1.0): Unit = {
     val parts = Similarity.ivfPqResIndexParts(corpus, idCol, vecCol,
-      bucketCol, dim, m, kSub, iters)
+      bucketCol, dim, m, kSub, iters, trainFraction)
     require(parts.nonEmpty,
       "AnnIndex.build: corpus has no non-null vectors — nothing to index")
     val (cents, coded, unit, books) = parts.get

@@ -416,14 +416,16 @@ object Similarity {
   def pqAdcTopK(df: DataFrame, idCol: String, vecCol: String,
                 bucketCol: String, k: Int, dim: Int, m: Int = 4,
                 kSub: Int = 16, iters: Int = 1, overfetch: Int = 3,
-                maxBucket: Int = Int.MaxValue): DataFrame = {
+                maxBucket: Int = Int.MaxValue,
+             trainFraction: Double = 1.0): DataFrame = {
     import graft.ext.CacheScope.Cacheable
     require(m > 0 && dim % m == 0,
       s"pqAdcTopK requires dim divisible by m, got dim=$dim m=$m")
     val dsub = dim / m
     val vd = col(vecCol).cast("array<double>")
     val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
-      lloydCenters(df, idCol, slice(vd, j * dsub + 1, dsub), kSub, iters)
+      lloydCenters(df, idCol, slice(vd, j * dsub + 1, dsub), kSub, iters,
+        trainFraction)
     }
     if (books.exists(_.isEmpty))
       return df.limit(0).select(col(idCol).as("query_id"),
@@ -484,14 +486,16 @@ object Similarity {
                 bucketCol: String, k: Int, nProbe: Int, dim: Int,
                 m: Int = 4, kSub: Int = 16, iters: Int = 1,
                 overfetch: Int = 3,
-                maxBucket: Int = Int.MaxValue): DataFrame = {
+                maxBucket: Int = Int.MaxValue,
+             trainFraction: Double = 1.0): DataFrame = {
     import graft.ext.CacheScope.Cacheable
     require(m > 0 && dim % m == 0,
       s"ivfPqTopK requires dim divisible by m, got dim=$dim m=$m")
     val dsub = dim / m
     val vd = col(vecCol).cast("array<double>")
     val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
-      lloydCenters(df, idCol, slice(vd, j * dsub + 1, dsub), kSub, iters)
+      lloydCenters(df, idCol, slice(vd, j * dsub + 1, dsub), kSub, iters,
+        trainFraction)
     }
     if (books.exists(_.isEmpty))
       return df.limit(0).select(col(idCol).as("query_id"),
@@ -586,9 +590,11 @@ object Similarity {
                    bucketCol: String, k: Int, nProbe: Int, dim: Int,
                    m: Int = 4, kSub: Int = 16, iters: Int = 1,
                    overfetch: Int = 3,
-                   maxBucket: Int = Int.MaxValue): DataFrame =
+                   maxBucket: Int = Int.MaxValue,
+                   trainFraction: Double = 1.0): DataFrame =
     ivfPqResSearch(df, df.select(col(idCol), col(vecCol)), idCol, vecCol,
-      bucketCol, k, nProbe, dim, m, kSub, iters, overfetch, maxBucket)
+      bucketCol, k, nProbe, dim, m, kSub, iters, overfetch, maxBucket,
+      trainFraction)
 
   /** [[ivfPqResTopK]] with an EXTERNAL query set — the retrieval shape a
     * deployment actually serves: the index (cells, residual codebooks,
@@ -604,9 +610,10 @@ object Similarity {
                      nProbe: Int, dim: Int,
                      m: Int = 4, kSub: Int = 16, iters: Int = 1,
                      overfetch: Int = 3,
-                     maxBucket: Int = Int.MaxValue): DataFrame =
+                     maxBucket: Int = Int.MaxValue,
+                     trainFraction: Double = 1.0): DataFrame =
     ivfPqResIndexParts(df, idCol, vecCol, bucketCol, dim, m, kSub,
-        iters) match {
+        iters, trainFraction) match {
       case None =>
         df.limit(0).select(col(idCol).as("query_id"),
           col(idCol).as("neighbor_id"), lit(0.0).as("cosine"),
@@ -625,7 +632,8 @@ object Similarity {
   private[graft] def ivfPqResIndexParts(df: DataFrame, idCol: String,
                                         vecCol: String, bucketCol: String,
                                         dim: Int, m: Int, kSub: Int,
-                                        iters: Int)
+                                        iters: Int,
+                                        trainFraction: Double = 1.0)
       : Option[(DataFrame, DataFrame, DataFrame,
         Array[Array[Array[Double]]])] = {
     import graft.ext.CacheScope.Cacheable
@@ -652,7 +660,7 @@ object Similarity {
       .scopedCache()
     val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
       lloydCenters(resDf, "uid", slice(col("rv"), j * dsub + 1, dsub),
-        kSub, iters)
+        kSub, iters, trainFraction)
     }
     if (books.exists(_.isEmpty)) return None
     val codeArr = array((0 until m).map { j =>
@@ -850,7 +858,8 @@ object Similarity {
   def pqTopK(df: DataFrame, idCol: String, vecCol: String,
              bucketCol: String, k: Int, dim: Int, m: Int = 4,
              kSub: Int = 16, iters: Int = 1, overfetch: Int = 3,
-             maxBucket: Int = Int.MaxValue): DataFrame = {
+             maxBucket: Int = Int.MaxValue,
+             trainFraction: Double = 1.0): DataFrame = {
     import graft.ext.CacheScope.Cacheable
     require(m > 0 && dim % m == 0,
       s"pqTopK requires dim divisible by m, got dim=$dim m=$m")
@@ -861,7 +870,8 @@ object Similarity {
     // codebook-learning allowance as kmeansBuckets; at 100 TB this stage
     // runs on a sample, the codes pass below is the full-corpus work.
     val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
-      lloydCenters(df, idCol, slice(vd, j * dsub + 1, dsub), kSub, iters)
+      lloydCenters(df, idCol, slice(vd, j * dsub + 1, dsub), kSub, iters,
+        trainFraction)
     }
     // empty/all-null corpus: no codebooks — empty result with the output
     // schema, the sq8TopK empty-input contract

@@ -253,6 +253,37 @@ class SimilaritySpec extends SparkSpec {
     assert(b1 == b2, "sampled training must be partitioning-invariant")
   }
 
+  test("trainFraction end-to-end: the composed residual IVF-PQ facade " +
+    "path holds recall with 0.1-fraction codebook training") {
+    // the full production index shape (coarse cells + residual
+    // sub-codebooks) trained on a 10% deterministic sample must recall
+    // like full-corpus training on clustered data — the complete
+    // "train on a sample, code everything" posture, not just the
+    // coarse quantizer
+    val dim = 16
+    val rows = for {
+      c <- 0 until 10
+      j <- 0 until 100
+    } yield {
+      val base = Array.tabulate(dim)(d =>
+        math.sin((d + 1) * (c + 1) * 0.7391))
+      val noise = Array.tabulate(dim)(d =>
+        0.05 * math.sin((d + 1) * (c * 100 + j + 7) * 1.234))
+      (c * 100L + j, base.zip(noise).map { case (b, n) => (b + n).toFloat })
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(df, df, "vec_id", "embedding",
+      k = 5)
+    def recallAt(f: Double): Double = recallAt5(
+      graft.api.Graft.annTopKIvfPqRes(df, "vec_id", "embedding", k = 5,
+        dim = dim, nProbe = 2, m = 4, nBuckets = 10, trainFraction = f),
+      exact)
+    val full = recallAt(1.0)
+    val sampled = recallAt(0.1)
+    assert(sampled >= full - 0.05,
+      s"0.1-fraction composed recall $sampled fell below full $full - 0.05")
+  }
+
   test("multi-probe IVF: recall >= 0.95 on clustered data, monotone in nProbe") {
     // IVF's contract holds when buckets ARE cosine clusters — build 10
     // well-separated centroids (near-orthogonal deterministic directions)

@@ -232,6 +232,57 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: trainBatched(batch=1) equals sequential BPE train") {
+    // with batch=1 the pool rule degenerates to the argmax — the batched
+    // trainer must be a strict generalization on ANY corpus
+    forAll(corpusGen, n = 6) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val seq = graft.ext.Bpe.train(df, "text", 5)._1
+      val bat = graft.ext.Bpe.trainBatched(df, "text", nIters = 5,
+        batch = 1)._1
+      assert(seq == bat, s"corpus=$texts")
+    }
+  }
+
+  test("property: gopherRulesLocal equals gopherRules on any corpus") {
+    // repeat-heavy generator so bigram runs and distinct ratios actually
+    // vary; the two forms must agree row for row
+    val repWord = Gen.oneOf("spam", "spam", "the", "of", "word", "x")
+    val repDoc = Gen.chooseNum(1, 20).flatMap(n =>
+      Gen.listOfN(n, repWord)).map(_.mkString(" "))
+    val repCorpus = Gen.chooseNum(2, 10).flatMap(n =>
+      Gen.listOfN(n, repDoc))
+    forAll(repCorpus, n = 6) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val batch = graft.ext.TextAnalysis
+        .gopherRules(df, "text", "doc_id", minTokens = 2)
+      val local = graft.ext.TextAnalysis
+        .gopherRulesLocal(df, "text", "doc_id", minTokens = 2)
+      assert(local.exceptAll(batch).count() == 0 &&
+        batch.exceptAll(local).count() == 0, s"corpus=$texts")
+    }
+  }
+
+  test("property: NB scoreLocal margins equal trainScore on any corpus") {
+    forAll(corpusGen, n = 6) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t, i % 2 == 0) }.toDF("doc_id", "text", "lbl")
+      val dist = graft.ext.NbClassifier
+        .trainScore(df, df.select(col("doc_id"), col("text")), "text",
+          "doc_id", "lbl")
+        .select("doc_id", "n_tokens", "margin", "pred")
+      val model = graft.ext.NbClassifier
+        .train(df, "text", "doc_id", "lbl")
+      val local = graft.ext.NbClassifier
+        .scoreLocal(df.select(col("doc_id"), col("text")), "text", model)
+        .select("doc_id", "n_tokens", "margin", "pred")
+      assert(local.exceptAll(dist).count() == 0 &&
+        dist.exceptAll(local).count() == 0, s"corpus=$texts")
+    }
+  }
+
   test("property: unigramNll equals the brute-force corpus LM") {
     forAll(corpusGen) { texts =>
       val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }

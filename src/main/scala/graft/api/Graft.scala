@@ -369,6 +369,16 @@ object Graft {
                      carryCols: Seq[String] = Nil): DataFrame =
     Bpe.docTokenCounts(docs, textCol, idCol, dict, carryCols)
 
+  /** Encode documents to dense token-id SEQUENCES under a trained BPE
+    * dictionary — the model-ready export: `(idCol, n_tokens, token_ids)`
+    * with ids frequency-ranked over the learned vocabulary
+    * ([[graft.ext.Bpe.vocabIds]]); the full ordered stream is oracled
+    * (`q_bpe_ids` fingerprints every sequence).
+    */
+  def bpeEncodeIds(docs: DataFrame, textCol: String, idCol: String,
+                   dict: DataFrame): DataFrame =
+    Bpe.encodeIds(docs, textCol, idCol, dict)
+
   /** Token stats + the composite quality score as a `quality` column. */
   def quality(docs: DataFrame, textCol: String): DataFrame = {
     val st = TextAnalysis.withTokenStats(docs, textCol)

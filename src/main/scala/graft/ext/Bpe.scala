@@ -207,6 +207,64 @@ object Bpe {
       .agg(sum(col("n_toks")).as("n_tokens"))
   }
 
+  /** Dense token-id table for a trained dictionary: one row per distinct
+    * SYMBOL of the final segmentation, `token_id` ∈ [0, V) assigned by
+    * (corpus symbol frequency desc, symbol asc) — the stable id layout an
+    * embedding table is sized against (frequent symbols get small ids).
+    *
+    * The id assignment is a global dense rank over the VOCABULARY — a
+    * bounded artifact by the same construction as the merge table and the
+    * ANN codebooks (tens of thousands of rows at a production 32k-merge
+    * vocabulary, never corpus-sized) — so it sorts on the driver rather
+    * than through a single-partition window (the surface invariant) and
+    * returns a small frame that BROADCASTS into [[encodeIds]]' join.
+    */
+  def vocabIds(dict: DataFrame): DataFrame = {
+    val spark = dict.sparkSession
+    import spark.implicits._
+    val rows = dict
+      .select(explode(split(trim(col("syms")), Sep)).as("sym"), col("freq"))
+      .groupBy(col("sym")).agg(sum(col("freq")).as("sym_freq"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (s, f) => (-f, s) }
+    rows.zipWithIndex
+      .map { case ((s, f), i) => (s, i, f) }.toSeq
+      .toDF("sym", "token_id", "sym_freq")
+  }
+
+  /** Encode documents to dense token-id SEQUENCES under a trained
+    * dictionary — the export a training pipeline feeds the model: one row
+    * per doc with `n_tokens` and the ordered `token_ids` array.
+    *
+    * Scale shape: words join the dictionary's segmentation BROADCAST-side
+    * (the [[docTokenCounts]] shape), symbols join the [[vocabIds]] table
+    * broadcast-side, and the per-doc sequence reassembles with ONE
+    * groupBy — order restored by sorting the collected (word_pos,
+    * sym_pos, id) structs row-locally, so no window and no
+    * cross-document state; the only shuffle is the per-doc aggregate.
+    * Docs whose text is null/blank are dropped (no tokens to emit).
+    */
+  def encodeIds(docs: DataFrame, textCol: String, idCol: String,
+                dict: DataFrame): DataFrame = {
+    val vocab = vocabIds(dict)
+    val words = docs
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol),
+        posexplode(split(trim(col(textCol)), " +")).as(Seq("__wp", "word")))
+    val syms = words
+      .join(broadcast(dict.select(col("word"), col("syms"))), Seq("word"))
+      .select(col(idCol), col("__wp"),
+        posexplode(split(trim(col("syms")), Sep)).as(Seq("__sp", "sym")))
+    syms
+      .join(broadcast(vocab.select(col("sym"), col("token_id"))), Seq("sym"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        transform(
+          array_sort(collect_list(struct(col("__wp"), col("__sp"),
+            col("token_id")))),
+          x => x.getField("token_id")).as("token_ids"))
+  }
+
   /** Tokenized-corpus statistics under a trained dictionary: per
     * (`groupCols`) doc/word/token counts and mean tokens-per-word. The
     * corpus-side pass of BPE encoding — words join the dictionary's

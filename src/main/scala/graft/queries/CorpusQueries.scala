@@ -106,6 +106,20 @@ object CorpusQueries {
         .orderBy(col("rank"))
     }),
 
+    // Dense token-id export — the sequence a training pipeline actually
+    // feeds the model: per-doc ordered token_ids under the learned
+    // segmentation and the frequency-ranked vocabulary id table. The
+    // md5 fingerprint of the comma-joined sequence puts the ENTIRE
+    // ordered id stream inside the hash gate.
+    "q_bpe_ids" -> ((s, dir) => {
+      val enc = Bpe.encodeIds(Tables.documents(s, dir), "text", "doc_id",
+        bpeTrained(s, dir)._2)
+      enc.select(col("doc_id"), col("n_tokens"),
+          md5(array_join(transform(col("token_ids"),
+            i => i.cast("string")), ",")).as("ids_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The full LLM corpus-build recipe in ONE plan — the round-10
     // operator family composed end-to-end: Gopher rule gate → trained-NB
     // quality gate (fit on the survivors' 80% hash split) → exact-dedup
@@ -633,6 +647,38 @@ object CorpusQueries {
   val oracles: Map[String, String] = Map(
 
     "q_corpus_build" -> corpusBuildOracle,
+
+    "q_bpe_ids" -> (bpeCtes(BpeMerges) + ",\n" +
+      s"""sv AS MATERIALIZED (
+         |  SELECT sym, CAST(sum(freq) AS BIGINT) AS sym_freq
+         |  FROM (SELECT unnest(string_split(trim(syms), '  ')) AS sym,
+         |               freq
+         |        FROM d$BpeMerges)
+         |  GROUP BY 1
+         |), vid AS MATERIALIZED (
+         |  SELECT sym,
+         |    CAST(row_number() OVER (ORDER BY sym_freq DESC, sym) - 1
+         |      AS INT) AS token_id
+         |  FROM sv
+         |), wd AS MATERIALIZED (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS wp, arr[i] AS word
+         |  FROM (SELECT doc_id,
+         |          string_split_regex(trim(text), ' +') AS arr
+         |        FROM documents
+         |        WHERE text IS NOT NULL AND length(trim(text)) > 0),
+         |       unnest(generate_series(1, len(arr))) AS t(i)
+         |), sy AS MATERIALIZED (
+         |  SELECT doc_id, wp, CAST(i AS BIGINT) AS sp, sarr[i] AS sym
+         |  FROM (SELECT wd.doc_id, wd.wp,
+         |          string_split(trim(d$BpeMerges.syms), '  ') AS sarr
+         |        FROM wd JOIN d$BpeMerges USING (word)),
+         |       unnest(generate_series(1, len(sarr))) AS t(i)
+         |)
+         |SELECT sy.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  md5(string_agg(CAST(token_id AS VARCHAR), ','
+         |    ORDER BY wp, sp)) AS ids_md5
+         |FROM sy JOIN vid USING (sym)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin),
 
     "q_bpe_batch" -> (bpeBatchCtes(BpeBatchIters, BpeBatch) + "\n" +
       s"""SELECT CAST(row_number() OVER (ORDER BY it, sel_rank) AS INT)

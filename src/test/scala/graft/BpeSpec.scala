@@ -158,6 +158,32 @@ class BpeSpec extends SparkSpec {
     assert(dictOf(dict).values.forall(_._2.count(_ == ' ') == 2))
   }
 
+  test("vocabIds + encodeIds: dense frequency-ranked ids, ordered " +
+    "sequences, counts consistent with docTokenCounts") {
+    val docs = Seq(
+      (1L, "abab cd abab"),
+      (2L, "cd"),
+      (3L, null: String)).toDF("doc_id", "text")
+    val (_, dict) = Bpe.train(docs, "text", 1) // learns (a,b) -> ab
+    // final segmentation symbols: abab -> [ab, ab] (freq 2 words x 2),
+    // cd -> [c, d] (freq 2). sym freqs: ab 4, c 2, d 2 -> ids 0,1,2
+    val vocab = Bpe.vocabIds(dict).collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(vocab == Map("ab" -> (0, 4L), "c" -> (1, 2L), "d" -> (2, 2L)),
+      s"vocab drifted: $vocab")
+    val enc = Bpe.encodeIds(docs, "text", "doc_id", dict).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getSeq[Int](2).toList))).toMap
+    // doc 1: abab cd abab -> [ab,ab, c,d, ab,ab] = [0,0,1,2,0,0]
+    assert(enc(1L) == ((6L, List(0, 0, 1, 2, 0, 0))), s"doc1: ${enc(1L)}")
+    assert(enc(2L) == ((2L, List(1, 2))))
+    assert(!enc.contains(3L), "null-text doc must be dropped")
+    // n_tokens agrees with the counting operator on every doc
+    val counts = Bpe.docTokenCounts(docs, "text", "doc_id", dict, Nil)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(enc.view.mapValues(_._1).toMap == counts)
+  }
+
   test("q_bpe_vocab merges are deterministic across reruns on sf0.001") {
     val q = SparkEntry.queries("q_bpe_vocab")
     val a = q(spark, TestSpark.sf0001).collect().map(_.toSeq)

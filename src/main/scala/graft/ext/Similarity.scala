@@ -417,7 +417,7 @@ object Similarity {
                 bucketCol: String, k: Int, dim: Int, m: Int = 4,
                 kSub: Int = 16, iters: Int = 1, overfetch: Int = 3,
                 maxBucket: Int = Int.MaxValue,
-             trainFraction: Double = 1.0): DataFrame = {
+                trainFraction: Double = 1.0): DataFrame = {
     import graft.ext.CacheScope.Cacheable
     require(m > 0 && dim % m == 0,
       s"pqAdcTopK requires dim divisible by m, got dim=$dim m=$m")
@@ -487,7 +487,7 @@ object Similarity {
                 m: Int = 4, kSub: Int = 16, iters: Int = 1,
                 overfetch: Int = 3,
                 maxBucket: Int = Int.MaxValue,
-             trainFraction: Double = 1.0): DataFrame = {
+                trainFraction: Double = 1.0): DataFrame = {
     import graft.ext.CacheScope.Cacheable
     require(m > 0 && dim % m == 0,
       s"ivfPqTopK requires dim divisible by m, got dim=$dim m=$m")

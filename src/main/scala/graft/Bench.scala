@@ -157,14 +157,21 @@ object Bench {
     // shared.ann_coarse_sec (one build) and shared.ann_relearn_sec (the
     // implied re-learn overhead inside the named ann totals — what a
     // production session sharing one index would NOT pay).
+    // -1.0 marks a FAILED shared build — distinguishable from a fast one
     def timeShared(f: => Unit): Double =
       try {
         spark.catalog.clearCache(); System.gc()
         val t0 = System.nanoTime()
         f
         (System.nanoTime() - t0) / 1e9
-      } catch { case scala.util.control.NonFatal(_) => 0.0 }
-    val annN = results.count(_._1.startsWith("q_ann_"))
+      } catch { case scala.util.control.NonFatal(_) => -1.0 }
+    // count only queries that actually RE-LEARN the artifact (brute-force
+    // and hyperplane-LSH never train the coarse quantizer; exact dedup
+    // never builds signatures) and that ran clean — an errored query's
+    // phantom re-learn would bias the attribution
+    val annN = results.count(r => r._1.startsWith("q_ann_") &&
+      r._1 != "q_ann_bruteforce" && r._1 != "q_ann_hyperplane" &&
+      !errors.contains(r._1))
     val annCoarseSec = timeShared {
       graft.ext.Similarity.kmeansBuckets(
         graft.io.Tables.embeddings(spark, sfDir), "vec_id", "embedding",
@@ -172,8 +179,9 @@ object Bench {
     }
     // the dedup family's shared artifact: the MinHash signature frame
     // (shingle explode → 16 affine mins) every near-dup query rebuilds
-    val dedupN = results.count(r => r._1.startsWith("q_dedup_") ||
-      r._1.startsWith("q_minhash_"))
+    val dedupN = results.count(r => (r._1.startsWith("q_dedup_") ||
+      r._1.startsWith("q_minhash_")) && r._1 != "q_dedup_exact" &&
+      !errors.contains(r._1))
     val minhashSec = timeShared {
       graft.ext.Dedup.minHashSignatures(
         graft.io.Tables.documents(spark, sfDir), "text", "doc_id").count()
@@ -233,8 +241,10 @@ object Bench {
       .map { case (fam, rs) =>
         jstr(fam) + s""":{"n":${rs.size},"sec":${jnum(rs.map(_._2).sum)},"cpu_sec":${jnum(rs.map(_._6).sum)}}"""
       }.mkString("{", ",", "}")
+    def relearn(sec: Double, n: Int): Double =
+      if (sec < 0) -1.0 else sec * math.max(0, n - 1)
     val sharedJson =
-      s"""{"ann_coarse_sec":${jnum(annCoarseSec)},"ann_n":$annN,"ann_relearn_sec":${jnum(annCoarseSec * math.max(0, annN - 1))},"dedup_minhash_sec":${jnum(minhashSec)},"dedup_n":$dedupN,"dedup_relearn_sec":${jnum(minhashSec * math.max(0, dedupN - 1))}}"""
+      s"""{"ann_coarse_sec":${jnum(annCoarseSec)},"ann_n":$annN,"ann_relearn_sec":${jnum(relearn(annCoarseSec, annN))},"dedup_minhash_sec":${jnum(minhashSec)},"dedup_n":$dedupN,"dedup_relearn_sec":${jnum(relearn(minhashSec, dedupN))}}"""
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"warm":$warmQs,"warm_cpu":$warmCpuQs,"shuffle":$shuffleQs,"families":$families,"shared":$sharedJson,"loadavg":$loadJson,"ml_fused":$mlFused,"errors":$errJsonFull,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")

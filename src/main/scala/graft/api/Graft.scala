@@ -172,7 +172,9 @@ object Graft {
     * int8 codes dominate the candidate shuffle.
     *
     * The PQ family defaults to `m = 8` (4-byte codes at kSub=16;
-    * requires `dim % m == 0`): the round-10 recall monitor diagnosed
+    * requires `dim % m == 0`, so a dim divisible by 4 but not 8 —
+    * e.g. 12, 20, 36 — must pass `m = 4` explicitly to keep the old
+    * behavior): the round-10 recall monitor diagnosed
     * m=4's 2-byte codes as code-bound, and the round-11 RecallTune sweep
     * measured m=8 at +31–44% recall over m=4 for 2 extra bytes, with
     * m=16 approaching SQ8 recall at 1/8 its code size (SCALING.md

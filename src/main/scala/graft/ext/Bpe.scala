@@ -120,11 +120,16 @@ object Bpe {
     *  - selection rule: rank this iteration's pair counts by
     *    (count desc, left asc, right asc); a candidate within the top
     *    `candPool · batch` pool is selected iff it shares NO symbol with
-    *    ANY higher-ranked pool candidate (selected or not — stricter
-    *    than greedy, but expressible as one window + anti-join instead
-    *    of a recursive scan); the first `batch` survivors merge, applied
-    *    in rank order (they are symbol-disjoint, so sequential equals
-    *    simultaneous).
+    *    ANY higher-ranked pool candidate's INPUTS *or its merged output*
+    *    (selected or not — stricter than greedy, but expressible as one
+    *    window + anti-join instead of a recursive scan); the first
+    *    `batch` survivors merge, applied in rank order. The
+    *    merged-output exclusion is what makes sequential application
+    *    equal simultaneous: without it, a pair consuming a symbol an
+    *    earlier merge in the SAME batch just produced (e.g. `(s, the)`
+    *    after `(th, e) → the`, when `the` already existed from prior
+    *    iterations) would merge occurrences its recorded count never
+    *    saw.
     *
     * Batch-BPE is a documented approximation of sequential BPE: a merge
     * created THIS iteration (e.g. `(x, ab)` after `(a,b)`) cannot win
@@ -157,14 +162,16 @@ object Bpe {
       if (pool.isEmpty) exhausted = true
       else {
         // a pool candidate survives iff it conflicts with NO higher-ranked
-        // pool candidate — the same non-recursive rule the oracle runs
+        // pool candidate — inputs AND merged output — the same
+        // non-recursive rule the oracle runs
         val selected = Seq.newBuilder[(String, String, Long)]
         var nSel = 0
         for (idx <- pool.indices if nSel < batch) {
           val (a, b) = (pool(idx).getString(0), pool(idx).getString(1))
           val clash = (0 until idx).exists { j =>
             val (ha, hb) = (pool(j).getString(0), pool(j).getString(1))
-            ha == a || ha == b || hb == a || hb == b
+            val hm = ha + hb
+            ha == a || ha == b || hb == a || hb == b || hm == a || hm == b
           }
           if (!clash) {
             selected += ((a, b, pool(idx).getLong(2)))
@@ -236,6 +243,12 @@ object Bpe {
     * dictionary — the export a training pipeline feeds the model: one row
     * per doc with `n_tokens` and the ordered `token_ids` array.
     *
+    * OOV contract (serve-time docs contain words the training corpus
+    * never saw): an unknown WORD falls back to character-level
+    * segmentation (the BPE base alphabet — how real tokenizers degrade),
+    * and any character still absent from the learned vocabulary maps to
+    * the UNK sentinel `token_id = -1`. Nothing is silently dropped.
+    *
     * Scale shape: words join the dictionary's segmentation BROADCAST-side
     * (the [[docTokenCounts]] shape), symbols join the [[vocabIds]] table
     * broadcast-side, and the per-doc sequence reassembles with ONE
@@ -252,11 +265,17 @@ object Bpe {
       .select(col(idCol),
         posexplode(split(trim(col(textCol)), " +")).as(Seq("__wp", "word")))
     val syms = words
-      .join(broadcast(dict.select(col("word"), col("syms"))), Seq("word"))
+      .join(broadcast(dict.select(col("word"), col("syms"))), Seq("word"),
+        "left")
+      // OOV word → char-level symbol string (wordDict's base encoding)
+      .withColumn("__syms", coalesce(col("syms"),
+        regexp_replace(col("word"), "(.)", " $1 ")))
       .select(col(idCol), col("__wp"),
-        posexplode(split(trim(col("syms")), Sep)).as(Seq("__sp", "sym")))
+        posexplode(split(trim(col("__syms")), Sep)).as(Seq("__sp", "sym")))
     syms
-      .join(broadcast(vocab.select(col("sym"), col("token_id"))), Seq("sym"))
+      .join(broadcast(vocab.select(col("sym"), col("token_id"))),
+        Seq("sym"), "left")
+      .withColumn("token_id", coalesce(col("token_id"), lit(-1)))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
         transform(

@@ -107,9 +107,10 @@ object NbClassifier {
     * Output matches [[trainScore]]'s `(idCol…, n_tokens, margin, pred)`
     * columns (margin guard-rounded to 6dp; FP summation order differs
     * from the distributed scorer by design — the guard-round is the
-    * equality contract, pinned by spec AND the shared oracle). Token-
-    * less docs are dropped, matching the distributed scorer (their
-    * termFreq frame is empty).
+    * equality contract, pinned by spec AND the shared oracle).
+    * Null-text docs are dropped, matching the distributed scorer
+    * (explode drops their rows); a BLANK text tokenizes to one
+    * empty-string token in both scorers and is scored, not dropped.
     */
   def scoreLocal(df: DataFrame, textCol: String,
                  model: NbModel): DataFrame = {

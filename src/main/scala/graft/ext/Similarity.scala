@@ -807,13 +807,26 @@ object Similarity {
     val all = df.select(col(idCol).as("__kid"),
         vec.cast("array<double>").as("__kv"))
       .filter(col("__kv").isNotNull)
-    val base = (if (trainFraction >= 1.0) all
+    // threshold floored at 1 bucket (a fraction below 1e-4 would filter
+    // to `< 0` = everything, guaranteed-empty) — and if the hash sample
+    // still catches nothing on a small corpus, FALL BACK to full-corpus
+    // training rather than silently returning no centers (which would
+    // null-bucket every row of a populated corpus downstream)
+    val sampled = (if (trainFraction >= 1.0) all
       else all.filter(
         Sampling.hashBucket(col("__kid"), "lloyd", buckets = 10000) <
-          math.round(trainFraction * 10000).toInt))
+          math.max(1L, math.round(trainFraction * 10000))))
       .scopedCache()
-    var centers: Array[Array[Double]] = base.orderBy(col("__kid")).limit(k)
-      .collect().map(_.getSeq[Double](1).toArray)
+    var centers: Array[Array[Double]] = sampled.orderBy(col("__kid"))
+      .limit(k).collect().map(_.getSeq[Double](1).toArray)
+    val base =
+      if (centers.nonEmpty || trainFraction >= 1.0) sampled
+      else {
+        val full = all.scopedCache()
+        centers = full.orderBy(col("__kid")).limit(k)
+          .collect().map(_.getSeq[Double](1).toArray)
+        full
+      }
     if (centers.isEmpty) return centers
     for (_ <- 1 to iters) {
       val means = base.withColumn("__kb", assignOn(col("__kv"), centers))

@@ -254,19 +254,24 @@ object TextAnalysis {
 
   /** The additive form of [[gopherRulesLocal]]: every input column is
     * preserved and the rule columns (`n_tokens`, `mean_word_len`,
-    * `r_*`, `keep`) are appended — the shape a streaming gate needs,
-    * where the payload must ride through the filter.
+    * `r_*`, `keep` — these eight replace same-named input columns if
+    * present) are appended — the shape a streaming gate needs, where
+    * the payload must ride through the filter. Intermediates carry
+    * `__g`-prefixed names, so payload columns like `token_chars` or
+    * `n_punct` survive untouched (unlike [[withTokenStats]]' additive
+    * names, which would collide and then be dropped).
     */
   def withGopherRulesLocal(df: DataFrame, textCol: String,
                            minTokens: Long = 50,
                            maxTokens: Long = 100000): DataFrame = {
     def g6(c: Column): Column = round(c + lit(1e-9), 6)
+    val toks = tokens(col(textCol))
     val nSafe = greatest(col("n_tokens"), lit(1L)).cast("double")
     // longest run in the sorted bigram array == max bigram multiplicity;
     // fold state: (prev, run, best) — best flushed at finish
     val bigrams = array_sort(transform(
       sequence(lit(0L), col("n_tokens") - 2),
-      i => array_join(slice(col("__lt"), i + 1, lit(2)), " ")))
+      i => array_join(slice(col("__glt"), i + 1, lit(2)), " ")))
     val maxRun = aggregate(bigrams,
       struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
       (acc, x) => struct(
@@ -277,30 +282,35 @@ object TextAnalysis {
           when(x === acc.getField("prev"), acc.getField("run") + 1L)
             .otherwise(lit(1L))).as("best")),
       acc => acc.getField("best"))
-    withTokenStats(df, textCol)
-      .withColumn("__lt", tokens(lower(col(textCol))))
-      .withColumn("__distinct_ratio",
-        size(array_distinct(col("__lt"))).cast("double") / nSafe)
-      .withColumn("__top_bigram_frac",
+    df.withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("__gchars",
+        length(regexp_replace(trim(col(textCol)), "\\s+", "")).cast("long"))
+      .withColumn("__gpunct",
+        (length(col(textCol)) -
+          length(translate(col(textCol), PunctChars, ""))).cast("long"))
+      .withColumn("__gstop", countIn(toks, Stopwords))
+      .withColumn("__glt", tokens(lower(col(textCol))))
+      .withColumn("__gdistinct_ratio",
+        size(array_distinct(col("__glt"))).cast("double") / nSafe)
+      .withColumn("__gtop_bigram_frac",
         when(col("n_tokens") >= 2, maxRun).otherwise(lit(0L))
           .cast("double") /
           greatest(col("n_tokens") - 1, lit(1L)).cast("double"))
       .withColumn("mean_word_len",
-        g6(col("token_chars").cast("double") / nSafe))
-      .withColumn("__punct_ratio",
-        g6(col("n_punct").cast("double") / nSafe))
+        g6(col("__gchars").cast("double") / nSafe))
+      .withColumn("__gpunct_ratio",
+        g6(col("__gpunct").cast("double") / nSafe))
       .withColumn("r_len", col("n_tokens").between(minTokens, maxTokens))
       .withColumn("r_word_len", col("mean_word_len").between(3.0, 10.0))
-      .withColumn("r_stop", col("n_stopwords") >= 2)
-      .withColumn("r_punct", col("__punct_ratio") <= 0.1)
-      .withColumn("r_rep", g6(col("__top_bigram_frac")) <= 0.2 &&
-        g6(col("__distinct_ratio")) >= 0.5)
+      .withColumn("r_stop", col("__gstop") >= 2)
+      .withColumn("r_punct", col("__gpunct_ratio") <= 0.1)
+      .withColumn("r_rep", g6(col("__gtop_bigram_frac")) <= 0.2 &&
+        g6(col("__gdistinct_ratio")) >= 0.5)
       .withColumn("keep",
         col("r_len") && col("r_word_len") && col("r_stop") &&
           col("r_punct") && col("r_rep"))
-      .drop("__lt", "__distinct_ratio", "__top_bigram_frac",
-        "__punct_ratio", "token_chars", "n_punct", "n_stopwords",
-        "n_bpe_tokens")
+      .drop("__glt", "__gdistinct_ratio", "__gtop_bigram_frac",
+        "__gpunct_ratio", "__gchars", "__gpunct", "__gstop")
   }
 
   /** The shared (doc, token) → count pre-agg every corpus-level text

@@ -365,8 +365,9 @@ object CorpusQueries {
     * iteration: pair counts `p{i}`, the ranked candidate pool `c{i}`
     * (top `poolSize` by count desc, pair asc), conflict-free survivors
     * `s{i}` (a candidate survives iff NO higher-ranked pool member
-    * shares a symbol — [[graft.ext.Bpe.trainBatched]]'s non-recursive
-    * rule), the batch `b{i}` (first `batch` survivors), and the merged
+    * shares a symbol with its inputs OR its merged output —
+    * [[graft.ext.Bpe.trainBatched]]'s non-recursive rule), the batch
+    * `b{i}` (first `batch` survivors), and the merged
     * dictionary `d{i}` applying the batch as `batch` nested replaces —
     * absent slots no-op through a never-matching chr(1) pattern, which
     * also makes exhaustion (empty pools) replay exactly.
@@ -411,7 +412,8 @@ object CorpusQueries {
          |      row_number() OVER (ORDER BY r) AS sel_rank
          |    FROM c$i c
          |    WHERE NOT EXISTS (SELECT 1 FROM c$i h WHERE h.r < c.r
-         |      AND (h.a IN (c.a, c.b) OR h.b IN (c.a, c.b)))
+         |      AND (h.a IN (c.a, c.b) OR h.b IN (c.a, c.b)
+         |        OR h.ab IN (c.a, c.b)))
          |  ) WHERE sel_rank <= $batch
          |),
          |d$i AS MATERIALIZED (
@@ -670,14 +672,16 @@ object CorpusQueries {
          |), sy AS MATERIALIZED (
          |  SELECT doc_id, wp, CAST(i AS BIGINT) AS sp, sarr[i] AS sym
          |  FROM (SELECT wd.doc_id, wd.wp,
-         |          string_split(trim(d$BpeMerges.syms), '  ') AS sarr
-         |        FROM wd JOIN d$BpeMerges USING (word)),
+         |          coalesce(
+         |            string_split(trim(d$BpeMerges.syms), '  '),
+         |            string_split(word, '')) AS sarr
+         |        FROM wd LEFT JOIN d$BpeMerges USING (word)),
          |       unnest(generate_series(1, len(sarr))) AS t(i)
          |)
          |SELECT sy.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-         |  md5(string_agg(CAST(token_id AS VARCHAR), ','
+         |  md5(string_agg(CAST(coalesce(token_id, -1) AS VARCHAR), ','
          |    ORDER BY wp, sp)) AS ids_md5
-         |FROM sy JOIN vid USING (sym)
+         |FROM sy LEFT JOIN vid USING (sym)
          |GROUP BY 1 ORDER BY doc_id""".stripMargin),
 
     "q_bpe_batch" -> (bpeBatchCtes(BpeBatchIters, BpeBatch) + "\n" +

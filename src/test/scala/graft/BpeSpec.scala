@@ -184,6 +184,24 @@ class BpeSpec extends SparkSpec {
     assert(enc.view.mapValues(_._1).toMap == counts)
   }
 
+  test("encodeIds: OOV words fall back to char segmentation, unknown " +
+    "chars to the UNK sentinel") {
+    val train = Seq((1L, "abab abab cd")).toDF("doc_id", "text")
+    val (_, dict) = Bpe.train(train, "text", 1) // (a,b)->ab
+    // serve docs: "ab" known word? no — known WORDS are abab, cd.
+    // "acd" is OOV -> chars [a, c, d]; 'a' is in the vocab? vocab syms
+    // over final dict: abab->[ab,ab], cd->[c,d] => {ab, c, d} — 'a' is
+    // NOT a vocab symbol -> UNK -1; c,d map to their ids
+    val serve = Seq((9L, "acd cd")).toDF("doc_id", "text")
+    val enc = Bpe.encodeIds(serve, "text", "doc_id", dict).head()
+    val vocab = Bpe.vocabIds(dict).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(enc.getAs[Long]("n_tokens") == 5L, s"got $enc")
+    assert(enc.getSeq[Int](2).toList ==
+      List(-1, vocab("c"), vocab("d"), vocab("c"), vocab("d")),
+      s"OOV fallback drifted: ${enc.getSeq[Int](2)} vocab=$vocab")
+  }
+
   test("q_bpe_vocab merges are deterministic across reruns on sf0.001") {
     val q = SparkEntry.queries("q_bpe_vocab")
     val a = q(spark, TestSpark.sf0001).collect().map(_.toSeq)

@@ -147,6 +147,18 @@ class CorpusOpsSpec extends SparkSpec {
         batch.exceptAll(local).count() == 0,
         "row-local Gopher battery diverged from the shuffle form")
     }
+    // additive form: payload columns colliding with withTokenStats'
+    // names (token_chars, n_punct, …) must RIDE THROUGH untouched —
+    // the streaming gate re-selects them after filtering
+    val payload = Seq((1L, "the of and to in is was a an or more words",
+        42L, "keepme"))
+      .toDF("doc_id", "text", "token_chars", "n_punct")
+    val out = TA.withGopherRulesLocal(payload, "text", minTokens = 2)
+    assert(out.select("token_chars").head.getLong(0) == 42L,
+      "payload token_chars was clobbered")
+    assert(out.select("n_punct").head.getString(0) == "keepme",
+      "payload n_punct was clobbered")
+    assert(out.columns.contains("keep") && out.columns.contains("r_rep"))
   }
 
   test("NbClassifier.scoreLocal ≡ trainScore: the serve-time model " +

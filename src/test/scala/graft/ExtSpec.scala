@@ -251,6 +251,13 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_id", "bucket").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(b1 == b2, "sampled training must be partitioning-invariant")
+    // degenerate fractions must never null-bucket a populated corpus:
+    // a sub-1e-4 fraction (threshold floored at 1 bucket) or a hash
+    // sample that catches nothing falls back to full-corpus training
+    val tiny = Similarity.kmeansBuckets(df.limit(7), "vec_id",
+      "embedding", k = 2, iters = 1, trainFraction = 1e-6)
+    assert(tiny.filter(col("bucket").isNull).count() == 0,
+      "degenerate trainFraction must fall back, not null-bucket")
   }
 
   test("trainFraction end-to-end: the composed residual IVF-PQ facade " +

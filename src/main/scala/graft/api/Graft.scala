@@ -376,6 +376,12 @@ object Graft {
     * with ids frequency-ranked over the learned vocabulary
     * ([[graft.ext.Bpe.vocabIds]]); the full ordered stream is oracled
     * (`q_bpe_ids` fingerprints every sequence).
+    *
+    * Embedding-table contract: ids are dense in `[0, V)` — size tables
+    * to `max(vocabIds.token_id) + 1`. Genuinely-OOV symbols (absent even
+    * from the char-level fallback alphabet) carry the UNK sentinel
+    * `token_id = -1`, which is NOT an index: remap it to a reserved row
+    * or mask it before any embedding lookup.
     */
   def bpeEncodeIds(docs: DataFrame, textCol: String, idCol: String,
                    dict: DataFrame): DataFrame =

@@ -233,10 +233,35 @@ object Bpe {
       .select(explode(split(trim(col("syms")), Sep)).as("sym"), col("freq"))
       .groupBy(col("sym")).agg(sum(col("freq")).as("sym_freq"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
-      .sortBy { case (s, f) => (-f, s) }
+      // freq ties break in UTF-8 BYTE order, not Java String (UTF-16
+      // code-unit) order: Spark's UTF8String and DuckDB's default
+      // collation both compare UTF-8 bytes, and the two orders DIVERGE
+      // for supplementary-plane symbols (an emoji surrogate pair sorts
+      // below U+E000..U+FFFF in UTF-16 but above them in UTF-8) — a
+      // driver-side String sort would hand such symbols different
+      // token_ids than the q_bpe_ids oracle replays
+      .sortWith { case ((s1, f1), (s2, f2)) =>
+        if (f1 != f2) f1 > f2 else utf8Less(s1, s2)
+      }
     rows.zipWithIndex
       .map { case ((s, f), i) => (s, i, f) }.toSeq
       .toDF("sym", "token_id", "sym_freq")
+  }
+
+  /** UTF-8 byte-order string comparison (== code-point order) — the
+    * collation Spark and DuckDB sort strings by. See [[vocabIds]].
+    */
+  private[graft] def utf8Less(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    a.length < b.length
   }
 
   /** Encode documents to dense token-id SEQUENCES under a trained

@@ -194,10 +194,17 @@ object AdvancedQueries {
     }),
 
     // GROUPING SETS through the SQL entry path (spark.sql over a temp
-    // view) — arbitrary grouping-set combinations beyond rollup/cube
+    // view) — arbitrary grouping-set combinations beyond rollup/cube.
+    // The view registers on and the SQL runs against the frame's OWNING
+    // session (`ev.sparkSession`, not the caller's `s`): on a legacy
+    // NANOS-annotated events fixture Tables.events returns a frame bound
+    // to its memoized nanosAsLong child session, where a view registered
+    // there is invisible to the parent catalog (Sources.scala:75-91) —
+    // regression-pinned by FixturesSpec's NANOS SQL-path case
     "q_grouping_sets" -> ((s, dir) => {
-      Tables.events(s, dir).createOrReplaceTempView("events_gs")
-      s.sql(s"""
+      val ev = Tables.events(s, dir)
+      ev.createOrReplaceTempView("events_gs")
+      ev.sparkSession.sql(s"""
         SELECT coalesce(event_type, 'ALL') AS event_type,
                coalesce(cast(user_id % 10 as string), 'ALL') AS user_band,
                count(*) AS n,

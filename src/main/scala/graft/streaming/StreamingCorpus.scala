@@ -68,9 +68,10 @@ object StreamingCorpus {
   def run(spark: SparkSession, inDir: String, outDir: String,
           checkpoint: String, schema: StructType, textCol: String,
           idCol: String, model: NbClassifier.NbModel,
-          minTokens: Long = 50): StreamingQuery =
+          minTokens: Long = 50,
+          maxTokens: Long = 100000): StreamingQuery =
     qualityGate(readDocStream(spark, inDir, schema), textCol, idCol,
-        model, minTokens)
+        model, minTokens, maxTokens)
       .writeStream.format("parquet")
       .option("path", outDir)
       .option("checkpointLocation", checkpoint)

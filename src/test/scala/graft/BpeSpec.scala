@@ -25,6 +25,25 @@ class BpeSpec extends SparkSpec {
     assert(d.size == 2)
   }
 
+  test("vocabIds freq ties break in UTF-8 byte order (code-point order), " +
+    "matching Spark/DuckDB collation on supplementary-plane symbols") {
+    // U+FFFD (efbfbd in UTF-8) vs U+1F600 emoji (f09f9880): Java String
+    // order puts the emoji's surrogate pair (D83D DE00) BELOW U+FFFD,
+    // UTF-8 byte order (= both engines' sort) puts it ABOVE — the
+    // ADVICE-r11 divergence. Equal-frequency single-char words surface
+    // both symbols with the same sym_freq, exposing the tie-break.
+    val ghost = "�"
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(ghost.compareTo(emoji) > 0, "Java order assumption drifted")
+    assert(Bpe.utf8Less(ghost, emoji), "utf8Less must order U+FFFD first")
+    val docs = Seq((1L, s"$ghost $emoji")).toDF("doc_id", "text")
+    val ids = Bpe.vocabIds(Bpe.wordDict(docs, "text"))
+      .orderBy(col("token_id")).collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    assert(ids.toSeq == Seq((ghost, 0), (emoji, 1)),
+      s"vocab ids not in UTF-8 order: ${ids.toSeq}")
+  }
+
   test("wordDict skips null and whitespace-only docs") {
     val docs = Seq((1L, "ab"), (2L, null), (3L, "   ")).toDF("doc_id", "text")
     val d = dictOf(Bpe.wordDict(docs, "text"))

@@ -89,19 +89,16 @@ class FixturesSpec extends SparkSpec {
       "a BIGINT-ts read must not touch the caller's session conf")
   }
 
-  test("events: NANOS-annotated files read through an isolated child " +
-    "session; the caller's session stays pristine") {
-    // a REAL parquet TIMESTAMP(NANOS) column (the round-≤7 fixture era) —
-    // Spark cannot write one, so build it with parquet-mr directly. The
-    // unconf'd read throws at schema resolution; Tables.events must fall
-    // back to its memoized nanosAsLong child session, shim ts to
-    // TIMESTAMP_NTZ, and leave the caller's conf untouched.
+  /** Write a REAL parquet TIMESTAMP(NANOS) events fixture (the round-≤7
+    * fixture era) under a fresh temp dir — Spark cannot write one, so it
+    * is built with parquet-mr directly. Returns the fixture dir.
+    */
+  private def writeNanosEventsFixture(): String = {
     import org.apache.hadoop.fs.Path
     import org.apache.parquet.example.data.simple.SimpleGroupFactory
     import org.apache.parquet.hadoop.example.ExampleParquetWriter
     import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-    import org.apache.spark.sql.functions._
     val schema = Types.buildMessage()
       .required(INT64).named("event_id")
       .required(INT64).as(LogicalTypeAnnotation.timestampType(false,
@@ -127,6 +124,16 @@ class FixturesSpec extends SparkSpec {
       g.append("value", 1.5)
       w.write(g)
     } finally w.close()
+    tmp
+  }
+
+  test("events: NANOS-annotated files read through an isolated child " +
+    "session; the caller's session stays pristine") {
+    // The unconf'd read throws at schema resolution; Tables.events must
+    // fall back to its memoized nanosAsLong child session, shim ts to
+    // TIMESTAMP_NTZ, and leave the caller's conf untouched.
+    import org.apache.spark.sql.functions._
+    val tmp = writeNanosEventsFixture()
     val df = graft.io.Tables.events(spark, tmp)
     assert(df.schema("ts").dataType == TimestampNTZType,
       s"NANOS branch did not produce TIMESTAMP_NTZ: ${df.schema("ts")}")
@@ -146,6 +153,28 @@ class FixturesSpec extends SparkSpec {
     val joined = users.join(df, "user_id")
     assert(joined.count() == 3,
       "cross-session composition of the NANOS-era frame broke")
+  }
+
+  test("SQL-path queries work on a NANOS-era events fixture (the view " +
+    "registers on the frame's owning child session)") {
+    // Regression for the ADVICE r11 medium: q_grouping_sets did
+    // createOrReplaceTempView on Tables.events and then ran spark.sql on
+    // the PARENT session — on a NANOS-annotated fixture the view lands
+    // in the memoized child session's catalog and the parent-side SQL
+    // failed with TABLE_OR_VIEW_NOT_FOUND. The query now issues its SQL
+    // on the frame's owning session (ev.sparkSession.sql), which this
+    // case pins end-to-end against a real NANOS file.
+    val tmp = writeNanosEventsFixture()
+    val out = graft.SparkEntry.queries("q_grouping_sets")(spark, tmp)
+      .collect()
+    // 3 purchase rows, users 0..2: one event_type set row, three
+    // user-band rows, one grand total
+    assert(out.length == 5,
+      s"q_grouping_sets on the NANOS fixture returned ${out.length} rows")
+    val total = out.filter(r =>
+      r.getString(0) == "ALL" && r.getString(1) == "ALL")
+    assert(total.length == 1 && total(0).getDouble(3) == 4.5,
+      s"grand-total grouping set wrong: ${total.toSeq}")
   }
 
   test("documents: doc_id/text/source/lang as expected") {

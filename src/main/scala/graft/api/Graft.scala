@@ -428,6 +428,24 @@ object Graft {
                    labelCol: String): NbClassifier.NbModel =
     NbClassifier.train(train, textCol, idCol, labelCol)
 
+  /** Persist a [[qualityModel]] as plain parquet (weights + a 1-row
+    * meta frame) — the build-once half of the quality-gate lifecycle; a
+    * restarted serving job boots from the artifact via
+    * [[qualityModelLoad]] instead of retraining.
+    * See [[graft.ext.NbClassifier.save]].
+    */
+  def qualityModelSave(spark: SparkSession, model: NbClassifier.NbModel,
+                       dir: String): Unit =
+    NbClassifier.save(spark, model, dir)
+
+  /** Load a persisted [[qualityModel]]; margins under the loaded model
+    * are bit-identical to the live one (doubles round-trip parquet
+    * exactly — spec-pinned). See [[graft.ext.NbClassifier.load]].
+    */
+  def qualityModelLoad(spark: SparkSession,
+                       dir: String): NbClassifier.NbModel =
+    NbClassifier.load(spark, dir)
+
   /** The composed STATELESS quality gate (row-local Gopher battery →
     * NB positive margin under a pre-trained [[qualityModel]]): zero
     * shuffle, zero state, so the same call runs on a batch frame or an

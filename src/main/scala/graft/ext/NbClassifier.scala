@@ -98,6 +98,47 @@ object NbClassifier {
     NbModel(w, scal.getDouble(0), scal.getDouble(1))
   }
 
+  /** Persist a trained [[NbModel]] as plain parquet under `dir` — the
+    * [[graft.ext.AnnIndex]] lifecycle for the quality gate: the model is
+    * fit ONCE on the curated batch corpus and a restarted serving job
+    * (batch or [[graft.streaming.StreamingCorpus]]) boots from the
+    * artifact instead of retraining. Layout:
+    *
+    * {{{
+    * dir/weights  (t STRING, w DOUBLE)            ≤ maxVocab rows
+    * dir/meta     (floor_w DOUBLE, prior DOUBLE, n_weights BIGINT) 1 row
+    * }}}
+    *
+    * Doubles round-trip parquet bit-exactly, so a loaded model scores
+    * margins BIT-IDENTICAL to the live one (NbModelSpec pins it).
+    */
+  def save(spark: org.apache.spark.sql.SparkSession, model: NbModel,
+           dir: String): Unit = {
+    import spark.implicits._
+    model.weights.toSeq.toDF("t", "w")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/weights")
+    Seq((model.floorW, model.prior, model.weights.size.toLong))
+      .toDF("floor_w", "prior", "n_weights")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Load a persisted [[NbModel]]; see [[save]]. The weight map is
+    * vocab-bounded by construction (the same driver-collect allowance as
+    * the ANN codebooks), and the meta row-count cross-check turns a
+    * partially-written artifact into a readable error instead of a
+    * silently coarser model.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): NbModel = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val w = spark.read.parquet(s"$dir/weights")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    require(w.size.toLong == meta.getAs[Long]("n_weights"),
+      s"NbClassifier.load: $dir/weights has ${w.size} rows but meta " +
+        s"recorded ${meta.getAs[Long]("n_weights")} — artifact is " +
+        "incomplete or mixed across writes")
+    NbModel(w, meta.getAs[Double]("floor_w"), meta.getAs[Double]("prior"))
+  }
+
   /** Score docs ROW-LOCALLY under a trained [[NbModel]] — zero shuffle,
     * zero state, so it runs on an unbounded stream: ONE codegen'd
     * expression ([[graft.functions.NbMargin]]) folds per-occurrence

@@ -657,4 +657,42 @@ class StreamingSpec extends SparkSpec {
         "streamed survivors diverged from the batch gate")
     } finally q.stop()
   }
+
+  test("streaming corpus gate boots from a PERSISTED NB artifact: a " +
+    "restarted serving job needs no retraining") {
+    import graft.ext.{NbClassifier, Sampling, TextAnalysis => TA}
+    val docsAll = Tables.documents(spark, TestSpark.sf0001)
+    val labeled = TA.withTokenStats(docsAll, "text")
+      .withColumn("label_weak",
+        round(TA.qualityScore(col("n_tokens"), col("token_chars"),
+          col("n_punct"), col("n_stopwords")) + lit(1e-9), 4) >= 0.5)
+      .select(col("doc_id"), col("text"), col("label_weak"))
+    val live = NbClassifier.train(
+      labeled.filter(Sampling.hashBucket(col("doc_id"), "graft") < 80),
+      "text", "doc_id", "label_weak")
+    // the deployment lifecycle: fit once, persist, and SERVE from the
+    // artifact — the "fit offline" contract now means a separate process
+    // can ride the stream without the training corpus in reach
+    val modelDir = Files.createTempDirectory("graft-nb-art").toString
+    NbClassifier.save(spark, live, modelDir)
+    val model = NbClassifier.load(spark, modelDir)
+    val expected = graft.streaming.StreamingCorpus.qualityGate(
+        docsAll, "text", "doc_id", live, minTokens = 10)
+      .select("doc_id", "n_tokens", "margin", "pred")
+    val inDir = Files.createTempDirectory("graft-nbg-in").toString
+    val outDir = Files.createTempDirectory("graft-nbg-out").toString
+    val ckpt = Files.createTempDirectory("graft-nbg-ckpt").toString
+    docsAll.write.parquet(s"$inDir/p1")
+    val q = graft.streaming.StreamingCorpus.run(spark, s"$inDir/p*",
+      outDir, ckpt, docsAll.schema, "text", "doc_id", model,
+      minTokens = 10)
+    try {
+      q.processAllAvailable()
+      val got = spark.read.parquet(outDir)
+        .select("doc_id", "n_tokens", "margin", "pred")
+      assert(got.exceptAll(expected).count() == 0 &&
+        expected.exceptAll(got).count() == 0,
+        "gate under the loaded artifact diverged from the live model")
+    } finally q.stop()
+  }
 }

@@ -172,10 +172,15 @@ object Bench {
     val annN = results.count(r => r._1.startsWith("q_ann_") &&
       r._1 != "q_ann_bruteforce" && r._1 != "q_ann_hyperplane" &&
       !errors.contains(r._1))
+    // the build shape comes from the SAME constants the q_ann_* queries
+    // pin (NorthStarQueries.AnnCellK/AnnCellIters), so the attributed
+    // re-learn matches what the queries actually re-learn by construction
     val annCoarseSec = timeShared {
       graft.ext.Similarity.kmeansBuckets(
         graft.io.Tables.embeddings(spark, sfDir), "vec_id", "embedding",
-        k = 8, iters = 2, bucketCol = "kb").count()
+        k = graft.queries.NorthStarQueries.AnnCellK,
+        iters = graft.queries.NorthStarQueries.AnnCellIters,
+        bucketCol = "kb").count()
     }
     // the dedup family's shared artifact: the MinHash signature frame
     // (shingle explode → 16 affine mins) every near-dup query rebuilds
@@ -229,6 +234,17 @@ object Bench {
     val warmCpuQs = warm.toSeq.sortBy(_._1)
       .map { case (k, (_, c)) => jstr(k) + ":" + jnum(c) }
       .mkString("{", ",", "}")
+    // the unified per-query record (VERDICT r11 item 5): cold wall, cold
+    // executor-CPU, warm wall, warm executor-CPU side by side, so "host
+    // band or regression?" is decidable from the artifact alone — CPU is
+    // the load-invariant axis on both passes (warm fields null for the
+    // memoized ML pair and errored queries, which have no honest warm run)
+    val perQ = results.sortBy(_._1).map { case (k, v, _, _, _, cpu) =>
+      val w = warm.get(k)
+      jstr(k) + s""":{"cold_sec":${jnum(v)},"cold_cpu_sec":${jnum(cpu)},""" +
+        s""""warm_sec":${w.fold("null")(x => jnum(x._1))},""" +
+        s""""warm_cpu_sec":${w.fold("null")(x => jnum(x._2))}}"""
+    }.mkString("{", ",", "}")
     val loadJson =
       s"""{"start":${jstr(loadStart)},"after_cold":${jstr(loadAfterCold)},"after_warm":${jstr(loadAfterWarm)}}"""
     // per-family cost attribution (family = first token after q_): the
@@ -245,7 +261,7 @@ object Bench {
       if (sec < 0) -1.0 else sec * math.max(0, n - 1)
     val sharedJson =
       s"""{"ann_coarse_sec":${jnum(annCoarseSec)},"ann_n":$annN,"ann_relearn_sec":${jnum(relearn(annCoarseSec, annN))},"dedup_minhash_sec":${jnum(minhashSec)},"dedup_n":$dedupN,"dedup_relearn_sec":${jnum(relearn(minhashSec, dedupN))}}"""
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"warm":$warmQs,"warm_cpu":$warmCpuQs,"shuffle":$shuffleQs,"families":$families,"shared":$sharedJson,"loadavg":$loadJson,"ml_fused":$mlFused,"errors":$errJsonFull,"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"perq":$perQ,"warm":$warmQs,"warm_cpu":$warmCpuQs,"shuffle":$shuffleQs,"families":$families,"shared":$sharedJson,"loadavg":$loadJson,"ml_fused":$mlFused,"errors":$errJsonFull,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
       try w.println(detail) finally w.close()

@@ -362,6 +362,41 @@ object Graft {
                       batch: Int): (Seq[Bpe.Merge], DataFrame) =
     Bpe.trainBatched(docs, textCol, nIters, batch)
 
+  /** Tokenizer-trainer selection for [[bpeTrainWith]] / [[corpusBuild]]:
+    * [[BpeTrainer.Sequential]] is exact classic BPE (one driver
+    * round-trip per merge — the contract every oracled `q_bpe_*` query
+    * pins); [[BpeTrainer.Batched]] applies up to `batch` symbol-disjoint
+    * merges per iteration (the production-vocabulary round-trip cut —
+    * a documented approximation whose merge ORDER may differ from
+    * sequential beyond the first batch, while `Batched(1)` reproduces
+    * Sequential exactly, spec-pinned through the full corpus build).
+    */
+  sealed trait BpeTrainer
+  object BpeTrainer {
+    case object Sequential extends BpeTrainer
+    final case class Batched(batch: Int, candPool: Int = 4)
+      extends BpeTrainer
+  }
+
+  /** Train a BPE dictionary of ~`nMerges` merges under the selected
+    * [[BpeTrainer]]. Batched runs `ceil(nMerges / batch)` iterations of
+    * up to `batch` merges — ~batch× fewer driver round-trips at the same
+    * target vocabulary depth (iteration granularity: when `batch` does
+    * not divide `nMerges`, the vocabulary may exceed `nMerges` by up to
+    * `batch − 1` merges); its dictionary is a valid drop-in for every
+    * dict consumer ([[bpeTokenCounts]], [[bpeEncodeIds]],
+    * [[corpusBuild]]).
+    */
+  def bpeTrainWith(docs: DataFrame, textCol: String, nMerges: Int,
+                   trainer: BpeTrainer = BpeTrainer.Sequential)
+      : (Seq[Bpe.Merge], DataFrame) = trainer match {
+    case BpeTrainer.Sequential =>
+      Bpe.train(docs, textCol, nMerges)
+    case BpeTrainer.Batched(b, pool) =>
+      Bpe.trainBatched(docs, textCol,
+        nIters = (nMerges + b - 1) / b, batch = b, candPool = pool)
+  }
+
   /** Per-document token counts under a trained BPE dictionary (broadcast
     * segmentation join) — the frame [[packContexts]]-style offset packing
     * consumes. `carryCols` ride through (e.g. the packing stream key).
@@ -517,6 +552,26 @@ object Graft {
         ctxTokens = ctxTokens),
       Seq(groupCol), idCol, "n_tokens")
   }
+
+  /** [[corpusBuild]] that TRAINS its own tokenizer first — the
+    * first-run shape of a production corpus build, with the trainer
+    * selectable: `BpeTrainer.Batched(16)` cuts the dictionary-training
+    * driver round-trips ~16× (the dominant first-run cost at corpus
+    * scale — 162 s of the round-11 100× first run was sequential BPE;
+    * SCALING.md round 12 for the measured cut), while
+    * `BpeTrainer.Sequential` keeps exact classic BPE. `Batched(1)` ≡
+    * `Sequential` through the entire composition (ApiSpec-pinned).
+    */
+  def corpusBuildTrained(docs: DataFrame, textCol: String, idCol: String,
+                         groupCol: String, nMerges: Int,
+                         trainer: BpeTrainer = BpeTrainer.Sequential,
+                         salt: String = "build", minTokens: Long = 10,
+                         trainPct: Int = 80, alpha: Double = 0.5,
+                         share: Double = 0.5,
+                         ctxTokens: Int = 256): DataFrame =
+    corpusBuild(docs, textCol, idCol, groupCol,
+      bpeTrainWith(docs, textCol, nMerges, trainer)._2,
+      salt, minTokens, trainPct, alpha, share, ctxTokens)
 
   // --- sampling & packing ----------------------------------------------
 

@@ -283,8 +283,17 @@ object Bpe {
     * Docs whose text is null/blank are dropped (no tokens to emit).
     */
   def encodeIds(docs: DataFrame, textCol: String, idCol: String,
-                dict: DataFrame): DataFrame = {
-    val vocab = vocabIds(dict)
+                dict: DataFrame): DataFrame =
+    encodeIdsWith(docs, textCol, idCol, dict, vocabIds(dict))
+
+  /** [[encodeIds]] under a CALLER-SUPPLIED [[vocabIds]] table — the
+    * serve-time form: the vocabulary's driver-side sort happens once per
+    * trained dictionary, not once per invocation, so a streaming twin
+    * re-encoding every micro-batch ([[graft.streaming.StreamingCorpus]])
+    * pays only the broadcast joins per batch.
+    */
+  def encodeIdsWith(docs: DataFrame, textCol: String, idCol: String,
+                    dict: DataFrame, vocab: DataFrame): DataFrame = {
     val words = docs
       .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
       .select(col(idCol),

@@ -15,6 +15,18 @@ object NorthStarQueries {
 
   private val StopSql = TA.Stopwords.map(s => s"'$s'").mkString(", ")
 
+  /** The pinned coarse-quantizer shape every oracled `q_ann_*` /
+    * `q_domain_*` chain trains: k cells, `AnnCellIters` Lloyd
+    * iterations. The DuckDB mirrors hardcode the SAME shape
+    * ([[lloydAfCteTailFrom]] interpolates `LIMIT AnnCellK` for the init
+    * and unrolls exactly two assign/recenter passes), and Bench's
+    * shared-artifact attribution times exactly this build — one constant
+    * so the attributed re-learn cannot drift from what the queries
+    * actually re-learn (ADVICE r11).
+    */
+  private[graft] val AnnCellK = 8
+  private[graft] val AnnCellIters = 2
+
   /** Shared DuckDB CTE chain computing per-doc 32-bit simhashes — table
     * `sh(doc_id, lang, sh)` — mirroring [[Dedup.simHashes]] (portable md5
     * token hash, ±1 bit votes). Reused by the pairs and clusters oracles.
@@ -94,7 +106,7 @@ object NorthStarQueries {
     s"""
       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j,
       |    v AS c
-      |  FROM $tr ORDER BY vec_id LIMIT 8
+      |  FROM $tr ORDER BY vec_id LIMIT $AnnCellK
       |), d1 AS (
       |  SELECT $tr.vec_id, i.j,
       |    round(list_inner_product($tr.v, $tr.v)
@@ -885,7 +897,7 @@ object NorthStarQueries {
     // Similarity.kmeansBuckets scaladoc).
     "q_ann_kmeans" -> ((s, dir) => {
       val bucketed = Similarity.kmeansBuckets(Tables.embeddings(s, dir),
-        "vec_id", "embedding", k = 8, iters = 2, bucketCol = "kb")
+        "vec_id", "embedding", k = AnnCellK, iters = AnnCellIters, bucketCol = "kb")
       Similarity.bucketedNN(bucketed, "vec_id", "embedding", "kb",
           k = 1, maxBucket = 40)
         .orderBy(col("query_id"))
@@ -900,7 +912,7 @@ object NorthStarQueries {
     // hash-exact row exercising the sampled path end-to-end.
     "q_ann_ivf_sampled" -> ((s, dir) => {
       val bucketed = Similarity.kmeansBuckets(Tables.embeddings(s, dir),
-        "vec_id", "embedding", k = 8, iters = 2, bucketCol = "kb",
+        "vec_id", "embedding", k = AnnCellK, iters = AnnCellIters, bucketCol = "kb",
         trainFraction = 0.1)
       Similarity.bucketedNN(bucketed, "vec_id", "embedding", "kb",
           k = 1, maxBucket = 40)
@@ -929,7 +941,7 @@ object NorthStarQueries {
     // Every stage deterministic and mirrored in the DuckDB oracle.
     "q_ann_ivf_sq8" -> ((s, dir) => {
       val bucketed = Similarity.kmeansBuckets(Tables.embeddings(s, dir),
-        "vec_id", "embedding", k = 8, iters = 2, bucketCol = "kb")
+        "vec_id", "embedding", k = AnnCellK, iters = AnnCellIters, bucketCol = "kb")
       Similarity.ivfSq8TopK(bucketed, "vec_id", "embedding", "kb",
           k = 5, nProbe = 2, overfetch = 3, maxBucket = 40)
         .orderBy(col("query_id"), col("rank"))
@@ -942,7 +954,7 @@ object NorthStarQueries {
     // replays the coarse Lloyd AND all four sub-space Lloyds in SQL.
     "q_ann_ivf_pq" -> ((s, dir) => {
       val bucketed = Similarity.kmeansBuckets(Tables.embeddings(s, dir),
-        "vec_id", "embedding", k = 8, iters = 2, bucketCol = "kb")
+        "vec_id", "embedding", k = AnnCellK, iters = AnnCellIters, bucketCol = "kb")
       Similarity.ivfPqTopK(bucketed, "vec_id", "embedding", "kb",
           k = 5, nProbe = 2, dim = 64, m = 4, kSub = 16, iters = 1,
           overfetch = 3, maxBucket = 40)
@@ -956,7 +968,7 @@ object NorthStarQueries {
     // cell-mean subtraction, AND all four residual sub-Lloyds in SQL.
     "q_ann_ivf_pq_res" -> ((s, dir) => {
       val bucketed = Similarity.kmeansBuckets(Tables.embeddings(s, dir),
-        "vec_id", "embedding", k = 8, iters = 2, bucketCol = "kb")
+        "vec_id", "embedding", k = AnnCellK, iters = AnnCellIters, bucketCol = "kb")
       Similarity.ivfPqResTopK(bucketed, "vec_id", "embedding", "kb",
           k = 5, nProbe = 2, dim = 64, m = 4, kSub = 16, iters = 1,
           overfetch = 3, maxBucket = 40)
@@ -976,7 +988,7 @@ object NorthStarQueries {
       val panel = Sampling.deterministicSample(emb, "vec_id", "recall", 20)
         .select(col("vec_id"), col("embedding"))
       val bucketed = Similarity.kmeansBuckets(emb, "vec_id", "embedding",
-        k = 8, iters = 2, bucketCol = "kb")
+        k = AnnCellK, iters = AnnCellIters, bucketCol = "kb")
       val approx = Similarity.ivfPqResTopK(bucketed, "vec_id", "embedding",
           "kb", k = 5, nProbe = 2, dim = 64, m = 4, kSub = 16, iters = 1,
           overfetch = 3, maxBucket = 40)
@@ -1006,7 +1018,7 @@ object NorthStarQueries {
       val queries = emb.filter(col("vec_id") % 2 === 1)
         .select(col("vec_id"), col("embedding"))
       val bucketed = Similarity.kmeansBuckets(corpus, "vec_id",
-        "embedding", k = 8, iters = 2, bucketCol = "kb")
+        "embedding", k = AnnCellK, iters = AnnCellIters, bucketCol = "kb")
       Similarity.ivfPqResSearch(bucketed, queries, "vec_id", "embedding",
           "kb", k = 5, nProbe = 2, dim = 64, m = 4, kSub = 16, iters = 1,
           overfetch = 3, maxBucket = 40)
@@ -1022,7 +1034,7 @@ object NorthStarQueries {
       val queries = emb.filter(col("vec_id") % 2 === 1)
         .select(col("vec_id"), col("embedding"))
       val bucketed = Similarity.kmeansBuckets(corpus, "vec_id",
-        "embedding", k = 8, iters = 2, bucketCol = "kb")
+        "embedding", k = AnnCellK, iters = AnnCellIters, bucketCol = "kb")
       Similarity.hardNegatives(
           Similarity.ivfPqResSearch(bucketed, queries, "vec_id",
             "embedding", "kb", k = 5, nProbe = 2, dim = 64, m = 4,
@@ -1120,7 +1132,7 @@ object NorthStarQueries {
     "q_domain_profile" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val cells = Similarity.kmeansBuckets(Tables.embeddings(s, dir),
-          "vec_id", "embedding", k = 8, iters = 2, bucketCol = "cell")
+          "vec_id", "embedding", k = AnnCellK, iters = AnnCellIters, bucketCol = "cell")
         .select(col("vec_id").as("doc_id"), col("cell"))
       val joined = Tables.documents(s, dir).join(cells, "doc_id")
       val perLang = joined.groupBy(col("cell"), col("lang"))
@@ -1148,7 +1160,7 @@ object NorthStarQueries {
     // quantizer and the hash-rank sampler (both already oracled alone).
     "q_domain_sample" -> ((s, dir) => {
       val cells = Similarity.kmeansBuckets(Tables.embeddings(s, dir),
-          "vec_id", "embedding", k = 8, iters = 2, bucketCol = "cell")
+          "vec_id", "embedding", k = AnnCellK, iters = AnnCellIters, bucketCol = "cell")
         .select(col("vec_id").as("doc_id"), col("cell"))
       graft.ext.Sampling.stratifiedSample(
           Tables.documents(s, dir).join(cells, "doc_id"),

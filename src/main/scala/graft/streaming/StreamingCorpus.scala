@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.StructType
 
-import graft.ext.{NbClassifier, TextAnalysis}
+import graft.ext.{Bpe, NbClassifier, TextAnalysis}
 
 /** Streaming corpus-quality gating: documents land continuously (the
   * crawl-ingest shape — a fetcher emits pages as they arrive, and the
@@ -77,4 +77,41 @@ object StreamingCorpus {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .start()
+
+  /** End-to-end token-id SERVING: watch `inDir`, gate each micro-batch
+    * through the stateless quality gate, and append the gated survivors'
+    * dense token-id sequences ([[Bpe.encodeIdsWith]] under the
+    * pre-trained `dict`) as parquet under `outDir` — the export a
+    * continuously-ingesting training pipeline actually ships.
+    *
+    * Scale/state shape: the per-doc sequence aggregate is keyed by
+    * `idCol` WITHIN the micro-batch (a document's words arrive in one
+    * file, so no cross-batch state is needed — the reason this is a
+    * `foreachBatch` aggregation, not a stateful operator), the
+    * dictionary and vocabulary join broadcast-side, and the
+    * vocabulary's driver-side id assignment runs ONCE at query start,
+    * not per batch. Sink semantics are the standard foreachBatch
+    * contract: append-mode parquet, at-least-once on micro-batch retry
+    * (the source checkpoint dedups input files; a retried WRITE of the
+    * same batch can duplicate output rows — idempotent consumers or a
+    * downstream exact-dedup pass own that, as with every foreachBatch
+    * parquet sink).
+    */
+  def runEncodeIds(spark: SparkSession, inDir: String, outDir: String,
+                   checkpoint: String, schema: StructType,
+                   textCol: String, idCol: String,
+                   model: NbClassifier.NbModel, dict: DataFrame,
+                   minTokens: Long = 50,
+                   maxTokens: Long = 100000): StreamingQuery = {
+    val vocab = Bpe.vocabIds(dict)
+    qualityGate(readDocStream(spark, inDir, schema), textCol, idCol,
+        model, minTokens, maxTokens)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Bpe.encodeIdsWith(batch, textCol, idCol, dict, vocab)
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
 }

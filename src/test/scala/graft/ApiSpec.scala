@@ -227,6 +227,29 @@ class ApiSpec extends SparkSpec {
     assert(bad == 0, "pack_id not contiguous per group")
   }
 
+  test("corpusBuildTrained: Batched(1) ≡ Sequential through the FULL " +
+    "composition, and Batched(B) yields a valid drop-in dictionary") {
+    // the trainer knob (VERDICT r11 item 2): the batched dictionary must
+    // flow through gate chain -> mixture -> encode -> packing unchanged
+    // when B=1 (pool rule degenerates to the sequential argmax), and a
+    // genuinely batched dictionary must still produce a well-formed pack
+    // summary (order may differ from sequential past the first batch —
+    // the documented approximation)
+    val seq = Graft.corpusBuildTrained(docs, "text", "doc_id", "lang",
+      nMerges = 4, trainer = Graft.BpeTrainer.Sequential, minTokens = 10)
+    val b1 = Graft.corpusBuildTrained(docs, "text", "doc_id", "lang",
+      nMerges = 4, trainer = Graft.BpeTrainer.Batched(1), minTokens = 10)
+    assert(b1.exceptAll(seq).count() == 0 && seq.exceptAll(b1).count() == 0,
+      "Batched(1) corpus build diverged from Sequential")
+    val b2 = Graft.corpusBuildTrained(docs, "text", "doc_id", "lang",
+      nMerges = 4, trainer = Graft.BpeTrainer.Batched(2), minTokens = 10)
+    assert(b2.columns.toSeq == seq.columns.toSeq)
+    assert(b2.agg(sum(col("n_docs"))).head.getLong(0) ==
+      seq.agg(sum(col("n_docs"))).head.getLong(0),
+      "the gate chain is tokenizer-independent — survivor counts must " +
+        "match across trainers")
+  }
+
   test("quickstart: train-batch/serve-stream quality gate") {
     val labeledDocs = Graft.quality(docs, "text")
       .withColumn("lbl", col("quality") >= 0.5)

@@ -695,4 +695,46 @@ class StreamingSpec extends SparkSpec {
         "gate under the loaded artifact diverged from the live model")
     } finally q.stop()
   }
+
+  test("streaming token-id encode: gated micro-batches export the SAME " +
+    "dense id sequences as the batch encoder") {
+    import graft.ext.{Bpe, NbClassifier, Sampling, TextAnalysis => TA}
+    val docsAll = Tables.documents(spark, TestSpark.sf0001)
+    // offline artifacts: the NB gate model and the trained dictionary
+    val labeled = TA.withTokenStats(docsAll, "text")
+      .withColumn("label_weak",
+        round(TA.qualityScore(col("n_tokens"), col("token_chars"),
+          col("n_punct"), col("n_stopwords")) + lit(1e-9), 4) >= 0.5)
+      .select(col("doc_id"), col("text"), col("label_weak"))
+    val model = NbClassifier.train(
+      labeled.filter(Sampling.hashBucket(col("doc_id"), "graft") < 80),
+      "text", "doc_id", "label_weak")
+    val dict = Bpe.train(docsAll, "text", 8)._2
+    // batch expectation: gate then encode on the static frame
+    val gatedBatch = graft.streaming.StreamingCorpus.qualityGate(
+      docsAll, "text", "doc_id", model, minTokens = 10)
+    val expected = Bpe.encodeIds(gatedBatch, "text", "doc_id", dict)
+      .select(col("doc_id"), col("n_tokens"),
+        col("token_ids").cast("string").as("ids"))
+    assert(expected.count() > 0, "no gated docs to encode on the fixture")
+    // stream the corpus in two halves; id sequences must converge exactly
+    val inDir = Files.createTempDirectory("graft-ids-in").toString
+    val outDir = Files.createTempDirectory("graft-ids-out").toString
+    val ckpt = Files.createTempDirectory("graft-ids-ckpt").toString
+    docsAll.filter(col("doc_id") % 2 === 0).write.parquet(s"$inDir/p1")
+    val q = graft.streaming.StreamingCorpus.runEncodeIds(spark,
+      s"$inDir/p*", outDir, ckpt, docsAll.schema, "text", "doc_id",
+      model, dict, minTokens = 10)
+    try {
+      q.processAllAvailable()
+      docsAll.filter(col("doc_id") % 2 === 1).write.parquet(s"$inDir/p2")
+      q.processAllAvailable()
+      val got = spark.read.parquet(outDir)
+        .select(col("doc_id"), col("n_tokens"),
+          col("token_ids").cast("string").as("ids"))
+      assert(got.exceptAll(expected).count() == 0 &&
+        expected.exceptAll(got).count() == 0,
+        "streamed token-id sequences diverged from the batch encoder")
+    } finally q.stop()
+  }
 }

@@ -142,6 +142,23 @@ object CorpusQueries {
           ctxTokens = 256)
         .orderBy(col("lang"), col("pack_id"))),
 
+    // The same one-plan corpus recipe under the BATCHED tokenizer
+    // trainer (round-12 wire-up of the trainer knob): 3 iterations × up
+    // to 4 symbol-disjoint merges from a 16-candidate pool train the
+    // dictionary the composition encodes with. The oracle chains the
+    // batched trainer's non-recursive CTE replay (pool rank → conflict
+    // exclusion → batch apply, the q_bpe_batch mirror) into the SAME
+    // gate/dedup/mixture/packing chain as q_corpus_build — a hash match
+    // certifies the batched trainer as a drop-in through the whole
+    // pipeline, not just at the merge table.
+    "q_corpus_build_batched" -> ((s, dir) =>
+      graft.api.Graft.corpusBuildTrained(Tables.documents(s, dir), "text",
+          "doc_id", "lang", nMerges = BpeBatchIters * BpeBatch,
+          trainer = graft.api.Graft.BpeTrainer.Batched(BpeBatch),
+          salt = "build", minTokens = 10, trainPct = 80, alpha = 0.5,
+          share = 0.5, ctxTokens = 256)
+        .orderBy(col("lang"), col("pack_id"))),
+
     // Span-level corpus dedup: every doc loses spans whose corpus document
     // frequency exceeds 1 — boilerplate is removed from ALL copies, the
     // complement of whole-doc dedup (which keeps one copy intact)
@@ -434,7 +451,18 @@ object CorpusQueries {
     * join + offset packing (q_bpe_pack). A hash match certifies the
     * whole composed pipeline, gate by gate.
     */
-  private def corpusBuildOracle: String = {
+  private def corpusBuildOracle: String =
+    corpusBuildOracleWith(bpeCtes(BpeMerges), s"d$BpeMerges")
+
+  /** [[corpusBuildOracle]] with the tokenizer-training chain pluggable:
+    * `bpeChain` is any `WITH w …, d0 …, … <dictCte>` unrolled trainer
+    * ([[bpeCtes]] for sequential, [[bpeBatchCtes]] for the batched
+    * trainer) and `dictCte` names its final dictionary — the rest of
+    * the composition (gates, dedup, mixture, segmentation join,
+    * packing) is tokenizer-independent by construction.
+    */
+  private def corpusBuildOracleWith(bpeChain: String,
+                                    dictCte: String): String = {
     val stopSql = TA.Stopwords.map(w => s"'$w'").mkString(", ")
     s"""WITH t0 AS MATERIALIZED (
        |  SELECT doc_id, lang, text,
@@ -555,9 +583,9 @@ object CorpusQueries {
        |  WHERE samp_rank <= n_target
        |),
        |""".stripMargin +
-    // concatenated AFTER stripMargin: bpeCtes has continuation lines
-    // starting with `||`, which a second stripMargin would mangle
-    bpeCtes(BpeMerges).stripPrefix("WITH ") + ",\n" +
+    // concatenated AFTER stripMargin: the trainer chain has continuation
+    // lines starting with `||`, which a second stripMargin would mangle
+    bpeChain.stripPrefix("WITH ") + ",\n" +
     s"""ws AS MATERIALIZED (
        |  SELECT t0.lang, t0.doc_id,
        |    unnest(string_split_regex(trim(t0.text), ' +')) AS word
@@ -565,9 +593,9 @@ object CorpusQueries {
        |  WHERE text IS NOT NULL AND length(trim(text)) > 0
        |), pd AS MATERIALIZED (
        |  SELECT ws.lang, ws.doc_id,
-       |    CAST(sum(len(string_split(trim(d$BpeMerges.syms), '  ')))
+       |    CAST(sum(len(string_split(trim($dictCte.syms), '  ')))
        |      AS BIGINT) AS n_tokens
-       |  FROM ws JOIN d$BpeMerges ON ws.word = d$BpeMerges.word
+       |  FROM ws JOIN $dictCte ON ws.word = $dictCte.word
        |  GROUP BY 1, 2
        |), po AS (
        |  SELECT lang, doc_id, n_tokens,
@@ -649,6 +677,9 @@ object CorpusQueries {
   val oracles: Map[String, String] = Map(
 
     "q_corpus_build" -> corpusBuildOracle,
+
+    "q_corpus_build_batched" -> corpusBuildOracleWith(
+      bpeBatchCtes(BpeBatchIters, BpeBatch), s"d$BpeBatchIters"),
 
     "q_bpe_ids" -> (bpeCtes(BpeMerges) + ",\n" +
       s"""sv AS MATERIALIZED (

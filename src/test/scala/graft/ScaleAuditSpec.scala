@@ -99,7 +99,12 @@ class ScaleAuditSpec extends SparkSpec {
         "normalizer attach — with zero new shapes: every gate join is a " +
         "doc_id left-semi equi-join, the dedup keeper is a groupBy, and " +
         "the BPE/pack tail joins the broadcast dictionary by word " +
-        "equi-key"))
+        "equi-key"),
+    "q_corpus_build_batched" ->
+      ("q_corpus_build's inherited allowances, unchanged — the batched " +
+        "trainer swap happens UPSTREAM of the composition (driver-side " +
+        "pool/conflict selection, the q_bpe_batch contract) and hands " +
+        "the plan the same broadcast dictionary shape"))
 
   /** Queries allowed a single-partition window, with the tiny-frame bound.
     * Currently NONE: every window on the surface rides a hash-partitioned

@@ -380,12 +380,17 @@ object Graft {
 
   /** Train a BPE dictionary of ~`nMerges` merges under the selected
     * [[BpeTrainer]]. Batched runs `ceil(nMerges / batch)` iterations of
-    * up to `batch` merges — ~batch× fewer driver round-trips at the same
-    * target vocabulary depth (iteration granularity: when `batch` does
-    * not divide `nMerges`, the vocabulary may exceed `nMerges` by up to
-    * `batch − 1` merges); its dictionary is a valid drop-in for every
-    * dict consumer ([[bpeTokenCounts]], [[bpeEncodeIds]],
-    * [[corpusBuild]]).
+    * up to `batch` merges, ~batch× fewer driver round-trips at the same
+    * target vocabulary depth — and `nMerges` is a TARGET, not a count,
+    * in BOTH directions: when `batch` does not divide `nMerges` the
+    * vocabulary may exceed `nMerges` by up to `batch − 1` merges, and
+    * conflict exclusion (or pool/pair exhaustion) can apply FEWER than
+    * `batch` merges per iteration, so it may also come in under
+    * `nMerges`. Callers sizing embedding tables must read the actual
+    * merge count (`result._1.size`, or `max(token_id) + 1` of the
+    * vocabulary), never assume `≥ nMerges`. The dictionary is a valid
+    * drop-in for every dict consumer ([[bpeTokenCounts]],
+    * [[bpeEncodeIds]], [[corpusBuild]]).
     */
   def bpeTrainWith(docs: DataFrame, textCol: String, nMerges: Int,
                    trainer: BpeTrainer = BpeTrainer.Sequential)

@@ -106,9 +106,13 @@ object NbClassifier {
     *
     * {{{
     * dir/weights  (t STRING, w DOUBLE)            ≤ maxVocab rows
-    * dir/meta     (floor_w DOUBLE, prior DOUBLE, n_weights BIGINT) 1 row
+    * dir/meta     (format_version INT, floor_w DOUBLE, prior DOUBLE,
+    *               n_weights BIGINT)              1 row
     * }}}
     *
+    * `format_version` (currently [[FormatVersion]]) names the layout so
+    * a future schema evolution migrates on a recorded fact instead of
+    * guessing; [[load]] fails loudly on versions it does not know.
     * Doubles round-trip parquet bit-exactly, so a loaded model scores
     * margins BIT-IDENTICAL to the live one (NbModelSpec pins it).
     */
@@ -117,10 +121,16 @@ object NbClassifier {
     import spark.implicits._
     model.weights.toSeq.toDF("t", "w")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/weights")
-    Seq((model.floorW, model.prior, model.weights.size.toLong))
-      .toDF("floor_w", "prior", "n_weights")
+    Seq((FormatVersion, model.floorW, model.prior,
+        model.weights.size.toLong))
+      .toDF("format_version", "floor_w", "prior", "n_weights")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
+
+  /** Artifact layout version written by [[save]] and required by
+    * [[load]]. Bump on any layout change and branch in `load`.
+    */
+  val FormatVersion: Int = 1
 
   /** Load a persisted [[NbModel]]; see [[save]]. The weight map is
     * vocab-bounded by construction (the same driver-collect allowance as
@@ -129,9 +139,23 @@ object NbClassifier {
     * silently coarser model.
     */
   def load(spark: org.apache.spark.sql.SparkSession, dir: String): NbModel = {
-    val meta = spark.read.parquet(s"$dir/meta").head()
-    val w = spark.read.parquet(s"$dir/weights")
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val metaDf = spark.read.parquet(s"$dir/meta")
+    // version gate BEFORE touching any other field: an artifact written
+    // by a different layout must fail with the version message, not a
+    // missing-column cast error halfway through
+    require(metaDf.columns.contains("format_version"),
+      s"NbClassifier.load: $dir/meta has no format_version column — " +
+        "artifact predates the versioned layout or is not an NB model")
+    val meta = metaDf.head()
+    val ver = meta.getAs[Int]("format_version")
+    require(ver == FormatVersion,
+      s"NbClassifier.load: $dir/meta declares format_version=$ver but " +
+        s"this build reads version $FormatVersion — migrate the artifact " +
+        "or upgrade the library")
+    // columns by NAME, never position: a rewritten artifact with the
+    // same columns in a different order must load identically
+    val w = spark.read.parquet(s"$dir/weights").select(col("t"), col("w"))
+      .collect().map(r => r.getAs[String]("t") -> r.getAs[Double]("w")).toMap
     require(w.size.toLong == meta.getAs[Long]("n_weights"),
       s"NbClassifier.load: $dir/weights has ${w.size} rows but meta " +
         s"recorded ${meta.getAs[Long]("n_weights")} — artifact is " +

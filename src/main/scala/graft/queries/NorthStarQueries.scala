@@ -168,6 +168,16 @@ object NorthStarQueries {
     * (salt `"lloyd"`, 10000 buckets, threshold 1000), centers learn on
     * the 52-vector sample, and the final `af` assignment covers every
     * vector — the 100 TB codebook posture under the hash gate.
+    *
+    * DELIBERATELY UNMIRRORED: `lloydCenters`' empty-sample fallback
+    * (Similarity.scala — when the 10% hash bucket catches ZERO vectors,
+    * Spark retrains on the full corpus rather than returning no centers)
+    * has no CTE twin, so on a degenerate fixture whose sample is empty
+    * the two sides would diverge (the oracle's `es`-fed init is empty →
+    * zero result rows). The gate fixtures catch 52 vectors, so the
+    * fallback never fires here; a fixture change that empties the
+    * sample must extend `es` with a COALESCE-to-full-corpus init before
+    * this query can stay hash-exact.
     */
   private def lloydAfSampledCte: String =
     s"""e AS (

@@ -60,4 +60,49 @@ class NbModelSpec extends SparkSpec {
     assert(e.getMessage.contains("incomplete"),
       s"wrong failure mode: ${e.getMessage}")
   }
+
+  test("load rejects unknown format versions and unversioned artifacts " +
+    "with the version message, not a cast error") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nb3").toString
+    val live = fixtureModel()
+    NbClassifier.save(spark, live, dir)
+    // future-version artifact: same columns, version bumped
+    spark.read.parquet(s"$dir/meta")
+      .withColumn("format_version", lit(NbClassifier.FormatVersion + 1))
+      .write.mode("overwrite").parquet(s"$dir/meta2")
+    val fs = java.nio.file.Paths.get(dir)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      fs.resolve("meta").toFile)
+    java.nio.file.Files.move(fs.resolve("meta2"), fs.resolve("meta"))
+    val e1 = intercept[IllegalArgumentException] {
+      NbClassifier.load(spark, dir)
+    }
+    assert(e1.getMessage.contains("format_version="),
+      s"wrong failure mode: ${e1.getMessage}")
+    // pre-versioning artifact: meta row without the column at all
+    Seq((live.floorW, live.prior, live.weights.size.toLong))
+      .toDF("floor_w", "prior", "n_weights")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    val e2 = intercept[IllegalArgumentException] {
+      NbClassifier.load(spark, dir)
+    }
+    assert(e2.getMessage.contains("no format_version"),
+      s"wrong failure mode: ${e2.getMessage}")
+  }
+
+  test("load reads weight columns by name: a column-reordered rewrite of " +
+    "the artifact loads identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nb4").toString
+    val live = fixtureModel()
+    NbClassifier.save(spark, live, dir)
+    // rewrite weights with (w, t) column order — same data, swapped layout
+    val swapped = spark.read.parquet(s"$dir/weights").select("w", "t")
+    swapped.write.mode("overwrite").parquet(s"$dir/weights2")
+    val fs = java.nio.file.Paths.get(dir)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      fs.resolve("weights").toFile)
+    java.nio.file.Files.move(fs.resolve("weights2"), fs.resolve("weights"))
+    assert(NbClassifier.load(spark, dir) == live,
+      "column order changed the loaded model")
+  }
 }

@@ -402,6 +402,27 @@ object Graft {
         nIters = (nMerges + b - 1) / b, batch = b, candPool = pool)
   }
 
+  /** Persist a trained tokenizer (merge rules + dictionary + the
+    * frequency-ranked vocabulary + a fingerprinted meta row) as plain
+    * parquet — the [[qualityModelSave]] lifecycle for the other half of
+    * the serve bundle: train once, and every restarted encode job boots
+    * from the artifact via [[tokenizerLoad]] with ZERO training (and
+    * zero training-corpus access) at boot.
+    * See [[graft.ext.Bpe.save]].
+    */
+  def tokenizerSave(merges: Seq[Bpe.Merge], dict: DataFrame,
+                    dir: String): Unit =
+    Bpe.save(merges, dict, dir)
+
+  /** Load a persisted tokenizer; validates format version, row counts,
+    * and the dictionary fingerprint, and returns the paired serve bundle
+    * ([[graft.ext.Bpe.Tokenizer]]) whose `encodeIds` skips the per-call
+    * pairing check. Token-id sequences under the loaded tokenizer are
+    * bit-identical to the live one (BpeSpec pins it).
+    */
+  def tokenizerLoad(spark: SparkSession, dir: String): Bpe.Tokenizer =
+    Bpe.load(spark, dir)
+
   /** Per-document token counts under a trained BPE dictionary (broadcast
     * segmentation join) — the frame [[packContexts]]-style offset packing
     * consumes. `carryCols` ride through (e.g. the packing stream key).

@@ -264,6 +264,122 @@ object Bpe {
     a.length < b.length
   }
 
+  /** A trained tokenizer in SERVE form — the bundle a restarted export
+    * job needs with zero training at boot: the merge rules (provenance +
+    * embedding-table sizing), the final dictionary (the segmentation),
+    * and the frequency-ranked vocabulary (the id layout). `dict` and
+    * `vocab` are guaranteed-paired by construction (built by [[train]]/
+    * [[trainBatched]] + [[vocabIds]], or loaded from one [[save]]d
+    * artifact), so [[Tokenizer.encodeIds]] skips [[encodeIdsWith]]'s
+    * coverage check.
+    */
+  final case class Tokenizer(merges: Seq[Merge], dict: DataFrame,
+                             vocab: DataFrame) {
+    /** [[Bpe.encodeIdsWith]] under this tokenizer's paired dict/vocab. */
+    def encodeIds(docs: DataFrame, textCol: String,
+                  idCol: String): DataFrame =
+      encodeIdsUnchecked(docs, textCol, idCol, dict, vocab)
+  }
+
+  /** Artifact layout version written by [[save]] and required by
+    * [[load]]. Bump on any layout change and branch in `load`.
+    */
+  val ArtifactFormatVersion: Int = 1
+
+  /** Order-independent integrity fingerprint of a dictionary: xor of
+    * xxhash64 over every (word, syms, freq) row. Freq is included because
+    * the id layout ([[vocabIds]]) ranks on symbol frequency — two dicts
+    * with equal segmentations but different counts yield different
+    * vocabularies. One dictionary-sized aggregate, no sort, no collect.
+    */
+  def dictFingerprint(dict: DataFrame): Long =
+    dict.agg(coalesce(expr("bit_xor(xxhash64(word, syms, freq))"), lit(0L)))
+      .head().getLong(0)
+
+  /** Persist a trained tokenizer as plain parquet under `dir` — the
+    * [[NbClassifier.save]] lifecycle for the OTHER half of the serve
+    * bundle: train once on the curated corpus, and every restarted
+    * encode job (batch or [[graft.streaming.StreamingCorpus]]) boots
+    * from the artifact instead of re-deriving the dictionary from the
+    * training corpus. Layout:
+    *
+    * {{{
+    * dir/dict    (word, freq, syms)                      vocab-bounded
+    * dir/vocab   (sym, token_id, sym_freq)               ≤ |alphabet|+merges
+    * dir/merges  (rank, left_sym, right_sym, merged, pair_count)
+    * dir/meta    (format_version, n_merges, n_words, n_vocab, dict_fp) 1 row
+    * }}}
+    *
+    * The vocabulary's driver-side id assignment runs ONCE here; loads
+    * read the persisted layout, so a restarted serving job never
+    * re-sorts. `dict_fp` ([[dictFingerprint]]) ties the three frames to
+    * one training run — [[load]] recomputes it and fails loudly on a
+    * mixed or partially-rewritten artifact.
+    */
+  def save(merges: Seq[Merge], dict: DataFrame, dir: String): Unit = {
+    val spark = dict.sparkSession
+    import spark.implicits._
+    val vocab = vocabIds(dict)
+    dict.select(col("word"), col("freq"), col("syms"))
+      .write.mode("overwrite").parquet(s"$dir/dict")
+    vocab.coalesce(1).write.mode("overwrite").parquet(s"$dir/vocab")
+    merges.map(m => (m.rank, m.leftSym, m.rightSym, m.merged, m.pairCount))
+      .toDF("rank", "left_sym", "right_sym", "merged", "pair_count")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/merges")
+    // fingerprint the frame as WRITTEN (re-read it), so load's recompute
+    // compares parquet-to-parquet, immune to any in-flight plan nondeterminism
+    val fp = dictFingerprint(spark.read.parquet(s"$dir/dict"))
+    Seq((ArtifactFormatVersion, merges.size.toLong,
+        spark.read.parquet(s"$dir/dict").count(), vocab.count(), fp))
+      .toDF("format_version", "n_merges", "n_words", "n_vocab", "dict_fp")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Load a persisted tokenizer; see [[save]]. The dictionary and
+    * vocabulary stay DISTRIBUTED frames (at a production vocabulary the
+    * dict is tens of millions of rows — it broadcasts into encode joins
+    * but never collects); only the merge table (nMerges-bounded) lands
+    * on the driver. Validates format version, per-frame row counts, and
+    * the dictionary fingerprint before returning.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession,
+           dir: String): Tokenizer = {
+    val metaDf = spark.read.parquet(s"$dir/meta")
+    require(metaDf.columns.contains("format_version"),
+      s"Bpe.load: $dir/meta has no format_version column — artifact " +
+        "predates the versioned layout or is not a tokenizer")
+    val meta = metaDf.head()
+    val ver = meta.getAs[Int]("format_version")
+    require(ver == ArtifactFormatVersion,
+      s"Bpe.load: $dir/meta declares format_version=$ver but this build " +
+        s"reads version $ArtifactFormatVersion — migrate the artifact or " +
+        "upgrade the library")
+    val dict = spark.read.parquet(s"$dir/dict")
+      .select(col("word"), col("freq"), col("syms"))
+    val vocab = spark.read.parquet(s"$dir/vocab")
+      .select(col("sym"), col("token_id"), col("sym_freq"))
+    val merges = spark.read.parquet(s"$dir/merges")
+      .select(col("rank"), col("left_sym"), col("right_sym"),
+        col("merged"), col("pair_count"))
+      .orderBy(col("rank")).collect()
+      .map(r => Merge(r.getAs[Int]("rank"), r.getAs[String]("left_sym"),
+        r.getAs[String]("right_sym"), r.getAs[String]("merged"),
+        r.getAs[Long]("pair_count"))).toSeq
+    def check(what: String, got: Long, want: Long): Unit =
+      require(got == want,
+        s"Bpe.load: $dir/$what has $got rows but meta recorded $want — " +
+          "artifact is incomplete or mixed across writes")
+    check("merges", merges.size.toLong, meta.getAs[Long]("n_merges"))
+    check("dict", dict.count(), meta.getAs[Long]("n_words"))
+    check("vocab", vocab.count(), meta.getAs[Long]("n_vocab"))
+    val fp = dictFingerprint(dict)
+    require(fp == meta.getAs[Long]("dict_fp"),
+      s"Bpe.load: $dir/dict fingerprint $fp does not match meta's " +
+        s"${meta.getAs[Long]("dict_fp")} — the dictionary was rewritten " +
+        "after the meta row, or the artifact mixes two training runs")
+    Tokenizer(merges, dict, vocab)
+  }
+
   /** Encode documents to dense token-id SEQUENCES under a trained
     * dictionary — the export a training pipeline feeds the model: one row
     * per doc with `n_tokens` and the ordered `token_ids` array.
@@ -284,16 +400,50 @@ object Bpe {
     */
   def encodeIds(docs: DataFrame, textCol: String, idCol: String,
                 dict: DataFrame): DataFrame =
-    encodeIdsWith(docs, textCol, idCol, dict, vocabIds(dict))
+    // vocab derived from THIS dict — paired by construction, no check
+    encodeIdsUnchecked(docs, textCol, idCol, dict, vocabIds(dict))
+
+  /** Fail loudly when `vocab` does not cover every symbol of `dict`'s
+    * segmentation — the cheap invariant that catches a vocab paired with
+    * the WRONG dictionary (which would silently mis-id or UNK every
+    * token at serve time). One dictionary-sized anti-join, ≤5 rows to
+    * the driver; coverage is necessary but not sufficient (a superset
+    * vocab with shifted ids passes — the [[save]]/[[load]] artifact's
+    * fingerprint is the airtight pairing; this guard is for raw-frame
+    * callers).
+    */
+  private[graft] def requireVocabCovers(dict: DataFrame,
+                                        vocab: DataFrame): Unit = {
+    val missing = dict
+      .select(explode(split(trim(col("syms")), Sep)).as("sym")).distinct()
+      .join(vocab.select(col("sym")), Seq("sym"), "left_anti")
+      .limit(5).collect().map(_.getString(0))
+    require(missing.isEmpty,
+      "Bpe.encodeIdsWith: vocab does not cover the dictionary — " +
+        s"symbols like [${missing.mkString(", ")}] segment documents but " +
+        "have no token_id. The vocab was derived from a DIFFERENT " +
+        "dictionary; re-derive it with Bpe.vocabIds(dict) or load both " +
+        "from one Bpe.save artifact")
+  }
 
   /** [[encodeIds]] under a CALLER-SUPPLIED [[vocabIds]] table — the
     * serve-time form: the vocabulary's driver-side sort happens once per
     * trained dictionary, not once per invocation, so a streaming twin
     * re-encoding every micro-batch ([[graft.streaming.StreamingCorpus]])
-    * pays only the broadcast joins per batch.
+    * pays only the broadcast joins per batch. Validates dict/vocab
+    * pairing ([[requireVocabCovers]]) on every call; per-batch loops
+    * should validate once and use a [[Tokenizer]] (or load one) instead.
     */
   def encodeIdsWith(docs: DataFrame, textCol: String, idCol: String,
                     dict: DataFrame, vocab: DataFrame): DataFrame = {
+    requireVocabCovers(dict, vocab)
+    encodeIdsUnchecked(docs, textCol, idCol, dict, vocab)
+  }
+
+  /** The encode plan itself — callers guarantee dict/vocab pairing. */
+  private[graft] def encodeIdsUnchecked(docs: DataFrame, textCol: String,
+                                        idCol: String, dict: DataFrame,
+                                        vocab: DataFrame): DataFrame = {
     val words = docs
       .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
       .select(col(idCol),

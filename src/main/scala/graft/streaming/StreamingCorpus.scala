@@ -78,11 +78,28 @@ object StreamingCorpus {
       .outputMode("append")
       .start()
 
+  /** One micro-batch of the token-id export, written EXACTLY-ONCE-shaped:
+    * the encoded batch lands at `outDir/batch_id=<id>` with overwrite
+    * mode — the standard idempotent foreachBatch recipe. The source
+    * checkpoint guarantees a retried batch id re-reads the same input
+    * files, so a retried WRITE replaces its own directory instead of
+    * appending duplicate rows (StreamingSpec replays a batch and pins
+    * it). Consumers `spark.read.parquet(outDir)` — partition discovery
+    * surfaces `batch_id` as a column (useful provenance; project it away
+    * if unwanted).
+    */
+  private[graft] def writeEncodedBatch(batch: DataFrame, batchId: Long,
+                                       outDir: String, textCol: String,
+                                       idCol: String,
+                                       tok: Bpe.Tokenizer): Unit =
+    tok.encodeIds(batch, textCol, idCol)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+
   /** End-to-end token-id SERVING: watch `inDir`, gate each micro-batch
-    * through the stateless quality gate, and append the gated survivors'
-    * dense token-id sequences ([[Bpe.encodeIdsWith]] under the
-    * pre-trained `dict`) as parquet under `outDir` — the export a
-    * continuously-ingesting training pipeline actually ships.
+    * through the stateless quality gate, and write the gated survivors'
+    * dense token-id sequences (encode under the pre-trained `dict`) as
+    * parquet under `outDir` — the export a continuously-ingesting
+    * training pipeline actually ships.
     *
     * Scale/state shape: the per-doc sequence aggregate is keyed by
     * `idCol` WITHIN the micro-batch (a document's words arrive in one
@@ -90,28 +107,55 @@ object StreamingCorpus {
     * `foreachBatch` aggregation, not a stateful operator), the
     * dictionary and vocabulary join broadcast-side, and the
     * vocabulary's driver-side id assignment runs ONCE at query start,
-    * not per batch. Sink semantics are the standard foreachBatch
-    * contract: append-mode parquet, at-least-once on micro-batch retry
-    * (the source checkpoint dedups input files; a retried WRITE of the
-    * same batch can duplicate output rows — idempotent consumers or a
-    * downstream exact-dedup pass own that, as with every foreachBatch
-    * parquet sink).
+    * not per batch. Sink semantics: each micro-batch overwrites its own
+    * `batch_id=<id>` subdirectory ([[writeEncodedBatch]]), so a retried
+    * write REPLACES its output — idempotent end to end, no downstream
+    * dedup pass needed.
     */
   def runEncodeIds(spark: SparkSession, inDir: String, outDir: String,
                    checkpoint: String, schema: StructType,
                    textCol: String, idCol: String,
                    model: NbClassifier.NbModel, dict: DataFrame,
                    minTokens: Long = 50,
-                   maxTokens: Long = 100000): StreamingQuery = {
-    val vocab = Bpe.vocabIds(dict)
+                   maxTokens: Long = 100000): StreamingQuery =
+    // vocab derived from THIS dict at query start — paired by construction
+    runEncodeIdsTokenizer(spark, inDir, outDir, checkpoint, schema,
+      textCol, idCol, model, Bpe.Tokenizer(Nil, dict, Bpe.vocabIds(dict)),
+      minTokens, maxTokens)
+
+  /** [[runEncodeIds]] under a paired [[graft.ext.Bpe.Tokenizer]] (built
+    * live or [[graft.ext.Bpe.load]]ed) — no per-batch pairing check, no
+    * per-query vocabulary sort.
+    */
+  def runEncodeIdsTokenizer(spark: SparkSession, inDir: String,
+                            outDir: String, checkpoint: String,
+                            schema: StructType, textCol: String,
+                            idCol: String, model: NbClassifier.NbModel,
+                            tok: Bpe.Tokenizer, minTokens: Long = 50,
+                            maxTokens: Long = 100000): StreamingQuery =
     qualityGate(readDocStream(spark, inDir, schema), textCol, idCol,
         model, minTokens, maxTokens)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        Bpe.encodeIdsWith(batch, textCol, idCol, dict, vocab)
-          .write.mode("append").parquet(outDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeEncodedBatch(batch, batchId, outDir, textCol, idCol, tok)
       }
       .option("checkpointLocation", checkpoint)
       .start()
-  }
+
+  /** The fully-restartable serving job: boot the NB gate model AND the
+    * tokenizer from their persisted parquet artifacts
+    * ([[NbClassifier.load]], [[graft.ext.Bpe.load]]) and serve — zero
+    * training, zero training-corpus access, at boot. This is the whole
+    * point of the two `save` lifecycles: a crashed or redeployed export
+    * job resumes from `checkpoint` + two artifact directories.
+    */
+  def runEncodeIdsFromArtifacts(spark: SparkSession, inDir: String,
+                                outDir: String, checkpoint: String,
+                                schema: StructType, textCol: String,
+                                idCol: String, modelDir: String,
+                                tokenizerDir: String, minTokens: Long = 50,
+                                maxTokens: Long = 100000): StreamingQuery =
+    runEncodeIdsTokenizer(spark, inDir, outDir, checkpoint, schema,
+      textCol, idCol, NbClassifier.load(spark, modelDir),
+      Bpe.load(spark, tokenizerDir), minTokens, maxTokens)
 }

@@ -221,6 +221,83 @@ class BpeSpec extends SparkSpec {
       s"OOV fallback drifted: ${enc.getSeq[Int](2)} vocab=$vocab")
   }
 
+  test("persisted tokenizer == live tokenizer: merges, vocab, and " +
+    "token-id sequences all bit-identical") {
+    val docs = graft.io.Tables.documents(spark, TestSpark.sf0001)
+    val (merges, dict) = Bpe.train(docs, "text", 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-tok").toString
+    Bpe.save(merges, dict, dir)
+    val tok = Bpe.load(spark, dir)
+    assert(tok.merges == merges, "merge table drifted through the artifact")
+    val liveVocab = Bpe.vocabIds(dict).collect().map(_.toSeq).toSet
+    assert(tok.vocab.collect().map(_.toSeq).toSet == liveVocab,
+      "vocabulary drifted through the artifact")
+    // the contract that matters: id sequences bit-equal on real docs
+    val live = Bpe.encodeIds(docs, "text", "doc_id", dict)
+      .select(col("doc_id"), col("n_tokens"),
+        col("token_ids").cast("string").as("ids"))
+    val loaded = tok.encodeIds(docs, "text", "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        col("token_ids").cast("string").as("ids"))
+    assert(live.exceptAll(loaded).count() == 0 &&
+      loaded.exceptAll(live).count() == 0,
+      "token-id sequences under the loaded tokenizer diverged")
+    // facade round-trip is the same artifact
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-tok2").toString
+    graft.api.Graft.tokenizerSave(merges, dict, dir2)
+    assert(graft.api.Graft.tokenizerLoad(spark, dir2).merges == merges)
+  }
+
+  test("load validates version, row counts, and the dict fingerprint") {
+    val docs = Seq((1L, "abab abab cd"), (2L, "cd ab")).toDF("doc_id", "text")
+    val (merges, dict) = Bpe.train(docs, "text", 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-tok3").toString
+    Bpe.save(merges, dict, dir)
+    Bpe.load(spark, dir) // clean artifact loads
+    // rewritten dict (one freq bumped) must trip the fingerprint, not
+    // silently serve a mixed artifact
+    val fs = java.nio.file.Paths.get(dir)
+    spark.read.parquet(s"$dir/dict")
+      .withColumn("freq", col("freq") + lit(1L))
+      .write.mode("overwrite").parquet(s"$dir/dict2")
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      fs.resolve("dict").toFile)
+    java.nio.file.Files.move(fs.resolve("dict2"), fs.resolve("dict"))
+    val e = intercept[IllegalArgumentException] { Bpe.load(spark, dir) }
+    assert(e.getMessage.contains("fingerprint"),
+      s"wrong failure mode: ${e.getMessage}")
+    // unknown format version fails with the version message
+    val dir4 = java.nio.file.Files.createTempDirectory("graft-tok4").toString
+    Bpe.save(merges, dict, dir4)
+    val fs4 = java.nio.file.Paths.get(dir4)
+    spark.read.parquet(s"$dir4/meta")
+      .withColumn("format_version", lit(Bpe.ArtifactFormatVersion + 1))
+      .write.mode("overwrite").parquet(s"$dir4/meta2")
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      fs4.resolve("meta").toFile)
+    java.nio.file.Files.move(fs4.resolve("meta2"), fs4.resolve("meta"))
+    val e2 = intercept[IllegalArgumentException] { Bpe.load(spark, dir4) }
+    assert(e2.getMessage.contains("format_version="),
+      s"wrong failure mode: ${e2.getMessage}")
+  }
+
+  test("encodeIdsWith fails loudly when the vocab comes from a " +
+    "different dictionary") {
+    val docsA = Seq((1L, "abab abab cd")).toDF("doc_id", "text")
+    val docsB = Seq((1L, "xy xy z")).toDF("doc_id", "text")
+    val (_, dictA) = Bpe.train(docsA, "text", 1) // syms {ab, c, d}
+    val (_, dictB) = Bpe.train(docsB, "text", 1) // syms {xy, z}
+    val vocabB = Bpe.vocabIds(dictB)
+    val e = intercept[IllegalArgumentException] {
+      Bpe.encodeIdsWith(docsA, "text", "doc_id", dictA, vocabB)
+    }
+    assert(e.getMessage.contains("DIFFERENT"),
+      s"wrong failure mode: ${e.getMessage}")
+    // the matched pairing still passes the guard
+    assert(Bpe.encodeIdsWith(docsA, "text", "doc_id", dictA,
+      Bpe.vocabIds(dictA)).count() == 1)
+  }
+
   test("q_bpe_vocab merges are deterministic across reruns on sf0.001") {
     val q = SparkEntry.queries("q_bpe_vocab")
     val a = q(spark, TestSpark.sf0001).collect().map(_.toSeq)

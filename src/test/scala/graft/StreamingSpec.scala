@@ -737,4 +737,89 @@ class StreamingSpec extends SparkSpec {
         "streamed token-id sequences diverged from the batch encoder")
     } finally q.stop()
   }
+
+  test("token-id sink is idempotent: a retried micro-batch write " +
+    "REPLACES its output instead of duplicating rows") {
+    import graft.ext.{Bpe, NbClassifier, Sampling, TextAnalysis => TA}
+    val docsAll = Tables.documents(spark, TestSpark.sf0001)
+    val labeled = TA.withTokenStats(docsAll, "text")
+      .withColumn("label_weak",
+        round(TA.qualityScore(col("n_tokens"), col("token_chars"),
+          col("n_punct"), col("n_stopwords")) + lit(1e-9), 4) >= 0.5)
+      .select(col("doc_id"), col("text"), col("label_weak"))
+    val model = NbClassifier.train(
+      labeled.filter(Sampling.hashBucket(col("doc_id"), "graft") < 80),
+      "text", "doc_id", "label_weak")
+    val (merges, dict) = Bpe.train(docsAll, "text", 8)
+    val tok = Bpe.Tokenizer(merges, dict, Bpe.vocabIds(dict))
+    val gated = graft.streaming.StreamingCorpus.qualityGate(
+      docsAll, "text", "doc_id", model, minTokens = 10)
+    val expected = tok.encodeIds(gated, "text", "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        col("token_ids").cast("string").as("ids"))
+    val n = expected.count()
+    assert(n > 0, "no gated docs on the fixture")
+    val outDir = Files.createTempDirectory("graft-retry-out").toString
+    // first write, then SIMULATED RETRY: the same batch id re-processes
+    // the same input (the source-checkpoint contract) — output must stay
+    // exactly one copy, not two
+    graft.streaming.StreamingCorpus.writeEncodedBatch(
+      gated, 7L, outDir, "text", "doc_id", tok)
+    graft.streaming.StreamingCorpus.writeEncodedBatch(
+      gated, 7L, outDir, "text", "doc_id", tok)
+    val got = spark.read.parquet(outDir)
+      .select(col("doc_id"), col("n_tokens"),
+        col("token_ids").cast("string").as("ids"))
+    assert(got.count() == n,
+      s"retried batch duplicated rows: ${got.count()} vs $n")
+    assert(got.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(got).count() == 0,
+      "retried batch output diverged from the batch encoder")
+  }
+
+  test("token-id export boots ENTIRELY from disk artifacts: persisted " +
+    "NB model + persisted tokenizer, zero training at boot") {
+    import graft.ext.{Bpe, NbClassifier, Sampling, TextAnalysis => TA}
+    val docsAll = Tables.documents(spark, TestSpark.sf0001)
+    val labeled = TA.withTokenStats(docsAll, "text")
+      .withColumn("label_weak",
+        round(TA.qualityScore(col("n_tokens"), col("token_chars"),
+          col("n_punct"), col("n_stopwords")) + lit(1e-9), 4) >= 0.5)
+      .select(col("doc_id"), col("text"), col("label_weak"))
+    val model = NbClassifier.train(
+      labeled.filter(Sampling.hashBucket(col("doc_id"), "graft") < 80),
+      "text", "doc_id", "label_weak")
+    val (merges, dict) = Bpe.train(docsAll, "text", 8)
+    // the offline half: persist BOTH artifacts
+    val modelDir = Files.createTempDirectory("graft-art-nb").toString
+    val tokDir = Files.createTempDirectory("graft-art-tok").toString
+    NbClassifier.save(spark, model, modelDir)
+    Bpe.save(merges, dict, tokDir)
+    // batch expectation under the LIVE pair
+    val gated = graft.streaming.StreamingCorpus.qualityGate(
+      docsAll, "text", "doc_id", model, minTokens = 10)
+    val expected = Bpe.encodeIds(gated, "text", "doc_id", dict)
+      .select(col("doc_id"), col("n_tokens"),
+        col("token_ids").cast("string").as("ids"))
+    // the serving half: a "restarted job" that holds only directory
+    // paths — no live model, no live dict, no training corpus
+    val inDir = Files.createTempDirectory("graft-art-in").toString
+    val outDir = Files.createTempDirectory("graft-art-out").toString
+    val ckpt = Files.createTempDirectory("graft-art-ckpt").toString
+    docsAll.filter(col("doc_id") % 2 === 0).write.parquet(s"$inDir/p1")
+    val q = graft.streaming.StreamingCorpus.runEncodeIdsFromArtifacts(
+      spark, s"$inDir/p*", outDir, ckpt, docsAll.schema, "text", "doc_id",
+      modelDir, tokDir, minTokens = 10)
+    try {
+      q.processAllAvailable()
+      docsAll.filter(col("doc_id") % 2 === 1).write.parquet(s"$inDir/p2")
+      q.processAllAvailable()
+      val got = spark.read.parquet(outDir)
+        .select(col("doc_id"), col("n_tokens"),
+          col("token_ids").cast("string").as("ids"))
+      assert(got.exceptAll(expected).count() == 0 &&
+        expected.exceptAll(got).count() == 0,
+        "artifact-booted export diverged from the live batch encoder")
+    } finally q.stop()
+  }
 }

@@ -27,6 +27,16 @@ object CorpusQueries {
   private val BpeBatchIters = 3
   private val BpeBatch = 4
 
+  /** The PRODUCTION batch knob (`BpeTrainer.Batched(16)`, the README
+    * first-run recommendation) for `q_corpus_build_b16`: 2 iterations ×
+    * up to 16 merges from a 64-candidate pool. On both test corpora the
+    * pool genuinely conflicts at this width — iteration 1 keeps only
+    * 4-5 of 64 candidates (measured via the oracle's own exclusion
+    * rule), so the gate exercises the conflict path AND the documented
+    * under-`nMerges` undershoot, not just a wider no-op batch. */
+  private val BpeB16Iters = 2
+  private val BpeB16 = 16
+
   /** One BPE training per (session, sfDir): `q_bpe_vocab` reports the
     * merge rules and `q_bpe_encode` tokenizes the corpus under the same
     * rules — retraining per query would double the iteration jobs for no
@@ -155,6 +165,22 @@ object CorpusQueries {
       graft.api.Graft.corpusBuildTrained(Tables.documents(s, dir), "text",
           "doc_id", "lang", nMerges = BpeBatchIters * BpeBatch,
           trainer = graft.api.Graft.BpeTrainer.Batched(BpeBatch),
+          salt = "build", minTokens = 10, trainPct = 80, alpha = 0.5,
+          share = 0.5, ctxTokens = 256)
+        .orderBy(col("lang"), col("pack_id"))),
+
+    // The corpus build under the PRODUCTION batch knob — Batched(16),
+    // exactly what README/scaladoc recommend for first runs (the r12 gate
+    // pinned only Batched(4)×3): 2 iterations × up to 16 symbol-disjoint
+    // merges from a 64-candidate pool, chained through the identical
+    // gate/dedup/mixture/packing composition. At this width the conflict
+    // rule bites hard (4-5 survivors of 64 in iteration 1 on both test
+    // corpora), so the hash match certifies the recommended knob through
+    // the conflict-exclusion AND merge-undershoot paths end-to-end.
+    "q_corpus_build_b16" -> ((s, dir) =>
+      graft.api.Graft.corpusBuildTrained(Tables.documents(s, dir), "text",
+          "doc_id", "lang", nMerges = BpeB16Iters * BpeB16,
+          trainer = graft.api.Graft.BpeTrainer.Batched(BpeB16),
           salt = "build", minTokens = 10, trainPct = 80, alpha = 0.5,
           share = 0.5, ctxTokens = 256)
         .orderBy(col("lang"), col("pack_id"))),
@@ -680,6 +706,9 @@ object CorpusQueries {
 
     "q_corpus_build_batched" -> corpusBuildOracleWith(
       bpeBatchCtes(BpeBatchIters, BpeBatch), s"d$BpeBatchIters"),
+
+    "q_corpus_build_b16" -> corpusBuildOracleWith(
+      bpeBatchCtes(BpeB16Iters, BpeB16), s"d$BpeB16Iters"),
 
     "q_bpe_ids" -> (bpeCtes(BpeMerges) + ",\n" +
       s"""sv AS MATERIALIZED (

@@ -54,11 +54,20 @@ object Anomaly {
     // contract pins metric invariants and the oracled key envelope, never
     // cluster-float hashes.
     val input = df.cache()
-    val model = new Pipeline().setStages(Array(assembler, scaler, km))
-      .fit(graft.ml.Forecast.sizedForTrees(input))
-    val centers: Array[Vector] = model.stages.collectFirst {
-      case m: org.apache.spark.ml.clustering.KMeansModel => m.clusterCenters
-    }.get
+    // the three estimator phases run exactly as Pipeline.fit would chain
+    // them (assemble → scaler fit/transform → kmeans fit on the scaled
+    // frame — bit-identical staging), but individually timed into
+    // PhaseTimer so BENCH_DETAIL can adjudicate fit-time variance per
+    // phase (q_ml_anomaly's wall bounced across rounds with no code
+    // change; the phase map decides variance vs regression)
+    val sized = graft.ml.Forecast.sizedForTrees(input)
+    val prep = graft.tools.PhaseTimer.timed("anomaly.prep_fit") {
+      new Pipeline().setStages(Array(assembler, scaler)).fit(sized)
+    }
+    val kmModel = graft.tools.PhaseTimer.timed("anomaly.kmeans_fit") {
+      km.fit(prep.transform(sized))
+    }
+    val centers: Array[Vector] = kmModel.clusterCenters
     // U1 as a native codegen'd expression over the embedded centroid matrix
     // (graft.functions.CentroidDist): the reference's per-row Python UDF →
     // whole-stage-codegen'd distance, bit-equal to
@@ -67,11 +76,16 @@ object Anomaly {
     // cache: consumed by both the stats agg and the join-back — uncached,
     // the KMeans transform + full upstream lineage would execute twice per
     // materialization (lifecycle: session-LRU, same policy as Dedup)
-    val withDist = model.transform(input)
+    val withDist = kmModel.transform(prep.transform(input))
       .withColumn("distance_to_center",
         graft.functions.CentroidFunctions.graft_centroid_dist(
           col("scaled_features"), col("cluster"), centers.map(_.toArray)))
       .cache()
+    // materialize the cache inside the timed scope: the transform cost
+    // lands in the phase map instead of whichever consumer's action runs
+    // first (the stats agg below would have paid it anyway — same total
+    // work, now attributed)
+    graft.tools.PhaseTimer.timed("anomaly.transform")(withDist.count())
     // W5 at scale: agg + broadcast join-back instead of unbounded window
     val stats = withDist.groupBy(col("cluster")).agg(
       avg(col("distance_to_center")).as("cluster_mean_dist"),

@@ -268,8 +268,13 @@ object Forecast {
           modelDir: Option[String] = None)
       : (DataFrame, FitResult) = {
     val feats = computeFeatures(daily, idCol, dateCol, target).cache()
-    val Array(minD, maxD) = feats.agg(min(col(dateCol)), max(col(dateCol)))
-      .collect().head.toSeq.map(_.toString).toArray
+    // phase boundary: the cutoff collect below is the first action over
+    // the cached feature frame, so it pays the whole window-heavy
+    // feature build — time it as the "features" phase
+    val Array(minD, maxD) = graft.tools.PhaseTimer.timed("forecast.features") {
+      feats.agg(min(col(dateCol)), max(col(dateCol)))
+        .collect().head.toSeq.map(_.toString).toArray
+    }
     val span = java.time.temporal.ChronoUnit.DAYS.between(
       java.time.LocalDate.parse(minD), java.time.LocalDate.parse(maxD))
     val testCutoff = java.time.LocalDate.parse(minD).plusDays(span * 7 / 10)
@@ -297,9 +302,13 @@ object Forecast {
          Seq("GBT" -> (() => trainGbt(train, test, fcols, target)))
        else Nil)
     // model families train concurrently too (independent jobs on the same
-    // cached frames); selection order is the declared Seq order
+    // cached frames); selection order is the declared Seq order. Each
+    // family's grid is phase-timed in its own thread — concurrent phases
+    // accumulate their OWN wall time, so the phase sums can exceed the
+    // fused query's wall clock (PhaseTimer contract).
     val candidates = parGrid(trainers, parallelism = trainers.size) {
-      case (name, t) => name -> t()
+      case (name, t) =>
+        name -> graft.tools.PhaseTimer.timed(s"forecast.grid_$name")(t())
     }
     val (bestName, best) = candidates.minBy(_._2.rmse)
     modelDir.foreach { dir =>
@@ -317,7 +326,7 @@ object Forecast {
     // wide cached train/test frames pinned after training measurably slows
     // every later query in the session (storage pressure + GC churn), and
     // nothing downstream needs them once preds is materialized
-    preds.count()
+    graft.tools.PhaseTimer.timed("forecast.winner_transform")(preds.count())
     feats.unpersist(); train.unpersist(); test.unpersist()
     (preds, best.copy(bestParams = s"model=$bestName,${best.bestParams}"))
   }

@@ -599,6 +599,114 @@ object Graft {
       bpeTrainWith(docs, textCol, nMerges, trainer)._2,
       salt, minTokens, trainPct, alpha, share, ctxTokens)
 
+  /** Corpus-production state threaded between [[corpusBuildDelta]] calls:
+    * `keepers` — one `content_hash` row per document already kept (the
+    * incremental-dedup contract: a delta doc whose digest is present is a
+    * duplicate of history and drops); `offsets` — per-`groupCol` running
+    * token totals (`tok_total`), so delta packs continue each stream
+    * monotonically. Both are bounded by kept-corpus content, not delta
+    * count, and both are plain DataFrames — persist them between runs
+    * (parquet) exactly like the NB/tokenizer artifacts.
+    */
+  final case class CorpusState(keepers: DataFrame, offsets: DataFrame)
+
+  /** INCREMENTAL corpus build — the delta shape a production pipeline
+    * actually runs (re-gating 100 TB nightly to absorb one day's crawl
+    * is the thing to avoid): gate ONLY the delta under FROZEN artifacts,
+    * dedup it against history, encode under the FROZEN dictionary, and
+    * extend packs monotonically from the stored offsets.
+    *
+    * Stage-by-stage vs [[corpusBuild]]:
+    *
+    *  1. quality gates: the same Gopher battery + NB margin, via the
+    *     STATELESS row-local twins ([[qualityGate]]) under a pre-trained
+    *     [[qualityModel]] — corpus-independent, so gating a delta equals
+    *     gating the same docs inside any batch (value parity oracled as
+    *     `q_gopher_local` / `q_nb_serve`);
+    *  2. exact dedup: delta docs whose digest exists in `state.keepers`
+    *     drop (duplicates of history); within the delta, min-id per new
+    *     digest wins — identical to the batch keeper rule WHEN delta ids
+    *     sort above all historical ids (time-ordered ingest, the normal
+    *     crawl case);
+    *  3. NO temperature mixture: mixture shares are corpus-relative
+    *     (w ∝ n^alpha over the WHOLE corpus) and drift as the corpus
+    *     grows — realizing them per delta would bake stale shares into
+    *     the output, so mixture stays a batch pass over the packed
+    *     corpus (the same lambda-architecture cut as the streaming
+    *     gate's scaladoc);
+    *  4. BPE encode under the frozen `dict` + offset packing continuing
+    *     at `state.offsets`, so `(groupCol, pack_id)` keeps its global
+    *     meaning across deltas. A boundary pack legitimately spans two
+    *     deltas — summing the per-delta summaries merges it exactly.
+    *
+    * EQUIVALENCE CONTRACT (oracled hash-exact as `q_corpus_build_incr`):
+    * when every delta's ids sort above all previous deltas' and the
+    * artifacts are frozen, chaining deltas is IDENTICAL to one
+    * frozen-artifact batch pass over the union. Deliberate divergences
+    * from [[corpusBuild]]: the NB model is the frozen artifact (not
+    * refit per run) and the mixture stage is deferred (point 3).
+    *
+    * Returns the delta's packed per-doc frame
+    * `(…delta columns…, n_tokens, tok_offset, pack_id)` and the updated
+    * state; summarize a union of deltas with
+    * [[graft.ext.Packing.packSummary]]. Scale shape: every stage is a
+    * delta-sized scan — the only history-sized inputs are the keeper
+    * digest equi-join (anti) and the groupCol-sized offset join.
+    */
+  def corpusBuildDelta(delta: DataFrame, textCol: String, idCol: String,
+                       groupCol: String, model: NbClassifier.NbModel,
+                       dict: DataFrame, state: Option[CorpusState] = None,
+                       minTokens: Long = 10, maxTokens: Long = 100000,
+                       ctxTokens: Int = 256): (DataFrame, CorpusState) = {
+    val gated = qualityGate(delta, textCol, idCol, model, minTokens,
+        maxTokens)
+      .select(delta.columns.map(col): _*)
+    // gated-and-fresh feeds keeper selection AND the kept semi-join —
+    // cache it (CacheScope lifecycle: scoped draining inside scopedPass)
+    val fresh = CacheScope.cache(state match {
+      case Some(st) =>
+        gated.join(st.keepers,
+          Dedup.digest(col(textCol)) === st.keepers("content_hash"),
+          "left_anti")
+      case None => gated
+    })
+    val keepers = fresh
+      .groupBy(Dedup.digest(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol))
+    val kept = fresh.join(keepers.select(col(idCol)), Seq(idCol),
+      "left_semi")
+    val perDoc = Bpe.docTokenCounts(kept, textCol, idCol, dict,
+      Seq(groupCol))
+    val packed0 = Packing.packByOffset(perDoc, Seq(groupCol), idCol,
+      "n_tokens", ctxTokens = ctxTokens)
+    val packed = state match {
+      case Some(st) =>
+        // null-safe group join: a null groupCol is a real stream and must
+        // find its running offset, not silently restart at zero
+        val base = st.offsets
+          .select(col(groupCol).as("__g"), col("tok_total").as("__base"))
+        packed0.join(base, packed0(groupCol) <=> base("__g"), "left")
+          .withColumn("tok_offset",
+            col("tok_offset") + coalesce(col("__base"), lit(0L)))
+          .withColumn("pack_id", expr(s"tok_offset div $ctxTokens"))
+          .drop("__g", "__base")
+      case None => packed0
+    }
+    val deltaTotals = perDoc.groupBy(col(groupCol))
+      .agg(sum(col("n_tokens")).as("tok_total"))
+    val newKeepers = state match {
+      case Some(st) =>
+        st.keepers.unionByName(keepers.select(col("content_hash")))
+      case None => keepers.select(col("content_hash"))
+    }
+    val newOffsets = state match {
+      case Some(st) => st.offsets.unionByName(deltaTotals)
+        .groupBy(col(groupCol)).agg(sum(col("tok_total")).as("tok_total"))
+      case None => deltaTotals
+    }
+    (packed, CorpusState(newKeepers, newOffsets))
+  }
+
   // --- sampling & packing ----------------------------------------------
 
   /** Deterministic, partition-stable train/val/test split (md5 buckets —

@@ -185,6 +185,41 @@ object CorpusQueries {
           share = 0.5, ctxTokens = 256)
         .orderBy(col("lang"), col("pack_id"))),
 
+    // INCREMENTAL corpus build — the delta recipe run as production
+    // would: the corpus arrives in two id-ordered deltas (doc_id < 250,
+    // then >= 250), each gated under the FROZEN artifacts (the q_nb_serve
+    // NB model + the memoized corpus-trained dictionary), deduped against
+    // the accumulated keeper-digest state, and packed continuing the
+    // per-lang token offsets. The union of the two per-delta pack frames
+    // re-summarizes (the boundary pack legitimately spans deltas) and
+    // must HASH-MATCH the oracle's one-shot frozen-artifact batch replay
+    // over the full corpus — the incremental path's equivalence contract.
+    "q_corpus_build_incr" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val labeled = TA.withTokenStats(docs, "text")
+        .withColumn("label_weak",
+          ground(TA.qualityScore(col("n_tokens"), col("token_chars"),
+            col("n_punct"), col("n_stopwords")), 4) >= 0.5)
+        .select(col("doc_id"), col("text"), col("label_weak"))
+      val model = NbClassifier.train(
+        labeled.filter(Sampling.hashBucket(col("doc_id"), "graft") < 80),
+        "text", "doc_id", "label_weak")
+      val dict = bpeTrained(s, dir)._2
+      val (p1, st1) = graft.api.Graft.corpusBuildDelta(
+        docs.filter(col("doc_id") < 250), "text", "doc_id", "lang",
+        model, dict, state = None, minTokens = 10)
+      val (p2, _) = graft.api.Graft.corpusBuildDelta(
+        docs.filter(col("doc_id") >= 250), "text", "doc_id", "lang",
+        model, dict, state = Some(st1), minTokens = 10)
+      graft.ext.Packing.packSummary(
+          p1.select(col("lang"), col("doc_id"), col("n_tokens"),
+            col("pack_id"))
+            .unionByName(p2.select(col("lang"), col("doc_id"),
+              col("n_tokens"), col("pack_id"))),
+          Seq("lang"), "doc_id", "n_tokens")
+        .orderBy(col("lang"), col("pack_id"))
+    }),
+
     // Span-level corpus dedup: every doc loses spans whose corpus document
     // frequency exceeds 1 — boilerplate is removed from ALL copies, the
     // complement of whole-doc dedup (which keeps one copy intact)
@@ -488,8 +523,44 @@ object CorpusQueries {
     * packing) is tokenizer-independent by construction.
     */
   private def corpusBuildOracleWith(bpeChain: String,
-                                    dictCte: String): String = {
+                                    dictCte: String): String =
+    corpusOracleChain(nbOnGopherSurvivors = true, mixture = true,
+      bpeChain, dictCte)
+
+  /** Oracle for `q_corpus_build_incr` — the FROZEN-ARTIFACT batch replay
+    * over the full corpus that the two-delta incremental run must
+    * hash-match: the same Gopher battery, the NB model trained on the
+    * FULL corpus's 80% hash split (the `q_nb_serve` frozen model, not
+    * `corpusBuild`'s survivors-refit), NO temperature mixture (deferred
+    * to batch in the delta recipe), then dedup keepers → frozen-dict
+    * segmentation → offset packing. One SQL chain = one-shot on the
+    * union; the Spark side runs it as two chained deltas.
+    */
+  private def corpusBuildIncrOracle: String =
+    corpusOracleChain(nbOnGopherSurvivors = false, mixture = false,
+      bpeCtes(BpeMerges), s"d$BpeMerges")
+
+  /** The shared corpus-composition oracle chain with its two semantic
+    * seams templated: `nbOnGopherSurvivors` picks the NB training/scoring
+    * population (gopher survivors — [[corpusBuildOracleWith]]'s refit
+    * recipe — vs the full corpus, the frozen-model recipe, where the
+    * kept set then intersects the gopher gate explicitly), and `mixture`
+    * toggles the temperature-realization CTEs between dedup and
+    * encoding.
+    */
+  private def corpusOracleChain(nbOnGopherSurvivors: Boolean,
+                                mixture: Boolean, bpeChain: String,
+                                dictCte: String): String = {
     val stopSql = TA.Stopwords.map(w => s"'$w'").mkString(", ")
+    val labFrom =
+      if (nbOnGopherSurvivors)
+        "FROM t0 JOIN gst USING (doc_id) JOIN ga USING (doc_id)"
+      else "FROM t0 JOIN gst USING (doc_id)"
+    // full-corpus model scores every doc, so the kept set must intersect
+    // the gopher gate here; the survivors-refit recipe scores only
+    // gopher survivors (lab is already gated) and needs no extra join
+    val gbJoin = if (nbOnGopherSurvivors) "" else " JOIN ga USING (doc_id)"
+    val keptCte = if (mixture) "ddocs" else "gc"
     s"""WITH t0 AS MATERIALIZED (
        |  SELECT doc_id, lang, text,
        |    regexp_split_to_array(trim(text), '[\\s\\x0b]+') AS toks,
@@ -542,7 +613,7 @@ object CorpusQueries {
        |      + least(CAST(gst.n_stopwords AS DOUBLE) * 5.0
        |          / greatest(gst.n_tokens, 1), 1.0) * 0.3
        |      + 1e-9, 4) >= 0.5) AS label_weak
-       |  FROM t0 JOIN gst USING (doc_id) JOIN ga USING (doc_id)
+       |  $labFrom
        |), tfc AS MATERIALIZED (
        |  SELECT doc_id, tok, count(*) AS c
        |  FROM (SELECT doc_id, unnest(ltoks) AS tok FROM lab)
@@ -577,45 +648,48 @@ object CorpusQueries {
        |  FROM tfc f LEFT JOIN ct USING (tok) CROSS JOIN nstats
        |  GROUP BY 1
        |), gb AS MATERIALIZED (
-       |  SELECT sc.doc_id FROM sc CROSS JOIN pri
+       |  SELECT sc.doc_id FROM sc$gbJoin CROSS JOIN pri
        |  WHERE round(sval + ln((n_pos + 1.0) / (n_neg + 1.0)) + 1e-9, 6) > 0
        |), gc AS MATERIALIZED (
        |  SELECT min(doc_id) AS doc_id
        |  FROM t0 JOIN gb USING (doc_id)
        |  GROUP BY md5(text)
-       |), cdocs AS MATERIALIZED (
-       |  SELECT t0.doc_id, t0.lang, t0.text FROM t0 JOIN gc USING (doc_id)
-       |), tc AS (
-       |  SELECT lang, count(*) AS n_docs FROM cdocs GROUP BY 1
-       |), tt0 AS (
-       |  SELECT lang, n_docs,
-       |    ${sqlGround("pow(n_docs, 0.5) / sum(pow(n_docs, 0.5)) OVER ()", 6)}
-       |      AS w_temp,
-       |    floor(0.5 * sum(n_docs) OVER () + 1e-9) AS budget
-       |  FROM tc
-       |), tt AS (
-       |  SELECT lang,
-       |    least(CAST(floor(w_temp * budget + 1e-9) AS BIGINT), n_docs)
-       |      AS n_target
-       |  FROM tt0
-       |), tr AS (
-       |  SELECT lang, doc_id,
-       |    row_number() OVER (PARTITION BY lang
-       |      ORDER BY ${sqlHashKey("build", "doc_id")}, doc_id) AS samp_rank
-       |  FROM cdocs
-       |), ddocs AS MATERIALIZED (
-       |  SELECT tr.doc_id
-       |  FROM tr JOIN tt ON tr.lang IS NOT DISTINCT FROM tt.lang
-       |  WHERE samp_rank <= n_target
-       |),
-       |""".stripMargin +
+       |)""".stripMargin +
+    (if (!mixture) "" else
+      s""",
+         |cdocs AS MATERIALIZED (
+         |  SELECT t0.doc_id, t0.lang, t0.text FROM t0 JOIN gc USING (doc_id)
+         |), tc AS (
+         |  SELECT lang, count(*) AS n_docs FROM cdocs GROUP BY 1
+         |), tt0 AS (
+         |  SELECT lang, n_docs,
+         |    ${sqlGround("pow(n_docs, 0.5) / sum(pow(n_docs, 0.5)) OVER ()", 6)}
+         |      AS w_temp,
+         |    floor(0.5 * sum(n_docs) OVER () + 1e-9) AS budget
+         |  FROM tc
+         |), tt AS (
+         |  SELECT lang,
+         |    least(CAST(floor(w_temp * budget + 1e-9) AS BIGINT), n_docs)
+         |      AS n_target
+         |  FROM tt0
+         |), tr AS (
+         |  SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${sqlHashKey("build", "doc_id")}, doc_id) AS samp_rank
+         |  FROM cdocs
+         |), ddocs AS MATERIALIZED (
+         |  SELECT tr.doc_id
+         |  FROM tr JOIN tt ON tr.lang IS NOT DISTINCT FROM tt.lang
+         |  WHERE samp_rank <= n_target
+         |)""".stripMargin) +
+    ",\n" +
     // concatenated AFTER stripMargin: the trainer chain has continuation
     // lines starting with `||`, which a second stripMargin would mangle
     bpeChain.stripPrefix("WITH ") + ",\n" +
     s"""ws AS MATERIALIZED (
        |  SELECT t0.lang, t0.doc_id,
        |    unnest(string_split_regex(trim(t0.text), ' +')) AS word
-       |  FROM t0 JOIN ddocs USING (doc_id)
+       |  FROM t0 JOIN $keptCte USING (doc_id)
        |  WHERE text IS NOT NULL AND length(trim(text)) > 0
        |), pd AS MATERIALIZED (
        |  SELECT ws.lang, ws.doc_id,
@@ -709,6 +783,8 @@ object CorpusQueries {
 
     "q_corpus_build_b16" -> corpusBuildOracleWith(
       bpeBatchCtes(BpeB16Iters, BpeB16), s"d$BpeB16Iters"),
+
+    "q_corpus_build_incr" -> corpusBuildIncrOracle,
 
     "q_bpe_ids" -> (bpeCtes(BpeMerges) + ",\n" +
       s"""sv AS MATERIALIZED (

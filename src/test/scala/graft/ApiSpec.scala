@@ -250,6 +250,54 @@ class ApiSpec extends SparkSpec {
         "match across trainers")
   }
 
+  test("corpusBuildDelta: chained deltas == one frozen-artifact batch " +
+    "pass, and a cross-delta duplicate drops against the keeper state") {
+    import graft.ext.{NbClassifier, Sampling, TextAnalysis => TA}
+    val labeled = TA.withTokenStats(docs, "text")
+      .withColumn("label_weak",
+        round(TA.qualityScore(col("n_tokens"), col("token_chars"),
+          col("n_punct"), col("n_stopwords")) + lit(1e-9), 4) >= 0.5)
+      .select(col("doc_id"), col("text"), col("label_weak"))
+    val model = NbClassifier.train(
+      labeled.filter(Sampling.hashBucket(col("doc_id"), "graft") < 80),
+      "text", "doc_id", "label_weak")
+    val (_, dict) = Graft.bpeTrain(docs, "text", nMerges = 4)
+    def summarize(p: org.apache.spark.sql.DataFrame) =
+      graft.ext.Packing.packSummary(
+        p.select(col("lang"), col("doc_id"), col("n_tokens"),
+          col("pack_id")),
+        Seq("lang"), "doc_id", "n_tokens")
+    // one frozen-artifact batch pass over everything…
+    val (pAll, _) = Graft.corpusBuildDelta(docs, "text", "doc_id", "lang",
+      model, dict, state = None, minTokens = 10)
+    // …must equal the same corpus arriving as two id-ordered deltas
+    val (p1, st1) = Graft.corpusBuildDelta(docs.filter(col("doc_id") < 250),
+      "text", "doc_id", "lang", model, dict, state = None, minTokens = 10)
+    val (p2, st2) = Graft.corpusBuildDelta(
+      docs.filter(col("doc_id") >= 250), "text", "doc_id", "lang", model,
+      dict, state = Some(st1), minTokens = 10)
+    val one = summarize(pAll)
+    val two = summarize(p1.unionByName(p2))
+    assert(one.exceptAll(two).count() == 0 &&
+      two.exceptAll(one).count() == 0,
+      "two chained deltas diverged from the one-shot frozen batch pass")
+    // a later delta re-delivering an ALREADY-KEPT text (new id, same
+    // content — the re-crawl case) must drop against the keeper state,
+    // not re-enter the corpus
+    val keptId = p1.select(col("doc_id")).orderBy(col("doc_id"))
+      .head().getLong(0)
+    val recrawl = docs.filter(col("doc_id") === keptId)
+      .withColumn("doc_id", lit(999999L))
+    val (p3, st3) = Graft.corpusBuildDelta(recrawl, "text", "doc_id",
+      "lang", model, dict, state = Some(st2), minTokens = 10)
+    assert(p3.count() == 0,
+      "re-crawled duplicate of a kept doc re-entered the corpus")
+    // the duplicate also must not advance the state
+    assert(st3.offsets.exceptAll(st2.offsets).count() == 0 &&
+      st2.offsets.exceptAll(st3.offsets).count() == 0,
+      "a fully-duplicate delta moved the token offsets")
+  }
+
   test("quickstart: train-batch/serve-stream quality gate") {
     val labeledDocs = Graft.quality(docs, "text")
       .withColumn("lbl", col("quality") >= 0.5)

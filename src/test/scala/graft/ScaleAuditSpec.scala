@@ -104,7 +104,13 @@ class ScaleAuditSpec extends SparkSpec {
       ("q_corpus_build's inherited allowances, unchanged — the batched " +
         "trainer swap happens UPSTREAM of the composition (driver-side " +
         "pool/conflict selection, the q_bpe_batch contract) and hands " +
-        "the plan the same broadcast dictionary shape"))
+        "the plan the same broadcast dictionary shape"),
+    "q_corpus_build_b16" ->
+      ("q_corpus_build_batched's inherited allowances at the production " +
+        "batch width — identical composition, only the trainer's " +
+        "driver-side pool/batch knobs differ (B=16, pool 64), so the " +
+        "plan carries the same 1-row scalar attaches and broadcast " +
+        "dictionary shape and nothing else"))
 
   /** Queries allowed a single-partition window, with the tiny-frame bound.
     * Currently NONE: every window on the surface rides a hash-partitioned

@@ -603,10 +603,11 @@ object Graft {
     * `keepers` — one `content_hash` row per document already kept (the
     * incremental-dedup contract: a delta doc whose digest is present is a
     * duplicate of history and drops); `offsets` — per-`groupCol` running
-    * token totals (`tok_total`), so delta packs continue each stream
-    * monotonically. Both are bounded by kept-corpus content, not delta
-    * count, and both are plain DataFrames — persist them between runs
-    * (parquet) exactly like the NB/tokenizer artifacts.
+    * token totals (`tok_total`) plus the max kept id (`max_id`), so delta
+    * packs continue each stream monotonically AND the id-ordering
+    * precondition is checkable. Both are bounded by kept-corpus content,
+    * not delta count, and both are plain DataFrames — persist them
+    * between runs (parquet) exactly like the NB/tokenizer artifacts.
     */
   final case class CorpusState(keepers: DataFrame, offsets: DataFrame)
 
@@ -657,7 +658,25 @@ object Graft {
                        groupCol: String, model: NbClassifier.NbModel,
                        dict: DataFrame, state: Option[CorpusState] = None,
                        minTokens: Long = 10, maxTokens: Long = 100000,
-                       ctxTokens: Int = 256): (DataFrame, CorpusState) = {
+                       ctxTokens: Int = 256,
+                       checkIdOrder: Boolean = true): (DataFrame, CorpusState) = {
+    // the equivalence contract's precondition is ENFORCED, not hoped: a
+    // delta carrying an id at or below history's max kept id would
+    // silently produce different keepers/pack order than the batch
+    // replay — fail loudly instead (two delta/state-bounded probe jobs;
+    // disable via checkIdOrder for out-of-order production ingest where
+    // pack-order divergence from batch is accepted)
+    if (checkIdOrder) state.foreach { st =>
+      val hiRow = st.offsets.agg(max(col("max_id"))).head()
+      if (!hiRow.isNullAt(0)) {
+        val hi = hiRow.get(0)
+        require(delta.filter(col(idCol) <= lit(hi)).isEmpty,
+          s"corpusBuildDelta: delta contains ids <= the state's max kept " +
+            s"id ($hi) — deltas must arrive id-ordered for the " +
+            "incremental≡batch contract. Re-id the delta, or pass " +
+            "checkIdOrder = false to accept pack-order divergence")
+      }
+    }
     val gated = qualityGate(delta, textCol, idCol, model, minTokens,
         maxTokens)
       .select(delta.columns.map(col): _*)
@@ -693,7 +712,8 @@ object Graft {
       case None => packed0
     }
     val deltaTotals = perDoc.groupBy(col(groupCol))
-      .agg(sum(col("n_tokens")).as("tok_total"))
+      .agg(sum(col("n_tokens")).as("tok_total"),
+        max(col(idCol)).as("max_id"))
     val newKeepers = state match {
       case Some(st) =>
         st.keepers.unionByName(keepers.select(col("content_hash")))
@@ -701,7 +721,9 @@ object Graft {
     }
     val newOffsets = state match {
       case Some(st) => st.offsets.unionByName(deltaTotals)
-        .groupBy(col(groupCol)).agg(sum(col("tok_total")).as("tok_total"))
+        .groupBy(col(groupCol))
+        .agg(sum(col("tok_total")).as("tok_total"),
+          max(col("max_id")).as("max_id"))
       case None => deltaTotals
     }
     (packed, CorpusState(newKeepers, newOffsets))

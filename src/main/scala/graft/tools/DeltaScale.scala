@@ -1,0 +1,114 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.api.Graft
+import graft.ext.{Bpe, NbClassifier, Sampling, TextAnalysis => TA}
+
+/** Dev tool: measure the INCREMENTAL corpus build
+  * ([[Graft.corpusBuildDelta]]) against the full frozen-artifact rebuild
+  * it replaces — the SCALING.md evidence that absorbing a crawl delta
+  * costs delta-sized work, not corpus-sized work. The state round-trips
+  * PARQUET between the history pass and the delta pass (keepers +
+  * offsets written and re-read), because that is the production
+  * contract: the nightly job boots from disk state, not a live lineage.
+  *
+  * Also re-proves the equivalence contract at scale: the history+delta
+  * pack summaries must equal the one-shot batch pass over the union,
+  * row for row.
+  *
+  *   DeltaScale [documentsDir] [deltaFraction‰]
+  */
+object DeltaScale {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/sf0.1x100")
+    val deltaPerMille = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.io.Tables.documents(spark, dir)
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val n = docs.count()
+    val splitId = maxId - maxId * deltaPerMille / 1000
+    val history = docs.filter(col("doc_id") < splitId)
+    val delta = docs.filter(col("doc_id") >= splitId)
+    println(s"[deltascale] $n docs from $dir; history < $splitId, " +
+      s"delta = ${delta.count()} docs (${deltaPerMille}‰)")
+
+    // frozen artifacts, trained on HISTORY (the realistic posture: the
+    // model/tokenizer predate the delta)
+    val labeled = TA.withTokenStats(history, "text")
+      .withColumn("label_weak",
+        round(TA.qualityScore(col("n_tokens"), col("token_chars"),
+          col("n_punct"), col("n_stopwords")) + lit(1e-9), 4) >= 0.5)
+      .select(col("doc_id"), col("text"), col("label_weak"))
+    val model = NbClassifier.train(
+      labeled.filter(Sampling.hashBucket(col("doc_id"), "graft") < 80),
+      "text", "doc_id", "label_weak")
+    val (_, dict0) = Bpe.train(history, "text", 8)
+    val dict = dict0.cache(); dict.count()
+    println("[deltascale] frozen artifacts ready (NB model + 8-merge dict)")
+
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-deltascale").toString
+    def timed[A](label: String)(f: => A): A = {
+      spark.catalog.clearCache(); dict.cache().count(); System.gc()
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[deltascale] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    // summaries land in parquet (small frames) so the parity diff at the
+    // end reads artifacts instead of replaying the whole lineage
+    def summarize(p: DataFrame, name: String): DataFrame = {
+      graft.ext.Packing.packSummary(
+          p.select(col("lang"), col("doc_id"), col("n_tokens"),
+            col("pack_id")),
+          Seq("lang"), "doc_id", "n_tokens")
+        .write.parquet(s"$base/$name")
+      spark.read.parquet(s"$base/$name")
+    }
+
+    // the cost being replaced: one frozen-artifact batch pass over union
+    val pAllS = timed(s"full rebuild over $n docs") {
+      val (pAll, _) = Graft.corpusBuildDelta(docs, "text", "doc_id",
+        "lang", model, dict, state = None, minTokens = 10)
+      summarize(pAll, "all")
+    }
+    // history pass (run once when the pipeline is bootstrapped)
+    val p1s = timed("history pass + state persist") {
+      val (p1, st1) = Graft.corpusBuildDelta(history, "text", "doc_id",
+        "lang", model, dict, state = None, minTokens = 10)
+      st1.keepers.write.parquet(s"$base/keepers")
+      st1.offsets.write.parquet(s"$base/offsets")
+      summarize(p1, "p1")
+    }
+    // the nightly cost: absorb the delta from DISK state
+    val p2s = timed(s"absorb ${deltaPerMille}‰ delta from disk state") {
+      val st = Graft.CorpusState(
+        spark.read.parquet(s"$base/keepers"),
+        spark.read.parquet(s"$base/offsets"))
+      val (p2, _) = Graft.corpusBuildDelta(delta, "text", "doc_id",
+        "lang", model, dict, state = Some(st), minTokens = 10)
+      summarize(p2, "p2")
+    }
+    // equivalence at scale: history+delta == one-shot union, exactly.
+    // The boundary pack appears in both delta summaries — merge by key.
+    val merged = p1s.unionByName(p2s)
+      .groupBy(col("lang"), col("pack_id"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("pack_tokens")).as("pack_tokens"),
+        min(col("first_doc")).as("first_doc"),
+        max(col("last_doc")).as("last_doc"))
+    val diff = merged.exceptAll(pAllS).count() +
+      pAllS.exceptAll(merged).count()
+    println(s"[deltascale] incremental == one-shot: " +
+      (if (diff == 0) "EXACT MATCH" else s"DIVERGED ($diff rows)"))
+    spark.stop()
+    if (diff != 0) sys.exit(1)
+  }
+}

@@ -296,6 +296,22 @@ class ApiSpec extends SparkSpec {
     assert(st3.offsets.exceptAll(st2.offsets).count() == 0 &&
       st2.offsets.exceptAll(st3.offsets).count() == 0,
       "a fully-duplicate delta moved the token offsets")
+    // the equivalence precondition is enforced: an out-of-order delta
+    // (id at/below history's max kept id) fails loudly instead of
+    // silently diverging from the batch contract
+    val outOfOrder = docs.filter(col("doc_id") === keptId)
+    val e = intercept[IllegalArgumentException] {
+      Graft.corpusBuildDelta(outOfOrder, "text", "doc_id", "lang", model,
+        dict, state = Some(st2), minTokens = 10)
+    }
+    assert(e.getMessage.contains("id-ordered"),
+      s"wrong failure mode: ${e.getMessage}")
+    // …and the opt-out accepts it (pack-order divergence acknowledged);
+    // it still dedups against state, so this duplicate yields no rows
+    val (p4, _) = Graft.corpusBuildDelta(outOfOrder, "text", "doc_id",
+      "lang", model, dict, state = Some(st2), minTokens = 10,
+      checkIdOrder = false)
+    assert(p4.count() == 0)
   }
 
   test("quickstart: train-batch/serve-stream quality gate") {

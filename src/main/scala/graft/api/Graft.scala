@@ -448,6 +448,19 @@ object Graft {
                    dict: DataFrame): DataFrame =
     Bpe.encodeIds(docs, textCol, idCol, dict)
 
+  /** Materialize the actual TRAINING SHARDS from an encoded corpus —
+    * concat-and-chunk: per-stream token-id sequences concatenate in id
+    * order and split at HARD `ctxTokens` boundaries (documents genuinely
+    * split across shards; every shard except each stream's last is
+    * exactly `ctxTokens` ids). `encoded` is [[bpeEncodeIds]] output
+    * joined with its stream columns. Oracled hash-exact over every
+    * shard's full ordered id stream as `q_token_shards`.
+    * See [[graft.ext.Packing.shardTokens]].
+    */
+  def tokenShards(encoded: DataFrame, streamCols: Seq[String],
+                  idCol: String, ctxTokens: Int = 256): DataFrame =
+    Packing.shardTokens(encoded, streamCols, idCol, ctxTokens)
+
   /** Token stats + the composite quality score as a `quality` column. */
   def quality(docs: DataFrame, textCol: String): DataFrame = {
     val st = TextAnalysis.withTokenStats(docs, textCol)

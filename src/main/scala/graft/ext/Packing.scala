@@ -53,6 +53,50 @@ object Packing {
         min(col(orderCol)).as("first_doc"),
         max(col(orderCol)).as("last_doc"))
 
+  /** Materialize the actual TRAINING SHARDS — the concat-and-chunk token
+    * stream a pretraining job reads: per (`streamCols`) stream, documents'
+    * token-id sequences concatenate in `orderCol` order and the stream
+    * splits at HARD `ctxTokens` boundaries, a document straddling a
+    * boundary genuinely splitting across two shards (unlike
+    * [[packByOffset]], which only assigns whole docs to their starting
+    * pack). Output: one row per shard with `shard_id`, `n_tokens`
+    * (= ctxTokens except the stream's final shard), and the ordered
+    * `token_ids` array.
+    *
+    * Input contract: `encoded` carries `streamCols`, a unique-per-stream
+    * `idCol`, `n_tokens`, and the ordered `token_ids` array — i.e.
+    * [[Bpe.encodeIds]] output joined with its stream columns.
+    *
+    * Scale shape: one window shuffle on the stream key (the
+    * [[packByOffset]] offset pass over doc-count-sized rows), then ONE
+    * corpus-token-sized exchange keyed by (stream, shard) — linear in
+    * corpus tokens, which is the floor for writing shards at all — with
+    * every aggregation group bounded at `ctxTokens` elements, so no
+    * group ever exceeds a few KB regardless of document length (a 1M-
+    * token document spreads over ~4k shards instead of one giant row).
+    * Order is restored per shard by sorting the collected (pos, id)
+    * structs row-locally; global positions are unique per stream by
+    * construction.
+    */
+  def shardTokens(encoded: DataFrame, streamCols: Seq[String],
+                  idCol: String, ctxTokens: Int): DataFrame = {
+    require(ctxTokens > 0, s"ctxTokens=$ctxTokens must be positive")
+    val withOff = packByOffset(encoded, streamCols, idCol, "n_tokens",
+      ctxTokens)
+    withOff
+      .select((streamCols.map(col) :+ col("tok_offset") :+
+        posexplode(col("token_ids")).as(Seq("__p", "token_id"))): _*)
+      .select((streamCols.map(col) :+
+        (col("tok_offset") + col("__p")).as("__pos") :+
+        col("token_id")): _*)
+      .withColumn("shard_id", expr(s"__pos div $ctxTokens"))
+      .groupBy((streamCols :+ "shard_id").map(col): _*)
+      .agg(count(lit(1)).as("n_tokens"),
+        transform(
+          array_sort(collect_list(struct(col("__pos"), col("token_id")))),
+          x => x.getField("token_id")).as("token_ids"))
+  }
+
   /** Sliding-window document chunking (the RAG/embedding-pipeline
     * primitive): each doc's whitespace tokens are cut into chunks of up to
     * `chunkSize` tokens starting every `stride` tokens (stride < chunkSize

@@ -185,6 +185,26 @@ object CorpusQueries {
           share = 0.5, ctxTokens = 256)
         .orderBy(col("lang"), col("pack_id"))),
 
+    // The actual TRAINING SHARDS — concat-and-chunk materialized: per-lang
+    // token streams (docs in doc_id order under the learned segmentation)
+    // split at HARD 256-token boundaries, documents genuinely splitting
+    // across shards. Every shard's full ordered id stream is inside the
+    // hash gate via the md5 fingerprint (the q_bpe_ids convention); every
+    // shard is exactly 256 tokens except each stream's final one.
+    "q_token_shards" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val enc = Bpe.encodeIds(docs, "text", "doc_id",
+        bpeTrained(s, dir)._2)
+      val withLang = enc.join(docs.select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      graft.ext.Packing.shardTokens(withLang, Seq("lang"), "doc_id",
+          ctxTokens = 256)
+        .select(col("lang"), col("shard_id"), col("n_tokens"),
+          md5(array_join(transform(col("token_ids"),
+            i => i.cast("string")), ",")).as("ids_md5"))
+        .orderBy(col("lang"), col("shard_id"))
+    }),
+
     // INCREMENTAL corpus build — the delta recipe run as production
     // would: the corpus arrives in two id-ordered deltas (doc_id < 250,
     // then >= 250), each gated under the FROZEN artifacts (the q_nb_serve
@@ -785,6 +805,61 @@ object CorpusQueries {
       bpeBatchCtes(BpeB16Iters, BpeB16), s"d$BpeB16Iters"),
 
     "q_corpus_build_incr" -> corpusBuildIncrOracle,
+
+    // shards: the q_bpe_ids chain (wd/sy/vid) extended with per-doc
+    // sequence positions, per-lang stream offsets, and the hard 256-token
+    // split — the full ordered stream of every shard fingerprinted
+    "q_token_shards" -> (bpeCtes(BpeMerges) + ",\n" +
+      s"""sv AS MATERIALIZED (
+         |  SELECT sym, CAST(sum(freq) AS BIGINT) AS sym_freq
+         |  FROM (SELECT unnest(string_split(trim(syms), '  ')) AS sym,
+         |               freq
+         |        FROM d$BpeMerges)
+         |  GROUP BY 1
+         |), vid AS MATERIALIZED (
+         |  SELECT sym,
+         |    CAST(row_number() OVER (ORDER BY sym_freq DESC, sym) - 1
+         |      AS INT) AS token_id
+         |  FROM sv
+         |), wd AS MATERIALIZED (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS wp, arr[i] AS word
+         |  FROM (SELECT doc_id,
+         |          string_split_regex(trim(text), ' +') AS arr
+         |        FROM documents
+         |        WHERE text IS NOT NULL AND length(trim(text)) > 0),
+         |       unnest(generate_series(1, len(arr))) AS t(i)
+         |), sy AS MATERIALIZED (
+         |  SELECT doc_id, wp, CAST(i AS BIGINT) AS sp, sarr[i] AS sym
+         |  FROM (SELECT wd.doc_id, wd.wp,
+         |          coalesce(
+         |            string_split(trim(d$BpeMerges.syms), '  '),
+         |            string_split(word, '')) AS sarr
+         |        FROM wd LEFT JOIN d$BpeMerges USING (word)),
+         |       unnest(generate_series(1, len(sarr))) AS t(i)
+         |), tok AS MATERIALIZED (
+         |  SELECT d.lang, sy.doc_id,
+         |    CAST(row_number() OVER (PARTITION BY sy.doc_id
+         |      ORDER BY wp, sp) - 1 AS BIGINT) AS seqpos,
+         |    CAST(coalesce(token_id, -1) AS INT) AS token_id
+         |  FROM sy LEFT JOIN vid USING (sym)
+         |       JOIN documents d USING (doc_id)
+         |), nd AS (
+         |  SELECT lang, doc_id, CAST(count(*) AS BIGINT) AS n
+         |  FROM tok GROUP BY 1, 2
+         |), off AS (
+         |  SELECT doc_id,
+         |    coalesce(sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS tok_offset
+         |  FROM nd
+         |)
+         |SELECT tok.lang,
+         |  CAST((tok_offset + seqpos) // 256 AS BIGINT) AS shard_id,
+         |  CAST(count(*) AS BIGINT) AS n_tokens,
+         |  md5(string_agg(CAST(token_id AS VARCHAR), ','
+         |    ORDER BY tok_offset + seqpos)) AS ids_md5
+         |FROM tok JOIN off USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     "q_bpe_ids" -> (bpeCtes(BpeMerges) + ",\n" +
       s"""sv AS MATERIALIZED (

@@ -11,6 +11,45 @@ import graft.ext.{Dedup, Packing, Sampling, TextAnalysis}
 class PipelineOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("shardTokens: concat-and-chunk with documents genuinely " +
+    "splitting at hard context boundaries") {
+    // stream "a": doc1 [10,11,12], doc2 [20,21,22]; ctx=4 → shard0 is
+    // doc1's 3 tokens + doc2's FIRST token, shard1 is doc2's tail —
+    // the split the trainer actually reads, which packByOffset (whole-
+    // doc assignment) deliberately does not produce
+    val enc = Seq(
+      ("a", 1L, 3L, Seq(10, 11, 12)),
+      ("a", 2L, 3L, Seq(20, 21, 22)),
+      ("b", 9L, 2L, Seq(7, 8)))
+      .toDF("stream", "id", "n_tokens", "token_ids")
+    val s = Packing.shardTokens(enc, Seq("stream"), "id", ctxTokens = 4)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getSeq[Int](3).toList))).toMap
+    assert(s(("a", 0L)) == ((4L, List(10, 11, 12, 20))), s"got $s")
+    assert(s(("a", 1L)) == ((2L, List(21, 22))))
+    assert(s(("b", 0L)) == ((2L, List(7, 8))))
+    assert(s.size == 3)
+    // every shard except each stream's last is exactly ctxTokens — the
+    // invariant a trainer's fixed-context reader depends on
+    val docs = graft.io.Tables.documents(spark, TestSpark.sf0001)
+    val encReal = graft.ext.Bpe.encodeIds(docs, "text", "doc_id",
+        graft.ext.Bpe.train(docs, "text", 2)._2)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val shards = Packing.shardTokens(encReal, Seq("lang"), "doc_id", 256)
+    val lastPerStream = shards.groupBy(col("lang"))
+      .agg(max(col("shard_id")).as("shard_id"))
+    val short = shards.join(lastPerStream, Seq("lang", "shard_id"),
+        "left_anti")
+      .filter(col("n_tokens") =!= 256)
+    assert(short.count() == 0,
+      "a non-final shard is not exactly ctxTokens long")
+    // token conservation: shard tokens == encoded tokens, exactly
+    val encTotal = encReal.agg(sum(col("n_tokens"))).head().getLong(0)
+    val shardTotal = shards.agg(sum(col("n_tokens"))).head().getLong(0)
+    assert(encTotal == shardTotal, s"$encTotal tokens in, $shardTotal out")
+  }
+
   test("packByOffset: offsets, boundary straddle, pack ids") {
     val docs = Seq(
       ("a", 1L, 100L), ("a", 2L, 100L), ("a", 3L, 100L), ("a", 4L, 50L),

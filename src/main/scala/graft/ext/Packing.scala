@@ -67,16 +67,19 @@ object Packing {
     * `idCol`, `n_tokens`, and the ordered `token_ids` array — i.e.
     * [[Bpe.encodeIds]] output joined with its stream columns.
     *
-    * Scale shape: one window shuffle on the stream key (the
-    * [[packByOffset]] offset pass over doc-count-sized rows), then ONE
-    * corpus-token-sized exchange keyed by (stream, shard) — linear in
-    * corpus tokens, which is the floor for writing shards at all — with
-    * every aggregation group bounded at `ctxTokens` elements, so no
-    * group ever exceeds a few KB regardless of document length (a 1M-
-    * token document spreads over ~4k shards instead of one giant row).
-    * Order is restored per shard by sorting the collected (pos, id)
-    * structs row-locally; global positions are unique per stream by
-    * construction.
+    * Scale shape: the ONLY exchange is the [[packByOffset]] window's
+    * stream-key shuffle over doc-count-sized rows — the shard aggregate
+    * groups by (stream, shard), and a hash partitioning on the stream
+    * key already clusters every such group, so Catalyst reuses the
+    * window's exchange and the corpus-token-sized exploded rows NEVER
+    * shuffle (verified in the executed plan: no exchange between the
+    * posexplode and the final aggregate). Each aggregation group is
+    * bounded at `ctxTokens` elements (a 1M-token document spreads over
+    * ~4k shard groups, no long-document skew), and per-stream work is
+    * partition-local — the caller picks enough streams for the cluster,
+    * exactly the [[packByOffset]] contract. Order is restored per shard
+    * by sorting the collected (pos, id) structs row-locally; global
+    * positions are unique per stream by construction.
     */
   def shardTokens(encoded: DataFrame, streamCols: Seq[String],
                   idCol: String, ctxTokens: Int): DataFrame = {

@@ -461,6 +461,28 @@ object Graft {
                   idCol: String, ctxTokens: Int = 256): DataFrame =
     Packing.shardTokens(encoded, streamCols, idCol, ctxTokens)
 
+  /** INCREMENTAL [[tokenShards]] — the shard WRITER: emit only COMPLETE
+    * shards for this delta and carry each stream's partial tail in the
+    * returned state frame `(streamCols…, tok_total, tail_ids)`; chained
+    * id-ordered deltas plus a final [[tokenShardsFlush]] converge to the
+    * one-shot [[tokenShards]] output exactly (oracled hash-exact as
+    * `q_token_shards_incr` against the SAME ground truth as
+    * `q_token_shards`). Persist the state as parquet between runs.
+    * See [[graft.ext.Packing.shardTokensDelta]].
+    */
+  def tokenShardsDelta(encoded: DataFrame, streamCols: Seq[String],
+                       idCol: String, ctxTokens: Int = 256,
+                       state: Option[DataFrame] = None)
+      : (DataFrame, DataFrame) =
+    Packing.shardTokensDelta(encoded, streamCols, idCol, ctxTokens, state)
+
+  /** Emit the final partial shards of a [[tokenShardsDelta]] state — the
+    * writer's close(). See [[graft.ext.Packing.shardTokensFlush]].
+    */
+  def tokenShardsFlush(state: DataFrame, streamCols: Seq[String],
+                       ctxTokens: Int = 256): DataFrame =
+    Packing.shardTokensFlush(state, streamCols, ctxTokens)
+
   /** Token stats + the composite quality score as a `quality` column. */
   def quality(docs: DataFrame, textCol: String): DataFrame = {
     val st = TextAnalysis.withTokenStats(docs, textCol)

@@ -100,6 +100,132 @@ object Packing {
           x => x.getField("token_id")).as("token_ids"))
   }
 
+  /** INCREMENTAL [[shardTokens]] — the shard WRITER shape: emit only
+    * COMPLETE shards (exactly `ctxTokens` ids) for this delta and carry
+    * the stream's partial tail in the state, so chained deltas append to
+    * shard storage without ever rewriting an emitted shard. State is one
+    * frame `(streamCols…, tok_total, tail_ids)` — per-stream total tokens
+    * seen and the current partial shard (< ctxTokens ids, bounded) —
+    * persist it as parquet between runs like the other artifacts.
+    *
+    * Returns `(completeShards, newState)`. [[shardTokensFlush]] emits the
+    * final partials. EQUIVALENCE (oracled as `q_token_shards_incr`):
+    * for id-ordered deltas, the union of every delta's complete shards
+    * plus the final flush is IDENTICAL to one [[shardTokens]] pass over
+    * the union — same shard ids, same id streams. (Out-of-order deltas
+    * diverge from the batch order exactly as [[graft.api.Graft.corpusBuildDelta]]
+    * documents.)
+    *
+    * Scale shape: same as [[shardTokens]] (the delta's stream-key window
+    * exchange, token rows never reshuffled) plus two broadcast-sized
+    * state joins (streams-bounded). A stream untouched by the delta
+    * passes through: its tail re-groups to itself (ctxTokens-bounded
+    * work) and emits nothing.
+    */
+  def shardTokensDelta(encoded: DataFrame, streamCols: Seq[String],
+                       idCol: String, ctxTokens: Int,
+                       state: Option[DataFrame])
+      : (DataFrame, DataFrame) = {
+    require(ctxTokens > 0, s"ctxTokens=$ctxTokens must be positive")
+    require(streamCols.nonEmpty, "shardTokensDelta needs stream columns")
+    val withOff = packByOffset(encoded, streamCols, idCol, "n_tokens",
+      ctxTokens)
+    // delta token rows at GLOBAL positions: state base + local offset
+    val deltaToks = state match {
+      case Some(st) =>
+        // null-safe stream join — a null stream value is a real stream
+        val stR = broadcast(st.select(
+          (streamCols.map(c => col(c).as(s"__st_$c")) :+
+            col("tok_total").as("__base")): _*))
+        val cond = streamCols.map(c => col(c) <=> col(s"__st_$c"))
+          .reduce(_ && _)
+        withOff.join(stR, cond, "left")
+          .withColumn("__b", coalesce(col("__base"), lit(0L)))
+          .select((streamCols.map(col) :+ col("__b") :+ col("tok_offset") :+
+            posexplode(col("token_ids")).as(Seq("__p", "token_id"))): _*)
+          .select((streamCols.map(col) :+
+            (col("__b") + col("tok_offset") + col("__p")).as("__pos") :+
+            col("token_id")): _*)
+      case None =>
+        withOff
+          .select((streamCols.map(col) :+ col("tok_offset") :+
+            posexplode(col("token_ids")).as(Seq("__p", "token_id"))): _*)
+          .select((streamCols.map(col) :+
+            (col("tok_offset") + col("__p")).as("__pos") :+
+            col("token_id")): _*)
+    }
+    // carried tails re-enter at their recorded positions
+    // (tail spans [tok_total - len, tok_total) by construction)
+    val allToks = state match {
+      case Some(st) =>
+        val tailToks = st
+          .select((streamCols.map(col) :+
+            (col("tok_total") - size(col("tail_ids")).cast("long"))
+              .as("__t0") :+
+            posexplode(col("tail_ids")).as(Seq("__p", "token_id"))): _*)
+          .select((streamCols.map(col) :+
+            (col("__t0") + col("__p")).as("__pos") :+
+            col("token_id")): _*)
+        tailToks.unionByName(deltaToks)
+      case None => deltaToks
+    }
+    val grouped = allToks
+      .withColumn("shard_id", expr(s"__pos div $ctxTokens"))
+      .groupBy((streamCols :+ "shard_id").map(col): _*)
+      .agg(count(lit(1)).as("n_tokens"),
+        transform(
+          array_sort(collect_list(struct(col("__pos"), col("token_id")))),
+          x => x.getField("token_id")).as("token_ids"))
+      .transform(graft.ext.CacheScope.cache)
+    // positions are contiguous per stream, so every group is exactly
+    // ctxTokens except each stream's (single) trailing partial
+    val complete = grouped.filter(col("n_tokens") === ctxTokens)
+    val tails = grouped.filter(col("n_tokens") < ctxTokens)
+    // new per-stream totals: old total + delta tokens (union+re-agg —
+    // the null-safe combine, same pattern as corpusBuildDelta's offsets)
+    val deltaTot = encoded.groupBy(streamCols.map(col): _*)
+      .agg(sum(col("n_tokens")).as("tok_total"))
+    val totals = state match {
+      case Some(st) =>
+        st.select((streamCols.map(col) :+ col("tok_total")): _*)
+          .unionByName(deltaTot)
+          .groupBy(streamCols.map(col): _*)
+          .agg(sum(col("tok_total")).as("tok_total"))
+      case None => deltaTot
+    }
+    // typed empty-array literal without a cast (Spark rejects the
+    // array<int>→array<int> cast over a containsNull mismatch): an
+    // always-false filter over a one-element array of the right type
+    val elemType = grouped.schema("token_ids").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    val emptyIds = filter(array(lit(0).cast(elemType)), _ => lit(false))
+    val tailsR = tails.select(
+      (streamCols.map(c => col(c).as(s"__tl_$c")) :+
+        col("token_ids").as("__tl_ids")): _*)
+    val tCond = streamCols.map(c => col(c) <=> col(s"__tl_$c"))
+      .reduce(_ && _)
+    val newState = totals.join(broadcast(tailsR), tCond, "left")
+      .select((streamCols.map(col) :+ col("tok_total") :+
+        coalesce(col("__tl_ids"), emptyIds).as("tail_ids")): _*)
+    (complete, newState)
+  }
+
+  /** Emit the final partial shard of every stream in a
+    * [[shardTokensDelta]] state — the writer's close(): output matches
+    * the [[shardTokens]] rows the complete-only emission withheld.
+    */
+  def shardTokensFlush(state: DataFrame, streamCols: Seq[String],
+                       ctxTokens: Int): DataFrame = {
+    require(ctxTokens > 0, s"ctxTokens=$ctxTokens must be positive")
+    state.filter(size(col("tail_ids")) > 0)
+      .select((streamCols.map(col) :+
+        // the tail starts shard-aligned at tok_total - len
+        expr(s"(tok_total - size(tail_ids)) div $ctxTokens")
+          .as("shard_id") :+
+        size(col("tail_ids")).cast("long").as("n_tokens") :+
+        col("tail_ids").as("token_ids")): _*)
+  }
+
   /** Sliding-window document chunking (the RAG/embedding-pipeline
     * primitive): each doc's whitespace tokens are cut into chunks of up to
     * `chunkSize` tokens starting every `stride` tokens (stride < chunkSize

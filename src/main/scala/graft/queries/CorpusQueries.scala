@@ -205,6 +205,33 @@ object CorpusQueries {
         .orderBy(col("lang"), col("shard_id"))
     }),
 
+    // The INCREMENTAL shard writer converging on the batch shards: the
+    // corpus arrives as two id-ordered deltas; each emits only COMPLETE
+    // 256-token shards and carries its partial tail in the threaded
+    // state; the final flush emits the remaining partials. The union
+    // must hash-match q_token_shards' one-shot ground truth — same
+    // shard ids, same ordered id streams (one oracle, two entry points).
+    "q_token_shards_incr" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val dict = bpeTrained(s, dir)._2
+      def enc(d: DataFrame): DataFrame =
+        Bpe.encodeIds(d, "text", "doc_id", dict)
+          .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      val P = graft.ext.Packing
+      val (s1, st1) = P.shardTokensDelta(
+        enc(docs.filter(col("doc_id") < 250)), Seq("lang"), "doc_id",
+        ctxTokens = 256, state = None)
+      val (s2, st2) = P.shardTokensDelta(
+        enc(docs.filter(col("doc_id") >= 250)), Seq("lang"), "doc_id",
+        ctxTokens = 256, state = Some(st1))
+      s1.unionByName(s2)
+        .unionByName(P.shardTokensFlush(st2, Seq("lang"), ctxTokens = 256))
+        .select(col("lang"), col("shard_id"), col("n_tokens"),
+          md5(array_join(transform(col("token_ids"),
+            i => i.cast("string")), ",")).as("ids_md5"))
+        .orderBy(col("lang"), col("shard_id"))
+    }),
+
     // INCREMENTAL corpus build — the delta recipe run as production
     // would: the corpus arrives in two id-ordered deltas (doc_id < 250,
     // then >= 250), each gated under the FROZEN artifacts (the q_nb_serve
@@ -809,7 +836,19 @@ object CorpusQueries {
     // shards: the q_bpe_ids chain (wd/sy/vid) extended with per-doc
     // sequence positions, per-lang stream offsets, and the hard 256-token
     // split — the full ordered stream of every shard fingerprinted
-    "q_token_shards" -> (bpeCtes(BpeMerges) + ",\n" +
+    "q_token_shards" -> tokenShardsOracle,
+
+    // the incremental writer must converge to the SAME shards — one
+    // oracle string, two entry points (batch one-shot vs two chained
+    // deltas + flush)
+    "q_token_shards_incr" -> tokenShardsOracle,
+  ) ++ tailOracles
+
+  /** One-shot shard ground truth shared by `q_token_shards` (batch) and
+    * `q_token_shards_incr` (two chained [[graft.ext.Packing.shardTokensDelta]]
+    * passes + flush): the emission schedule differs, the shards must not.
+    */
+  private lazy val tokenShardsOracle: String = (bpeCtes(BpeMerges) + ",\n" +
       s"""sv AS MATERIALIZED (
          |  SELECT sym, CAST(sum(freq) AS BIGINT) AS sym_freq
          |  FROM (SELECT unnest(string_split(trim(syms), '  ')) AS sym,
@@ -859,7 +898,11 @@ object CorpusQueries {
          |  md5(string_agg(CAST(token_id AS VARCHAR), ','
          |    ORDER BY tok_offset + seqpos)) AS ids_md5
          |FROM tok JOIN off USING (doc_id)
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
+  /** The rest of the oracle map, split around the shared
+    * [[tokenShardsOracle]] definition and re-joined into [[oracles]]. */
+  private lazy val tailOracles: Map[String, String] = Map(
 
     "q_bpe_ids" -> (bpeCtes(BpeMerges) + ",\n" +
       s"""sv AS MATERIALIZED (

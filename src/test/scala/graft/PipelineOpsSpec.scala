@@ -50,6 +50,43 @@ class PipelineOpsSpec extends SparkSpec {
     assert(encTotal == shardTotal, s"$encTotal tokens in, $shardTotal out")
   }
 
+  test("shardTokensDelta: complete-only emission, tail carry across " +
+    "deltas, flush convergence, untouched-stream passthrough") {
+    def enc(rows: (String, Long, Long, Seq[Int])*) =
+      rows.toDF("stream", "id", "n_tokens", "token_ids")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getSeq[Int](3).toList))).toMap
+    val d1 = enc(("a", 1L, 3L, Seq(10, 11, 12)), ("a", 2L, 3L, Seq(20, 21, 22)))
+    val (s1, st1) = Packing.shardTokensDelta(d1, Seq("stream"), "id", 4, None)
+    // 6 tokens at ctx 4: ONE complete shard out, the 2-token tail carried
+    assert(rows(s1) == Map(("a", 0L) -> ((4L, List(10, 11, 12, 20)))))
+    val st1R = st1.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getSeq[Int](2).toList))).toMap
+    assert(st1R == Map("a" -> ((6L, List(21, 22)))), s"state: $st1R")
+    // delta 2: stream a continues mid-shard, stream b opens with a tail
+    val d2 = enc(("a", 3L, 3L, Seq(30, 31, 32)), ("b", 9L, 1L, Seq(7)))
+    val (s2, st2) = Packing.shardTokensDelta(d2, Seq("stream"), "id", 4,
+      Some(st1))
+    assert(rows(s2) == Map(("a", 1L) -> ((4L, List(21, 22, 30, 31)))),
+      s"got ${rows(s2)}")
+    val fl = rows(Packing.shardTokensFlush(st2, Seq("stream"), 4))
+    assert(fl == Map(("a", 2L) -> ((1L, List(32))),
+      ("b", 0L) -> ((1L, List(7)))), s"flush: $fl")
+    // convergence: chained emissions + flush == one-shot over the union
+    val oneShot = rows(Packing.shardTokens(d1.unionByName(d2),
+      Seq("stream"), "id", 4))
+    assert(rows(s1) ++ rows(s2) ++ fl == oneShot)
+    // a delta touching neither stream leaves the state unchanged and
+    // emits nothing
+    val d3 = enc(("c", 1L, 2L, Seq(1, 2)))
+    val (s3, st3) = Packing.shardTokensDelta(d3, Seq("stream"), "id", 4,
+      Some(st2))
+    assert(s3.count() == 0)
+    assert(st3.filter(col("stream").isin("a", "b"))
+      .exceptAll(st2).count() == 0, "untouched streams' state moved")
+  }
+
   test("packByOffset: offsets, boundary straddle, pack ids") {
     val docs = Seq(
       ("a", 1L, 100L), ("a", 2L, 100L), ("a", 3L, 100L), ("a", 4L, 50L),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.StructType
 
-import graft.ext.{Bpe, NbClassifier, TextAnalysis}
+import graft.ext.{Bpe, NbClassifier, Packing, TextAnalysis}
 
 /** Streaming corpus-quality gating: documents land continuously (the
   * crawl-ingest shape — a fetcher emits pages as they arrive, and the
@@ -141,6 +141,101 @@ object StreamingCorpus {
       }
       .option("checkpointLocation", checkpoint)
       .start()
+
+  /** Latest committed shard-writer state under `dir` (see [[runShards]]):
+    * the highest `v=<batchId>` version strictly below `beforeBatch`
+    * (Long.MaxValue = just give me the newest, the flush-time call).
+    * Returns None before the first batch commits.
+    */
+  private[graft] def latestShardState(spark: SparkSession, dir: String,
+                                      beforeBatch: Long = Long.MaxValue)
+      : Option[DataFrame] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) None
+    else {
+      val vRe = "v=(\\d+)".r
+      val versions = fs.listStatus(path).toSeq
+        .flatMap(_.getPath.getName match {
+          case vRe(n) => Some(n.toLong)
+          case _ => None
+        })
+        .filter(_ < beforeBatch)
+      versions.sorted.lastOption
+        .map(v => spark.read.parquet(s"$dir/v=$v"))
+    }
+  }
+
+  /** One micro-batch of the streaming SHARD writer, exactly-once-shaped
+    * end to end: the incremental writer's state is VERSIONED BY BATCH
+    * ID — batch B reads the newest state strictly below B, writes its
+    * complete shards to `shardDir/batch_id=B` and the advanced state to
+    * `stateDir/v=B`, both overwrite-mode — so a RETRIED batch recomputes
+    * from the same prior state and replaces the same two outputs
+    * (StreamingSpec replays a batch and pins it).
+    */
+  private[graft] def writeShardBatch(batch: DataFrame, batchId: Long,
+                                     shardDir: String, stateDir: String,
+                                     textCol: String, idCol: String,
+                                     streamCol: String, tok: Bpe.Tokenizer,
+                                     ctxTokens: Int): Unit = {
+    val spark = batch.sparkSession
+    val enc = tok.encodeIds(batch, textCol, idCol)
+      .join(batch.select(col(idCol), col(streamCol)), Seq(idCol))
+    val (shards, newState) = Packing.shardTokensDelta(enc, Seq(streamCol),
+      idCol, ctxTokens, latestShardState(spark, stateDir, batchId))
+    shards.write.mode("overwrite").parquet(s"$shardDir/batch_id=$batchId")
+    newState.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+  }
+
+  /** End-to-end STREAMING SHARD PRODUCTION — the terminal form of the
+    * serving pipeline: watch `inDir`, gate each micro-batch (stateless
+    * Gopher + NB under the frozen model), encode under the frozen
+    * tokenizer, and run the incremental shard writer
+    * ([[Packing.shardTokensDelta]]) so only COMPLETE `ctxTokens` shards
+    * are ever published; partial tails ride the batchId-versioned state
+    * under `outDir/state`. Consumers read `outDir/shards`
+    * (`batch_id` surfaces as a partition column); at end-of-stream,
+    * [[flushShards]] publishes the final partials.
+    *
+    * Cross-batch determinism note: shard content depends on ARRIVAL
+    * order across micro-batches (within a batch, `idCol` orders the
+    * stream) — identical to any append-only shard writer. When files
+    * arrive in id order, the emitted shards equal the batch
+    * [[graft.ext.Packing.shardTokens]] over the union exactly
+    * (StreamingSpec pins it; the same contract `q_token_shards_incr`
+    * oracles for the batch writer).
+    */
+  def runShards(spark: SparkSession, inDir: String, outDir: String,
+                checkpoint: String, schema: StructType, textCol: String,
+                idCol: String, streamCol: String,
+                model: NbClassifier.NbModel, tok: Bpe.Tokenizer,
+                ctxTokens: Int = 256, minTokens: Long = 50,
+                maxTokens: Long = 100000): StreamingQuery =
+    qualityGate(readDocStream(spark, inDir, schema), textCol, idCol,
+        model, minTokens, maxTokens)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeShardBatch(batch, batchId, s"$outDir/shards",
+          s"$outDir/state", textCol, idCol, streamCol, tok, ctxTokens)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** Publish the final partial shards of a stopped [[runShards]] job —
+    * the writer's close(): reads the newest committed state and emits
+    * each stream's tail via [[Packing.shardTokensFlush]]. Returns an
+    * empty frame when no state exists or every stream ended
+    * shard-aligned.
+    */
+  def flushShards(spark: SparkSession, outDir: String, streamCol: String,
+                  ctxTokens: Int = 256): DataFrame =
+    latestShardState(spark, s"$outDir/state") match {
+      case Some(st) =>
+        Packing.shardTokensFlush(st, Seq(streamCol), ctxTokens)
+      case None =>
+        spark.emptyDataFrame
+    }
 
   /** The fully-restartable serving job: boot the NB gate model AND the
     * tokenizer from their persisted parquet artifacts

@@ -777,6 +777,83 @@ class StreamingSpec extends SparkSpec {
       "retried batch output diverged from the batch encoder")
   }
 
+  test("streaming shard production: complete-shard micro-batches + " +
+    "flush converge to the batch writer, and a retried batch replaces " +
+    "its shards AND its state version") {
+    import graft.ext.{Bpe, NbClassifier, Packing, Sampling,
+      TextAnalysis => TA}
+    val docsAll = Tables.documents(spark, TestSpark.sf0001)
+    val labeled = TA.withTokenStats(docsAll, "text")
+      .withColumn("label_weak",
+        round(TA.qualityScore(col("n_tokens"), col("token_chars"),
+          col("n_punct"), col("n_stopwords")) + lit(1e-9), 4) >= 0.5)
+      .select(col("doc_id"), col("text"), col("label_weak"))
+    val model = NbClassifier.train(
+      labeled.filter(Sampling.hashBucket(col("doc_id"), "graft") < 80),
+      "text", "doc_id", "label_weak")
+    val (merges, dict) = Bpe.train(docsAll, "text", 8)
+    val tok = Bpe.Tokenizer(merges, dict, Bpe.vocabIds(dict))
+    // batch ground truth: one-shot shards over the gated corpus
+    val gated = graft.streaming.StreamingCorpus.qualityGate(
+      docsAll, "text", "doc_id", model, minTokens = 10)
+    val encAll = tok.encodeIds(gated, "text", "doc_id")
+      .join(gated.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val expected = Packing.shardTokens(encAll, Seq("lang"), "doc_id", 256)
+      .select(col("lang"), col("shard_id"), col("n_tokens"),
+        col("token_ids").cast("string").as("ids"))
+    // stream the corpus in two ID-ORDERED halves (the convergence
+    // precondition, as for the batch delta writer)
+    val inDir = Files.createTempDirectory("graft-shard-in").toString
+    val outDir = Files.createTempDirectory("graft-shard-out").toString
+    val ckpt = Files.createTempDirectory("graft-shard-ckpt").toString
+    docsAll.filter(col("doc_id") < 250).write.parquet(s"$inDir/p1")
+    val q = graft.streaming.StreamingCorpus.runShards(spark, s"$inDir/p*",
+      outDir, ckpt, docsAll.schema, "text", "doc_id", "lang", model, tok,
+      ctxTokens = 256, minTokens = 10)
+    try {
+      q.processAllAvailable()
+      docsAll.filter(col("doc_id") >= 250).write.parquet(s"$inDir/p2")
+      q.processAllAvailable()
+    } finally q.stop()
+    val published = spark.read.parquet(s"$outDir/shards")
+      .select(col("lang"), col("shard_id"), col("n_tokens"),
+        col("token_ids").cast("string").as("ids"))
+    val flushed = graft.streaming.StreamingCorpus.flushShards(spark,
+        outDir, "lang", ctxTokens = 256)
+      .select(col("lang"), col("shard_id"), col("n_tokens"),
+        col("token_ids").cast("string").as("ids"))
+    val got = published.unionByName(flushed)
+    assert(got.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(got).count() == 0,
+      "streamed shards + flush diverged from the batch writer")
+    // published shards are all COMPLETE — partials only ever ride state
+    assert(published.filter(col("n_tokens") =!= 256).count() == 0,
+      "a partial shard was published before flush")
+    // simulated RETRY of the last micro-batch: recomputes from the same
+    // prior state version and REPLACES its outputs — still convergent
+    val batches = new java.io.File(s"$outDir/shards").listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong).sorted
+    val lastId = batches.last
+    graft.streaming.StreamingCorpus.writeShardBatch(
+      docsAll.filter(col("doc_id") >= 250)
+        .transform(d => graft.streaming.StreamingCorpus.qualityGate(
+          d, "text", "doc_id", model, minTokens = 10)
+          .select(d.columns.map(col): _*)),
+      lastId, s"$outDir/shards", s"$outDir/state", "text", "doc_id",
+      "lang", tok, ctxTokens = 256)
+    val got2 = spark.read.parquet(s"$outDir/shards")
+      .select(col("lang"), col("shard_id"), col("n_tokens"),
+        col("token_ids").cast("string").as("ids"))
+      .unionByName(graft.streaming.StreamingCorpus.flushShards(spark,
+          outDir, "lang", ctxTokens = 256)
+        .select(col("lang"), col("shard_id"), col("n_tokens"),
+          col("token_ids").cast("string").as("ids")))
+    assert(got2.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(got2).count() == 0,
+      "retried micro-batch broke shard convergence")
+  }
+
   test("token-id export boots ENTIRELY from disk artifacts: persisted " +
     "NB model + persisted tokenizer, zero training at boot") {
     import graft.ext.{Bpe, NbClassifier, Sampling, TextAnalysis => TA}

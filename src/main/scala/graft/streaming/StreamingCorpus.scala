@@ -186,6 +186,22 @@ object StreamingCorpus {
       idCol, ctxTokens, latestShardState(spark, stateDir, batchId))
     shards.write.mode("overwrite").parquet(s"$shardDir/batch_id=$batchId")
     newState.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+    // retention: only the newest committed version below the CURRENT
+    // batch is ever read again (a retry re-reads it; nothing reads
+    // further back), so prune to the 3 newest — without this, a
+    // long-running stream accumulates one streams-bounded state dir per
+    // micro-batch forever
+    val sPath = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = sPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vRe = "v=(\\d+)".r
+    fs.listStatus(sPath).toSeq
+      .flatMap(st => st.getPath.getName match {
+        case vRe(n) => Some(n.toLong)
+        case _ => None
+      })
+      .sorted.dropRight(3)
+      .foreach(v => fs.delete(
+        new org.apache.hadoop.fs.Path(s"$stateDir/v=$v"), true))
   }
 
   /** End-to-end STREAMING SHARD PRODUCTION — the terminal form of the

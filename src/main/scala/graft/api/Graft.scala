@@ -712,23 +712,8 @@ object Graft {
             "checkIdOrder = false to accept pack-order divergence")
       }
     }
-    val gated = qualityGate(delta, textCol, idCol, model, minTokens,
-        maxTokens)
-      .select(delta.columns.map(col): _*)
-    // gated-and-fresh feeds keeper selection AND the kept semi-join —
-    // cache it (CacheScope lifecycle: scoped draining inside scopedPass)
-    val fresh = CacheScope.cache(state match {
-      case Some(st) =>
-        gated.join(st.keepers,
-          Dedup.digest(col(textCol)) === st.keepers("content_hash"),
-          "left_anti")
-      case None => gated
-    })
-    val keepers = fresh
-      .groupBy(Dedup.digest(col(textCol)).as("content_hash"))
-      .agg(min(col(idCol)).as(idCol))
-    val kept = fresh.join(keepers.select(col(idCol)), Seq(idCol),
-      "left_semi")
+    val (kept, keepers) = gateDedupDelta(delta, textCol, idCol, model,
+      state.map(_.keepers), minTokens, maxTokens)
     val perDoc = Bpe.docTokenCounts(kept, textCol, idCol, dict,
       Seq(groupCol))
     val packed0 = Packing.packByOffset(perDoc, Seq(groupCol), idCol,
@@ -762,6 +747,79 @@ object Graft {
       case None => deltaTotals
     }
     (packed, CorpusState(newKeepers, newOffsets))
+  }
+
+  /** The gate+dedup prefix shared by [[corpusBuildDelta]] and
+    * [[corpusShardsDelta]]: stateless quality gates under the frozen
+    * model, anti-join against the historical keeper digests, min-id
+    * keeper within the delta. Returns the kept docs (all delta columns)
+    * and this delta's keeper frame `(content_hash, idCol)`.
+    */
+  private def gateDedupDelta(delta: DataFrame, textCol: String,
+                             idCol: String, model: NbClassifier.NbModel,
+                             keepers: Option[DataFrame], minTokens: Long,
+                             maxTokens: Long): (DataFrame, DataFrame) = {
+    val gated = qualityGate(delta, textCol, idCol, model, minTokens,
+        maxTokens)
+      .select(delta.columns.map(col): _*)
+    // gated-and-fresh feeds keeper selection AND the kept semi-join —
+    // cache it (CacheScope lifecycle: scoped draining inside scopedPass)
+    val fresh = CacheScope.cache(keepers match {
+      case Some(ks) =>
+        gated.join(ks,
+          Dedup.digest(col(textCol)) === ks("content_hash"), "left_anti")
+      case None => gated
+    })
+    val deltaKeepers = fresh
+      .groupBy(Dedup.digest(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol))
+    val kept = fresh.join(deltaKeepers.select(col(idCol)), Seq(idCol),
+      "left_semi")
+    (kept, deltaKeepers)
+  }
+
+  /** Incremental state for [[corpusShardsDelta]]: the keeper digests
+    * (as in [[CorpusState]]) plus the shard writer's
+    * `(groupCol, tok_total, tail_ids, max_id)` frame. Persist both as
+    * parquet between runs.
+    */
+  final case class CorpusShardsState(keepers: DataFrame, shards: DataFrame)
+
+  /** The COMPLETE incremental production loop in one call — crawl delta
+    * in, training shards out: the [[corpusBuildDelta]] gate+dedup prefix
+    * (stateless frozen-model gates, dedup against history) feeds
+    * [[Bpe.Tokenizer.encodeIds]] under the frozen tokenizer and the
+    * incremental shard writer ([[tokenShardsDelta]] — complete-shard
+    * emission, carried tails, per-stream id-order enforcement). Returns
+    * this delta's COMPLETE shards and the advanced state;
+    * [[tokenShardsFlush]] on `state.shards` is the close().
+    *
+    * EQUIVALENCE (oracled hash-exact as `q_corpus_shards_incr`): for
+    * id-ordered deltas under frozen artifacts, chained emissions plus
+    * the final flush equal ONE batch pass — gate → dedup → encode →
+    * [[tokenShards]] — over the union. Mixture is deferred to batch
+    * exactly as in [[corpusBuildDelta]] (point 3 there).
+    */
+  def corpusShardsDelta(delta: DataFrame, textCol: String, idCol: String,
+                        groupCol: String, model: NbClassifier.NbModel,
+                        tok: Bpe.Tokenizer,
+                        state: Option[CorpusShardsState] = None,
+                        minTokens: Long = 10, maxTokens: Long = 100000,
+                        ctxTokens: Int = 256,
+                        checkIdOrder: Boolean = true)
+      : (DataFrame, CorpusShardsState) = {
+    val (kept, deltaKeepers) = gateDedupDelta(delta, textCol, idCol,
+      model, state.map(_.keepers), minTokens, maxTokens)
+    val enc = tok.encodeIds(kept, textCol, idCol)
+      .join(kept.select(col(idCol), col(groupCol)), Seq(idCol))
+    val (shards, newShardState) = Packing.shardTokensDelta(enc,
+      Seq(groupCol), idCol, ctxTokens, state.map(_.shards), checkIdOrder)
+    val newKeepers = state match {
+      case Some(st) =>
+        st.keepers.unionByName(deltaKeepers.select(col("content_hash")))
+      case None => deltaKeepers.select(col("content_hash"))
+    }
+    (shards, CorpusShardsState(newKeepers, newShardState))
   }
 
   // --- sampling & packing ----------------------------------------------

@@ -104,8 +104,9 @@ object Packing {
     * COMPLETE shards (exactly `ctxTokens` ids) for this delta and carry
     * the stream's partial tail in the state, so chained deltas append to
     * shard storage without ever rewriting an emitted shard. State is one
-    * frame `(streamCols…, tok_total, tail_ids)` — per-stream total tokens
-    * seen and the current partial shard (< ctxTokens ids, bounded) —
+    * frame `(streamCols…, tok_total, tail_ids, max_id)` — per-stream
+    * total tokens seen, the current partial shard (< ctxTokens ids,
+    * bounded), and the max seen id (the ordering guard's evidence) —
     * persist it as parquet between runs like the other artifacts.
     *
     * Returns `(completeShards, newState)`. [[shardTokensFlush]] emits the
@@ -124,10 +125,29 @@ object Packing {
     */
   def shardTokensDelta(encoded: DataFrame, streamCols: Seq[String],
                        idCol: String, ctxTokens: Int,
-                       state: Option[DataFrame])
+                       state: Option[DataFrame],
+                       checkIdOrder: Boolean = true)
       : (DataFrame, DataFrame) = {
     require(ctxTokens > 0, s"ctxTokens=$ctxTokens must be positive")
     require(streamCols.nonEmpty, "shardTokensDelta needs stream columns")
+    // the convergence precondition is PER-STREAM id ordering (streams
+    // are independent): a delta id at or below its stream's max seen id
+    // would interleave differently than the batch writer — fail loudly
+    // (one delta-sized probe; checkIdOrder=false accepts the divergence)
+    if (checkIdOrder) state.foreach { st =>
+      val stR = st.select(
+        (streamCols.map(c => col(c).as(s"__ck_$c")) :+
+          col("max_id").as("__ck_max")): _*)
+      val cond = streamCols.map(c => col(c) <=> col(s"__ck_$c"))
+        .reduce(_ && _)
+      val bad = encoded.join(broadcast(stR), cond, "inner")
+        .filter(col(idCol) <= col("__ck_max"))
+      require(bad.isEmpty,
+        s"shardTokensDelta: delta contains ids at or below a stream's " +
+          "max seen id — deltas must arrive id-ordered per stream for " +
+          "the incremental≡batch contract. Re-id the delta, or pass " +
+          "checkIdOrder = false to accept shard-order divergence")
+    }
     val withOff = packByOffset(encoded, streamCols, idCol, "n_tokens",
       ctxTokens)
     // delta token rows at GLOBAL positions: state base + local offset
@@ -184,13 +204,16 @@ object Packing {
     // new per-stream totals: old total + delta tokens (union+re-agg —
     // the null-safe combine, same pattern as corpusBuildDelta's offsets)
     val deltaTot = encoded.groupBy(streamCols.map(col): _*)
-      .agg(sum(col("n_tokens")).as("tok_total"))
+      .agg(sum(col("n_tokens")).as("tok_total"),
+        max(col(idCol)).as("max_id"))
     val totals = state match {
       case Some(st) =>
-        st.select((streamCols.map(col) :+ col("tok_total")): _*)
+        st.select((streamCols.map(col) :+ col("tok_total") :+
+            col("max_id")): _*)
           .unionByName(deltaTot)
           .groupBy(streamCols.map(col): _*)
-          .agg(sum(col("tok_total")).as("tok_total"))
+          .agg(sum(col("tok_total")).as("tok_total"),
+            max(col("max_id")).as("max_id"))
       case None => deltaTot
     }
     // typed empty-array literal without a cast (Spark rejects the
@@ -204,9 +227,12 @@ object Packing {
         col("token_ids").as("__tl_ids")): _*)
     val tCond = streamCols.map(c => col(c) <=> col(s"__tl_$c"))
       .reduce(_ && _)
+    // max_id appended LAST so existing positional readers of the
+    // (stream…, tok_total, tail_ids) layout keep working
     val newState = totals.join(broadcast(tailsR), tCond, "left")
       .select((streamCols.map(col) :+ col("tok_total") :+
-        coalesce(col("__tl_ids"), emptyIds).as("tail_ids")): _*)
+        coalesce(col("__tl_ids"), emptyIds).as("tail_ids") :+
+        col("max_id")): _*)
     (complete, newState)
   }
 

@@ -232,6 +232,40 @@ object CorpusQueries {
         .orderBy(col("lang"), col("shard_id"))
     }),
 
+    // The COMPLETE incremental production loop — crawl deltas in,
+    // training shards out: gate (frozen NB + Gopher) → dedup against the
+    // keeper state → encode under the frozen tokenizer → incremental
+    // shard writer, two id-ordered deltas + flush. Must hash-match the
+    // oracle's one-shot batch replay (gate chain + shard split over the
+    // kept docs) — the end-to-end contract a nightly crawl-absorb
+    // pipeline ships on.
+    "q_corpus_shards_incr" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val labeled = TA.withTokenStats(docs, "text")
+        .withColumn("label_weak",
+          ground(TA.qualityScore(col("n_tokens"), col("token_chars"),
+            col("n_punct"), col("n_stopwords")), 4) >= 0.5)
+        .select(col("doc_id"), col("text"), col("label_weak"))
+      val model = NbClassifier.train(
+        labeled.filter(Sampling.hashBucket(col("doc_id"), "graft") < 80),
+        "text", "doc_id", "label_weak")
+      val (merges, dict) = bpeTrained(s, dir)
+      val tok = Bpe.Tokenizer(merges, dict, Bpe.vocabIds(dict))
+      val G = graft.api.Graft
+      val (s1, st1) = G.corpusShardsDelta(docs.filter(col("doc_id") < 250),
+        "text", "doc_id", "lang", model, tok, state = None,
+        minTokens = 10)
+      val (s2, st2) = G.corpusShardsDelta(
+        docs.filter(col("doc_id") >= 250), "text", "doc_id", "lang",
+        model, tok, state = Some(st1), minTokens = 10)
+      s1.unionByName(s2)
+        .unionByName(G.tokenShardsFlush(st2.shards, Seq("lang"), 256))
+        .select(col("lang"), col("shard_id"), col("n_tokens"),
+          md5(array_join(transform(col("token_ids"),
+            i => i.cast("string")), ",")).as("ids_md5"))
+        .orderBy(col("lang"), col("shard_id"))
+    }),
+
     // INCREMENTAL corpus build — the delta recipe run as production
     // would: the corpus arrives in two id-ordered deltas (doc_id < 250,
     // then >= 250), each gated under the FROZEN artifacts (the q_nb_serve
@@ -597,7 +631,9 @@ object CorpusQueries {
     */
   private def corpusOracleChain(nbOnGopherSurvivors: Boolean,
                                 mixture: Boolean, bpeChain: String,
-                                dictCte: String): String = {
+                                dictCte: String,
+                                tailOverride: Option[String] = None)
+      : String = {
     val stopSql = TA.Stopwords.map(w => s"'$w'").mkString(", ")
     val labFrom =
       if (nbOnGopherSurvivors)
@@ -733,28 +769,29 @@ object CorpusQueries {
     // concatenated AFTER stripMargin: the trainer chain has continuation
     // lines starting with `||`, which a second stripMargin would mangle
     bpeChain.stripPrefix("WITH ") + ",\n" +
-    s"""ws AS MATERIALIZED (
-       |  SELECT t0.lang, t0.doc_id,
-       |    unnest(string_split_regex(trim(t0.text), ' +')) AS word
-       |  FROM t0 JOIN $keptCte USING (doc_id)
-       |  WHERE text IS NOT NULL AND length(trim(text)) > 0
-       |), pd AS MATERIALIZED (
-       |  SELECT ws.lang, ws.doc_id,
-       |    CAST(sum(len(string_split(trim($dictCte.syms), '  ')))
-       |      AS BIGINT) AS n_tokens
-       |  FROM ws JOIN $dictCte ON ws.word = $dictCte.word
-       |  GROUP BY 1, 2
-       |), po AS (
-       |  SELECT lang, doc_id, n_tokens,
-       |    coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-       |      AS tok_offset
-       |  FROM pd
-       |)
-       |SELECT lang, CAST(tok_offset // 256 AS BIGINT) AS pack_id,
-       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
-       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-       |FROM po GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin
+    tailOverride.getOrElse(
+      s"""ws AS MATERIALIZED (
+         |  SELECT t0.lang, t0.doc_id,
+         |    unnest(string_split_regex(trim(t0.text), ' +')) AS word
+         |  FROM t0 JOIN $keptCte USING (doc_id)
+         |  WHERE text IS NOT NULL AND length(trim(text)) > 0
+         |), pd AS MATERIALIZED (
+         |  SELECT ws.lang, ws.doc_id,
+         |    CAST(sum(len(string_split(trim($dictCte.syms), '  ')))
+         |      AS BIGINT) AS n_tokens
+         |  FROM ws JOIN $dictCte ON ws.word = $dictCte.word
+         |  GROUP BY 1, 2
+         |), po AS (
+         |  SELECT lang, doc_id, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS tok_offset
+         |  FROM pd
+         |)
+         |SELECT lang, CAST(tok_offset // 256 AS BIGINT) AS pack_id,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM po GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin)
   }
 
   /** Shared CTE chain for `q_quality_nb` and `q_nb_serve`: weak labels,
@@ -842,14 +879,32 @@ object CorpusQueries {
     // oracle string, two entry points (batch one-shot vs two chained
     // deltas + flush)
     "q_token_shards_incr" -> tokenShardsOracle,
+
+    // the full incremental loop: the frozen-artifact gate chain (the
+    // q_corpus_build_incr prefix, kept set = gc) feeding the shard
+    // split restricted to kept docs
+    "q_corpus_shards_incr" -> corpusOracleChain(
+      nbOnGopherSurvivors = false, mixture = false, bpeCtes(BpeMerges),
+      s"d$BpeMerges", Some(shardsOracleTail(restrict = Some("gc")))),
   ) ++ tailOracles
 
   /** One-shot shard ground truth shared by `q_token_shards` (batch) and
     * `q_token_shards_incr` (two chained [[graft.ext.Packing.shardTokensDelta]]
     * passes + flush): the emission schedule differs, the shards must not.
     */
-  private lazy val tokenShardsOracle: String = (bpeCtes(BpeMerges) + ",\n" +
-      s"""sv AS MATERIALIZED (
+  private lazy val tokenShardsOracle: String =
+    bpeCtes(BpeMerges) + ",\n" + shardsOracleTail(restrict = None)
+
+  /** The shard-split CTE tail over a trained `d<n>` dictionary chain:
+    * per-doc sequence positions, per-lang stream offsets, the hard
+    * 256-token split, and the per-shard id-stream fingerprint.
+    * `restrict` names a (doc_id) CTE limiting which documents enter the
+    * stream — None = the whole corpus (`q_token_shards`), Some("gc") =
+    * the corpus-composition keepers (`q_corpus_shards_incr`).
+    */
+  private def shardsOracleTail(restrict: Option[String]): String = {
+    val wdJoin = restrict.map(r => s" JOIN $r USING (doc_id)").getOrElse("")
+    (s"""sv AS MATERIALIZED (
          |  SELECT sym, CAST(sum(freq) AS BIGINT) AS sym_freq
          |  FROM (SELECT unnest(string_split(trim(syms), '  ')) AS sym,
          |               freq
@@ -864,7 +919,7 @@ object CorpusQueries {
          |  SELECT doc_id, CAST(i AS BIGINT) AS wp, arr[i] AS word
          |  FROM (SELECT doc_id,
          |          string_split_regex(trim(text), ' +') AS arr
-         |        FROM documents
+         |        FROM documents$wdJoin
          |        WHERE text IS NOT NULL AND length(trim(text)) > 0),
          |       unnest(generate_series(1, len(arr))) AS t(i)
          |), sy AS MATERIALIZED (
@@ -898,7 +953,8 @@ object CorpusQueries {
          |  md5(string_agg(CAST(token_id AS VARCHAR), ','
          |    ORDER BY tok_offset + seqpos)) AS ids_md5
          |FROM tok JOIN off USING (doc_id)
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+         |GROUP BY 1, 2 ORDER BY 1, 2""").stripMargin
+  }
 
   /** The rest of the oracle map, split around the shared
     * [[tokenShardsOracle]] definition and re-joined into [[oracles]]. */

@@ -85,6 +85,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(s3.count() == 0)
     assert(st3.filter(col("stream").isin("a", "b"))
       .exceptAll(st2).count() == 0, "untouched streams' state moved")
+    // per-stream id-order enforcement: stream c's id 1 is fine above,
+    // but re-delivering id 2 to stream a (max seen 3) fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Packing.shardTokensDelta(enc(("a", 2L, 1L, Seq(99))),
+        Seq("stream"), "id", 4, Some(st3))
+    }
+    assert(e.getMessage.contains("id-ordered"),
+      s"wrong failure mode: ${e.getMessage}")
+    // the opt-out accepts it (documented shard-order divergence): the
+    // single token extends stream a's tail [32] and advances the total
+    val (_, st4) = Packing.shardTokensDelta(enc(("a", 2L, 1L, Seq(99))),
+      Seq("stream"), "id", 4, Some(st3), checkIdOrder = false)
+    val a4 = st4.filter(col("stream") === "a").head()
+    assert(a4.getLong(1) == 10L &&
+      a4.getSeq[Int](2).toList == List(32, 99),
+      s"opted-out delta state drifted: $a4")
   }
 
   test("packByOffset: offsets, boundary straddle, pack ids") {

@@ -758,25 +758,11 @@ object Graft {
   private def gateDedupDelta(delta: DataFrame, textCol: String,
                              idCol: String, model: NbClassifier.NbModel,
                              keepers: Option[DataFrame], minTokens: Long,
-                             maxTokens: Long): (DataFrame, DataFrame) = {
-    val gated = qualityGate(delta, textCol, idCol, model, minTokens,
-        maxTokens)
-      .select(delta.columns.map(col): _*)
-    // gated-and-fresh feeds keeper selection AND the kept semi-join —
-    // cache it (CacheScope lifecycle: scoped draining inside scopedPass)
-    val fresh = CacheScope.cache(keepers match {
-      case Some(ks) =>
-        gated.join(ks,
-          Dedup.digest(col(textCol)) === ks("content_hash"), "left_anti")
-      case None => gated
-    })
-    val deltaKeepers = fresh
-      .groupBy(Dedup.digest(col(textCol)).as("content_hash"))
-      .agg(min(col(idCol)).as(idCol))
-    val kept = fresh.join(deltaKeepers.select(col(idCol)), Seq(idCol),
-      "left_semi")
-    (kept, deltaKeepers)
-  }
+                             maxTokens: Long): (DataFrame, DataFrame) =
+    Dedup.keeperDelta(
+      qualityGate(delta, textCol, idCol, model, minTokens, maxTokens)
+        .select(delta.columns.map(col): _*),
+      textCol, idCol, keepers)
 
   /** Incremental state for [[corpusShardsDelta]]: the keeper digests
     * (as in [[CorpusState]]) plus the shard writer's

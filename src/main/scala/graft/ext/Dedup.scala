@@ -35,6 +35,36 @@ object Dedup {
     df.groupBy(digest(col(textCol)).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper_id"))
 
+  /** Incremental exact dedup — one delta against historical state: docs
+    * whose digest appears in `keepers` drop (duplicates of history);
+    * within the remainder, min-`idCol` per digest wins (the batch keeper
+    * rule). Returns the kept docs (all input columns) and THIS delta's
+    * keeper frame `(content_hash, idCol)` — union its `content_hash`
+    * onto the state for the next delta. The shared dedup prefix of
+    * [[graft.api.Graft.corpusBuildDelta]] / `corpusShardsDelta` and the
+    * streaming corpus-shard writer.
+    *
+    * Scale shape: the only history-sized input is the keeper-digest
+    * anti equi-join; everything else is delta-sized. The input feeds
+    * keeper selection AND the kept semi-join, so it is
+    * [[CacheScope]]-cached here.
+    */
+  def keeperDelta(docs: DataFrame, textCol: String, idCol: String,
+                  keepers: Option[DataFrame]): (DataFrame, DataFrame) = {
+    val fresh = CacheScope.cache(keepers match {
+      case Some(ks) =>
+        docs.join(ks, digest(col(textCol)) === ks("content_hash"),
+          "left_anti")
+      case None => docs
+    })
+    val deltaKeepers = fresh
+      .groupBy(digest(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol))
+    val kept = fresh.join(deltaKeepers.select(col(idCol)), Seq(idCol),
+      "left_semi")
+    (kept, deltaKeepers)
+  }
+
   /** Engine-portable 32-bit token hash: first 8 hex chars of md5, parsed as
     * an unsigned int (value in [0, 2^32)). Chosen over Spark's murmur3
     * `hash()` so DuckDB oracles can reproduce it bit-exactly:

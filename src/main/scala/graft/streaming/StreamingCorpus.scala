@@ -188,20 +188,9 @@ object StreamingCorpus {
     newState.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
     // retention: only the newest committed version below the CURRENT
     // batch is ever read again (a retry re-reads it; nothing reads
-    // further back), so prune to the 3 newest — without this, a
-    // long-running stream accumulates one streams-bounded state dir per
-    // micro-batch forever
-    val sPath = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = sPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val vRe = "v=(\\d+)".r
-    fs.listStatus(sPath).toSeq
-      .flatMap(st => st.getPath.getName match {
-        case vRe(n) => Some(n.toLong)
-        case _ => None
-      })
-      .sorted.dropRight(3)
-      .foreach(v => fs.delete(
-        new org.apache.hadoop.fs.Path(s"$stateDir/v=$v"), true))
+    // further back) — without pruning, a long-running stream accumulates
+    // one streams-bounded state dir per micro-batch forever
+    pruneVersions(spark, stateDir)
   }
 
   /** End-to-end STREAMING SHARD PRODUCTION — the terminal form of the
@@ -252,6 +241,98 @@ object StreamingCorpus {
       case None =>
         spark.emptyDataFrame
     }
+
+  /** One micro-batch of the FULL streaming corpus loop ([[runCorpusShards]]):
+    * the batch arrives already quality-gated; here it dedups against the
+    * batchId-versioned keeper-digest state ([[graft.ext.Dedup.keeperDelta]]),
+    * encodes under the frozen tokenizer, and runs the incremental shard
+    * writer. All three outputs are versioned/overwritten by batch id
+    * (shards/batch_id=B, keepers/v=B, state/v=B), so a retried batch
+    * recomputes from the same prior state and replaces the same outputs.
+    */
+  private[graft] def writeCorpusShardBatch(batch: DataFrame, batchId: Long,
+                                           outDir: String, textCol: String,
+                                           idCol: String, streamCol: String,
+                                           tok: Bpe.Tokenizer,
+                                           ctxTokens: Int): Unit = {
+    val spark = batch.sparkSession
+    val keeperState = latestShardState(spark, s"$outDir/keepers", batchId)
+    val (kept, deltaKeepers) = graft.ext.Dedup.keeperDelta(
+      batch, textCol, idCol, keeperState)
+    val enc = tok.encodeIds(kept, textCol, idCol)
+      .join(kept.select(col(idCol), col(streamCol)), Seq(idCol))
+    // arrival order IS the stream order here, so the id-order guard is
+    // off: convergence-with-batch holds when files arrive id-ordered
+    // (the spec's setup); out-of-order arrival interleaves differently
+    // by design, exactly like any append-only writer
+    val (shards, newShardState) = Packing.shardTokensDelta(enc,
+      Seq(streamCol), idCol, ctxTokens,
+      latestShardState(spark, s"$outDir/state", batchId),
+      checkIdOrder = false)
+    val newKeepers = keeperState match {
+      case Some(ks) => ks.unionByName(
+        deltaKeepers.select(col("content_hash")))
+      case None => deltaKeepers.select(col("content_hash"))
+    }
+    shards.write.mode("overwrite")
+      .parquet(s"$outDir/shards/batch_id=$batchId")
+    newKeepers.write.mode("overwrite")
+      .parquet(s"$outDir/keepers/v=$batchId")
+    newShardState.write.mode("overwrite")
+      .parquet(s"$outDir/state/v=$batchId")
+    pruneVersions(spark, s"$outDir/keepers")
+    pruneVersions(spark, s"$outDir/state")
+  }
+
+  /** The COMPLETE corpus-production loop on a stream — crawl files in,
+    * training shards out: gate each micro-batch (stateless Gopher + NB
+    * under the frozen model), DEDUP it against the accumulated
+    * keeper-digest state, encode under the frozen tokenizer, and publish
+    * only complete `ctxTokens` shards ([[writeCorpusShardBatch]]); the
+    * keeper set and the shard writer's partial tails ride
+    * batchId-versioned state, so the whole loop is exactly-once under
+    * micro-batch retries. [[flushShards]] publishes the final partials.
+    * The streaming twin of [[graft.api.Graft.corpusShardsDelta]]
+    * (whose two-delta replay is DuckDB-oracled as
+    * `q_corpus_shards_incr`); StreamingSpec pins stream ≡ batch on an
+    * id-ordered file sequence with a cross-batch duplicate injected.
+    */
+  def runCorpusShards(spark: SparkSession, inDir: String, outDir: String,
+                      checkpoint: String, schema: StructType,
+                      textCol: String, idCol: String, streamCol: String,
+                      model: NbClassifier.NbModel, tok: Bpe.Tokenizer,
+                      ctxTokens: Int = 256, minTokens: Long = 50,
+                      maxTokens: Long = 100000): StreamingQuery = {
+    val srcCols = schema.fieldNames.toSeq
+    qualityGate(readDocStream(spark, inDir, schema), textCol, idCol,
+        model, minTokens, maxTokens)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeCorpusShardBatch(batch.select(srcCols.map(col): _*), batchId,
+          outDir, textCol, idCol, streamCol, tok, ctxTokens)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
+  /** Delete all but the 3 newest `v=<n>` state versions under `dir` —
+    * only the newest below the current batch is ever read again.
+    */
+  private def pruneVersions(spark: SparkSession, dir: String): Unit = {
+    val sPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = sPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(sPath)) {
+      val vRe = "v=(\\d+)".r
+      fs.listStatus(sPath).toSeq
+        .flatMap(st => st.getPath.getName match {
+          case vRe(n) => Some(n.toLong)
+          case _ => None
+        })
+        .sorted.dropRight(3)
+        .foreach(v => fs.delete(
+          new org.apache.hadoop.fs.Path(s"$dir/v=$v"), true))
+    }
+  }
 
   /** The fully-restartable serving job: boot the NB gate model AND the
     * tokenizer from their persisted parquet artifacts

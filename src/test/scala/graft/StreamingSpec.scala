@@ -854,6 +854,63 @@ class StreamingSpec extends SparkSpec {
       "retried micro-batch broke shard convergence")
   }
 
+  test("streaming FULL corpus loop (gate + dedup-vs-state + encode + " +
+    "shard writer) converges to the batch corpusShardsDelta, dropping a " +
+    "cross-batch duplicate against the keeper state") {
+    import graft.ext.{Bpe, NbClassifier, Sampling, TextAnalysis => TA}
+    val docsAll = Tables.documents(spark, TestSpark.sf0001)
+    val labeled = TA.withTokenStats(docsAll, "text")
+      .withColumn("label_weak",
+        round(TA.qualityScore(col("n_tokens"), col("token_chars"),
+          col("n_punct"), col("n_stopwords")) + lit(1e-9), 4) >= 0.5)
+      .select(col("doc_id"), col("text"), col("label_weak"))
+    val model = NbClassifier.train(
+      labeled.filter(Sampling.hashBucket(col("doc_id"), "graft") < 80),
+      "text", "doc_id", "label_weak")
+    val (merges, dict) = Bpe.train(docsAll, "text", 8)
+    val tok = Bpe.Tokenizer(merges, dict, Bpe.vocabIds(dict))
+    // re-crawl shape: the second half re-delivers a kept doc's text
+    // under a fresh id — the keeper state must drop it
+    val keptId = graft.streaming.StreamingCorpus.qualityGate(
+        docsAll, "text", "doc_id", model, minTokens = 10)
+      .agg(min(col("doc_id"))).head().getLong(0)
+    val dup = docsAll.filter(col("doc_id") === keptId)
+      .withColumn("doc_id", lit(999999L))
+    // batch ground truth: ONE corpusShardsDelta pass over the union
+    // (its dedup drops the same duplicate) + flush
+    val (sAll, stAll) = graft.api.Graft.corpusShardsDelta(
+      docsAll.unionByName(dup), "text", "doc_id", "lang", model, tok,
+      state = None, minTokens = 10)
+    val expected = sAll
+      .unionByName(graft.api.Graft.tokenShardsFlush(stAll.shards,
+        Seq("lang"), 256))
+      .select(col("lang"), col("shard_id"), col("n_tokens"),
+        col("token_ids").cast("string").as("ids"))
+    val inDir = Files.createTempDirectory("graft-cshard-in").toString
+    val outDir = Files.createTempDirectory("graft-cshard-out").toString
+    val ckpt = Files.createTempDirectory("graft-cshard-ckpt").toString
+    docsAll.filter(col("doc_id") < 250).write.parquet(s"$inDir/p1")
+    val q = graft.streaming.StreamingCorpus.runCorpusShards(spark,
+      s"$inDir/p*", outDir, ckpt, docsAll.schema, "text", "doc_id",
+      "lang", model, tok, ctxTokens = 256, minTokens = 10)
+    try {
+      q.processAllAvailable()
+      docsAll.filter(col("doc_id") >= 250).unionByName(dup)
+        .write.parquet(s"$inDir/p2")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$outDir/shards")
+      .select(col("lang"), col("shard_id"), col("n_tokens"),
+        col("token_ids").cast("string").as("ids"))
+      .unionByName(graft.streaming.StreamingCorpus.flushShards(spark,
+          outDir, "lang", ctxTokens = 256)
+        .select(col("lang"), col("shard_id"), col("n_tokens"),
+          col("token_ids").cast("string").as("ids")))
+    assert(got.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(got).count() == 0,
+      "streaming full loop diverged from the batch corpusShardsDelta")
+  }
+
   test("token-id export boots ENTIRELY from disk artifacts: persisted " +
     "NB model + persisted tokenizer, zero training at boot") {
     import graft.ext.{Bpe, NbClassifier, Sampling, TextAnalysis => TA}

@@ -108,7 +108,49 @@ object DeltaScale {
       pAllS.exceptAll(merged).count()
     println(s"[deltascale] incremental == one-shot: " +
       (if (diff == 0) "EXACT MATCH" else s"DIVERGED ($diff rows)"))
+
+    // optional third arg "shards": the FULL loop (gate→dedup→encode→
+    // incremental shard writer) measured the same way — absorb cost vs
+    // full shard rebuild, state (keepers + shard tails) via parquet
+    var shardDiff = 0L
+    if (args.lift(2).contains("shards")) {
+      val tok = Bpe.Tokenizer(Nil, dict, Bpe.vocabIds(dict))
+      def fp(df: DataFrame, name: String): DataFrame = {
+        df.select(col("lang"), col("shard_id"), col("n_tokens"),
+            md5(array_join(transform(col("token_ids"),
+              i => i.cast("string")), ",")).as("ids"))
+          .write.parquet(s"$base/$name")
+        spark.read.parquet(s"$base/$name")
+      }
+      val sAllF = timed(s"full shard rebuild over $n docs") {
+        val (sAll, stAll) = Graft.corpusShardsDelta(docs, "text",
+          "doc_id", "lang", model, tok, state = None, minTokens = 10)
+        fp(sAll.unionByName(
+          Graft.tokenShardsFlush(stAll.shards, Seq("lang"), 256)), "sall")
+      }
+      val s1F = timed("shard history pass + state persist") {
+        val (s1, st1) = Graft.corpusShardsDelta(history, "text", "doc_id",
+          "lang", model, tok, state = None, minTokens = 10)
+        st1.keepers.write.parquet(s"$base/skeepers")
+        st1.shards.write.parquet(s"$base/sshards")
+        fp(s1, "s1")
+      }
+      val s2F = timed(s"shard-absorb ${deltaPerMille}‰ delta from disk") {
+        val st = Graft.CorpusShardsState(
+          spark.read.parquet(s"$base/skeepers"),
+          spark.read.parquet(s"$base/sshards"))
+        val (s2, st2) = Graft.corpusShardsDelta(delta, "text", "doc_id",
+          "lang", model, tok, state = Some(st), minTokens = 10)
+        fp(s2.unionByName(
+          Graft.tokenShardsFlush(st2.shards, Seq("lang"), 256)), "s2")
+      }
+      shardDiff = s1F.unionByName(s2F).exceptAll(sAllF).count() +
+        sAllF.exceptAll(s1F.unionByName(s2F)).count()
+      println(s"[deltascale] incremental shards == one-shot: " +
+        (if (shardDiff == 0) "EXACT MATCH"
+         else s"DIVERGED ($shardDiff rows)"))
+    }
     spark.stop()
-    if (diff != 0) sys.exit(1)
+    if (diff != 0 || shardDiff != 0) sys.exit(1)
   }
 }

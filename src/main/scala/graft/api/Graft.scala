@@ -283,6 +283,17 @@ object Graft {
       m = m, kSub = kSub, trainFraction = trainFraction)
   }
 
+  /** Incrementally grow a persisted index — the faiss `add()` contract:
+    * encode new vectors under the FROZEN geometry (nearest stored
+    * centroid + frozen residual codebooks, the exact build-time kernel)
+    * and append them; no retraining, no touch of existing rows, loud
+    * failures on duplicate ids and wrong dimensions.
+    * See [[graft.ext.AnnIndex.add]].
+    */
+  def annIndexAdd(spark: SparkSession, dir: String, newVectors: DataFrame,
+                  idCol: String, vecCol: String): Unit =
+    AnnIndex.add(spark, dir, newVectors, idCol, vecCol)
+
   /** Serve queries from a persisted index with no re-learning — the
     * query-many half. Same output contract as every ANN path; the serve
     * plan is EXACTLY the live [[annSearch]] tail (spec-pinned equal).

@@ -59,6 +59,72 @@ object AnnIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
   }
 
+  /** INCREMENTAL index maintenance — the faiss `add()` contract: encode
+    * `newVectors` under the index's FROZEN geometry (no retraining, no
+    * touch of existing rows) and append them to `codes`/`vectors`, so
+    * the next [[search]] retrieves old and new rows through one probe.
+    *
+    * Assignment rule: each new vector goes to the nearest STORED
+    * centroid — the probe geometry queries use — then its residual
+    * encodes under the frozen per-subspace codebooks with the exact
+    * [[Similarity.assignOn]] kernel the build used (guard-rounded
+    * distances, lowest-index ties), so added codes are bit-compatible
+    * with built codes. For a corpus bucketed by [[Similarity.kmeansBuckets]]
+    * the build-time bucketing used the Lloyd centers instead (the index
+    * does not persist those); cell means are the next Lloyd iterate, so
+    * the two geometries converge with `iters` — and probe-side
+    * consistency is what recall actually depends on.
+    *
+    * Loud guards: wrong-dimension vectors and ids already present in
+    * the index both fail (a duplicate uid would fan out the exact
+    * re-rank join). Batch semantics: plain append-mode parquet — rerun
+    * of a failed add can duplicate rows; dedup the input by id per
+    * attempt or rebuild (same contract as any parquet append).
+    */
+  def add(spark: SparkSession, dir: String, newVectors: DataFrame,
+          idCol: String, vecCol: String): Unit = {
+    val params = spark.read.parquet(s"$dir/params").head()
+    val dim = params.getAs[Int]("dim")
+    val m = params.getAs[Int]("m")
+    val dsub = dim / m
+    val centFrame = spark.read.parquet(s"$dir/centroids")
+    val centRows = centFrame.select(col("bkt"), col("cvec")).collect()
+      .map(r => r.getAs[Int]("bkt") -> r.getSeq[Double](1).toArray)
+    require(centRows.nonEmpty,
+      s"AnnIndex.add: $dir has no centroids — not a built index")
+    val bookRows = spark.read.parquet(s"$dir/books").collect()
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      bookRows.filter(_.getAs[Int]("j") == j)
+        .sortBy(_.getAs[Int]("cj")).map(_.getSeq[Double](2).toArray)
+    }
+    val vd = col(vecCol).cast("array<double>")
+    val newV = newVectors.filter(vd.isNotNull)
+      .select(col(idCol).as("uid"), vd.as("v"))
+    require(newV.filter(size(col("v")) =!= dim).isEmpty,
+      s"AnnIndex.add: input carries vectors whose dimension != $dim " +
+        "(the index geometry) — they cannot be encoded")
+    require(newV.join(spark.read.parquet(s"$dir/codes").select(col("uid")),
+        Seq("uid"), "left_semi").isEmpty,
+      "AnnIndex.add: input ids already exist in the index — a duplicate " +
+        "uid would fan out the exact re-rank join; re-id or rebuild")
+    // nearest stored centroid (codebook-sized driver array, the shared
+    // allowance), mapped back to the stored cell id
+    val bktIds = centRows.map(_._1)
+    val assigned = newV
+      .withColumn("__pos",
+        Similarity.assignOn(col("v"), centRows.map(_._2)))
+      .withColumn("bkt", element_at(lit(bktIds), col("__pos") + 1))
+      .join(broadcast(centFrame), "bkt")
+      .withColumn("rv", zip_with(col("v"), col("cvec"), (x, c) => x - c))
+    val codeArr = array((0 until m).map { j =>
+      Similarity.assignOn(slice(col("rv"), j * dsub + 1, dsub), books(j))
+    }: _*)
+    assigned.select(col("bkt"), col("uid"), codeArr.as("code"))
+      .write.mode("append").parquet(s"$dir/codes")
+    newV.select(col("uid"), Similarity.unitVec(col("v")).as("uvec"))
+      .write.mode("append").parquet(s"$dir/vectors")
+  }
+
   /** Serve queries from a persisted index — no learning, no corpus scan
     * beyond the index artifacts. Same output contract as every ANN
     * operator: `(query_id, neighbor_id, cosine, rank)`, exact cosines.

@@ -775,7 +775,8 @@ object Similarity {
     * with the corpus" recall lever. Constant bytecode at any k; the matrix
     * ships once as a reference object.
     */
-  private def assignOn(vec: Column, centers: Array[Array[Double]]): Column =
+  private[graft] def assignOn(vec: Column,
+                              centers: Array[Array[Double]]): Column =
     graft.functions.ArgMinFunctions.graft_argmin_centroid(
       vec.cast("array<double>"), centers)
 

@@ -648,6 +648,104 @@ class SimilaritySpec extends SparkSpec {
       .filter(col("count") > 3).count() == 0)
   }
 
+  test("AnnIndex.add: frozen-geometry appends are retrievable, " +
+    "bit-deterministic, hand-verifiable, and guarded") {
+    import spark.implicits._
+    val emb = graft.io.Tables.embeddings(spark, TestSpark.sf0001)
+    val half1 = emb.filter(col("vec_id") % 2 === 0)
+    val half2 = emb.filter(col("vec_id") % 2 === 1)
+    val bucketed = Similarity.kmeansBuckets(half1, "vec_id", "embedding",
+      k = 8, iters = 2, bucketCol = "kb")
+    val dirA = java.nio.file.Files
+      .createTempDirectory("graft-annadd-a").toString
+    graft.ext.AnnIndex.build(bucketed, "vec_id", "embedding", "kb", dirA,
+      dim = 64)
+    graft.ext.AnnIndex.add(spark, dirA, half2, "vec_id", "embedding")
+    // every added vector is retrievable at cosine 1.0, rank 1: probe
+    // with the SAME vectors under fresh query ids (the serve plan
+    // excludes query_id == neighbor_id self-matches by contract)
+    val selfQ = half2.limit(20)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val self = graft.ext.AnnIndex.search(spark, dirA, selfQ, "vec_id",
+        "embedding", k = 3, nProbe = 2, maxBucket = 400)
+      .filter(col("query_id") - 1000000L === col("neighbor_id"))
+    assert(self.count() == 20, "an added vector is not retrievable")
+    assert(self.filter(col("rank") =!= 1).count() == 0 &&
+      self.filter(col("cosine") =!= 1.0).count() == 0,
+      "identical-vector retrieval not exact after add")
+    // old corpus rows still serve alongside added ones
+    val mixed = graft.ext.AnnIndex.search(spark, dirA,
+      emb.limit(50).select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", k = 5, nProbe = 2, maxBucket = 400)
+    assert(mixed.filter(col("neighbor_id") % 2 === 0).count() > 0 &&
+      mixed.filter(col("neighbor_id") % 2 === 1).count() > 0,
+      "search does not mix built and added rows")
+    // bit-determinism: a second build+add produces identical codes
+    val dirB = java.nio.file.Files
+      .createTempDirectory("graft-annadd-b").toString
+    graft.ext.AnnIndex.build(bucketed, "vec_id", "embedding", "kb", dirB,
+      dim = 64)
+    graft.ext.AnnIndex.add(spark, dirB, half2, "vec_id", "embedding")
+    val ca = spark.read.parquet(s"$dirA/codes")
+      .select(col("uid"), col("bkt"), col("code").cast("string"))
+    val cb = spark.read.parquet(s"$dirB/codes")
+      .select(col("uid"), col("bkt"), col("code").cast("string"))
+    assert(ca.exceptAll(cb).count() == 0 && cb.exceptAll(ca).count() == 0,
+      "add is not deterministic")
+    // independent hand-math: recompute one added row's cell and code
+    // with plain scala mirroring the ArgMinCentroid kernel exactly
+    // (vv − 2·cross + cc + 1e-9, BigDecimal HALF_UP to 6dp, first-index
+    // ties, left-to-right accumulation) from the persisted artifacts
+    def argmin(v: Array[Double], cs: Array[Array[Double]]): Int = {
+      val vv = v.foldLeft(0.0)((a, x) => a + x * x)
+      cs.zipWithIndex.map { case (c, j) =>
+        val cross = v.indices.foldLeft(0.0)((a, i) => a + v(i) * c(i))
+        val cc = c.foldLeft(0.0)((a, x) => a + x * x)
+        val d = java.math.BigDecimal.valueOf(vv - 2.0 * cross + cc + 1e-9)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        (d, j)
+      }.minBy(identity)._2
+    }
+    val params = spark.read.parquet(s"$dirA/params").head()
+    val mSub = params.getAs[Int]("m")
+    val dsub = 64 / mSub
+    val probeId = half2.agg(min(col("vec_id"))).head().getLong(0)
+    val v = half2.filter(col("vec_id") === probeId)
+      .select(col("embedding").cast("array<double>")).head()
+      .getSeq[Double](0).toArray
+    val cents = spark.read.parquet(s"$dirA/centroids").collect()
+      .map(r => r.getAs[Int]("bkt") -> r.getSeq[Double](1).toArray)
+    val expBkt = cents(argmin(v, cents.map(_._2)))._1
+    val cvec = cents.find(_._1 == expBkt).get._2
+    val rv = v.indices.map(i => v(i) - cvec(i)).toArray
+    val bookRows = spark.read.parquet(s"$dirA/books").collect()
+    val expCode = (0 until mSub).map { j =>
+      val cs = bookRows.filter(_.getAs[Int]("j") == j)
+        .sortBy(_.getAs[Int]("cj")).map(_.getSeq[Double](2).toArray)
+      argmin(rv.slice(j * dsub, (j + 1) * dsub), cs)
+    }
+    val got = spark.read.parquet(s"$dirA/codes")
+      .filter(col("uid") === probeId).head()
+    assert(got.getAs[Int]("bkt") == expBkt,
+      s"cell drifted: got ${got.getAs[Int]("bkt")}, hand-math $expBkt")
+    assert(got.getSeq[Int](2).toList == expCode.toList,
+      s"code drifted: got ${got.getSeq[Int](2)}, hand-math $expCode")
+    // guards: duplicate id and wrong dimension both fail loudly
+    val eDup = intercept[IllegalArgumentException] {
+      graft.ext.AnnIndex.add(spark, dirA, half2.limit(1), "vec_id",
+        "embedding")
+    }
+    assert(eDup.getMessage.contains("already exist"),
+      s"wrong failure mode: ${eDup.getMessage}")
+    val eDim = intercept[IllegalArgumentException] {
+      graft.ext.AnnIndex.add(spark, dirA,
+        Seq((123456789L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding")
+    }
+    assert(eDim.getMessage.contains("dimension"),
+      s"wrong failure mode: ${eDim.getMessage}")
+  }
+
   test("PqResAdcCosine: reconstruction identity, null contracts") {
     import graft.functions.PqFunctions.graft_pq_res_adc_cosine
     // m=2 subspaces of 2 dims, kSub=2: books row-major (kSub x dsub flat)

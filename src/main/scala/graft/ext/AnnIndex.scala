@@ -86,11 +86,14 @@ object AnnIndex {
     val params = spark.read.parquet(s"$dir/params").head()
     val dim = params.getAs[Int]("dim")
     val m = params.getAs[Int]("m")
-    val dsub = dim / m
     val centFrame = spark.read.parquet(s"$dir/centroids")
-    val centRows = centFrame.select(col("bkt"), col("cvec")).collect()
+    // centroids collected in BKT ORDER: the assignment kernel breaks
+    // distance ties on array position, so a partition-order collect
+    // would make tie resolution nondeterministic across runs
+    val centPairs = centFrame.select(col("bkt"), col("cvec"))
+      .orderBy(col("bkt")).collect()
       .map(r => r.getAs[Int]("bkt") -> r.getSeq[Double](1).toArray)
-    require(centRows.nonEmpty,
+    require(centPairs.nonEmpty,
       s"AnnIndex.add: $dir has no centroids — not a built index")
     val bookRows = spark.read.parquet(s"$dir/books").collect()
     val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
@@ -107,22 +110,35 @@ object AnnIndex {
         Seq("uid"), "left_semi").isEmpty,
       "AnnIndex.add: input ids already exist in the index — a duplicate " +
         "uid would fan out the exact re-rank join; re-id or rebuild")
-    // nearest stored centroid (codebook-sized driver array, the shared
-    // allowance), mapped back to the stored cell id
-    val bktIds = centRows.map(_._1)
-    val assigned = newV
-      .withColumn("__pos",
-        Similarity.assignOn(col("v"), centRows.map(_._2)))
-      .withColumn("bkt", element_at(lit(bktIds), col("__pos") + 1))
-      .join(broadcast(centFrame), "bkt")
-      .withColumn("rv", zip_with(col("v"), col("cvec"), (x, c) => x - c))
-    val codeArr = array((0 until m).map { j =>
-      Similarity.assignOn(slice(col("rv"), j * dsub + 1, dsub), books(j))
-    }: _*)
-    assigned.select(col("bkt"), col("uid"), codeArr.as("code"))
+    encodeFrozen(newV, centPairs, centFrame, books, dim / m)
       .write.mode("append").parquet(s"$dir/codes")
     newV.select(col("uid"), Similarity.unitVec(col("v")).as("uvec"))
       .write.mode("append").parquet(s"$dir/vectors")
+  }
+
+  /** The frozen-geometry encode kernel [[add]] and the oracled
+    * `q_ann_index_add` twin share: nearest stored centroid (codebook-
+    * sized driver array, position ties = lowest bkt — `centPairs` must
+    * be bkt-ordered), residual against that cell's mean, per-subspace
+    * code via the exact build-time [[Similarity.assignOn]] kernel.
+    * `newV` carries `(uid, v)`; returns `(bkt, uid, code)`.
+    */
+  private[graft] def encodeFrozen(newV: DataFrame,
+                                  centPairs: Array[(Int, Array[Double])],
+                                  centFrame: DataFrame,
+                                  books: Array[Array[Array[Double]]],
+                                  dsub: Int): DataFrame = {
+    val bktIds = centPairs.map(_._1)
+    val assigned = newV
+      .withColumn("__pos",
+        Similarity.assignOn(col("v"), centPairs.map(_._2)))
+      .withColumn("bkt", element_at(lit(bktIds), col("__pos") + 1))
+      .join(broadcast(centFrame), "bkt")
+      .withColumn("rv", zip_with(col("v"), col("cvec"), (x, c) => x - c))
+    val codeArr = array(books.indices.map { j =>
+      Similarity.assignOn(slice(col("rv"), j * dsub + 1, dsub), books(j))
+    }: _*)
+    assigned.select(col("bkt"), col("uid"), codeArr.as("code"))
   }
 
   /** Serve queries from a persisted index — no learning, no corpus scan

@@ -678,6 +678,163 @@ object NorthStarQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** The `q_ann_index_add` oracle — [[ivfPqResSearchOracleSql]]'s
+    * build-side restricted to the even-id half, EXTENDED with the
+    * frozen-geometry ADD of the odd half ([[graft.ext.AnnIndex.add]]'s
+    * kernel): each added vector assigns to the nearest CELL MEAN
+    * (guard-rounded squared-L2, lowest-bkt ties — the probe geometry,
+    * since the index persists means, not the Lloyd centers), takes its
+    * residual there, and encodes per subspace against the FROZEN `cb_j`
+    * codebooks (no `ini2`/recenter — the books never retrain). The
+    * serve tail probes the UNION of built and added rows with a
+    * `vec_id % 4 = 1` query panel.
+    */
+  private def ivfPqResAddOracleSql: String = {
+    val m = 4; val dsub = 16; val kSub = 16
+    val subCtes = (0 until m)
+      .map(j => pqSubCte(j, dsub, kSub, src = "res", vcol = "rv"))
+      .mkString(", ")
+    val rcJoins = (1 until m)
+      .map(j => s"JOIN rc$j r$j USING (vec_id)").mkString(" ")
+    val rcConcat = (0 until m).map(j => s"r$j.r").mkString(" || ")
+    val addSubCtes = (0 until m).map { j =>
+      val lo = j * dsub + 1
+      val hi = (j + 1) * dsub
+      s"""sub2$j AS (
+         |  SELECT vec_id, rv[$lo:$hi] AS sv FROM res2
+         |  WHERE rv IS NOT NULL
+         |), dz2$j AS (
+         |  SELECT s.vec_id, k.cj,
+         |    round(list_inner_product(s.sv, s.sv)
+         |      - 2 * list_inner_product(s.sv, k.c)
+         |      + list_inner_product(k.c, k.c) + 1e-9, 6) AS dist
+         |  FROM sub2$j s CROSS JOIN cb$j k
+         |), afx2$j AS (
+         |  SELECT vec_id, cj AS b FROM (
+         |    SELECT vec_id, cj,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cj) AS rn
+         |    FROM dz2$j WHERE dist IS NOT NULL) WHERE rn = 1
+         |), rc2$j AS (
+         |  SELECT a.vec_id, c.c AS r FROM afx2$j a JOIN cb$j c ON c.cj = a.b
+         |)""".stripMargin
+    }.mkString(", ")
+    val rc2Joins = (1 until m)
+      .map(j => s"JOIN rc2$j r$j USING (vec_id)").mkString(" ")
+    val rc2Concat = (0 until m).map(j => s"r$j.r").mkString(" || ")
+    s"""WITH ${lloydAfCteWhere(" AND vec_id % 2 = 0")}, cb AS (
+       |  SELECT af.b, t.i AS i, avg(e.v[t.i]) AS c
+       |  FROM e JOIN af USING (vec_id),
+       |    unnest(range(1, len(e.v) + 1)) AS t(i)
+       |  GROUP BY af.b, t.i
+       |), cbl AS (
+       |  SELECT b, list(c ORDER BY i) AS cv FROM cb GROUP BY b
+       |), res AS (
+       |  SELECT e.vec_id,
+       |    list_transform(range(1, len(e.v) + 1),
+       |      i -> e.v[i] - cl.cv[i]) AS rv
+       |  FROM e JOIN af USING (vec_id) JOIN cbl cl ON cl.b = af.b
+       |), $subCtes, rcat AS (
+       |  SELECT r0.vec_id, $rcConcat AS rc
+       |  FROM rc0 r0 $rcJoins
+       |), ae AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL AND vec_id % 2 = 1
+       |), adst AS (
+       |  SELECT a.vec_id, c.b,
+       |    round(list_inner_product(a.v, a.v)
+       |      - 2 * list_inner_product(a.v, c.cv)
+       |      + list_inner_product(c.cv, c.cv) + 1e-9, 6) AS dist
+       |  FROM ae a CROSS JOIN cbl c
+       |), aasn AS (
+       |  SELECT vec_id, b FROM (
+       |    SELECT vec_id, b,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, b) AS rn
+       |    FROM adst WHERE dist IS NOT NULL) WHERE rn = 1
+       |), res2 AS (
+       |  SELECT a.vec_id,
+       |    list_transform(range(1, len(a.v) + 1),
+       |      i -> a.v[i] - cl.cv[i]) AS rv
+       |  FROM ae a JOIN aasn ON aasn.vec_id = a.vec_id
+       |  JOIN cbl cl ON cl.b = aasn.b
+       |), $addSubCtes, rcat2 AS (
+       |  SELECT r0.vec_id, $rc2Concat AS rc
+       |  FROM rc20 r0 $rc2Joins
+       |), afall AS (
+       |  SELECT vec_id, b FROM af UNION ALL SELECT vec_id, b FROM aasn
+       |), rcall AS (
+       |  SELECT vec_id, rc FROM rcat
+       |  UNION ALL SELECT vec_id, rc FROM rcat2
+       |), qe AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL AND vec_id % 4 = 1
+       |), cbu AS (
+       |  SELECT b,
+       |    list_transform(cv,
+       |      x -> x / NULLIF(sqrt(list_inner_product(cv, cv)), 0)) AS cu
+       |  FROM cbl
+       |), uva AS (
+       |  SELECT vec_id,
+       |    list_transform(v,
+       |      x -> x / NULLIF(sqrt(list_inner_product(v, v)), 0)) AS q
+       |  FROM e
+       |  UNION ALL
+       |  SELECT vec_id,
+       |    list_transform(v,
+       |      x -> x / NULLIF(sqrt(list_inner_product(v, v)), 0)) AS q
+       |  FROM ae
+       |), uvq AS (
+       |  SELECT vec_id,
+       |    list_transform(v,
+       |      x -> x / NULLIF(sqrt(list_inner_product(v, v)), 0)) AS q
+       |  FROM qe
+       |), probes AS (
+       |  SELECT vec_id AS query_id, b FROM (
+       |    SELECT u.vec_id, c.b,
+       |      row_number() OVER (PARTITION BY u.vec_id
+       |        ORDER BY round(list_inner_product(u.q, c.cu) + 1e-9, 6)
+       |          DESC, c.b) AS pr
+       |    FROM uvq u CROSS JOIN cbu c) WHERE pr <= 2
+       |), mem AS (
+       |  SELECT vec_id,
+       |    row_number() OVER (PARTITION BY b
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |  FROM afall
+       |), approx AS (
+       |  SELECT p.query_id, c.vec_id AS neighbor_id,
+       |    round(list_inner_product(q.v, f.fv) /
+       |      (NULLIF(sqrt(list_inner_product(q.v, q.v)), 0) *
+       |       NULLIF(sqrt(list_inner_product(f.fv, f.fv)), 0))
+       |      + 1e-9, 6) AS approx
+       |  FROM probes p
+       |  JOIN qe q ON q.vec_id = p.query_id
+       |  JOIN afall c ON c.b = p.b AND c.vec_id <> p.query_id
+       |  JOIN mem mb ON mb.vec_id = c.vec_id AND mb.rn <= 40
+       |  JOIN cbl pc ON pc.b = p.b
+       |  LEFT JOIN rcall rr ON rr.vec_id = c.vec_id,
+       |  LATERAL (SELECT list_transform(range(1, len(pc.cv) + 1),
+       |      i -> pc.cv[i] + rr.rc[i]) AS fv) f
+       |), short AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY approx DESC, neighbor_id) AS ar
+       |  FROM approx
+       |), cand AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    round(list_inner_product(qa.q, qb.q) + 1e-9, 6) AS cosine
+       |  FROM short s
+       |  JOIN uvq qa ON qa.vec_id = s.query_id
+       |  JOIN uva qb ON qb.vec_id = s.neighbor_id
+       |  WHERE s.ar <= 15
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM cand
+       |)
+       |SELECT * FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** The `q_hard_negatives` oracle — [[ivfPqResSearchOracleSql]]'s ranked
     * retrieval with the mining tail: rank-1 as pseudo-positive, ranks 2..k
     * as negatives with their cosine margin below the positive (the
@@ -1031,6 +1188,42 @@ object NorthStarQueries {
         "embedding", k = AnnCellK, iters = AnnCellIters, bucketCol = "kb")
       Similarity.ivfPqResSearch(bucketed, queries, "vec_id", "embedding",
           "kb", k = 5, nProbe = 2, dim = 64, m = 4, kSub = 16, iters = 1,
+          overfetch = 3, maxBucket = 40)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Incremental index growth inside the hash gate: the index is BUILT
+    // on the even-id half (cells, cell means, residual codebooks, codes),
+    // the odd half is ADDED under the FROZEN geometry via the exact
+    // AnnIndex.add kernel (encodeFrozen — nearest cell mean, frozen-book
+    // residual codes), and a vec_id % 4 == 1 panel probes the augmented
+    // index through the standard serve plan. A hash match certifies the
+    // faiss-add() contract end-to-end: training restricted to the built
+    // half, added codes bit-compatible, one probe serving both.
+    "q_ann_index_add" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val corpus = emb.filter(col("vec_id") % 2 === 0)
+      val added = emb.filter(col("vec_id") % 2 === 1)
+      val bucketed = Similarity.kmeansBuckets(corpus, "vec_id",
+        "embedding", k = AnnCellK, iters = AnnCellIters, bucketCol = "kb")
+      val (cents, coded1, unit1, books) =
+        Similarity.ivfPqResIndexParts(bucketed, "vec_id", "embedding",
+          "kb", dim = 64, m = 4, kSub = 16, iters = 1).get
+      val centPairs = cents.select(col("bkt"), col("cvec"))
+        .orderBy(col("bkt")).collect()
+        .map(r => r.getAs[Int]("bkt") -> r.getSeq[Double](1).toArray)
+      val vd = col("embedding").cast("array<double>")
+      val coded2 = graft.ext.AnnIndex.encodeFrozen(
+        added.filter(vd.isNotNull)
+          .select(col("vec_id").as("uid"), vd.as("v")),
+        centPairs, cents, books, dsub = 16)
+      val unit2 = added.select(col("vec_id").as("uid"),
+        Similarity.unitVec(col("embedding")).as("uvec"))
+      val queries = emb.filter(col("vec_id") % 4 === 1)
+        .select(col("vec_id"), col("embedding"))
+      Similarity.ivfPqResServe(cents, coded1.unionByName(coded2),
+          unit1.unionByName(unit2), queries, "vec_id", "embedding",
+          books.map(_.flatten), kSub = 16, k = 5, nProbe = 2,
           overfetch = 3, maxBucket = 40)
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -1934,6 +2127,8 @@ object NorthStarQueries {
          |  AND ap.neighbor_id = ex.neighbor_id
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_ann_search" -> ivfPqResSearchOracleSql,
+
+    "q_ann_index_add" -> ivfPqResAddOracleSql,
     "q_hard_negatives" -> hardNegativesOracleSql,
 
     "q_domain_sample" ->

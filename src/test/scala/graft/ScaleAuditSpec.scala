@@ -70,6 +70,14 @@ class ScaleAuditSpec extends SparkSpec {
         "and query roles split — the external query stream crosses only " +
         "the |cells|-row codebook; all candidate/re-rank joins stay " +
         "equi-joins"),
+    "q_ann_index_add" ->
+      ("q_ann_search's probe-stage centroid-codebook broadcast, " +
+        "inherited unchanged, plus the frozen-geometry add-encode's " +
+        "|cells|-row centroid broadcast under the delta stream (the " +
+        "AnnIndex.add kernel — a codebook scalar attach, not a pair " +
+        "explosion); every candidate/re-rank join stays equi-key and " +
+        "the added codes join the serve plan by the same bucket " +
+        "equi-key as built codes"),
     "q_rolling_actives" ->
       ("range join with the |days|-sized calendar pinned as the BROADCAST " +
         "side; fan-out bounded at 7 calendar rows per activity row"),

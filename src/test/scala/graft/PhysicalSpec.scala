@@ -170,6 +170,27 @@ class PhysicalSpec extends SparkSpec {
       s"rollup should reuse the window partitioning:\n$rollPlan")
   }
 
+  test("shardTokens: the shard aggregate reuses the offset window's " +
+    "stream-key exchange — token rows never reshuffle") {
+    import spark.implicits._
+    // enough rows that AQE cannot collapse everything into one partition
+    // before the window (which would make the claim vacuous)
+    val enc = (1L to 500L).map(i =>
+        (s"s${i % 7}", i, 3L, Seq(i.toInt, -i.toInt, 0)))
+      .toDF("stream", "id", "n_tokens", "token_ids")
+    val df = graft.ext.Packing.shardTokens(enc, Seq("stream"), "id", 4)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // exactly ONE hash exchange (the window's, on the stream key): the
+    // (stream, shard) aggregate is clustered by any partitioning on the
+    // stream key, so the corpus-token-sized posexplode output must flow
+    // into the aggregate WITHOUT its own shuffle — the documented scale
+    // property of the shard writer (scaladoc + SCALING.md round 13)
+    assert(plan.linesIterator.count(_.contains("Exchange hash")) == 1,
+      s"token rows reshuffled — the window exchange was not reused:\n$plan")
+  }
+
   test("count-min: sketch broadcasts, scan reads only the key, top-k is " +
     "TakeOrderedAndProject") {
     val df = SparkEntry.queries("q_countmin")(spark, TestSpark.sf0001)

@@ -48,11 +48,40 @@ object Ranks {
                        nTiles: Int, tileCol: String = "tile",
                        buckets: Int = 32): DataFrame = {
     require(nTiles > 0, s"nTiles=$nTiles must be positive")
+    require(!df.columns.contains(tileCol),
+      s"input already has a $tileCol column — pass a different tileCol")
+    val (ranked, n) = distributedRankWithCount(df, valueCol, tieCols,
+      rankCol = "__gr", buckets = buckets)
+    val nt = n / nTiles
+    val rem = n % nTiles
+    val rank = col("__gr")
+    // integer ceil-division split; when n < nTiles, nt = 0 and every rank
+    // takes the first branch (tile = rank), matching ntile
+    val tile = when(rank <= lit(rem * (nt + 1)),
+        floor((rank + lit(nt)) / lit(nt + 1)))
+      .otherwise(lit(rem) + floor((rank - lit(rem * (nt + 1))
+        + lit(nt) - 1) / lit(math.max(nt, 1L))))
+    ranked.withColumn(tileCol, tile.cast("int")).drop("__gr")
+  }
+
+  /** `df` plus an exact 1-based GLOBAL rank (long `rankCol`) over
+    * `ORDER BY valueCol, tieCols…` — the bucketed shape above without
+    * the ntile mapping, plus the total row count (a free by-product of
+    * the offset pass, so callers chaining on the count — e.g.
+    * [[graft.api.Graft.withIngestIds]]'s next-base — pay no extra job).
+    * Same contracts as [[distributedNtile]]: `valueCol` numeric, NULLs
+    * rank first, `tieCols` must make the order unique for the rank to
+    * be deterministic, and the input stays session-cached.
+    */
+  def distributedRankWithCount(df: DataFrame, valueCol: String,
+                               tieCols: Seq[String],
+                               rankCol: String = "rank",
+                               buckets: Int = 32): (DataFrame, Long) = {
     require(buckets > 0, s"buckets=$buckets must be positive")
     require(!df.columns.contains("__b"),
       "input already has a __b column — rename it before ranking")
-    require(!df.columns.contains(tileCol),
-      s"input already has a $tileCol column — pass a different tileCol")
+    require(!df.columns.contains(rankCol),
+      s"input already has a $rankCol column — pass a different rankCol")
     val cached = df.scopedCache() // three consumers: cuts, counts, the rank plan
     val cuts = cached.stat
       .approxQuantile(valueCol, (1 until buckets).map(_.toDouble / buckets)
@@ -73,17 +102,9 @@ object Ranks {
     val offset = offsets.foldRight(lit(0L)) { case ((b, o), els) =>
       when(col("__b") === b, lit(o)).otherwise(els)
     }
-    val nt = n / nTiles
-    val rem = n % nTiles
     val order = col(valueCol) +: tieCols.map(col)
     val rank = offset + row_number().over(
       Window.partitionBy(col("__b")).orderBy(order: _*))
-    // integer ceil-division split; when n < nTiles, nt = 0 and every rank
-    // takes the first branch (tile = rank), matching ntile
-    val tile = when(rank <= lit(rem * (nt + 1)),
-        floor((rank + lit(nt)) / lit(nt + 1)))
-      .otherwise(lit(rem) + floor((rank - lit(rem * (nt + 1))
-        + lit(nt) - 1) / lit(math.max(nt, 1L))))
-    withB.withColumn(tileCol, tile.cast("int")).drop("__b")
+    (withB.withColumn(rankCol, rank.cast("long")).drop("__b"), n)
   }
 }

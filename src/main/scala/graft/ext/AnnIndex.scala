@@ -1,7 +1,10 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
 
 /** Persisted ANN index: build once from a corpus, serve queries many
   * times without re-learning anything — the deployment lifecycle the
@@ -20,8 +23,23 @@ import org.apache.spark.sql.functions._
   * dir/codes      (bkt INT, uid, code ARRAY<INT>) one row per vector
   * dir/vectors    (uid, uvec ARRAY<DOUBLE>)       one row per vector
   * dir/books      (j INT, cj INT, center ARRAY<DOUBLE>)  m·kSub rows
-  * dir/params     (dim INT, m INT, kSub INT, n_cells INT) one row
+  * dir/params     (dim, m, kSub, n_centers, n_base, format_version) 1 row
+  * dir/uidbloom   (format_version, expected_items, fpp, bloom BINARY) 1 row
+  * dir/addstate   (n_added BIGINT) 1 row, written/advanced by add()
   * }}}
+  *
+  * `format_version` (the [[NbClassifier]]/[[Bpe]] artifact convention) is
+  * 1; params/uidbloom rows missing the column are pre-versioning
+  * artifacts and load with fallback behavior (no bloom → full-scan dup
+  * guard; no n_base → no staleness guard). `uidbloom` is a Bloom filter
+  * over the LONG uids of every vector ever written (over-approximation by
+  * construction — it is written BEFORE the row appends, so a failed add
+  * leaves stale positives that the exact confirm clears, never false
+  * negatives). It exists so [[add]]'s duplicate-id guard is DELTA-sized:
+  * without it every nightly add pays a full index scan. Sketch size is
+  * O(n) bits (~1.2 MB per million uids at fpp 0.01) — within the codebook
+  * driver-side allowance for any index whose codes fit a cluster; shard
+  * the index itself before the bloom is the bottleneck.
   *
   * [[search]] reloads the codebooks to the driver (m·kSub·dsub = k·dim
   * doubles — the codebook allowance every ANN operator shares) and runs
@@ -31,6 +49,12 @@ import org.apache.spark.sql.functions._
   * spec asserts.
   */
 object AnnIndex {
+
+  /** Artifact format version stamped into `params` and `uidbloom`
+    * (missing column = version 0, the pre-r14 layout, accepted). */
+  val FormatVersion = 1
+
+  private val BloomFpp = 0.01
 
   /** Learn and persist the index. The corpus must carry a coarse cell
     * column (from [[Similarity.kmeansBuckets]] or any bucketing).
@@ -54,10 +78,63 @@ object AnnIndex {
       cs.zipWithIndex.map { case (c, cj) => (j, cj, c.toSeq) }
     }.toSeq.toDF("j", "cj", "center")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/books")
-    Seq((dim, m, kSub, books(0).length))
-      .toDF("dim", "m", "kSub", "n_centers")
+    // footer-stats count over the just-written codes (cheap) = the base
+    // size the add() staleness guard measures growth against
+    val nBase = spark.read.parquet(s"$dir/codes").count()
+    Seq((dim, m, kSub, books(0).length, nBase, FormatVersion))
+      .toDF("dim", "m", "kSub", "n_centers", "n_base", "format_version")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+    // uid bloom — only for integral uid columns (the bloom probe hashes
+    // longs); other key types fall back to add()'s full-scan dup guard
+    if (isIntegral(coded.schema("uid").dataType))
+      writeBloom(spark, dir,
+        buildBloom(coded, math.max(2L * nBase, 1024L), BloomFpp),
+        math.max(2L * nBase, 1024L), BloomFpp)
   }
+
+  private def isIntegral(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType => true
+    case _ => false
+  }
+
+  private[graft] def buildBloom(withUid: DataFrame, expectedItems: Long,
+                         fpp: Double): org.apache.spark.util.sketch.BloomFilter =
+    withUid.select(col("uid").cast("long").as("uid"))
+      .stat.bloomFilter("uid", expectedItems, fpp)
+
+  private[graft] def writeBloom(spark: SparkSession, dir: String,
+                         bf: org.apache.spark.util.sketch.BloomFilter,
+                         expectedItems: Long, fpp: Double): Unit = {
+    import spark.implicits._
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out)
+    Seq((FormatVersion, expectedItems, fpp, out.toByteArray))
+      .toDF("format_version", "expected_items", "fpp", "bloom")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/uidbloom")
+  }
+
+  private[graft] def readBloom(spark: SparkSession, dir: String)
+      : Option[(org.apache.spark.util.sketch.BloomFilter, Long, Double)] = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/uidbloom")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) None
+    else {
+      val row = spark.read.parquet(s"$dir/uidbloom").head()
+      val bytes = row.getAs[Array[Byte]]("bloom")
+      Some((org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes)),
+        row.getAs[Long]("expected_items"), row.getAs[Double]("fpp")))
+    }
+  }
+
+  private def requireVersion(row: org.apache.spark.sql.Row,
+                             what: String): Unit =
+    if (row.schema.fieldNames.contains("format_version")) {
+      val v = row.getAs[Int]("format_version")
+      require(v == FormatVersion,
+        s"AnnIndex: $what format_version $v is not the supported " +
+          s"$FormatVersion — rebuild the index with this library version")
+    } // absent = pre-versioning artifact, accepted with fallback behavior
 
   /** INCREMENTAL index maintenance — the faiss `add()` contract: encode
     * `newVectors` under the index's FROZEN geometry (no retraining, no
@@ -75,15 +152,38 @@ object AnnIndex {
     * the two geometries converge with `iters` — and probe-side
     * consistency is what recall actually depends on.
     *
-    * Loud guards: wrong-dimension vectors and ids already present in
-    * the index both fail (a duplicate uid would fan out the exact
-    * re-rank join). Batch semantics: plain append-mode parquet — rerun
-    * of a failed add can duplicate rows; dedup the input by id per
-    * attempt or rebuild (same contract as any parquet append).
+    * Guards, all loud:
+    *  - wrong-dimension vectors fail (cannot encode under the geometry);
+    *  - uids already present in `codes` fail (a duplicate would fan out
+    *    the exact re-rank join). The membership probe is DELTA-sized
+    *    when the index carries a uid bloom: only bloom HITS pay an exact
+    *    confirm against `codes` (false positives are cleared there) —
+    *    a fresh-uid nightly add never scans the index. Pre-bloom
+    *    indexes fall back to the full semi-join.
+    *  - STALENESS: recall under frozen geometry decays as the vector
+    *    distribution drifts from the frozen cells/books (measured curve
+    *    in SCALING.md — recall@5 vs added fraction). `maxAddedFraction`
+    *    bounds cumulative adds relative to the build size (`n_base`):
+    *    exceeding it fails with a rebuild instruction. The counter rides
+    *    `dir/addstate`.
+    *
+    * Failure/retry semantics (writes ordered bloom → vectors → codes →
+    * addstate, each a single parquet job): the bloom over-approximates
+    * (written first — a failed add leaves stale positives, cleared by
+    * the exact confirm; never false negatives), an orphaned `vectors`
+    * row (vectors committed, codes failed) is INERT for search
+    * (candidates come from codes) and is SKIPPED on retry rather than
+    * duplicated, so a rerun of a failed add CONVERGES to exactly-once.
+    * A rerun after a fully-applied add correctly fails the duplicate
+    * guard; if only the addstate bookkeeping write was lost, the
+    * staleness counter undercounts by that one delta (guard slack, not
+    * corruption).
     */
   def add(spark: SparkSession, dir: String, newVectors: DataFrame,
-          idCol: String, vecCol: String): Unit = {
+          idCol: String, vecCol: String,
+          maxAddedFraction: Double = 2.0): Unit = {
     val params = spark.read.parquet(s"$dir/params").head()
+    requireVersion(params, "params")
     val dim = params.getAs[Int]("dim")
     val m = params.getAs[Int]("m")
     val centFrame = spark.read.parquet(s"$dir/centroids")
@@ -103,17 +203,76 @@ object AnnIndex {
     val vd = col(vecCol).cast("array<double>")
     val newV = newVectors.filter(vd.isNotNull)
       .select(col(idCol).as("uid"), vd.as("v"))
+      .transform(CacheScope.cache) // guards + two appends read it
     require(newV.filter(size(col("v")) =!= dim).isEmpty,
       s"AnnIndex.add: input carries vectors whose dimension != $dim " +
         "(the index geometry) — they cannot be encoded")
-    require(newV.join(spark.read.parquet(s"$dir/codes").select(col("uid")),
-        Seq("uid"), "left_semi").isEmpty,
-      "AnnIndex.add: input ids already exist in the index — a duplicate " +
-        "uid would fan out the exact re-rank join; re-id or rebuild")
+    val deltaN = newV.count()
+    // staleness guard: cumulative adds vs the build size (see SCALING.md
+    // recall-vs-added-fraction curve for where the default comes from)
+    val nBase =
+      if (params.schema.fieldNames.contains("n_base"))
+        Some(params.getAs[Long]("n_base"))
+      else None
+    val addPath = new org.apache.hadoop.fs.Path(s"$dir/addstate")
+    val fs = addPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nAdded =
+      if (fs.exists(addPath))
+        spark.read.parquet(s"$dir/addstate").head().getAs[Long]("n_added")
+      else 0L
+    nBase.foreach { nb =>
+      require(nAdded + deltaN <= maxAddedFraction * nb,
+        s"AnnIndex.add: cumulative adds (${nAdded + deltaN}) would exceed " +
+          s"$maxAddedFraction of the build size ($nb) — recall under the " +
+          "frozen geometry decays with added fraction (SCALING.md curve); " +
+          "REBUILD the index over the grown corpus, or raise " +
+          "maxAddedFraction if the measured recall decay is acceptable")
+    }
+    // duplicate-id / orphan guards, delta-sized via the uid bloom: only
+    // uids the bloom claims to have seen pay the exact confirm scans
+    val bloom = readBloom(spark, dir)
+    val uidIntegral = isIntegral(newV.schema("uid").dataType)
+    val cands = (bloom, uidIntegral) match {
+      case (Some((bf, _, _)), true) =>
+        val out = new java.io.ByteArrayOutputStream()
+        bf.writeTo(out)
+        newV.filter(ColumnBridge.column(BloomFilterMightContain(
+          Literal(out.toByteArray, BinaryType),
+          ColumnBridge.expression(col("uid").cast("long")))))
+          .select(col("uid"))
+      case _ => newV.select(col("uid")) // pre-bloom / non-integral: full scan
+    }
+    val candsEmpty = cands.isEmpty
+    if (!candsEmpty) {
+      require(spark.read.parquet(s"$dir/codes").select(col("uid"))
+          .join(cands, Seq("uid"), "left_semi").isEmpty,
+        "AnnIndex.add: input ids already exist in the index — a duplicate " +
+          "uid would fan out the exact re-rank join; re-id or rebuild")
+    }
+    // orphaned vectors rows (a prior add wrote vectors, then failed
+    // before codes): skip them on the vectors append — same bytes would
+    // be rewritten (unitVec is deterministic), so skipping converges the
+    // retry to exactly-once instead of fanning out the re-rank join
+    val orphanFree =
+      if (candsEmpty) newV
+      else newV.join(spark.read.parquet(s"$dir/vectors").select(col("uid"))
+        .join(cands, Seq("uid"), "left_semi"), Seq("uid"), "left_anti")
+    // write order: bloom first (over-approximation is safe; a missing uid
+    // would be a false NEGATIVE on retry), vectors before codes (orphan
+    // vectors are inert; orphan codes would vanish from the re-rank)
+    if (uidIntegral) bloom match {
+      case Some((bf, expected, fpp)) =>
+        bf.mergeInPlace(buildBloom(newV, expected, fpp))
+        writeBloom(spark, dir, bf, expected, fpp)
+      case None => () // pre-bloom index: stay bloomless (build writes it)
+    }
+    orphanFree.select(col("uid"), Similarity.unitVec(col("v")).as("uvec"))
+      .write.mode("append").parquet(s"$dir/vectors")
     encodeFrozen(newV, centPairs, centFrame, books, dim / m)
       .write.mode("append").parquet(s"$dir/codes")
-    newV.select(col("uid"), Similarity.unitVec(col("v")).as("uvec"))
-      .write.mode("append").parquet(s"$dir/vectors")
+    import spark.implicits._
+    Seq(nAdded + deltaN).toDF("n_added")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/addstate")
   }
 
   /** The frozen-geometry encode kernel [[add]] and the oracled
@@ -150,6 +309,7 @@ object AnnIndex {
              overfetch: Int = 3,
              maxBucket: Int = Int.MaxValue): DataFrame = {
     val params = spark.read.parquet(s"$dir/params").head()
+    requireVersion(params, "params")
     val m = params.getAs[Int]("m")
     val kSub = params.getAs[Int]("kSub")
     val bookRows = spark.read.parquet(s"$dir/books")

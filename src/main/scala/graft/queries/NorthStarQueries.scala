@@ -169,24 +169,30 @@ object NorthStarQueries {
     * the 52-vector sample, and the final `af` assignment covers every
     * vector — the 100 TB codebook posture under the hash gate.
     *
-    * DELIBERATELY UNMIRRORED: `lloydCenters`' empty-sample fallback
-    * (Similarity.scala — when the 10% hash bucket catches ZERO vectors,
-    * Spark retrains on the full corpus rather than returning no centers)
-    * has no CTE twin, so on a degenerate fixture whose sample is empty
-    * the two sides would diverge (the oracle's `es`-fed init is empty →
-    * zero result rows). The gate fixtures catch 52 vectors, so the
-    * fallback never fires here; a fixture change that empties the
-    * sample must extend `es` with a COALESCE-to-full-corpus init before
-    * this query can stay hash-exact.
+    * The empty-sample fallback IS mirrored: `lloydCenters`
+    * (Similarity.scala) retrains on the full corpus when the 10% hash
+    * bucket catches ZERO vectors (rather than returning no centers),
+    * and `es` here coalesces to the full corpus in exactly that case —
+    * `es0` is the sample, and the UNION ALL branch re-admits every `e`
+    * row only when `es0` is empty. The gate fixtures catch 52 vectors,
+    * so the branch is dormant there, but a degenerate fixture stays
+    * hash-exact instead of diverging (the Spark twin of the fallback is
+    * spec-pinned: sampled training on an empty-sample corpus equals
+    * full-corpus training).
     */
   private def lloydAfSampledCte: String =
     s"""e AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
       |  WHERE embedding IS NOT NULL
-      |), es AS (
+      |), es0 AS (
       |  SELECT vec_id, v FROM e
       |  WHERE ('0x' || substr(md5('lloyd:' || CAST(vec_id AS VARCHAR)),
       |    1, 8))::BIGINT % 10000 < 1000
+      |), es AS (
+      |  SELECT vec_id, v FROM es0
+      |  UNION ALL
+      |  SELECT vec_id, v FROM e
+      |  WHERE (SELECT count(*) FROM es0) = 0
       |), init AS (""".stripMargin + lloydAfCteTailFrom("es")
 
   /** One subspace of the PQ quantizer as a DuckDB CTE chain mirroring

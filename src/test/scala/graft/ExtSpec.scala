@@ -260,6 +260,34 @@ class SimilaritySpec extends SparkSpec {
       "degenerate trainFraction must fall back, not null-bucket")
   }
 
+  test("lloydCenters empty-sample fallback EQUALS full-corpus training — " +
+    "the semantics the q_ann_ivf_sampled oracle's es UNION branch mirrors") {
+    // a fixture whose ids ALL hash outside the 10% lloyd bucket: the
+    // sampled path must not merely avoid null buckets, it must produce
+    // the IDENTICAL assignment as trainFraction = 1.0 (full-corpus init
+    // + recenters), because that is what the oracle CTE coalesces to
+    val dim = 8
+    val all = (0L until 4000L).toDF("vec_id")
+      .withColumn("b10k",
+        graft.ext.Sampling.hashBucket(col("vec_id"), "lloyd",
+          buckets = 10000))
+    val outsideIds = all.filter(col("b10k") >= 1000).limit(60)
+      .collect().map(_.getLong(0))
+    assert(outsideIds.length == 60, "fixture needs 60 out-of-sample ids")
+    val rows = outsideIds.zipWithIndex.map { case (id, i) =>
+      (id, Array.tabulate(dim)(d =>
+        math.sin((d + 1) * (i % 5 + 1) * 0.7391).toFloat))
+    }.toSeq
+    val df = rows.toDF("vec_id", "embedding")
+    def buckets(f: Double): Map[Long, Int] =
+      Similarity.kmeansBuckets(df, "vec_id", "embedding", k = 3,
+        iters = 2, trainFraction = f)
+        .select("vec_id", "bucket").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(buckets(0.1) == buckets(1.0),
+      "empty-sample fallback must reproduce full-corpus training exactly")
+  }
+
   test("trainFraction end-to-end: the composed residual IVF-PQ facade " +
     "path holds recall with 0.1-fraction codebook training") {
     // the full production index shape (coarse cells + residual
@@ -744,6 +772,91 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(eDim.getMessage.contains("dimension"),
       s"wrong failure mode: ${eDim.getMessage}")
+  }
+
+  test("AnnIndex artifacts: versioned params, uid bloom, staleness " +
+    "guard, and a failed-add retry that converges to exactly-once") {
+    import spark.implicits._
+    val A = graft.ext.AnnIndex
+    val emb = graft.io.Tables.embeddings(spark, TestSpark.sf0001)
+    val half1 = emb.filter(col("vec_id") % 2 === 0)
+    val half2 = emb.filter(col("vec_id") % 2 === 1)
+    val bucketed = Similarity.kmeansBuckets(half1, "vec_id", "embedding",
+      k = 8, iters = 2, bucketCol = "kb")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-annart").toString
+    A.build(bucketed, "vec_id", "embedding", "kb", dir, dim = 64)
+    // versioned params + base count + bloom artifact exist after build
+    val params = spark.read.parquet(s"$dir/params").head()
+    assert(params.getAs[Int]("format_version") == A.FormatVersion)
+    val nBase = params.getAs[Long]("n_base")
+    assert(nBase == half1.count())
+    val Some((bf0, expected, fpp)) = A.readBloom(spark, dir)
+    assert(half1.select(col("vec_id")).collect()
+      .forall(r => bf0.mightContainLong(r.getLong(0))),
+      "bloom must contain every built uid (no false negatives)")
+    // SIMULATED FAILED ADD — replicate add()'s own write order (bloom,
+    // then vectors) and die before codes: the orphan vectors rows are
+    // inert and the bloom over-approximates
+    val orphan = half2.orderBy(col("vec_id")).limit(3)
+      .select(col("vec_id").as("uid"),
+        col("embedding").cast("array<double>").as("v"))
+    bf0.mergeInPlace(A.buildBloom(orphan, expected, fpp))
+    A.writeBloom(spark, dir, bf0, expected, fpp)
+    orphan.select(col("uid"), Similarity.unitVec(col("v")).as("uvec"))
+      .write.mode("append").parquet(s"$dir/vectors")
+    // RETRY: the full half2 add must converge — orphaned vectors rows
+    // are skipped (no duplicate uvec rows to fan out the re-rank), every
+    // half2 uid gets exactly one code, and the dup guard does NOT fire
+    // (the orphans' uids are bloom hits but absent from codes)
+    A.add(spark, dir, half2, "vec_id", "embedding")
+    val vDup = spark.read.parquet(s"$dir/vectors")
+      .groupBy(col("uid")).count().filter(col("count") > 1)
+    assert(vDup.isEmpty, "retry duplicated a vectors row")
+    val cDup = spark.read.parquet(s"$dir/codes")
+      .groupBy(col("uid")).count().filter(col("count") > 1)
+    assert(cDup.isEmpty, "retry duplicated a codes row")
+    assert(spark.read.parquet(s"$dir/codes").count() ==
+      half1.count() + half2.count())
+    // the addstate counter advanced; a further add past the staleness
+    // bound fails loudly with the rebuild instruction
+    assert(spark.read.parquet(s"$dir/addstate").head()
+      .getAs[Long]("n_added") == half2.count())
+    val eStale = intercept[IllegalArgumentException] {
+      A.add(spark, dir,
+        Seq((987654321L, Array.fill(64)(0.5f).toSeq))
+          .toDF("vec_id", "embedding"),
+        "vec_id", "embedding", maxAddedFraction = 0.5)
+    }
+    assert(eStale.getMessage.contains("REBUILD"),
+      s"wrong failure mode: ${eStale.getMessage}")
+    // pre-bloom index (artifact deleted): the dup guard falls back to
+    // the full semi-join — same loud failure, same fresh-add success
+    val dirOld = java.nio.file.Files
+      .createTempDirectory("graft-annart-old").toString
+    A.build(bucketed, "vec_id", "embedding", "kb", dirOld, dim = 64)
+    val bloomPath = new java.io.File(s"$dirOld/uidbloom")
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    rmrf(bloomPath)
+    val eDupOld = intercept[IllegalArgumentException] {
+      A.add(spark, dirOld, half1.limit(1), "vec_id", "embedding")
+    }
+    assert(eDupOld.getMessage.contains("already exist"))
+    A.add(spark, dirOld, half2.limit(5), "vec_id", "embedding")
+    assert(spark.read.parquet(s"$dirOld/codes").count() ==
+      half1.count() + 5)
+    // unsupported format version fails loudly on search AND add
+    Seq((64, 4, 16, 8, nBase, 99))
+      .toDF("dim", "m", "kSub", "n_centers", "n_base", "format_version")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dirOld/params")
+    val eVer = intercept[IllegalArgumentException] {
+      A.search(spark, dirOld,
+        emb.limit(2).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", k = 1)
+    }
+    assert(eVer.getMessage.contains("format_version"))
   }
 
   test("PqResAdcCosine: reconstruction identity, null contracts") {

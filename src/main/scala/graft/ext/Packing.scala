@@ -145,8 +145,9 @@ object Packing {
       require(bad.isEmpty,
         s"shardTokensDelta: delta contains ids at or below a stream's " +
           "max seen id — deltas must arrive id-ordered per stream for " +
-          "the incremental≡batch contract. Re-id the delta, or pass " +
-          "checkIdOrder = false to accept shard-order divergence")
+          "the incremental≡batch contract. Re-id the delta " +
+          "(graft.api.Graft.withIngestIds), or pass checkIdOrder = false " +
+          "to accept shard-order divergence")
     }
     val withOff = packByOffset(encoded, streamCols, idCol, "n_tokens",
       ctxTokens)

@@ -231,7 +231,11 @@ object StreamingCorpus {
     * the writer's close(): reads the newest committed state and emits
     * each stream's tail via [[Packing.shardTokensFlush]]. Returns an
     * empty frame when no state exists or every stream ended
-    * shard-aligned.
+    * shard-aligned — ALWAYS with the shard schema `(streamCol,
+    * shard_id, n_tokens, token_ids)` (stream column string-typed in the
+    * no-state case, where no source schema exists to read it from), so
+    * the documented `unionByName`-with-published-shards consumer pattern
+    * contributes zero rows instead of throwing on a zero-column frame.
     */
   def flushShards(spark: SparkSession, outDir: String, streamCol: String,
                   ctxTokens: Int = 256): DataFrame =
@@ -239,8 +243,50 @@ object StreamingCorpus {
       case Some(st) =>
         Packing.shardTokensFlush(st, Seq(streamCol), ctxTokens)
       case None =>
-        spark.emptyDataFrame
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(
+            StructField(streamCol, StringType),
+            StructField("shard_id", LongType),
+            StructField("n_tokens", LongType),
+            StructField("token_ids", ArrayType(IntegerType)))))
     }
+
+  /** The batch_id partition value [[closeShards]] publishes tails under:
+    * numerically above any real micro-batch id, so partition discovery
+    * keeps inferring a LONG batch_id column and time-ordered readers see
+    * the flush last.
+    */
+  val FlushBatchId: Long = Long.MaxValue
+
+  /** ONE-CALL stream close — stop → flush → publish, so a stopped shard
+    * job can never silently strand its streams' partial tails (the
+    * failure mode of a forgotten manual [[flushShards]]): stops `query`
+    * if still active (awaiting termination), reads the newest committed
+    * state, and publishes the final partial shards EXACTLY ONCE under
+    * `outDir/shards/batch_id=` [[FlushBatchId]] (overwrite mode — a
+    * retried or repeated close REPLACES the same directory, the same
+    * idempotence contract as every micro-batch sink here). Returns the
+    * published tails re-read from the sink. Works for [[runShards]] and
+    * [[runCorpusShards]] jobs alike (both version their writer state
+    * under `outDir/state`).
+    */
+  def closeShards(spark: SparkSession, outDir: String, streamCol: String,
+                  ctxTokens: Int = 256,
+                  query: Option[StreamingQuery] = None): DataFrame = {
+    query.filter(_.isActive).foreach { q =>
+      q.stop()
+      q.awaitTermination()
+    }
+    // repartition(1): tails are streams-bounded (≤ one partial shard per
+    // stream), and a zero-PARTITION empty frame would write no
+    // schema-carrying part file, breaking the read-back
+    flushShards(spark, outDir, streamCol, ctxTokens)
+      .repartition(1).write.mode("overwrite")
+      .parquet(s"$outDir/shards/batch_id=$FlushBatchId")
+    spark.read.parquet(s"$outDir/shards/batch_id=$FlushBatchId")
+  }
 
   /** One micro-batch of the FULL streaming corpus loop ([[runCorpusShards]]):
     * the batch arrives already quality-gated; here it dedups against the

@@ -54,6 +54,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // per-stage wall attribution for the corpus composition (the family
+    // whose wall time gets adjudicated round-over-round): forces each
+    // cached gate frame inside a PhaseTimer span — see Graft.phased
+    System.setProperty("graft.phases.corpus", "1")
     val acct = new ShuffleAccounting
     spark.sparkContext.addSparkListener(acct)
     // Host-load evidence: wall-clock on this box drifts ±20-60% under
@@ -105,6 +109,10 @@ object Bench {
       if (!isMl || !mlStarted) spark.catalog.clearCache()
       mlStarted |= isMl
       System.gc()
+      // per-query host-load evidence (1-min loadavg AT QUERY START): a
+      // wall bounce on one query under a load spike that the pass-level
+      // brackets average away is adjudicable from the artifact alone
+      val load1 = loadavg.split(" ").headOption.getOrElse("?")
       val s0 = acct.snapshot
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
@@ -118,7 +126,7 @@ object Bench {
       val s1 = acct.snapshot
       (name, sec,
         (s1._1 - s0._1) / 1e6, (s1._2 - s0._2) / 1e6, (s1._3 - s0._3) / 1e6,
-        (s1._4 - s0._4) / 1e9)
+        (s1._4 - s0._4) / 1e9, load1)
     }
     val loadAfterCold = loadavg
     // Second, WARM pass (skippable via SPARK_GRAFT_WARM=0): same order,
@@ -210,7 +218,7 @@ object Bench {
     val errJsonFull = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val mlFused = results.collect {
-      case (n, t, _, _, _, _) if n.startsWith("q_ml_") => t
+      case (n, t, _, _, _, _, _) if n.startsWith("q_ml_") => t
     }.sum
     val total = results.map(_._2).sum
     // The harness keeps only the last ~2000 chars of stdout and parses the
@@ -221,12 +229,12 @@ object Bench {
     // stage-metrics listener) to BENCH_DETAIL.json alongside.
     val sorted = results.sortBy(-_._2)
     val (top, rest) = sorted.splitAt(40)
-    val qs = top.map { case (k, v, _, _, _, _) => jstr(k) + ":" + jnum(v) }
+    val qs = top.map { case (k, v, _, _, _, _, _) => jstr(k) + ":" + jnum(v) }
       .mkString("{", ",",
         s""","other_n":${rest.size},"other_sec":${jnum(rest.map(_._2).sum)}}""")
-    val fullQs = results.map { case (k, v, _, _, _, _) => jstr(k) + ":" + v }
+    val fullQs = results.map { case (k, v, _, _, _, _, _) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val shuffleQs = results.map { case (k, _, r, w, sp, cpu) =>
+    val shuffleQs = results.map { case (k, _, r, w, sp, cpu, _) =>
       jstr(k) + s""":{"read_mb":${jnum(r)},"write_mb":${jnum(w)},"spill_mb":${jnum(sp)},"cpu_sec":${jnum(cpu)}}"""
     }.mkString("{", ",", "}")
     val warmQs = warm.toSeq.sortBy(_._1)
@@ -239,32 +247,43 @@ object Bench {
     // band or regression?" is decidable from the artifact alone — CPU is
     // the load-invariant axis on both passes (warm fields null for the
     // memoized ML pair and errored queries, which have no honest warm run)
-    val perQ = results.sortBy(_._1).map { case (k, v, _, _, _, cpu) =>
+    val perQ = results.sortBy(_._1).map { case (k, v, _, _, _, cpu, l1) =>
       val w = warm.get(k)
       jstr(k) + s""":{"cold_sec":${jnum(v)},"cold_cpu_sec":${jnum(cpu)},""" +
         s""""warm_sec":${w.fold("null")(x => jnum(x._1))},""" +
-        s""""warm_cpu_sec":${w.fold("null")(x => jnum(x._2))}}"""
+        s""""warm_cpu_sec":${w.fold("null")(x => jnum(x._2))},""" +
+        s""""load1":${jstr(l1)}}"""
     }.mkString("{", ",", "}")
     val loadJson =
       s"""{"start":${jstr(loadStart)},"after_cold":${jstr(loadAfterCold)},"after_warm":${jstr(loadAfterWarm)}}"""
     // operator-internal phase map (PhaseTimer): per-phase fit/transform
-    // seconds for the ML family, the axis that decides "MLlib variance or
-    // plan regression" for q_ml_* without re-running anything. Concurrent
-    // phases accumulate their own thread's wall time (sums may exceed the
-    // fused wall clock — documented PhaseTimer semantics).
+    // seconds for the ML family PLUS the corpus composition's gate phases
+    // (corpus.* keys — sums across the corpusBuild-family queries and both
+    // passes), the axis that decides "variance or plan regression" without
+    // re-running anything. Concurrent phases accumulate their own thread's
+    // wall time (sums may exceed the fused wall clock — documented
+    // PhaseTimer semantics). Key stays "ml_phases" for round-over-round
+    // artifact continuity.
     val mlPhases = graft.tools.PhaseTimer.snapshot.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + jnum(v) }
       .mkString("{", ",", "}")
     // Round inference for the per-round detail archive: the driver runs
     // Bench BEFORE writing BENCH_r{N}.json, so the highest existing round
     // file is N-1. No round files (dev checkout) → no archive, no delta.
+    // SPARK_GRAFT_ROUND overrides the inference outright (set it when
+    // rerunning Bench by hand after the driver already wrote this round's
+    // BENCH_r{N}.json — inference would then compute round N+1, clobber
+    // the NEXT round's archive, and diff new_queries against this round's
+    // own detail, always 0); without the override, overwriting an archive
+    // that already exists is at least LOUD, not silent.
     val roundRe = "BENCH_r(\\d+)\\.json".r
-    val prevRound = Option(new java.io.File(".").listFiles())
-      .getOrElse(Array.empty)
-      .flatMap(f => f.getName match {
-        case roundRe(n) => Some(n.toInt)
-        case _ => None
-      }).sorted.lastOption
+    val prevRound = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt - 1)
+      .orElse(Option(new java.io.File(".").listFiles())
+        .getOrElse(Array.empty)
+        .flatMap(f => f.getName match {
+          case roundRe(n) => Some(n.toInt)
+          case _ => None
+        }).sorted.lastOption)
     // Round-over-round decomposition: queries absent from the PREVIOUS
     // round's archived detail are new this round — their cold seconds are
     // itemized in the headline so the total's growth self-explains
@@ -306,6 +325,10 @@ object Bench {
     val detailFiles = "BENCH_DETAIL.json" +:
       prevRound.map(n => s"BENCH_DETAIL_r${n + 1}.json").toSeq
     detailFiles.foreach { path =>
+      if (path != "BENCH_DETAIL.json" && new java.io.File(path).exists())
+        System.err.println(s"[bench] WARNING: overwriting existing $path — " +
+          "if this is a manual rerun, set SPARK_GRAFT_ROUND to the true " +
+          "round to keep the archives and the new-query delta honest")
       try {
         val w = new java.io.PrintWriter(path)
         try w.println(detail) finally w.close()

@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AnnIndex, Bpe, CacheScope, Dedup, NbClassifier, Packing, Sampling, Similarity, TextAnalysis}
+import graft.ext.{AnnIndex, Bpe, CacheScope, Dedup, NbClassifier, Packing, Ranks, Sampling, Similarity, TextAnalysis}
 
 /** The public façade: one short, defaulted call per engine capability, so a
   * user does not need to know the `graft.ext.*` operator internals or their
@@ -287,12 +287,17 @@ object Graft {
     * encode new vectors under the FROZEN geometry (nearest stored
     * centroid + frozen residual codebooks, the exact build-time kernel)
     * and append them; no retraining, no touch of existing rows, loud
-    * failures on duplicate ids and wrong dimensions.
+    * failures on duplicate ids (delta-sized probe via the persisted uid
+    * bloom), wrong dimensions, and staleness (`maxAddedFraction` bounds
+    * cumulative growth over the frozen geometry — the SCALING.md
+    * recall-vs-added-fraction curve justifies the default; rebuild past
+    * it). Retry of a failed add converges to exactly-once.
     * See [[graft.ext.AnnIndex.add]].
     */
   def annIndexAdd(spark: SparkSession, dir: String, newVectors: DataFrame,
-                  idCol: String, vecCol: String): Unit =
-    AnnIndex.add(spark, dir, newVectors, idCol, vecCol)
+                  idCol: String, vecCol: String,
+                  maxAddedFraction: Double = 2.0): Unit =
+    AnnIndex.add(spark, dir, newVectors, idCol, vecCol, maxAddedFraction)
 
   /** Serve queries from a persisted index with no re-learning — the
     * query-many half. Same output contract as every ANN path; the serve
@@ -494,6 +499,19 @@ object Graft {
                        ctxTokens: Int = 256): DataFrame =
     Packing.shardTokensFlush(state, streamCols, ctxTokens)
 
+  /** ONE-CALL close for a streaming shard job
+    * ([[graft.streaming.StreamingCorpus.runShards]] /
+    * `runCorpusShards`): stop the query, flush the writer state, and
+    * publish the final partial shards exactly once (idempotent under
+    * retried closes). See [[graft.streaming.StreamingCorpus.closeShards]].
+    */
+  def closeShards(spark: SparkSession, outDir: String, streamCol: String,
+                  ctxTokens: Int = 256,
+                  query: Option[org.apache.spark.sql.streaming.StreamingQuery]
+                    = None): DataFrame =
+    graft.streaming.StreamingCorpus.closeShards(spark, outDir, streamCol,
+      ctxTokens, query)
+
   /** Token stats + the composite quality score as a `quality` column. */
   def quality(docs: DataFrame, textCol: String): DataFrame = {
     val st = TextAnalysis.withTokenStats(docs, textCol)
@@ -591,11 +609,11 @@ object Graft {
                   salt: String = "build", minTokens: Long = 10,
                   trainPct: Int = 80, alpha: Double = 0.5,
                   share: Double = 0.5, ctxTokens: Int = 256): DataFrame = {
-    val aDocs = docs.join(
+    val aDocs = phased("corpus.gate_gopher")(docs.join(
       TextAnalysis.gopherRules(docs, textCol, idCol,
           minTokens = minTokens)
         .filter(col("keep")).select(col(idCol)),
-      Seq(idCol), "left_semi").transform(CacheScope.cache)
+      Seq(idCol), "left_semi").transform(CacheScope.cache))
     val labeled = TextAnalysis.withTokenStats(aDocs, textCol)
       .withColumn("label_weak",
         round(TextAnalysis.qualityScore(col("n_tokens"),
@@ -604,15 +622,15 @@ object Graft {
       .select(col(idCol), col(textCol), col("label_weak"))
     val nbTrain = labeled
       .filter(Sampling.hashBucket(col(idCol), "graft") < trainPct)
-    val bDocs = aDocs.join(
+    val bDocs = phased("corpus.gate_nb")(aDocs.join(
       NbClassifier.trainScore(nbTrain, labeled, textCol, idCol,
           "label_weak")
         .filter(col("pred")).select(col(idCol)),
-      Seq(idCol), "left_semi").transform(CacheScope.cache)
-    val cDocs = bDocs.join(
+      Seq(idCol), "left_semi").transform(CacheScope.cache))
+    val cDocs = phased("corpus.dedup")(bDocs.join(
       Dedup.exactGroups(bDocs, textCol, idCol)
         .select(col("keeper_id").as(idCol)),
-      Seq(idCol), "left_semi").transform(CacheScope.cache)
+      Seq(idCol), "left_semi").transform(CacheScope.cache))
     val dDocs = Sampling.temperatureSampleWith(cDocs,
       Sampling.temperatureTargets(cDocs, groupCol, alpha = alpha,
         share = share),
@@ -623,6 +641,23 @@ object Graft {
       Packing.packByOffset(perDoc, Seq(groupCol), idCol, "n_tokens",
         ctxTokens = ctxTokens),
       Seq(groupCol), idCol, "n_tokens")
+  }
+
+  /** Opt-in per-stage timing for the corpus composition (the q_ml_*
+    * PhaseTimer discipline extended to the next-most-adjudicated family):
+    * with `-Dgraft.phases.corpus=1` (Bench sets it), each cached gate
+    * frame is force-materialized inside a [[graft.tools.PhaseTimer]]
+    * span — the downstream plan reads the cache either way, so the work
+    * attributed to a phase is work the composition pays regardless; the
+    * remaining mixture→encode→pack cost is the final action minus the
+    * phase sums. Without the property (the default for library users)
+    * the composition stays fully lazy. Phase sums accumulate across
+    * corpusBuild invocations in the process, exactly like the ML phases.
+    */
+  private def phased(name: String)(df: DataFrame): DataFrame = {
+    if (sys.props.get("graft.phases.corpus").contains("1"))
+      graft.tools.PhaseTimer.timed(name)(df.count())
+    df
   }
 
   /** [[corpusBuild]] that TRAINS its own tokenizer first — the
@@ -644,6 +679,59 @@ object Graft {
     corpusBuild(docs, textCol, idCol, groupCol,
       bpeTrainWith(docs, textCol, nMerges, trainer)._2,
       salt, minTokens, trainPct, alpha, share, ctxTokens)
+
+  /** RE-ID an arbitrary-keyed crawl delta for the incremental loop — the
+    * helper the loop's id-order error messages promise: real crawls key
+    * documents by URL or content hash, not by a monotone long, while
+    * [[corpusBuildDelta]] / [[corpusShardsDelta]] REQUIRE every delta's
+    * ids to sort above all previously-kept ids (the incremental≡batch
+    * contract). This assigns dense monotone INGEST ids
+    * `base + 1 … base + n` over a deterministic order of the delta —
+    * `(md5-hash(salt:key), key)`, a pure function of the key, so the
+    * assignment is stable under repartitioning, retries, and engine
+    * swaps (the same portable-hash order every sampler here uses, and
+    * the order a SQL oracle replays as
+    * `row_number() OVER (ORDER BY hashkey, key)`) — while the caller's
+    * natural key rides along untouched.
+    *
+    * Returns `(reIdDelta, nextBase)`: thread `nextBase` into the NEXT
+    * delta's `base` so ids stay globally monotone across deltas. The
+    * base advances by the delta's FULL size (not its kept subset):
+    * continuing from the max ASSIGNED id keeps re-used ids impossible
+    * even for documents the gates later drop — a base taken from the
+    * state's max KEPT id could collide with a dropped doc's id and
+    * corrupt the dedup keeper semi-join. First delta: `base = 0`.
+    *
+    * `keyCol` must be unique within the delta (enforced with one
+    * delta-sized probe — duplicate keys would make the rank order, and
+    * therefore every downstream keeper/pack decision,
+    * nondeterministic; disable via `checkUniqueKeys` only when
+    * uniqueness is guaranteed upstream). Scale shape: the rank is the
+    * bucketed [[graft.ext.Ranks.distributedRankWithCount]] pass — no
+    * single-partition window — and the count the next base needs falls
+    * out of its offset job for free.
+    */
+  def withIngestIds(delta: DataFrame, keyCol: String, base: Long = 0L,
+                    salt: String = "ingest", idCol: String = "ingest_id",
+                    checkUniqueKeys: Boolean = true): (DataFrame, Long) = {
+    require(base >= 0, s"base=$base must be non-negative")
+    require(!delta.columns.contains(idCol),
+      s"delta already has a $idCol column — pass a different idCol")
+    if (checkUniqueKeys)
+      require(delta.groupBy(col(keyCol)).count()
+          .filter(col("count") > 1).isEmpty,
+        s"withIngestIds: $keyCol is not unique within the delta — " +
+          "duplicate keys would make the ingest order nondeterministic; " +
+          "dedup the delta by key first")
+    val ordCol = "__ingest_ord"
+    require(!delta.columns.contains(ordCol),
+      s"delta already has a $ordCol column — rename it first")
+    val (ranked, n) = Ranks.distributedRankWithCount(
+      delta.withColumn(ordCol, Sampling.hashKey(col(keyCol), salt)),
+      ordCol, Seq(keyCol), rankCol = idCol)
+    (ranked.withColumn(idCol, col(idCol) + lit(base)).drop(ordCol),
+      base + n)
+  }
 
   /** Corpus-production state threaded between [[corpusBuildDelta]] calls:
     * `keepers` — one `content_hash` row per document already kept (the
@@ -719,8 +807,9 @@ object Graft {
         require(delta.filter(col(idCol) <= lit(hi)).isEmpty,
           s"corpusBuildDelta: delta contains ids <= the state's max kept " +
             s"id ($hi) — deltas must arrive id-ordered for the " +
-            "incremental≡batch contract. Re-id the delta, or pass " +
-            "checkIdOrder = false to accept pack-order divergence")
+            "incremental≡batch contract. Re-id the delta " +
+            "(Graft.withIngestIds), or pass checkIdOrder = false to " +
+            "accept pack-order divergence")
       }
     }
     val (kept, keepers) = gateDedupDelta(delta, textCol, idCol, model,
@@ -805,6 +894,25 @@ object Graft {
                         ctxTokens: Int = 256,
                         checkIdOrder: Boolean = true)
       : (DataFrame, CorpusShardsState) = {
+    // the dedup half of the incremental≡batch contract needs GLOBAL id
+    // ordering, not just shardTokensDelta's per-stream check: a delta doc
+    // re-delivering a historical keeper's digest under a SMALLER id
+    // (possibly in a brand-new stream) would pass the per-stream probe
+    // yet diverge from the one-shot batch replay, whose global min-id
+    // keeper rule picks the other copy — the same max-kept-id require as
+    // [[corpusBuildDelta]] (one delta-sized probe over the raw delta)
+    if (checkIdOrder) state.foreach { st =>
+      val hiRow = st.shards.agg(max(col("max_id"))).head()
+      if (!hiRow.isNullAt(0)) {
+        val hi = hiRow.get(0)
+        require(delta.filter(col(idCol) <= lit(hi)).isEmpty,
+          s"corpusShardsDelta: delta contains ids <= the state's max kept " +
+            s"id ($hi) — deltas must arrive globally id-ordered for the " +
+            "incremental≡batch contract (the dedup keeper rule is global " +
+            "min-id). Re-id the delta (withIngestIds), or pass " +
+            "checkIdOrder = false to accept divergence from batch")
+      }
+    }
     val (kept, deltaKeepers) = gateDedupDelta(delta, textCol, idCol,
       model, state.map(_.keepers), minTokens, maxTokens)
     val enc = tok.encodeIds(kept, textCol, idCol)

@@ -72,7 +72,9 @@ object CorpusQueries {
     new java.util.WeakHashMap[SparkSession,
       scala.collection.mutable.Map[String, NbClassifier.NbModel]]())
 
-  private def nbModel(s: SparkSession, dir: String): NbClassifier.NbModel = {
+  private def nbMemoized(s: SparkSession, key: String)
+                        (train: => NbClassifier.NbModel)
+      : NbClassifier.NbModel = {
     val perSession = nbMemo.synchronized {
       var m = nbMemo.get(s)
       if (m == null) {
@@ -81,7 +83,11 @@ object CorpusQueries {
       }
       m
     }
-    perSession.synchronized(perSession.getOrElseUpdate(dir, {
+    perSession.synchronized(perSession.getOrElseUpdate(key, train))
+  }
+
+  private def nbModel(s: SparkSession, dir: String): NbClassifier.NbModel =
+    nbMemoized(s, dir) {
       val labeled = TA.withTokenStats(Tables.documents(s, dir), "text")
         .withColumn("label_weak",
           ground(TA.qualityScore(col("n_tokens"), col("token_chars"),
@@ -90,8 +96,37 @@ object CorpusQueries {
       NbClassifier.train(
         labeled.filter(Sampling.hashBucket(col("doc_id"), "graft") < 80),
         "text", "doc_id", "label_weak")
-    }))
-  }
+    }
+
+  /** The `q_corpus_build_reid` corpus: documents re-keyed by a
+    * NON-monotonic unique string (the reversed decimal doc_id — "10" →
+    * "01" sorts before "2"'s "2", so neither lexicographic nor hash
+    * order tracks arrival order), the numeric id DROPPED — the shape a
+    * URL/content-hash-keyed crawl actually has.
+    */
+  private def ukeyed(d: DataFrame): DataFrame =
+    d.withColumn("ukey",
+        concat(lit("u-"), reverse(col("doc_id").cast("string"))))
+      .drop("doc_id")
+
+  /** The reid variant's frozen NB model: identical recipe to [[nbModel]]
+    * but the 80% train split hashes the NATURAL KEY (the only id the
+    * re-id path has before ingest ids exist) — mirrored in the oracle by
+    * bucketing `ukey`.
+    */
+  private def nbModelReid(s: SparkSession, dir: String)
+      : NbClassifier.NbModel =
+    nbMemoized(s, dir + "#reid") {
+      val keyed = ukeyed(Tables.documents(s, dir))
+      val labeled = TA.withTokenStats(keyed, "text")
+        .withColumn("label_weak",
+          ground(TA.qualityScore(col("n_tokens"), col("token_chars"),
+            col("n_punct"), col("n_stopwords")), 4) >= 0.5)
+        .select(col("ukey"), col("text"), col("label_weak"))
+      NbClassifier.train(
+        labeled.filter(Sampling.hashBucket(col("ukey"), "graft") < 80),
+        "text", "ukey", "label_weak")
+    }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -317,6 +352,38 @@ object CorpusQueries {
             .unionByName(p2.select(col("lang"), col("doc_id"),
               col("n_tokens"), col("pack_id"))),
           Seq("lang"), "doc_id", "n_tokens")
+        .orderBy(col("lang"), col("pack_id"))
+    }),
+
+    // The incremental build absorbing an ARBITRARY-KEYED crawl — the
+    // day-one production case the id-order guards point at: documents
+    // arrive keyed by a NON-monotonic unique string (ukey, the reversed
+    // decimal doc_id; the numeric id is dropped), each delta is RE-ID'd
+    // by Graft.withIngestIds (dense monotone ingest ids over the
+    // deterministic (md5-hash, key) order, base threaded across deltas),
+    // and the two chained frozen-artifact corpusBuildDelta passes over
+    // the re-id'd deltas must HASH-MATCH the oracle's one-shot batch
+    // replay over the re-id'd union — proving the re-id helper restores
+    // the incremental≡batch contract for keys with no usable order.
+    "q_corpus_build_reid" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val model = nbModelReid(s, dir)
+      val dict = bpeTrained(s, dir)._2
+      val G = graft.api.Graft
+      val (d1, b1) = G.withIngestIds(
+        ukeyed(docs.filter(col("doc_id") < 250)), "ukey")
+      val (d2, _) = G.withIngestIds(
+        ukeyed(docs.filter(col("doc_id") >= 250)), "ukey", base = b1)
+      val (p1, st1) = G.corpusBuildDelta(d1, "text", "ingest_id", "lang",
+        model, dict, state = None, minTokens = 10)
+      val (p2, _) = G.corpusBuildDelta(d2, "text", "ingest_id", "lang",
+        model, dict, state = Some(st1), minTokens = 10)
+      graft.ext.Packing.packSummary(
+          p1.select(col("lang"), col("ingest_id"), col("n_tokens"),
+            col("pack_id"))
+            .unionByName(p2.select(col("lang"), col("ingest_id"),
+              col("n_tokens"), col("pack_id"))),
+          Seq("lang"), "ingest_id", "n_tokens")
         .orderBy(col("lang"), col("pack_id"))
     }),
 
@@ -645,7 +712,8 @@ object CorpusQueries {
   private def corpusOracleChain(nbOnGopherSurvivors: Boolean,
                                 mixture: Boolean, bpeChain: String,
                                 dictCte: String,
-                                tailOverride: Option[String] = None)
+                                tailOverride: Option[String] = None,
+                                reidKeys: Boolean = false)
       : String = {
     val stopSql = TA.Stopwords.map(w => s"'$w'").mkString(", ")
     val labFrom =
@@ -657,11 +725,45 @@ object CorpusQueries {
     // gopher survivors (lab is already gated) and needs no extra join
     val gbJoin = if (nbOnGopherSurvivors) "" else " JOIN ga USING (doc_id)"
     val keptCte = if (mixture) "ddocs" else "gc"
-    s"""WITH t0 AS MATERIALIZED (
-       |  SELECT doc_id, lang, text,
-       |    regexp_split_to_array(trim(text), '[\\s\\x0b]+') AS toks,
+    // reidKeys = the q_corpus_build_reid shape: documents re-keyed by the
+    // non-monotonic ukey string, doc_id REPLACED by the ingest id
+    // Graft.withIngestIds assigns — per-delta dense ranks over the
+    // deterministic (md5-hash, key) order, delta 2 continuing at delta
+    // 1's full size — and the NB train split bucketing ukey (the only id
+    // that exists before re-id). Everything downstream of t0 is
+    // identical: one SQL chain = the one-shot batch replay over the
+    // re-id'd union that the two chained Spark deltas must hash-match.
+    val docsHead =
+      if (!reidKeys)
+        """WITH t0 AS MATERIALIZED (
+          |  SELECT doc_id, lang, text,""".stripMargin
+      else
+        s"""WITH ud AS MATERIALIZED (
+           |  SELECT 'u-' || reverse(CAST(doc_id AS VARCHAR)) AS ukey,
+           |    lang, text, doc_id < 250 AS d1
+           |  FROM documents
+           |), rd AS MATERIALIZED (
+           |  SELECT (CASE WHEN d1 THEN 0
+           |      ELSE (SELECT count(*) FROM ud WHERE d1) END)
+           |    + row_number() OVER (PARTITION BY d1
+           |        ORDER BY ${sqlHashKey("ingest", "ukey")}, ukey)
+           |    AS doc_id,
+           |    ukey, lang, text
+           |  FROM ud
+           |), t0 AS MATERIALIZED (
+           |  SELECT doc_id, ukey, lang, text,""".stripMargin
+    val docsFrom = if (reidKeys) "rd" else "documents"
+    val labKey = if (reidKeys) ", t0.ukey" else ""
+    val trcBucket =
+      if (reidKeys) sqlBucket("graft", "lab.ukey")
+      else sqlBucket("graft", "f.doc_id")
+    val priBucket =
+      if (reidKeys) sqlBucket("graft", "ukey")
+      else sqlBucket("graft", "doc_id")
+    docsHead + "\n" +
+    s"""|    regexp_split_to_array(trim(text), '[\\s\\x0b]+') AS toks,
        |    regexp_split_to_array(trim(lower(text)), '[\\s\\x0b]+') AS ltoks
-       |  FROM documents
+       |  FROM $docsFrom
        |), gst AS MATERIALIZED (
        |  SELECT doc_id,
        |    CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -702,7 +804,7 @@ object CorpusQueries {
        |    AND (round(top_bigram_frac + 1e-9, 6) <= 0.2
        |      AND round(distinct_ratio + 1e-9, 6) >= 0.5)
        |), lab AS MATERIALIZED (
-       |  SELECT t0.doc_id, ltoks,
+       |  SELECT t0.doc_id$labKey, ltoks,
        |    (round(least(gst.n_tokens / 100.0, 1.0) * 0.3
        |      + (1.0 - least(CAST(gst.n_punct AS DOUBLE)
        |          / greatest(gst.n_tokens, 1), 1.0)) * 0.4
@@ -717,7 +819,7 @@ object CorpusQueries {
        |), trc AS (
        |  SELECT f.doc_id, tok, c, label_weak
        |  FROM tfc f JOIN lab USING (doc_id)
-       |  WHERE ${sqlBucket("graft", "f.doc_id")} < 80
+       |  WHERE $trcBucket < 80
        |), ct AS MATERIALIZED (
        |  SELECT tok,
        |    CAST(sum(CASE WHEN label_weak THEN c ELSE 0 END) AS BIGINT)
@@ -736,7 +838,7 @@ object CorpusQueries {
        |      AS n_pos,
        |    CAST(sum(CASE WHEN NOT label_weak THEN 1 ELSE 0 END) AS BIGINT)
        |      AS n_neg
-       |  FROM lab WHERE ${sqlBucket("graft", "doc_id")} < 80
+       |  FROM lab WHERE $priBucket < 80
        |), sc AS (
        |  SELECT f.doc_id,
        |    sum(c * (ln((coalesce(c_pos, 0) + 1) / (tot_pos + v))
@@ -882,6 +984,14 @@ object CorpusQueries {
       bpeBatchCtes(BpeB16Iters, BpeB16), s"d$BpeB16Iters"),
 
     "q_corpus_build_incr" -> corpusBuildIncrOracle,
+
+    // the frozen-artifact batch replay over the RE-ID'd union (ud → rd
+    // CTEs mirror Graft.withIngestIds' per-delta hash-order ranks) that
+    // the two chained re-id'd deltas must hash-match — the arbitrary-key
+    // absorption contract
+    "q_corpus_build_reid" -> corpusOracleChain(
+      nbOnGopherSurvivors = false, mixture = false, bpeCtes(BpeMerges),
+      s"d$BpeMerges", reidKeys = true),
 
     // shards: the q_bpe_ids chain (wd/sy/vid) extended with per-doc
     // sequence positions, per-lang stream offsets, and the hard 256-token

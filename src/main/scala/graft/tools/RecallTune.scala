@@ -14,6 +14,16 @@ import graft.ext.{Sampling, Similarity}
   * from this run.
   *
   *   RecallTune [embeddingsDir] [dim] [panelPct]
+  *   RecallTune [embeddingsDir] [dim] [panelPct] add   # staleness sweep
+  *
+  * `add` mode measures [[graft.ext.AnnIndex.add]] STALENESS instead: a
+  * persisted index builds on a third of the corpus, the rest arrives as
+  * frozen-geometry add() batches at cumulative 10/50/100/200% of the
+  * build size, and recall@5 (vs exact ground truth over the GROWN set)
+  * is measured after each — plus the rebuilt-at-200% reference, the gap
+  * to which is the price of never retraining. The SCALING.md
+  * recall-vs-added-fraction curve and `maxAddedFraction`'s default come
+  * from this run.
   *
   * Also prints the IVF-SQ8 reference point (byte-per-dimension codes) so
   * the PQ budgets read against the bigger-code alternative.
@@ -28,6 +38,7 @@ object RecallTune {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.lift(3).contains("add")) { addSweep(spark, dir, dim, panelPct); spark.stop(); return }
     val emb = graft.io.Tables.embeddings(spark, dir)
     val panel = Sampling.deterministicSample(emb, "vec_id", "recall",
         panelPct)
@@ -65,5 +76,90 @@ object RecallTune {
         f"recall@5=$r%.3f wall=$w%.1f s")
     }
     spark.stop()
+  }
+
+  /** The add()-staleness sweep: recall@5 of a frozen-geometry index as
+    * frozen add() batches grow it to +10/50/100/200% of its build size,
+    * each step measured against exact ground truth over the grown set,
+    * plus the rebuild-at-+200% upper bound.
+    */
+  private def addSweep(spark: SparkSession, dir: String, dim: Int,
+                       panelPct: Int): Unit = {
+    val emb = graft.io.Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull)
+      .cache()
+    val base = emb.filter(col("vec_id") % 3 === 0)
+    val pool = emb.filter(col("vec_id") % 3 =!= 0)
+      .withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))))
+      .cache() // dev tool: the single-partition rank is fine on a fixture
+    val nb = base.count()
+    println(s"[addsweep] base=$nb pool=${pool.count()} from $dir")
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-addsweep").toString
+    Graft.annIndexBuild(base, "vec_id", "embedding", idxDir, dim = dim,
+      m = 8)
+
+    def measure(current: org.apache.spark.sql.DataFrame,
+                label: String,
+                searchDir: String): Unit = {
+      val panel = Sampling.deterministicSample(current, "vec_id", "recall",
+        panelPct).select(col("vec_id"), col("embedding"))
+      val exact = Similarity.bruteForceTopK(panel, current, "vec_id",
+          "embedding", k = 5)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = graft.ext.AnnIndex.search(spark, searchDir, panel,
+          "vec_id", "embedding", k = 5, nProbe = 2, maxBucket = 4096)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val rec = got.intersect(exact).size.toDouble / exact.size
+      println(f"[addsweep] $label%-14s recall@5=$rec%.3f " +
+        f"(panel=${panel.count()})")
+    }
+
+    measure(base, "added=0%", idxDir)
+    // cumulative 10/50/100/200% of the build size, in pool-rank order
+    val cuts = Seq(0.10, 0.50, 1.00, 2.00).map(f => math.round(f * nb))
+    var prev = 0L
+    var current = base.select(col("vec_id"), col("embedding"))
+    for (cut <- cuts) {
+      val batch = pool.filter(col("__r") > prev && col("__r") <= cut)
+        .select(col("vec_id"), col("embedding"))
+      Graft.annIndexAdd(spark, idxDir, batch, "vec_id", "embedding",
+        maxAddedFraction = 2.0)
+      current = current.unionByName(batch).cache()
+      prev = cut
+      measure(current, s"added=${math.round(100.0 * cut / nb)}%", idxDir)
+    }
+    // the rebuild reference: same grown corpus, geometry retrained
+    val rebuiltDir = java.nio.file.Files
+      .createTempDirectory("graft-addsweep-rebuilt").toString
+    Graft.annIndexBuild(current, "vec_id", "embedding", rebuiltDir,
+      dim = dim, m = 8)
+    measure(current, "rebuilt@200%", rebuiltDir)
+    // DRIFTED adds — the case staleness is actually about: the added
+    // vectors come from a DIFFERENT distribution (dimension-reversed
+    // corpus vectors — same norms, different geometry), so the frozen
+    // cells/books no longer describe them; the gap to the drifted
+    // rebuild is the true never-retrain price under distribution shift
+    val driftDir = java.nio.file.Files
+      .createTempDirectory("graft-addsweep-drift").toString
+    Graft.annIndexBuild(base, "vec_id", "embedding", driftDir, dim = dim,
+      m = 8)
+    val drifted = pool.filter(col("__r") <= 2 * nb)
+      .select((col("vec_id") + 10000000L).as("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+      .cache()
+    Graft.annIndexAdd(spark, driftDir, drifted, "vec_id", "embedding",
+      maxAddedFraction = 2.0)
+    val grownDrift = base.select(col("vec_id"), col("embedding"))
+      .unionByName(drifted).cache()
+    measure(grownDrift, "drift+200%", driftDir)
+    val driftRebuilt = java.nio.file.Files
+      .createTempDirectory("graft-addsweep-driftrb").toString
+    Graft.annIndexBuild(grownDrift, "vec_id", "embedding", driftRebuilt,
+      dim = dim, m = 8)
+    measure(grownDrift, "driftrebuilt", driftRebuilt)
   }
 }

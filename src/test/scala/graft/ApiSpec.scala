@@ -314,6 +314,76 @@ class ApiSpec extends SparkSpec {
     assert(p4.count() == 0)
   }
 
+  test("withIngestIds: deterministic dense monotone ids over arbitrary " +
+    "keys, stable under repartitioning, loud on duplicate keys") {
+    import spark.implicits._
+    val delta = Seq("url://b", "url://a", "url://zz", "url://m", "url://0")
+      .map(k => (k, s"payload $k")).toDF("url", "text")
+    val (r1, next1) = Graft.withIngestIds(delta, "url", base = 100L)
+    assert(next1 == 105L, "nextBase must advance by the full delta size")
+    val ids = r1.select(col("ingest_id")).collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (101L to 105L),
+      s"ids must be dense in (base, base+n]: ${ids.toSeq}")
+    // a pure function of the key: same assignment after repartitioning
+    val m1 = r1.select(col("url"), col("ingest_id")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (r2, _) = Graft.withIngestIds(delta.repartition(7), "url",
+      base = 100L)
+    val m2 = r2.select(col("url"), col("ingest_id")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m1 == m2, "ingest ids must be partitioning-invariant")
+    // duplicate natural keys fail loudly (nondeterministic order)
+    val e = intercept[IllegalArgumentException] {
+      Graft.withIngestIds(delta.unionAll(delta.limit(1)), "url")
+    }
+    assert(e.getMessage.contains("not unique"),
+      s"wrong failure mode: ${e.getMessage}")
+  }
+
+  test("withIngestIds: re-id'd arbitrary-keyed deltas chain through " +
+    "corpusBuildDelta and equal the one-shot batch over the re-id'd " +
+    "union — the q_corpus_build_reid contract in-Spark") {
+    import graft.ext.{NbClassifier, Sampling, TextAnalysis => TA}
+    // the natural key: reversed decimal doc_id — unique, and sorts in
+    // NEITHER arrival nor hash order (the arbitrary-key crawl shape)
+    def keyed(d: org.apache.spark.sql.DataFrame) =
+      d.withColumn("ukey",
+          concat(lit("u-"), reverse(col("doc_id").cast("string"))))
+        .drop("doc_id")
+    val all = keyed(docs)
+    val labeled = TA.withTokenStats(all, "text")
+      .withColumn("label_weak",
+        round(TA.qualityScore(col("n_tokens"), col("token_chars"),
+          col("n_punct"), col("n_stopwords")) + lit(1e-9), 4) >= 0.5)
+      .select(col("ukey"), col("text"), col("label_weak"))
+    val model = NbClassifier.train(
+      labeled.filter(Sampling.hashBucket(col("ukey"), "graft") < 80),
+      "text", "ukey", "label_weak")
+    val (_, dict) = Graft.bpeTrain(docs, "text", nMerges = 4)
+    val (d1, b1) = Graft.withIngestIds(
+      keyed(docs.filter(col("doc_id") < 250)), "ukey")
+    val (d2, _) = Graft.withIngestIds(
+      keyed(docs.filter(col("doc_id") >= 250)), "ukey", base = b1)
+    val (p1, st1) = Graft.corpusBuildDelta(d1, "text", "ingest_id",
+      "lang", model, dict, state = None, minTokens = 10)
+    val (p2, _) = Graft.corpusBuildDelta(d2, "text", "ingest_id", "lang",
+      model, dict, state = Some(st1), minTokens = 10)
+    // the one-shot frozen batch over the re-id'd union
+    val (pAll, _) = Graft.corpusBuildDelta(d1.unionByName(d2), "text",
+      "ingest_id", "lang", model, dict, state = None, minTokens = 10)
+    def summarize(p: org.apache.spark.sql.DataFrame) =
+      graft.ext.Packing.packSummary(
+        p.select(col("lang"), col("ingest_id"), col("n_tokens"),
+          col("pack_id")),
+        Seq("lang"), "ingest_id", "n_tokens")
+    val one = summarize(pAll)
+    val two = summarize(p1.unionByName(p2))
+    assert(one.exceptAll(two).count() == 0 &&
+      two.exceptAll(one).count() == 0,
+      "re-id'd chained deltas diverged from the one-shot batch")
+    assert(two.count() > 0, "the reid composition produced no packs")
+  }
+
   test("quickstart: train-batch/serve-stream quality gate") {
     val labeledDocs = Graft.quality(docs, "text")
       .withColumn("lbl", col("quality") >= 0.5)

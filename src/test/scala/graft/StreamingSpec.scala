@@ -911,6 +911,121 @@ class StreamingSpec extends SparkSpec {
       "streaming full loop diverged from the batch corpusShardsDelta")
   }
 
+  test("streaming full loop over THREE batches: duplicates in both later " +
+    "batches AND a batch-internal duplicate all drop; keeper state is " +
+    "monotone; closeShards publishes the tails exactly once (retry-safe)") {
+    import graft.ext.{Bpe, NbClassifier, Sampling, TextAnalysis => TA}
+    val docsAll = Tables.documents(spark, TestSpark.sf0001)
+    val labeled = TA.withTokenStats(docsAll, "text")
+      .withColumn("label_weak",
+        round(TA.qualityScore(col("n_tokens"), col("token_chars"),
+          col("n_punct"), col("n_stopwords")) + lit(1e-9), 4) >= 0.5)
+      .select(col("doc_id"), col("text"), col("label_weak"))
+    val model = NbClassifier.train(
+      labeled.filter(Sampling.hashBucket(col("doc_id"), "graft") < 80),
+      "text", "doc_id", "label_weak")
+    val (merges, dict) = Bpe.train(docsAll, "text", 8)
+    val tok = Bpe.Tokenizer(merges, dict, Bpe.vocabIds(dict))
+    // two kept docs to re-deliver, plus a batch-INTERNAL duplicate pair
+    val gatedIds = graft.streaming.StreamingCorpus.qualityGate(
+        docsAll, "text", "doc_id", model, minTokens = 10)
+      .select(col("doc_id")).orderBy(col("doc_id"))
+      .limit(2).collect().map(_.getLong(0))
+    val (kept1, kept2) = (gatedIds(0), gatedIds(1))
+    def redeliver(id: Long, newId: Long) =
+      docsAll.filter(col("doc_id") === id)
+        .withColumn("doc_id", lit(newId))
+    // batch 2 re-delivers kept1; batch 3 re-delivers kept2 AND carries
+    // an internal duplicate pair (same text, two fresh ids — min wins)
+    val dup2 = redeliver(kept1, 999901L)
+    val dup3a = redeliver(kept2, 999902L)
+    val dup3b = redeliver(kept2, 999903L)
+    val b1 = docsAll.filter(col("doc_id") < 150)
+    val b2 = docsAll.filter(col("doc_id") >= 150 && col("doc_id") < 300)
+      .unionByName(dup2)
+    val b3 = docsAll.filter(col("doc_id") >= 300)
+      .unionByName(dup3a).unionByName(dup3b)
+    // ground truth: one corpusShardsDelta pass over the whole delivery
+    // (its dedup drops every duplicate the same way) + flush
+    val (sAll, stAll) = graft.api.Graft.corpusShardsDelta(
+      b1.unionByName(b2).unionByName(b3), "text", "doc_id", "lang",
+      model, tok, state = None, minTokens = 10)
+    val expected = sAll
+      .unionByName(graft.api.Graft.tokenShardsFlush(stAll.shards,
+        Seq("lang"), 256))
+      .select(col("lang"), col("shard_id"), col("n_tokens"),
+        col("token_ids").cast("string").as("ids"))
+    val inDir = Files.createTempDirectory("graft-3b-in").toString
+    val outDir = Files.createTempDirectory("graft-3b-out").toString
+    val ckpt = Files.createTempDirectory("graft-3b-ckpt").toString
+    b1.write.parquet(s"$inDir/p1")
+    val q = graft.streaming.StreamingCorpus.runCorpusShards(spark,
+      s"$inDir/p*", outDir, ckpt, docsAll.schema, "text", "doc_id",
+      "lang", model, tok, ctxTokens = 256, minTokens = 10)
+    val keeperCounts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def keeperCount(): Long = graft.streaming.StreamingCorpus
+      .latestShardState(spark, s"$outDir/keepers").map(_.count())
+      .getOrElse(0L)
+    try {
+      q.processAllAvailable(); keeperCounts += keeperCount()
+      b2.write.parquet(s"$inDir/p2")
+      q.processAllAvailable(); keeperCounts += keeperCount()
+      b3.write.parquet(s"$inDir/p3")
+      q.processAllAvailable(); keeperCounts += keeperCount()
+    } finally if (q.isActive) q.stop()
+    // keeper state grows monotonically and NEVER counts a duplicate:
+    // batch 2's only novel content is its non-duplicate docs, batch 3's
+    // internal pair contributes ONE digest
+    assert(keeperCounts.sliding(2).forall(w => w(0) <= w(1)),
+      s"keeper state shrank across batches: $keeperCounts")
+    val distinctDigests = graft.ext.Dedup.exactGroups(
+      graft.streaming.StreamingCorpus.qualityGate(
+        b1.unionByName(b2).unionByName(b3), "text", "doc_id", model,
+        minTokens = 10), "text", "doc_id").count()
+    assert(keeperCounts.last == distinctDigests,
+      s"final keeper count ${keeperCounts.last} != distinct gated " +
+        s"digests $distinctDigests")
+    // ONE-CALL close: stop → flush → publish, idempotent under a retry
+    // (counts materialized eagerly — the second close REPLACES the
+    // first's files, so the first frame must be consumed before it)
+    val nTails1 = graft.api.Graft.closeShards(spark, outDir, "lang",
+      ctxTokens = 256, query = Some(q)).count()
+    val nTails2 = graft.api.Graft.closeShards(spark, outDir, "lang",
+      ctxTokens = 256).count() // retried close REPLACES, never duplicates
+    assert(nTails1 == nTails2)
+    val got = spark.read.parquet(s"$outDir/shards")
+      .select(col("lang"), col("shard_id"), col("n_tokens"),
+        col("token_ids").cast("string").as("ids"))
+    assert(got.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(got).count() == 0,
+      "3-batch loop + closeShards diverged from the batch ground truth")
+    // every duplicate id is absent from the published token streams'
+    // provenance: the re-delivered ids never produced shards (their
+    // content was already in the keeper state)
+    // (shard rows don't carry ids, so assert via the state counter above
+    // and the hash-exact stream equality — both would move on a leak)
+  }
+
+  test("flushShards/closeShards with NO state: typed empty shard frame, " +
+    "so the unionByName consumer pattern contributes zero rows") {
+    val outDir = Files.createTempDirectory("graft-nostate-out").toString
+    val flushed = graft.streaming.StreamingCorpus.flushShards(spark,
+      outDir, "lang", ctxTokens = 256)
+    assert(flushed.columns.toSeq ==
+      Seq("lang", "shard_id", "n_tokens", "token_ids"))
+    assert(flushed.count() == 0)
+    // the documented consumer pattern must not throw on the empty case
+    import spark.implicits._
+    val someShards = Seq(("en", 0L, 2L, Seq(1, 2)))
+      .toDF("lang", "shard_id", "n_tokens", "token_ids")
+    assert(someShards.unionByName(flushed).count() == 1)
+    // closeShards on a never-started job publishes an empty (but
+    // readable) tail set rather than throwing
+    val published = graft.streaming.StreamingCorpus.closeShards(spark,
+      outDir, "lang", ctxTokens = 256)
+    assert(published.count() == 0)
+  }
+
   test("token-id export boots ENTIRELY from disk artifacts: persisted " +
     "NB model + persisted tokenizer, zero training at boot") {
     import graft.ext.{Bpe, NbClassifier, Sampling, TextAnalysis => TA}

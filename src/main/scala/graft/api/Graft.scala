@@ -726,11 +726,17 @@ object Graft {
     val ordCol = "__ingest_ord"
     require(!delta.columns.contains(ordCol),
       s"delta already has a $ordCol column — rename it first")
+    // rank the KEY PROJECTION, not the full delta: the rank pass caches
+    // its input and shuffles it by value bucket, and at corpus scale the
+    // delta's payload columns (document text) must not ride either —
+    // ids join back over the unique key (one delta-sized equi-join)
+    val keys = delta.select(col(keyCol))
+      .withColumn(ordCol, Sampling.hashKey(col(keyCol), salt))
     val (ranked, n) = Ranks.distributedRankWithCount(
-      delta.withColumn(ordCol, Sampling.hashKey(col(keyCol), salt)),
-      ordCol, Seq(keyCol), rankCol = idCol)
-    (ranked.withColumn(idCol, col(idCol) + lit(base)).drop(ordCol),
-      base + n)
+      keys, ordCol, Seq(keyCol), rankCol = idCol)
+    val ids = ranked.select(col(keyCol),
+      (col(idCol) + lit(base)).as(idCol))
+    (delta.join(ids, Seq(keyCol)), base + n)
   }
 
   /** Corpus-production state threaded between [[corpusBuildDelta]] calls:

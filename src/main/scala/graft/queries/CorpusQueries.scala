@@ -387,6 +387,35 @@ object CorpusQueries {
         .orderBy(col("lang"), col("pack_id"))
     }),
 
+    // The FULL incremental loop absorbing the same arbitrary-keyed crawl
+    // — q_corpus_build_reid's re-id'd deltas driven through
+    // corpusShardsDelta (gate → dedup-vs-state → frozen-tokenizer encode
+    // → incremental shard writer) + flush, hash-matching the one-shot
+    // batch replay's shard split over the re-id'd union: the day-one
+    // production pipeline (URL-keyed crawl in, training shards out),
+    // end-to-end inside the hash gate.
+    "q_corpus_shards_reid" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val model = nbModelReid(s, dir)
+      val (merges, dict) = bpeTrained(s, dir)
+      val tok = Bpe.Tokenizer(merges, dict, Bpe.vocabIds(dict))
+      val G = graft.api.Graft
+      val (d1, b1) = G.withIngestIds(
+        ukeyed(docs.filter(col("doc_id") < 250)), "ukey")
+      val (d2, _) = G.withIngestIds(
+        ukeyed(docs.filter(col("doc_id") >= 250)), "ukey", base = b1)
+      val (s1, st1) = G.corpusShardsDelta(d1, "text", "ingest_id", "lang",
+        model, tok, state = None, minTokens = 10)
+      val (s2, st2) = G.corpusShardsDelta(d2, "text", "ingest_id", "lang",
+        model, tok, state = Some(st1), minTokens = 10)
+      s1.unionByName(s2)
+        .unionByName(G.tokenShardsFlush(st2.shards, Seq("lang"), 256))
+        .select(col("lang"), col("shard_id"), col("n_tokens"),
+          md5(array_join(transform(col("token_ids"),
+            i => i.cast("string")), ",")).as("ids_md5"))
+        .orderBy(col("lang"), col("shard_id"))
+    }),
+
     // Span-level corpus dedup: every doc loses spans whose corpus document
     // frequency exceeds 1 — boilerplate is removed from ALL copies, the
     // complement of whole-doc dedup (which keeps one copy intact)
@@ -1009,6 +1038,16 @@ object CorpusQueries {
     "q_corpus_shards_incr" -> corpusOracleChain(
       nbOnGopherSurvivors = false, mixture = false, bpeCtes(BpeMerges),
       s"d$BpeMerges", Some(shardsOracleTail(restrict = Some("gc")))),
+
+    // the reid contract through the SHARD loop: the frozen gate chain
+    // over the re-id'd union (ud→rd, ukey NB split) feeding the shard
+    // split restricted to kept docs — one SQL string, matched by two
+    // chained re-id'd corpusShardsDelta passes + flush
+    "q_corpus_shards_reid" -> corpusOracleChain(
+      nbOnGopherSurvivors = false, mixture = false, bpeCtes(BpeMerges),
+      s"d$BpeMerges",
+      Some(shardsOracleTail(restrict = Some("gc"), docsSrc = "rd")),
+      reidKeys = true),
   ) ++ tailOracles
 
   /** One-shot shard ground truth shared by `q_token_shards` (batch) and
@@ -1025,7 +1064,8 @@ object CorpusQueries {
     * stream — None = the whole corpus (`q_token_shards`), Some("gc") =
     * the corpus-composition keepers (`q_corpus_shards_incr`).
     */
-  private def shardsOracleTail(restrict: Option[String]): String = {
+  private def shardsOracleTail(restrict: Option[String],
+                               docsSrc: String = "documents"): String = {
     val wdJoin = restrict.map(r => s" JOIN $r USING (doc_id)").getOrElse("")
     (s"""sv AS MATERIALIZED (
          |  SELECT sym, CAST(sum(freq) AS BIGINT) AS sym_freq
@@ -1042,7 +1082,7 @@ object CorpusQueries {
          |  SELECT doc_id, CAST(i AS BIGINT) AS wp, arr[i] AS word
          |  FROM (SELECT doc_id,
          |          string_split_regex(trim(text), ' +') AS arr
-         |        FROM documents$wdJoin
+         |        FROM $docsSrc$wdJoin
          |        WHERE text IS NOT NULL AND length(trim(text)) > 0),
          |       unnest(generate_series(1, len(arr))) AS t(i)
          |), sy AS MATERIALIZED (
@@ -1059,7 +1099,7 @@ object CorpusQueries {
          |      ORDER BY wp, sp) - 1 AS BIGINT) AS seqpos,
          |    CAST(coalesce(token_id, -1) AS INT) AS token_id
          |  FROM sy LEFT JOIN vid USING (sym)
-         |       JOIN documents d USING (doc_id)
+         |       JOIN $docsSrc d USING (doc_id)
          |), nd AS (
          |  SELECT lang, doc_id, CAST(count(*) AS BIGINT) AS n
          |  FROM tok GROUP BY 1, 2

@@ -361,6 +361,73 @@ object StreamingCorpus {
       .start()
   }
 
+  /** One micro-batch of the KEYED full loop ([[runCorpusShardsKeyed]]):
+    * re-id the batch under the batchId-versioned ingest base
+    * ([[graft.api.Graft.withIngestIds]] — dense monotone ingest ids over
+    * the deterministic salted-hash key order), then run the standard
+    * dedup→encode→shard stages keyed by the ingest id. The base rides
+    * its own versioned state (`ingest/v=B`, one row), so a RETRIED batch
+    * re-reads the same base, assigns the SAME ids, and overwrites the
+    * same outputs — the exactly-once contract extends to id assignment.
+    */
+  private[graft] def writeKeyedCorpusShardBatch(batch: DataFrame,
+                                                batchId: Long,
+                                                outDir: String,
+                                                textCol: String,
+                                                keyCol: String,
+                                                streamCol: String,
+                                                tok: Bpe.Tokenizer,
+                                                ctxTokens: Int,
+                                                salt: String): Unit = {
+    val spark = batch.sparkSession
+    val base = latestShardState(spark, s"$outDir/ingest", batchId)
+      .map(_.head().getAs[Long]("next_base")).getOrElse(0L)
+    val (reId, nextBase) = graft.api.Graft.withIngestIds(batch, keyCol,
+      base = base, salt = salt, idCol = "ingest_id")
+    writeCorpusShardBatch(reId, batchId, outDir, textCol, "ingest_id",
+      streamCol, tok, ctxTokens)
+    import spark.implicits._
+    Seq(nextBase).toDF("next_base").coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/ingest/v=$batchId")
+    pruneVersions(spark, s"$outDir/ingest")
+  }
+
+  /** [[runCorpusShards]] for ARBITRARY-keyed documents — the crawl shape
+    * where ids are URLs or content hashes with no usable order: each
+    * micro-batch is RE-ID'd first (dense monotone ingest ids continuing
+    * from the batchId-versioned base, the streaming twin of
+    * [[graft.api.Graft.withIngestIds]]'s delta threading), then gated,
+    * deduped against the keeper state, encoded under the frozen
+    * tokenizer, and published as complete shards. Convergence: the
+    * emitted shards equal the batch loop
+    * ([[graft.api.Graft.corpusShardsDelta]] over the same re-id'd
+    * batches) exactly — StreamingSpec pins it, including a re-crawled
+    * duplicate dropped by the keeper state. All four state families
+    * (ingest base, keepers, shard tails, checkpoint) version by batch
+    * id, so retries replace rather than drift. `keyCol` must be unique
+    * within each micro-batch (withIngestIds' loud guard).
+    */
+  def runCorpusShardsKeyed(spark: SparkSession, inDir: String,
+                           outDir: String, checkpoint: String,
+                           schema: StructType, textCol: String,
+                           keyCol: String, streamCol: String,
+                           model: NbClassifier.NbModel, tok: Bpe.Tokenizer,
+                           ctxTokens: Int = 256, minTokens: Long = 50,
+                           maxTokens: Long = 100000,
+                           salt: String = "ingest"): StreamingQuery = {
+    val srcCols = schema.fieldNames.toSeq
+    qualityGate(readDocStream(spark, inDir, schema), textCol, keyCol,
+        model, minTokens, maxTokens)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeKeyedCorpusShardBatch(batch.select(srcCols.map(col): _*),
+          batchId, outDir, textCol, keyCol, streamCol, tok, ctxTokens,
+          salt)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
   /** Delete all but the 3 newest `v=<n>` state versions under `dir` —
     * only the newest below the current batch is ever read again.
     */

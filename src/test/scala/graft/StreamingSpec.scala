@@ -1006,6 +1006,109 @@ class StreamingSpec extends SparkSpec {
     // and the hash-exact stream equality — both would move on a leak)
   }
 
+  test("KEYED streaming corpus loop: arbitrary string-keyed crawl files " +
+    "re-id'd per micro-batch under the versioned ingest base, converging " +
+    "on the batch loop over the same re-id'd deltas; retry re-assigns " +
+    "identical ids") {
+    import graft.ext.{Bpe, NbClassifier, Sampling, TextAnalysis => TA}
+    // the crawl shape: unique non-monotonic string keys, NO numeric id
+    val keyed = Tables.documents(spark, TestSpark.sf0001)
+      .withColumn("ukey",
+        concat(lit("u-"), reverse(col("doc_id").cast("string"))))
+    val half1 = keyed.filter(col("doc_id") < 250).drop("doc_id")
+    val half2k = keyed.filter(col("doc_id") >= 250).drop("doc_id")
+    val docsAll = half1.unionByName(half2k)
+    val labeled = TA.withTokenStats(docsAll, "text")
+      .withColumn("label_weak",
+        round(TA.qualityScore(col("n_tokens"), col("token_chars"),
+          col("n_punct"), col("n_stopwords")) + lit(1e-9), 4) >= 0.5)
+      .select(col("ukey"), col("text"), col("label_weak"))
+    val model = NbClassifier.train(
+      labeled.filter(Sampling.hashBucket(col("ukey"), "graft") < 80),
+      "text", "ukey", "label_weak")
+    val (merges, dict) = Bpe.train(docsAll, "text", 8)
+    val tok = Bpe.Tokenizer(merges, dict, Bpe.vocabIds(dict))
+    // re-crawl: batch 2 re-delivers a GATE-SURVIVING batch-1 text under
+    // a fresh key (deterministic pick), so the keeper state must drop it
+    val dup = graft.streaming.StreamingCorpus.qualityGate(half1, "text",
+        "ukey", model, minTokens = 10)
+      .select(half1.columns.map(col): _*)
+      .orderBy(col("ukey")).limit(1)
+      .withColumn("ukey", lit("u-recrawled"))
+    val b1 = half1
+    val b2 = half2k.unionByName(dup)
+    // batch ground truth: the SAME batch boundaries through
+    // withIngestIds + corpusShardsDelta (shard content legitimately
+    // depends on delivery boundaries — the contract is stream ≡ batch
+    // over the same deltas, exactly like runShards' scaladoc)
+    val G = graft.api.Graft
+    val (r1, base1) = G.withIngestIds(b1, "ukey")
+    val (r2, _) = G.withIngestIds(b2, "ukey", base = base1)
+    val (s1, st1) = G.corpusShardsDelta(r1, "text", "ingest_id", "lang",
+      model, tok, state = None, minTokens = 10, checkIdOrder = false)
+    val (s2, st2) = G.corpusShardsDelta(r2, "text", "ingest_id", "lang",
+      model, tok, state = Some(st1), minTokens = 10,
+      checkIdOrder = false)
+    val expected = s1.unionByName(s2)
+      .unionByName(G.tokenShardsFlush(st2.shards, Seq("lang"), 256))
+      .select(col("lang"), col("shard_id"), col("n_tokens"),
+        col("token_ids").cast("string").as("ids"))
+    val inDir = Files.createTempDirectory("graft-keyed-in").toString
+    val outDir = Files.createTempDirectory("graft-keyed-out").toString
+    val ckpt = Files.createTempDirectory("graft-keyed-ckpt").toString
+    b1.write.parquet(s"$inDir/p1")
+    val q = graft.streaming.StreamingCorpus.runCorpusShardsKeyed(spark,
+      s"$inDir/p*", outDir, ckpt, b1.schema, "text", "ukey", "lang",
+      model, tok, ctxTokens = 256, minTokens = 10)
+    try {
+      q.processAllAvailable()
+      b2.write.parquet(s"$inDir/p2")
+      q.processAllAvailable()
+    } finally if (q.isActive) q.stop()
+    val got = spark.read.parquet(s"$outDir/shards")
+      .select(col("lang"), col("shard_id"), col("n_tokens"),
+        col("token_ids").cast("string").as("ids"))
+      .unionByName(graft.streaming.StreamingCorpus.flushShards(spark,
+          outDir, "lang", ctxTokens = 256)
+        .select(col("lang"), col("shard_id"), col("n_tokens"),
+          col("token_ids").cast("string").as("ids")))
+    assert(got.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(got).count() == 0,
+      "keyed streaming loop diverged from the batch loop over the same " +
+        "re-id'd deltas")
+    // the ingest base advanced by the GATED delivery size (the stream
+    // re-ids gate survivors; duplicates still consume ids — only the
+    // keeper state drops them, AFTER id assignment)
+    def gatedN(d: org.apache.spark.sql.DataFrame): Long =
+      graft.streaming.StreamingCorpus.qualityGate(d, "text", "ukey",
+        model, minTokens = 10).count()
+    val baseState = graft.streaming.StreamingCorpus.latestShardState(
+      spark, s"$outDir/ingest").get.head().getAs[Long]("next_base")
+    assert(baseState == gatedN(b1) + gatedN(b2),
+      s"ingest base $baseState != gated delivered docs")
+    // RETRY of the last micro-batch: same versioned base → identical id
+    // assignment → identical replaced outputs
+    val batches = new java.io.File(s"$outDir/shards").listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong).sorted
+    graft.streaming.StreamingCorpus.writeKeyedCorpusShardBatch(
+      b2.transform(d => graft.streaming.StreamingCorpus.qualityGate(
+        d, "text", "ukey", model, minTokens = 10)
+        .select(d.columns.map(col): _*)),
+      batches.last, outDir, "text", "ukey", "lang", tok,
+      ctxTokens = 256, salt = "ingest")
+    val got2 = spark.read.parquet(s"$outDir/shards")
+      .select(col("lang"), col("shard_id"), col("n_tokens"),
+        col("token_ids").cast("string").as("ids"))
+      .unionByName(graft.streaming.StreamingCorpus.flushShards(spark,
+          outDir, "lang", ctxTokens = 256)
+        .select(col("lang"), col("shard_id"), col("n_tokens"),
+          col("token_ids").cast("string").as("ids")))
+    assert(got2.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(got2).count() == 0,
+      "retried keyed micro-batch re-assigned different ids")
+  }
+
   test("flushShards/closeShards with NO state: typed empty shard frame, " +
     "so the unionByName consumer pattern contributes zero rows") {
     val outDir = Files.createTempDirectory("graft-nostate-out").toString

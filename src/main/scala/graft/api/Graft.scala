@@ -717,12 +717,17 @@ object Graft {
     require(base >= 0, s"base=$base must be non-negative")
     require(!delta.columns.contains(idCol),
       s"delta already has a $idCol column — pass a different idCol")
-    if (checkUniqueKeys)
+    if (checkUniqueKeys) {
+      require(delta.filter(col(keyCol).isNull).isEmpty,
+        s"withIngestIds: $keyCol carries NULLs — a null natural key has " +
+          "no deterministic ingest position; drop or repair those rows " +
+          "first")
       require(delta.groupBy(col(keyCol)).count()
           .filter(col("count") > 1).isEmpty,
         s"withIngestIds: $keyCol is not unique within the delta — " +
           "duplicate keys would make the ingest order nondeterministic; " +
           "dedup the delta by key first")
+    }
     val ordCol = "__ingest_ord"
     require(!delta.columns.contains(ordCol),
       s"delta already has a $ordCol column — rename it first")
@@ -747,7 +752,11 @@ object Graft {
     * packs continue each stream monotonically AND the id-ordering
     * precondition is checkable. Both are bounded by kept-corpus content,
     * not delta count, and both are plain DataFrames — persist them
-    * between runs (parquet) exactly like the NB/tokenizer artifacts.
+    * between runs with [[corpusStateSave]]/[[corpusStateLoad]] (or any
+    * parquet layout). At extreme scale the keeper frame is the loop's
+    * one history-sized input (the delta anti-joins it on digest): lay it
+    * out bucketed/sorted by `content_hash` so the nightly anti-join
+    * shuffles only the delta side.
     */
   final case class CorpusState(keepers: DataFrame, offsets: DataFrame)
 
@@ -872,10 +881,75 @@ object Graft {
 
   /** Incremental state for [[corpusShardsDelta]]: the keeper digests
     * (as in [[CorpusState]]) plus the shard writer's
-    * `(groupCol, tok_total, tail_ids, max_id)` frame. Persist both as
-    * parquet between runs.
+    * `(groupCol, tok_total, tail_ids, max_id)` frame. Persist both with
+    * [[corpusShardsStateSave]]/[[corpusShardsStateLoad]].
     */
   final case class CorpusShardsState(keepers: DataFrame, shards: DataFrame)
+
+  /** Artifact format version for the persisted corpus states (the
+    * NB/tokenizer/AnnIndex convention). */
+  private val CorpusStateFormatVersion = 1
+
+  private def writeStateMeta(spark: SparkSession, dir: String,
+                             kind: String): Unit = {
+    import spark.implicits._
+    Seq((CorpusStateFormatVersion, kind)).toDF("format_version", "kind")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  private def checkStateMeta(spark: SparkSession, dir: String,
+                             kind: String): Unit = {
+    val m = spark.read.parquet(s"$dir/meta").head()
+    val v = m.getAs[Int]("format_version")
+    val k = m.getAs[String]("kind")
+    require(v == CorpusStateFormatVersion && k == kind,
+      s"corpus state at $dir is kind=$k format_version=$v — expected " +
+        s"kind=$kind format_version=$CorpusStateFormatVersion; it was " +
+        "written by an incompatible save (or is not a state dir)")
+  }
+
+  /** Persist a [[CorpusState]] as plain parquet under `dir`
+    * (`keepers/`, `offsets/`, and a versioned `meta/` row) — the
+    * between-runs lifecycle the incremental build rides. Overwrite-mode:
+    * the state ADVANCES every run, so production callers should write
+    * each run's state to a fresh versioned directory (the
+    * `state/v=<runId>` pattern the streaming writer uses) and point the
+    * next run at the newest — a crash mid-save then re-reads the prior
+    * version instead of a half-written one.
+    */
+  def corpusStateSave(state: CorpusState, dir: String): Unit = {
+    state.keepers.write.mode("overwrite").parquet(s"$dir/keepers")
+    state.offsets.write.mode("overwrite").parquet(s"$dir/offsets")
+    writeStateMeta(state.keepers.sparkSession, dir, "corpus")
+  }
+
+  /** Load a persisted [[CorpusState]]; validates the versioned meta row
+    * (kind + format_version) loudly. Chaining a delta off the loaded
+    * state is identical to chaining off the live one (ApiSpec pins it).
+    */
+  def corpusStateLoad(spark: SparkSession, dir: String): CorpusState = {
+    checkStateMeta(spark, dir, "corpus")
+    CorpusState(spark.read.parquet(s"$dir/keepers"),
+      spark.read.parquet(s"$dir/offsets"))
+  }
+
+  /** Persist a [[CorpusShardsState]] (`keepers/`, `shards/`, versioned
+    * `meta/`) — see [[corpusStateSave]] for the fresh-directory
+    * production pattern.
+    */
+  def corpusShardsStateSave(state: CorpusShardsState, dir: String): Unit = {
+    state.keepers.write.mode("overwrite").parquet(s"$dir/keepers")
+    state.shards.write.mode("overwrite").parquet(s"$dir/shards")
+    writeStateMeta(state.keepers.sparkSession, dir, "corpus_shards")
+  }
+
+  /** Load a persisted [[CorpusShardsState]]; loud meta validation. */
+  def corpusShardsStateLoad(spark: SparkSession,
+                            dir: String): CorpusShardsState = {
+    checkStateMeta(spark, dir, "corpus_shards")
+    CorpusShardsState(spark.read.parquet(s"$dir/keepers"),
+      spark.read.parquet(s"$dir/shards"))
+  }
 
   /** The COMPLETE incremental production loop in one call — crawl delta
     * in, training shards out: the [[corpusBuildDelta]] gate+dedup prefix

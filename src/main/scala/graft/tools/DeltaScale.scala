@@ -83,15 +83,12 @@ object DeltaScale {
     val p1s = timed("history pass + state persist") {
       val (p1, st1) = Graft.corpusBuildDelta(history, "text", "doc_id",
         "lang", model, dict, state = None, minTokens = 10)
-      st1.keepers.write.parquet(s"$base/keepers")
-      st1.offsets.write.parquet(s"$base/offsets")
+      Graft.corpusStateSave(st1, s"$base/cstate")
       summarize(p1, "p1")
     }
     // the nightly cost: absorb the delta from DISK state
     val p2s = timed(s"absorb ${deltaPerMille}‰ delta from disk state") {
-      val st = Graft.CorpusState(
-        spark.read.parquet(s"$base/keepers"),
-        spark.read.parquet(s"$base/offsets"))
+      val st = Graft.corpusStateLoad(spark, s"$base/cstate")
       val (p2, _) = Graft.corpusBuildDelta(delta, "text", "doc_id",
         "lang", model, dict, state = Some(st), minTokens = 10)
       summarize(p2, "p2")
@@ -131,14 +128,11 @@ object DeltaScale {
       val s1F = timed("shard history pass + state persist") {
         val (s1, st1) = Graft.corpusShardsDelta(history, "text", "doc_id",
           "lang", model, tok, state = None, minTokens = 10)
-        st1.keepers.write.parquet(s"$base/skeepers")
-        st1.shards.write.parquet(s"$base/sshards")
+        Graft.corpusShardsStateSave(st1, s"$base/sstate")
         fp(s1, "s1")
       }
       val s2F = timed(s"shard-absorb ${deltaPerMille}‰ delta from disk") {
-        val st = Graft.CorpusShardsState(
-          spark.read.parquet(s"$base/skeepers"),
-          spark.read.parquet(s"$base/sshards"))
+        val st = Graft.corpusShardsStateLoad(spark, s"$base/sstate")
         val (s2, st2) = Graft.corpusShardsDelta(delta, "text", "doc_id",
           "lang", model, tok, state = Some(st), minTokens = 10)
         fp(s2.unionByName(

@@ -338,6 +338,18 @@ class ApiSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("not unique"),
       s"wrong failure mode: ${e.getMessage}")
+    // null keys fail loudly (no deterministic ingest position)
+    val eNull = intercept[IllegalArgumentException] {
+      Graft.withIngestIds(delta.unionByName(
+        Seq((null.asInstanceOf[String], "t")).toDF("url", "text")), "url")
+    }
+    assert(eNull.getMessage.contains("NULL"),
+      s"wrong failure mode: ${eNull.getMessage}")
+    // an EMPTY delta threads the base through unchanged
+    val (rEmpty, nextE) = Graft.withIngestIds(
+      delta.filter(lit(false)), "url", base = 42L)
+    assert(rEmpty.count() == 0 && nextE == 42L,
+      "empty delta must assign nothing and keep the base")
   }
 
   test("withIngestIds: re-id'd arbitrary-keyed deltas chain through " +
@@ -382,6 +394,65 @@ class ApiSpec extends SparkSpec {
       two.exceptAll(one).count() == 0,
       "re-id'd chained deltas diverged from the one-shot batch")
     assert(two.count() > 0, "the reid composition produced no packs")
+  }
+
+  test("corpus state save/load: versioned parquet round-trip; chaining " +
+    "off the loaded state equals chaining off the live one") {
+    import graft.ext.{Bpe, NbClassifier, Sampling, TextAnalysis => TA}
+    val labeled = TA.withTokenStats(docs, "text")
+      .withColumn("label_weak",
+        round(TA.qualityScore(col("n_tokens"), col("token_chars"),
+          col("n_punct"), col("n_stopwords")) + lit(1e-9), 4) >= 0.5)
+      .select(col("doc_id"), col("text"), col("label_weak"))
+    val model = NbClassifier.train(
+      labeled.filter(Sampling.hashBucket(col("doc_id"), "graft") < 80),
+      "text", "doc_id", "label_weak")
+    val (merges, dict) = Graft.bpeTrain(docs, "text", nMerges = 4)
+    val tok = Bpe.Tokenizer(merges, dict, Bpe.vocabIds(dict))
+    val d1 = docs.filter(col("doc_id") < 250)
+    val d2 = docs.filter(col("doc_id") >= 250)
+    // CorpusState round-trip
+    val (_, st1) = Graft.corpusBuildDelta(d1, "text", "doc_id", "lang",
+      model, dict, state = None, minTokens = 10)
+    val dirC = java.nio.file.Files
+      .createTempDirectory("graft-cstate").toString
+    Graft.corpusStateSave(st1, dirC)
+    val st1L = Graft.corpusStateLoad(spark, dirC)
+    val (p2live, _) = Graft.corpusBuildDelta(d2, "text", "doc_id", "lang",
+      model, dict, state = Some(st1), minTokens = 10)
+    val (p2load, _) = Graft.corpusBuildDelta(d2, "text", "doc_id", "lang",
+      model, dict, state = Some(st1L), minTokens = 10)
+    def norm(p: org.apache.spark.sql.DataFrame) =
+      p.select(col("lang"), col("doc_id"), col("n_tokens"), col("pack_id"))
+    assert(norm(p2live).exceptAll(norm(p2load)).count() == 0 &&
+      norm(p2load).exceptAll(norm(p2live)).count() == 0,
+      "delta chained off the LOADED state diverged from the live state")
+    // CorpusShardsState round-trip through the full loop + flush
+    val (_, sh1) = Graft.corpusShardsDelta(d1, "text", "doc_id", "lang",
+      model, tok, state = None, minTokens = 10)
+    val dirS = java.nio.file.Files
+      .createTempDirectory("graft-sstate").toString
+    Graft.corpusShardsStateSave(sh1, dirS)
+    val sh1L = Graft.corpusShardsStateLoad(spark, dirS)
+    def run2(st: Graft.CorpusShardsState) = {
+      val (s2, st2) = Graft.corpusShardsDelta(d2, "text", "doc_id",
+        "lang", model, tok, state = Some(st), minTokens = 10)
+      s2.unionByName(Graft.tokenShardsFlush(st2.shards, Seq("lang"), 256))
+        .select(col("lang"), col("shard_id"), col("n_tokens"),
+          col("token_ids").cast("string").as("ids"))
+    }
+    val live = run2(sh1)
+    val loaded = run2(sh1L)
+    assert(live.exceptAll(loaded).count() == 0 &&
+      loaded.exceptAll(live).count() == 0,
+      "shard delta chained off the LOADED state diverged")
+    // kind/version validation is loud: loading a corpus state as a
+    // shards state (and vice versa) fails instead of mis-reading
+    val eKind = intercept[IllegalArgumentException] {
+      Graft.corpusShardsStateLoad(spark, dirC)
+    }
+    assert(eKind.getMessage.contains("kind"),
+      s"wrong failure mode: ${eKind.getMessage}")
   }
 
   test("quickstart: train-batch/serve-stream quality gate") {

@@ -300,6 +300,34 @@ object AnnIndex {
     assigned.select(col("bkt"), col("uid"), codeArr.as("code"))
   }
 
+  /** Operational stats of a persisted index, WITHOUT scanning it — one
+    * row `(dim, m, kSub, n_centers, n_base, n_added, added_fraction,
+    * format_version)` from the params + addstate artifacts only. The
+    * observability face of the [[add]] staleness guard: alert when
+    * `added_fraction` approaches the `maxAddedFraction` you deploy with,
+    * and schedule the rebuild before the guard starts refusing adds.
+    * Pre-versioning artifacts report nulls for the absent fields.
+    */
+  def stats(spark: SparkSession, dir: String): DataFrame = {
+    val params = spark.read.parquet(s"$dir/params")
+    val has = params.schema.fieldNames.toSet
+    val addPath = new org.apache.hadoop.fs.Path(s"$dir/addstate")
+    val fs = addPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nAdded =
+      if (fs.exists(addPath))
+        spark.read.parquet(s"$dir/addstate").head().getAs[Long]("n_added")
+      else 0L
+    val nullL = lit(null).cast("long")
+    params.select(col("dim"), col("m"), col("kSub"), col("n_centers"),
+      (if (has("n_base")) col("n_base") else nullL).as("n_base"),
+      lit(nAdded).as("n_added"),
+      (if (has("n_base"))
+        round(lit(nAdded) / col("n_base"), 4)
+      else lit(null).cast("double")).as("added_fraction"),
+      (if (has("format_version")) col("format_version")
+      else lit(0)).as("format_version"))
+  }
+
   /** Serve queries from a persisted index — no learning, no corpus scan
     * beyond the index artifacts. Same output contract as every ANN
     * operator: `(query_id, neighbor_id, cosine, rank)`, exact cosines.

@@ -405,7 +405,11 @@ object StreamingCorpus {
     * duplicate dropped by the keeper state. All four state families
     * (ingest base, keepers, shard tails, checkpoint) version by batch
     * id, so retries replace rather than drift. `keyCol` must be unique
-    * within each micro-batch (withIngestIds' loud guard).
+    * within each micro-batch (withIngestIds' loud guard); the SAME key
+    * re-arriving in a LATER batch is a re-crawl and simply takes a new
+    * ingest id — dedup is content-based, so unchanged content drops
+    * against the keeper state while changed content legitimately enters
+    * as a new document (no URL-level versioning is implied).
     */
   def runCorpusShardsKeyed(spark: SparkSession, inDir: String,
                            outDir: String, checkpoint: String,

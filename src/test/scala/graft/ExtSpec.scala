@@ -822,6 +822,14 @@ class SimilaritySpec extends SparkSpec {
     // bound fails loudly with the rebuild instruction
     assert(spark.read.parquet(s"$dir/addstate").head()
       .getAs[Long]("n_added") == half2.count())
+    // stats reads params+addstate only — the ops view of the guard
+    val st = A.stats(spark, dir).head()
+    assert(st.getAs[Long]("n_base") == nBase &&
+      st.getAs[Long]("n_added") == half2.count() &&
+      st.getAs[Int]("format_version") == A.FormatVersion &&
+      math.abs(st.getAs[Double]("added_fraction") -
+        half2.count().toDouble / nBase) < 1e-3,
+      s"stats row wrong: $st")
     val eStale = intercept[IllegalArgumentException] {
       A.add(spark, dir,
         Seq((987654321L, Array.fill(64)(0.5f).toSeq))

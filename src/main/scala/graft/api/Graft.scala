@@ -718,12 +718,18 @@ object Graft {
     require(!delta.columns.contains(idCol),
       s"delta already has a $idCol column — pass a different idCol")
     if (checkUniqueKeys) {
-      require(delta.filter(col(keyCol).isNull).isEmpty,
+      // both key guards in ONE delta-sized job: per-key counts, then max
+      // count + any-null in a scalar agg (an empty delta yields nulls)
+      val probe = delta.groupBy(col(keyCol))
+        .agg(count(lit(1)).as("__c"))
+        .agg(max(col("__c")).as("__mx"),
+          max(when(col(keyCol).isNull, 1).otherwise(0)).as("__nn"))
+        .head()
+      require(probe.isNullAt(1) || probe.getInt(1) == 0,
         s"withIngestIds: $keyCol carries NULLs — a null natural key has " +
           "no deterministic ingest position; drop or repair those rows " +
           "first")
-      require(delta.groupBy(col(keyCol)).count()
-          .filter(col("count") > 1).isEmpty,
+      require(probe.isNullAt(0) || probe.getLong(0) <= 1L,
         s"withIngestIds: $keyCol is not unique within the delta — " +
           "duplicate keys would make the ingest order nondeterministic; " +
           "dedup the delta by key first")

@@ -867,6 +867,37 @@ class SimilaritySpec extends SparkSpec {
     assert(eVer.getMessage.contains("format_version"))
   }
 
+  test("AnnIndex.add fresh-uid fast path STRUCTURALLY never reads the " +
+    "index: succeeds with bloom even when the codes dir is unreadable") {
+    // the delta-sized-guard claim as an executable property (at local
+    // scale the full-scan fallback costs the same wall — the structure
+    // is what matters at 100 TB): poison the codes dir with a garbage
+    // parquet file; a fresh-uid add with the bloom must still succeed
+    // (its guard consults only the bloom), while any path that actually
+    // READS codes fails on the same directory
+    val emb = graft.io.Tables.embeddings(spark, TestSpark.sf0001)
+    val half1 = emb.filter(col("vec_id") % 2 === 0)
+    val bucketed = Similarity.kmeansBuckets(half1, "vec_id", "embedding",
+      k = 8, iters = 2, bucketCol = "kb")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-annpoison").toString
+    graft.ext.AnnIndex.build(bucketed, "vec_id", "embedding", "kb", dir,
+      dim = 64)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/codes/part-99999-poison.parquet"),
+      "not a parquet file".getBytes)
+    intercept[Exception] { // the poison is real: reading codes fails
+      spark.read.parquet(s"$dir/codes").count()
+    }
+    val fresh = emb.filter(col("vec_id") % 2 === 1).limit(10)
+      .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"))
+    graft.ext.AnnIndex.add(spark, dir, fresh, "vec_id", "embedding")
+    // the appended code files themselves are intact (only the poison
+    // part-file is unreadable)
+    assert(new java.io.File(s"$dir/codes").listFiles()
+      .count(_.getName.endsWith(".parquet")) > 1)
+  }
+
   test("PqResAdcCosine: reconstruction identity, null contracts") {
     import graft.functions.PqFunctions.graft_pq_res_adc_cosine
     // m=2 subspaces of 2 dims, kSub=2: books row-major (kSub x dsub flat)

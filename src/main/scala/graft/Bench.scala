@@ -277,7 +277,14 @@ object Bench {
     // own detail, always 0); without the override, overwriting an archive
     // that already exists is at least LOUD, not silent.
     val roundRe = "BENCH_r(\\d+)\\.json".r
-    val prevRound = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt - 1)
+    // malformed override must not crash the report AFTER the whole suite
+    // ran — warn and fall back to inference
+    val prevRound = sys.env.get("SPARK_GRAFT_ROUND")
+      .flatMap(v => scala.util.Try(v.trim.toInt - 1).toOption.orElse {
+        System.err.println(s"[bench] WARNING: SPARK_GRAFT_ROUND='$v' is " +
+          "not an integer — falling back to round inference")
+        None
+      })
       .orElse(Option(new java.io.File(".").listFiles())
         .getOrElse(Array.empty)
         .flatMap(f => f.getName match {

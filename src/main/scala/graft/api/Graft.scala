@@ -702,38 +702,39 @@ object Graft {
     * state's max KEPT id could collide with a dropped doc's id and
     * corrupt the dedup keeper semi-join. First delta: `base = 0`.
     *
-    * `keyCol` must be unique within the delta (enforced with one
-    * delta-sized probe — duplicate keys would make the rank order, and
-    * therefore every downstream keeper/pack decision,
-    * nondeterministic; disable via `checkUniqueKeys` only when
-    * uniqueness is guaranteed upstream). Scale shape: the rank is the
-    * bucketed [[graft.ext.Ranks.distributedRankWithCount]] pass — no
-    * single-partition window — and the count the next base needs falls
-    * out of its offset job for free.
+    * `keyCol` must be unique and non-null within the delta, ALWAYS
+    * enforced (one delta-sized probe job): a duplicate key would make
+    * the rank order — and therefore every downstream keeper/pack
+    * decision — nondeterministic, and a null key would silently vanish
+    * through the id join-back while still consuming an id; neither
+    * failure is recoverable downstream, so there is deliberately no
+    * opt-out. Scale shape: the rank is the bucketed
+    * [[graft.ext.Ranks.distributedRankWithCount]] pass over the KEY
+    * PROJECTION only — no single-partition window, no payload bytes in
+    * the shuffle — and the count the next base needs falls out of its
+    * offset job for free.
     */
   def withIngestIds(delta: DataFrame, keyCol: String, base: Long = 0L,
-                    salt: String = "ingest", idCol: String = "ingest_id",
-                    checkUniqueKeys: Boolean = true): (DataFrame, Long) = {
+                    salt: String = "ingest",
+                    idCol: String = "ingest_id"): (DataFrame, Long) = {
     require(base >= 0, s"base=$base must be non-negative")
     require(!delta.columns.contains(idCol),
       s"delta already has a $idCol column — pass a different idCol")
-    if (checkUniqueKeys) {
-      // both key guards in ONE delta-sized job: per-key counts, then max
-      // count + any-null in a scalar agg (an empty delta yields nulls)
-      val probe = delta.groupBy(col(keyCol))
-        .agg(count(lit(1)).as("__c"))
-        .agg(max(col("__c")).as("__mx"),
-          max(when(col(keyCol).isNull, 1).otherwise(0)).as("__nn"))
-        .head()
-      require(probe.isNullAt(1) || probe.getInt(1) == 0,
-        s"withIngestIds: $keyCol carries NULLs — a null natural key has " +
-          "no deterministic ingest position; drop or repair those rows " +
-          "first")
-      require(probe.isNullAt(0) || probe.getLong(0) <= 1L,
-        s"withIngestIds: $keyCol is not unique within the delta — " +
-          "duplicate keys would make the ingest order nondeterministic; " +
-          "dedup the delta by key first")
-    }
+    // both key guards in ONE delta-sized job: per-key counts, then max
+    // count + any-null in a scalar agg (an empty delta yields nulls)
+    val probe = delta.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__c"))
+      .agg(max(col("__c")).as("__mx"),
+        max(when(col(keyCol).isNull, 1).otherwise(0)).as("__nn"))
+      .head()
+    require(probe.isNullAt(1) || probe.getInt(1) == 0,
+      s"withIngestIds: $keyCol carries NULLs — a null natural key has " +
+        "no deterministic ingest position; drop or repair those rows " +
+        "first")
+    require(probe.isNullAt(0) || probe.getLong(0) <= 1L,
+      s"withIngestIds: $keyCol is not unique within the delta — " +
+        "duplicate keys would make the ingest order nondeterministic; " +
+        "dedup the delta by key first")
     val ordCol = "__ingest_ord"
     require(!delta.columns.contains(ordCol),
       s"delta already has a $ordCol column — rename it first")
@@ -896,65 +897,105 @@ object Graft {
     * NB/tokenizer/AnnIndex convention). */
   private val CorpusStateFormatVersion = 1
 
-  private def writeStateMeta(spark: SparkSession, dir: String,
-                             kind: String): Unit = {
-    import spark.implicits._
-    Seq((CorpusStateFormatVersion, kind)).toDF("format_version", "kind")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  private def stateFs(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  private def checkStateMeta(spark: SparkSession, dir: String,
-                             kind: String): Unit = {
-    val m = spark.read.parquet(s"$dir/meta").head()
-    val v = m.getAs[Int]("format_version")
-    val k = m.getAs[String]("kind")
-    require(v == CorpusStateFormatVersion && k == kind,
-      s"corpus state at $dir is kind=$k format_version=$v — expected " +
-        s"kind=$kind format_version=$CorpusStateFormatVersion; it was " +
-        "written by an incompatible save (or is not a state dir)")
-  }
-
-  /** Persist a [[CorpusState]] as plain parquet under `dir`
-    * (`keepers/`, `offsets/`, and a versioned `meta/` row) — the
-    * between-runs lifecycle the incremental build rides. Overwrite-mode:
-    * the state ADVANCES every run, so production callers should write
-    * each run's state to a fresh versioned directory (the
-    * `state/v=<runId>` pattern the streaming writer uses) and point the
-    * next run at the newest — a crash mid-save then re-reads the prior
-    * version instead of a half-written one.
+  /** Committed version directories under `dir`, newest first — a version
+    * counts only if its `meta/` (the COMMIT MARKER, written last) is
+    * readable and matches `kind` + format_version.
     */
-  def corpusStateSave(state: CorpusState, dir: String): Unit = {
-    state.keepers.write.mode("overwrite").parquet(s"$dir/keepers")
-    state.offsets.write.mode("overwrite").parquet(s"$dir/offsets")
-    writeStateMeta(state.keepers.sparkSession, dir, "corpus")
+  private def committedVersions(spark: SparkSession, dir: String,
+                                kind: String): Seq[Long] = {
+    val (fs, p) = stateFs(spark, dir)
+    if (!fs.exists(p)) Nil
+    else {
+      val vRe = "v=(\\d+)".r
+      fs.listStatus(p).toSeq
+        .flatMap(_.getPath.getName match {
+          case vRe(n) => Some(n.toLong)
+          case _ => None
+        })
+        .sorted.reverse
+        .filter { v =>
+          try {
+            val m = spark.read.parquet(s"$dir/v=$v/meta").head()
+            m.getAs[Int]("format_version") == CorpusStateFormatVersion &&
+              m.getAs[String]("kind") == kind
+          } catch { case scala.util.control.NonFatal(_) => false }
+        }
+    }
   }
 
-  /** Load a persisted [[CorpusState]]; validates the versioned meta row
-    * (kind + format_version) loudly. Chaining a delta off the loaded
-    * state is identical to chaining off the live one (ApiSpec pins it).
+  private def saveStateParts(spark: SparkSession, dir: String, kind: String,
+                             parts: Seq[(String, DataFrame)]): Unit = {
+    import spark.implicits._
+    val next = committedVersions(spark, dir, kind).headOption
+      .getOrElse(-1L) + 1
+    val vDir = s"$dir/v=$next"
+    parts.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$vDir/$name")
+    }
+    // meta LAST = the commit marker: a crash mid-save leaves an
+    // uncommitted v-dir that load skips and the next save overwrites
+    Seq((CorpusStateFormatVersion, kind)).toDF("format_version", "kind")
+      .coalesce(1).write.mode("overwrite").parquet(s"$vDir/meta")
+    // retention: the loop only ever reads the newest committed version;
+    // keep 3 for operator forensics, exactly like the streaming states
+    val (fs, _) = stateFs(spark, dir)
+    committedVersions(spark, dir, kind).drop(3).foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v=$v"), true))
+  }
+
+  private def loadStateParts(spark: SparkSession, dir: String, kind: String,
+                             parts: Seq[String]): Seq[DataFrame] = {
+    val v = committedVersions(spark, dir, kind).headOption.getOrElse {
+      throw new IllegalArgumentException(
+        s"no committed $kind state under $dir — either nothing was ever " +
+          "saved there, the only save crashed before its meta commit " +
+          "marker, or the directory holds a different state kind")
+    }
+    parts.map(name => spark.read.parquet(s"$dir/v=$v/$name"))
+  }
+
+  /** Persist a [[CorpusState]] under `dir` as a NEW COMMITTED VERSION
+    * (`dir/v=<n>/{keepers,offsets,meta}`; meta written last is the
+    * commit marker, the streaming writer's convention): the natural
+    * load → delta → save-to-the-same-dir loop works — the new version
+    * never overwrites the files the loaded state still reads — and a
+    * crash mid-save leaves an uncommitted v-dir that [[corpusStateLoad]]
+    * skips, never a torn state. Keeps the 3 newest committed versions.
+    */
+  def corpusStateSave(state: CorpusState, dir: String): Unit =
+    saveStateParts(state.keepers.sparkSession, dir, "corpus",
+      Seq("keepers" -> state.keepers, "offsets" -> state.offsets))
+
+  /** Load the newest COMMITTED [[CorpusState]] version; fails loudly
+    * when none exists (or the dir holds a different state kind).
+    * Chaining a delta off the loaded state is identical to chaining off
+    * the live one (ApiSpec pins it).
     */
   def corpusStateLoad(spark: SparkSession, dir: String): CorpusState = {
-    checkStateMeta(spark, dir, "corpus")
-    CorpusState(spark.read.parquet(s"$dir/keepers"),
-      spark.read.parquet(s"$dir/offsets"))
+    val Seq(k, o) = loadStateParts(spark, dir, "corpus",
+      Seq("keepers", "offsets"))
+    CorpusState(k, o)
   }
 
-  /** Persist a [[CorpusShardsState]] (`keepers/`, `shards/`, versioned
-    * `meta/`) — see [[corpusStateSave]] for the fresh-directory
-    * production pattern.
+  /** Persist a [[CorpusShardsState]] as a new committed version
+    * (`dir/v=<n>/{keepers,shards,meta}`) — same crash-safe contract as
+    * [[corpusStateSave]].
     */
-  def corpusShardsStateSave(state: CorpusShardsState, dir: String): Unit = {
-    state.keepers.write.mode("overwrite").parquet(s"$dir/keepers")
-    state.shards.write.mode("overwrite").parquet(s"$dir/shards")
-    writeStateMeta(state.keepers.sparkSession, dir, "corpus_shards")
-  }
+  def corpusShardsStateSave(state: CorpusShardsState, dir: String): Unit =
+    saveStateParts(state.keepers.sparkSession, dir, "corpus_shards",
+      Seq("keepers" -> state.keepers, "shards" -> state.shards))
 
-  /** Load a persisted [[CorpusShardsState]]; loud meta validation. */
+  /** Load the newest committed [[CorpusShardsState]]; loud when none. */
   def corpusShardsStateLoad(spark: SparkSession,
                             dir: String): CorpusShardsState = {
-    checkStateMeta(spark, dir, "corpus_shards")
-    CorpusShardsState(spark.read.parquet(s"$dir/keepers"),
-      spark.read.parquet(s"$dir/shards"))
+    val Seq(k, s) = loadStateParts(spark, dir, "corpus_shards",
+      Seq("keepers", "shards"))
+    CorpusShardsState(k, s)
   }
 
   /** The COMPLETE incremental production loop in one call — crawl delta

@@ -120,6 +120,9 @@ object AnnIndex {
     if (!fs.exists(path)) None
     else {
       val row = spark.read.parquet(s"$dir/uidbloom").head()
+      requireVersion(row, "uidbloom") // same guard as params — a future
+      // serialization bump must fail with the rebuild instruction, not
+      // deserialize blindly into a wrong membership filter
       val bytes = row.getAs[Array[Byte]]("bloom")
       Some((org.apache.spark.util.sketch.BloomFilter.readFrom(
         new java.io.ByteArrayInputStream(bytes)),
@@ -232,6 +235,15 @@ object AnnIndex {
     // uids the bloom claims to have seen pay the exact confirm scans
     val bloom = readBloom(spark, dir)
     val uidIntegral = isIntegral(newV.schema("uid").dataType)
+    // a bloom-carrying index tracks LONG uids; appending rows the bloom
+    // cannot represent would break its "contains every written uid"
+    // invariant and let a LATER integral add of the same id skip the
+    // duplicate guard silently — refuse instead
+    require(bloom.isEmpty || uidIntegral,
+      s"AnnIndex.add: this index carries a uid bloom over integral ids, " +
+        s"but the input's $idCol is ${newV.schema("uid").dataType} — " +
+        "cast the ids to long (or rebuild the index from the non-" +
+        "integral-keyed corpus, which builds bloomless)")
     val cands = (bloom, uidIntegral) match {
       case (Some((bf, _, _)), true) =>
         val out = new java.io.ByteArrayOutputStream()
@@ -262,8 +274,24 @@ object AnnIndex {
     // vectors are inert; orphan codes would vanish from the re-rank)
     if (uidIntegral) bloom match {
       case Some((bf, expected, fpp)) =>
-        bf.mergeInPlace(buildBloom(newV, expected, fpp))
-        writeBloom(spark, dir, bf, expected, fpp)
+        val projected = nBase.getOrElse(0L) + nAdded + deltaN
+        if (projected > expected) {
+          // SATURATION: past the sketch's sizing point the fpp degrades
+          // and every future add pays more exact-confirm scans — rebuild
+          // the bloom over all written uids (vectors ⊇ codes incl.
+          // orphans) at doubled capacity. One uid-column scan, rare by
+          // construction (amortized doubling), vs. a quietly degrading
+          // guard forever.
+          val newExpected = math.max(2L * projected, 2L * expected)
+          writeBloom(spark, dir,
+            buildBloom(spark.read.parquet(s"$dir/vectors")
+              .select(col("uid")).unionByName(newV.select(col("uid"))),
+              newExpected, fpp),
+            newExpected, fpp)
+        } else {
+          bf.mergeInPlace(buildBloom(newV, expected, fpp))
+          writeBloom(spark, dir, bf, expected, fpp)
+        }
       case None => () // pre-bloom index: stay bloomless (build writes it)
     }
     orphanFree.select(col("uid"), Similarity.unitVec(col("v")).as("uvec"))

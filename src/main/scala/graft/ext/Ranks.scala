@@ -50,18 +50,22 @@ object Ranks {
     require(nTiles > 0, s"nTiles=$nTiles must be positive")
     require(!df.columns.contains(tileCol),
       s"input already has a $tileCol column — pass a different tileCol")
+    // collision-free internal rank column: any input column set stays
+    // valid, exactly as before the rank refactor
+    val rc = Iterator.from(0).map(i => s"__gr$i")
+      .find(c => !df.columns.contains(c)).get
     val (ranked, n) = distributedRankWithCount(df, valueCol, tieCols,
-      rankCol = "__gr", buckets = buckets)
+      rankCol = rc, buckets = buckets)
     val nt = n / nTiles
     val rem = n % nTiles
-    val rank = col("__gr")
+    val rank = col(rc)
     // integer ceil-division split; when n < nTiles, nt = 0 and every rank
     // takes the first branch (tile = rank), matching ntile
     val tile = when(rank <= lit(rem * (nt + 1)),
         floor((rank + lit(nt)) / lit(nt + 1)))
       .otherwise(lit(rem) + floor((rank - lit(rem * (nt + 1))
         + lit(nt) - 1) / lit(math.max(nt, 1L))))
-    ranked.withColumn(tileCol, tile.cast("int")).drop("__gr")
+    ranked.withColumn(tileCol, tile.cast("int")).drop(rc)
   }
 
   /** `df` plus an exact 1-based GLOBAL rank (long `rankCol`) over

@@ -244,10 +244,21 @@ object StreamingCorpus {
         Packing.shardTokensFlush(st, Seq(streamCol), ctxTokens)
       case None =>
         import org.apache.spark.sql.types._
+        // stream-column type: prefer the PUBLISHED shards' own schema
+        // (non-string stream keys union cleanly); string only when the
+        // sink is empty too and no schema exists anywhere
+        val shardsPath = new org.apache.hadoop.fs.Path(s"$outDir/shards")
+        val fs = shardsPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val streamType: DataType =
+          if (fs.exists(shardsPath))
+            scala.util.Try(spark.read.parquet(s"$outDir/shards")
+              .schema(streamCol).dataType).getOrElse(StringType)
+          else StringType
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(
-            StructField(streamCol, StringType),
+            StructField(streamCol, streamType),
             StructField("shard_id", LongType),
             StructField("n_tokens", LongType),
             StructField("token_ids", ArrayType(IntegerType)))))
@@ -268,9 +279,18 @@ object StreamingCorpus {
     * `outDir/shards/batch_id=` [[FlushBatchId]] (overwrite mode — a
     * retried or repeated close REPLACES the same directory, the same
     * idempotence contract as every micro-batch sink here). Returns the
-    * published tails re-read from the sink. Works for [[runShards]] and
-    * [[runCorpusShards]] jobs alike (both version their writer state
-    * under `outDir/state`).
+    * published tails re-read from the sink. Works for [[runShards]],
+    * [[runCorpusShards]], and [[runCorpusShardsKeyed]] jobs alike (all
+    * version their writer state under `outDir/state`).
+    *
+    * OWNERSHIP: close only a STOPPED job — pass `query` (stopped here
+    * for you) or stop it out-of-band first. Closing while a producer in
+    * another process is still writing publishes that moment's partial
+    * tails, which the live stream later re-publishes inside complete
+    * shards — duplicated token content that nothing can detect
+    * downstream. This is the standard close() contract of any
+    * append-only writer, stated loudly because the `query = None` form
+    * cannot verify liveness across processes.
     */
   def closeShards(spark: SparkSession, outDir: String, streamCol: String,
                   ctxTokens: Int = 256,

@@ -418,15 +418,29 @@ class ApiSpec extends SparkSpec {
       .createTempDirectory("graft-cstate").toString
     Graft.corpusStateSave(st1, dirC)
     val st1L = Graft.corpusStateLoad(spark, dirC)
-    val (p2live, _) = Graft.corpusBuildDelta(d2, "text", "doc_id", "lang",
-      model, dict, state = Some(st1), minTokens = 10)
-    val (p2load, _) = Graft.corpusBuildDelta(d2, "text", "doc_id", "lang",
-      model, dict, state = Some(st1L), minTokens = 10)
+    val (p2live, st2live) = Graft.corpusBuildDelta(d2, "text", "doc_id",
+      "lang", model, dict, state = Some(st1), minTokens = 10)
+    val (p2load, st2load) = Graft.corpusBuildDelta(d2, "text", "doc_id",
+      "lang", model, dict, state = Some(st1L), minTokens = 10)
     def norm(p: org.apache.spark.sql.DataFrame) =
       p.select(col("lang"), col("doc_id"), col("n_tokens"), col("pack_id"))
     assert(norm(p2live).exceptAll(norm(p2load)).count() == 0 &&
       norm(p2load).exceptAll(norm(p2live)).count() == 0,
       "delta chained off the LOADED state diverged from the live state")
+    // the natural nightly loop: load → delta → save BACK TO THE SAME
+    // DIR — versioned saves never overwrite what the loaded state still
+    // reads, and load returns the newest committed version
+    Graft.corpusStateSave(st2load, dirC)
+    val st2Re = Graft.corpusStateLoad(spark, dirC)
+    assert(st2Re.offsets.exceptAll(st2live.offsets).count() == 0 &&
+      st2live.offsets.exceptAll(st2Re.offsets).count() == 0,
+      "same-dir save/load loop lost or tore the advanced state")
+    // a torn save (no meta commit marker) is skipped, not mis-loaded:
+    // fabricate an uncommitted newer version dir with keepers only
+    st2Re.keepers.write.parquet(s"$dirC/v=99/keepers")
+    assert(Graft.corpusStateLoad(spark, dirC).offsets
+      .exceptAll(st2live.offsets).count() == 0,
+      "an uncommitted (torn) version must be skipped by load")
     // CorpusShardsState round-trip through the full loop + flush
     val (_, sh1) = Graft.corpusShardsDelta(d1, "text", "doc_id", "lang",
       model, tok, state = None, minTokens = 10)
@@ -447,11 +461,12 @@ class ApiSpec extends SparkSpec {
       loaded.exceptAll(live).count() == 0,
       "shard delta chained off the LOADED state diverged")
     // kind/version validation is loud: loading a corpus state as a
-    // shards state (and vice versa) fails instead of mis-reading
+    // shards state (and vice versa) finds no committed version of that
+    // kind and fails instead of mis-reading
     val eKind = intercept[IllegalArgumentException] {
       Graft.corpusShardsStateLoad(spark, dirC)
     }
-    assert(eKind.getMessage.contains("kind"),
+    assert(eKind.getMessage.contains("no committed"),
       s"wrong failure mode: ${eKind.getMessage}")
   }
 

@@ -838,6 +838,38 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(eStale.getMessage.contains("REBUILD"),
       s"wrong failure mode: ${eStale.getMessage}")
+    // non-integral uids cannot enter a bloom-carrying index (they would
+    // silently break the membership invariant for a LATER integral add)
+    val eType = intercept[IllegalArgumentException] {
+      A.add(spark, dir,
+        Seq(("str-id", Array.fill(64)(0.25f).toSeq))
+          .toDF("vec_id", "embedding"),
+        "vec_id", "embedding")
+    }
+    assert(eType.getMessage.contains("uid bloom"),
+      s"wrong failure mode: ${eType.getMessage}")
+    // bloom saturation: pushing cumulative adds past the sketch's sizing
+    // point REBUILDS it at doubled capacity instead of degrading fpp.
+    // The fixture can't outgrow the 1024-item build floor, so simulate a
+    // nearly-full sketch by shrinking the artifact to expected = nBase
+    // (rebuilt over ALL written uids — the invariant holds throughout)
+    val fppS = A.readBloom(spark, dir).get._3
+    A.writeBloom(spark, dir,
+      A.buildBloom(spark.read.parquet(s"$dir/vectors").select(col("uid")),
+        nBase, fppS), nBase, fppS)
+    val more = (0 until 16).map(i =>
+      (900000000L + i, Array.tabulate(64)(d =>
+        math.sin((d + 1) * (i + 3) * 0.31).toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    A.add(spark, dir, more, "vec_id", "embedding",
+      maxAddedFraction = 2.0)
+    val (bfAfter, expAfter, _) = A.readBloom(spark, dir).get
+    assert(expAfter > nBase,
+      s"saturated bloom was not re-sized ($nBase -> $expAfter)")
+    assert(bfAfter.mightContainLong(900000005L) &&
+      half1.limit(5).collect()
+        .forall(r => bfAfter.mightContainLong(r.getLong(0))),
+      "rebuilt bloom lost uids (false negatives)")
     // pre-bloom index (artifact deleted): the dup guard falls back to
     // the full semi-join — same loud failure, same fresh-add success
     val dirOld = java.nio.file.Files

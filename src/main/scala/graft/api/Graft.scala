@@ -299,6 +299,19 @@ object Graft {
                   maxAddedFraction: Double = 2.0): Unit =
     AnnIndex.add(spark, dir, newVectors, idCol, vecCol, maxAddedFraction)
 
+  /** REBUILD a persisted index over everything it holds — the one-call
+    * answer to [[annIndexAdd]]'s staleness refusal and the
+    * `added_fraction` alert in [[graft.ext.AnnIndex.stats]]: re-learn
+    * the geometry from the persisted unit vectors (built + added rows,
+    * no external corpus access), publish as a new `dir/r=<n>` version
+    * that subsequent adds/searches resolve atomically, and reset the
+    * staleness counter. See [[graft.ext.AnnIndex.rebuild]].
+    */
+  def annIndexRebuild(spark: SparkSession, dir: String, nBuckets: Int = 0,
+                      trainFraction: Double = 1.0): Unit =
+    AnnIndex.rebuild(spark, dir, nBuckets = nBuckets,
+      trainFraction = trainFraction)
+
   /** Serve queries from a persisted index with no re-learning — the
     * query-many half. Same output contract as every ANN path; the serve
     * plan is EXACTLY the live [[annSearch]] tail (spec-pinned equal).

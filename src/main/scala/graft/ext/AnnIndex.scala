@@ -24,22 +24,37 @@ import org.apache.spark.sql.types._
   * dir/vectors    (uid, uvec ARRAY<DOUBLE>)       one row per vector
   * dir/books      (j INT, cj INT, center ARRAY<DOUBLE>)  m·kSub rows
   * dir/params     (dim, m, kSub, n_centers, n_base, format_version) 1 row
-  * dir/uidbloom   (format_version, expected_items, fpp, bloom BINARY) 1 row
+  * dir/uidbloom   (format_version, expected_items, fpp, uid_type,
+  *                 bloom BINARY) 1 row
   * dir/addstate   (n_added BIGINT) 1 row, written/advanced by add()
   * }}}
+  *
+  * REBUILD VERSIONS: [[rebuild]] writes a complete fresh artifact set
+  * under `dir/r=<n>` (params written LAST is the commit marker, the
+  * corpus-state convention) and every reader/writer here resolves the
+  * newest committed version first ([[currentRoot]]), falling back to the
+  * legacy flat layout when no `r=` version exists — so a rebuild swaps in
+  * atomically for new calls while calls already past resolution keep
+  * serving the version they opened. `addstate` lives per version: a
+  * rebuild resets the staleness counter by construction.
   *
   * `format_version` (the [[NbClassifier]]/[[Bpe]] artifact convention) is
   * 1; params/uidbloom rows missing the column are pre-versioning
   * artifacts and load with fallback behavior (no bloom → full-scan dup
   * guard; no n_base → no staleness guard). `uidbloom` is a Bloom filter
-  * over the LONG uids of every vector ever written (over-approximation by
+  * over the uids of every vector ever written (over-approximation by
   * construction — it is written BEFORE the row appends, so a failed add
   * leaves stale positives that the exact confirm clears, never false
-  * negatives). It exists so [[add]]'s duplicate-id guard is DELTA-sized:
-  * without it every nightly add pays a full index scan. Sketch size is
-  * O(n) bits (~1.2 MB per million uids at fpp 0.01) — within the codebook
-  * driver-side allowance for any index whose codes fit a cluster; shard
-  * the index itself before the bloom is the bottleneck.
+  * negatives). `uid_type` records the probe transform: `long` blooms the
+  * raw integral uid; `hashed` blooms `xxhash64(uid)` (string/content-hash
+  * keys — the deterministic hash keeps the no-false-negative invariant,
+  * hash collisions only add false positives the exact confirm clears);
+  * a row without the column is a pre-r15 `long` bloom. It exists so
+  * [[add]]'s duplicate-id guard is DELTA-sized: without it every nightly
+  * add pays a full index scan. Sketch size is O(n) bits (~1.2 MB per
+  * million uids at fpp 0.01) — within the codebook driver-side allowance
+  * for any index whose codes fit a cluster; shard the index itself before
+  * the bloom is the bottleneck.
   *
   * [[search]] reloads the codebooks to the driver (m·kSub·dsub = k·dim
   * doubles — the codebook allowance every ANN operator shares) and runs
@@ -59,6 +74,8 @@ object AnnIndex {
   /** Learn and persist the index. The corpus must carry a coarse cell
     * column (from [[Similarity.kmeansBuckets]] or any bucketing).
     * Fails on an empty/all-null corpus — there is no codebook to learn.
+    * Write order ends bloom → params so `params` doubles as the commit
+    * marker a [[rebuild]] version is judged committed by.
     */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
             bucketCol: String, dir: String, dim: Int,
@@ -81,15 +98,19 @@ object AnnIndex {
     // footer-stats count over the just-written codes (cheap) = the base
     // size the add() staleness guard measures growth against
     val nBase = spark.read.parquet(s"$dir/codes").count()
+    // uid bloom: integral uids bloom raw longs; string uids bloom
+    // xxhash64(uid) (`hashed`) — both give add() the delta-sized dup
+    // guard. Other key types fall back to the full-scan guard.
+    uidTypeOf(coded.schema("uid").dataType).foreach { ut =>
+      writeBloom(spark, dir,
+        buildBloom(coded, math.max(2L * nBase, 1024L), BloomFpp, ut),
+        math.max(2L * nBase, 1024L), BloomFpp, ut)
+    }
+    // params LAST = the commit marker (rebuild versions are committed
+    // only once their params row is readable)
     Seq((dim, m, kSub, books(0).length, nBase, FormatVersion))
       .toDF("dim", "m", "kSub", "n_centers", "n_base", "format_version")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
-    // uid bloom — only for integral uid columns (the bloom probe hashes
-    // longs); other key types fall back to add()'s full-scan dup guard
-    if (isIntegral(coded.schema("uid").dataType))
-      writeBloom(spark, dir,
-        buildBloom(coded, math.max(2L * nBase, 1024L), BloomFpp),
-        math.max(2L * nBase, 1024L), BloomFpp)
   }
 
   private def isIntegral(dt: DataType): Boolean = dt match {
@@ -97,24 +118,58 @@ object AnnIndex {
     case _ => false
   }
 
+  /** Bloom key family for a uid type: raw longs for integral uids,
+    * `hashed` (xxhash64) for strings, None (no bloom) otherwise. */
+  private def uidTypeOf(dt: DataType): Option[String] = dt match {
+    case t if isIntegral(t) => Some("long")
+    case StringType => Some("hashed")
+    case _ => None
+  }
+
+  /** The LONG the bloom stores/probes for a uid under `uidType`. */
+  private def bloomKey(uidType: String, uid: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = uidType match {
+    case "long" => uid.cast("long")
+    case "hashed" => xxhash64(uid)
+    case other => throw new IllegalArgumentException(
+      s"AnnIndex: unknown uid_type '$other' in uidbloom — rebuild the " +
+        "index with this library version")
+  }
+
   private[graft] def buildBloom(withUid: DataFrame, expectedItems: Long,
-                         fpp: Double): org.apache.spark.util.sketch.BloomFilter =
-    withUid.select(col("uid").cast("long").as("uid"))
+                         fpp: Double, uidType: String = "long")
+      : org.apache.spark.util.sketch.BloomFilter =
+    withUid.select(bloomKey(uidType, col("uid")).as("uid"))
       .stat.bloomFilter("uid", expectedItems, fpp)
 
+  /** Persist the bloom CRASH-SAFELY: write to a sibling tmp dir, then
+    * swap via rename — the window where `uidbloom` is absent is one
+    * rename wide, and [[add]] self-heals a missing bloom anyway (one
+    * vectors uid scan) so even a crash inside the window cannot strand
+    * the index bloomless forever.
+    */
   private[graft] def writeBloom(spark: SparkSession, dir: String,
                          bf: org.apache.spark.util.sketch.BloomFilter,
-                         expectedItems: Long, fpp: Double): Unit = {
+                         expectedItems: Long, fpp: Double,
+                         uidType: String = "long"): Unit = {
     import spark.implicits._
     val out = new java.io.ByteArrayOutputStream()
     bf.writeTo(out)
-    Seq((FormatVersion, expectedItems, fpp, out.toByteArray))
-      .toDF("format_version", "expected_items", "fpp", "bloom")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/uidbloom")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/uidbloom__tmp")
+    val live = new org.apache.hadoop.fs.Path(s"$dir/uidbloom")
+    Seq((FormatVersion, expectedItems, fpp, uidType, out.toByteArray))
+      .toDF("format_version", "expected_items", "fpp", "uid_type", "bloom")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(live)) fs.delete(live, true)
+    fs.rename(tmp, live)
+    ()
   }
 
   private[graft] def readBloom(spark: SparkSession, dir: String)
-      : Option[(org.apache.spark.util.sketch.BloomFilter, Long, Double)] = {
+      : Option[(org.apache.spark.util.sketch.BloomFilter, Long, Double,
+                String)] = {
     val path = new org.apache.hadoop.fs.Path(s"$dir/uidbloom")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) None
@@ -124,9 +179,16 @@ object AnnIndex {
       // serialization bump must fail with the rebuild instruction, not
       // deserialize blindly into a wrong membership filter
       val bytes = row.getAs[Array[Byte]]("bloom")
+      // pre-r15 blooms carry no uid_type column: they were only ever
+      // written for integral uids, so `long` is the faithful default
+      val uidType =
+        if (row.schema.fieldNames.contains("uid_type"))
+          row.getAs[String]("uid_type")
+        else "long"
       Some((org.apache.spark.util.sketch.BloomFilter.readFrom(
         new java.io.ByteArrayInputStream(bytes)),
-        row.getAs[Long]("expected_items"), row.getAs[Double]("fpp")))
+        row.getAs[Long]("expected_items"), row.getAs[Double]("fpp"),
+        uidType))
     }
   }
 
@@ -138,6 +200,89 @@ object AnnIndex {
         s"AnnIndex: $what format_version $v is not the supported " +
           s"$FormatVersion — rebuild the index with this library version")
     } // absent = pre-versioning artifact, accepted with fallback behavior
+
+  /** The directory the CURRENT index version lives under: the newest
+    * committed `dir/r=<n>` rebuild version (committed = its params row
+    * is readable — params is written last), else `dir` itself (the
+    * legacy flat layout every [[build]] writes). One resolution per
+    * call: a [[rebuild]] completing mid-call does not tear artifacts
+    * from two versions into one plan.
+    */
+  private[graft] def currentRoot(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) dir
+    else {
+      val vRe = "r=(\\d+)".r
+      fs.listStatus(p).toSeq
+        .flatMap(_.getPath.getName match {
+          case vRe(n) => Some(n.toLong)
+          case _ => None
+        })
+        .sorted.reverse
+        .collectFirst(Function.unlift { v =>
+          val root = s"$dir/r=$v"
+          try {
+            spark.read.parquet(s"$root/params").head()
+            Some(root)
+          } catch { case scala.util.control.NonFatal(_) => None }
+        })
+        .getOrElse(dir)
+    }
+  }
+
+  /** REBUILD the index over everything it currently holds — the loop
+    * [[stats]]' `added_fraction` alert points at and [[add]]'s staleness
+    * refusal demands: re-learn cells and residual codebooks from the
+    * persisted unit vectors (built + added rows alike — no external
+    * corpus access), re-encode, and publish as a NEW VERSION under
+    * `dir/r=<n>` that [[currentRoot]] swaps every subsequent
+    * add/search/stats onto atomically (params written last is the
+    * commit marker; a crashed rebuild leaves an uncommitted version the
+    * resolver skips). The new version starts with a fresh `addstate`
+    * (n_added = 0) and an `n_base` of the full rebuilt size — the
+    * staleness budget resets, which is the point. The PREVIOUS version
+    * stays on disk for calls that resolved before the swap; older
+    * committed versions are pruned (the corpus-state retention rule).
+    *
+    * `nBuckets <= 0` re-derives the cell count from the rebuilt size
+    * (clamp(ceil(n/1024), 16, 4096) — the facade's auto rule), so a
+    * corpus that tripled since build gets proportionally more cells.
+    * `m`/`kSub`/`dim` carry over from the current params.
+    */
+  def rebuild(spark: SparkSession, dir: String, nBuckets: Int = 0,
+              iters: Int = 2, trainFraction: Double = 1.0): Unit = {
+    val root = currentRoot(spark, dir)
+    val params = spark.read.parquet(s"$root/params").head()
+    requireVersion(params, "params")
+    val dim = params.getAs[Int]("dim")
+    val m = params.getAs[Int]("m")
+    val kSub = params.getAs[Int]("kSub")
+    val vecs = spark.read.parquet(s"$root/vectors")
+    val k =
+      if (nBuckets > 0) nBuckets
+      else {
+        val n = vecs.count()
+        math.min(4096L, math.max(16L, (n + 1023L) / 1024L)).toInt
+      }
+    val bucketed = Similarity.kmeansBuckets(vecs, "uid", "uvec", k = k,
+      iters = iters, bucketCol = "__cell", trainFraction = trainFraction)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vRe = "r=(\\d+)".r
+    val versions = fs.listStatus(p).toSeq
+      .flatMap(_.getPath.getName match {
+        case vRe(n) => Some(n.toLong)
+        case _ => None
+      }).sorted
+    val next = versions.lastOption.getOrElse(0L) + 1
+    build(bucketed, "uid", "uvec", "__cell", s"$dir/r=$next", dim = dim,
+      m = m, kSub = kSub, iters = iters, trainFraction = trainFraction)
+    // retention: keep the new version and its predecessor (in-flight
+    // readers resolved before the swap); prune everything older
+    versions.dropRight(1).foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/r=$v"), true))
+  }
 
   /** INCREMENTAL index maintenance — the faiss `add()` contract: encode
     * `newVectors` under the index's FROZEN geometry (no retraining, no
@@ -157,17 +302,24 @@ object AnnIndex {
     *
     * Guards, all loud:
     *  - wrong-dimension vectors fail (cannot encode under the geometry);
-    *  - uids already present in `codes` fail (a duplicate would fan out
-    *    the exact re-rank join). The membership probe is DELTA-sized
-    *    when the index carries a uid bloom: only bloom HITS pay an exact
-    *    confirm against `codes` (false positives are cleared there) —
-    *    a fresh-uid nightly add never scans the index. Pre-bloom
+    *  - duplicate uids WITHIN the delta fail (two codes rows would fan
+    *    out the exact re-rank join; the probe shares the delta-sized
+    *    count job);
+    *  - uids already present in `codes` fail. The membership probe is
+    *    DELTA-sized when the index carries a uid bloom: only bloom HITS
+    *    pay an exact confirm against `codes` (false positives are
+    *    cleared there) — a fresh-uid nightly add never scans the index.
+    *    Integral uids bloom raw longs; string uids bloom xxhash64(uid).
+    *    A VERSIONED index whose bloom artifact is missing (crash inside
+    *    the bloom swap) self-heals: the bloom is rebuilt from one
+    *    `vectors` uid-column scan before the guard runs. Pre-versioning
     *    indexes fall back to the full semi-join.
     *  - STALENESS: recall under frozen geometry decays as the vector
     *    distribution drifts from the frozen cells/books (measured curve
     *    in SCALING.md — recall@5 vs added fraction). `maxAddedFraction`
     *    bounds cumulative adds relative to the build size (`n_base`):
-    *    exceeding it fails with a rebuild instruction. The counter rides
+    *    exceeding it fails with a rebuild instruction ([[rebuild]] is
+    *    that instruction's one-call form). The counter rides
     *    `dir/addstate`.
     *
     * Failure/retry semantics (writes ordered bloom → vectors → codes →
@@ -176,20 +328,24 @@ object AnnIndex {
     * the exact confirm; never false negatives), an orphaned `vectors`
     * row (vectors committed, codes failed) is INERT for search
     * (candidates come from codes) and is SKIPPED on retry rather than
-    * duplicated, so a rerun of a failed add CONVERGES to exactly-once.
-    * A rerun after a fully-applied add correctly fails the duplicate
-    * guard; if only the addstate bookkeeping write was lost, the
-    * staleness counter undercounts by that one delta (guard slack, not
-    * corruption).
+    * duplicated, so a rerun of a failed add CONVERGES to exactly-once —
+    * PROVIDED the retry carries the same content: an orphan whose stored
+    * unit vector differs from the incoming vector's (a REGENERATED
+    * delta, e.g. re-embedded docs under reused ids) fails loudly instead
+    * of silently serving the stale vector to the exact re-rank. A rerun
+    * after a fully-applied add correctly fails the duplicate guard; if
+    * only the addstate bookkeeping write was lost, the staleness counter
+    * undercounts by that one delta (guard slack, not corruption).
     */
   def add(spark: SparkSession, dir: String, newVectors: DataFrame,
           idCol: String, vecCol: String,
           maxAddedFraction: Double = 2.0): Unit = {
-    val params = spark.read.parquet(s"$dir/params").head()
+    val root = currentRoot(spark, dir)
+    val params = spark.read.parquet(s"$root/params").head()
     requireVersion(params, "params")
     val dim = params.getAs[Int]("dim")
     val m = params.getAs[Int]("m")
-    val centFrame = spark.read.parquet(s"$dir/centroids")
+    val centFrame = spark.read.parquet(s"$root/centroids")
     // centroids collected in BKT ORDER: the assignment kernel breaks
     // distance ties on array position, so a partition-order collect
     // would make tie resolution nondeterministic across runs
@@ -197,8 +353,8 @@ object AnnIndex {
       .orderBy(col("bkt")).collect()
       .map(r => r.getAs[Int]("bkt") -> r.getSeq[Double](1).toArray)
     require(centPairs.nonEmpty,
-      s"AnnIndex.add: $dir has no centroids — not a built index")
-    val bookRows = spark.read.parquet(s"$dir/books").collect()
+      s"AnnIndex.add: $root has no centroids — not a built index")
+    val bookRows = spark.read.parquet(s"$root/books").collect()
     val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
       bookRows.filter(_.getAs[Int]("j") == j)
         .sortBy(_.getAs[Int]("cj")).map(_.getSeq[Double](2).toArray)
@@ -207,100 +363,147 @@ object AnnIndex {
     val newV = newVectors.filter(vd.isNotNull)
       .select(col(idCol).as("uid"), vd.as("v"))
       .transform(CacheScope.cache) // guards + two appends read it
-    require(newV.filter(size(col("v")) =!= dim).isEmpty,
+    // the three delta-local guards (count, intra-batch duplicate uids,
+    // wrong dimension) in ONE delta-sized probe job
+    val probe = newV.groupBy(col("uid"))
+      .agg(count(lit(1)).as("__c"),
+        max((size(col("v")) =!= dim).cast("int")).as("__bd"))
+      .agg(sum(col("__c")).as("__n"), max(col("__c")).as("__mx"),
+        max(col("__bd")).as("__anybad"))
+      .head()
+    val deltaN = if (probe.isNullAt(0)) 0L else probe.getLong(0)
+    require(probe.isNullAt(2) || probe.getInt(2) == 0,
       s"AnnIndex.add: input carries vectors whose dimension != $dim " +
         "(the index geometry) — they cannot be encoded")
-    val deltaN = newV.count()
+    require(probe.isNullAt(1) || probe.getLong(1) <= 1L,
+      "AnnIndex.add: input carries duplicate uids WITHIN the delta — " +
+        "two rows per uid would fan out the exact re-rank join; dedup " +
+        "the delta by id first")
     // staleness guard: cumulative adds vs the build size (see SCALING.md
     // recall-vs-added-fraction curve for where the default comes from)
     val nBase =
       if (params.schema.fieldNames.contains("n_base"))
         Some(params.getAs[Long]("n_base"))
       else None
-    val addPath = new org.apache.hadoop.fs.Path(s"$dir/addstate")
+    val addPath = new org.apache.hadoop.fs.Path(s"$root/addstate")
     val fs = addPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val nAdded =
       if (fs.exists(addPath))
-        spark.read.parquet(s"$dir/addstate").head().getAs[Long]("n_added")
+        spark.read.parquet(s"$root/addstate").head().getAs[Long]("n_added")
       else 0L
     nBase.foreach { nb =>
       require(nAdded + deltaN <= maxAddedFraction * nb,
         s"AnnIndex.add: cumulative adds (${nAdded + deltaN}) would exceed " +
           s"$maxAddedFraction of the build size ($nb) — recall under the " +
           "frozen geometry decays with added fraction (SCALING.md curve); " +
-          "REBUILD the index over the grown corpus, or raise " +
-          "maxAddedFraction if the measured recall decay is acceptable")
+          "REBUILD the index over the grown corpus " +
+          "(graft.api.Graft.annIndexRebuild), or raise maxAddedFraction " +
+          "if the measured recall decay is acceptable")
     }
     // duplicate-id / orphan guards, delta-sized via the uid bloom: only
-    // uids the bloom claims to have seen pay the exact confirm scans
-    val bloom = readBloom(spark, dir)
-    val uidIntegral = isIntegral(newV.schema("uid").dataType)
-    // a bloom-carrying index tracks LONG uids; appending rows the bloom
-    // cannot represent would break its "contains every written uid"
-    // invariant and let a LATER integral add of the same id skip the
+    // uids the bloom claims to have seen pay the exact confirm scans.
+    // A versioned index with a MISSING bloom artifact (crash inside the
+    // bloom swap) self-heals here — one vectors uid scan, vs. silently
+    // paying the full-index semi-join on every future add forever.
+    val inputUidType = uidTypeOf(newV.schema("uid").dataType)
+    val bloom = readBloom(spark, root).orElse {
+      val versioned = params.schema.fieldNames.contains("format_version")
+      (versioned, inputUidType) match {
+        case (true, Some(ut)) =>
+          System.err.println(s"[annindex] $root is versioned but has no " +
+            "uidbloom (crash during a bloom swap?) — rebuilding it from " +
+            "the vectors uid column")
+          val expected =
+            math.max(2L * (nBase.getOrElse(0L) + nAdded + deltaN), 1024L)
+          val bf = buildBloom(
+            spark.read.parquet(s"$root/vectors").select(col("uid")),
+            expected, BloomFpp, ut)
+          writeBloom(spark, root, bf, expected, BloomFpp, ut)
+          Some((bf, expected, BloomFpp, ut))
+        case _ => None // pre-versioning or unbloomable uid type: full scan
+      }
+    }
+    // a bloom-carrying index tracks uids under ONE key family; appending
+    // rows the bloom cannot represent would break its "contains every
+    // written uid" invariant and let a LATER add of the same id skip the
     // duplicate guard silently — refuse instead
-    require(bloom.isEmpty || uidIntegral,
-      s"AnnIndex.add: this index carries a uid bloom over integral ids, " +
-        s"but the input's $idCol is ${newV.schema("uid").dataType} — " +
-        "cast the ids to long (or rebuild the index from the non-" +
-        "integral-keyed corpus, which builds bloomless)")
-    val cands = (bloom, uidIntegral) match {
-      case (Some((bf, _, _)), true) =>
+    bloom.foreach { case (_, _, _, ut) =>
+      require(inputUidType.contains(ut),
+        s"AnnIndex.add: this index carries a uid bloom keyed '$ut', " +
+          s"but the input's $idCol is ${newV.schema("uid").dataType} — " +
+          "cast the ids to the index's uid type (or rebuild the index " +
+          "from the re-keyed corpus)")
+    }
+    val cands = bloom match {
+      case Some((bf, _, _, ut)) =>
         val out = new java.io.ByteArrayOutputStream()
         bf.writeTo(out)
         newV.filter(ColumnBridge.column(BloomFilterMightContain(
           Literal(out.toByteArray, BinaryType),
-          ColumnBridge.expression(col("uid").cast("long")))))
+          ColumnBridge.expression(bloomKey(ut, col("uid"))))))
           .select(col("uid"))
-      case _ => newV.select(col("uid")) // pre-bloom / non-integral: full scan
+      case None => newV.select(col("uid")) // pre-bloom: full scan
     }
     val candsEmpty = cands.isEmpty
     if (!candsEmpty) {
-      require(spark.read.parquet(s"$dir/codes").select(col("uid"))
+      require(spark.read.parquet(s"$root/codes").select(col("uid"))
           .join(cands, Seq("uid"), "left_semi").isEmpty,
         "AnnIndex.add: input ids already exist in the index — a duplicate " +
           "uid would fan out the exact re-rank join; re-id or rebuild")
     }
     // orphaned vectors rows (a prior add wrote vectors, then failed
-    // before codes): skip them on the vectors append — same bytes would
-    // be rewritten (unitVec is deterministic), so skipping converges the
-    // retry to exactly-once instead of fanning out the re-rank join
+    // before codes): skip them on the vectors append IF the stored unit
+    // vector matches the incoming one (a retry of the identical delta —
+    // skipping converges it to exactly-once). A CONTENT MISMATCH means
+    // the caller regenerated the delta under reused ids: appending would
+    // duplicate the uid, skipping would serve the STALE vector to every
+    // exact re-rank — fail loudly instead.
     val orphanFree =
       if (candsEmpty) newV
-      else newV.join(spark.read.parquet(s"$dir/vectors").select(col("uid"))
-        .join(cands, Seq("uid"), "left_semi"), Seq("uid"), "left_anti")
+      else {
+        val orphans = spark.read.parquet(s"$root/vectors")
+          .join(cands, Seq("uid"), "left_semi")
+          .join(newV, Seq("uid")) // (uid, uvec stored, v incoming)
+          .transform(CacheScope.cache)
+        require(orphans.filter(
+            not(col("uvec") <=> Similarity.unitVec(col("v")))).isEmpty,
+          "AnnIndex.add: an orphaned vectors row (a prior failed add) " +
+            "holds DIFFERENT content than the incoming vector for the " +
+            "same uid — a regenerated delta under reused ids would " +
+            "silently serve the stale vector to the exact re-rank. " +
+            "Re-id the regenerated delta, or rebuild the index")
+        newV.join(orphans.select(col("uid")), Seq("uid"), "left_anti")
+      }
     // write order: bloom first (over-approximation is safe; a missing uid
     // would be a false NEGATIVE on retry), vectors before codes (orphan
     // vectors are inert; orphan codes would vanish from the re-rank)
-    if (uidIntegral) bloom match {
-      case Some((bf, expected, fpp)) =>
-        val projected = nBase.getOrElse(0L) + nAdded + deltaN
-        if (projected > expected) {
-          // SATURATION: past the sketch's sizing point the fpp degrades
-          // and every future add pays more exact-confirm scans — rebuild
-          // the bloom over all written uids (vectors ⊇ codes incl.
-          // orphans) at doubled capacity. One uid-column scan, rare by
-          // construction (amortized doubling), vs. a quietly degrading
-          // guard forever.
-          val newExpected = math.max(2L * projected, 2L * expected)
-          writeBloom(spark, dir,
-            buildBloom(spark.read.parquet(s"$dir/vectors")
-              .select(col("uid")).unionByName(newV.select(col("uid"))),
-              newExpected, fpp),
-            newExpected, fpp)
-        } else {
-          bf.mergeInPlace(buildBloom(newV, expected, fpp))
-          writeBloom(spark, dir, bf, expected, fpp)
-        }
-      case None => () // pre-bloom index: stay bloomless (build writes it)
+    bloom.foreach { case (bf, expected, fpp, ut) =>
+      val projected = nBase.getOrElse(0L) + nAdded + deltaN
+      if (projected > expected) {
+        // SATURATION: past the sketch's sizing point the fpp degrades
+        // and every future add pays more exact-confirm scans — rebuild
+        // the bloom over all written uids (vectors ⊇ codes incl.
+        // orphans) at doubled capacity. One uid-column scan, rare by
+        // construction (amortized doubling), vs. a quietly degrading
+        // guard forever.
+        val newExpected = math.max(2L * projected, 2L * expected)
+        writeBloom(spark, root,
+          buildBloom(spark.read.parquet(s"$root/vectors")
+            .select(col("uid")).unionByName(newV.select(col("uid"))),
+            newExpected, fpp, ut),
+          newExpected, fpp, ut)
+      } else {
+        bf.mergeInPlace(buildBloom(newV, expected, fpp, ut))
+        writeBloom(spark, root, bf, expected, fpp, ut)
+      }
     }
     orphanFree.select(col("uid"), Similarity.unitVec(col("v")).as("uvec"))
-      .write.mode("append").parquet(s"$dir/vectors")
+      .write.mode("append").parquet(s"$root/vectors")
     encodeFrozen(newV, centPairs, centFrame, books, dim / m)
-      .write.mode("append").parquet(s"$dir/codes")
+      .write.mode("append").parquet(s"$root/codes")
     import spark.implicits._
     Seq(nAdded + deltaN).toDF("n_added")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/addstate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/addstate")
   }
 
   /** The frozen-geometry encode kernel [[add]] and the oracled
@@ -330,20 +533,22 @@ object AnnIndex {
 
   /** Operational stats of a persisted index, WITHOUT scanning it — one
     * row `(dim, m, kSub, n_centers, n_base, n_added, added_fraction,
-    * format_version)` from the params + addstate artifacts only. The
+    * format_version)` from the params + addstate artifacts only (of the
+    * CURRENT version — a [[rebuild]] resets the counters). The
     * observability face of the [[add]] staleness guard: alert when
     * `added_fraction` approaches the `maxAddedFraction` you deploy with,
-    * and schedule the rebuild before the guard starts refusing adds.
+    * and schedule the [[rebuild]] before the guard starts refusing adds.
     * Pre-versioning artifacts report nulls for the absent fields.
     */
   def stats(spark: SparkSession, dir: String): DataFrame = {
-    val params = spark.read.parquet(s"$dir/params")
+    val root = currentRoot(spark, dir)
+    val params = spark.read.parquet(s"$root/params")
     val has = params.schema.fieldNames.toSet
-    val addPath = new org.apache.hadoop.fs.Path(s"$dir/addstate")
+    val addPath = new org.apache.hadoop.fs.Path(s"$root/addstate")
     val fs = addPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val nAdded =
       if (fs.exists(addPath))
-        spark.read.parquet(s"$dir/addstate").head().getAs[Long]("n_added")
+        spark.read.parquet(s"$root/addstate").head().getAs[Long]("n_added")
       else 0L
     val nullL = lit(null).cast("long")
     params.select(col("dim"), col("m"), col("kSub"), col("n_centers"),
@@ -359,25 +564,28 @@ object AnnIndex {
   /** Serve queries from a persisted index — no learning, no corpus scan
     * beyond the index artifacts. Same output contract as every ANN
     * operator: `(query_id, neighbor_id, cosine, rank)`, exact cosines.
+    * Serves the newest committed version ([[currentRoot]], resolved once
+    * per call — a concurrent [[rebuild]] swaps in for the NEXT call).
     */
   def search(spark: SparkSession, dir: String, queries: DataFrame,
              idCol: String, vecCol: String, k: Int, nProbe: Int = 2,
              overfetch: Int = 3,
              maxBucket: Int = Int.MaxValue): DataFrame = {
-    val params = spark.read.parquet(s"$dir/params").head()
+    val root = currentRoot(spark, dir)
+    val params = spark.read.parquet(s"$root/params").head()
     requireVersion(params, "params")
     val m = params.getAs[Int]("m")
     val kSub = params.getAs[Int]("kSub")
-    val bookRows = spark.read.parquet(s"$dir/books")
+    val bookRows = spark.read.parquet(s"$root/books")
       .orderBy(col("j"), col("cj")).collect()
     val flatBooks: Array[Array[Double]] = Array.tabulate(m) { j =>
       bookRows.filter(_.getAs[Int]("j") == j)
         .flatMap(_.getSeq[Double](2)).toArray
     }
     Similarity.ivfPqResServe(
-      spark.read.parquet(s"$dir/centroids"),
-      spark.read.parquet(s"$dir/codes"),
-      spark.read.parquet(s"$dir/vectors"),
+      spark.read.parquet(s"$root/centroids"),
+      spark.read.parquet(s"$root/codes"),
+      spark.read.parquet(s"$root/vectors"),
       queries, idCol, vecCol, flatBooks, kSub, k, nProbe, overfetch,
       maxBucket)
   }

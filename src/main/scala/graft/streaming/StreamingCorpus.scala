@@ -166,6 +166,36 @@ object StreamingCorpus {
     }
   }
 
+  /** The terminal-sink marker [[closeShards]] writes under the shards
+    * directory (underscore-prefixed: parquet partition discovery ignores
+    * it, so consumers' reads are unaffected). Every micro-batch shard
+    * writer refuses to write past it — see [[requireNotClosed]].
+    */
+  private[graft] val CloseMarker = "_CLOSED"
+
+  /** A closed shard sink is TERMINAL: [[closeShards]] published the
+    * streams' partial tails as final shards, so a later micro-batch
+    * appending to the same sink would re-emit those tail tokens inside
+    * complete shards while the flush partition remains — duplicated
+    * token content nothing downstream can detect. Refuse loudly instead
+    * (the error kills the restarted query with this message). To
+    * deliberately resume a closed sink, delete BOTH the marker and the
+    * `batch_id=` [[FlushBatchId]] flush partition — at which point the
+    * tails re-enter through the carried writer state as if never flushed.
+    */
+  private def requireNotClosed(spark: SparkSession, shardDir: String): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(s"$shardDir/$CloseMarker")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker))
+      throw new IllegalStateException(
+        s"graft shard sink $shardDir was CLOSED by closeShards — the " +
+          "sink is terminal: its partial tails are already published as " +
+          "final shards, and writing more batches would duplicate those " +
+          "tail tokens inside complete shards. Start a new outDir, or " +
+          s"delete $shardDir/$CloseMarker AND the batch_id=$FlushBatchId " +
+          "flush partition to explicitly reopen")
+  }
+
   /** One micro-batch of the streaming SHARD writer, exactly-once-shaped
     * end to end: the incremental writer's state is VERSIONED BY BATCH
     * ID — batch B reads the newest state strictly below B, writes its
@@ -180,6 +210,7 @@ object StreamingCorpus {
                                      streamCol: String, tok: Bpe.Tokenizer,
                                      ctxTokens: Int): Unit = {
     val spark = batch.sparkSession
+    requireNotClosed(spark, shardDir)
     val enc = tok.encodeIds(batch, textCol, idCol)
       .join(batch.select(col(idCol), col(streamCol)), Seq(idCol))
     val (shards, newState) = Packing.shardTokensDelta(enc, Seq(streamCol),
@@ -291,6 +322,14 @@ object StreamingCorpus {
     * downstream. This is the standard close() contract of any
     * append-only writer, stated loudly because the `query = None` form
     * cannot verify liveness across processes.
+    *
+    * The sink is TERMINAL after close — ENFORCED, not advisory: close
+    * stamps `shards/` [[CloseMarker]] (after the flush publish, so a
+    * crashed close retries cleanly), and every micro-batch writer here
+    * refuses to write past it — a restarted stream fails with a named
+    * error instead of silently re-emitting the flushed tail tokens
+    * inside complete shards. Repeated closes stay idempotent (the
+    * marker and the flush partition are both overwrite-shaped).
     */
   def closeShards(spark: SparkSession, outDir: String, streamCol: String,
                   ctxTokens: Int = 256,
@@ -305,6 +344,12 @@ object StreamingCorpus {
     flushShards(spark, outDir, streamCol, ctxTokens)
       .repartition(1).write.mode("overwrite")
       .parquet(s"$outDir/shards/batch_id=$FlushBatchId")
+    // marker LAST: a crash before this line leaves a re-closeable sink
+    // (the flush partition is overwrite-mode), never a half-fenced one
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$outDir/shards/$CloseMarker")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(marker, true).close()
     spark.read.parquet(s"$outDir/shards/batch_id=$FlushBatchId")
   }
 
@@ -322,6 +367,7 @@ object StreamingCorpus {
                                            tok: Bpe.Tokenizer,
                                            ctxTokens: Int): Unit = {
     val spark = batch.sparkSession
+    requireNotClosed(spark, s"$outDir/shards")
     val keeperState = latestShardState(spark, s"$outDir/keepers", batchId)
     val (kept, deltaKeepers) = graft.ext.Dedup.keeperDelta(
       batch, textCol, idCol, keeperState)
@@ -412,6 +458,60 @@ object StreamingCorpus {
     pruneVersions(spark, s"$outDir/ingest")
   }
 
+  /** Single-producer ownership of a keyed shard sink, ENFORCED: the
+    * keyed loop's ingest-base versioning (`ingest/v=B`) is correct for
+    * exactly ONE producer per outDir — two concurrent producers would
+    * read the same base and assign overlapping ingest ids, corrupting
+    * the keeper/dedup semantics with no loud failure. The lock is a
+    * marker file `<dir>/_OWNER` holding the producer's CHECKPOINT path:
+    * the checkpoint IS the job's identity, so a crashed job restarting
+    * from its own checkpoint re-acquires silently (the resume story
+    * stays intact), while a starter with a DIFFERENT checkpoint fails
+    * fast with a named error. Takeover (the old producer is known dead
+    * and its checkpoint is gone): delete the `_OWNER` file — stated in
+    * the error, deliberate-action-shaped.
+    */
+  private[graft] def acquireProducerLock(spark: SparkSession, dir: String,
+                                         checkpoint: String): Unit = {
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/_OWNER")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def owner(): String = {
+      val in = fs.open(lock)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](4096)
+        Iterator.continually(in.read(tmp)).takeWhile(_ >= 0)
+          .foreach(n => buf.write(tmp, 0, n))
+        new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+    }
+    def refuse(existing: String): Nothing =
+      throw new IllegalStateException(
+        s"graft keyed shard sink: $dir is owned by another producer " +
+          s"(checkpoint '$existing'); this starter's checkpoint is " +
+          s"'$checkpoint'. The keyed loop's ingest-base versioning " +
+          "requires exactly one producer per outDir — two would assign " +
+          "overlapping ingest ids. If the owning job is dead and being " +
+          s"replaced, delete $dir/_OWNER to take over")
+    if (fs.exists(lock)) {
+      val existing = owner()
+      if (existing != checkpoint) refuse(existing)
+    } else {
+      fs.mkdirs(lock.getParent)
+      try {
+        val out = fs.create(lock, false) // atomic: loses a concurrent race
+        out.write(checkpoint.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        out.close()
+      } catch {
+        case _: java.io.IOException =>
+          // raced: someone created it first — same identity is fine
+          val existing = owner()
+          if (existing != checkpoint) refuse(existing)
+      }
+    }
+  }
+
   /** [[runCorpusShards]] for ARBITRARY-keyed documents — the crawl shape
     * where ids are URLs or content hashes with no usable order: each
     * micro-batch is RE-ID'd first (dense monotone ingest ids continuing
@@ -429,7 +529,12 @@ object StreamingCorpus {
     * re-arriving in a LATER batch is a re-crawl and simply takes a new
     * ingest id — dedup is content-based, so unchanged content drops
     * against the keeper state while changed content legitimately enters
-    * as a new document (no URL-level versioning is implied).
+    * as a new document (no URL-level versioning is implied; for
+    * explicit latest-wins key identity use the keyed-keeper loop,
+    * [[runCorpusShardsRekeyed]]). Single-producer ownership of `outDir`
+    * is ENFORCED ([[acquireProducerLock]]): a second starter with a
+    * different checkpoint fails fast; the same job restarting from its
+    * own checkpoint re-acquires silently.
     */
   def runCorpusShardsKeyed(spark: SparkSession, inDir: String,
                            outDir: String, checkpoint: String,
@@ -440,6 +545,9 @@ object StreamingCorpus {
                            maxTokens: Long = 100000,
                            salt: String = "ingest"): StreamingQuery = {
     val srcCols = schema.fieldNames.toSeq
+    // ONE producer per outDir, enforced before any state is touched:
+    // the ingest-base versioning is single-writer by construction
+    acquireProducerLock(spark, s"$outDir/ingest", checkpoint)
     qualityGate(readDocStream(spark, inDir, schema), textCol, keyCol,
         model, minTokens, maxTokens)
       .writeStream

@@ -31,6 +31,7 @@ object IndexScale {
     val emb = graft.io.Tables.embeddings(spark, dir)
     println(s"[indexscale] ${emb.count()} vectors from $dir")
     if (args.lift(2).contains("add")) { addProbe(spark, emb, dim); spark.stop(); return }
+    if (args.lift(2).contains("rebuild")) { rebuildProbe(spark, emb, dim); spark.stop(); return }
     for (frac <- Seq(1.0, 0.1); pass <- Seq("cold", "warm")) {
       spark.catalog.clearCache(); System.gc()
       val out = java.nio.file.Files
@@ -42,6 +43,41 @@ object IndexScale {
         f"${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
     spark.stop()
+  }
+
+  /** `rebuild` mode: the staleness-alert response loop end to end —
+    * build over 2/3 of the corpus, add the remaining 1/3 (the grown
+    * state a real deployment rebuilds from), then time
+    * [[graft.api.Graft.annIndexRebuild]] (re-learn + re-encode + version
+    * swap) and a post-swap add + search. */
+  private def rebuildProbe(spark: SparkSession,
+                           emb: org.apache.spark.sql.DataFrame,
+                           dim: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-rebuildprobe").toString
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+    val grown = emb.filter(col("vec_id") % 3 === 0)
+    val t0 = System.nanoTime()
+    graft.api.Graft.annIndexBuild(base, "vec_id", "embedding", dir,
+      dim = dim, trainFraction = 0.1)
+    println(f"[indexscale/rebuild] build(${base.count()}): " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val t1 = System.nanoTime()
+    graft.api.Graft.annIndexAdd(spark, dir, grown, "vec_id", "embedding")
+    println(f"[indexscale/rebuild] add(${grown.count()}): " +
+      f"${(System.nanoTime() - t1) / 1e9}%.1f s")
+    val t2 = System.nanoTime()
+    graft.api.Graft.annIndexRebuild(spark, dir, trainFraction = 0.1)
+    println(f"[indexscale/rebuild] rebuild(${emb.count()}): " +
+      f"${(System.nanoTime() - t2) / 1e9}%.1f s")
+    val t3 = System.nanoTime()
+    val post = graft.api.Graft.annIndexSearch(spark, dir,
+      emb.limit(1000).select((col("vec_id") + 1000000000L).as("vec_id"),
+        col("embedding")),
+      "vec_id", "embedding", k = 5)
+    println(f"[indexscale/rebuild] post-swap search(1000 q): " +
+      f"${post.count()} rows, ${(System.nanoTime() - t3) / 1e9}%.1f s")
   }
 
   private def addProbe(spark: SparkSession,
@@ -71,12 +107,38 @@ object IndexScale {
       Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
     }
     rmrf(new java.io.File(s"$noBloom/uidbloom"))
+    // a VERSIONED index with a missing bloom now SELF-HEALS on add (r15)
+    // — to measure the true pre-bloom full-semi-join fallback, strip the
+    // params version stamp so the artifact reads as pre-versioning
+    val legacyParams = spark.read.parquet(s"$noBloom/params")
+      .drop("format_version", "n_base").collect()
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(legacyParams.toSeq, 1),
+        spark.read.parquet(s"$noBloom/params")
+          .drop("format_version", "n_base").schema)
+      .write.mode("overwrite").parquet(s"$noBloom/params")
     timed("fresh-uid add, WITH bloom (guard never scans the index)") {
       graft.api.Graft.annIndexAdd(spark, withBloom, delta, "vec_id",
         "embedding")
     }
     timed("fresh-uid add, NO bloom (pre-r14 full-semi-join fallback)") {
       graft.api.Graft.annIndexAdd(spark, noBloom, delta, "vec_id",
+        "embedding")
+    }
+    // STRING-uid index (content-hash keys): the r15 hashed bloom gives
+    // the same delta-sized guard the long path gets
+    val baseS = base.select(md5(col("vec_id").cast("string")).as("vec_id"),
+      col("embedding"))
+    val deltaS = delta.select(
+      concat(lit("n-"), md5(col("vec_id").cast("string"))).as("vec_id"),
+      col("embedding")).cache()
+    deltaS.count()
+    val strDir = java.nio.file.Files
+      .createTempDirectory("graft-addprobe-s").toString
+    graft.api.Graft.annIndexBuild(baseS, "vec_id", "embedding", strDir,
+      dim = dim, trainFraction = 0.1)
+    timed("fresh-uid add, STRING uids WITH hashed bloom") {
+      graft.api.Graft.annIndexAdd(spark, strDir, deltaS, "vec_id",
         "embedding")
     }
     timed("duplicate add, WITH bloom (hit -> exact confirm -> loud)") {

@@ -791,7 +791,8 @@ class SimilaritySpec extends SparkSpec {
     assert(params.getAs[Int]("format_version") == A.FormatVersion)
     val nBase = params.getAs[Long]("n_base")
     assert(nBase == half1.count())
-    val Some((bf0, expected, fpp)) = A.readBloom(spark, dir)
+    val Some((bf0, expected, fpp, bloomType)) = A.readBloom(spark, dir)
+    assert(bloomType == "long", "integral-uid build must stamp uid_type")
     assert(half1.select(col("vec_id")).collect()
       .forall(r => bf0.mightContainLong(r.getLong(0))),
       "bloom must contain every built uid (no false negatives)")
@@ -863,15 +864,18 @@ class SimilaritySpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     A.add(spark, dir, more, "vec_id", "embedding",
       maxAddedFraction = 2.0)
-    val (bfAfter, expAfter, _) = A.readBloom(spark, dir).get
+    val (bfAfter, expAfter, _, _) = A.readBloom(spark, dir).get
     assert(expAfter > nBase,
       s"saturated bloom was not re-sized ($nBase -> $expAfter)")
     assert(bfAfter.mightContainLong(900000005L) &&
       half1.limit(5).collect()
         .forall(r => bfAfter.mightContainLong(r.getLong(0))),
       "rebuilt bloom lost uids (false negatives)")
-    // pre-bloom index (artifact deleted): the dup guard falls back to
-    // the full semi-join — same loud failure, same fresh-add success
+    // MISSING bloom on a VERSIONED index (the crash-inside-the-bloom-swap
+    // shape): add() SELF-HEALS — rebuilds the bloom from the vectors uid
+    // column before the guard runs, so the index never stays degraded to
+    // full-scan guards forever. Same loud dup failure, same fresh-add
+    // success, and the artifact is back afterwards.
     val dirOld = java.nio.file.Files
       .createTempDirectory("graft-annart-old").toString
     A.build(bucketed, "vec_id", "embedding", "kb", dirOld, dim = 64)
@@ -884,6 +888,12 @@ class SimilaritySpec extends SparkSpec {
       A.add(spark, dirOld, half1.limit(1), "vec_id", "embedding")
     }
     assert(eDupOld.getMessage.contains("already exist"))
+    assert(A.readBloom(spark, dirOld).nonEmpty,
+      "a versioned index must self-heal its missing uid bloom on add()")
+    val (bfHealed, _, _, _) = A.readBloom(spark, dirOld).get
+    assert(half1.limit(5).collect()
+      .forall(r => bfHealed.mightContainLong(r.getLong(0))),
+      "healed bloom lost built uids (false negatives)")
     A.add(spark, dirOld, half2.limit(5), "vec_id", "embedding")
     assert(spark.read.parquet(s"$dirOld/codes").count() ==
       half1.count() + 5)
@@ -928,6 +938,188 @@ class SimilaritySpec extends SparkSpec {
     // part-file is unreadable)
     assert(new java.io.File(s"$dir/codes").listFiles()
       .count(_.getName.endsWith(".parquet")) > 1)
+  }
+
+  test("AnnIndex string uids: hashed bloom gives the same delta-sized " +
+    "structural guarantee, dup guard, and type-mismatch refusal") {
+    import spark.implicits._
+    val A = graft.ext.AnnIndex
+    // content-hash-keyed corpus — the natural key after the reid work
+    val emb = graft.io.Tables.embeddings(spark, TestSpark.sf0001)
+      .select(md5(col("vec_id").cast("string")).as("vec_id"),
+        col("embedding"))
+    val half1 = emb.filter(substring(col("vec_id"), 1, 1) < "8")
+    val half2 = emb.filter(substring(col("vec_id"), 1, 1) >= "8")
+    val bucketed = Similarity.kmeansBuckets(half1, "vec_id", "embedding",
+      k = 8, iters = 2, bucketCol = "kb")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-annstr").toString
+    A.build(bucketed, "vec_id", "embedding", "kb", dir, dim = 64)
+    // a string-keyed build now writes a HASHED bloom (pre-r15 it built
+    // bloomless and every add paid the full semi-join)
+    val Some((bf, _, _, ut)) = A.readBloom(spark, dir)
+    assert(ut == "hashed", s"string-uid bloom stamped '$ut'")
+    // no false negatives under the hashed key family
+    val hashed = half1.select(xxhash64(col("vec_id"))).collect()
+    assert(hashed.forall(r => bf.mightContainLong(r.getLong(0))),
+      "hashed bloom must contain every built uid")
+    // the poisoned-codes structural twin: a fresh-uid add consults ONLY
+    // the bloom — it succeeds even when the codes dir cannot be read
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/codes/part-99999-poison.parquet"),
+      "not a parquet file".getBytes)
+    intercept[Exception] {
+      spark.read.parquet(s"$dir/codes").count()
+    }
+    val fresh = half2.limit(10)
+      .select(concat(lit("new-"), col("vec_id")).as("vec_id"),
+        col("embedding"))
+    A.add(spark, dir, fresh, "vec_id", "embedding")
+    assert(new java.io.File(s"$dir/codes").listFiles()
+      .count(_.getName.endsWith(".parquet")) > 1)
+    // un-poison; duplicate string uid fails via bloom hit → exact confirm
+    new java.io.File(s"$dir/codes/part-99999-poison.parquet").delete()
+    val eDup = intercept[IllegalArgumentException] {
+      A.add(spark, dir, half1.limit(1), "vec_id", "embedding")
+    }
+    assert(eDup.getMessage.contains("already exist"))
+    // a LONG-keyed delta cannot enter the hashed bloom's key family
+    val eType = intercept[IllegalArgumentException] {
+      A.add(spark, dir,
+        Seq((42L, Array.fill(64)(0.5f).toSeq)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding")
+    }
+    assert(eType.getMessage.contains("uid bloom"),
+      s"wrong failure mode: ${eType.getMessage}")
+    // and the added string-keyed rows serve
+    val served = A.search(spark, dir,
+      half1.limit(5).select(concat(lit("q-"), col("vec_id")).as("vec_id"),
+        col("embedding")),
+      "vec_id", "embedding", k = 3, nProbe = 2, maxBucket = 400)
+    assert(served.count() > 0)
+  }
+
+  test("AnnIndex.add guards: intra-batch duplicate uids and a " +
+    "content-mismatched orphan both fail loudly") {
+    import spark.implicits._
+    val A = graft.ext.AnnIndex
+    val emb = graft.io.Tables.embeddings(spark, TestSpark.sf0001)
+    val half1 = emb.filter(col("vec_id") % 2 === 0)
+    val half2 = emb.filter(col("vec_id") % 2 === 1)
+    val bucketed = Similarity.kmeansBuckets(half1, "vec_id", "embedding",
+      k = 8, iters = 2, bucketCol = "kb")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-annguards").toString
+    A.build(bucketed, "vec_id", "embedding", "kb", dir, dim = 64)
+    // duplicate uids WITHIN one delta: every row is a fresh uid (bloom
+    // miss), so only the intra-batch probe can catch the fan-out
+    val dup = half2.limit(1).unionByName(half2.limit(1))
+    val eDup = intercept[IllegalArgumentException] {
+      A.add(spark, dir, dup, "vec_id", "embedding")
+    }
+    assert(eDup.getMessage.contains("WITHIN the delta"),
+      s"wrong failure mode: ${eDup.getMessage}")
+    assert(spark.read.parquet(s"$dir/codes")
+      .join(half2.limit(1).select(col("vec_id").as("uid")), Seq("uid"),
+        "left_semi").isEmpty,
+      "a refused duplicate delta must append nothing")
+    // orphan with DIFFERENT content (a regenerated delta under a reused
+    // id): simulate the failed-add shape — vectors row committed, codes
+    // missing — then retry with changed bytes. The skip would silently
+    // serve the stale vector; it must fail loudly instead.
+    val orphanId = half2.agg(min(col("vec_id"))).head().getLong(0)
+    val orphanV = half2.filter(col("vec_id") === orphanId)
+      .select(col("vec_id").as("uid"),
+        col("embedding").cast("array<double>").as("v"))
+    val (bf, expected, fpp, _) = A.readBloom(spark, dir).get
+    bf.mergeInPlace(A.buildBloom(orphanV, expected, fpp))
+    A.writeBloom(spark, dir, bf, expected, fpp)
+    orphanV.select(col("uid"), Similarity.unitVec(col("v")).as("uvec"))
+      .write.mode("append").parquet(s"$dir/vectors")
+    val regenerated = orphanV
+      .select(col("uid").as("vec_id"),
+        org.apache.spark.sql.functions.transform(col("v"), x => x * 2 + 1)
+          .as("embedding"))
+    val eOrphan = intercept[IllegalArgumentException] {
+      A.add(spark, dir, regenerated, "vec_id", "embedding")
+    }
+    assert(eOrphan.getMessage.contains("DIFFERENT content"),
+      s"wrong failure mode: ${eOrphan.getMessage}")
+    // the content-identical retry (the legitimate failed-add rerun)
+    // still converges: one vectors row, one codes row
+    A.add(spark, dir,
+      orphanV.select(col("uid").as("vec_id"), col("v").as("embedding")),
+      "vec_id", "embedding")
+    assert(spark.read.parquet(s"$dir/vectors")
+      .filter(col("uid") === orphanId).count() == 1)
+    assert(spark.read.parquet(s"$dir/codes")
+      .filter(col("uid") === orphanId).count() == 1)
+  }
+
+  test("AnnIndex.rebuild: staleness refusal → rebuild resets the budget, " +
+    "adds are accepted again, and search serves through the swap") {
+    val A = graft.ext.AnnIndex
+    val emb = graft.io.Tables.embeddings(spark, TestSpark.sf0001)
+    val third = emb.filter(col("vec_id") % 3 === 0)
+    val rest = emb.filter(col("vec_id") % 3 =!= 0)
+    val bucketed = Similarity.kmeansBuckets(third, "vec_id", "embedding",
+      k = 8, iters = 2, bucketCol = "kb")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-annrebuild").toString
+    A.build(bucketed, "vec_id", "embedding", "kb", dir, dim = 64)
+    val queries = emb.limit(10)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val before = A.search(spark, dir, queries, "vec_id", "embedding",
+      k = 3, nProbe = 2, maxBucket = 400)
+    assert(before.count() > 0)
+    // grow past the staleness budget: the guard refuses with the
+    // rebuild instruction
+    val eStale = intercept[IllegalArgumentException] {
+      A.add(spark, dir, rest, "vec_id", "embedding",
+        maxAddedFraction = 0.5)
+    }
+    assert(eStale.getMessage.contains("REBUILD"))
+    // a within-budget add lands, then REBUILD over vectors: new r=1
+    // version, budget reset, geometry re-learned over built+added rows
+    val addable = rest.limit((third.count() / 3).toInt)
+    A.add(spark, dir, addable, "vec_id", "embedding")
+    A.rebuild(spark, dir)
+    assert(A.currentRoot(spark, dir) == s"$dir/r=1",
+      "rebuild must publish a committed r=1 version")
+    val st = A.stats(spark, dir).head()
+    assert(st.getAs[Long]("n_added") == 0L,
+      "rebuild must reset the staleness counter")
+    assert(st.getAs[Long]("n_base") == third.count() + addable.count(),
+      "rebuilt n_base must cover built + added rows")
+    // adds accepted again under the tight budget that refused before
+    val more = rest.exceptAll(addable).limit(5)
+    A.add(spark, dir, more, "vec_id", "embedding",
+      maxAddedFraction = 0.5)
+    // search serves through the swap: same contract, old + new rows
+    val after = A.search(spark, dir, queries, "vec_id", "embedding",
+      k = 3, nProbe = 2, maxBucket = 400)
+    assert(after.count() > 0)
+    assert(after.columns.toSeq ==
+      Seq("query_id", "neighbor_id", "cosine", "rank"))
+    // every vector the index held is still retrievable post-rebuild:
+    // self-probe a sample of built + added rows at cosine 1.0
+    val sample = third.limit(5).unionByName(addable.limit(5))
+      .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+    val self = A.search(spark, dir, sample, "vec_id", "embedding",
+        k = 1, nProbe = 2, maxBucket = 4096)
+      .filter(col("cosine") === 1.0)
+    assert(self.count() == 10,
+      "rebuild lost rows: a held vector is no longer retrievable")
+    // a SECOND rebuild prunes the oldest version but keeps r=1 (the
+    // in-flight-reader retention rule) and serves from r=2
+    A.rebuild(spark, dir)
+    assert(A.currentRoot(spark, dir) == s"$dir/r=2")
+    assert(new java.io.File(s"$dir/r=1").exists(),
+      "the immediately-previous version must survive for in-flight readers")
+    A.rebuild(spark, dir) // r=3; r=1 pruned now
+    assert(A.currentRoot(spark, dir) == s"$dir/r=3")
+    assert(!new java.io.File(s"$dir/r=1").exists(),
+      "older committed versions must be pruned")
   }
 
   test("PqResAdcCosine: reconstruction identity, null contracts") {

@@ -1107,6 +1107,68 @@ class StreamingSpec extends SparkSpec {
     assert(got2.exceptAll(expected).count() == 0 &&
       expected.exceptAll(got2).count() == 0,
       "retried keyed micro-batch re-assigned different ids")
+    // OWNERSHIP (r15): the ingest-base versioning is single-producer by
+    // construction — a SECOND starter on the same outDir with a
+    // DIFFERENT checkpoint must fail fast (before any state is touched),
+    // while the same job restarting from its own checkpoint re-acquires
+    val ckpt2 = Files.createTempDirectory("graft-keyed-ckpt2").toString
+    val eOwner = intercept[IllegalStateException] {
+      graft.streaming.StreamingCorpus.runCorpusShardsKeyed(spark,
+        s"$inDir/p*", outDir, ckpt2, b1.schema, "text", "ukey", "lang",
+        model, tok, ctxTokens = 256, minTokens = 10)
+    }
+    assert(eOwner.getMessage.contains("owned by another producer"),
+      s"wrong failure mode: ${eOwner.getMessage}")
+    val q3 = graft.streaming.StreamingCorpus.runCorpusShardsKeyed(spark,
+      s"$inDir/p*", outDir, ckpt, b1.schema, "text", "ukey", "lang",
+      model, tok, ctxTokens = 256, minTokens = 10)
+    try q3.processAllAvailable() finally if (q3.isActive) q3.stop()
+  }
+
+  test("closeShards fences the sink TERMINAL: every micro-batch writer " +
+    "refuses to write past the close marker") {
+    import graft.ext.Bpe
+    import spark.implicits._
+    // tiny corpus: only the tokenizer matters — the writers under test
+    // are exactly the foreachBatch bodies of runShards/runCorpusShards
+    val docs = Seq(
+      (1L, "en", "alpha beta gamma delta epsilon"),
+      (2L, "en", "zeta eta theta iota kappa"),
+      (3L, "de", "lambda mu nu xi omicron"))
+      .toDF("doc_id", "lang", "text")
+    val (merges, dict) = Bpe.train(docs, "text", 2)
+    val tok = Bpe.Tokenizer(merges, dict, Bpe.vocabIds(dict))
+    val outDir = Files.createTempDirectory("graft-closed-out").toString
+    val S = graft.streaming.StreamingCorpus
+    S.writeShardBatch(docs.filter(col("doc_id") < 3), 0L,
+      s"$outDir/shards", s"$outDir/state", "text", "doc_id", "lang",
+      tok, ctxTokens = 8)
+    graft.api.Graft.closeShards(spark, outDir, "lang", ctxTokens = 8)
+    // the sink is now terminal: BOTH writer shapes fail loudly, and
+    // nothing lands (the restarted stream's foreachBatch would carry
+    // this exact error into the query failure)
+    val e1 = intercept[IllegalStateException] {
+      S.writeShardBatch(docs.filter(col("doc_id") === 3), 1L,
+        s"$outDir/shards", s"$outDir/state", "text", "doc_id", "lang",
+        tok, ctxTokens = 8)
+    }
+    assert(e1.getMessage.contains("CLOSED"),
+      s"wrong failure mode: ${e1.getMessage}")
+    val e2 = intercept[IllegalStateException] {
+      S.writeCorpusShardBatch(docs.filter(col("doc_id") === 3), 1L,
+        outDir, "text", "doc_id", "lang", tok, ctxTokens = 8)
+    }
+    assert(e2.getMessage.contains("CLOSED"))
+    assert(!new java.io.File(s"$outDir/shards/batch_id=1").exists(),
+      "a refused post-close batch must write nothing")
+    // a RETRIED close stays idempotent (marker + flush are overwrite)
+    val again = graft.api.Graft.closeShards(spark, outDir, "lang",
+      ctxTokens = 8)
+    assert(again.count() ==
+      spark.read.parquet(s"$outDir/shards")
+        .filter(col("batch_id") === S.FlushBatchId).count())
+    // the marker is invisible to consumers: the shards read still works
+    assert(spark.read.parquet(s"$outDir/shards").count() > 0)
   }
 
   test("flushShards/closeShards with NO state: typed empty shard frame, " +

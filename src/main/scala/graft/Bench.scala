@@ -91,6 +91,38 @@ object Bench {
         errors("warmup") = s"${e.getClass.getSimpleName}: " +
           Option(e.getMessage).getOrElse("").take(200)
     }
+    // LOAD GATE (r15): a cold pass started under host load inflates every
+    // wall number 20-60% with FLAT cpu (three rounds of adjudication noise
+    // — see the quiet-vs-driver gap in BENCH_r14). Sample loadavg after
+    // warmup and WAIT (bounded, logged) for decay below SPARK_GRAFT_MAXLOAD
+    // before timing anything; stamp the outcome into the headline so a run
+    // that still started loud self-labels instead of reading as a
+    // regression. Wall-noise mitigation only — correctness/CPU numbers are
+    // load-invariant either way.
+    val maxLoad = sys.env.get("SPARK_GRAFT_MAXLOAD")
+      .flatMap(v => scala.util.Try(v.trim.toDouble).toOption)
+      .getOrElse(2.0)
+    val maxWaitSec = sys.env.get("SPARK_GRAFT_MAXWAIT")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .getOrElse(600)
+    def load1: Double = scala.util.Try(
+      loadavg.split(" ").head.toDouble).getOrElse(0.0)
+    val waitT0 = System.nanoTime()
+    var l1 = load1
+    while (l1 > maxLoad &&
+        (System.nanoTime() - waitT0) / 1e9 < maxWaitSec) {
+      System.err.println(f"[bench] loadavg $l1%.2f > $maxLoad%.1f — " +
+        f"waiting for decay before the cold pass (bounded $maxWaitSec s; " +
+        "set SPARK_GRAFT_MAXLOAD to tune)")
+      Thread.sleep(10000)
+      l1 = load1
+    }
+    val loadWaitSec = (System.nanoTime() - waitT0) / 1e9
+    val quiet = l1 <= maxLoad
+    if (!quiet)
+      System.err.println(f"[bench] WARNING: starting the cold pass at " +
+        f"loadavg $l1%.2f (> $maxLoad%.1f after $maxWaitSec s) — wall " +
+        "numbers will be inflated; the headline carries quiet:false")
     // deterministic run order (sorted, memoized ML pair last) instead of
     // Map-hash order: per-query numbers are only comparable round-over-round
     // when every round runs the same sequence. The untimed gc between
@@ -255,7 +287,7 @@ object Bench {
         s""""load1":${jstr(l1)}}"""
     }.mkString("{", ",", "}")
     val loadJson =
-      s"""{"start":${jstr(loadStart)},"after_cold":${jstr(loadAfterCold)},"after_warm":${jstr(loadAfterWarm)}}"""
+      s"""{"start":${jstr(loadStart)},"after_cold":${jstr(loadAfterCold)},"after_warm":${jstr(loadAfterWarm)},"quiet":$quiet,"max_load":$maxLoad,"wait_sec":${jnum(loadWaitSec)},"cold_start_load1":${jnum(l1)}}"""
     // operator-internal phase map (PhaseTimer): per-phase fit/transform
     // seconds for the ML family PLUS the corpus composition's gate phases
     // (corpus.* keys — sums across the corpusBuild-family queries and both
@@ -341,7 +373,7 @@ object Bench {
         try w.println(detail) finally w.close()
       } catch { case _: java.io.IOException => () } // best-effort
     }
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec",$newQJson,"queries":$qs,"ml_fused":${jnum(mlFused)},"shared":$sharedJson,"errors":$errJson,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","quiet":$quiet,"cold_start_load1":${jnum(l1)},$newQJson,"queries":$qs,"ml_fused":${jnum(mlFused)},"shared":$sharedJson,"errors":$errJson,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -884,6 +884,42 @@ object Graft {
     (packed, CorpusState(newKeepers, newOffsets))
   }
 
+  /** Temperature mixture OVER AN INCREMENTALLY-BUILT CORPUS — the batch
+    * half of the lambda cut [[corpusBuildDelta]] deliberately defers
+    * (its step-3 rationale: mixture shares are corpus-relative —
+    * w ∝ n^alpha over the WHOLE corpus — and drift as the corpus grows,
+    * so realizing them per delta would bake stale shares into the
+    * output). Input: the union of the per-delta packed frames (or any
+    * frame carrying one row per KEPT doc with `groupCol`, `idCol`,
+    * `n_tokens`); the state frames are not needed — the packed rows
+    * already carry everything the mixture reads. The sample realizes
+    * over the merged corpus and the packs are RE-LAID from offset zero:
+    * pack geometry is mixture-relative (dropping docs shifts every
+    * later offset), so the unmixed incremental pack ids are deliberately
+    * discarded here.
+    *
+    * EQUIVALENCE (oracled hash-exact as `q_mixture_incr`): over the
+    * union of id-ordered frozen-artifact deltas this equals the
+    * one-shot batch mixture+pack tail of [[corpusBuild]] over the same
+    * kept corpus — the gate that proves the lambda cut's recompute path,
+    * not just its rationale. Returns the per-(`groupCol`, pack) summary
+    * frame ([[corpusBuild]]'s output contract).
+    */
+  def mixtureOverCorpus(packed: DataFrame, groupCol: String, idCol: String,
+                        salt: String = "build", alpha: Double = 0.5,
+                        share: Double = 0.5,
+                        ctxTokens: Int = 256): DataFrame = {
+    val kept = packed.select(col(groupCol), col(idCol), col("n_tokens"))
+    val mixed = Sampling.temperatureSampleWith(kept,
+      Sampling.temperatureTargets(kept, groupCol, alpha = alpha,
+        share = share),
+      groupCol, idCol, salt = salt)
+    Packing.packSummary(
+      Packing.packByOffset(mixed, Seq(groupCol), idCol, "n_tokens",
+        ctxTokens = ctxTokens),
+      Seq(groupCol), idCol, "n_tokens")
+  }
+
   /** The gate+dedup prefix shared by [[corpusBuildDelta]] and
     * [[corpusShardsDelta]]: stateless quality gates under the frozen
     * model, anti-join against the historical keeper digests, min-id
@@ -941,24 +977,78 @@ object Graft {
     }
   }
 
+  /** Deterministic catalog name for a bucketed keeper table at `path`:
+    * derived from the path alone, so any session (including a fresh one
+    * that never saw the save) re-registers the identical name and the
+    * bucket spec survives process restarts.
+    */
+  private def stateTableName(path: String): String =
+    "graft_state_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(16)
+
+  /** The bucketed keeper frame at `path` THROUGH the catalog (bucketing
+    * metadata lives in the table definition, not the parquet files):
+    * re-registers the external bucketed table if this session has not
+    * seen it — `CLUSTERED BY (content_hash) SORTED BY (content_hash)`,
+    * the layout [[corpusStateSave]] wrote — so the scan's output
+    * partitioning satisfies the keeper anti-join's distribution
+    * requirement and ONLY the delta side shuffles.
+    */
+  private def bucketedKeepers(spark: SparkSession, path: String,
+                              buckets: Int): DataFrame = {
+    val table = stateTableName(path)
+    if (!spark.catalog.tableExists(table)) {
+      val schema = spark.read.parquet(path).schema
+      val cols = schema.map(f => s"`${f.name}` ${f.dataType.sql}")
+        .mkString(", ")
+      spark.sql(
+        s"""CREATE TABLE `$table` ($cols) USING parquet
+           |CLUSTERED BY (content_hash) SORTED BY (content_hash)
+           |INTO $buckets BUCKETS
+           |LOCATION '$path'""".stripMargin)
+    }
+    spark.table(table)
+  }
+
   private def saveStateParts(spark: SparkSession, dir: String, kind: String,
-                             parts: Seq[(String, DataFrame)]): Unit = {
+                             parts: Seq[(String, DataFrame)],
+                             bucketBy: Int = 0): Unit = {
     import spark.implicits._
     val next = committedVersions(spark, dir, kind).headOption
       .getOrElse(-1L) + 1
     val vDir = s"$dir/v=$next"
     parts.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$vDir/$name")
+      if (bucketBy > 0 && name == "keepers") {
+        // bucketed + sorted by the anti-join key: at scale the keeper
+        // frame is the loop's one history-sized input — this layout is
+        // what lets the nightly delta-vs-history anti-join shuffle ONLY
+        // the delta (scaladoc of CorpusState, now enforceable). External
+        // table at the version path; the catalog entry is re-derivable
+        // from meta by any later session (see bucketedKeepers).
+        val table = stateTableName(s"$vDir/$name")
+        spark.sql(s"DROP TABLE IF EXISTS `$table`")
+        df.write.format("parquet")
+          .bucketBy(bucketBy, "content_hash").sortBy("content_hash")
+          .option("path", s"$vDir/$name")
+          .mode("overwrite").saveAsTable(table)
+      } else df.write.mode("overwrite").parquet(s"$vDir/$name")
     }
     // meta LAST = the commit marker: a crash mid-save leaves an
     // uncommitted v-dir that load skips and the next save overwrites
-    Seq((CorpusStateFormatVersion, kind)).toDF("format_version", "kind")
+    Seq((CorpusStateFormatVersion, kind, bucketBy))
+      .toDF("format_version", "kind", "keepers_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$vDir/meta")
     // retention: the loop only ever reads the newest committed version;
-    // keep 3 for operator forensics, exactly like the streaming states
+    // keep 3 for operator forensics, exactly like the streaming states.
+    // Pruned versions also drop their catalog entries (external tables —
+    // the DROP leaves files to the fs delete).
     val (fs, _) = stateFs(spark, dir)
-    committedVersions(spark, dir, kind).drop(3).foreach(v =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v=$v"), true))
+    committedVersions(spark, dir, kind).drop(3).foreach { v =>
+      spark.sql(
+        s"DROP TABLE IF EXISTS `${stateTableName(s"$dir/v=$v/keepers")}`")
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v=$v"), true)
+    }
   }
 
   private def loadStateParts(spark: SparkSession, dir: String, kind: String,
@@ -969,7 +1059,16 @@ object Graft {
           "saved there, the only save crashed before its meta commit " +
           "marker, or the directory holds a different state kind")
     }
-    parts.map(name => spark.read.parquet(s"$dir/v=$v/$name"))
+    val meta = spark.read.parquet(s"$dir/v=$v/meta").head()
+    val buckets =
+      if (meta.schema.fieldNames.contains("keepers_buckets"))
+        meta.getAs[Int]("keepers_buckets")
+      else 0 // pre-r15 state: plain layout
+    parts.map { name =>
+      if (name == "keepers" && buckets > 0)
+        bucketedKeepers(spark, s"$dir/v=$v/$name", buckets)
+      else spark.read.parquet(s"$dir/v=$v/$name")
+    }
   }
 
   /** Persist a [[CorpusState]] under `dir` as a NEW COMMITTED VERSION
@@ -979,10 +1078,21 @@ object Graft {
     * never overwrites the files the loaded state still reads — and a
     * crash mid-save leaves an uncommitted v-dir that [[corpusStateLoad]]
     * skips, never a torn state. Keeps the 3 newest committed versions.
+    *
+    * `bucketBy > 0` lays the keeper frame out as a BUCKETED, SORTED
+    * external table on `content_hash` (recorded in meta; the load
+    * restores the bucket spec in any session): the keeper frame is the
+    * nightly loop's one history-sized input, and the bucketed layout
+    * satisfies the delta-vs-history anti-join's distribution requirement
+    * from the scan — only the DELTA side shuffles (PhysicalSpec pins the
+    * plan). Size buckets so each holds ~128 MB of digests at your
+    * history scale; 0 (default) keeps the plain layout.
     */
-  def corpusStateSave(state: CorpusState, dir: String): Unit =
+  def corpusStateSave(state: CorpusState, dir: String,
+                      bucketBy: Int = 0): Unit =
     saveStateParts(state.keepers.sparkSession, dir, "corpus",
-      Seq("keepers" -> state.keepers, "offsets" -> state.offsets))
+      Seq("keepers" -> state.keepers, "offsets" -> state.offsets),
+      bucketBy)
 
   /** Load the newest COMMITTED [[CorpusState]] version; fails loudly
     * when none exists (or the dir holds a different state kind).
@@ -996,12 +1106,14 @@ object Graft {
   }
 
   /** Persist a [[CorpusShardsState]] as a new committed version
-    * (`dir/v=<n>/{keepers,shards,meta}`) — same crash-safe contract as
-    * [[corpusStateSave]].
+    * (`dir/v=<n>/{keepers,shards,meta}`) — same crash-safe contract and
+    * `bucketBy` keeper layout as [[corpusStateSave]].
     */
-  def corpusShardsStateSave(state: CorpusShardsState, dir: String): Unit =
+  def corpusShardsStateSave(state: CorpusShardsState, dir: String,
+                            bucketBy: Int = 0): Unit =
     saveStateParts(state.keepers.sparkSession, dir, "corpus_shards",
-      Seq("keepers" -> state.keepers, "shards" -> state.shards))
+      Seq("keepers" -> state.keepers, "shards" -> state.shards),
+      bucketBy)
 
   /** Load the newest committed [[CorpusShardsState]]; loud when none. */
   def corpusShardsStateLoad(spark: SparkSession,
@@ -1065,6 +1177,207 @@ object Graft {
       case None => deltaKeepers.select(col("content_hash"))
     }
     (shards, CorpusShardsState(newKeepers, newShardState))
+  }
+
+  /** Key-identity policy for RE-CRAWLED natural keys in the keyed
+    * incremental loop ([[corpusShardsDeltaRekeyed]] /
+    * [[graft.streaming.StreamingCorpus.runCorpusShardsRekeyed]]).
+    * Content-identical re-crawls drop via the digest keeper under every
+    * policy; the policy decides what a key re-delivering CHANGED content
+    * means — the day-two production case (news pages, wikis) the plain
+    * keyed loop leaves implicit.
+    */
+  sealed trait RekeyPolicy
+  object RekeyPolicy {
+    /** Content-only identity — the plain keyed loop's behavior made
+      * explicit: a re-crawled key with changed content enters as a new
+      * document and BOTH versions stay live (train on the full edit
+      * history). */
+    case object KeepAll extends RekeyPolicy
+    /** Key-level immutability: a re-delivered key drops whatever its
+      * content — the corpus keeps the version it first ingested and
+      * re-crawls never churn the training data. */
+    case object FirstWins extends RekeyPolicy
+    /** Re-crawls supersede: accepted changed content enters at its NEW
+      * ingest position and the key's previous live version is marked
+      * superseded in the state (`kept = true, live = false`). Superseded
+      * tokens already published in complete shards stay on disk until
+      * [[corpusShardsRekeyedCompact]] re-chunks the affected streams —
+      * the append-only writer / periodic-compaction split every
+      * log-structured store makes. The superseded DIGEST stays in the
+      * dedup history: content the corpus once accepted is never
+      * re-admitted under a different key (and the batch replay's
+      * global min-id keeper rule says the same). */
+    case object LatestWins extends RekeyPolicy
+  }
+
+  /** State threaded between [[corpusShardsDeltaRekeyed]] calls:
+    * `keepers` — one row per GATED document version ever seen:
+    * `(keyCol, content_hash, idCol, groupCol, kept, live)`, where
+    * `kept` = its tokens entered the shard stream (content-dropped
+    * versions are recorded kept = false — [[RekeyPolicy.FirstWins]]
+    * needs the full seen-key set) and `live` = not superseded;
+    * `shards` — the incremental shard writer's per-stream tails
+    * ([[CorpusShardsState]]'s contract). Persist with
+    * [[corpusShardsStateSave]]-style parquet (the keepers frame is a
+    * plain DataFrame; bucket it by `content_hash` at scale exactly like
+    * the unkeyed state).
+    */
+  final case class KeyedCorpusShardsState(keepers: DataFrame,
+                                          shards: DataFrame)
+
+  /** The KEYED incremental production loop — [[corpusShardsDelta]] with
+    * document identity per NATURAL KEY (URL/content-hash), under an
+    * explicit [[RekeyPolicy]]. `delta` must already carry monotone ids
+    * ([[withIngestIds]] — the reid contract) plus the natural key; the
+    * loop gates it (frozen model), applies the key policy, dedups by
+    * content against the digest history, encodes under the frozen
+    * tokenizer, and emits complete shards.
+    *
+    * EQUIVALENCE (oracled hash-exact as `q_corpus_shards_rekey`, three
+    * deltas with a changed-content re-crawl): chained deltas +
+    * [[corpusShardsRekeyedCompact]] equal ONE batch pass over the LIVE
+    * document set — gated docs → global min-ingest-id keeper per digest
+    * → (LatestWins) drop versions superseded by a later accepted version
+    * of the same key → shard split in ingest order. Under FirstWins the
+    * live set is "each key's first gated version"; under KeepAll it is
+    * every accepted version (no compaction ever needed — the plain
+    * contract).
+    *
+    * Scale shape: identical to [[corpusShardsDelta]] (the digest
+    * anti-join is the one history-sized input) plus one delta-sized
+    * broadcast against the keeper keys for the supersede flip
+    * (LatestWins) or the key cut (FirstWins).
+    */
+  def corpusShardsDeltaRekeyed(delta: DataFrame, textCol: String,
+                               idCol: String, keyCol: String,
+                               groupCol: String,
+                               model: NbClassifier.NbModel,
+                               tok: Bpe.Tokenizer,
+                               state: Option[KeyedCorpusShardsState] = None,
+                               policy: RekeyPolicy = RekeyPolicy.LatestWins,
+                               minTokens: Long = 10,
+                               maxTokens: Long = 100000,
+                               ctxTokens: Int = 256,
+                               checkIdOrder: Boolean = true)
+      : (DataFrame, KeyedCorpusShardsState) = {
+    if (checkIdOrder) state.foreach { st =>
+      val hiRow = st.shards.agg(max(col("max_id"))).head()
+      if (!hiRow.isNullAt(0)) {
+        val hi = hiRow.get(0)
+        require(delta.filter(col(idCol) <= lit(hi)).isEmpty,
+          s"corpusShardsDeltaRekeyed: delta contains ids <= the state's " +
+            s"max kept id ($hi) — deltas must arrive globally id-ordered " +
+            "(thread withIngestIds' base across deltas), or pass " +
+            "checkIdOrder = false to accept divergence from batch")
+      }
+    }
+    val gated = graft.streaming.StreamingCorpus.qualityGate(delta, textCol,
+      idCol, model, minTokens, maxTokens)
+      .select(delta.columns.map(col): _*)
+    rekeyedCore(gated, textCol, idCol, keyCol, groupCol, tok, state,
+      policy, ctxTokens, checkIdOrder)
+  }
+
+  /** The policy + dedup + encode + shard-writer core shared by
+    * [[corpusShardsDeltaRekeyed]] and the streaming twin (whose
+    * micro-batches arrive already gated). Input must be gated and
+    * key-unique (the reid guard upstream enforces the latter).
+    */
+  private[graft] def rekeyedCore(gated: DataFrame, textCol: String,
+                                 idCol: String, keyCol: String,
+                                 groupCol: String, tok: Bpe.Tokenizer,
+                                 state: Option[KeyedCorpusShardsState],
+                                 policy: RekeyPolicy, ctxTokens: Int,
+                                 checkIdOrder: Boolean)
+      : (DataFrame, KeyedCorpusShardsState) = {
+    // FirstWins: the key cut comes BEFORE content dedup — a re-delivered
+    // key drops whatever its content (one delta-sized anti-join against
+    // the seen-key set, which includes content-dropped versions)
+    val keyCut = (policy, state) match {
+      case (RekeyPolicy.FirstWins, Some(st)) =>
+        gated.join(st.keepers.select(col(keyCol)).distinct(),
+          Seq(keyCol), "left_anti")
+      case _ => gated
+    }
+    // content dedup against the FULL digest history (live + superseded:
+    // the batch replay's keeper rule is global min-id per digest, which
+    // never re-admits a digest once kept) + min-id within the delta
+    val (kept, _) = Dedup.keeperDelta(keyCut, textCol, idCol,
+      state.map(_.keepers.select(col("content_hash"))))
+    val acceptedRows = kept.select(col(keyCol),
+      Dedup.digest(col(textCol)).as("content_hash"), col(idCol),
+      col(groupCol), lit(true).as("kept"), lit(true).as("live"))
+    val droppedRows = keyCut
+      .join(kept.select(col(idCol)), Seq(idCol), "left_anti")
+      .select(col(keyCol), Dedup.digest(col(textCol)).as("content_hash"),
+        col(idCol), col(groupCol), lit(false).as("kept"),
+        lit(false).as("live"))
+    val history = (policy, state) match {
+      case (RekeyPolicy.LatestWins, Some(st)) =>
+        // an ACCEPTED new version supersedes its key's live predecessor
+        // (delta-sized broadcast; content-dropped re-deliveries do NOT
+        // supersede — the old version remains the corpus's best copy)
+        val newKeys = acceptedRows.select(col(keyCol).as("__nk"))
+        st.keepers.join(broadcast(newKeys),
+            col(keyCol) <=> col("__nk"), "left")
+          .withColumn("live", col("live") && col("__nk").isNull)
+          .drop("__nk")
+      case (_, Some(st)) => st.keepers
+      case (_, None) => acceptedRows.limit(0)
+    }
+    val newKeepers = history.unionByName(acceptedRows)
+      .unionByName(droppedRows)
+    val enc = tok.encodeIds(kept, textCol, idCol)
+      .join(kept.select(col(idCol), col(groupCol)), Seq(idCol))
+    val (shards, newShardState) = Packing.shardTokensDelta(enc,
+      Seq(groupCol), idCol, ctxTokens, state.map(_.shards), checkIdOrder)
+    (shards, KeyedCorpusShardsState(newKeepers, newShardState))
+  }
+
+  /** COMPACTION for the [[RekeyPolicy.LatestWins]] loop: re-chunk the
+    * streams that contain superseded tokens so the final shard set
+    * equals the batch replay over the LIVE documents — the batch half of
+    * the append-only-writer/compaction split ([[RekeyPolicy.LatestWins]]
+    * scaladoc). Streams with no superseded docs keep their emitted
+    * shards and flushed tails VERBATIM (zero recompute); each affected
+    * stream re-encodes its live docs and re-chunks from offset zero.
+    * The stream-key granularity is therefore the compaction cost lever
+    * at 100 TB: domain-bucketed streams re-chunk a bucket, not a
+    * language.
+    *
+    * `docs` must contain at least every kept document (the re-id'd delta
+    * union / the raw crawl archive) with `idCol`, `textCol`, `groupCol`;
+    * `emittedShards` is the union of the per-delta emissions (the
+    * streaming sink's published shards). Returns the final full shard
+    * set `(groupCol, shard_id, n_tokens, token_ids)`.
+    */
+  def corpusShardsRekeyedCompact(docs: DataFrame, textCol: String,
+                                 idCol: String, groupCol: String,
+                                 tok: Bpe.Tokenizer,
+                                 state: KeyedCorpusShardsState,
+                                 emittedShards: DataFrame,
+                                 ctxTokens: Int = 256): DataFrame = {
+    val affected = state.keepers
+      .filter(col("kept") && !col("live"))
+      .select(col(groupCol).as("__ag")).distinct()
+      .transform(CacheScope.cache) // three consumers below
+    def unaffectedOnly(df: DataFrame): DataFrame =
+      df.join(broadcast(affected), df(groupCol) <=> col("__ag"),
+        "left_anti")
+    val untouched = unaffectedOnly(emittedShards)
+      .unionByName(unaffectedOnly(
+        Packing.shardTokensFlush(state.shards, Seq(groupCol), ctxTokens)))
+    val liveIds = state.keepers.filter(col("kept") && col("live"))
+      .select(col(idCol))
+    val liveDocs = docs
+      .join(broadcast(affected), docs(groupCol) <=> col("__ag"),
+        "left_semi")
+      .join(liveIds, Seq(idCol), "left_semi")
+    val enc = tok.encodeIds(liveDocs, textCol, idCol)
+      .join(liveDocs.select(col(idCol), col(groupCol)), Seq(idCol))
+    untouched.unionByName(
+      Packing.shardTokens(enc, Seq(groupCol), idCol, ctxTokens))
   }
 
   // --- sampling & packing ----------------------------------------------

@@ -56,8 +56,22 @@ object CorpusQueries {
       }
       m
     }
-    perSession.synchronized(perSession.getOrElseUpdate(dir,
-      Bpe.train(Tables.documents(s, dir), "text", BpeMerges)))
+    perSession.synchronized(perSession.getOrElseUpdate(dir, {
+      val (merges, dict) = Bpe.train(Tables.documents(s, dir), "text",
+        BpeMerges)
+      // MATERIALIZE the memoized dictionary through the save/load
+      // artifact round-trip (values identical by the load-time
+      // fingerprint check): train() returns the dict as a merge-replay
+      // PLAN over the corpus, so under Bench's per-query clearCache
+      // every corpus-family query would re-execute the whole chain —
+      // the memo only saved the driver round-trips, not the jobs. A
+      // parquet-backed dict makes each reuse one tiny scan.
+      val art = java.nio.file.Files
+        .createTempDirectory("graft-bpe-memo").toString
+      Bpe.save(merges, dict, art)
+      val tok = Bpe.load(s, art)
+      (tok.merges, tok.dict)
+    }))
   }
 
   /** One frozen NB quality model per (session, sfDir) — q_nb_serve,
@@ -352,6 +366,33 @@ object CorpusQueries {
             .unionByName(p2.select(col("lang"), col("doc_id"),
               col("n_tokens"), col("pack_id"))),
           Seq("lang"), "doc_id", "n_tokens")
+        .orderBy(col("lang"), col("pack_id"))
+    }),
+
+    // The LAMBDA-CUT RECOMPUTE gate: mixture is deliberately deferred to
+    // batch in the incremental recipe (corpusBuildDelta step 3 — shares
+    // are corpus-relative and drift as the corpus grows) — this query
+    // proves the deferred path actually converges: two chained
+    // frozen-artifact deltas, then Graft.mixtureOverCorpus over the
+    // merged per-doc pack frames, must hash-match the oracle's ONE-SHOT
+    // frozen-model batch chain WITH the temperature realization. I.e.
+    // incremental state + batch mixture ≡ batch corpus + batch mixture.
+    "q_mixture_incr" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val model = nbModel(s, dir)
+      val dict = bpeTrained(s, dir)._2
+      val G = graft.api.Graft
+      val (p1, st1) = G.corpusBuildDelta(docs.filter(col("doc_id") < 250),
+        "text", "doc_id", "lang", model, dict, state = None,
+        minTokens = 10)
+      val (p2, _) = G.corpusBuildDelta(docs.filter(col("doc_id") >= 250),
+        "text", "doc_id", "lang", model, dict, state = Some(st1),
+        minTokens = 10)
+      G.mixtureOverCorpus(
+          p1.select(col("lang"), col("doc_id"), col("n_tokens"))
+            .unionByName(p2.select(col("lang"), col("doc_id"),
+              col("n_tokens"))),
+          "lang", "doc_id")
         .orderBy(col("lang"), col("pack_id"))
     }),
 
@@ -1013,6 +1054,13 @@ object CorpusQueries {
       bpeBatchCtes(BpeB16Iters, BpeB16), s"d$BpeB16Iters"),
 
     "q_corpus_build_incr" -> corpusBuildIncrOracle,
+
+    // the deferred-mixture recompute: the frozen-model batch chain WITH
+    // the temperature CTEs — what the two-delta + mixtureOverCorpus
+    // composition must hash-match
+    "q_mixture_incr" -> corpusOracleChain(
+      nbOnGopherSurvivors = false, mixture = true, bpeCtes(BpeMerges),
+      s"d$BpeMerges"),
 
     // the frozen-artifact batch replay over the RE-ID'd union (ud → rd
     // CTEs mirror Graft.withIngestIds' per-delta hash-order ranks) that

@@ -560,6 +560,98 @@ object StreamingCorpus {
       .start()
   }
 
+  /** One micro-batch of the REKEYED full loop
+    * ([[runCorpusShardsRekeyed]]): re-id under the versioned ingest base
+    * (the keyed loop's exactly-once id assignment), then the keyed
+    * keeper core ([[graft.api.Graft.rekeyedCore]]) — key policy, digest
+    * dedup, frozen-tokenizer encode, incremental shard writer. The
+    * keeper state here is the KEYED frame
+    * `(keyCol, content_hash, ingest_id, streamCol, kept, live)`; all
+    * four state families version by batch id, so a retried batch
+    * re-reads the same inputs and replaces the same outputs.
+    */
+  private[graft] def writeRekeyedCorpusShardBatch(batch: DataFrame,
+                                                  batchId: Long,
+                                                  outDir: String,
+                                                  textCol: String,
+                                                  keyCol: String,
+                                                  streamCol: String,
+                                                  tok: Bpe.Tokenizer,
+                                                  ctxTokens: Int,
+                                                  salt: String,
+                                                  policy: graft.api.Graft.RekeyPolicy)
+      : Unit = {
+    val spark = batch.sparkSession
+    requireNotClosed(spark, s"$outDir/shards")
+    val G = graft.api.Graft
+    val base = latestShardState(spark, s"$outDir/ingest", batchId)
+      .map(_.head().getAs[Long]("next_base")).getOrElse(0L)
+    val (reId, nextBase) = G.withIngestIds(batch, keyCol,
+      base = base, salt = salt, idCol = "ingest_id")
+    val keeperState = latestShardState(spark, s"$outDir/keepers", batchId)
+    val shardState = latestShardState(spark, s"$outDir/state", batchId)
+    require(keeperState.isDefined == shardState.isDefined,
+      s"rekeyed loop state under $outDir is torn (keepers " +
+        s"${keeperState.isDefined}, shards ${shardState.isDefined}) — " +
+        "retry the crashed batch via the checkpoint, do not skip ahead")
+    val st = keeperState.map(k =>
+      G.KeyedCorpusShardsState(k, shardState.get))
+    val (shards, newState) = G.rekeyedCore(reId, textCol, "ingest_id",
+      keyCol, streamCol, tok, st, policy, ctxTokens,
+      checkIdOrder = false) // ids are monotone by the versioned base
+    shards.write.mode("overwrite")
+      .parquet(s"$outDir/shards/batch_id=$batchId")
+    newState.keepers.write.mode("overwrite")
+      .parquet(s"$outDir/keepers/v=$batchId")
+    newState.shards.write.mode("overwrite")
+      .parquet(s"$outDir/state/v=$batchId")
+    import spark.implicits._
+    Seq(nextBase).toDF("next_base").coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/ingest/v=$batchId")
+    Seq("keepers", "state", "ingest").foreach(d =>
+      pruneVersions(spark, s"$outDir/$d"))
+  }
+
+  /** [[runCorpusShardsKeyed]] with EXPLICIT key identity — the streaming
+    * twin of [[graft.api.Graft.corpusShardsDeltaRekeyed]]: each
+    * micro-batch is re-id'd under the versioned ingest base, gated, put
+    * through the keyed keeper policy ([[graft.api.Graft.RekeyPolicy]] —
+    * latest-wins supersession, first-wins immutability, or explicit
+    * keep-all), deduped by content digest, and published as complete
+    * shards. A re-crawled key with UNCHANGED content drops via the
+    * digest keeper; with CHANGED content it follows the policy —
+    * the day-two production case the plain keyed loop documents away.
+    * Under LatestWins, run [[graft.api.Graft.corpusShardsRekeyedCompact]]
+    * over the published shards + final state after [[closeShards]] to
+    * realize the supersessions ([[StreamingSpec]] pins the 3-batch
+    * stream ≡ the 3-delta batch loop, including a changed-content
+    * re-crawl). Single-producer ownership enforced as in the keyed loop.
+    */
+  def runCorpusShardsRekeyed(spark: SparkSession, inDir: String,
+                             outDir: String, checkpoint: String,
+                             schema: StructType, textCol: String,
+                             keyCol: String, streamCol: String,
+                             model: NbClassifier.NbModel,
+                             tok: Bpe.Tokenizer,
+                             policy: graft.api.Graft.RekeyPolicy =
+                               graft.api.Graft.RekeyPolicy.LatestWins,
+                             ctxTokens: Int = 256, minTokens: Long = 50,
+                             maxTokens: Long = 100000,
+                             salt: String = "ingest"): StreamingQuery = {
+    val srcCols = schema.fieldNames.toSeq
+    acquireProducerLock(spark, s"$outDir/ingest", checkpoint)
+    qualityGate(readDocStream(spark, inDir, schema), textCol, keyCol,
+        model, minTokens, maxTokens)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeRekeyedCorpusShardBatch(batch.select(srcCols.map(col): _*),
+          batchId, outDir, textCol, keyCol, streamCol, tok, ctxTokens,
+          salt, policy)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
   /** Delete all but the 3 newest `v=<n>` state versions under `dir` —
     * only the newest below the current batch is ever read again.
     */

@@ -314,6 +314,43 @@ class ApiSpec extends SparkSpec {
     assert(p4.count() == 0)
   }
 
+  test("mixtureOverCorpus: the deferred batch mixture over chained " +
+    "deltas equals the mixture over the one-shot corpus") {
+    import graft.ext.{NbClassifier, Sampling, TextAnalysis => TA}
+    val labeled = TA.withTokenStats(docs, "text")
+      .withColumn("label_weak",
+        round(TA.qualityScore(col("n_tokens"), col("token_chars"),
+          col("n_punct"), col("n_stopwords")) + lit(1e-9), 4) >= 0.5)
+      .select(col("doc_id"), col("text"), col("label_weak"))
+    val model = NbClassifier.train(
+      labeled.filter(Sampling.hashBucket(col("doc_id"), "graft") < 80),
+      "text", "doc_id", "label_weak")
+    val (_, dict) = Graft.bpeTrain(docs, "text", nMerges = 4)
+    def perDoc(p: org.apache.spark.sql.DataFrame) =
+      p.select(col("lang"), col("doc_id"), col("n_tokens"))
+    val (pAll, _) = Graft.corpusBuildDelta(docs, "text", "doc_id", "lang",
+      model, dict, state = None, minTokens = 10)
+    val (p1, st1) = Graft.corpusBuildDelta(docs.filter(col("doc_id") < 250),
+      "text", "doc_id", "lang", model, dict, state = None, minTokens = 10)
+    val (p2, _) = Graft.corpusBuildDelta(
+      docs.filter(col("doc_id") >= 250), "text", "doc_id", "lang", model,
+      dict, state = Some(st1), minTokens = 10)
+    val one = Graft.mixtureOverCorpus(perDoc(pAll), "lang", "doc_id")
+    val two = Graft.mixtureOverCorpus(perDoc(p1.unionByName(p2)),
+      "lang", "doc_id")
+    assert(one.exceptAll(two).count() == 0 &&
+      two.exceptAll(one).count() == 0,
+      "mixture over the merged incremental corpus diverged from the " +
+        "one-shot corpus mixture")
+    // the mixture is a genuine subset realization: ~share of the corpus,
+    // never more, re-packed from offset zero per group
+    val keptDocs = two.agg(sum(col("n_docs"))).head().getLong(0)
+    assert(keptDocs > 0 && keptDocs <= pAll.count(),
+      s"mixture kept $keptDocs of ${pAll.count()} docs")
+    assert(two.filter(col("pack_id") === 0).count() > 0,
+      "re-laid packs must restart at pack 0")
+  }
+
   test("withIngestIds: deterministic dense monotone ids over arbitrary " +
     "keys, stable under repartitioning, loud on duplicate keys") {
     import spark.implicits._
@@ -468,6 +505,31 @@ class ApiSpec extends SparkSpec {
     }
     assert(eKind.getMessage.contains("no committed"),
       s"wrong failure mode: ${eKind.getMessage}")
+    // BUCKETED keeper layout (r15): bucketBy > 0 lays the keeper frame
+    // out CLUSTERED/SORTED by content_hash — values round-trip
+    // identically and chaining is unchanged (the plan win is pinned in
+    // PhysicalSpec)
+    val dirB = java.nio.file.Files
+      .createTempDirectory("graft-bstate").toString
+    Graft.corpusStateSave(st1, dirB, bucketBy = 4)
+    val st1B = Graft.corpusStateLoad(spark, dirB)
+    assert(st1B.keepers.exceptAll(st1.keepers).count() == 0 &&
+      st1.keepers.exceptAll(st1B.keepers).count() == 0,
+      "bucketed keeper save lost or duplicated digests")
+    val (p2buck, _) = Graft.corpusBuildDelta(d2, "text", "doc_id",
+      "lang", model, dict, state = Some(st1B), minTokens = 10)
+    assert(norm(p2live).exceptAll(norm(p2buck)).count() == 0 &&
+      norm(p2buck).exceptAll(norm(p2live)).count() == 0,
+      "delta chained off the BUCKETED state diverged from the live state")
+    // a fresh session never saw the save's catalog entry — simulate by
+    // dropping every graft state table; load must re-register from meta
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_state_"))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    val st1B2 = Graft.corpusStateLoad(spark, dirB)
+    assert(st1B2.keepers.exceptAll(st1.keepers).count() == 0 &&
+      st1.keepers.exceptAll(st1B2.keepers).count() == 0,
+      "bucketed keeper load must re-register the table in a fresh catalog")
   }
 
   test("quickstart: train-batch/serve-stream quality gate") {

@@ -99,6 +99,53 @@ class PhysicalSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bucketed keeper state: the history side of the keeper anti-join " +
+    "scans WITHOUT an Exchange — only the delta shuffles") {
+    import spark.implicits._
+    val docs = graft.io.Tables.documents(spark, TestSpark.sf0001)
+    val history = docs.filter(col("doc_id") < 400)
+    val delta = docs.filter(col("doc_id") >= 400)
+    val keepers = graft.ext.Dedup.exactGroups(history, "text", "doc_id")
+      .select(col("content_hash"))
+    val offsets = Seq(("en", 0L, 0L)).toDF("lang", "tok_total", "max_id")
+    val dir = Files.createTempDirectory("graft-buckstate").toString
+    graft.api.Graft.corpusStateSave(
+      graft.api.Graft.CorpusState(keepers, offsets), dir, bucketBy = 4)
+    val loaded = graft.api.Graft.corpusStateLoad(spark, dir)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // at scale the history side never broadcasts — force the
+      // distributed shape the layout exists for
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val anti = delta.join(loaded.keepers,
+        graft.ext.Dedup.digest(col("text")) ===
+          loaded.keepers("content_hash"), "left_anti")
+      anti.count()
+      val ops = finalOps(anti.queryExecution.executedPlan)
+      val exchanges = ops.filter(o => line(o).startsWith("Exchange"))
+      assert(exchanges.size == 1,
+        "the keeper anti-join over a bucketed history must shuffle ONLY " +
+          s"the delta side:\n${anti.queryExecution.executedPlan}")
+      // and the surviving shuffle is the delta's digest, not the history
+      assert(exchanges.forall(e => line(e).contains("md5")),
+        s"the one Exchange is not the delta side:\n${exchanges.map(line)}")
+      // the plain (unbucketed) state pays a second, history-sized shuffle
+      val dirP = Files.createTempDirectory("graft-plainstate").toString
+      graft.api.Graft.corpusStateSave(
+        graft.api.Graft.CorpusState(keepers, offsets), dirP)
+      val loadedP = graft.api.Graft.corpusStateLoad(spark, dirP)
+      val antiP = delta.join(loadedP.keepers,
+        graft.ext.Dedup.digest(col("text")) ===
+          loadedP.keepers("content_hash"), "left_anti")
+      antiP.count()
+      val exchangesP = finalOps(antiP.queryExecution.executedPlan)
+        .filter(o => line(o).startsWith("Exchange"))
+      assert(exchangesP.size == 2,
+        "control: the plain-layout history side should shuffle " +
+          s"(got ${exchangesP.size} exchanges)")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("aggregation spine stays inside whole-stage codegen") {
     val df = SparkEntry.queries("q_daily_agg")(spark, TestSpark.sf0001)
     df.collect() // AQE finalizes THIS queryExecution (count() would spawn its own)

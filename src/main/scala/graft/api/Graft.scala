@@ -1332,7 +1332,15 @@ object Graft {
       .join(kept.select(col(idCol), col(groupCol)), Seq(idCol))
     val (shards, newShardState) = Packing.shardTokensDelta(enc,
       Seq(groupCol), idCol, ctxTokens, state.map(_.shards), checkIdOrder)
-    (shards, KeyedCorpusShardsState(newKeepers, newShardState))
+    // localCheckpoint, NOT cache (the resolveClusters precedent): the
+    // state threads across deltas, so its LINEAGE embeds every previous
+    // delta's whole gate/dedup plan — chained in-memory (the spec/query
+    // shape; production round-trips parquet state) the analyzed plan
+    // grows exponentially with delta count and kills the driver during
+    // planning. Both frames are bounded: keepers by gated corpus rows,
+    // shard state by streams.
+    (shards, KeyedCorpusShardsState(newKeepers.localCheckpoint(true),
+      newShardState.localCheckpoint(true)))
   }
 
   /** COMPACTION for the [[RekeyPolicy.LatestWins]] loop: re-chunk the

@@ -142,6 +142,66 @@ object CorpusQueries {
         "text", "ukey", "label_weak")
     }
 
+  /** The `q_corpus_shards_rekey` crawl shape: three deltas where delta 3
+    * RE-DELIVERS a deterministic subset of earlier keys with CHANGED
+    * content (the day-two production case — news pages, wikis). Mirrored
+    * 1:1 by the oracle's `ud` CTE.
+    */
+  private val RekeyMod = 37
+  private val RekeySuffix = " revision two update"
+
+  private def rekeyDeltas(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, dir)
+    val d1 = ukeyed(docs.filter(col("doc_id") < 200))
+    val d2 = ukeyed(docs.filter(col("doc_id") >= 200 &&
+      col("doc_id") < 400))
+    val recrawl = ukeyed(docs
+      .filter(col("doc_id") < 400 && col("doc_id") % RekeyMod === 3)
+      .withColumn("text", concat(col("text"), lit(RekeySuffix))))
+    val d3 = ukeyed(docs.filter(col("doc_id") >= 400))
+      .unionByName(recrawl)
+    (d1, d2, d3)
+  }
+
+  /** The re-id'd 3-delta union [[rekeyDeltas]] + threaded
+    * [[graft.api.Graft.withIngestIds]] produce — shared by the rekey
+    * query and its frozen NB model (which must train over the same
+    * population the oracle's `lab` CTE sees: one row per re-id'd doc,
+    * split by the NATURAL-key bucket).
+    */
+  private def rekeyReidDeltas(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (d1, d2, d3) = rekeyDeltas(s, dir)
+    val G = graft.api.Graft
+    val (r1, b1) = G.withIngestIds(d1, "ukey")
+    val (r2, b2) = G.withIngestIds(d2, "ukey", base = b1)
+    val (r3, _) = G.withIngestIds(d3, "ukey", base = b2)
+    (r1, r2, r3)
+  }
+
+  /** The rekey fixture's frozen NB model: trained over the re-id'd
+    * 3-delta union (recrawled keys contribute BOTH versions as separate
+    * rows — unique ingest ids), 80% split bucketing the natural key, so
+    * both versions of a key land on the same side (the oracle's
+    * `trc`/`pri` bucket rule).
+    */
+  private def nbModelRekey(s: SparkSession, dir: String)
+      : NbClassifier.NbModel =
+    nbMemoized(s, dir + "#rekey") {
+      val (r1, r2, r3) = rekeyReidDeltas(s, dir)
+      val union = r1.unionByName(r2).unionByName(r3)
+      val labeled = TA.withTokenStats(union, "text")
+        .withColumn("label_weak",
+          ground(TA.qualityScore(col("n_tokens"), col("token_chars"),
+            col("n_punct"), col("n_stopwords")), 4) >= 0.5)
+        .select(col("ingest_id"), col("ukey"), col("text"),
+          col("label_weak"))
+      NbClassifier.train(
+        labeled.filter(Sampling.hashBucket(col("ukey"), "graft") < 80),
+        "text", "ingest_id", "label_weak")
+    }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Learned BPE merge table: the distributed trainer's argmax sequence
@@ -451,6 +511,45 @@ object CorpusQueries {
         model, tok, state = Some(st1), minTokens = 10)
       s1.unionByName(s2)
         .unionByName(G.tokenShardsFlush(st2.shards, Seq("lang"), 256))
+        .select(col("lang"), col("shard_id"), col("n_tokens"),
+          md5(array_join(transform(col("token_ids"),
+            i => i.cast("string")), ",")).as("ids_md5"))
+        .orderBy(col("lang"), col("shard_id"))
+    }),
+
+    // DOCUMENT-IDENTITY VERSIONING under latest-wins — the keyed keeper
+    // loop absorbing a crawl where delta 3 RE-DELIVERS existing keys
+    // with CHANGED content: three re-id'd deltas through
+    // corpusShardsDeltaRekeyed(LatestWins) — gate, key policy, digest
+    // dedup, frozen-tokenizer encode, incremental shard writer — then
+    // corpusShardsRekeyedCompact re-chunks the streams holding
+    // superseded tokens. The result must HASH-MATCH the oracle's
+    // one-shot batch replay over the LIVE set: gated docs → global
+    // min-ingest-id keeper per digest → drop versions superseded by a
+    // later accepted version of the same key (lv) → shard split in
+    // ingest order. Unchanged-content re-crawls never reach the policy
+    // (digest keeper drops them); changed content supersedes — the
+    // day-two production semantics, end-to-end inside the hash gate.
+    "q_corpus_shards_rekey" -> ((s, dir) => {
+      val (r1, r2, r3) = rekeyReidDeltas(s, dir)
+      val model = nbModelRekey(s, dir)
+      val (merges, dict) = bpeTrained(s, dir)
+      val tok = Bpe.Tokenizer(merges, dict, Bpe.vocabIds(dict))
+      val G = graft.api.Graft
+      val P = G.RekeyPolicy.LatestWins
+      val (s1, st1) = G.corpusShardsDeltaRekeyed(r1, "text", "ingest_id",
+        "ukey", "lang", model, tok, state = None, policy = P,
+        minTokens = 10)
+      val (s2, st2) = G.corpusShardsDeltaRekeyed(r2, "text", "ingest_id",
+        "ukey", "lang", model, tok, state = Some(st1), policy = P,
+        minTokens = 10)
+      val (s3, st3) = G.corpusShardsDeltaRekeyed(r3, "text", "ingest_id",
+        "ukey", "lang", model, tok, state = Some(st2), policy = P,
+        minTokens = 10)
+      G.corpusShardsRekeyedCompact(
+          r1.unionByName(r2).unionByName(r3), "text", "ingest_id",
+          "lang", tok, st3,
+          s1.unionByName(s2).unionByName(s3))
         .select(col("lang"), col("shard_id"), col("n_tokens"),
           md5(array_join(transform(col("token_ids"),
             i => i.cast("string")), ",")).as("ids_md5"))
@@ -783,8 +882,10 @@ object CorpusQueries {
                                 mixture: Boolean, bpeChain: String,
                                 dictCte: String,
                                 tailOverride: Option[String] = None,
-                                reidKeys: Boolean = false)
+                                reidKeys: Boolean = false,
+                                rekeyLatest: Boolean = false)
       : String = {
+    val keyed = reidKeys || rekeyLatest
     val stopSql = TA.Stopwords.map(w => s"'$w'").mkString(", ")
     val labFrom =
       if (nbOnGopherSurvivors)
@@ -804,7 +905,33 @@ object CorpusQueries {
     // identical: one SQL chain = the one-shot batch replay over the
     // re-id'd union that the two chained Spark deltas must hash-match.
     val docsHead =
-      if (!reidKeys)
+      if (rekeyLatest)
+        // the q_corpus_shards_rekey crawl: three deltas, the third
+        // RE-DELIVERING every doc_id % RekeyMod == 3 key below 400 with
+        // mutated text — per-delta hash-order ranks continue each prior
+        // delta's FULL size, exactly Graft.withIngestIds' threading
+        s"""WITH ud AS MATERIALIZED (
+           |  SELECT 'u-' || reverse(CAST(doc_id AS VARCHAR)) AS ukey,
+           |    lang, text,
+           |    CASE WHEN doc_id < 200 THEN 1 WHEN doc_id < 400 THEN 2
+           |      ELSE 3 END AS dno
+           |  FROM documents
+           |  UNION ALL
+           |  SELECT 'u-' || reverse(CAST(doc_id AS VARCHAR)) AS ukey,
+           |    lang, text || '$RekeySuffix' AS text, 3 AS dno
+           |  FROM documents WHERE doc_id < 400 AND doc_id % $RekeyMod = 3
+           |), rd AS MATERIALIZED (
+           |  SELECT (CASE WHEN dno = 1 THEN 0
+           |      WHEN dno = 2 THEN (SELECT count(*) FROM ud WHERE dno = 1)
+           |      ELSE (SELECT count(*) FROM ud WHERE dno <= 2) END)
+           |    + row_number() OVER (PARTITION BY dno
+           |        ORDER BY ${sqlHashKey("ingest", "ukey")}, ukey)
+           |    AS doc_id,
+           |    ukey, lang, text
+           |  FROM ud
+           |), t0 AS MATERIALIZED (
+           |  SELECT doc_id, ukey, lang, text,""".stripMargin
+      else if (!reidKeys)
         """WITH t0 AS MATERIALIZED (
           |  SELECT doc_id, lang, text,""".stripMargin
       else
@@ -822,13 +949,13 @@ object CorpusQueries {
            |  FROM ud
            |), t0 AS MATERIALIZED (
            |  SELECT doc_id, ukey, lang, text,""".stripMargin
-    val docsFrom = if (reidKeys) "rd" else "documents"
-    val labKey = if (reidKeys) ", t0.ukey" else ""
+    val docsFrom = if (keyed) "rd" else "documents"
+    val labKey = if (keyed) ", t0.ukey" else ""
     val trcBucket =
-      if (reidKeys) sqlBucket("graft", "lab.ukey")
+      if (keyed) sqlBucket("graft", "lab.ukey")
       else sqlBucket("graft", "f.doc_id")
     val priBucket =
-      if (reidKeys) sqlBucket("graft", "ukey")
+      if (keyed) sqlBucket("graft", "ukey")
       else sqlBucket("graft", "doc_id")
     docsHead + "\n" +
     s"""|    regexp_split_to_array(trim(text), '[\\s\\x0b]+') AS toks,
@@ -923,6 +1050,18 @@ object CorpusQueries {
        |  FROM t0 JOIN gb USING (doc_id)
        |  GROUP BY md5(text)
        |)""".stripMargin +
+    (if (!rekeyLatest) "" else
+      // LATEST-WINS liveness: an accepted (gc) version is live unless a
+      // LATER accepted version of the same natural key exists — the
+      // supersede rule corpusShardsDeltaRekeyed applies incrementally
+      """,
+        |lv AS MATERIALIZED (
+        |  SELECT gc.doc_id
+        |  FROM gc JOIN t0 USING (doc_id)
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM gc g2 JOIN t0 t2 ON g2.doc_id = t2.doc_id
+        |    WHERE t2.ukey = t0.ukey AND g2.doc_id > gc.doc_id)
+        |)""".stripMargin) +
     (if (!mixture) "" else
       s""",
          |cdocs AS MATERIALIZED (
@@ -1096,6 +1235,18 @@ object CorpusQueries {
       s"d$BpeMerges",
       Some(shardsOracleTail(restrict = Some("gc"), docsSrc = "rd")),
       reidKeys = true),
+
+    // the LATEST-WINS keyed keeper contract: the frozen gate chain over
+    // the re-id'd 3-delta union (delta 3 re-delivers changed content),
+    // accepted = global min-id per digest (gc), live = not superseded by
+    // a later accepted version of the same key (lv), shard split over
+    // the live set — matched by three chained corpusShardsDeltaRekeyed
+    // passes + corpusShardsRekeyedCompact
+    "q_corpus_shards_rekey" -> corpusOracleChain(
+      nbOnGopherSurvivors = false, mixture = false, bpeCtes(BpeMerges),
+      s"d$BpeMerges",
+      Some(shardsOracleTail(restrict = Some("lv"), docsSrc = "rd")),
+      rekeyLatest = true),
   ) ++ tailOracles
 
   /** One-shot shard ground truth shared by `q_token_shards` (batch) and

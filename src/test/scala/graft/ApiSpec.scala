@@ -433,6 +433,122 @@ class ApiSpec extends SparkSpec {
     assert(two.count() > 0, "the reid composition produced no packs")
   }
 
+  test("corpusShardsDeltaRekeyed: latest-wins supersedes a re-crawled " +
+    "key's old version, first-wins drops the re-crawl, keep-all keeps " +
+    "both — each equal to its batch replay") {
+    import graft.ext.{Bpe, Dedup, NbClassifier, Packing, Sampling,
+      TextAnalysis => TA}
+    val G = Graft
+    // three deltas; delta 3 re-delivers every doc_id % 29 == 5 key
+    // below 300 with CHANGED content plus fresh keys
+    def uk(d: org.apache.spark.sql.DataFrame) =
+      d.withColumn("ukey",
+        concat(lit("u-"), reverse(col("doc_id").cast("string"))))
+        .drop("doc_id")
+    val d1 = uk(docs.filter(col("doc_id") < 150))
+    val d2 = uk(docs.filter(col("doc_id") >= 150 && col("doc_id") < 300))
+    val d3 = uk(docs.filter(col("doc_id") >= 300)).unionByName(
+      uk(docs.filter(col("doc_id") < 300 && col("doc_id") % 29 === 5)
+        .withColumn("text", concat(col("text"), lit(" fresh revision")))))
+    val (r1, b1) = G.withIngestIds(d1, "ukey")
+    val (r2, b2) = G.withIngestIds(d2, "ukey", base = b1)
+    val (r3, _) = G.withIngestIds(d3, "ukey", base = b2)
+    val union = r1.unionByName(r2).unionByName(r3)
+    val labeled = TA.withTokenStats(union, "text")
+      .withColumn("label_weak",
+        round(TA.qualityScore(col("n_tokens"), col("token_chars"),
+          col("n_punct"), col("n_stopwords")) + lit(1e-9), 4) >= 0.5)
+      .select(col("ingest_id"), col("ukey"), col("text"),
+        col("label_weak"))
+    val model = NbClassifier.train(
+      labeled.filter(Sampling.hashBucket(col("ukey"), "graft") < 80),
+      "text", "ingest_id", "label_weak")
+    val (merges, dict) = G.bpeTrain(docs, "text", nMerges = 4)
+    val tok = Bpe.Tokenizer(merges, dict, Bpe.vocabIds(dict))
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("lang"), col("shard_id"), col("n_tokens"),
+        col("token_ids").cast("string").as("ids"))
+    def runPolicy(p: G.RekeyPolicy)
+        : (org.apache.spark.sql.DataFrame, G.KeyedCorpusShardsState) = {
+      val (s1, st1) = G.corpusShardsDeltaRekeyed(r1, "text", "ingest_id",
+        "ukey", "lang", model, tok, state = None, policy = p,
+        minTokens = 10)
+      val (s2, st2) = G.corpusShardsDeltaRekeyed(r2, "text", "ingest_id",
+        "ukey", "lang", model, tok, state = Some(st1), policy = p,
+        minTokens = 10)
+      val (s3, st3) = G.corpusShardsDeltaRekeyed(r3, "text", "ingest_id",
+        "ukey", "lang", model, tok, state = Some(st2), policy = p,
+        minTokens = 10)
+      (s1.unionByName(s2).unionByName(s3), st3)
+    }
+    val gated = graft.streaming.StreamingCorpus.qualityGate(union, "text",
+        "ingest_id", model, minTokens = 10)
+      .select(union.columns.map(col): _*)
+    def acceptedOf(base: org.apache.spark.sql.DataFrame) =
+      base.join(Dedup.exactGroups(base, "text", "ingest_id")
+        .select(col("keeper_id").as("ingest_id")), Seq("ingest_id"),
+        "left_semi")
+    def shardsOver(live: org.apache.spark.sql.DataFrame) = {
+      val enc = tok.encodeIds(live, "text", "ingest_id")
+        .join(live.select(col("ingest_id"), col("lang")), Seq("ingest_id"))
+      Packing.shardTokens(enc, Seq("lang"), "ingest_id", 256)
+    }
+    // LATEST-WINS: emitted + compaction == batch over the LIVE set
+    // (accepted minus versions superseded by a later accepted same-key)
+    val (emittedL, stL) = runPolicy(G.RekeyPolicy.LatestWins)
+    val gotL = fp(G.corpusShardsRekeyedCompact(union, "text", "ingest_id",
+      "lang", tok, stL, emittedL))
+    val acc = acceptedOf(gated)
+    val supIds = acc.as("a").join(acc.as("b"),
+        col("a.ukey") === col("b.ukey") &&
+          col("a.ingest_id") < col("b.ingest_id"), "left_semi")
+      .select(col("ingest_id"))
+    val liveL = acc.join(supIds, Seq("ingest_id"), "left_anti")
+    assert(fp(shardsOver(liveL)).exceptAll(gotL).count() == 0 &&
+      gotL.exceptAll(fp(shardsOver(liveL))).count() == 0,
+      "latest-wins incremental + compaction diverged from the batch " +
+        "replay over live docs")
+    // the supersession genuinely happened and the state records it
+    val supCount = stL.keepers
+      .filter(col("kept") && !col("live")).count()
+    assert(supCount > 0 && supCount == supIds.count(),
+      s"state superseded rows $supCount != replay ${supIds.count()}")
+    // a superseded key holds exactly one LIVE version — the latest
+    val multiLive = stL.keepers.filter(col("kept") && col("live"))
+      .groupBy(col("ukey")).count().filter(col("count") > 1)
+    assert(multiLive.isEmpty, "a key holds two live versions")
+    // FIRST-WINS: the re-crawl drops whatever its content — batch
+    // replay keeps each key's FIRST gated version, then digest-dedups
+    val (emittedF, stF) = runPolicy(G.RekeyPolicy.FirstWins)
+    val gotF = fp(emittedF.unionByName(
+      Graft.tokenShardsFlush(stF.shards, Seq("lang"), 256)))
+    val firstPerKey = gated.join(
+      gated.groupBy(col("ukey")).agg(min(col("ingest_id")).as("ingest_id")),
+      Seq("ukey", "ingest_id"), "left_semi")
+    val liveF = acceptedOf(firstPerKey)
+    assert(fp(shardsOver(liveF)).exceptAll(gotF).count() == 0 &&
+      gotF.exceptAll(fp(shardsOver(liveF))).count() == 0,
+      "first-wins incremental diverged from the first-version batch replay")
+    assert(stF.keepers.filter(!col("live") && col("kept")).isEmpty,
+      "first-wins must never supersede")
+    // KEEP-ALL: explicitly today's behavior — equal to the UNKEYED loop
+    // over the same deltas (both versions of the re-crawled key train)
+    val (emittedK, stK) = runPolicy(G.RekeyPolicy.KeepAll)
+    val gotK = fp(emittedK.unionByName(
+      Graft.tokenShardsFlush(stK.shards, Seq("lang"), 256)))
+    val (u1, ut1) = G.corpusShardsDelta(r1, "text", "ingest_id", "lang",
+      model, tok, state = None, minTokens = 10)
+    val (u2, ut2) = G.corpusShardsDelta(r2, "text", "ingest_id", "lang",
+      model, tok, state = Some(ut1), minTokens = 10)
+    val (u3, ut3) = G.corpusShardsDelta(r3, "text", "ingest_id", "lang",
+      model, tok, state = Some(ut2), minTokens = 10)
+    val gotU = fp(u1.unionByName(u2).unionByName(u3).unionByName(
+      Graft.tokenShardsFlush(ut3.shards, Seq("lang"), 256)))
+    assert(gotK.exceptAll(gotU).count() == 0 &&
+      gotU.exceptAll(gotK).count() == 0,
+      "keep-all diverged from the unkeyed loop")
+  }
+
   test("corpus state save/load: versioned parquet round-trip; chaining " +
     "off the loaded state equals chaining off the live one") {
     import graft.ext.{Bpe, NbClassifier, Sampling, TextAnalysis => TA}

@@ -1125,6 +1125,112 @@ class StreamingSpec extends SparkSpec {
     try q3.processAllAvailable() finally if (q3.isActive) q3.stop()
   }
 
+  test("REKEYED streaming loop (latest-wins) over THREE batches: a " +
+    "changed-content re-crawl supersedes; stream + compaction equals " +
+    "the batch rekeyed loop; retry replaces identically") {
+    import graft.ext.{Bpe, NbClassifier, Sampling, TextAnalysis => TA}
+    val G = graft.api.Graft
+    val keyed = Tables.documents(spark, TestSpark.sf0001)
+      .withColumn("ukey",
+        concat(lit("u-"), reverse(col("doc_id").cast("string"))))
+    // batch 3 = fresh keys PLUS re-crawls of earlier keys with CHANGED
+    // content (every doc_id % 29 == 5 below 300)
+    val b1 = keyed.filter(col("doc_id") < 150).drop("doc_id")
+    val b2 = keyed.filter(col("doc_id") >= 150 && col("doc_id") < 300)
+      .drop("doc_id")
+    val b3 = keyed.filter(col("doc_id") >= 300).drop("doc_id")
+      .unionByName(
+        keyed.filter(col("doc_id") < 300 && col("doc_id") % 29 === 5)
+          .withColumn("text", concat(col("text"), lit(" fresh revision")))
+          .drop("doc_id"))
+    val union = b1.unionByName(b2).unionByName(b3)
+    val labeled = TA.withTokenStats(union, "text")
+      .withColumn("label_weak",
+        round(TA.qualityScore(col("n_tokens"), col("token_chars"),
+          col("n_punct"), col("n_stopwords")) + lit(1e-9), 4) >= 0.5)
+      .select(col("ukey"), col("text"), col("label_weak"))
+    val model = NbClassifier.train(
+      labeled.filter(Sampling.hashBucket(col("ukey"), "graft") < 80),
+      "text", "ukey", "label_weak")
+    val (merges, dict) = Bpe.train(union, "text", 8)
+    val tok = Bpe.Tokenizer(merges, dict, Bpe.vocabIds(dict))
+    // batch ground truth over the SAME delivery boundaries: the stream
+    // gates each batch THEN re-ids survivors — replay that exact order
+    def gate(d: org.apache.spark.sql.DataFrame) =
+      graft.streaming.StreamingCorpus.qualityGate(d, "text", "ukey",
+        model, minTokens = 10).select(d.columns.map(col): _*)
+    val (r1, base1) = G.withIngestIds(gate(b1), "ukey")
+    val (r2, base2) = G.withIngestIds(gate(b2), "ukey", base = base1)
+    val (r3, _) = G.withIngestIds(gate(b3), "ukey", base = base2)
+    val P = G.RekeyPolicy.LatestWins
+    val (s1, st1) = G.corpusShardsDeltaRekeyed(r1, "text", "ingest_id",
+      "ukey", "lang", model, tok, state = None, policy = P,
+      minTokens = 10, checkIdOrder = false)
+    val (s2, st2) = G.corpusShardsDeltaRekeyed(r2, "text", "ingest_id",
+      "ukey", "lang", model, tok, state = Some(st1), policy = P,
+      minTokens = 10, checkIdOrder = false)
+    val (s3, st3) = G.corpusShardsDeltaRekeyed(r3, "text", "ingest_id",
+      "ukey", "lang", model, tok, state = Some(st2), policy = P,
+      minTokens = 10, checkIdOrder = false)
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("lang"), col("shard_id"), col("n_tokens"),
+        col("token_ids").cast("string").as("ids"))
+    val expected = fp(G.corpusShardsRekeyedCompact(
+      r1.unionByName(r2).unionByName(r3), "text", "ingest_id", "lang",
+      tok, st3, s1.unionByName(s2).unionByName(s3)))
+    // the stream: three files, processed as three micro-batches
+    val inDir = Files.createTempDirectory("graft-rekey-in").toString
+    val outDir = Files.createTempDirectory("graft-rekey-out").toString
+    val ckpt = Files.createTempDirectory("graft-rekey-ckpt").toString
+    b1.write.parquet(s"$inDir/p1")
+    val q = graft.streaming.StreamingCorpus.runCorpusShardsRekeyed(spark,
+      s"$inDir/p*", outDir, ckpt, b1.schema, "text", "ukey", "lang",
+      model, tok, policy = P, ctxTokens = 256, minTokens = 10)
+    try {
+      q.processAllAvailable()
+      b2.write.parquet(s"$inDir/p2")
+      q.processAllAvailable()
+      b3.write.parquet(s"$inDir/p3")
+      q.processAllAvailable()
+    } finally if (q.isActive) q.stop()
+    val S = graft.streaming.StreamingCorpus
+    val streamState = G.KeyedCorpusShardsState(
+      S.latestShardState(spark, s"$outDir/keepers").get,
+      S.latestShardState(spark, s"$outDir/state").get)
+    val emitted = spark.read.parquet(s"$outDir/shards")
+      .select(col("lang"), col("shard_id"), col("n_tokens"),
+        col("token_ids"))
+    val got = fp(G.corpusShardsRekeyedCompact(
+      r1.unionByName(r2).unionByName(r3), "text", "ingest_id", "lang",
+      tok, streamState, emitted))
+    assert(got.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(got).count() == 0,
+      "rekeyed stream + compaction diverged from the batch rekeyed loop")
+    // the supersession really happened in the STREAM's state
+    assert(streamState.keepers.filter(col("kept") && !col("live"))
+      .count() > 0, "no supersession recorded — fixture is vacuous")
+    // RETRY of the last micro-batch: same versioned ingest base and
+    // keeper state → identical replaced outputs
+    val batches = new java.io.File(s"$outDir/shards").listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong).sorted
+    S.writeRekeyedCorpusShardBatch(gate(b3), batches.last, outDir,
+      "text", "ukey", "lang", tok, ctxTokens = 256, salt = "ingest",
+      policy = P)
+    val streamState2 = G.KeyedCorpusShardsState(
+      S.latestShardState(spark, s"$outDir/keepers").get,
+      S.latestShardState(spark, s"$outDir/state").get)
+    val got2 = fp(G.corpusShardsRekeyedCompact(
+      r1.unionByName(r2).unionByName(r3), "text", "ingest_id", "lang",
+      tok, streamState2,
+      spark.read.parquet(s"$outDir/shards")
+        .select(col("lang"), col("shard_id"), col("n_tokens"),
+          col("token_ids"))))
+    assert(got2.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(got2).count() == 0,
+      "retried rekeyed micro-batch drifted")
+  }
+
   test("closeShards fences the sink TERMINAL: every micro-batch writer " +
     "refuses to write past the close marker") {
     import graft.ext.Bpe

@@ -1123,6 +1123,26 @@ object Graft {
     CorpusShardsState(k, s)
   }
 
+  /** Persist a [[KeyedCorpusShardsState]] as a new committed version
+    * (`dir/v=<n>/{keepers,shards,meta}`) — same crash-safe contract and
+    * `bucketBy` keeper layout (on `content_hash`) as [[corpusStateSave]].
+    */
+  def corpusRekeyedStateSave(state: KeyedCorpusShardsState, dir: String,
+                             bucketBy: Int = 0): Unit =
+    saveStateParts(state.keepers.sparkSession, dir, "corpus_rekeyed",
+      Seq("keepers" -> state.keepers, "shards" -> state.shards),
+      bucketBy)
+
+  /** Load the newest committed [[KeyedCorpusShardsState]]; loud when
+    * none exists or the dir holds a different state kind.
+    */
+  def corpusRekeyedStateLoad(spark: SparkSession,
+                             dir: String): KeyedCorpusShardsState = {
+    val Seq(k, s) = loadStateParts(spark, dir, "corpus_rekeyed",
+      Seq("keepers", "shards"))
+    KeyedCorpusShardsState(k, s)
+  }
+
   /** The COMPLETE incremental production loop in one call — crawl delta
     * in, training shards out: the [[corpusBuildDelta]] gate+dedup prefix
     * (stateless frozen-model gates, dedup against history) feeds
@@ -1338,7 +1358,10 @@ object Graft {
     // shape; production round-trips parquet state) the analyzed plan
     // grows exponentially with delta count and kills the driver during
     // planning. Both frames are bounded: keepers by gated corpus rows,
-    // shard state by streams.
+    // shard state by streams. Lifecycle: the checkpointed blocks release
+    // via ContextCleaner once the state object is unreachable (standard
+    // localCheckpoint semantics — they must never be unpersisted while
+    // referenced, the truncated lineage cannot recompute them).
     (shards, KeyedCorpusShardsState(newKeepers.localCheckpoint(true),
       newShardState.localCheckpoint(true)))
   }

@@ -621,11 +621,14 @@ object StreamingCorpus {
     * shards. A re-crawled key with UNCHANGED content drops via the
     * digest keeper; with CHANGED content it follows the policy —
     * the day-two production case the plain keyed loop documents away.
-    * Under LatestWins, run [[graft.api.Graft.corpusShardsRekeyedCompact]]
-    * over the published shards + final state after [[closeShards]] to
-    * realize the supersessions ([[StreamingSpec]] pins the 3-batch
-    * stream ≡ the 3-delta batch loop, including a changed-content
-    * re-crawl). Single-producer ownership enforced as in the keyed loop.
+    * Under LatestWins, stop the query and run
+    * [[graft.api.Graft.corpusShardsRekeyedCompact]] over the published
+    * MICRO-BATCH shards (exclude any `batch_id =` [[FlushBatchId]]
+    * partition — compaction flushes the final state's tails itself, so
+    * feeding it an already-[[closeShards]]-published flush would double
+    * them) + the newest keeper/shard state, to realize the supersessions
+    * ([[StreamingSpec]] pins the 3-batch stream ≡ the 3-delta batch
+    * loop, including a changed-content re-crawl). Single-producer ownership enforced as in the keyed loop.
     */
   def runCorpusShardsRekeyed(spark: SparkSession, inDir: String,
                              outDir: String, checkpoint: String,

@@ -86,57 +86,62 @@ object DeltaScale {
       Graft.corpusStateSave(st1, s"$base/cstate")
       summarize(p1, "p1")
     }
-    // per-phase shuffle-read accounting: the bucketed-state comparison
-    // below is ABOUT shuffle bytes, so measure them, not just wall
-    val shuffleRead = new java.util.concurrent.atomic.AtomicLong(0L)
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onStageCompleted(
-            s: org.apache.spark.scheduler.SparkListenerStageCompleted)
-            : Unit = {
-          val m = s.stageInfo.taskMetrics
-          if (m != null)
-            shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
-          ()
-        }
-      })
-    def shuffled[A](label: String)(f: => A): A = {
-      Thread.sleep(100) // drain async stage events into the counter
-      val b0 = shuffleRead.get()
-      val r = f
-      Thread.sleep(100)
-      println(f"[deltascale] $label shuffle read: " +
-        f"${(shuffleRead.get() - b0) / 1e6}%.1f MB")
-      r
-    }
     // the nightly cost: absorb the delta from DISK state
-    val p2s = shuffled("plain-state absorb") {
-      timed(s"absorb ${deltaPerMille}‰ delta from disk state") {
-        val st = Graft.corpusStateLoad(spark, s"$base/cstate")
-        val (p2, _) = Graft.corpusBuildDelta(delta, "text", "doc_id",
-          "lang", model, dict, state = Some(st), minTokens = 10)
-        summarize(p2, "p2")
-      }
+    val p2s = timed(s"absorb ${deltaPerMille}‰ delta from disk state") {
+      val st = Graft.corpusStateLoad(spark, s"$base/cstate")
+      val (p2, _) = Graft.corpusBuildDelta(delta, "text", "doc_id",
+        "lang", model, dict, state = Some(st), minTokens = 10)
+      summarize(p2, "p2")
     }
     // r15: the same absorb from a BUCKETED keeper state — the history
     // side of the dedup anti-join reads pre-partitioned/sorted on
     // content_hash, so only the delta shuffles (PhysicalSpec pins the
-    // plan; this prints the measured shuffle-byte cut at scale)
+    // plan; this prints the measured shuffle-byte cut). Broadcast is
+    // DISABLED for this comparison pair: at probe scale the digest
+    // history still fits a broadcast (which hides the exchange the
+    // layout eliminates), while at 100 TB it never does — forcing the
+    // distributed join is the honest at-scale shape.
     timed("re-save state BUCKETED (bucketBy=32)") {
       Graft.corpusStateSave(Graft.corpusStateLoad(spark, s"$base/cstate"),
         s"$base/cstateb", bucketBy = 32)
     }
-    shuffled("bucketed-state absorb") {
+    // plan-shape evidence, not listener bytes (stage-metric attribution
+    // is too coarse for one join inside a ~60-job absorb): count the
+    // Exchanges that repartition the HISTORY digest column — the plain
+    // layout pays one per anti-join instance, the bucketed layout zero
+    // (its scan is already hash-distributed on content_hash; the plan
+    // also shows `Bucketed: true … SelectedBucketsCount`)
+    def historyExchanges(df: DataFrame): Int =
+      df.queryExecution.executedPlan.toString.linesIterator
+        .count(_.contains("Exchange hashpartitioning(content_hash"))
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      timed(s"absorb ${deltaPerMille}‰ delta, plain state, no broadcast") {
+        val st = Graft.corpusStateLoad(spark, s"$base/cstate")
+        val (p2, _) = Graft.corpusBuildDelta(delta, "text", "doc_id",
+          "lang", model, dict, state = Some(st), minTokens = 10)
+        val out = summarize(p2, "p2nb")
+        println(s"[deltascale] plain-state history-side exchanges: " +
+          historyExchanges(p2))
+        out
+      }
       timed(s"absorb ${deltaPerMille}‰ delta from BUCKETED disk state") {
         val st = Graft.corpusStateLoad(spark, s"$base/cstateb")
         val (p2, _) = Graft.corpusBuildDelta(delta, "text", "doc_id",
           "lang", model, dict, state = Some(st), minTokens = 10)
-        summarize(p2, "p2b")
+        val out = summarize(p2, "p2b")
+        println(s"[deltascale] bucketed-state history-side exchanges: " +
+          historyExchanges(p2))
+        out
       }
-    }
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
     val bothAbsorbs = spark.read.parquet(s"$base/p2")
       .exceptAll(spark.read.parquet(s"$base/p2b")).count() +
       spark.read.parquet(s"$base/p2b")
+        .exceptAll(spark.read.parquet(s"$base/p2")).count() +
+      spark.read.parquet(s"$base/p2nb")
         .exceptAll(spark.read.parquet(s"$base/p2")).count()
     println(s"[deltascale] bucketed absorb == plain absorb: " +
       (if (bothAbsorbs == 0) "EXACT MATCH" else s"DIVERGED ($bothAbsorbs)"))

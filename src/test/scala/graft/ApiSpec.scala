@@ -531,6 +531,17 @@ class ApiSpec extends SparkSpec {
       "first-wins incremental diverged from the first-version batch replay")
     assert(stF.keepers.filter(!col("live") && col("kept")).isEmpty,
       "first-wins must never supersede")
+    // the keyed state persists through the same versioned lifecycle:
+    // chaining compaction off the LOADED state equals the live one
+    val dirR = java.nio.file.Files
+      .createTempDirectory("graft-rekeystate").toString
+    G.corpusRekeyedStateSave(stL, dirR)
+    val stLoaded = G.corpusRekeyedStateLoad(spark, dirR)
+    val gotLoaded = fp(G.corpusShardsRekeyedCompact(union, "text",
+      "ingest_id", "lang", tok, stLoaded, emittedL))
+    assert(gotLoaded.exceptAll(gotL).count() == 0 &&
+      gotL.exceptAll(gotLoaded).count() == 0,
+      "compaction off the loaded keyed state diverged from the live one")
     // KEEP-ALL: explicitly today's behavior — equal to the UNKEYED loop
     // over the same deltas (both versions of the re-crawled key train)
     val (emittedK, stK) = runPolicy(G.RekeyPolicy.KeepAll)

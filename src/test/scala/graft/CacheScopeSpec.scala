@@ -162,10 +162,18 @@ class CacheScopeSpec extends SparkSpec {
       }
       assert(n >= 0)
       assert(peak > 0, s"pass $pass registered no caches — soak is vacuous")
-      // unpersist is async (blocking=false): poll to baseline
+      // unpersist is async (blocking=false): poll to baseline. The gc
+      // nudge is for localCheckpoint blocks other suites' state objects
+      // may still pin until driver GC (their documented lifecycle:
+      // ContextCleaner unpersists once the state is unreachable) — a
+      // REFERENCED leak still fails, GC cannot collect what CacheScope
+      // should have dropped.
       val deadline = System.currentTimeMillis + 30000
       while ((entries != 0 || storageBytes != 0) &&
-        System.currentTimeMillis < deadline) Thread.sleep(50)
+        System.currentTimeMillis < deadline) {
+        System.gc()
+        Thread.sleep(200)
+      }
       assert(entries == 0, s"pass $pass leaked $entries cache entries")
       assert(storageBytes == 0,
         s"pass $pass left $storageBytes bytes in storage memory")

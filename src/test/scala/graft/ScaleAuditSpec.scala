@@ -108,6 +108,12 @@ class ScaleAuditSpec extends SparkSpec {
         "doc_id left-semi equi-join, the dedup keeper is a groupBy, and " +
         "the BPE/pack tail joins the broadcast dictionary by word " +
         "equi-key"),
+    "q_mixture_incr" ->
+      ("q_temperature_mix's 1-row normalizer attach (Σ n^α, Σ n broadcast " +
+        "under the |groups|-row counts frame), inherited unchanged by " +
+        "mixtureOverCorpus — the incremental prefix (two chained deltas) " +
+        "adds only equi-joins and the q_quality_nb scalar attaches " +
+        "q_corpus_build_incr already carries"),
     "q_corpus_build_batched" ->
       ("q_corpus_build's inherited allowances, unchanged — the batched " +
         "trainer swap happens UPSTREAM of the composition (driver-side " +

@@ -81,6 +81,14 @@ object AnnIndex {
             bucketCol: String, dir: String, dim: Int,
             m: Int = 4, kSub: Int = 16, iters: Int = 1,
             trainFraction: Double = 1.0): Unit = {
+    // a dir that holds committed rebuild versions resolves to the newest
+    // r=<n>, so a flat build here would be written and then SHADOWED —
+    // silently serving the old version forever. Refuse loudly instead.
+    val spark0 = corpus.sparkSession
+    require(currentRoot(spark0, dir) == dir,
+      s"AnnIndex.build: $dir holds committed rebuild versions (r=<n>) " +
+        "that would shadow a flat build — use rebuild() to advance this " +
+        "index, or build into a fresh directory")
     val parts = Similarity.ivfPqResIndexParts(corpus, idCol, vecCol,
       bucketCol, dim, m, kSub, iters, trainFraction)
     require(parts.nonEmpty,

@@ -1120,6 +1120,13 @@ class SimilaritySpec extends SparkSpec {
     assert(A.currentRoot(spark, dir) == s"$dir/r=3")
     assert(!new java.io.File(s"$dir/r=1").exists(),
       "older committed versions must be pruned")
+    // a flat build() into a dir with rebuild versions would be silently
+    // shadowed by the resolver — it must refuse loudly instead
+    val eShadow = intercept[IllegalArgumentException] {
+      A.build(bucketed, "vec_id", "embedding", "kb", dir, dim = 64)
+    }
+    assert(eShadow.getMessage.contains("shadow"),
+      s"wrong failure mode: ${eShadow.getMessage}")
   }
 
   test("PqResAdcCosine: reconstruction identity, null contracts") {

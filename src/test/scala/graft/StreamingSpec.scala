@@ -1182,15 +1182,27 @@ class StreamingSpec extends SparkSpec {
     val inDir = Files.createTempDirectory("graft-rekey-in").toString
     val outDir = Files.createTempDirectory("graft-rekey-out").toString
     val ckpt = Files.createTempDirectory("graft-rekey-ckpt").toString
-    b1.write.parquet(s"$inDir/p1")
+    // stage each batch OUTSIDE the watched glob and move it in whole:
+    // the continuous trigger lists files as fast as it can, so writing
+    // parquet directly into the glob can split one logical batch across
+    // two micro-batches (partial listing mid-write) — the rename makes
+    // every file of a batch appear atomically
+    val stage = Files.createTempDirectory("graft-rekey-stage").toString
+    def publish(d: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      d.write.parquet(s"$stage/$name")
+      java.nio.file.Files.move(java.nio.file.Paths.get(s"$stage/$name"),
+        java.nio.file.Paths.get(s"$inDir/$name"))
+      ()
+    }
+    publish(b1, "p1")
     val q = graft.streaming.StreamingCorpus.runCorpusShardsRekeyed(spark,
       s"$inDir/p*", outDir, ckpt, b1.schema, "text", "ukey", "lang",
       model, tok, policy = P, ctxTokens = 256, minTokens = 10)
     try {
       q.processAllAvailable()
-      b2.write.parquet(s"$inDir/p2")
+      publish(b2, "p2")
       q.processAllAvailable()
-      b3.write.parquet(s"$inDir/p3")
+      publish(b3, "p3")
       q.processAllAvailable()
     } finally if (q.isActive) q.stop()
     val S = graft.streaming.StreamingCorpus
@@ -1202,10 +1214,16 @@ class StreamingSpec extends SparkSpec {
         col("token_ids"))
     val got = fp(G.corpusShardsRekeyedCompact(
       r1.unionByName(r2).unionByName(r3), "text", "ingest_id", "lang",
-      tok, streamState, emitted))
+      tok, streamState, emitted)).localCheckpoint(true)
+    def diff(a: org.apache.spark.sql.DataFrame,
+             b: org.apache.spark.sql.DataFrame): String =
+      (a.exceptAll(b).limit(3).collect().map("got-only " + _) ++
+        b.exceptAll(a).limit(3).collect().map("want-only " + _))
+        .mkString("; ")
     assert(got.exceptAll(expected).count() == 0 &&
       expected.exceptAll(got).count() == 0,
-      "rekeyed stream + compaction diverged from the batch rekeyed loop")
+      "rekeyed stream + compaction diverged from the batch rekeyed " +
+        s"loop: ${diff(got, expected)}")
     // the supersession really happened in the STREAM's state
     assert(streamState.keepers.filter(col("kept") && !col("live"))
       .count() > 0, "no supersession recorded — fixture is vacuous")
@@ -1226,9 +1244,12 @@ class StreamingSpec extends SparkSpec {
       spark.read.parquet(s"$outDir/shards")
         .select(col("lang"), col("shard_id"), col("n_tokens"),
           col("token_ids"))))
-    assert(got2.exceptAll(expected).count() == 0 &&
-      expected.exceptAll(got2).count() == 0,
-      "retried rekeyed micro-batch drifted")
+    // the exactly-once claim proper: the retry must leave the sink
+    // IDENTICAL to the pre-retry state (got ≡ expected already held
+    // above, so transitively got2 ≡ expected too)
+    assert(got2.exceptAll(got).count() == 0 &&
+      got.exceptAll(got2).count() == 0,
+      s"retried rekeyed micro-batch drifted: ${diff(got2, got)}")
   }
 
   test("closeShards fences the sink TERMINAL: every micro-batch writer " +

@@ -312,6 +312,19 @@ object Graft {
     AnnIndex.rebuild(spark, dir, nBuckets = nBuckets,
       trainFraction = trainFraction)
 
+  /** LATEST-WINS identity for a persisted index — retire the uids of
+    * re-embedded documents so their STALE vectors stop serving
+    * immediately (the [[RekeyPolicy.LatestWins]] rule one layer down:
+    * the new embedding enters via [[annIndexAdd]] under its new ingest
+    * id, the old uid tombstones here, and the next [[annIndexRebuild]]
+    * physically purges it and resets the tombstone budget). Oracled
+    * end-to-end as `q_ann_index_rekey`. See
+    * [[graft.ext.AnnIndex.supersede]].
+    */
+  def annIndexSupersede(spark: SparkSession, dir: String, uids: DataFrame,
+                        idCol: String): Unit =
+    AnnIndex.supersede(spark, dir, uids, idCol)
+
   /** Serve queries from a persisted index with no re-learning — the
     * query-many half. Same output contract as every ANN path; the serve
     * plan is EXACTLY the live [[annSearch]] tail (spec-pinned equal).
@@ -995,18 +1008,32 @@ object Graft {
     * partitioning satisfies the keeper anti-join's distribution
     * requirement and ONLY the delta side shuffles.
     */
+  /** An identifier safe to splice between backticks: backticks double
+    * per Spark's quoting rule. Parquet-derived column names and
+    * user-supplied key columns are attacker-shaped inputs to the CREATE
+    * TABLE below — escape, don't trust.
+    */
+  private def sqlIdent(name: String): String =
+    name.replace("`", "``")
+
+  /** A string safe to splice between single quotes in Spark SQL. */
+  private def sqlStr(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "\\'")
+
   private def bucketedKeepers(spark: SparkSession, path: String,
-                              buckets: Int): DataFrame = {
+                              buckets: Int,
+                              keyCol: String = "content_hash"): DataFrame = {
     val table = stateTableName(path)
     if (!spark.catalog.tableExists(table)) {
       val schema = spark.read.parquet(path).schema
-      val cols = schema.map(f => s"`${f.name}` ${f.dataType.sql}")
+      val cols = schema.map(f => s"`${sqlIdent(f.name)}` ${f.dataType.sql}")
         .mkString(", ")
+      val bk = sqlIdent(keyCol)
       spark.sql(
         s"""CREATE TABLE `$table` ($cols) USING parquet
-           |CLUSTERED BY (content_hash) SORTED BY (content_hash)
+           |CLUSTERED BY (`$bk`) SORTED BY (`$bk`)
            |INTO $buckets BUCKETS
-           |LOCATION '$path'""".stripMargin)
+           |LOCATION '${sqlStr(path)}'""".stripMargin)
     }
     spark.table(table)
   }
@@ -1292,6 +1319,27 @@ object Graft {
             "checkIdOrder = false to accept divergence from batch")
       }
     }
+    // the key contract is ENFORCED, not hoped (withIngestIds' guard does
+    // not survive callers that assemble re-id'd deltas by hand): a
+    // duplicate key within the delta fans every keeper of that key out
+    // through the supersession broadcast (duplicated keeper history) and
+    // intra-delta supersession never happens — silent divergence from
+    // the batch replay's lv rule. One delta-sized probe job, the exact
+    // withIngestIds shape; a null key has no identity to version under.
+    val kProbe = delta.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__c"))
+      .agg(max(col("__c")).as("__mx"),
+        max(when(col(keyCol).isNull, 1).otherwise(0)).as("__nn"))
+      .head()
+    require(kProbe.isNullAt(1) || kProbe.getInt(1) == 0,
+      s"corpusShardsDeltaRekeyed: $keyCol carries NULLs — a null natural " +
+        "key has no identity to apply a RekeyPolicy to; drop or repair " +
+        "those rows first")
+    require(kProbe.isNullAt(0) || kProbe.getLong(0) <= 1L,
+      s"corpusShardsDeltaRekeyed: $keyCol is not unique within the delta " +
+        "— duplicate keys would duplicate keeper history through the " +
+        "supersession join and skip intra-delta supersession; dedup the " +
+        "delta by key first (withIngestIds enforces this upstream)")
     val gated = graft.streaming.StreamingCorpus.qualityGate(delta, textCol,
       idCol, model, minTokens, maxTokens)
       .select(delta.columns.map(col): _*)

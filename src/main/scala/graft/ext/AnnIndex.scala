@@ -27,7 +27,22 @@ import org.apache.spark.sql.types._
   * dir/uidbloom   (format_version, expected_items, fpp, uid_type,
   *                 bloom BINARY) 1 row
   * dir/addstate   (n_added BIGINT) 1 row, written/advanced by add()
+  * dir/tombstones (uid) appended by supersede(); absent = none
   * }}}
+  *
+  * SINGLE WRITER, ENFORCED: [[add]], [[supersede]], and [[rebuild]] all
+  * mutate shared per-version state (addstate, the bloom, the tombstone
+  * set, the version list), and their correctness arguments are
+  * single-producer — e.g. an add() that resolved the old root while a
+  * rebuild runs appends rows the rebuild's vector read never saw; those
+  * rows live only in the old version, which a later rebuild prunes —
+  * silent row loss. Every mutating call therefore takes an advisory
+  * marker lock (`dir/_WRITER`, created atomically, deleted on
+  * completion): a second concurrent mutator fails fast with a named
+  * error instead of corrupting state. A crash leaves a stale marker;
+  * the error says exactly what to delete once the dead writer is
+  * confirmed gone — deliberate-action-shaped, like the streaming
+  * `_OWNER` lock. Reads ([[search]], [[stats]]) never take the lock.
   *
   * REBUILD VERSIONS: [[rebuild]] writes a complete fresh artifact set
   * under `dir/r=<n>` (params written LAST is the commit marker, the
@@ -70,6 +85,56 @@ object AnnIndex {
   val FormatVersion = 1
 
   private val BloomFpp = 0.01
+
+  /** The advisory single-writer marker (see the object scaladoc). */
+  private[graft] val WriterMarker = "_WRITER"
+
+  /** Run `body` holding the index's single-writer lock: `dir/_WRITER`
+    * is created atomically (create with overwrite = false — the same
+    * primitive the streaming `_OWNER` lock races on) and deleted in a
+    * finally. A concurrent mutator — or the stale marker of a crashed
+    * one — fails fast with instructions instead of interleaving writes.
+    */
+  private def withWriterLock[T](spark: SparkSession, dir: String,
+                                op: String)(body: => T): T = {
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/$WriterMarker")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(lock.getParent)
+    val out =
+      try fs.create(lock, false)
+      catch {
+        case _: java.io.IOException =>
+          throw new IllegalStateException(
+            s"AnnIndex.$op: $dir is being mutated by another writer " +
+              s"($dir/$WriterMarker exists) — add/supersede/rebuild are " +
+              "single-writer (concurrent mutation silently loses rows " +
+              "across a rebuild's version swap). If the other writer " +
+              "crashed and is confirmed dead, delete the marker to " +
+              "take over")
+      }
+    try {
+      out.write(op.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+      body
+    } finally fs.delete(lock, false)
+  }
+
+  /** The tombstoned uids of the current version, when any exist —
+    * DISTINCT rows (a retried or repeated [[supersede]] appends
+    * duplicates by design; the set semantics live here). Delta-sized by
+    * construction: tombstones accumulate per supersede call and reset at
+    * [[rebuild]].
+    */
+  private[graft] def readTombstones(spark: SparkSession,
+                                    root: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(s"$root/tombstones").distinct())
+    else None
+  }
+
+  private def tombstoneCount(spark: SparkSession, root: String): Long =
+    readTombstones(spark, root).map(_.count()).getOrElse(0L)
 
   /** Learn and persist the index. The corpus must carry a coarse cell
     * column (from [[Similarity.kmeansBuckets]] or any bucketing).
@@ -256,17 +321,37 @@ object AnnIndex {
     * `nBuckets <= 0` re-derives the cell count from the rebuilt size
     * (clamp(ceil(n/1024), 16, 4096) — the facade's auto rule), so a
     * corpus that tripled since build gets proportionally more cells.
-    * `m`/`kSub`/`dim` carry over from the current params.
+    * `m`/`kSub`/`dim` carry over from the current params. `iters` is the
+    * coarse-cell Lloyd budget; `pqIters` the per-subspace residual
+    * sub-Lloyd budget (1 = the standard build's default — the two knobs
+    * are deliberately separate so a rebuild can refine cells without
+    * changing the code geometry class).
+    *
+    * TOMBSTONES ([[supersede]]) are REALIZED here: superseded uids'
+    * vectors are excluded from the re-learn and from the rebuilt
+    * artifacts entirely, and the new version starts with an empty
+    * tombstone set — the tombstone budget resets along with the add
+    * budget, exactly like a log-structured store's compaction.
     */
   def rebuild(spark: SparkSession, dir: String, nBuckets: Int = 0,
-              iters: Int = 2, trainFraction: Double = 1.0): Unit = {
+              iters: Int = 2, trainFraction: Double = 1.0,
+              pqIters: Int = 1): Unit =
+      withWriterLock(spark, dir, "rebuild") {
     val root = currentRoot(spark, dir)
     val params = spark.read.parquet(s"$root/params").head()
     requireVersion(params, "params")
     val dim = params.getAs[Int]("dim")
     val m = params.getAs[Int]("m")
     val kSub = params.getAs[Int]("kSub")
-    val vecs = spark.read.parquet(s"$root/vectors")
+    val allVecs = spark.read.parquet(s"$root/vectors")
+    // physical purge: tombstoned uids do not enter the re-learn, the
+    // codes, or the vectors of the new version (tombstones are
+    // delta-sized — the anti-join broadcasts them)
+    val vecs = readTombstones(spark, root) match {
+      case Some(tomb) =>
+        allVecs.join(broadcast(tomb), Seq("uid"), "left_anti")
+      case None => allVecs
+    }
     val k =
       if (nBuckets > 0) nBuckets
       else {
@@ -278,18 +363,83 @@ object AnnIndex {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val vRe = "r=(\\d+)".r
-    val versions = fs.listStatus(p).toSeq
+    def versions: Seq[Long] = fs.listStatus(p).toSeq
       .flatMap(_.getPath.getName match {
         case vRe(n) => Some(n.toLong)
         case _ => None
       }).sorted
     val next = versions.lastOption.getOrElse(0L) + 1
     build(bucketed, "uid", "uvec", "__cell", s"$dir/r=$next", dim = dim,
-      m = m, kSub = kSub, iters = iters, trainFraction = trainFraction)
-    // retention: keep the new version and its predecessor (in-flight
-    // readers resolved before the swap); prune everything older
-    versions.dropRight(1).foreach(v =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/r=$v"), true))
+      m = m, kSub = kSub, iters = pqIters, trainFraction = trainFraction)
+    // retention: keep the NEW version and the COMMITTED predecessor the
+    // in-flight readers actually resolved before the swap (`root`);
+    // delete everything else — older committed versions AND stale
+    // uncommitted junk from crashed rebuilds, which a listing-based
+    // dropRight would have kept while deleting the committed
+    // predecessor it shadows
+    versions.foreach { v =>
+      val vd = s"$dir/r=$v"
+      if (v != next && vd != root)
+        fs.delete(new org.apache.hadoop.fs.Path(vd), true)
+    }
+  }
+
+  /** LATEST-WINS IDENTITY for the index — retire uids whose documents
+    * were re-embedded (the one-layer-down mirror of the corpus loop's
+    * [[graft.api.Graft.RekeyPolicy.LatestWins]] supersession): the
+    * re-embedded version enters under a NEW uid via [[add]] (exactly as
+    * a re-crawled key enters at a new ingest id), and `supersede`
+    * tombstones the old uid so [[search]] stops serving its STALE vector
+    * immediately — no rebuild required to stop lying. [[rebuild]]
+    * physically drops tombstoned rows and resets the tombstone set.
+    *
+    * State shape: `root/tombstones` is an append-only delta-sized
+    * parquet of uid rows (set semantics restored at read — a retried or
+    * repeated supersede of the same uids is idempotent by construction,
+    * so the call is crash/retry-safe without a commit protocol).
+    * Tombstoned rows still occupy codes/vectors and their uids stay in
+    * the bloom, so re-adding a tombstoned uid keeps refusing (the dup
+    * guard) until a rebuild purges it — identical to the corpus rule
+    * that a digest once kept is never re-admitted.
+    *
+    * Guards, all loud: every uid must EXIST in the index (a typo'd
+    * supersede "succeeding" silently would leave the stale vector
+    * serving forever — the exact failure this operator removes); null
+    * uids refuse. Scale shape: the existence check and the tombstone
+    * projection are ONE pass over the codes uid column with the
+    * delta broadcast — no shuffle of the index side, no vector bytes
+    * read. Tombstones COUNT TOWARD THE STALENESS BUDGET ([[add]]'s
+    * guard and [[stats]]' drift_fraction): a heavily-superseded index
+    * is geometrically stale in exactly the way a heavily-grown one is —
+    * its frozen cells describe vectors that no longer exist.
+    */
+  def supersede(spark: SparkSession, dir: String, uids: DataFrame,
+                idCol: String): Unit =
+      withWriterLock(spark, dir, "supersede") {
+    val root = currentRoot(spark, dir)
+    val params = spark.read.parquet(s"$root/params").head()
+    requireVersion(params, "params")
+    val ids = uids.select(col(idCol).as("uid")).distinct()
+      .transform(CacheScope.cache)
+    val nNull = ids.filter(col("uid").isNull).count()
+    require(nNull == 0,
+      s"AnnIndex.supersede: $idCol carries NULLs — there is no uid to " +
+        "retire; drop or repair those rows first")
+    val n = ids.count()
+    if (n > 0) {
+      // existence check and typed tombstone rows in one pass: project
+      // the matching uids FROM codes (the index's own uid type), so the
+      // anti-join in search never fights a type coercion
+      val tombRows = spark.read.parquet(s"$root/codes").select(col("uid"))
+        .join(broadcast(ids), Seq("uid"), "left_semi")
+        .transform(CacheScope.cache)
+      require(tombRows.count() == n,
+        "AnnIndex.supersede: some uids do not exist in the index — a " +
+          "supersede that silently skipped them would leave their stale " +
+          "vectors serving; check the uids (already rebuilt away? never " +
+          "added?)")
+      tombRows.write.mode("append").parquet(s"$root/tombstones")
+    }
   }
 
   /** INCREMENTAL index maintenance — the faiss `add()` contract: encode
@@ -347,7 +497,8 @@ object AnnIndex {
     */
   def add(spark: SparkSession, dir: String, newVectors: DataFrame,
           idCol: String, vecCol: String,
-          maxAddedFraction: Double = 2.0): Unit = {
+          maxAddedFraction: Double = 2.0): Unit =
+      withWriterLock(spark, dir, "add") {
     val root = currentRoot(spark, dir)
     val params = spark.read.parquet(s"$root/params").head()
     requireVersion(params, "params")
@@ -399,14 +550,19 @@ object AnnIndex {
       if (fs.exists(addPath))
         spark.read.parquet(s"$root/addstate").head().getAs[Long]("n_added")
       else 0L
+    // tombstones count toward the same budget: a superseded vector's
+    // cell/codebooks describe a row that no longer exists, which is
+    // geometric drift exactly like an added row's (supersede scaladoc)
+    val nTomb = tombstoneCount(spark, root)
     nBase.foreach { nb =>
-      require(nAdded + deltaN <= maxAddedFraction * nb,
-        s"AnnIndex.add: cumulative adds (${nAdded + deltaN}) would exceed " +
-          s"$maxAddedFraction of the build size ($nb) — recall under the " +
-          "frozen geometry decays with added fraction (SCALING.md curve); " +
-          "REBUILD the index over the grown corpus " +
-          "(graft.api.Graft.annIndexRebuild), or raise maxAddedFraction " +
-          "if the measured recall decay is acceptable")
+      require(nAdded + deltaN + nTomb <= maxAddedFraction * nb,
+        s"AnnIndex.add: cumulative drift (${nAdded + deltaN} added + " +
+          s"$nTomb tombstoned) would exceed $maxAddedFraction of the " +
+          s"build size ($nb) — recall under the frozen geometry decays " +
+          "with drift fraction (SCALING.md curve); REBUILD the index " +
+          "over the grown corpus (graft.api.Graft.annIndexRebuild), or " +
+          "raise maxAddedFraction if the measured recall decay is " +
+          "acceptable")
     }
     // duplicate-id / orphan guards, delta-sized via the uid bloom: only
     // uids the bloom claims to have seen pay the exact confirm scans.
@@ -539,14 +695,18 @@ object AnnIndex {
     assigned.select(col("bkt"), col("uid"), codeArr.as("code"))
   }
 
-  /** Operational stats of a persisted index, WITHOUT scanning it — one
-    * row `(dim, m, kSub, n_centers, n_base, n_added, added_fraction,
-    * format_version)` from the params + addstate artifacts only (of the
-    * CURRENT version — a [[rebuild]] resets the counters). The
-    * observability face of the [[add]] staleness guard: alert when
-    * `added_fraction` approaches the `maxAddedFraction` you deploy with,
-    * and schedule the [[rebuild]] before the guard starts refusing adds.
-    * Pre-versioning artifacts report nulls for the absent fields.
+  /** Operational stats of a persisted index, WITHOUT scanning its
+    * vector/code payloads — one row `(dim, m, kSub, n_centers, n_base,
+    * n_added, added_fraction, n_tombstoned, drift_fraction,
+    * format_version)` from the params + addstate + tombstone artifacts
+    * only (of the CURRENT version — a [[rebuild]] resets all three
+    * counters). The observability face of the [[add]] staleness guard:
+    * `drift_fraction` = (n_added + n_tombstoned) / n_base is exactly
+    * the quantity the guard caps, so alert when it approaches the
+    * `maxAddedFraction` you deploy with and schedule the [[rebuild]]
+    * before the guard starts refusing adds. `added_fraction` stays for
+    * pre-supersede dashboards. Pre-versioning artifacts report nulls
+    * for the absent fields.
     */
   def stats(spark: SparkSession, dir: String): DataFrame = {
     val root = currentRoot(spark, dir)
@@ -558,6 +718,7 @@ object AnnIndex {
       if (fs.exists(addPath))
         spark.read.parquet(s"$root/addstate").head().getAs[Long]("n_added")
       else 0L
+    val nTomb = tombstoneCount(spark, root)
     val nullL = lit(null).cast("long")
     params.select(col("dim"), col("m"), col("kSub"), col("n_centers"),
       (if (has("n_base")) col("n_base") else nullL).as("n_base"),
@@ -565,6 +726,10 @@ object AnnIndex {
       (if (has("n_base"))
         round(lit(nAdded) / col("n_base"), 4)
       else lit(null).cast("double")).as("added_fraction"),
+      lit(nTomb).as("n_tombstoned"),
+      (if (has("n_base"))
+        round(lit(nAdded + nTomb) / col("n_base"), 4)
+      else lit(null).cast("double")).as("drift_fraction"),
       (if (has("format_version")) col("format_version")
       else lit(0)).as("format_version"))
   }
@@ -574,6 +739,11 @@ object AnnIndex {
     * operator: `(query_id, neighbor_id, cosine, rank)`, exact cosines.
     * Serves the newest committed version ([[currentRoot]], resolved once
     * per call — a concurrent [[rebuild]] swaps in for the NEXT call).
+    * [[supersede]]d uids never rank: candidates come from the codes
+    * frame, which excludes the tombstone set before the probe (one
+    * delta-sized broadcast anti-join — tombstones are supersede-call
+    * bounded and reset at rebuild; the vectors frame needs no filter
+    * because only code-side candidates reach the exact re-rank).
     */
   def search(spark: SparkSession, dir: String, queries: DataFrame,
              idCol: String, vecCol: String, k: Int, nProbe: Int = 2,
@@ -590,9 +760,15 @@ object AnnIndex {
       bookRows.filter(_.getAs[Int]("j") == j)
         .flatMap(_.getSeq[Double](2)).toArray
     }
+    val codesAll = spark.read.parquet(s"$root/codes")
+    val codes = readTombstones(spark, root) match {
+      case Some(tomb) => codesAll.join(broadcast(tomb), Seq("uid"),
+        "left_anti")
+      case None => codesAll
+    }
     Similarity.ivfPqResServe(
       spark.read.parquet(s"$root/centroids"),
-      spark.read.parquet(s"$root/codes"),
+      codes,
       spark.read.parquet(s"$root/vectors"),
       queries, idCol, vecCol, flatBooks, kSub, k, nProbe, overfetch,
       maxBucket)

@@ -32,6 +32,7 @@ object IndexScale {
     println(s"[indexscale] ${emb.count()} vectors from $dir")
     if (args.lift(2).contains("add")) { addProbe(spark, emb, dim); spark.stop(); return }
     if (args.lift(2).contains("rebuild")) { rebuildProbe(spark, emb, dim); spark.stop(); return }
+    if (args.lift(2).contains("supersede")) { supersedeProbe(spark, emb, dim); spark.stop(); return }
     for (frac <- Seq(1.0, 0.1); pass <- Seq("cold", "warm")) {
       spark.catalog.clearCache(); System.gc()
       val out = java.nio.file.Files
@@ -78,6 +79,56 @@ object IndexScale {
       "vec_id", "embedding", k = 5)
     println(f"[indexscale/rebuild] post-swap search(1000 q): " +
       f"${post.count()} rows, ${(System.nanoTime() - t3) / 1e9}%.1f s")
+  }
+
+  /** `supersede` mode: the latest-wins index lifecycle at scale —
+    * build, add a 1/8 re-embed delta under shifted uids, time
+    * supersede() of the old uids (delta-sized tombstone write), a
+    * tombstone-filtered search, and the purging rebuild. The evidence
+    * that retiring stale vectors costs delta work at serve time and the
+    * purge is just the standard rebuild. */
+  private def supersedeProbe(spark: SparkSession,
+                             emb: org.apache.spark.sql.DataFrame,
+                             dim: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-supersedeprobe").toString
+    val reembeds = emb.filter(col("vec_id") % 8 === 0)
+      .select((col("vec_id") + 1000000000L).as("vec_id"),
+        reverse(col("embedding").cast("array<double>")).as("embedding"))
+    val oldUids = emb.filter(col("vec_id") % 8 === 0).select(col("vec_id"))
+    def timed(label: String)(f: => Unit): Unit = {
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime()
+      f
+      println(f"[indexscale/supersede] $label: " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    timed(s"build(${emb.count()})") {
+      graft.api.Graft.annIndexBuild(emb, "vec_id", "embedding", dir,
+        dim = dim, trainFraction = 0.1)
+    }
+    timed(s"add(${reembeds.count()} re-embeds)") {
+      graft.api.Graft.annIndexAdd(spark, dir, reembeds, "vec_id",
+        "embedding")
+    }
+    timed(s"supersede(${oldUids.count()} old uids)") {
+      graft.api.Graft.annIndexSupersede(spark, dir, oldUids, "vec_id")
+    }
+    timed("tombstone-filtered search (1000 q)") {
+      val r = graft.api.Graft.annIndexSearch(spark, dir,
+        emb.limit(1000).select((col("vec_id") + 2000000000L).as("vec_id"),
+          col("embedding")),
+        "vec_id", "embedding", k = 5)
+      println(s"[indexscale/supersede]   rows=${r.count()}")
+    }
+    timed("purging rebuild") {
+      graft.api.Graft.annIndexRebuild(spark, dir, trainFraction = 0.1)
+    }
+    val st = graft.ext.AnnIndex.stats(spark, dir).head()
+    println(s"[indexscale/supersede] post-rebuild n_base=" +
+      s"${st.getAs[Long]("n_base")} n_tombstoned=" +
+      s"${st.getAs[Long]("n_tombstoned")}")
   }
 
   private def addProbe(spark: SparkSession,

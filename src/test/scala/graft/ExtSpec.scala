@@ -1129,6 +1129,115 @@ class SimilaritySpec extends SparkSpec {
       s"wrong failure mode: ${eShadow.getMessage}")
   }
 
+  test("AnnIndex.supersede: superseded uids stop serving immediately, " +
+    "count toward the staleness budget, rebuild purges them, and the " +
+    "full rekey lifecycle is bit-equal to the q_ann_index_rekey twin") {
+    import spark.implicits._
+    val A = graft.ext.AnnIndex
+    val emb = graft.io.Tables.embeddings(spark, TestSpark.sf0001)
+    val vd = col("embedding").cast("array<double>")
+    val corpus = emb.filter(col("vec_id") % 2 === 0)
+    val off = graft.queries.NorthStarQueries.RekeyUidOffset
+    // changed content re-enters under shifted uids; the old uids retire
+    val reembeds = emb.filter(col("vec_id") % 8 === 0)
+      .select((col("vec_id") + off).as("vec_id"),
+        reverse(vd).as("embedding"))
+    val oldUids = emb.filter(col("vec_id") % 8 === 0)
+      .select(col("vec_id"))
+    val bucketed = Similarity.kmeansBuckets(corpus, "vec_id", "embedding",
+      k = 8, iters = 2, bucketCol = "kb")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-annrekey").toString
+    A.build(bucketed, "vec_id", "embedding", "kb", dir, dim = 64)
+    A.add(spark, dir, reembeds, "vec_id", "embedding")
+    // a concurrent mutator (or a crashed one's stale marker) fails fast
+    val marker = new java.io.File(s"$dir/${A.WriterMarker}")
+    assert(marker.createNewFile())
+    val eLock = intercept[IllegalStateException] {
+      A.supersede(spark, dir, oldUids, "vec_id")
+    }
+    assert(eLock.getMessage.contains(A.WriterMarker),
+      s"wrong failure mode: ${eLock.getMessage}")
+    assert(marker.delete())
+    // unknown and null uids refuse loudly — a silently-skipped supersede
+    // would leave the stale vector serving
+    val eUnknown = intercept[IllegalArgumentException] {
+      A.supersede(spark, dir, Seq(987654321L).toDF("vec_id"), "vec_id")
+    }
+    assert(eUnknown.getMessage.contains("do not exist"),
+      s"wrong failure mode: ${eUnknown.getMessage}")
+    val eNull = intercept[IllegalArgumentException] {
+      A.supersede(spark, dir,
+        Seq(Option.empty[java.lang.Long]).toDF("vec_id"), "vec_id")
+    }
+    assert(eNull.getMessage.contains("NULL"),
+      s"wrong failure mode: ${eNull.getMessage}")
+    A.supersede(spark, dir, oldUids, "vec_id")
+    val nTomb = oldUids.count()
+    // tombstoned uids NEVER rank, immediately, under the frozen
+    // geometry — no rebuild needed to stop serving the stale vectors
+    val pre = A.search(spark, dir,
+      emb.limit(40).select((col("vec_id") + 5000000L).as("vec_id"),
+        col("embedding")),
+      "vec_id", "embedding", k = 5, nProbe = 2, maxBucket = 4096)
+    assert(pre.count() > 0)
+    assert(pre.join(oldUids.select(col("vec_id").as("neighbor_id")),
+      Seq("neighbor_id"), "left_semi").isEmpty,
+      "a superseded uid still serves")
+    // stats expose the tombstones; drift = (added + tombstoned) / base
+    val st0 = A.stats(spark, dir).head()
+    assert(st0.getAs[Long]("n_tombstoned") == nTomb)
+    assert(st0.getAs[Double]("drift_fraction") >
+      st0.getAs[Double]("added_fraction"))
+    // tombstones count toward the staleness budget: a fraction that
+    // admits the adds alone refuses once tombstones are included
+    val nBase = st0.getAs[Long]("n_base")
+    val nAdded = st0.getAs[Long]("n_added")
+    val maf = (nAdded + 1 + nTomb / 2.0) / nBase
+    val eStale = intercept[IllegalArgumentException] {
+      A.add(spark, dir,
+        emb.filter(col("vec_id") % 2 === 1).limit(1)
+          .select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", maxAddedFraction = maf)
+    }
+    assert(eStale.getMessage.contains("tombstoned"),
+      s"wrong failure mode: ${eStale.getMessage}")
+    // re-supersede of the same uids is idempotent (set semantics)
+    A.supersede(spark, dir, oldUids, "vec_id")
+    assert(A.stats(spark, dir).head().getAs[Long]("n_tombstoned") == nTomb)
+    // REBUILD physically purges the tombstoned rows and resets the
+    // tombstone budget along with the add budget
+    A.rebuild(spark, dir, nBuckets = 8, iters = 2)
+    assert(A.currentRoot(spark, dir) == s"$dir/r=1")
+    val root = s"$dir/r=1"
+    assert(spark.read.parquet(s"$root/codes")
+      .join(oldUids.select(col("vec_id").as("uid")), Seq("uid"),
+        "left_semi").isEmpty,
+      "rebuild kept a tombstoned code row")
+    assert(spark.read.parquet(s"$root/vectors")
+      .join(oldUids.select(col("vec_id").as("uid")), Seq("uid"),
+        "left_semi").isEmpty,
+      "rebuild kept a tombstoned vector row")
+    val st1 = A.stats(spark, dir).head()
+    assert(st1.getAs[Long]("n_tombstoned") == 0L &&
+      st1.getAs[Long]("n_added") == 0L,
+      "rebuild must reset both budgets")
+    // the persisted lifecycle's terminal state serves BIT-EQUAL rows to
+    // the q_ann_index_rekey in-plan twin (fresh index parts over the
+    // live unit vectors) — the equality that lets the twin carry the
+    // DuckDB hash gate for the whole lifecycle
+    val served = A.search(spark, dir,
+      emb.filter(col("vec_id") % 4 === 1)
+        .select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", k = 5, nProbe = 2, overfetch = 3,
+      maxBucket = 40)
+    val twin = graft.queries.NorthStarQueries
+      .defs("q_ann_index_rekey")(spark, TestSpark.sf0001)
+    assert(served.exceptAll(twin).count() == 0 &&
+      twin.exceptAll(served).count() == 0,
+      "persisted supersede+rebuild lifecycle diverged from the twin")
+  }
+
   test("PqResAdcCosine: reconstruction identity, null contracts") {
     import graft.functions.PqFunctions.graft_pq_res_adc_cosine
     // m=2 subspaces of 2 dims, kSub=2: books row-major (kSub x dsub flat)

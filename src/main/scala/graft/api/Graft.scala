@@ -1373,15 +1373,28 @@ object Graft {
     // never re-admits a digest once kept) + min-id within the delta
     val (kept, _) = Dedup.keeperDelta(keyCut, textCol, idCol,
       state.map(_.keepers.select(col("content_hash"))))
+    // cached: the encode feeds BOTH the shard writer and the keeper
+    // rows' n_tokens (delta-bounded — the state's eager checkpoint
+    // would otherwise pay a second full encode of every delta)
+    val enc = tok.encodeIds(kept, textCol, idCol)
+      .join(kept.select(col(idCol), col(groupCol)), Seq(idCol))
+      .transform(CacheScope.cache)
+    // accepted rows carry their encoded token count (appended LAST so
+    // positional readers of the r15 layout keep working): the per-doc
+    // offsets [[corpusShardsRekeyedCompact]]'s tail-only re-chunk needs
+    // come straight from the state, no prefix re-encode. Blank-text docs
+    // never reach the encoder — they hold 0 tokens by contract.
     val acceptedRows = kept.select(col(keyCol),
       Dedup.digest(col(textCol)).as("content_hash"), col(idCol),
       col(groupCol), lit(true).as("kept"), lit(true).as("live"))
+      .join(enc.select(col(idCol), col("n_tokens")), Seq(idCol), "left")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
     val droppedRows = keyCut
       .join(kept.select(col(idCol)), Seq(idCol), "left_anti")
       .select(col(keyCol), Dedup.digest(col(textCol)).as("content_hash"),
         col(idCol), col(groupCol), lit(false).as("kept"),
-        lit(false).as("live"))
-    val history = (policy, state) match {
+        lit(false).as("live"), lit(null).cast("long").as("n_tokens"))
+    val history0 = (policy, state) match {
       case (RekeyPolicy.LatestWins, Some(st)) =>
         // an ACCEPTED new version supersedes its key's live predecessor
         // (delta-sized broadcast; content-dropped re-deliveries do NOT
@@ -1394,10 +1407,21 @@ object Graft {
       case (_, Some(st)) => st.keepers
       case (_, None) => acceptedRows.limit(0)
     }
-    val newKeepers = history.unionByName(acceptedRows)
-      .unionByName(droppedRows)
-    val enc = tok.encodeIds(kept, textCol, idCol)
-      .join(kept.select(col(idCol), col(groupCol)), Seq(idCol))
+    // a pre-r16 state has no n_tokens column: pad with nulls (the
+    // compaction's tail-only path detects them and falls back to the
+    // full re-chunk for those streams — never a wrong offset)
+    val history =
+      if (history0.columns.contains("n_tokens")) history0
+      else history0.withColumn("n_tokens", lit(null).cast("long"))
+    // fresh output attributes per union child: the FirstWins key cut
+    // reuses the state's plan inside acceptedRows' lineage, and a union
+    // whose children share attribute ids trips Catalyst's union
+    // constraint rewrite (key-not-found on the join-derived n_tokens);
+    // re-aliasing severs the shared ids without touching values
+    def fresh(df: DataFrame): DataFrame =
+      df.select(df.columns.map(c => col(c).as(c)): _*)
+    val newKeepers = fresh(history).unionByName(fresh(acceptedRows))
+      .unionByName(fresh(droppedRows))
     val (shards, newShardState) = Packing.shardTokensDelta(enc,
       Seq(groupCol), idCol, ctxTokens, state.map(_.shards), checkIdOrder)
     // localCheckpoint, NOT cache (the resolveClusters precedent): the
@@ -1419,17 +1443,30 @@ object Graft {
     * equals the batch replay over the LIVE documents — the batch half of
     * the append-only-writer/compaction split ([[RekeyPolicy.LatestWins]]
     * scaladoc). Streams with no superseded docs keep their emitted
-    * shards and flushed tails VERBATIM (zero recompute); each affected
-    * stream re-encodes its live docs and re-chunks from offset zero.
-    * The stream-key granularity is therefore the compaction cost lever
-    * at 100 TB: domain-bucketed streams re-chunk a bucket, not a
-    * language.
+    * shards and flushed tails VERBATIM (zero recompute).
     *
-    * `docs` must contain at least every kept document (the re-id'd delta
-    * union / the raw crawl archive) with `idCol`, `textCol`, `groupCol`;
-    * `emittedShards` is the union of the per-delta emissions (the
-    * streaming sink's published shards). Returns the final full shard
-    * set `(groupCol, shard_id, n_tokens, token_ids)`.
+    * TAIL-ONLY within an affected stream: packing is ingest-id-ordered,
+    * so every shard strictly BEFORE the stream's first superseded doc's
+    * token offset is bit-identical in the compacted layout and is reused
+    * from `emittedShards` verbatim — only the tail from that shard
+    * boundary re-encodes. The per-doc offsets come from the keeper
+    * state's `n_tokens` column (recorded per accepted version since
+    * r16), so the prefix is never re-read, never re-encoded: compaction
+    * cost is proportional to the TAIL, not the stream (a late-stream
+    * supersession in a year-long stream re-chunks days, not the year).
+    * Both levers compose at 100 TB — stream granularity bounds the
+    * affected set, the tail cut bounds the work within it. A state saved
+    * by a pre-r16 loop (null `n_tokens`) falls back to the full
+    * re-chunk of affected streams, never a wrong offset.
+    *
+    * `docs` must contain every live document AT OR AFTER each affected
+    * stream's tail cut (prefix docs are not read — the weaker contract
+    * the tail-only spec proves by withholding them), plus every live doc
+    * of any stream the fallback path re-chunks; the re-id'd delta union
+    * / raw crawl archive always qualifies. `emittedShards` is the union
+    * of the per-delta emissions (the streaming sink's published shards).
+    * Returns the final full shard set
+    * `(groupCol, shard_id, n_tokens, token_ids)`.
     */
   def corpusShardsRekeyedCompact(docs: DataFrame, textCol: String,
                                  idCol: String, groupCol: String,
@@ -1437,26 +1474,96 @@ object Graft {
                                  state: KeyedCorpusShardsState,
                                  emittedShards: DataFrame,
                                  ctxTokens: Int = 256): DataFrame = {
-    val affected = state.keepers
+    val keepers = state.keepers
+    val affected = keepers
       .filter(col("kept") && !col("live"))
       .select(col(groupCol).as("__ag")).distinct()
-      .transform(CacheScope.cache) // three consumers below
+      .transform(CacheScope.cache) // several consumers below
     def unaffectedOnly(df: DataFrame): DataFrame =
       df.join(broadcast(affected), df(groupCol) <=> col("__ag"),
         "left_anti")
     val untouched = unaffectedOnly(emittedShards)
       .unionByName(unaffectedOnly(
         Packing.shardTokensFlush(state.shards, Seq(groupCol), ctxTokens)))
-    val liveIds = state.keepers.filter(col("kept") && col("live"))
-      .select(col(idCol))
-    val liveDocs = docs
-      .join(broadcast(affected), docs(groupCol) <=> col("__ag"),
+    // tail-only needs every affected live version's token count; a
+    // pre-r16 state (no column / null rows) re-chunks affected streams
+    // from offset zero instead — one streams-bounded probe
+    val tailable = keepers.columns.contains("n_tokens") &&
+      keepers.filter(col("kept") && col("live") && col("n_tokens").isNull)
+        .join(broadcast(affected), col(groupCol) <=> col("__ag"),
+          "left_semi").isEmpty
+    if (!tailable) {
+      val liveIds = keepers.filter(col("kept") && col("live"))
+        .select(col(idCol))
+      val liveDocs = docs
+        .join(broadcast(affected), docs(groupCol) <=> col("__ag"),
+          "left_semi")
+        .join(liveIds, Seq(idCol), "left_semi")
+      val enc = tok.encodeIds(liveDocs, textCol, idCol)
+        .join(liveDocs.select(col(idCol), col(groupCol)), Seq(idCol))
+      return untouched.unionByName(
+        Packing.shardTokens(enc, Seq(groupCol), idCol, ctxTokens))
+    }
+    // per-stream cut: the first superseded doc's ingest id; before it
+    // the live layout and the emitted layout agree token for token
+    val cuts = keepers.filter(col("kept") && !col("live"))
+      .groupBy(col(groupCol)).agg(min(col(idCol)).as("__cut"))
+      .select(col(groupCol).as("__cg"), col("__cut"))
+    // live versions of affected streams with their COMPACTED-layout
+    // offsets (cumulative n_tokens in ingest order — state-only, no
+    // text); streams are the window key, the packByOffset shape
+    val liveK = keepers.filter(col("kept") && col("live"))
+      .join(broadcast(affected), col(groupCol) <=> col("__ag"),
         "left_semi")
-      .join(liveIds, Seq(idCol), "left_semi")
-    val enc = tok.encodeIds(liveDocs, textCol, idCol)
-      .join(liveDocs.select(col(idCol), col(groupCol)), Seq(idCol))
-    untouched.unionByName(
-      Packing.shardTokens(enc, Seq(groupCol), idCol, ctxTokens))
+      .join(broadcast(cuts), col(groupCol) <=> col("__cg"), "left")
+      .drop("__cg")
+      .transform(df => Packing.packByOffset(df, Seq(groupCol), idCol,
+        "n_tokens", ctxTokens))
+    // first affected shard per stream: floor(prefix tokens / ctx), where
+    // prefix = live tokens strictly before the cut — equal on both
+    // layouts by the cut's definition
+    val bounds = liveK.filter(col(idCol) < col("__cut"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("n_tokens")).as("__pt"))
+      .select(col(groupCol).as("__bg"),
+        expr(s"__pt div $ctxTokens").as("__b"))
+    // reuse every emitted complete shard strictly below the boundary —
+    // the prefix region is complete-shard-covered by construction (the
+    // stream's uncompacted total is at least the prefix, so shard
+    // __b - 1 was published, never stranded in a tail)
+    val affEmitted = emittedShards.join(broadcast(affected),
+      emittedShards(groupCol) <=> col("__ag"), "left_semi")
+    val reused = affEmitted.join(broadcast(bounds),
+      affEmitted(groupCol) <=> col("__bg") &&
+        affEmitted("shard_id") < col("__b"), "left_semi")
+    // tail docs: live versions whose token span reaches the boundary
+    // (a stream with no pre-cut live tokens gets __b = 0 via the
+    // coalesce — re-chunks whole, the old behavior, zero waste)
+    val tailInfo = liveK
+      .join(broadcast(bounds), col(groupCol) <=> col("__bg"), "left")
+      .withColumn("__b", coalesce(col("__b"), lit(0L)))
+      .filter(col("tok_offset") + col("n_tokens") > col("__b") * ctxTokens)
+      .select(col(idCol), col(groupCol).as("__tg"),
+        col("tok_offset").as("__off"), (col("__b") * ctxTokens).as("__lo"))
+    val tailDocs = docs.join(tailInfo.select(col(idCol)), Seq(idCol),
+      "left_semi")
+    // re-encode ONLY the tail docs; their global positions come from the
+    // state offsets, tokens before the reused boundary drop (the
+    // straddler's head lives inside a reused shard)
+    val tailToks = tok.encodeIds(tailDocs, textCol, idCol)
+      .join(tailInfo, Seq(idCol))
+      .select(col("__tg").as(groupCol), col("__off"), col("__lo"),
+        posexplode(col("token_ids")).as(Seq("__p", "token_id")))
+      .withColumn("__pos", col("__off") + col("__p"))
+      .filter(col("__pos") >= col("__lo"))
+    val recomputed = tailToks
+      .withColumn("shard_id", expr(s"__pos div $ctxTokens"))
+      .groupBy(col(groupCol), col("shard_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        transform(
+          array_sort(collect_list(struct(col("__pos"), col("token_id")))),
+          x => x.getField("token_id")).as("token_ids"))
+    untouched.unionByName(reused).unionByName(recomputed)
   }
 
   // --- sampling & packing ----------------------------------------------

@@ -560,6 +560,105 @@ class ApiSpec extends SparkSpec {
       "keep-all diverged from the unkeyed loop")
   }
 
+  test("corpusShardsRekeyedCompact is TAIL-ONLY: shards before a " +
+    "stream's first supersession are reused verbatim (the prefix docs " +
+    "are never re-read), and the pre-r16 state falls back to the full " +
+    "re-chunk") {
+    import graft.ext.{Bpe, NbClassifier, Sampling, TextAnalysis => TA}
+    val G = Graft
+    def uk(d: org.apache.spark.sql.DataFrame) =
+      d.withColumn("ukey",
+        concat(lit("u-"), reverse(col("doc_id").cast("string"))))
+        .drop("doc_id")
+    // delta 3 re-delivers LATE keys only (delta-2 residents): their new
+    // ingest ids sort above every delta-1 doc, so each affected stream
+    // has a deep live prefix — the tail cut genuinely bites
+    val d1 = uk(docs.filter(col("doc_id") < 250))
+    val d2 = uk(docs.filter(col("doc_id") >= 250 && col("doc_id") < 400))
+    val d3 = uk(docs.filter(col("doc_id") >= 400)).unionByName(
+      uk(docs.filter(col("doc_id") >= 350 && col("doc_id") < 400 &&
+          col("doc_id") % 17 === 3)
+        .withColumn("text", concat(col("text"), lit(" tail revision")))))
+    val (r1, b1) = G.withIngestIds(d1, "ukey")
+    val (r2, b2) = G.withIngestIds(d2, "ukey", base = b1)
+    val (r3, _) = G.withIngestIds(d3, "ukey", base = b2)
+    val union = r1.unionByName(r2).unionByName(r3)
+    val labeled = TA.withTokenStats(union, "text")
+      .withColumn("label_weak",
+        round(TA.qualityScore(col("n_tokens"), col("token_chars"),
+          col("n_punct"), col("n_stopwords")) + lit(1e-9), 4) >= 0.5)
+      .select(col("ingest_id"), col("ukey"), col("text"),
+        col("label_weak"))
+    val model = NbClassifier.train(
+      labeled.filter(Sampling.hashBucket(col("ukey"), "graft") < 80),
+      "text", "ingest_id", "label_weak")
+    val (merges, dict) = G.bpeTrain(docs, "text", nMerges = 4)
+    val tok = Bpe.Tokenizer(merges, dict, Bpe.vocabIds(dict))
+    val P = G.RekeyPolicy.LatestWins
+    val (s1, st1) = G.corpusShardsDeltaRekeyed(r1, "text", "ingest_id",
+      "ukey", "lang", model, tok, state = None, policy = P,
+      minTokens = 10)
+    val (s2, st2) = G.corpusShardsDeltaRekeyed(r2, "text", "ingest_id",
+      "ukey", "lang", model, tok, state = Some(st1), policy = P,
+      minTokens = 10)
+    val (s3, st3) = G.corpusShardsDeltaRekeyed(r3, "text", "ingest_id",
+      "ukey", "lang", model, tok, state = Some(st2), policy = P,
+      minTokens = 10)
+    val emitted = s1.unionByName(s2).unionByName(s3)
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("lang"), col("shard_id"), col("n_tokens"),
+        col("token_ids").cast("string").as("ids"))
+    val full = fp(G.corpusShardsRekeyedCompact(union, "text", "ingest_id",
+      "lang", tok, st3, emitted)).transform(graft.ext.CacheScope.cache)
+    // the fixture must actually exercise the reuse: pick an affected
+    // stream, confirm its first live doc sits ENTIRELY inside the
+    // reused region (prefix tokens div ctx shards cover it)
+    val sup = st3.keepers.filter(col("kept") && !col("live"))
+    assert(sup.count() > 0, "fixture produced no supersession")
+    val affLang = sup.select(col("lang")).distinct()
+      .orderBy(col("lang")).head().getString(0)
+    val cut = sup.filter(col("lang") === affLang)
+      .agg(min(col("ingest_id"))).head().getLong(0)
+    val liveAff = st3.keepers.filter(col("kept") && col("live") &&
+      col("lang") === affLang)
+    val firstLive = liveAff.orderBy(col("ingest_id")).head()
+    val firstId = firstLive.getAs[Long]("ingest_id")
+    val firstN = firstLive.getAs[Long]("n_tokens")
+    val prefixToks = liveAff.filter(col("ingest_id") < cut)
+      .agg(sum(col("n_tokens"))).head().getLong(0)
+    assert(firstId < cut && (prefixToks / 256) * 256 >= firstN,
+      s"fixture too shallow: prefix $prefixToks tokens, first doc " +
+        s"$firstN — the first live doc must sit inside reused shards")
+    // TAIL-ONLY PROOF, behavioral: withhold that first live doc's TEXT
+    // from the docs input — the tail-only compaction never reads the
+    // prefix, so the result is still exactly the full replay
+    val docsMissingPrefix = union.filter(col("ingest_id") =!= firstId)
+    val tailOnly = fp(G.corpusShardsRekeyedCompact(docsMissingPrefix,
+      "text", "ingest_id", "lang", tok, st3, emitted))
+    assert(tailOnly.exceptAll(full).count() == 0 &&
+      full.exceptAll(tailOnly).count() == 0,
+      "tail-only compaction read the prefix (or diverged)")
+    // NEGATIVE CONTROL — the same withheld input through the fallback
+    // (pre-r16 state shape: no n_tokens) re-chunks from offset zero and
+    // MUST diverge, proving the reuse above is real, not vacuous
+    val legacySt = G.KeyedCorpusShardsState(
+      st3.keepers.drop("n_tokens"), st3.shards)
+    val fallbackMissing = fp(G.corpusShardsRekeyedCompact(
+      docsMissingPrefix, "text", "ingest_id", "lang", tok, legacySt,
+      emitted))
+    assert(fallbackMissing.exceptAll(full).count() > 0 ||
+      full.exceptAll(fallbackMissing).count() > 0,
+      "negative control failed: the from-zero path did not miss the " +
+        "withheld prefix doc — the fixture is not proving reuse")
+    // and the fallback with FULL docs stays correct (the pre-r16
+    // contract is preserved, just slower)
+    val fallbackFull = fp(G.corpusShardsRekeyedCompact(union, "text",
+      "ingest_id", "lang", tok, legacySt, emitted))
+    assert(fallbackFull.exceptAll(full).count() == 0 &&
+      full.exceptAll(fallbackFull).count() == 0,
+      "the pre-r16 fallback path diverged from the tail-only result")
+  }
+
   test("corpus state save/load: versioned parquet round-trip; chaining " +
     "off the loaded state equals chaining off the live one") {
     import graft.ext.{Bpe, NbClassifier, Sampling, TextAnalysis => TA}

@@ -31,6 +31,7 @@ object DeltaScale {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val docs = graft.io.Tables.documents(spark, dir)
+    if (args.lift(2).contains("compact")) { compactProbe(spark, docs); return }
     val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
     val n = docs.count()
     val splitId = maxId - maxId * deltaPerMille / 1000
@@ -198,5 +199,95 @@ object DeltaScale {
     }
     spark.stop()
     if (diff != 0 || shardDiff != 0) sys.exit(1)
+  }
+
+  /** `compact` mode (third arg): measure TAIL-ONLY rekeyed compaction
+    * against the from-zero fallback at corpus scale — the SCALING.md
+    * evidence that compaction cost tracks the TAIL (tokens at/after the
+    * first supersession), not the stream. One base delta ingests the
+    * whole corpus under the latest-wins keyed loop; then for each tail
+    * depth a second delta re-delivers exactly the keys holding the
+    * stream-tail ingest ids with changed content, and both compaction
+    * paths run over the same state (the fallback forced by dropping the
+    * state's n_tokens column — the pre-r16 shape). Outputs must match
+    * row-for-row; exits nonzero otherwise.
+    *
+    *   DeltaScale [documentsDir] [ignored] compact
+    */
+  private def compactProbe(spark: SparkSession, docs: DataFrame): Unit = {
+    val uk = docs.withColumn("ukey",
+        concat(lit("u-"), reverse(col("doc_id").cast("string"))))
+      .drop("doc_id")
+    val (r1raw, b1) = Graft.withIngestIds(uk, "ukey")
+    val r1 = r1raw.localCheckpoint(true)
+    val n = r1.count()
+    println(s"[deltascale/compact] $n docs re-id'd")
+    // rekeyedCore directly (every doc "gated in"): the comparison is
+    // re-encode COST tail vs stream, and the quality gate at this
+    // synthetic corpus keeps <1% — gating would shrink the live set
+    // until fixed per-probe overheads dominate both paths and the
+    // measurement says nothing about 100 TB
+    val (merges, dict0) = Bpe.train(r1, "text", 8)
+    val dict = dict0.cache(); dict.count()
+    val tok = Bpe.Tokenizer(merges, dict, Bpe.vocabIds(dict))
+    val P = Graft.RekeyPolicy.LatestWins
+    val (s1, st1) = Graft.rekeyedCore(r1, "text", "ingest_id", "ukey",
+      "lang", tok, state = None, policy = P, ctxTokens = 256,
+      checkIdOrder = true)
+    val s1c = s1.localCheckpoint(true)
+    println(s"[deltascale/compact] base pass emitted ${s1c.count()} shards")
+    def fpq(df: DataFrame): DataFrame =
+      df.select(col("lang"), col("shard_id"), col("n_tokens"),
+        md5(array_join(transform(col("token_ids"),
+          i => i.cast("string")), ",")).as("ids"))
+    var bad = 0L
+    for (tailPerMille <- Seq(1, 100)) {
+      spark.catalog.clearCache(); dict.cache().count(); System.gc()
+      // re-deliver the keys holding the LAST tailPerMille‰ of ingest
+      // ids — tail-depth by construction, whatever the hash order did
+      val lateKeys = r1.orderBy(col("ingest_id").desc)
+        .limit(math.max(1, (n * tailPerMille / 1000).toInt))
+        .select(col("ukey"))
+      val recrawl = r1.join(lateKeys, Seq("ukey"), "left_semi")
+        .withColumn("text", concat(col("text"), lit(" tail revision")))
+        .drop("ingest_id")
+      val (r2raw, _) = Graft.withIngestIds(recrawl, "ukey", base = b1)
+      val r2 = r2raw.localCheckpoint(true)
+      val (s2, st2) = Graft.rekeyedCore(r2, "text", "ingest_id", "ukey",
+        "lang", tok, state = Some(st1), policy = P, ctxTokens = 256,
+        checkIdOrder = true)
+      val emitted = s1c.unionByName(s2.localCheckpoint(true))
+      val union = r1.unionByName(r2)
+      // timed region = the compaction action alone (count materializes
+      // every shard row); the md5 fingerprint equality runs UNTIMED
+      // after — fingerprinting 776k reused shards would otherwise
+      // swamp the tail-sized work being measured
+      def timed(label: String)(f: => DataFrame): DataFrame = {
+        spark.catalog.clearCache(); dict.cache().count(); System.gc()
+        val t0 = System.nanoTime()
+        val out = f.localCheckpoint(true)
+        println(f"[deltascale/compact] tail=${tailPerMille}‰ $label: " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s (${out.count()} shards)")
+        out
+      }
+      val tail = timed("TAIL-ONLY compact") {
+        Graft.corpusShardsRekeyedCompact(union, "text", "ingest_id",
+          "lang", tok, st2, emitted)
+      }
+      val full = timed("from-zero fallback") {
+        Graft.corpusShardsRekeyedCompact(union, "text", "ingest_id",
+          "lang", tok,
+          Graft.KeyedCorpusShardsState(st2.keepers.drop("n_tokens"),
+            st2.shards),
+          emitted)
+      }
+      val d = fpq(tail).exceptAll(fpq(full)).count() +
+        fpq(full).exceptAll(fpq(tail)).count()
+      println(s"[deltascale/compact] tail=${tailPerMille}‰ equality: " +
+        (if (d == 0) "EXACT MATCH" else s"DIVERGED ($d rows)"))
+      bad += d
+    }
+    spark.stop()
+    if (bad != 0) sys.exit(1)
   }
 }

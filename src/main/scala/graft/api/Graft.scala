@@ -1438,6 +1438,45 @@ object Graft {
       newShardState.localCheckpoint(true)))
   }
 
+  /** RETENTION COMPACTION for the keyed keeper state: [[rekeyedCore]]
+    * appends one row per DELIVERED version forever — at crawl scale a
+    * nightly re-crawled page adds one dead (kept = false) row per night,
+    * so the state grows with deliveries ever made, not with corpus
+    * content. This drops exactly the rows no future consumer reads:
+    *
+    *  - the digest anti-join consumes DISTINCT `content_hash` — every
+    *    digest lives on a kept row (a dropped version's digest always
+    *    duplicates an already-kept one, inductively), so kept rows carry
+    *    the full digest history;
+    *  - [[RekeyPolicy.FirstWins]]' key cut consumes DISTINCT `keyCol` —
+    *    one representative row per key suffices; keys whose every
+    *    delivery was content-dropped keep their min-id dead row;
+    *  - [[RekeyPolicy.LatestWins]]' supersede flip and
+    *    [[corpusShardsRekeyedCompact]]'s cuts/offsets consume kept rows
+    *    (live and superseded) — all retained, `n_tokens` intact.
+    *
+    * Retained = every kept row + the min-id row of each key with no
+    * kept row; the bound is (accepted versions + keys), independent of
+    * re-delivery count. EQUIVALENCE (ApiSpec, all three policies):
+    * absorbing the same deltas over compacted vs full state emits
+    * hash-identical shards and reaches the same live/digest/key sets;
+    * `DeltaScale … statecompact` proves the row-count bound at 500k
+    * docs. One windowed pass over the state, keyed by `keyCol` — run it
+    * on the loop's save cadence, exactly like the shard compaction.
+    */
+  def corpusRekeyedStateCompact(state: KeyedCorpusShardsState,
+                                keyCol: String,
+                                idCol: String): KeyedCorpusShardsState = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col("kept").desc, col(idCol))
+    val keepers = state.keepers
+      .withColumn("__r", row_number().over(w))
+      .filter(col("kept") || col("__r") === 1)
+      .drop("__r")
+    KeyedCorpusShardsState(keepers, state.shards)
+  }
+
   /** COMPACTION for the [[RekeyPolicy.LatestWins]] loop: re-chunk the
     * streams that contain superseded tokens so the final shard set
     * equals the batch replay over the LIVE documents — the batch half of

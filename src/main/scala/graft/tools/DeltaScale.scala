@@ -32,6 +32,7 @@ object DeltaScale {
     spark.sparkContext.setLogLevel("WARN")
     val docs = graft.io.Tables.documents(spark, dir)
     if (args.lift(2).contains("compact")) { compactProbe(spark, docs); return }
+    if (args.lift(2).contains("statecompact")) { stateCompactProbe(spark, docs); return }
     val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
     val n = docs.count()
     val splitId = maxId - maxId * deltaPerMille / 1000
@@ -199,6 +200,87 @@ object DeltaScale {
     }
     spark.stop()
     if (diff != 0 || shardDiff != 0) sys.exit(1)
+  }
+
+  /** `statecompact` mode (third arg): the keeper-state RETENTION bound
+    * at corpus scale — N rounds of re-delivering the same 1% of keys
+    * with UNCHANGED content (the nightly-recrawl shape) grow the full
+    * state by one dead row per re-delivery forever, while the
+    * compact-after-every-round chain stays flat at (accepted + keys)
+    * rows; a final CHANGED-content delta then supersedes over the
+    * compacted state and must emit exactly the full chain's shards.
+    *
+    *   DeltaScale [documentsDir] [ignored] statecompact
+    */
+  private def stateCompactProbe(spark: SparkSession,
+                                docs: DataFrame): Unit = {
+    val uk = docs.withColumn("ukey",
+        concat(lit("u-"), reverse(col("doc_id").cast("string"))))
+      .drop("doc_id")
+    val (r1raw, b1) = Graft.withIngestIds(uk, "ukey")
+    val r1 = r1raw.localCheckpoint(true)
+    val n = r1.count()
+    val (merges, dict0) = Bpe.train(r1, "text", 8)
+    val dict = dict0.cache(); dict.count()
+    val tok = Bpe.Tokenizer(merges, dict, Bpe.vocabIds(dict))
+    val P = Graft.RekeyPolicy.LatestWins
+    def compact(st: Graft.KeyedCorpusShardsState) =
+      Graft.corpusRekeyedStateCompact(st, "ukey", "ingest_id")
+    val recrawlKeys = r1.filter(Sampling.hashBucket(col("ukey"),
+      "statecompact") < 10).select(col("ukey")).localCheckpoint(true)
+    println(s"[deltascale/statecompact] $n docs; " +
+      s"${recrawlKeys.count()} keys re-delivered per round")
+    val (s0, st0) = Graft.rekeyedCore(r1, "text", "ingest_id", "ukey",
+      "lang", tok, state = None, policy = P, ctxTokens = 256,
+      checkIdOrder = true)
+    s0.count()
+    var stFull = st0
+    var stComp = compact(st0)
+    var base = b1
+    for (round <- 1 to 3) {
+      val recrawl = r1.join(recrawlKeys, Seq("ukey"), "left_semi")
+        .drop("ingest_id")
+      val (rd, b) = Graft.withIngestIds(recrawl, "ukey", base = base,
+        salt = s"round$round")
+      base = b
+      val rdc = rd.localCheckpoint(true)
+      val (sF, stF) = Graft.rekeyedCore(rdc, "text", "ingest_id", "ukey",
+        "lang", tok, state = Some(stFull), policy = P, ctxTokens = 256,
+        checkIdOrder = true)
+      sF.count(); stFull = stF
+      val (sC, stC) = Graft.rekeyedCore(rdc, "text", "ingest_id", "ukey",
+        "lang", tok, state = Some(stComp), policy = P, ctxTokens = 256,
+        checkIdOrder = true)
+      sC.count(); stComp = compact(stC)
+      println(s"[deltascale/statecompact] round $round keeper rows: " +
+        s"full=${stFull.keepers.count()} " +
+        s"compacted=${stComp.keepers.count()}")
+    }
+    // a changed-content delta supersedes over the COMPACTED state and
+    // must emit exactly what the full chain emits
+    val changed = r1.join(recrawlKeys, Seq("ukey"), "left_semi")
+      .withColumn("text", concat(col("text"), lit(" changed rev")))
+      .drop("ingest_id")
+    val (cd, _) = Graft.withIngestIds(changed, "ukey", base = base,
+      salt = "changed")
+    val cdc = cd.localCheckpoint(true)
+    def fpq(df: DataFrame): DataFrame =
+      df.select(col("lang"), col("shard_id"), col("n_tokens"),
+        md5(array_join(transform(col("token_ids"),
+          i => i.cast("string")), ",")).as("ids"))
+    val (eF, _) = Graft.rekeyedCore(cdc, "text", "ingest_id", "ukey",
+      "lang", tok, state = Some(stFull), policy = P, ctxTokens = 256,
+      checkIdOrder = true)
+    val (eC, _) = Graft.rekeyedCore(cdc, "text", "ingest_id", "ukey",
+      "lang", tok, state = Some(stComp), policy = P, ctxTokens = 256,
+      checkIdOrder = true)
+    val d = fpq(eF).exceptAll(fpq(eC)).count() +
+      fpq(eC).exceptAll(fpq(eF)).count()
+    println(s"[deltascale/statecompact] changed-content absorb over " +
+      "compacted state: " +
+      (if (d == 0) "EXACT MATCH" else s"DIVERGED ($d rows)"))
+    spark.stop()
+    if (d != 0) sys.exit(1)
   }
 
   /** `compact` mode (third arg): measure TAIL-ONLY rekeyed compaction

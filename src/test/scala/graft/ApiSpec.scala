@@ -560,6 +560,95 @@ class ApiSpec extends SparkSpec {
       "keep-all diverged from the unkeyed loop")
   }
 
+  test("corpusRekeyedStateCompact: absorbing deltas over the compacted " +
+    "state is identical to the full state for all three policies, and " +
+    "the state stops growing with re-deliveries") {
+    import graft.ext.{Bpe, NbClassifier, Sampling, TextAnalysis => TA}
+    val G = Graft
+    def uk(d: org.apache.spark.sql.DataFrame) =
+      d.withColumn("ukey",
+        concat(lit("u-"), reverse(col("doc_id").cast("string"))))
+        .drop("doc_id")
+    // delta 2 re-delivers UNCHANGED content (the nightly-recrawl shape
+    // that grows the state with dead rows); delta 3 re-delivers CHANGED
+    // content (supersession must work over the compacted state)
+    val d1 = uk(docs.filter(col("doc_id") < 200))
+    val d2 = uk(docs.filter(col("doc_id") >= 200 && col("doc_id") < 350))
+      .unionByName(uk(docs.filter(col("doc_id") < 200 &&
+        col("doc_id") % 23 === 7)))
+    val d3 = uk(docs.filter(col("doc_id") >= 350)).unionByName(
+      uk(docs.filter(col("doc_id") < 350 && col("doc_id") % 31 === 4)
+        .withColumn("text", concat(col("text"), lit(" changed anew")))))
+    val (r1, b1) = G.withIngestIds(d1, "ukey")
+    val (r2, b2) = G.withIngestIds(d2, "ukey", base = b1)
+    val (r3, _) = G.withIngestIds(d3, "ukey", base = b2)
+    val union = r1.unionByName(r2).unionByName(r3)
+    val labeled = TA.withTokenStats(union, "text")
+      .withColumn("label_weak",
+        round(TA.qualityScore(col("n_tokens"), col("token_chars"),
+          col("n_punct"), col("n_stopwords")) + lit(1e-9), 4) >= 0.5)
+      .select(col("ingest_id"), col("ukey"), col("text"),
+        col("label_weak"))
+    val model = NbClassifier.train(
+      labeled.filter(Sampling.hashBucket(col("ukey"), "graft") < 80),
+      "text", "ingest_id", "label_weak")
+    val (merges, dict) = G.bpeTrain(docs, "text", nMerges = 4)
+    val tok = Bpe.Tokenizer(merges, dict, Bpe.vocabIds(dict))
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("lang"), col("shard_id"), col("n_tokens"),
+        col("token_ids").cast("string").as("ids"))
+    def same(a: org.apache.spark.sql.DataFrame,
+             b: org.apache.spark.sql.DataFrame): Boolean =
+      a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0
+    for (p <- Seq(G.RekeyPolicy.LatestWins, G.RekeyPolicy.FirstWins,
+        G.RekeyPolicy.KeepAll)) {
+      def step(d: org.apache.spark.sql.DataFrame,
+               st: Option[G.KeyedCorpusShardsState]) =
+        G.corpusShardsDeltaRekeyed(d, "text", "ingest_id", "ukey",
+          "lang", model, tok, state = st, policy = p, minTokens = 10)
+      def compact(st: G.KeyedCorpusShardsState) =
+        G.corpusRekeyedStateCompact(st, "ukey", "ingest_id")
+      // full chain vs compact-after-every-delta chain
+      val (s1f, f1) = step(r1, None)
+      val (s2f, f2) = step(r2, Some(f1))
+      val (s3f, f3) = step(r3, Some(f2))
+      val (s1c, c0) = step(r1, None)
+      val (s2c, c1) = step(r2, Some(compact(c0)))
+      val (s3c, c2) = step(r3, Some(compact(c1)))
+      assert(same(fp(s2c), fp(s2f)) && same(fp(s3c), fp(s3f)) &&
+        same(fp(s1c), fp(s1f)),
+        s"$p: delta absorbed over compacted state emitted different shards")
+      // every projection a future consumer reads is preserved
+      val cf = compact(f3)
+      def proj(st: G.KeyedCorpusShardsState) = (
+        st.keepers.filter(col("kept") && col("live"))
+          .select(col("ukey"), col("ingest_id"), col("n_tokens")),
+        st.keepers.select(col("content_hash")).distinct(),
+        st.keepers.select(col("ukey")).distinct())
+      val (lA, dA, kA) = proj(cf)
+      val (lB, dB, kB) = proj(f3)
+      assert(same(lA, lB) && same(dA, dB) && same(kA, kB),
+        s"$p: compaction lost a live row, digest, or key")
+      // under LatestWins the shard compaction over the compacted state
+      // equals the full-state one (cuts/offsets survive)
+      if (p == G.RekeyPolicy.LatestWins) {
+        val em = s1f.unionByName(s2f).unionByName(s3f)
+        assert(same(
+          fp(G.corpusShardsRekeyedCompact(union, "text", "ingest_id",
+            "lang", tok, cf, em)),
+          fp(G.corpusShardsRekeyedCompact(union, "text", "ingest_id",
+            "lang", tok, f3, em))),
+          "shard compaction diverged over the compacted state")
+        // the unchanged-content re-deliveries really were dropped rows,
+        // and compaction removed them: strictly smaller state
+        assert(cf.keepers.count() < f3.keepers.count(),
+          "compaction removed nothing — the fixture grew no dead rows")
+      }
+      assert(compact(cf).keepers.count() == cf.keepers.count(),
+        s"$p: compaction is not idempotent")
+    }
+  }
+
   test("corpusShardsRekeyedCompact is TAIL-ONLY: shards before a " +
     "stream's first supersession are reused verbatim (the prefix docs " +
     "are never re-read), and the pre-r16 state falls back to the full " +

@@ -1040,23 +1040,27 @@ object Graft {
 
   private def saveStateParts(spark: SparkSession, dir: String, kind: String,
                              parts: Seq[(String, DataFrame)],
-                             bucketBy: Int = 0): Unit = {
+                             bucketBy: Int = 0,
+                             bucketCols: Map[String, String] =
+                               Map("keepers" -> "content_hash")): Unit = {
     import spark.implicits._
     val next = committedVersions(spark, dir, kind).headOption
       .getOrElse(-1L) + 1
     val vDir = s"$dir/v=$next"
     parts.foreach { case (name, df) =>
-      if (bucketBy > 0 && name == "keepers") {
-        // bucketed + sorted by the anti-join key: at scale the keeper
-        // frame is the loop's one history-sized input — this layout is
-        // what lets the nightly delta-vs-history anti-join shuffle ONLY
-        // the delta (scaladoc of CorpusState, now enforceable). External
-        // table at the version path; the catalog entry is re-derivable
-        // from meta by any later session (see bucketedKeepers).
+      if (bucketBy > 0 && bucketCols.contains(name)) {
+        // bucketed + sorted by the part's anti-join key: at scale the
+        // keeper frame (and the rekeyed loop's key index) is a
+        // history-sized join input — this layout is what lets the
+        // nightly delta-vs-history anti-join shuffle ONLY the delta
+        // (scaladoc of CorpusState, now enforceable). External table at
+        // the version path; the catalog entry is re-derivable from the
+        // part's own schema by any later session (see bucketedKeepers).
+        val bc = bucketCols(name)
         val table = stateTableName(s"$vDir/$name")
         spark.sql(s"DROP TABLE IF EXISTS `$table`")
         df.write.format("parquet")
-          .bucketBy(bucketBy, "content_hash").sortBy("content_hash")
+          .bucketBy(bucketBy, bc).sortBy(bc)
           .option("path", s"$vDir/$name")
           .mode("overwrite").saveAsTable(table)
       } else df.write.mode("overwrite").parquet(s"$vDir/$name")
@@ -1072,8 +1076,8 @@ object Graft {
     // the DROP leaves files to the fs delete).
     val (fs, _) = stateFs(spark, dir)
     committedVersions(spark, dir, kind).drop(3).foreach { v =>
-      spark.sql(
-        s"DROP TABLE IF EXISTS `${stateTableName(s"$dir/v=$v/keepers")}`")
+      Seq("keepers", "keeperkeys").foreach(part => spark.sql(
+        s"DROP TABLE IF EXISTS `${stateTableName(s"$dir/v=$v/$part")}`"))
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v=$v"), true)
     }
   }
@@ -1151,23 +1155,58 @@ object Graft {
   }
 
   /** Persist a [[KeyedCorpusShardsState]] as a new committed version
-    * (`dir/v=<n>/{keepers,shards,meta}`) — same crash-safe contract and
-    * `bucketBy` keeper layout (on `content_hash`) as [[corpusStateSave]].
+    * (`dir/v=<n>/{keepers,keeperkeys?,shards,meta}`) — same crash-safe
+    * contract and `bucketBy` keeper layout (on `content_hash`) as
+    * [[corpusStateSave]]. Passing `keyCol` with `bucketBy > 0`
+    * ADDITIONALLY writes the distinct seen-key projection as a
+    * `keeperkeys` table bucketed/sorted on the natural key: the
+    * content_hash bucketing serves the digest anti-join, but
+    * [[RekeyPolicy.FirstWins]]' seen-key cut joins on `keyCol` — without
+    * its own layout a digest-bucketed history still pays a full shuffle
+    * there. The load restores both layouts; PhysicalSpec pins the
+    * FirstWins cut to ONE Exchange (the delta's) off a loaded state.
     */
   def corpusRekeyedStateSave(state: KeyedCorpusShardsState, dir: String,
-                             bucketBy: Int = 0): Unit =
+                             bucketBy: Int = 0,
+                             keyCol: String = ""): Unit = {
+    val parts = Seq("keepers" -> state.keepers,
+      "shards" -> state.shards) ++
+      (if (bucketBy > 0 && keyCol.nonEmpty)
+        Seq("keeperkeys" -> state.keepers.select(col(keyCol)).distinct())
+      else Nil)
     saveStateParts(state.keepers.sparkSession, dir, "corpus_rekeyed",
-      Seq("keepers" -> state.keepers, "shards" -> state.shards),
-      bucketBy)
+      parts, bucketBy,
+      Map("keepers" -> "content_hash", "keeperkeys" -> keyCol))
+  }
 
   /** Load the newest committed [[KeyedCorpusShardsState]]; loud when
-    * none exists or the dir holds a different state kind.
+    * none exists or the dir holds a different state kind. A state saved
+    * with the key-bucketed layout comes back with `keyIndex` populated
+    * (the seen-key table through the catalog, bucket spec restored), so
+    * the next FirstWins delta's key cut shuffles only the delta.
     */
   def corpusRekeyedStateLoad(spark: SparkSession,
                              dir: String): KeyedCorpusShardsState = {
     val Seq(k, s) = loadStateParts(spark, dir, "corpus_rekeyed",
       Seq("keepers", "shards"))
-    KeyedCorpusShardsState(k, s)
+    val v = committedVersions(spark, dir, "corpus_rekeyed").head
+    val kkPath = s"$dir/v=$v/keeperkeys"
+    val (fs, _) = stateFs(spark, kkPath)
+    val keyIndex =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(kkPath))) None
+      else {
+        val meta = spark.read.parquet(s"$dir/v=$v/meta").head()
+        val buckets =
+          if (meta.schema.fieldNames.contains("keepers_buckets"))
+            meta.getAs[Int]("keepers_buckets")
+          else 0
+        // the part is its own key-name record: one column, the natural key
+        val kc = spark.read.parquet(kkPath).schema.fieldNames.head
+        Some(
+          if (buckets > 0) bucketedKeepers(spark, kkPath, buckets, kc)
+          else spark.read.parquet(kkPath))
+      }
+    KeyedCorpusShardsState(k, s, keyIndex)
   }
 
   /** The COMPLETE incremental production loop in one call — crawl delta
@@ -1268,10 +1307,16 @@ object Graft {
     * ([[CorpusShardsState]]'s contract). Persist with
     * [[corpusShardsStateSave]]-style parquet (the keepers frame is a
     * plain DataFrame; bucket it by `content_hash` at scale exactly like
-    * the unkeyed state).
+    * the unkeyed state). `keyIndex` — populated by
+    * [[corpusRekeyedStateLoad]] when the save wrote the key-bucketed
+    * seen-key projection — serves [[RekeyPolicy.FirstWins]]' key cut
+    * without shuffling history; None (the in-loop default) falls back
+    * to a distinct over `keepers`.
     */
   final case class KeyedCorpusShardsState(keepers: DataFrame,
-                                          shards: DataFrame)
+                                          shards: DataFrame,
+                                          keyIndex: Option[DataFrame] =
+                                            None)
 
   /** The KEYED incremental production loop — [[corpusShardsDelta]] with
     * document identity per NATURAL KEY (URL/content-hash), under an
@@ -1364,8 +1409,12 @@ object Graft {
     // the seen-key set, which includes content-dropped versions)
     val keyCut = (policy, state) match {
       case (RekeyPolicy.FirstWins, Some(st)) =>
-        gated.join(st.keepers.select(col(keyCol)).distinct(),
-          Seq(keyCol), "left_anti")
+        // a loaded key-bucketed state serves the seen-key set from its
+        // own layout (scan satisfies the join distribution — only the
+        // delta shuffles); otherwise distinct over the keeper history
+        val seenKeys = st.keyIndex.getOrElse(
+          st.keepers.select(col(keyCol)).distinct())
+        gated.join(seenKeys, Seq(keyCol), "left_anti")
       case _ => gated
     }
     // content dedup against the FULL digest history (live + superseded:

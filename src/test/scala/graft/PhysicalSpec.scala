@@ -146,6 +146,68 @@ class PhysicalSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("key-bucketed rekeyed state: FirstWins' seen-key anti-join scans " +
+    "history WITHOUT an Exchange — only the delta shuffles") {
+    import spark.implicits._
+    val docs = graft.io.Tables.documents(spark, TestSpark.sf0001)
+    def uk(d: org.apache.spark.sql.DataFrame) =
+      d.withColumn("ukey",
+        concat(lit("u-"), reverse(col("doc_id").cast("string"))))
+    val keepers = uk(docs.filter(col("doc_id") < 400))
+      .select(col("ukey"), md5(col("text")).as("content_hash"),
+        col("doc_id").as("ingest_id"), col("lang"),
+        lit(true).as("kept"), lit(true).as("live"),
+        lit(10L).as("n_tokens"))
+    val shardsSt = Seq(("en", 0L, Seq.empty[Int], 0L))
+      .toDF("lang", "tok_total", "tail_ids", "max_id")
+    val delta = uk(docs.filter(col("doc_id") >= 400))
+      .select(col("ukey"), col("text"), col("lang"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // key-bucketed layout: the seen-key cut (EXACTLY the rekeyedCore
+      // join — keyIndex when present) shuffles only the delta
+      val dir = Files.createTempDirectory("graft-keybuck").toString
+      graft.api.Graft.corpusRekeyedStateSave(
+        graft.api.Graft.KeyedCorpusShardsState(keepers, shardsSt),
+        dir, bucketBy = 4, keyCol = "ukey")
+      val loaded = graft.api.Graft.corpusRekeyedStateLoad(spark, dir)
+      assert(loaded.keyIndex.isDefined,
+        "key-bucketed save must come back with a key index")
+      assert(loaded.keyIndex.get.count() ==
+        keepers.select(col("ukey")).distinct().count())
+      val cut = delta.join(loaded.keyIndex.get, Seq("ukey"), "left_anti")
+      cut.count()
+      val exchanges = finalOps(cut.queryExecution.executedPlan)
+        .filter(o => line(o).startsWith("Exchange"))
+      assert(exchanges.size == 1,
+        "the FirstWins key cut over a key-bucketed seen-key table must " +
+          s"shuffle ONLY the delta:\n${cut.queryExecution.executedPlan}")
+      // control: a save WITHOUT the key layout falls back to a distinct
+      // over the digest-bucketed keepers — history shuffles on the key
+      val dirP = Files.createTempDirectory("graft-keyplain").toString
+      graft.api.Graft.corpusRekeyedStateSave(
+        graft.api.Graft.KeyedCorpusShardsState(keepers, shardsSt),
+        dirP, bucketBy = 4)
+      val loadedP = graft.api.Graft.corpusRekeyedStateLoad(spark, dirP)
+      assert(loadedP.keyIndex.isEmpty)
+      val cutP = delta.join(
+        loadedP.keepers.select(col("ukey")).distinct(),
+        Seq("ukey"), "left_anti")
+      cutP.count()
+      val exchangesP = finalOps(cutP.queryExecution.executedPlan)
+        .filter(o => line(o).startsWith("Exchange"))
+      assert(exchangesP.size >= 2,
+        "control: the digest-bucketed history should shuffle for the " +
+          s"key cut (got ${exchangesP.size} exchanges)")
+      // value equality: the key-indexed cut and the distinct-fallback
+      // cut are the same rows — the layout changes the plan, not the set
+      assert(cut.exceptAll(cutP).count() == 0 &&
+        cutP.exceptAll(cut).count() == 0,
+        "key-indexed cut diverged from the distinct fallback")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("aggregation spine stays inside whole-stage codegen") {
     val df = SparkEntry.queries("q_daily_agg")(spark, TestSpark.sf0001)
     df.collect() // AQE finalizes THIS queryExecution (count() would spawn its own)

@@ -933,6 +933,43 @@ object Graft {
       Seq(groupCol), idCol, "n_tokens")
   }
 
+  /** [[mixtureOverCorpus]] for the TOKEN-SHARD loop — the same deferred
+    * lambda-cut recompute, terminating in actual training shards instead
+    * of pack summaries: realize the temperature mixture over the
+    * incrementally-kept corpus (`packed` = the union of the per-delta
+    * kept frames, one row per kept doc with `groupCol`, `idCol`,
+    * `n_tokens` — [[corpusBuildDelta]]'s outputs provide it), re-encode
+    * the SAMPLED docs under the frozen tokenizer, and shard-split from
+    * offset zero. The incremental emissions' shard ids are deliberately
+    * discarded — shard geometry is mixture-relative (dropping docs
+    * shifts every later offset), exactly [[mixtureOverCorpus]]'s rule.
+    *
+    * `docs` must contain at least every SAMPLED doc's text (the crawl
+    * archive / re-id'd delta union). EQUIVALENCE (oracled hash-exact as
+    * `q_mixture_shards`): over id-ordered frozen-artifact deltas this
+    * equals the one-shot batch chain gate → dedup → temperature mixture
+    * → encode → [[graft.ext.Packing.shardTokens]]. Scale shape: the
+    * mixture is rank-per-group over doc-count rows, the encode is
+    * sample-sized, and the shard split is the one stream-key shuffle.
+    */
+  def mixtureOverCorpusShards(packed: DataFrame, docs: DataFrame,
+                              textCol: String, idCol: String,
+                              groupCol: String, tok: Bpe.Tokenizer,
+                              salt: String = "build", alpha: Double = 0.5,
+                              share: Double = 0.5,
+                              ctxTokens: Int = 256): DataFrame = {
+    val kept = packed.select(col(groupCol), col(idCol), col("n_tokens"))
+    val mixed = Sampling.temperatureSampleWith(kept,
+      Sampling.temperatureTargets(kept, groupCol, alpha = alpha,
+        share = share),
+      groupCol, idCol, salt = salt)
+    val sampledDocs = docs.join(mixed.select(col(idCol)), Seq(idCol),
+      "left_semi")
+    val enc = tok.encodeIds(sampledDocs, textCol, idCol)
+      .join(sampledDocs.select(col(idCol), col(groupCol)), Seq(idCol))
+    Packing.shardTokens(enc, Seq(groupCol), idCol, ctxTokens)
+  }
+
   /** The gate+dedup prefix shared by [[corpusBuildDelta]] and
     * [[corpusShardsDelta]]: stateless quality gates under the frozen
     * model, anti-join against the historical keeper digests, min-id

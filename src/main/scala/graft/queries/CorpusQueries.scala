@@ -478,6 +478,37 @@ object CorpusQueries {
         .orderBy(col("lang"), col("pack_id"))
     }),
 
+    // The lambda-cut recompute TERMINATING IN SHARDS: the token-shard
+    // loop's mixture twin — two chained frozen-artifact deltas, then
+    // Graft.mixtureOverCorpusShards (temperature realization over the
+    // incrementally-kept corpus, frozen-tokenizer re-encode of the
+    // SAMPLED docs, shard split from offset zero) must hash-match the
+    // one-shot batch chain gate → dedup → mixture → encode → shard
+    // split. A user who wants temperature-mixed SHARDS from incremental
+    // state now has a gated path, not just the pack-summary one.
+    "q_mixture_shards" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val model = nbModel(s, dir)
+      val (merges, dict) = bpeTrained(s, dir)
+      val tok = Bpe.Tokenizer(merges, dict, Bpe.vocabIds(dict))
+      val G = graft.api.Graft
+      val (p1, st1) = G.corpusBuildDelta(docs.filter(col("doc_id") < 250),
+        "text", "doc_id", "lang", model, dict, state = None,
+        minTokens = 10)
+      val (p2, _) = G.corpusBuildDelta(docs.filter(col("doc_id") >= 250),
+        "text", "doc_id", "lang", model, dict, state = Some(st1),
+        minTokens = 10)
+      G.mixtureOverCorpusShards(
+          p1.select(col("lang"), col("doc_id"), col("n_tokens"))
+            .unionByName(p2.select(col("lang"), col("doc_id"),
+              col("n_tokens"))),
+          docs, "text", "doc_id", "lang", tok)
+        .select(col("lang"), col("shard_id"), col("n_tokens"),
+          md5(array_join(transform(col("token_ids"),
+            i => i.cast("string")), ",")).as("ids_md5"))
+        .orderBy(col("lang"), col("shard_id"))
+    }),
+
     // The incremental build absorbing an ARBITRARY-KEYED crawl — the
     // day-one production case the id-order guards point at: documents
     // arrive keyed by a NON-monotonic unique string (ukey, the reversed
@@ -1222,6 +1253,14 @@ object CorpusQueries {
     "q_mixture_incr" -> corpusOracleChain(
       nbOnGopherSurvivors = false, mixture = true, bpeCtes(BpeMerges),
       s"d$BpeMerges"),
+
+    // the shard-loop mixture twin: the frozen-model batch chain WITH
+    // the temperature CTEs, terminating in the shard split restricted
+    // to the SAMPLED docs (ddocs) — what the two-delta +
+    // mixtureOverCorpusShards composition must hash-match
+    "q_mixture_shards" -> corpusOracleChain(
+      nbOnGopherSurvivors = false, mixture = true, bpeCtes(BpeMerges),
+      s"d$BpeMerges", Some(shardsOracleTail(restrict = Some("ddocs")))),
 
     // the frozen-artifact batch replay over the RE-ID'd union (ud → rd
     // CTEs mirror Graft.withIngestIds' per-delta hash-order ranks) that

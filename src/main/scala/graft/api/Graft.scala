@@ -1524,6 +1524,37 @@ object Graft {
       newShardState.localCheckpoint(true)))
   }
 
+  /** Per-stream supersession pressure of a keyed keeper state — the
+    * observability face of the compaction policy: one row per
+    * `groupCol` stream with `live_tokens`, `superseded_tokens`, and
+    * `superseded_fraction` (superseded over all kept tokens, 6dp).
+    * This is the exact quantity [[corpusShardsRekeyedCompact]]'s
+    * `minSupersededFraction` thresholds and the streaming loop's
+    * per-batch alert logs. Requires an r16 state (per-version
+    * `n_tokens`); fails loudly on a pre-r16 keeper frame rather than
+    * reporting fractions from partial data. One state-bounded
+    * aggregate.
+    */
+  def corpusRekeyedSupersededFractions(state: KeyedCorpusShardsState,
+                                       groupCol: String): DataFrame = {
+    require(state.keepers.columns.contains("n_tokens"),
+      "corpusRekeyedSupersededFractions: the keeper state has no " +
+        "n_tokens column (saved by a pre-r16 loop) — absorb one delta " +
+        "with this version (which records token counts) or compact " +
+        "unconditionally")
+    state.keepers.filter(col("kept"))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(when(col("live"), col("n_tokens")).otherwise(lit(0L)))
+          .as("live_tokens"),
+        sum(when(!col("live"), col("n_tokens")).otherwise(lit(0L)))
+          .as("superseded_tokens"))
+      .withColumn("superseded_fraction",
+        round(col("superseded_tokens").cast("double") /
+          greatest(col("live_tokens") + col("superseded_tokens"),
+            lit(1L)).cast("double"), 6))
+  }
+
   /** RETENTION COMPACTION for the keyed keeper state: [[rekeyedCore]]
     * appends one row per DELIVERED version forever — at crawl scale a
     * nightly re-crawled page adds one dead (kept = false) row per night,
@@ -1598,12 +1629,26 @@ object Graft {
                                  tok: Bpe.Tokenizer,
                                  state: KeyedCorpusShardsState,
                                  emittedShards: DataFrame,
-                                 ctxTokens: Int = 256): DataFrame = {
+                                 ctxTokens: Int = 256,
+                                 minSupersededFraction: Double = 0.0)
+      : DataFrame = {
     val keepers = state.keepers
-    val affected = keepers
+    val affectedAll = keepers
       .filter(col("kept") && !col("live"))
       .select(col(groupCol).as("__ag")).distinct()
-      .transform(CacheScope.cache) // several consumers below
+    // the compaction POLICY knob: > 0 compacts only streams whose
+    // superseded-token fraction crossed the threshold (the log-store
+    // split — streams below it stay append-only, their stale tokens
+    // retained until a later pass; [[corpusRekeyedSupersededFractions]]
+    // is the same arithmetic, exposed); 0 compacts every affected
+    // stream (the full batch-replay equality the oracle gates)
+    val affected = (if (minSupersededFraction <= 0) affectedAll
+      else {
+        val fr = corpusRekeyedSupersededFractions(state, groupCol)
+          .filter(col("superseded_fraction") >= minSupersededFraction)
+          .select(col(groupCol).as("__fg"))
+        affectedAll.join(fr, col("__ag") <=> col("__fg"), "left_semi")
+      }).transform(CacheScope.cache) // several consumers below
     def unaffectedOnly(df: DataFrame): DataFrame =
       df.join(broadcast(affected), df(groupCol) <=> col("__ag"),
         "left_anti")

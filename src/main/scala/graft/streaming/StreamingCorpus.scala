@@ -579,7 +579,8 @@ object StreamingCorpus {
                                                   tok: Bpe.Tokenizer,
                                                   ctxTokens: Int,
                                                   salt: String,
-                                                  policy: graft.api.Graft.RekeyPolicy)
+                                                  policy: graft.api.Graft.RekeyPolicy,
+                                                  alertSupersededFraction: Double = 0.5)
       : Unit = {
     val spark = batch.sparkSession
     requireNotClosed(spark, s"$outDir/shards")
@@ -610,6 +611,99 @@ object StreamingCorpus {
       .write.mode("overwrite").parquet(s"$outDir/ingest/v=$batchId")
     Seq("keepers", "state", "ingest").foreach(d =>
       pruneVersions(spark, s"$outDir/$d"))
+    // COMPACTION ALERT (latest-wins only — the one policy that
+    // supersedes): log the streams whose superseded-token fraction
+    // crossed the threshold, so the operator schedules
+    // [[closeShardsRekeyed]] (or the batch compaction) BEFORE stale
+    // tokens dominate the sink. Observability only — never fails the
+    // batch (Try) and never mutates the sink: the writer stays strictly
+    // append-only, compaction stays an explicit call, exactly the
+    // log-structured split. One streams-bounded aggregate per batch;
+    // <= 0 disables.
+    if (policy == G.RekeyPolicy.LatestWins && alertSupersededFraction > 0)
+      scala.util.Try {
+        val crossed = G.corpusRekeyedSupersededFractions(
+            G.KeyedCorpusShardsState(newState.keepers, newState.shards),
+            streamCol)
+          .filter(col("superseded_fraction") >= alertSupersededFraction)
+          .collect()
+        crossed.foreach { r =>
+          System.err.println(f"[graft-rekeyed] batch $batchId: stream " +
+            s"'${r.get(0)}' superseded fraction " +
+            s"${r.getAs[Double]("superseded_fraction")} >= " +
+            s"$alertSupersededFraction — schedule compaction " +
+            "(StreamingCorpus.closeShardsRekeyed, or " +
+            "Graft.corpusShardsRekeyedCompact over the archive)")
+        }
+      }
+    ()
+  }
+
+  /** ONE-CALL close for the LATEST-WINS rekeyed loop — stop → flush →
+    * COMPACT → publish: the rekeyed twin of [[closeShards]], realizing
+    * the supersessions the append-only writer deliberately left on disk.
+    * Reads the newest committed keeper/shard state, runs
+    * [[graft.api.Graft.corpusShardsRekeyedCompact]] (tail-only per
+    * affected stream; `minSupersededFraction` > 0 compacts only streams
+    * past that pressure, leaving the rest emitted+flushed verbatim —
+    * the explicit append-only/compaction split) over the published
+    * micro-batch shards, and publishes the FINAL shard set under
+    * `outDir/shards_final` (overwrite — a retried or repeated close
+    * REPLACES it, so a threshold-crossing stream compacts exactly once
+    * however many times the close is retried). The original sink is
+    * then fenced TERMINAL with the [[CloseMarker]], exactly like
+    * [[closeShards]]. Consumers of the closed job read
+    * `outDir/shards_final` — the complete view, flush included.
+    *
+    * `docs` is the crawl archive of re-id'd gated documents (at least
+    * every live doc at/after each compacted stream's tail cut — the
+    * [[graft.api.Graft.corpusShardsRekeyedCompact]] contract; the full
+    * archive always qualifies). Same OWNERSHIP rule as [[closeShards]]:
+    * close only a stopped job. Mid-run the writer NEVER compacts —
+    * rewriting a live stream's emitted shards would need a
+    * realized-supersession coordinate protocol in the state; the
+    * per-batch threshold alert names when to schedule this call
+    * instead.
+    */
+  def closeShardsRekeyed(spark: SparkSession, outDir: String,
+                         docs: DataFrame, textCol: String,
+                         streamCol: String, tok: Bpe.Tokenizer,
+                         ctxTokens: Int = 256,
+                         minSupersededFraction: Double = 0.0,
+                         query: Option[StreamingQuery] = None)
+      : DataFrame = {
+    query.filter(_.isActive).foreach { q =>
+      q.stop()
+      q.awaitTermination()
+    }
+    // deliberately NO closed-check here: unlike closeShards this close
+    // writes nothing into shards/ (the final set lives beside it), so a
+    // REPEATED close recomputes from the same state and replaces
+    // shards_final with the identical set — repeat-safe by construction
+    val G = graft.api.Graft
+    val keepers = latestShardState(spark, s"$outDir/keepers")
+    val shardsSt = latestShardState(spark, s"$outDir/state")
+    require(keepers.isDefined && shardsSt.isDefined,
+      s"closeShardsRekeyed: no committed rekeyed state under $outDir — " +
+        "nothing was ever absorbed, or the first batch crashed before " +
+        "its state commit")
+    val st = G.KeyedCorpusShardsState(keepers.get, shardsSt.get)
+    val emitted = spark.read.parquet(s"$outDir/shards")
+      .select(col(streamCol), col("shard_id"), col("n_tokens"),
+        col("token_ids"))
+    val fin = G.corpusShardsRekeyedCompact(docs, textCol, "ingest_id",
+      streamCol, tok, st, emitted, ctxTokens, minSupersededFraction)
+    // repartition(1) for the same empty-frame schema reason closeShards
+    // documents is NOT needed here: the compacted set is never empty
+    // when state exists, and shard rows are token-heavy — keep the
+    // parallel write
+    fin.write.mode("overwrite").parquet(s"$outDir/shards_final")
+    // marker LAST: a crash before this line leaves a re-closeable sink
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$outDir/shards/$CloseMarker")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(marker, true).close()
+    spark.read.parquet(s"$outDir/shards_final")
   }
 
   /** [[runCorpusShardsKeyed]] with EXPLICIT key identity — the streaming
@@ -621,14 +715,20 @@ object StreamingCorpus {
     * shards. A re-crawled key with UNCHANGED content drops via the
     * digest keeper; with CHANGED content it follows the policy —
     * the day-two production case the plain keyed loop documents away.
-    * Under LatestWins, stop the query and run
-    * [[graft.api.Graft.corpusShardsRekeyedCompact]] over the published
-    * MICRO-BATCH shards (exclude any `batch_id =` [[FlushBatchId]]
-    * partition — compaction flushes the final state's tails itself, so
-    * feeding it an already-[[closeShards]]-published flush would double
-    * them) + the newest keeper/shard state, to realize the supersessions
-    * ([[StreamingSpec]] pins the 3-batch stream ≡ the 3-delta batch
-    * loop, including a changed-content re-crawl). Single-producer ownership enforced as in the keyed loop.
+    * Under LatestWins, close with [[closeShardsRekeyed]] — the one-call
+    * stop → flush → tail-only compact → publish (`shards_final`) — or
+    * stop the query and run
+    * [[graft.api.Graft.corpusShardsRekeyedCompact]] by hand over the
+    * published MICRO-BATCH shards (exclude any `batch_id =`
+    * [[FlushBatchId]] partition — compaction flushes the final state's
+    * tails itself, so feeding it an already-[[closeShards]]-published
+    * flush would double them) + the newest keeper/shard state, to
+    * realize the supersessions ([[StreamingSpec]] pins the 3-batch
+    * stream ≡ the 3-delta batch loop, including a changed-content
+    * re-crawl). `alertSupersededFraction` logs, per batch, the streams
+    * whose superseded-token fraction crossed it — the signal to
+    * schedule that close; the writer itself stays strictly append-only.
+    * Single-producer ownership enforced as in the keyed loop.
     */
   def runCorpusShardsRekeyed(spark: SparkSession, inDir: String,
                              outDir: String, checkpoint: String,
@@ -640,7 +740,9 @@ object StreamingCorpus {
                                graft.api.Graft.RekeyPolicy.LatestWins,
                              ctxTokens: Int = 256, minTokens: Long = 50,
                              maxTokens: Long = 100000,
-                             salt: String = "ingest"): StreamingQuery = {
+                             salt: String = "ingest",
+                             alertSupersededFraction: Double = 0.5)
+      : StreamingQuery = {
     val srcCols = schema.fieldNames.toSeq
     acquireProducerLock(spark, s"$outDir/ingest", checkpoint)
     qualityGate(readDocStream(spark, inDir, schema), textCol, keyCol,
@@ -649,7 +751,7 @@ object StreamingCorpus {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         writeRekeyedCorpusShardBatch(batch.select(srcCols.map(col): _*),
           batchId, outDir, textCol, keyCol, streamCol, tok, ctxTokens,
-          salt, policy)
+          salt, policy, alertSupersededFraction)
       }
       .option("checkpointLocation", checkpoint)
       .start()

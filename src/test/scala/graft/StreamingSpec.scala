@@ -1250,6 +1250,55 @@ class StreamingSpec extends SparkSpec {
     assert(got2.exceptAll(got).count() == 0 &&
       got.exceptAll(got2).count() == 0,
       s"retried rekeyed micro-batch drifted: ${diff(got2, got)}")
+    // COMPACTION POLICY (r16). The pressure the per-batch alert logs is
+    // observable from the state, and the fixture's re-crawl crossed it
+    val unionR = r1.unionByName(r2).unionByName(r3)
+    val fr = G.corpusRekeyedSupersededFractions(streamState2, "lang")
+    assert(fr.filter(col("superseded_fraction") > 0).count() > 0,
+      "no stream shows supersession pressure — alert would never fire")
+    // a threshold ABOVE every stream's pressure compacts NOTHING: the
+    // affected streams keep their emitted shards + flushed tails
+    // verbatim (the append-only half of the split), diverging from the
+    // live replay exactly by the retained stale tokens
+    val emittedNow = spark.read.parquet(s"$outDir/shards")
+      .select(col("lang"), col("shard_id"), col("n_tokens"),
+        col("token_ids"))
+    val nothing = fp(G.corpusShardsRekeyedCompact(unionR, "text",
+      "ingest_id", "lang", tok, streamState2, emittedNow, 256,
+      minSupersededFraction = 1.1)).localCheckpoint(true)
+    val verbatim = fp(emittedNow.unionByName(
+      graft.ext.Packing.shardTokensFlush(streamState2.shards,
+        Seq("lang"), 256)))
+    assert(nothing.exceptAll(verbatim).count() == 0 &&
+      verbatim.exceptAll(nothing).count() == 0,
+      "an above-pressure threshold still rewrote a stream")
+    assert(nothing.exceptAll(expected).count() > 0 ||
+      expected.exceptAll(nothing).count() > 0,
+      "threshold control vacuous: verbatim equals the live replay")
+    // COMPACTION-ON-CLOSE: one call stop → flush → tail-only compact →
+    // publish; the final sink hash-matches the batch replay
+    val closed = fp(S.closeShardsRekeyed(spark, outDir, unionR, "text",
+      "lang", tok, ctxTokens = 256)).localCheckpoint(true)
+    assert(closed.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(closed).count() == 0,
+      s"closeShardsRekeyed diverged from the batch replay: " +
+        diff(closed, expected))
+    // repeated close recomputes from the same state and REPLACES
+    // shards_final identically — the threshold-crossing streams compact
+    // exactly once however often the close retries
+    val closedAgain = fp(S.closeShardsRekeyed(spark, outDir, unionR,
+      "text", "lang", tok, ctxTokens = 256))
+    assert(closedAgain.exceptAll(closed).count() == 0 &&
+      closed.exceptAll(closedAgain).count() == 0,
+      "repeated closeShardsRekeyed drifted")
+    // and the sink is fenced TERMINAL: a late micro-batch writer refuses
+    val eClosed = intercept[IllegalStateException] {
+      S.writeRekeyedCorpusShardBatch(gate(b3), 99L, outDir,
+        "text", "ukey", "lang", tok, ctxTokens = 256, salt = "ingest",
+        policy = P)
+    }
+    assert(eClosed.getMessage.contains("CLOSED"),
+      s"wrong failure mode: ${eClosed.getMessage}")
   }
 
   test("closeShards fences the sink TERMINAL: every micro-batch writer " +

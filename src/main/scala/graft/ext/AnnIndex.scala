@@ -748,7 +748,8 @@ object AnnIndex {
   def search(spark: SparkSession, dir: String, queries: DataFrame,
              idCol: String, vecCol: String, k: Int, nProbe: Int = 2,
              overfetch: Int = 3,
-             maxBucket: Int = Int.MaxValue): DataFrame = {
+             maxBucket: Int = Int.MaxValue,
+             allowedUids: Option[DataFrame] = None): DataFrame = {
     val root = currentRoot(spark, dir)
     val params = spark.read.parquet(s"$root/params").head()
     requireVersion(params, "params")
@@ -766,9 +767,22 @@ object AnnIndex {
         "left_anti")
       case None => codesAll
     }
+    // FILTERED retrieval — the metadata-filter every production vector
+    // store serves: ONE shared index (geometry learned on the full
+    // corpus), many filtered views. The allowlist restricts CANDIDATE
+    // MEMBERSHIP (one semi-join on the codes frame, same shape as the
+    // tombstone cut — the per-bucket cap and every downstream stage see
+    // only allowed rows, so k results come from the allowed set); the
+    // query side is never restricted. Oracled as q_ann_index_filtered.
+    val filtered = allowedUids match {
+      case Some(allow) => codes.join(
+        allow.select(col(allow.columns.head).as("uid")).distinct(),
+        Seq("uid"), "left_semi")
+      case None => codes
+    }
     Similarity.ivfPqResServe(
       spark.read.parquet(s"$root/centroids"),
-      codes,
+      filtered,
       spark.read.parquet(s"$root/vectors"),
       queries, idCol, vecCol, flatBooks, kSub, k, nProbe, overfetch,
       maxBucket)

@@ -1129,6 +1129,45 @@ class SimilaritySpec extends SparkSpec {
       s"wrong failure mode: ${eShadow.getMessage}")
   }
 
+  test("AnnIndex filtered search: the allowlist restricts candidate " +
+    "membership only — persisted path bit-equal to the in-plan twin, " +
+    "results a strict subset of the allowed uids, geometry shared") {
+    val A = graft.ext.AnnIndex
+    val emb = graft.io.Tables.embeddings(spark, TestSpark.sf0001)
+    val corpus = emb.filter(col("vec_id") % 2 === 0)
+    val queries = emb.filter(col("vec_id") % 4 === 1)
+      .select(col("vec_id"), col("embedding"))
+    val allow = corpus.filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id").as("uid"))
+    val bucketed = Similarity.kmeansBuckets(corpus, "vec_id", "embedding",
+      k = 8, iters = 2, bucketCol = "kb")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-annfilter").toString
+    A.build(bucketed, "vec_id", "embedding", "kb", dir, dim = 64)
+    val served = A.search(spark, dir, queries, "vec_id", "embedding",
+      k = 5, nProbe = 2, overfetch = 3, maxBucket = 40,
+      allowedUids = Some(allow))
+    // every neighbor is allowed — the filter is membership, not re-rank
+    assert(served.count() > 0)
+    assert(served.join(allow.select(col("uid").as("neighbor_id")),
+      Seq("neighbor_id"), "left_anti").isEmpty,
+      "a filtered search returned a disallowed uid")
+    // bit-equal to the q_ann_index_filtered in-plan twin (the oracle's
+    // subject): one shared geometry, codes semi-joined
+    val twin = graft.queries.NorthStarQueries
+      .defs("q_ann_index_filtered")(spark, TestSpark.sf0001)
+    assert(served.exceptAll(twin).count() == 0 &&
+      twin.exceptAll(served).count() == 0,
+      "persisted filtered search diverged from the twin")
+    // and the filter genuinely bites: the unfiltered search over the
+    // same index returns some disallowed neighbor
+    val unfiltered = A.search(spark, dir, queries, "vec_id", "embedding",
+      k = 5, nProbe = 2, overfetch = 3, maxBucket = 40)
+    assert(unfiltered.join(allow.select(col("uid").as("neighbor_id")),
+      Seq("neighbor_id"), "left_anti").count() > 0,
+      "filter control vacuous: the unfiltered search is already allowed-only")
+  }
+
   test("AnnIndex.supersede: superseded uids stop serving immediately, " +
     "count toward the staleness budget, rebuild purges them, and the " +
     "full rekey lifecycle is bit-equal to the q_ann_index_rekey twin") {

@@ -125,6 +125,11 @@ class ScaleAuditSpec extends SparkSpec {
         "driver-side pool/batch knobs differ (B=16, pool 64), so the " +
         "plan carries the same 1-row scalar attaches and broadcast " +
         "dictionary shape and nothing else"),
+    "q_ann_index_filtered" ->
+      ("q_ann_search's probe-stage centroid-codebook broadcast, " +
+        "inherited unchanged — the allowlist is ONE uid left-semi " +
+        "equi-join on the codes frame before the probe (the tombstone " +
+        "cut's shape); every candidate/re-rank join stays equi-key"),
     "q_ann_index_rekey" ->
       ("q_ann_search's probe-stage centroid-codebook broadcast, " +
         "inherited unchanged — the twin is the same index-parts + serve " +

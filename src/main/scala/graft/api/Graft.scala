@@ -312,6 +312,17 @@ object Graft {
     AnnIndex.rebuild(spark, dir, nBuckets = nBuckets,
       trainFraction = trainFraction)
 
+  /** POLICY-DRIVEN index maintenance — rebuild when measured drift
+    * (adds + tombstones over the build size) crosses the threshold,
+    * no-op below it; returns true iff a rebuild ran. The index-side
+    * twin of the rekeyed loop's compaction policy. See
+    * [[graft.ext.AnnIndex.maintain]].
+    */
+  def annIndexMaintain(spark: SparkSession, dir: String,
+                       maxDriftFraction: Double,
+                       nBuckets: Int = 0): Boolean =
+    AnnIndex.maintain(spark, dir, maxDriftFraction, nBuckets = nBuckets)
+
   /** LATEST-WINS identity for a persisted index — retire the uids of
     * re-embedded documents so their STALE vectors stop serving
     * immediately (the [[RekeyPolicy.LatestWins]] rule one layer down:
@@ -1366,10 +1377,29 @@ object Graft {
     * seen-key projection — serves [[RekeyPolicy.FirstWins]]' key cut
     * without shuffling history; None (the in-loop default) falls back
     * to a distinct over `keepers`.
+    *
+    * `superseded` — the ABSORB'S BY-PRODUCT, not part of the threaded
+    * state: the rows THIS delta retired under
+    * [[RekeyPolicy.LatestWins]], one per supersession event —
+    * `(keyCol, idCol, groupCol, superseded_by)` where `idCol` is the
+    * retired version's ingest id and `superseded_by` the accepted new
+    * version's. Delta-sized by construction (the supersede flip's own
+    * broadcast shape, so reading it costs one delta-sized join, not a
+    * history diff). This is the DOWNSTREAM-INVALIDATION feed: exactly
+    * the uid set a retrieval index must retire
+    * ([[annIndexSupersede]]) when the corpus moves — oracled as
+    * `q_rekey_supersessions`, coherence spec-pinned in ExtSpec (feeding
+    * it to the persisted index reproduces a fresh live index).
+    * Populated by every absorb (empty under FirstWins/KeepAll — nothing
+    * supersedes); None only on states not produced by an absorb (loads,
+    * hand-built). Not persisted by [[corpusRekeyedStateSave]] — consume
+    * it on the absorb cadence.
     */
   final case class KeyedCorpusShardsState(keepers: DataFrame,
                                           shards: DataFrame,
                                           keyIndex: Option[DataFrame] =
+                                            None,
+                                          superseded: Option[DataFrame] =
                                             None)
 
   /** The KEYED incremental production loop — [[corpusShardsDelta]] with
@@ -1510,6 +1540,22 @@ object Graft {
       case (_, Some(st)) => st.keepers
       case (_, None) => acceptedRows.limit(0)
     }
+    // the supersession EVENTS this absorb produced — the flip above as
+    // a delta-sized feed (retired id + the accepted id that retired it),
+    // for downstream invalidation (the retrieval index's supersede set).
+    // Same broadcast shape as the flip; empty for FirstWins/KeepAll and
+    // for the stateless first delta.
+    val supersededNow = (policy, state) match {
+      case (RekeyPolicy.LatestWins, Some(st)) =>
+        st.keepers.filter(col("kept") && col("live"))
+          .join(broadcast(acceptedRows.select(col(keyCol),
+            col(idCol).as("superseded_by"))), Seq(keyCol))
+          .select(col(keyCol), col(idCol), col(groupCol),
+            col("superseded_by"))
+      case _ =>
+        acceptedRows.select(col(keyCol), col(idCol), col(groupCol),
+          col(idCol).as("superseded_by")).limit(0)
+    }
     // a pre-r16 state has no n_tokens column: pad with nulls (the
     // compaction's tail-only path detects them and falls back to the
     // full re-chunk for those streams — never a wrong offset)
@@ -1538,7 +1584,11 @@ object Graft {
     // localCheckpoint semantics — they must never be unpersisted while
     // referenced, the truncated lineage cannot recompute them).
     (shards, KeyedCorpusShardsState(newKeepers.localCheckpoint(true),
-      newShardState.localCheckpoint(true)))
+      newShardState.localCheckpoint(true),
+      // lazy: the feed's lineage is bounded (prior state is already
+      // checkpointed + one delta-sized broadcast) and unconsumed feeds
+      // must cost zero — localCheckpointing it would add a job per absorb
+      superseded = Some(supersededNow)))
   }
 
   /** Per-stream supersession pressure of a keyed keeper state — the

@@ -136,6 +136,34 @@ object AnnIndex {
   private def tombstoneCount(spark: SparkSession, root: String): Long =
     readTombstones(spark, root).map(_.count()).getOrElse(0L)
 
+  /** How many of `uids` the CURRENT version's codes already hold — the
+    * delta-sized membership probe behind the streaming loop's
+    * exactly-once retry ([[graft.streaming.StreamingIndex]]): all
+    * present = a completed add's re-delivery (skip), none = a fresh
+    * delta (add). Bloom-prefiltered like [[add]]'s dup guard — uids the
+    * bloom excludes are definitely absent, only bloom-positive uids pay
+    * the exact confirm scan; a bloomless or type-mismatched index falls
+    * back to the exact scan.
+    */
+  private[graft] def knownUidCount(spark: SparkSession, dir: String,
+                                   uids: DataFrame, idCol: String): Long = {
+    val root = currentRoot(spark, dir)
+    val ids = uids.select(col(idCol).as("uid")).distinct()
+    val maybe = readBloom(spark, root) match {
+      case Some((bf, _, _, ut))
+          if uidTypeOf(ids.schema("uid").dataType).contains(ut) =>
+        val out = new java.io.ByteArrayOutputStream()
+        bf.writeTo(out)
+        ids.filter(ColumnBridge.column(BloomFilterMightContain(
+          Literal(out.toByteArray, BinaryType),
+          ColumnBridge.expression(bloomKey(ut, col("uid"))))))
+      case _ => ids
+    }
+    if (maybe.isEmpty) 0L
+    else spark.read.parquet(s"$root/codes").select(col("uid"))
+      .join(maybe, Seq("uid"), "left_semi").count()
+  }
+
   /** Learn and persist the index. The corpus must carry a coarse cell
     * column (from [[Similarity.kmeansBuckets]] or any bucketing).
     * Fails on an empty/all-null corpus — there is no codebook to learn.
@@ -732,6 +760,53 @@ object AnnIndex {
       else lit(null).cast("double")).as("drift_fraction"),
       (if (has("format_version")) col("format_version")
       else lit(0)).as("format_version"))
+  }
+
+  /** POLICY-DRIVEN maintenance — the index-side twin of the rekeyed
+    * loop's compaction policy knob ([[graft.api.Graft.corpusShardsRekeyedCompact]]'s
+    * `minSupersededFraction` / the streaming loop's per-batch alert):
+    * rebuild WHEN geometric drift crosses the threshold, no-op below it.
+    * Reads [[stats]]' `drift_fraction` = (n_added + n_tombstoned) /
+    * n_base — artifact-only, no vector/code payload scan — and runs
+    * [[rebuild]] exactly when `drift_fraction >= maxDriftFraction`,
+    * which purges tombstones and resets both budgets so the NEXT
+    * maintain is a no-op until drift re-accumulates (idempotent at the
+    * policy level). Returns true iff a rebuild ran.
+    *
+    * Deploy rule: call on the add/supersede cadence with
+    * `maxDriftFraction` strictly below the `maxAddedFraction` you pass
+    * to [[add]] — maintenance then always fires BEFORE the staleness
+    * guard starts refusing deltas (the guard stays the backstop, this
+    * is the scheduler). A pre-versioning index (no `n_base`) has no
+    * drift measure and refuses loudly rather than silently never
+    * rebuilding. The decision read runs outside the writer lock
+    * (rebuild takes it): two concurrent maintains both deciding to
+    * rebuild means the second fails fast on the `_WRITER` marker —
+    * single-writer, like every mutator here.
+    */
+  def maintain(spark: SparkSession, dir: String,
+               maxDriftFraction: Double, nBuckets: Int = 0,
+               iters: Int = 2, trainFraction: Double = 1.0,
+               pqIters: Int = 1): Boolean = {
+    require(maxDriftFraction > 0,
+      "AnnIndex.maintain: maxDriftFraction must be > 0 (the threshold " +
+        "at which drift triggers a rebuild)")
+    val st = stats(spark, dir).head()
+    require(!st.isNullAt(st.fieldIndex("drift_fraction")),
+      s"AnnIndex.maintain: $dir is a pre-versioning index with no " +
+        "n_base — drift is unmeasurable; rebuild explicitly (which " +
+        "stamps the version fields) or rebuild the index from its corpus")
+    val drift = st.getAs[Double]("drift_fraction")
+    if (drift >= maxDriftFraction) {
+      System.err.println(s"[annindex] $dir drift_fraction $drift >= " +
+        s"$maxDriftFraction — rebuilding (purges " +
+        s"${st.getAs[Long]("n_tombstoned")} tombstones, re-learns " +
+        s"geometry over ${st.getAs[Long]("n_base") +
+          st.getAs[Long]("n_added")} rows)")
+      rebuild(spark, dir, nBuckets = nBuckets, iters = iters,
+        trainFraction = trainFraction, pqIters = pqIters)
+      true
+    } else false
   }
 
   /** Serve queries from a persisted index — no learning, no corpus scan

@@ -224,6 +224,51 @@ object CorpusQueries {
         "text", "ingest_id", "label_weak")
     }
 
+  /** The rekey fixture ABSORBED: the three chained
+    * [[graft.api.Graft.corpusShardsDeltaRekeyed]] passes under
+    * LatestWins, memoized per (session, sfDir) exactly like
+    * [[rekeyReidDeltas]] — `q_corpus_shards_rekey` (shards + compaction)
+    * and `q_rekey_supersessions` (the per-delta supersession feed) are
+    * two faces of the SAME absorb chain, so the chain runs once per
+    * session. The states' keeper/shard frames are already
+    * localCheckpointed by the absorb (bounded lineage); the lazy
+    * `superseded` feeds recompute only their own delta-sized plans.
+    */
+  private val rekeyChainMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String,
+        (Seq[DataFrame], Seq[graft.api.Graft.KeyedCorpusShardsState])]]())
+
+  private def rekeyAbsorbed(s: SparkSession, dir: String)
+      : (Seq[DataFrame], Seq[graft.api.Graft.KeyedCorpusShardsState]) = {
+    val perSession = rekeyChainMemo.synchronized {
+      var m = rekeyChainMemo.get(s)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty
+        rekeyChainMemo.put(s, m)
+      }
+      m
+    }
+    perSession.synchronized(perSession.getOrElseUpdate(dir, {
+      val (r1, r2, r3) = rekeyReidDeltas(s, dir)
+      val model = nbModelRekey(s, dir)
+      val (merges, dict) = bpeTrained(s, dir)
+      val tok = Bpe.Tokenizer(merges, dict, Bpe.vocabIds(dict))
+      val G = graft.api.Graft
+      val P = G.RekeyPolicy.LatestWins
+      val (s1, st1) = G.corpusShardsDeltaRekeyed(r1, "text", "ingest_id",
+        "ukey", "lang", model, tok, state = None, policy = P,
+        minTokens = 10)
+      val (s2, st2) = G.corpusShardsDeltaRekeyed(r2, "text", "ingest_id",
+        "ukey", "lang", model, tok, state = Some(st1), policy = P,
+        minTokens = 10)
+      val (s3, st3) = G.corpusShardsDeltaRekeyed(r3, "text", "ingest_id",
+        "ukey", "lang", model, tok, state = Some(st2), policy = P,
+        minTokens = 10)
+      (Seq(s1, s2, s3), Seq(st1, st2, st3))
+    }))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Learned BPE merge table: the distributed trainer's argmax sequence
@@ -585,20 +630,10 @@ object CorpusQueries {
     // day-two production semantics, end-to-end inside the hash gate.
     "q_corpus_shards_rekey" -> ((s, dir) => {
       val (r1, r2, r3) = rekeyReidDeltas(s, dir)
-      val model = nbModelRekey(s, dir)
       val (merges, dict) = bpeTrained(s, dir)
       val tok = Bpe.Tokenizer(merges, dict, Bpe.vocabIds(dict))
       val G = graft.api.Graft
-      val P = G.RekeyPolicy.LatestWins
-      val (s1, st1) = G.corpusShardsDeltaRekeyed(r1, "text", "ingest_id",
-        "ukey", "lang", model, tok, state = None, policy = P,
-        minTokens = 10)
-      val (s2, st2) = G.corpusShardsDeltaRekeyed(r2, "text", "ingest_id",
-        "ukey", "lang", model, tok, state = Some(st1), policy = P,
-        minTokens = 10)
-      val (s3, st3) = G.corpusShardsDeltaRekeyed(r3, "text", "ingest_id",
-        "ukey", "lang", model, tok, state = Some(st2), policy = P,
-        minTokens = 10)
+      val (Seq(s1, s2, s3), Seq(_, _, st3)) = rekeyAbsorbed(s, dir)
       G.corpusShardsRekeyedCompact(
           r1.unionByName(r2).unionByName(r3), "text", "ingest_id",
           "lang", tok, st3,
@@ -607,6 +642,24 @@ object CorpusQueries {
           md5(array_join(transform(col("token_ids"),
             i => i.cast("string")), ",")).as("ids_md5"))
         .orderBy(col("lang"), col("shard_id"))
+    }),
+
+    // The DOWNSTREAM-INVALIDATION feed of the latest-wins loop: the
+    // per-delta supersession EVENTS (retired ingest id + the accepted id
+    // that retired it) that every derived artifact — above all the
+    // retrieval index (Graft.annIndexSupersede) — must replay to stay
+    // coherent with the corpus. Emitted as a delta-sized by-product of
+    // each absorb (KeyedCorpusShardsState.superseded, the supersede
+    // flip's own broadcast shape); the oracle replays the rule globally:
+    // an accepted version is superseded by the NEXT accepted version of
+    // its key. ExtSpec pins the coherence end-to-end (feeding this feed
+    // to the persisted ANN index reproduces a fresh live index).
+    "q_rekey_supersessions" -> ((s, dir) => {
+      val (_, states) = rekeyAbsorbed(s, dir)
+      states.map(_.superseded.get).reduce(_ unionByName _)
+        .select(col("ukey"), col("lang"),
+          col("ingest_id").as("superseded_id"), col("superseded_by"))
+        .orderBy(col("superseded_id"))
     }),
 
     // Span-level corpus dedup: every doc loses spans whose corpus document
@@ -1144,8 +1197,11 @@ object CorpusQueries {
          |)""".stripMargin) +
     ",\n" +
     // concatenated AFTER stripMargin: the trainer chain has continuation
-    // lines starting with `||`, which a second stripMargin would mangle
-    bpeChain.stripPrefix("WITH ") + ",\n" +
+    // lines starting with `||`, which a second stripMargin would mangle.
+    // Empty = the tail needs no tokenizer (q_rekey_supersessions reads
+    // keeper events, not tokens) — skip the splice entirely
+    (if (bpeChain.isEmpty) ""
+     else bpeChain.stripPrefix("WITH ") + ",\n") +
     tailOverride.getOrElse(
       s"""ws AS MATERIALIZED (
          |  SELECT t0.lang, t0.doc_id,
@@ -1307,6 +1363,26 @@ object CorpusQueries {
       nbOnGopherSurvivors = false, mixture = false, bpeCtes(BpeMerges),
       s"d$BpeMerges",
       Some(shardsOracleTail(restrict = Some("lv"), docsSrc = "rd")),
+      rekeyLatest = true),
+
+    // supersession events = accepted versions (gc) with a LATER accepted
+    // version of the same key; superseded_by = the earliest such. No
+    // tokenizer CTEs — the feed reads keeper events, not tokens.
+    "q_rekey_supersessions" -> corpusOracleChain(
+      nbOnGopherSurvivors = false, mixture = false, bpeChain = "",
+      dictCte = "",
+      Some(
+        """sup AS (
+          |  SELECT t0.ukey, t0.lang, gc.doc_id AS superseded_id,
+          |    (SELECT min(g2.doc_id)
+          |     FROM gc g2 JOIN t0 t2 ON g2.doc_id = t2.doc_id
+          |     WHERE t2.ukey = t0.ukey AND g2.doc_id > gc.doc_id)
+          |      AS superseded_by
+          |  FROM gc JOIN t0 USING (doc_id)
+          |)
+          |SELECT ukey, lang, superseded_id, superseded_by
+          |FROM sup WHERE superseded_by IS NOT NULL
+          |ORDER BY superseded_id""".stripMargin),
       rekeyLatest = true),
   ) ++ tailOracles
 

@@ -760,7 +760,7 @@ object StreamingCorpus {
   /** Delete all but the 3 newest `v=<n>` state versions under `dir` —
     * only the newest below the current batch is ever read again.
     */
-  private def pruneVersions(spark: SparkSession, dir: String): Unit = {
+  private[graft] def pruneVersions(spark: SparkSession, dir: String): Unit = {
     val sPath = new org.apache.hadoop.fs.Path(dir)
     val fs = sPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(sPath)) {

@@ -75,4 +75,172 @@ object StreamingIndex {
            vecCol: String, k: Int, maxBucket: Int = 4096): DataFrame =
     Similarity.bucketedNN(spark.read.parquet(indexDir), idCol, vecCol,
       "cell", k = k, maxBucket = maxBucket)
+
+  /** One micro-batch of the PERSISTED-index loop
+    * ([[runPersistedIndexLoop]]): absorb an embedding delta into a
+    * [[graft.ext.AnnIndex]] under LATEST-WINS key identity — the
+    * one-layer-down streaming twin of
+    * [[StreamingCorpus.runCorpusShardsRekeyed]]'s supersession, applied
+    * to the retrieval index instead of the shard stream. Each batch
+    * carries `(keyCol, uidCol, vecCol)` rows where `uidCol` is the NEW
+    * uid of this embedding (the corpus ingest id in the coherent
+    * composition — [[graft.api.Graft.KeyedCorpusShardsState]]'s
+    * `superseded` scaladoc); a re-delivered key's previous live uid
+    * (tracked in the batchId-versioned `indexDir/keymap` state) is
+    * SUPERSEDED so its stale vector stops serving immediately, and the
+    * new vector enters under the frozen geometry via
+    * [[graft.ext.AnnIndex.add]].
+    *
+    * EXACTLY-ONCE: the keymap version `keymap/v=<batchId>` is the
+    * batch's commit marker, written LAST — a re-delivered batch whose
+    * marker exists skips entirely. A retry of a PARTIALLY-applied batch
+    * converges: supersede is idempotent (tombstone set semantics), the
+    * add step skips when every batch uid is already coded (the
+    * completed-add retry, detected by the bloom-prefiltered membership
+    * probe) and otherwise re-enters [[graft.ext.AnnIndex.add]], whose
+    * own orphan reconciliation / duplicate guard either completes the
+    * torn write or refuses loudly. The drift-policy rebuild
+    * (`maintainDrift` > 0 → [[graft.ext.AnnIndex.maintain]]) runs ONLY
+    * after the marker commits: a rebuild physically purges superseded
+    * rows, so running it before the marker would strand a retry whose
+    * supersede targets no longer exist.
+    *
+    * Guards (all loud, delta-sized probes): keys must be unique and
+    * non-null within the batch; a re-delivered key must arrive under a
+    * NEW uid — re-using the retired uid would tombstone the very row
+    * the add step then refuses as a duplicate.
+    */
+  private[graft] def writeIndexBatch(batch: DataFrame, batchId: Long,
+                                     indexDir: String, keyCol: String,
+                                     uidCol: String, vecCol: String,
+                                     maxAddedFraction: Double,
+                                     maintainDrift: Double): Unit = {
+    val spark = batch.sparkSession
+    val A = graft.ext.AnnIndex
+    val keymapDir = s"$indexDir/keymap"
+    // keymap versions are OFFSET BY ONE (batch B owns v=B+1): v=0 is the
+    // build-time seed slot ([[seedIndexKeymap]]) — the initial corpus's
+    // key→uid rows, so re-deliveries of BUILT keys supersede too, not
+    // only re-deliveries of streamed ones. Every version is the complete
+    // map (carry-forward below), so pruning old versions loses nothing.
+    val vNum = batchId + 1
+    val vPath = new org.apache.hadoop.fs.Path(s"$keymapDir/v=$vNum")
+    val fs = vPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(vPath)) return // completed batch re-delivered: skip
+    val kProbe = batch.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__c"))
+      .agg(max(col("__c")).as("__mx"),
+        max(when(col(keyCol).isNull, 1).otherwise(0)).as("__nn"),
+        count(lit(1)).as("__k"))
+      .head()
+    require(kProbe.isNullAt(1) || kProbe.getInt(1) == 0,
+      s"graft index loop: $keyCol carries NULLs — a null key has no " +
+        "identity to supersede under; drop or repair those rows first")
+    require(kProbe.isNullAt(0) || kProbe.getLong(0) <= 1L,
+      s"graft index loop: $keyCol is not unique within the batch — two " +
+        "embeddings per key would race the latest-wins keymap; dedup " +
+        "the batch by key first")
+    val delta = batch.select(col(keyCol).as("key"), col(uidCol).as("uid"),
+        col(vecCol).as("vec"))
+      .transform(graft.ext.CacheScope.cache)
+    val prior = StreamingCorpus.latestShardState(spark, keymapDir, vNum)
+    val n = delta.count()
+    if (n > 0) {
+      // the re-delivered keys' previous live uids — delta-sized via the
+      // broadcast semi-join against the batch's keys
+      val old = prior.map(_.join(broadcast(delta.select(col("key"))),
+          Seq("key")).transform(graft.ext.CacheScope.cache))
+      old.foreach { o =>
+        require(o.join(delta.select(col("key"), col("uid")),
+            Seq("key", "uid"), "left_semi").isEmpty,
+          "graft index loop: a re-delivered key re-uses its previous " +
+            "live uid — a re-embedded key must enter under a NEW uid " +
+            "(the corpus ingest-id contract); superseding the old uid " +
+            "would tombstone the very row the add step then refuses as " +
+            "a duplicate")
+        if (!o.isEmpty)
+          A.supersede(spark, indexDir, o.select(col("uid")), "uid")
+      }
+      // add, retry-convergent: all-coded = completed re-delivery (skip);
+      // none = fresh delta; a strict subset re-enters add(), whose dup
+      // guard adjudicates the torn state loudly
+      val known = A.knownUidCount(spark, indexDir,
+        delta.select(col("uid")), "uid")
+      if (known < n)
+        A.add(spark, indexDir,
+          delta.select(col("uid").as(uidCol), col("vec").as(vecCol)),
+          uidCol, vecCol, maxAddedFraction)
+    }
+    // keymap: carry forward unaffected keys, replace re-delivered ones;
+    // the overwrite to v=<batchId> is the batch's commit marker
+    val carried = prior.map(_.join(broadcast(delta.select(col("key"))),
+        Seq("key"), "left_anti"))
+      .getOrElse(delta.select(col("key"), col("uid")).limit(0))
+    carried.unionByName(delta.select(col("key"), col("uid")))
+      .write.mode("overwrite").parquet(s"$keymapDir/v=$vNum")
+    StreamingCorpus.pruneVersions(spark, keymapDir)
+    if (maintainDrift > 0)
+      A.maintain(spark, indexDir, maintainDrift)
+  }
+
+  /** Seed the loop's keymap with the BUILD-TIME corpus's key→uid rows
+    * (the `v=0` slot — batch versions start at v=1): without it the
+    * loop can only supersede keys it streamed itself, and a re-crawl of
+    * a built document would leave the built vector serving forever.
+    * Call once, between [[graft.ext.AnnIndex.build]] and
+    * [[runPersistedIndexLoop]]; refuses if the keymap already exists
+    * (seeding under a live loop would race the batch versioning).
+    */
+  def seedIndexKeymap(spark: SparkSession, indexDir: String,
+                      keys: DataFrame, keyCol: String,
+                      uidCol: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/keymap")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(p),
+      s"seedIndexKeymap: $indexDir/keymap already exists — the seed is " +
+        "the PRE-LOOP slot; seeding a live loop would race its batch " +
+        "versioning. Start a new indexDir, or let the loop carry on")
+    keys.select(col(keyCol).as("key"), col(uidCol).as("uid"))
+      .write.mode("errorifexists").parquet(s"$indexDir/keymap/v=0")
+  }
+
+  /** End-to-end STREAMING maintenance of a persisted
+    * [[graft.ext.AnnIndex]] — watch `inDir` for embedding deltas and
+    * absorb each micro-batch via [[writeIndexBatch]]: supersede
+    * re-delivered keys' stale vectors, add the new ones under the
+    * frozen geometry, and (optionally) rebuild when measured drift
+    * crosses `maintainDrift` — the retrieval tier of the continuous
+    * corpus loop, kept coherent without a nightly full re-index.
+    * Searches serve concurrently throughout ([[graft.ext.AnnIndex.search]]
+    * takes no lock; it resolves the newest committed version per call).
+    *
+    * The index must already exist (built once from the initial corpus —
+    * [[graft.ext.AnnIndex.build]]); the loop maintains it. Seed the
+    * keymap with the built keys first ([[seedIndexKeymap]]) so
+    * re-crawls of BUILT documents supersede too. Single
+    * producer per `indexDir`, ENFORCED via the `_OWNER` checkpoint-
+    * identity lock ([[StreamingCorpus.acquireProducerLock]]): the
+    * keymap's batchId versioning — and add/supersede retry convergence
+    * — are single-writer by construction (a manual rebuild between a
+    * crashed batch and its retry would purge the supersede targets the
+    * retry expects; the ownership rule makes that a deliberate
+    * takeover, not an accident).
+    */
+  def runPersistedIndexLoop(spark: SparkSession, inDir: String,
+                            indexDir: String, checkpoint: String,
+                            schema: StructType, keyCol: String,
+                            uidCol: String, vecCol: String,
+                            maxAddedFraction: Double = 2.0,
+                            maintainDrift: Double = 0.0,
+                            maxFilesPerTrigger: Int = 64): StreamingQuery = {
+    StreamingCorpus.acquireProducerLock(spark, indexDir, checkpoint)
+    readEmbeddingStream(spark, inDir, schema, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeIndexBatch(batch, batchId, indexDir, keyCol, uidCol, vecCol,
+          maxAddedFraction, maintainDrift)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
 }

@@ -433,6 +433,81 @@ class ApiSpec extends SparkSpec {
     assert(two.count() > 0, "the reid composition produced no packs")
   }
 
+  test("KeyedCorpusShardsState.superseded: the per-delta supersession " +
+    "feed equals the batch replay's supersede pairs — empty for the " +
+    "stateless first delta and for FirstWins/KeepAll") {
+    import graft.ext.{Bpe, Dedup, NbClassifier, Sampling,
+      TextAnalysis => TA}
+    val G = Graft
+    def uk(d: org.apache.spark.sql.DataFrame) =
+      d.withColumn("ukey",
+        concat(lit("u-"), reverse(col("doc_id").cast("string"))))
+        .drop("doc_id")
+    val d1 = uk(docs.filter(col("doc_id") < 200))
+    val d2 = uk(docs.filter(col("doc_id") >= 200)).unionByName(
+      uk(docs.filter(col("doc_id") < 200 && col("doc_id") % 29 === 5)
+        .withColumn("text", concat(col("text"), lit(" fresh revision")))))
+    val (r1, b1) = G.withIngestIds(d1, "ukey")
+    val (r2, _) = G.withIngestIds(d2, "ukey", base = b1)
+    val union = r1.unionByName(r2)
+    val labeled = TA.withTokenStats(union, "text")
+      .withColumn("label_weak",
+        round(TA.qualityScore(col("n_tokens"), col("token_chars"),
+          col("n_punct"), col("n_stopwords")) + lit(1e-9), 4) >= 0.5)
+      .select(col("ingest_id"), col("ukey"), col("text"),
+        col("label_weak"))
+    val model = NbClassifier.train(
+      labeled.filter(Sampling.hashBucket(col("ukey"), "graft") < 80),
+      "text", "ingest_id", "label_weak")
+    val (merges, dict) = G.bpeTrain(docs, "text", nMerges = 4)
+    val tok = Bpe.Tokenizer(merges, dict, Bpe.vocabIds(dict))
+    def absorb(p: G.RekeyPolicy)
+        : (G.KeyedCorpusShardsState, G.KeyedCorpusShardsState) = {
+      val (_, st1) = G.corpusShardsDeltaRekeyed(r1, "text", "ingest_id",
+        "ukey", "lang", model, tok, state = None, policy = p,
+        minTokens = 10)
+      val (_, st2) = G.corpusShardsDeltaRekeyed(r2, "text", "ingest_id",
+        "ukey", "lang", model, tok, state = Some(st1), policy = p,
+        minTokens = 10)
+      (st1, st2)
+    }
+    val (st1, st2) = absorb(G.RekeyPolicy.LatestWins)
+    assert(st1.superseded.nonEmpty && st2.superseded.nonEmpty,
+      "every absorb must populate the feed")
+    assert(st1.superseded.get.isEmpty,
+      "the stateless first delta cannot supersede anything")
+    val feed = st2.superseded.get
+    assert(feed.columns.toSeq ==
+      Seq("ukey", "ingest_id", "lang", "superseded_by"),
+      s"feed schema drifted: ${feed.columns.toSeq}")
+    // batch replay of the rule: among ACCEPTED versions (gate + global
+    // min-id digest keeper), every version with a later accepted version
+    // of the same key is superseded BY the earliest such
+    val gated = graft.streaming.StreamingCorpus.qualityGate(union, "text",
+        "ingest_id", model, minTokens = 10)
+      .select(union.columns.map(col): _*)
+    val acc = gated.join(Dedup.exactGroups(gated, "text", "ingest_id")
+      .select(col("keeper_id").as("ingest_id")), Seq("ingest_id"),
+      "left_semi")
+    val exp = acc.as("a").join(acc.as("b"),
+        col("a.ukey") === col("b.ukey") &&
+          col("a.ingest_id") < col("b.ingest_id"))
+      .groupBy(col("a.ukey").as("ukey"),
+        col("a.ingest_id").as("ingest_id"), col("a.lang").as("lang"))
+      .agg(min(col("b.ingest_id")).as("superseded_by"))
+    assert(feed.count() > 0, "the fixture must supersede something")
+    assert(feed.exceptAll(exp).count() == 0 &&
+      exp.exceptAll(feed).count() == 0,
+      "the supersession feed diverged from the batch replay's pairs")
+    // policies that never supersede emit empty feeds — the consumer can
+    // wire the invalidation unconditionally
+    for (p <- Seq(G.RekeyPolicy.FirstWins, G.RekeyPolicy.KeepAll)) {
+      val (s1, s2) = absorb(p)
+      assert(s1.superseded.get.isEmpty && s2.superseded.get.isEmpty,
+        s"$p must never supersede")
+    }
+  }
+
   test("corpusShardsDeltaRekeyed: latest-wins supersedes a re-crawled " +
     "key's old version, first-wins drops the re-crawl, keep-all keeps " +
     "both — each equal to its batch replay") {

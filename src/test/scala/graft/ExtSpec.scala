@@ -1277,6 +1277,153 @@ class SimilaritySpec extends SparkSpec {
       "persisted supersede+rebuild lifecycle diverged from the twin")
   }
 
+  test("AnnIndex.maintain: no-op below the drift threshold, rebuilds at " +
+    "it (purging tombstones, resetting budgets), idempotent after") {
+    val A = graft.ext.AnnIndex
+    val emb = graft.io.Tables.embeddings(spark, TestSpark.sf0001)
+    val built = emb.filter(col("vec_id") % 3 === 0)
+    val bucketed = Similarity.kmeansBuckets(built, "vec_id", "embedding",
+      k = 8, iters = 2, bucketCol = "kb")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-annmaintain").toString
+    A.build(bucketed, "vec_id", "embedding", "kb", dir, dim = 64)
+    // threshold must be a real policy knob — 0 would rebuild always
+    val eZero = intercept[IllegalArgumentException] {
+      A.maintain(spark, dir, 0.0)
+    }
+    assert(eZero.getMessage.contains("maxDriftFraction"),
+      s"wrong failure mode: ${eZero.getMessage}")
+    // zero drift: any positive threshold is a no-op — same version
+    assert(!A.maintain(spark, dir, 0.01), "maintain rebuilt at zero drift")
+    assert(A.currentRoot(spark, dir) == dir,
+      "a no-op maintain must not publish a version")
+    // accumulate drift: adds + a supersede
+    val added = emb.filter(col("vec_id") % 3 === 1)
+      .limit((built.count() / 4).toInt)
+    A.add(spark, dir, added, "vec_id", "embedding")
+    val retire = built.limit(5).select(col("vec_id"))
+    A.supersede(spark, dir, retire, "vec_id")
+    val drift = A.stats(spark, dir).head().getAs[Double]("drift_fraction")
+    assert(drift > 0)
+    // strictly above the measured drift: still a no-op
+    assert(!A.maintain(spark, dir, drift + 0.1))
+    assert(A.currentRoot(spark, dir) == dir)
+    // at/below the measured drift: exactly one rebuild — tombstones
+    // physically purged, both budgets reset
+    assert(A.maintain(spark, dir, drift))
+    assert(A.currentRoot(spark, dir) == s"$dir/r=1",
+      "maintain must publish the rebuild's committed version")
+    val st = A.stats(spark, dir).head()
+    assert(st.getAs[Long]("n_tombstoned") == 0L &&
+      st.getAs[Long]("n_added") == 0L &&
+      st.getAs[Double]("drift_fraction") == 0.0,
+      "rebuild-via-maintain must reset the drift budgets")
+    assert(spark.read.parquet(s"$dir/r=1/codes")
+      .join(retire.select(col("vec_id").as("uid")), Seq("uid"),
+        "left_semi").isEmpty,
+      "maintain's rebuild kept a tombstoned row")
+    // the policy is idempotent: drift is 0 again, the same threshold
+    // no-ops until drift re-accumulates
+    assert(!A.maintain(spark, dir, drift))
+    assert(A.currentRoot(spark, dir) == s"$dir/r=1")
+  }
+
+  test("corpus→index coherence: the rekeyed loop's supersession feed " +
+    "plus its accepted deltas drive the persisted index to exactly the " +
+    "fresh-live-index state") {
+    val G = graft.api.Graft
+    val A = graft.ext.AnnIndex
+    import graft.ext.{Bpe, NbClassifier, Sampling, TextAnalysis => TA}
+    val docs = graft.io.Tables.documents(spark, TestSpark.sf0001)
+    // the ApiSpec rekey fixture shape: delta 2 re-delivers every
+    // doc_id % 29 == 5 key below 300 with CHANGED content plus fresh keys
+    def uk(d: org.apache.spark.sql.DataFrame) =
+      d.withColumn("ukey",
+        concat(lit("u-"), reverse(col("doc_id").cast("string"))))
+        .drop("doc_id")
+    val d1 = uk(docs.filter(col("doc_id") < 300))
+    val d2 = uk(docs.filter(col("doc_id") >= 300)).unionByName(
+      uk(docs.filter(col("doc_id") < 300 && col("doc_id") % 29 === 5)
+        .withColumn("text", concat(col("text"), lit(" fresh revision")))))
+    val (r1, b1) = G.withIngestIds(d1, "ukey")
+    val (r2, _) = G.withIngestIds(d2, "ukey", base = b1)
+    val union = r1.unionByName(r2)
+    val labeled = TA.withTokenStats(union, "text")
+      .withColumn("label_weak",
+        round(TA.qualityScore(col("n_tokens"), col("token_chars"),
+          col("n_punct"), col("n_stopwords")) + lit(1e-9), 4) >= 0.5)
+      .select(col("ingest_id"), col("ukey"), col("text"),
+        col("label_weak"))
+    val model = NbClassifier.train(
+      labeled.filter(Sampling.hashBucket(col("ukey"), "graft") < 80),
+      "text", "ingest_id", "label_weak")
+    val (merges, dict) = G.bpeTrain(docs, "text", nMerges = 4)
+    val tok = Bpe.Tokenizer(merges, dict, Bpe.vocabIds(dict))
+    val P = G.RekeyPolicy.LatestWins
+    val (_, st1) = G.corpusShardsDeltaRekeyed(r1, "text", "ingest_id",
+      "ukey", "lang", model, tok, state = None, policy = P,
+      minTokens = 10)
+    val (_, st2) = G.corpusShardsDeltaRekeyed(r2, "text", "ingest_id",
+      "ukey", "lang", model, tok, state = Some(st1), policy = P,
+      minTokens = 10)
+    // deterministic per-document embeddings keyed by the ingest id —
+    // the embedding service of the coherent composition
+    def embOf(ids: org.apache.spark.sql.DataFrame) =
+      ids.select(col("ingest_id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          j => pmod(xxhash64(col("ingest_id"), j), lit(1000L))
+            .cast("double") / lit(500.0) - lit(1.0)).as("embedding"))
+    // build over delta 1's LIVE set
+    val live1 = st1.keepers.filter(col("kept") && col("live"))
+      .select(col("ingest_id"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cohidx").toString
+    A.build(Similarity.kmeansBuckets(embOf(live1), "vec_id", "embedding",
+        k = 8, iters = 2, bucketCol = "kb"),
+      "vec_id", "embedding", "kb", dir, dim = 64)
+    // maintenance driven ONLY by the state's by-products: add delta 2's
+    // accepted versions, supersede the feed's retired ids
+    val acc2 = st2.keepers.filter(col("kept") && col("ingest_id") > b1)
+      .select(col("ingest_id"))
+    A.add(spark, dir, embOf(acc2), "vec_id", "embedding")
+    val feed = st2.superseded.get
+    assert(feed.count() > 0, "the fixture must supersede something")
+    assert(st1.superseded.get.isEmpty,
+      "the stateless first delta cannot supersede")
+    A.supersede(spark, dir,
+      feed.select(col("ingest_id").as("vec_id")), "vec_id")
+    A.rebuild(spark, dir, nBuckets = 8, iters = 2)
+    // the coherence invariant: the index's uid set IS the corpus's live
+    // id set — nothing stale serves, nothing live is missing
+    val live2 = st2.keepers.filter(col("kept") && col("live"))
+      .select(col("ingest_id"))
+    val idxUids = spark.read.parquet(
+      s"${A.currentRoot(spark, dir)}/vectors").select(col("uid"))
+    assert(idxUids.exceptAll(live2.select(col("ingest_id").as("uid")))
+      .isEmpty &&
+      live2.select(col("ingest_id").as("uid")).exceptAll(idxUids).isEmpty,
+      "index uid set diverged from the corpus live set")
+    // and the maintained index SERVES bit-equal to a fresh index built
+    // over the live embeddings (the q_ann_index_rekey equality, here
+    // driven end-to-end by the corpus state instead of a hand-built set)
+    val dirF = java.nio.file.Files
+      .createTempDirectory("graft-cohidx-fresh").toString
+    val unitLive = embOf(live2).select(col("vec_id"),
+      Similarity.unitVec(col("embedding")).as("embedding"))
+    A.build(Similarity.kmeansBuckets(unitLive, "vec_id", "embedding",
+        k = 8, iters = 2, bucketCol = "kb"),
+      "vec_id", "embedding", "kb", dirF, dim = 64)
+    val panel = embOf(live2.limit(25)
+      .select((col("ingest_id") + 7000000L).as("ingest_id")))
+    val served = A.search(spark, dir, panel, "vec_id", "embedding",
+      k = 5, nProbe = 2, overfetch = 3, maxBucket = 4096)
+    val fresh = A.search(spark, dirF, panel, "vec_id", "embedding",
+      k = 5, nProbe = 2, overfetch = 3, maxBucket = 4096)
+    assert(served.exceptAll(fresh).count() == 0 &&
+      fresh.exceptAll(served).count() == 0,
+      "corpus-driven index maintenance diverged from the fresh live index")
+  }
+
   test("PqResAdcCosine: reconstruction identity, null contracts") {
     import graft.functions.PqFunctions.graft_pq_res_adc_cosine
     // m=2 subspaces of 2 dims, kSub=2: books row-major (kSub x dsub flat)

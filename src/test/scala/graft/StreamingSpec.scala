@@ -574,6 +574,129 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming persisted-index loop: latest-wins add/supersede per " +
+    "micro-batch, exactly-once on retry, drift-policy rebuild after " +
+    "the marker") {
+    val A = graft.ext.AnnIndex
+    val SI = graft.streaming.StreamingIndex
+    val SC = graft.streaming.StreamingCorpus
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val vd = col("embedding").cast("array<double>")
+    def keyedRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(concat(lit("k-"), col("vec_id")).as("key"),
+        col("vec_id"), vd.as("embedding"))
+    // build-time corpus: the even half, keyed k-<vec_id>
+    val built = emb.filter(col("vec_id") % 2 === 0)
+    val indexDir = Files.createTempDirectory("graft-idxloop").toString +
+      "/idx"
+    A.build(graft.ext.Similarity.kmeansBuckets(built, "vec_id",
+        "embedding", k = 8, iters = 2, bucketCol = "kb"),
+      "vec_id", "embedding", "kb", indexDir, dim = 64)
+    SI.seedIndexKeymap(spark, indexDir, keyedRows(built), "key", "vec_id")
+    // seeding a live keymap refuses — the slot is pre-loop only
+    val eSeed = intercept[IllegalArgumentException] {
+      SI.seedIndexKeymap(spark, indexDir, keyedRows(built), "key",
+        "vec_id")
+    }
+    assert(eSeed.getMessage.contains("already exists"))
+    val inDir = Files.createTempDirectory("graft-idxloop-in").toString
+    val ckpt = Files.createTempDirectory("graft-idxloop-ckpt").toString
+    // batch 0: fresh keys; batch 1: RE-EMBEDS of built keys (reversed
+    // vectors = changed content) under shifted NEW uids
+    val fresh = keyedRows(emb.filter(col("vec_id") % 4 === 1))
+    val off = 9000000L
+    val reembeds = emb.filter(col("vec_id") % 8 === 0)
+      .select(concat(lit("k-"), col("vec_id")).as("key"),
+        (col("vec_id") + off).as("vec_id"),
+        reverse(vd).as("embedding"))
+    val oldUids = emb.filter(col("vec_id") % 8 === 0).select(col("vec_id"))
+    fresh.write.parquet(s"$inDir/d1")
+    val q = SI.runPersistedIndexLoop(spark, s"$inDir/*", indexDir, ckpt,
+      fresh.schema, "key", "vec_id", "embedding")
+    try {
+      q.processAllAvailable()
+      assert(A.stats(spark, indexDir).head()
+        .getAs[Long]("n_tombstoned") == 0L,
+        "fresh keys must not supersede anything")
+      reembeds.write.parquet(s"$inDir/d2")
+      q.processAllAvailable()
+    } finally q.stop()
+    // the re-embedded keys' OLD vectors retired the moment the batch
+    // landed; the new ones serve
+    val nTomb = A.stats(spark, indexDir).head().getAs[Long]("n_tombstoned")
+    assert(nTomb == oldUids.count(),
+      s"expected ${oldUids.count()} tombstones, got $nTomb")
+    val panel = emb.limit(30)
+      .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"))
+    val served = A.search(spark, indexDir, panel, "vec_id", "embedding",
+      k = 5, nProbe = 2, maxBucket = 4096)
+    assert(served.count() > 0)
+    assert(served.join(oldUids.select(col("vec_id").as("neighbor_id")),
+      Seq("neighbor_id"), "left_semi").isEmpty,
+      "a corpus-superseded uid still serves from the index")
+    // the keymap maps every re-embedded key to its NEW uid and carries
+    // every other key forward
+    val km = SC.latestShardState(spark, s"$indexDir/keymap").get
+    assert(km.count() == built.count() + fresh.count(),
+      "keymap must hold exactly one live uid per key ever seen")
+    val reKm = km.join(reembeds.select(col("key")), Seq("key"),
+      "left_semi")
+    assert(reKm.count() == reembeds.count() &&
+      reKm.filter(col("uid") < off).isEmpty,
+      "a re-embedded key still maps to its retired uid")
+    // EXACTLY-ONCE: a completed batch re-delivered (same batchId) is a
+    // no-op — the keymap version is its commit marker
+    val stBefore = A.stats(spark, indexDir).head().toSeq
+    SI.writeIndexBatch(reembeds, 1L, indexDir, "key", "vec_id",
+      "embedding", 2.0, 0.0)
+    assert(A.stats(spark, indexDir).head().toSeq == stBefore,
+      "re-delivering a committed batch mutated the index")
+    // retry of a PARTIALLY-applied batch converges: drop the marker
+    // (keymap v=2 — batch 1 owns it) and replay — supersede is
+    // idempotent, the add skips (all uids coded), the keymap rewrites
+    // identically
+    val kmBefore = km.orderBy(col("key")).collect().toSeq
+    val fs = new org.apache.hadoop.fs.Path(s"$indexDir/keymap/v=2")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/keymap/v=2"), true)
+    SI.writeIndexBatch(reembeds, 1L, indexDir, "key", "vec_id",
+      "embedding", 2.0, 0.0)
+    assert(A.stats(spark, indexDir).head().toSeq == stBefore,
+      "the partial-batch retry drifted the index state")
+    val kmAfter = SC.latestShardState(spark, s"$indexDir/keymap").get
+      .orderBy(col("key")).collect().toSeq
+    assert(kmAfter == kmBefore, "the retry rewrote a different keymap")
+    // a re-delivered key re-using its RETIRED uid refuses loudly
+    val eReuse = intercept[IllegalArgumentException] {
+      SI.writeIndexBatch(
+        emb.filter(col("vec_id") % 8 === 0).limit(1)
+          .select(concat(lit("k-"), col("vec_id")).as("key"),
+            (col("vec_id") + off).as("vec_id"), vd.as("embedding")),
+        2L, indexDir, "key", "vec_id", "embedding", 2.0, 0.0)
+    }
+    assert(eReuse.getMessage.contains("NEW uid"),
+      s"wrong failure mode: ${eReuse.getMessage}")
+    // the refused batch wrote no marker — nothing mutated
+    assert(A.stats(spark, indexDir).head().toSeq == stBefore)
+    // DRIFT-POLICY rebuild: an empty batch with a threshold the
+    // accumulated drift crosses rebuilds AFTER its marker commits —
+    // tombstones purged, budgets reset, the keymap untouched
+    SI.writeIndexBatch(fresh.limit(0), 3L, indexDir, "key", "vec_id",
+      "embedding", 2.0, 0.001)
+    assert(A.currentRoot(spark, indexDir) == s"$indexDir/r=1",
+      "the drift policy must have rebuilt")
+    val stR = A.stats(spark, indexDir).head()
+    assert(stR.getAs[Long]("n_tombstoned") == 0L &&
+      stR.getAs[Long]("n_added") == 0L)
+    assert(spark.read.parquet(s"$indexDir/r=1/vectors")
+      .join(oldUids.select(col("vec_id").as("uid")), Seq("uid"),
+        "left_semi").isEmpty,
+      "the policy rebuild kept a tombstoned vector")
+    assert(SC.latestShardState(spark, s"$indexDir/keymap").get
+      .orderBy(col("key")).collect().toSeq == kmBefore,
+      "an empty batch must not change the keymap's content")
+  }
+
   test("streaming media ingest: incremental file decode, exactly-once") {
     import java.nio.file.{Files => JFiles, Paths}
     val inDir = Files.createTempDirectory("graft-media-in").toString

@@ -319,9 +319,10 @@ object Graft {
     * [[graft.ext.AnnIndex.maintain]].
     */
   def annIndexMaintain(spark: SparkSession, dir: String,
-                       maxDriftFraction: Double,
-                       nBuckets: Int = 0): Boolean =
-    AnnIndex.maintain(spark, dir, maxDriftFraction, nBuckets = nBuckets)
+                       maxDriftFraction: Double, nBuckets: Int = 0,
+                       trainFraction: Double = 1.0): Boolean =
+    AnnIndex.maintain(spark, dir, maxDriftFraction, nBuckets = nBuckets,
+      trainFraction = trainFraction)
 
   /** LATEST-WINS identity for a persisted index — retire the uids of
     * re-embedded documents so their STALE vectors stop serving

@@ -606,6 +606,16 @@ object StreamingCorpus {
       .parquet(s"$outDir/keepers/v=$batchId")
     newState.shards.write.mode("overwrite")
       .parquet(s"$outDir/state/v=$batchId")
+    // the SUPERSESSION FEED is published per batch (overwrite — a retry
+    // recomputes the same events from the same prior state): the
+    // downstream-invalidation wire (KeyedCorpusShardsState.superseded
+    // scaladoc) would otherwise be unreachable from a streaming
+    // deployment — the absorb happens inside foreachBatch where no
+    // caller can consume the in-memory by-product. Consumers (the
+    // persisted-index loop above all) read outDir/superseded and
+    // retire exactly these uids.
+    newState.superseded.foreach(_.write.mode("overwrite")
+      .parquet(s"$outDir/superseded/batch_id=$batchId"))
     import spark.implicits._
     Seq(nextBase).toDF("next_base").coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/ingest/v=$batchId")

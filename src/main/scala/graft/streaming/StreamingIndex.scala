@@ -91,30 +91,40 @@ object StreamingIndex {
     * new vector enters under the frozen geometry via
     * [[graft.ext.AnnIndex.add]].
     *
-    * EXACTLY-ONCE: the keymap version `keymap/v=<batchId>` is the
-    * batch's commit marker, written LAST — a re-delivered batch whose
-    * marker exists skips entirely. A retry of a PARTIALLY-applied batch
-    * converges: supersede is idempotent (tombstone set semantics), the
-    * add step skips when every batch uid is already coded (the
-    * completed-add retry, detected by the bloom-prefiltered membership
-    * probe) and otherwise re-enters [[graft.ext.AnnIndex.add]], whose
-    * own orphan reconciliation / duplicate guard either completes the
-    * torn write or refuses loudly. The drift-policy rebuild
-    * (`maintainDrift` > 0 → [[graft.ext.AnnIndex.maintain]]) runs ONLY
-    * after the marker commits: a rebuild physically purges superseded
-    * rows, so running it before the marker would strand a retry whose
-    * supersede targets no longer exist.
+    * EXACTLY-ONCE: the keymap version's `_SUCCESS` file (the
+    * committer's job-commit marker — the bare directory exists from job
+    * SETUP, so a crash mid-write leaves a torn dir that must NOT read
+    * as completed) is the batch's commit marker, written LAST — a
+    * re-delivered batch whose marker exists skips entirely. A retry of
+    * a PARTIALLY-applied batch converges: supersede is idempotent
+    * (tombstone set semantics), the add step skips when every batch uid
+    * is already coded (the completed-add retry, detected by the
+    * bloom-prefiltered membership probe) and otherwise re-enters
+    * [[graft.ext.AnnIndex.add]], whose own orphan reconciliation /
+    * duplicate guard either completes the torn write or refuses loudly;
+    * the torn keymap dir itself is replaced by the retry's
+    * overwrite-mode write. The drift-policy rebuild (`maintainDrift`
+    * > 0 → [[graft.ext.AnnIndex.maintain]] under
+    * `maintainTrainFraction`) runs ONLY after the marker commits: a
+    * rebuild physically purges superseded rows, so running it before
+    * the marker would strand a retry whose supersede targets no longer
+    * exist.
     *
-    * Guards (all loud, delta-sized probes): keys must be unique and
-    * non-null within the batch; a re-delivered key must arrive under a
-    * NEW uid — re-using the retired uid would tombstone the very row
-    * the add step then refuses as a duplicate.
+    * Guards (all loud, delta-sized probes — [[requireKeyedDelta]]):
+    * keys AND uids must be unique and non-null within the batch (a
+    * null uid could never be retired and is invisible to the dup
+    * guards; duplicate uids would break the membership probe's
+    * all-or-none retry adjudication); a re-delivered key must arrive
+    * under a NEW uid — re-using the previous live uid would tombstone
+    * the very row the add step then refuses as a duplicate.
     */
   private[graft] def writeIndexBatch(batch: DataFrame, batchId: Long,
                                      indexDir: String, keyCol: String,
                                      uidCol: String, vecCol: String,
                                      maxAddedFraction: Double,
-                                     maintainDrift: Double): Unit = {
+                                     maintainDrift: Double,
+                                     maintainTrainFraction: Double = 1.0)
+      : Unit = {
     val spark = batch.sparkSession
     val A = graft.ext.AnnIndex
     val keymapDir = s"$indexDir/keymap"
@@ -124,63 +134,95 @@ object StreamingIndex {
     // only re-deliveries of streamed ones. Every version is the complete
     // map (carry-forward below), so pruning old versions loses nothing.
     val vNum = batchId + 1
-    val vPath = new org.apache.hadoop.fs.Path(s"$keymapDir/v=$vNum")
-    val fs = vPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(vPath)) return // completed batch re-delivered: skip
-    val kProbe = batch.groupBy(col(keyCol))
-      .agg(count(lit(1)).as("__c"))
-      .agg(max(col("__c")).as("__mx"),
-        max(when(col(keyCol).isNull, 1).otherwise(0)).as("__nn"),
-        count(lit(1)).as("__k"))
-      .head()
-    require(kProbe.isNullAt(1) || kProbe.getInt(1) == 0,
-      s"graft index loop: $keyCol carries NULLs — a null key has no " +
-        "identity to supersede under; drop or repair those rows first")
-    require(kProbe.isNullAt(0) || kProbe.getLong(0) <= 1L,
-      s"graft index loop: $keyCol is not unique within the batch — two " +
-        "embeddings per key would race the latest-wins keymap; dedup " +
-        "the batch by key first")
-    val delta = batch.select(col(keyCol).as("key"), col(uidCol).as("uid"),
-        col(vecCol).as("vec"))
-      .transform(graft.ext.CacheScope.cache)
-    val prior = StreamingCorpus.latestShardState(spark, keymapDir, vNum)
-    val n = delta.count()
-    if (n > 0) {
-      // the re-delivered keys' previous live uids — delta-sized via the
-      // broadcast semi-join against the batch's keys
-      val old = prior.map(_.join(broadcast(delta.select(col("key"))),
-          Seq("key")).transform(graft.ext.CacheScope.cache))
-      old.foreach { o =>
-        require(o.join(delta.select(col("key"), col("uid")),
-            Seq("key", "uid"), "left_semi").isEmpty,
-          "graft index loop: a re-delivered key re-uses its previous " +
-            "live uid — a re-embedded key must enter under a NEW uid " +
-            "(the corpus ingest-id contract); superseding the old uid " +
-            "would tombstone the very row the add step then refuses as " +
-            "a duplicate")
-        if (!o.isEmpty)
-          A.supersede(spark, indexDir, o.select(col("uid")), "uid")
+    val okPath = new org.apache.hadoop.fs.Path(
+      s"$keymapDir/v=$vNum/_SUCCESS")
+    val fs = okPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(okPath)) return // completed batch re-delivered: skip
+    val n = requireKeyedDelta(batch, keyCol, uidCol, "graft index loop")
+    // every cache below is batch-scoped: an indefinitely-running loop
+    // must not grow the session cache registry by two entries per batch
+    graft.ext.CacheScope.scoped {
+      val delta = batch.select(col(keyCol).as("key"),
+          col(uidCol).as("uid"), col(vecCol).as("vec"))
+        .transform(graft.ext.CacheScope.cache)
+      val prior = StreamingCorpus.latestShardState(spark, keymapDir, vNum)
+      if (n > 0) {
+        // the re-delivered keys' previous live uids — delta-sized via the
+        // broadcast semi-join against the batch's keys
+        val old = prior.map(_.join(broadcast(delta.select(col("key"))),
+            Seq("key")).transform(graft.ext.CacheScope.cache))
+        old.foreach { o =>
+          require(o.join(delta.select(col("key"), col("uid")),
+              Seq("key", "uid"), "left_semi").isEmpty,
+            "graft index loop: a re-delivered key re-uses its previous " +
+              "live uid — a re-embedded key must enter under a NEW uid " +
+              "(the corpus ingest-id contract); superseding the old uid " +
+              "would tombstone the very row the add step then refuses " +
+              "as a duplicate")
+          if (!o.isEmpty)
+            A.supersede(spark, indexDir, o.select(col("uid")), "uid")
+        }
+        // add, retry-convergent: all-coded = completed re-delivery
+        // (skip); none = fresh delta; a strict subset re-enters add(),
+        // whose dup guard adjudicates the torn state loudly
+        val known = A.knownUidCount(spark, indexDir,
+          delta.select(col("uid")), "uid")
+        if (known < n)
+          A.add(spark, indexDir,
+            delta.select(col("uid").as(uidCol), col("vec").as(vecCol)),
+            uidCol, vecCol, maxAddedFraction)
       }
-      // add, retry-convergent: all-coded = completed re-delivery (skip);
-      // none = fresh delta; a strict subset re-enters add(), whose dup
-      // guard adjudicates the torn state loudly
-      val known = A.knownUidCount(spark, indexDir,
-        delta.select(col("uid")), "uid")
-      if (known < n)
-        A.add(spark, indexDir,
-          delta.select(col("uid").as(uidCol), col("vec").as(vecCol)),
-          uidCol, vecCol, maxAddedFraction)
+      // keymap: carry forward unaffected keys, replace re-delivered
+      // ones; the overwrite to v=<B+1> (its _SUCCESS specifically) is
+      // the batch's commit marker
+      val carried = prior.map(_.join(broadcast(delta.select(col("key"))),
+          Seq("key"), "left_anti"))
+        .getOrElse(delta.select(col("key"), col("uid")).limit(0))
+      carried.unionByName(delta.select(col("key"), col("uid")))
+        .write.mode("overwrite").parquet(s"$keymapDir/v=$vNum")
     }
-    // keymap: carry forward unaffected keys, replace re-delivered ones;
-    // the overwrite to v=<batchId> is the batch's commit marker
-    val carried = prior.map(_.join(broadcast(delta.select(col("key"))),
-        Seq("key"), "left_anti"))
-      .getOrElse(delta.select(col("key"), col("uid")).limit(0))
-    carried.unionByName(delta.select(col("key"), col("uid")))
-      .write.mode("overwrite").parquet(s"$keymapDir/v=$vNum")
     StreamingCorpus.pruneVersions(spark, keymapDir)
     if (maintainDrift > 0)
-      A.maintain(spark, indexDir, maintainDrift)
+      A.maintain(spark, indexDir, maintainDrift,
+        trainFraction = maintainTrainFraction)
+  }
+
+  /** The index loop's batch-contract probes, shared by
+    * [[writeIndexBatch]] and [[seedIndexKeymap]] — two delta-sized jobs
+    * (the corpus loop's kProbe shape), returning the row count so
+    * callers never pay a third: keys unique + non-null (two embeddings
+    * per key would race the latest-wins keymap), uids unique + non-null
+    * (a null uid can never be retired — supersede refuses nulls — and
+    * is invisible to the bloom/dup guards; a duplicate uid breaks the
+    * membership probe's all-or-none retry adjudication).
+    */
+  private def requireKeyedDelta(df: DataFrame, keyCol: String,
+                                uidCol: String, who: String): Long = {
+    val kProbe = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__c"))
+      .agg(max(col("__c")).as("__mx"),
+        max(when(col(keyCol).isNull, 1).otherwise(0)).as("__nn"))
+      .head()
+    require(kProbe.isNullAt(1) || kProbe.getInt(1) == 0,
+      s"$who: $keyCol carries NULLs — a null key has no identity to " +
+        "supersede under; drop or repair those rows first")
+    require(kProbe.isNullAt(0) || kProbe.getLong(0) <= 1L,
+      s"$who: $keyCol is not unique within the batch — two embeddings " +
+        "per key would race the latest-wins keymap; dedup the batch by " +
+        "key first")
+    val uProbe = df.agg(count(lit(1)).as("__n"),
+      count(col(uidCol)).as("__nu"),
+      countDistinct(col(uidCol)).as("__nd")).head()
+    val n = uProbe.getLong(0)
+    require(uProbe.getLong(1) == n,
+      s"$who: $uidCol carries NULLs — a null uid can never be retired " +
+        "(supersede refuses nulls) and is invisible to the index's " +
+        "duplicate guards; assign real uids first")
+    require(uProbe.getLong(2) == n,
+      s"$who: $uidCol is not unique within the batch — the retry " +
+        "convergence probe adjudicates all-or-none by uid count; dedup " +
+        "the batch by uid first")
+    n
   }
 
   /** Seed the loop's keymap with the BUILD-TIME corpus's key→uid rows
@@ -188,20 +230,33 @@ object StreamingIndex {
     * loop can only supersede keys it streamed itself, and a re-crawl of
     * a built document would leave the built vector serving forever.
     * Call once, between [[graft.ext.AnnIndex.build]] and
-    * [[runPersistedIndexLoop]]; refuses if the keymap already exists
-    * (seeding under a live loop would race the batch versioning).
+    * [[runPersistedIndexLoop]]; refuses if a COMMITTED keymap version
+    * already exists (seeding a live loop would race its batch
+    * versioning), while a torn v=0 from a crashed seed (directory
+    * without its `_SUCCESS`) is simply replaced. The seed obeys the
+    * same key/uid contract as every batch ([[requireKeyedDelta]]) —
+    * a key with two uids would make its first re-delivery retire a
+    * still-live second document.
     */
   def seedIndexKeymap(spark: SparkSession, indexDir: String,
                       keys: DataFrame, keyCol: String,
                       uidCol: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$indexDir/keymap")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(!fs.exists(p),
-      s"seedIndexKeymap: $indexDir/keymap already exists — the seed is " +
-        "the PRE-LOOP slot; seeding a live loop would race its batch " +
-        "versioning. Start a new indexDir, or let the loop carry on")
+    if (fs.exists(p)) {
+      val committed = fs.listStatus(p).exists(st =>
+        st.getPath.getName.startsWith("v=") &&
+          fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      require(!committed,
+        s"seedIndexKeymap: $indexDir/keymap already holds a committed " +
+          "version — the seed is the PRE-LOOP slot; seeding a live loop " +
+          "would race its batch versioning. Start a new indexDir, or " +
+          "let the loop carry on")
+    }
+    requireKeyedDelta(keys.select(col(keyCol), col(uidCol)), keyCol,
+      uidCol, "seedIndexKeymap")
     keys.select(col(keyCol).as("key"), col(uidCol).as("uid"))
-      .write.mode("errorifexists").parquet(s"$indexDir/keymap/v=0")
+      .write.mode("overwrite").parquet(s"$indexDir/keymap/v=0")
   }
 
   /** End-to-end STREAMING maintenance of a persisted
@@ -210,7 +265,12 @@ object StreamingIndex {
     * re-delivered keys' stale vectors, add the new ones under the
     * frozen geometry, and (optionally) rebuild when measured drift
     * crosses `maintainDrift` — the retrieval tier of the continuous
-    * corpus loop, kept coherent without a nightly full re-index.
+    * corpus loop, kept coherent without a nightly full re-index. The
+    * policy rebuild runs INSIDE the triggering micro-batch (the
+    * single-writer rule leaves it nowhere else safe), stalling the
+    * stream for the rebuild's duration — `maintainTrainFraction`
+    * subsamples its Lloyd training (the IndexScale probes run 0.1) to
+    * bound that stall at scale.
     * Searches serve concurrently throughout ([[graft.ext.AnnIndex.search]]
     * takes no lock; it resolves the newest committed version per call).
     *
@@ -232,13 +292,14 @@ object StreamingIndex {
                             uidCol: String, vecCol: String,
                             maxAddedFraction: Double = 2.0,
                             maintainDrift: Double = 0.0,
+                            maintainTrainFraction: Double = 1.0,
                             maxFilesPerTrigger: Int = 64): StreamingQuery = {
     StreamingCorpus.acquireProducerLock(spark, indexDir, checkpoint)
     readEmbeddingStream(spark, inDir, schema, maxFilesPerTrigger)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         writeIndexBatch(batch, batchId, indexDir, keyCol, uidCol, vecCol,
-          maxAddedFraction, maintainDrift)
+          maxAddedFraction, maintainDrift, maintainTrainFraction)
       }
       .option("checkpointLocation", checkpoint)
       .start()

@@ -33,6 +33,7 @@ object IndexScale {
     if (args.lift(2).contains("add")) { addProbe(spark, emb, dim); spark.stop(); return }
     if (args.lift(2).contains("rebuild")) { rebuildProbe(spark, emb, dim); spark.stop(); return }
     if (args.lift(2).contains("supersede")) { supersedeProbe(spark, emb, dim); spark.stop(); return }
+    if (args.lift(2).contains("loop")) { loopProbe(spark, emb, dim); spark.stop(); return }
     for (frac <- Seq(1.0, 0.1); pass <- Seq("cold", "warm")) {
       spark.catalog.clearCache(); System.gc()
       val out = java.nio.file.Files
@@ -129,6 +130,68 @@ object IndexScale {
     println(s"[indexscale/supersede] post-rebuild n_base=" +
       s"${st.getAs[Long]("n_base")} n_tombstoned=" +
       s"${st.getAs[Long]("n_tombstoned")}")
+  }
+
+  /** `loop` mode: the STREAMING maintenance path's per-batch cost at
+    * production scale — build + keymap seed, then ONE
+    * [[graft.streaming.StreamingIndex.writeIndexBatch]] absorb of a 1/8
+    * re-embed delta (the nightly shape: supersede old uids + add new
+    * vectors + rewrite the full keymap), then the same batch RE-DELIVERED
+    * (the exactly-once skip — must be marker-check cheap), then a
+    * marker-less retry (the crash-recovery convergence path: idempotent
+    * supersede + all-coded add skip + keymap rewrite).
+    */
+  private def loopProbe(spark: SparkSession,
+                        emb: org.apache.spark.sql.DataFrame,
+                        dim: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val SI = graft.streaming.StreamingIndex
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-loopprobe").toString + "/idx"
+    val keyed = emb.select(concat(lit("k-"), col("vec_id")).as("key"),
+      col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val batch = emb.filter(col("vec_id") % 8 === 0)
+      .select(concat(lit("k-"), col("vec_id")).as("key"),
+        (col("vec_id") + 1000000000L).as("vec_id"),
+        reverse(col("embedding").cast("array<double>")).as("embedding"))
+    def timed(label: String)(f: => Unit): Unit = {
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime()
+      f
+      println(f"[indexscale/loop] $label: " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    timed(s"build(${emb.count()})") {
+      graft.api.Graft.annIndexBuild(emb, "vec_id", "embedding", dir,
+        dim = dim, trainFraction = 0.1)
+    }
+    timed("seedIndexKeymap") {
+      SI.seedIndexKeymap(spark, dir, keyed, "key", "vec_id")
+    }
+    timed(s"writeIndexBatch(${batch.count()} re-embeds)") {
+      SI.writeIndexBatch(batch, 0L, dir, "key", "vec_id", "embedding",
+        2.0, 0.0)
+    }
+    timed("re-delivered committed batch (marker skip)") {
+      SI.writeIndexBatch(batch, 0L, dir, "key", "vec_id", "embedding",
+        2.0, 0.0)
+    }
+    timed("marker-less retry (convergence path)") {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/keymap/v=1")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+      SI.writeIndexBatch(batch, 0L, dir, "key", "vec_id", "embedding",
+        2.0, 0.0)
+    }
+    val st = graft.ext.AnnIndex.stats(spark, dir).head()
+    println(s"[indexscale/loop] n_tombstoned=" +
+      s"${st.getAs[Long]("n_tombstoned")} drift=" +
+      s"${st.getAs[Double]("drift_fraction")}")
+    timed("drift-policy maintain (rebuild)") {
+      val ran = graft.ext.AnnIndex.maintain(spark, dir, 0.05,
+        trainFraction = 0.1)
+      require(ran, "the probe's drift must cross 0.05")
+    }
   }
 
   private def addProbe(spark: SparkSession,

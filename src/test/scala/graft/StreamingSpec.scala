@@ -598,7 +598,7 @@ class StreamingSpec extends SparkSpec {
       SI.seedIndexKeymap(spark, indexDir, keyedRows(built), "key",
         "vec_id")
     }
-    assert(eSeed.getMessage.contains("already exists"))
+    assert(eSeed.getMessage.contains("already holds a committed version"))
     val inDir = Files.createTempDirectory("graft-idxloop-in").toString
     val ckpt = Files.createTempDirectory("graft-idxloop-ckpt").toString
     // batch 0: fresh keys; batch 1: RE-EMBEDS of built keys (reversed
@@ -645,7 +645,14 @@ class StreamingSpec extends SparkSpec {
       reKm.filter(col("uid") < off).isEmpty,
       "a re-embedded key still maps to its retired uid")
     // EXACTLY-ONCE: a completed batch re-delivered (same batchId) is a
-    // no-op — the keymap version is its commit marker
+    // no-op — the keymap version's _SUCCESS is its commit marker (the
+    // committer really writes one on this filesystem, or the skip path
+    // would silently be the convergent-retry path)
+    val fsIdx = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fsIdx.exists(new org.apache.hadoop.fs.Path(
+      s"$indexDir/keymap/v=2/_SUCCESS")),
+      "no _SUCCESS commit marker under the committed keymap version")
     val stBefore = A.stats(spark, indexDir).head().toSeq
     SI.writeIndexBatch(reembeds, 1L, indexDir, "key", "vec_id",
       "embedding", 2.0, 0.0)
@@ -1350,6 +1357,20 @@ class StreamingSpec extends SparkSpec {
     // the supersession really happened in the STREAM's state
     assert(streamState.keepers.filter(col("kept") && !col("live"))
       .count() > 0, "no supersession recorded — fixture is vacuous")
+    // the SUPERSESSION FEED is published per micro-batch
+    // (outDir/superseded/batch_id=B) and equals the batch absorbs'
+    // by-product union — the wire the persisted-index loop consumes,
+    // reachable from a streaming deployment (not only in-process)
+    val feedCols = Seq("ukey", "ingest_id", "lang", "superseded_by")
+    val streamedFeed = spark.read.parquet(s"$outDir/superseded")
+      .select(feedCols.map(col): _*)
+    val batchFeed = Seq(st1, st2, st3).map(_.superseded.get)
+      .reduce(_ unionByName _).select(feedCols.map(col): _*)
+    assert(streamedFeed.count() > 0,
+      "no supersession events published — fixture is vacuous")
+    assert(streamedFeed.exceptAll(batchFeed).count() == 0 &&
+      batchFeed.exceptAll(streamedFeed).count() == 0,
+      "the streamed supersession feed diverged from the batch absorbs'")
     // RETRY of the last micro-batch: same versioned ingest base and
     // keeper state → identical replaced outputs
     val batches = new java.io.File(s"$outDir/shards").listFiles()

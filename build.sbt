@@ -30,5 +30,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 12g: local[32] runs 32 executor threads in ONE JVM sharing unified
+  // memory with every suite's accumulated localCheckpoint blocks — at
+  // 8g the corpus-composition suites sit at the execution-memory edge
+  // (BytesToBytesMap growth failures can kill the shared context on a
+  // tight host). Override via SPARK_DRIVER_MEM on smaller machines.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
 )

@@ -85,9 +85,14 @@ object Bench {
         try {
           val f = src.getLines().next().trim.split("\\s+")
           val v = f.drop(1).map(_.toLong)
-          // busy = everything except idle (idx 3) and iowait (idx 4)
-          v.zipWithIndex.collect { case (x, i) if i != 3 && i != 4 => x }
-            .sum
+          // busy = everything except idle (idx 3), iowait (idx 4), and
+          // guest/guest_nice (idx 8/9) — the kernel already folds guest
+          // time into user/nice, so summing them would double-count VM
+          // guest cycles as external CPU and stamp queries CONTENDED on
+          // exactly the shared hosts this discriminator targets
+          v.zipWithIndex.collect {
+            case (x, i) if i != 3 && i != 4 && i < 8 => x
+          }.sum
         } finally src.close()
       } catch { case scala.util.control.NonFatal(_) => -1L }
     def selfJiffies: Long =
@@ -252,6 +257,9 @@ object Bench {
       .filter(r => contendedNames.contains(r._1) &&
         !r._1.startsWith("q_ml_") && // the memoized pair has no honest rerun
         !errors.contains(r._1))
+      // worst contention first: the heal budget must bound the MOST
+      // inflated cold numbers, not whichever five ran earliest
+      .sortBy(r => -r._8 / math.max(r._2, 1e-9))
       .map(_._1).take(5) // bound the heal pass
     // quietness for the heal gate is ALSO the direct measurement: idle
     // 1.5 s and see what other processes burn (load1 is still high from

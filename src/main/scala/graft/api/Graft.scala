@@ -951,15 +951,28 @@ object Graft {
                         salt: String = "build", alpha: Double = 0.5,
                         share: Double = 0.5,
                         ctxTokens: Int = 256): DataFrame = {
-    val kept = packed.select(col(groupCol), col(idCol), col("n_tokens"))
-    val mixed = Sampling.temperatureSampleWith(kept,
-      Sampling.temperatureTargets(kept, groupCol, alpha = alpha,
-        share = share),
-      groupCol, idCol, salt = salt)
+    val mixed = mixedOverCorpus(packed, groupCol, idCol, salt, alpha,
+      share)
     Packing.packSummary(
       Packing.packByOffset(mixed, Seq(groupCol), idCol, "n_tokens",
         ctxTokens = ctxTokens),
       Seq(groupCol), idCol, "n_tokens")
+  }
+
+  /** The mixture REALIZATION both deferred-recompute terminals share
+    * ([[mixtureOverCorpus]] → pack summaries, [[mixtureOverCorpusShards]]
+    * → training shards): project the kept rows, derive the temperature
+    * targets, take the hash-ranked sample — ONE definition, so the two
+    * paths cannot silently diverge on the sampling rule.
+    */
+  private def mixedOverCorpus(packed: DataFrame, groupCol: String,
+                              idCol: String, salt: String, alpha: Double,
+                              share: Double): DataFrame = {
+    val kept = packed.select(col(groupCol), col(idCol), col("n_tokens"))
+    Sampling.temperatureSampleWith(kept,
+      Sampling.temperatureTargets(kept, groupCol, alpha = alpha,
+        share = share),
+      groupCol, idCol, salt = salt)
   }
 
   /** [[mixtureOverCorpus]] for the TOKEN-SHARD loop — the same deferred
@@ -987,11 +1000,8 @@ object Graft {
                               salt: String = "build", alpha: Double = 0.5,
                               share: Double = 0.5,
                               ctxTokens: Int = 256): DataFrame = {
-    val kept = packed.select(col(groupCol), col(idCol), col("n_tokens"))
-    val mixed = Sampling.temperatureSampleWith(kept,
-      Sampling.temperatureTargets(kept, groupCol, alpha = alpha,
-        share = share),
-      groupCol, idCol, salt = salt)
+    val mixed = mixedOverCorpus(packed, groupCol, idCol, salt, alpha,
+      share)
     val sampledDocs = docs.join(mixed.select(col(idCol)), Seq(idCol),
       "left_semi")
     val enc = tok.encodeIds(sampledDocs, textCol, idCol)
@@ -1586,10 +1596,13 @@ object Graft {
     // referenced, the truncated lineage cannot recompute them).
     (shards, KeyedCorpusShardsState(newKeepers.localCheckpoint(true),
       newShardState.localCheckpoint(true),
-      // lazy: the feed's lineage is bounded (prior state is already
-      // checkpointed + one delta-sized broadcast) and unconsumed feeds
-      // must cost zero — localCheckpointing it would add a job per absorb
-      superseded = Some(supersededNow)))
+      // eagerly checkpointed like the state frames, for the same reason
+      // PLUS one of its own: a lazy feed would keep a live REFERENCE to
+      // the PRIOR state's keepers Dataset (its join input), chaining
+      // every absorbed state's checkpoint blocks reachable forever —
+      // the eager cut costs one delta-sized job and keeps states
+      // independently collectable
+      superseded = Some(supersededNow.localCheckpoint(true))))
   }
 
   /** Per-stream supersession pressure of a keyed keeper state — the
@@ -1610,6 +1623,18 @@ object Graft {
         "n_tokens column (saved by a pre-r16 loop) — absorb one delta " +
         "with this version (which records token counts) or compact " +
         "unconditionally")
+    // kept rows with NULL n_tokens are legacy history padded by the
+    // absorb — counting them as 0 would report near-zero fractions for
+    // streams that are mostly stale (and the threshold compaction /
+    // streaming alert would silently never fire); refuse instead, as
+    // the scaladoc promises
+    require(state.keepers
+        .filter(col("kept") && col("n_tokens").isNull).isEmpty,
+      "corpusRekeyedSupersededFractions: kept rows carry NULL n_tokens " +
+        "(history absorbed by a pre-token-count loop) — their tokens " +
+        "would silently count as 0 and under-report supersession " +
+        "pressure; compact unconditionally, or rebuild the state from " +
+        "a replay that records token counts")
     state.keepers.filter(col("kept"))
       .groupBy(col(groupCol))
       .agg(

@@ -127,9 +127,16 @@ object AnnIndex {
     */
   private[graft] def readTombstones(spark: SparkSession,
                                     root: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$root/tombstones")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(s"$root/tombstones").distinct())
+    // gate on the committer's _SUCCESS, not the directory: a crashed
+    // supersede leaves tombstones/ holding only _temporary (the dir is
+    // created at job SETUP), and reading it would kill every LOCKLESS
+    // search/stats with a schema-inference error until hand-cleaned. No
+    // marker = no committed tombstones = serve as if none exist; the
+    // crashed supersede's retry appends and commits the marker.
+    val ok = new org.apache.hadoop.fs.Path(s"$root/tombstones/_SUCCESS")
+    val fs = ok.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(ok))
+      Some(spark.read.parquet(s"$root/tombstones").distinct())
     else None
   }
 
@@ -850,9 +857,18 @@ object AnnIndex {
     // only allowed rows, so k results come from the allowed set); the
     // query side is never restricted. Oracled as q_ann_index_filtered.
     val filtered = allowedUids match {
-      case Some(allow) => codes.join(
-        allow.select(col(allow.columns.head).as("uid")).distinct(),
-        Seq("uid"), "left_semi")
+      case Some(allow) =>
+        // the allowlist contract is ONE column (the uids): silently
+        // taking the first column of a wider metadata frame would
+        // semi-join on the wrong values and return an empty/wrong
+        // result with no error
+        require(allow.columns.length == 1,
+          s"AnnIndex.search: allowedUids must carry exactly ONE column " +
+            s"(the uids to allow); got ${allow.columns.mkString(", ")} — " +
+            "select the uid column first")
+        codes.join(
+          allow.select(col(allow.columns.head).as("uid")).distinct(),
+          Seq("uid"), "left_semi")
       case None => codes
     }
     Similarity.ivfPqResServe(

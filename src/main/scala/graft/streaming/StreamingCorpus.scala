@@ -698,7 +698,14 @@ object StreamingCorpus {
         "nothing was ever absorbed, or the first batch crashed before " +
         "its state commit")
     val st = G.KeyedCorpusShardsState(keepers.get, shardsSt.get)
+    // EXCLUDE any batch_id = FlushBatchId partition: if the UNKEYED
+    // closeShards already ran on this sink, its published flush rows
+    // re-enter here while the compaction ALSO flushes the same tails
+    // from the state — every unaffected stream's partial tail would
+    // appear twice in shards_final (the exact double-counting the
+    // runCorpusShardsRekeyed scaladoc warns the by-hand path about)
     val emitted = spark.read.parquet(s"$outDir/shards")
+      .filter(col("batch_id") =!= FlushBatchId)
       .select(col(streamCol), col("shard_id"), col("n_tokens"),
         col("token_ids"))
     val fin = G.corpusShardsRekeyedCompact(docs, textCol, "ingest_id",

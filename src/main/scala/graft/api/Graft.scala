@@ -331,7 +331,10 @@ object Graft {
     * id, the old uid tombstones here, and the next [[annIndexRebuild]]
     * physically purges it and resets the tombstone budget). Oracled
     * end-to-end as `q_ann_index_rekey`. See
-    * [[graft.ext.AnnIndex.supersede]].
+    * [[graft.ext.AnnIndex.supersede]]. To consume the REKEYED CORPUS
+    * LOOP's published feed wholesale (skipping ids the index never
+    * held), use
+    * [[graft.streaming.StreamingIndex.applySupersessionFeed]].
     */
   def annIndexSupersede(spark: SparkSession, dir: String, uids: DataFrame,
                         idCol: String): Unit =
@@ -1554,8 +1557,12 @@ object Graft {
     // the supersession EVENTS this absorb produced — the flip above as
     // a delta-sized feed (retired id + the accepted id that retired it),
     // for downstream invalidation (the retrieval index's supersede set).
-    // Same broadcast shape as the flip; empty for FirstWins/KeepAll and
-    // for the stateless first delta.
+    // Same broadcast shape as the flip, eagerly checkpointed so the
+    // feed holds no live reference to the PRIOR state's keepers (a lazy
+    // feed would chain every absorbed state's checkpoint blocks
+    // reachable forever). Policies that never supersede — and the
+    // stateless first delta — get a lineage-free empty frame: provably
+    // empty must cost zero jobs.
     val supersededNow = (policy, state) match {
       case (RekeyPolicy.LatestWins, Some(st)) =>
         st.keepers.filter(col("kept") && col("live"))
@@ -1563,9 +1570,13 @@ object Graft {
             col(idCol).as("superseded_by"))), Seq(keyCol))
           .select(col(keyCol), col(idCol), col(groupCol),
             col("superseded_by"))
+          .localCheckpoint(true)
       case _ =>
-        acceptedRows.select(col(keyCol), col(idCol), col(groupCol),
-          col(idCol).as("superseded_by")).limit(0)
+        val s = gated.sparkSession
+        s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          acceptedRows.select(col(keyCol), col(idCol), col(groupCol),
+            col(idCol).as("superseded_by")).schema)
     }
     // a pre-r16 state has no n_tokens column: pad with nulls (the
     // compaction's tail-only path detects them and falls back to the
@@ -1596,13 +1607,7 @@ object Graft {
     // referenced, the truncated lineage cannot recompute them).
     (shards, KeyedCorpusShardsState(newKeepers.localCheckpoint(true),
       newShardState.localCheckpoint(true),
-      // eagerly checkpointed like the state frames, for the same reason
-      // PLUS one of its own: a lazy feed would keep a live REFERENCE to
-      // the PRIOR state's keepers Dataset (its join input), chaining
-      // every absorbed state's checkpoint blocks reachable forever —
-      // the eager cut costs one delta-sized job and keeps states
-      // independently collectable
-      superseded = Some(supersededNow.localCheckpoint(true))))
+      superseded = Some(supersededNow)))
   }
 
   /** Per-stream supersession pressure of a keyed keeper state — the
@@ -1626,26 +1631,33 @@ object Graft {
     // kept rows with NULL n_tokens are legacy history padded by the
     // absorb — counting them as 0 would report near-zero fractions for
     // streams that are mostly stale (and the threshold compaction /
-    // streaming alert would silently never fire); refuse instead, as
-    // the scaladoc promises
-    require(state.keepers
-        .filter(col("kept") && col("n_tokens").isNull).isEmpty,
-      "corpusRekeyedSupersededFractions: kept rows carry NULL n_tokens " +
-        "(history absorbed by a pre-token-count loop) — their tokens " +
-        "would silently count as 0 and under-report supersession " +
-        "pressure; compact unconditionally, or rebuild the state from " +
-        "a replay that records token counts")
+    // streaming alert would silently never fire). The guard rides the
+    // SAME aggregate (zero extra scans on the per-micro-batch alert
+    // path): a stream whose kept rows carry NULL counts fails AT READ
+    // of its `superseded_fraction` with a named error — per stream, so
+    // a caller filtered to clean streams still serves. (Reading only
+    // the token-count columns bypasses the guard; the fraction is the
+    // documented consumer surface.)
     state.keepers.filter(col("kept"))
       .groupBy(col(groupCol))
       .agg(
         sum(when(col("live"), col("n_tokens")).otherwise(lit(0L)))
           .as("live_tokens"),
         sum(when(!col("live"), col("n_tokens")).otherwise(lit(0L)))
-          .as("superseded_tokens"))
+          .as("superseded_tokens"),
+        sum(when(col("n_tokens").isNull, lit(1L)).otherwise(lit(0L)))
+          .as("__null_kept"))
       .withColumn("superseded_fraction",
-        round(col("superseded_tokens").cast("double") /
-          greatest(col("live_tokens") + col("superseded_tokens"),
-            lit(1L)).cast("double"), 6))
+        when(col("__null_kept") > 0, raise_error(lit(
+          "corpusRekeyedSupersededFractions: kept rows carry NULL " +
+            "n_tokens (history absorbed by a pre-token-count loop) — " +
+            "their tokens would silently count as 0 and under-report " +
+            "supersession pressure; compact unconditionally, or rebuild " +
+            "the state from a replay that records token counts")))
+          .otherwise(round(col("superseded_tokens").cast("double") /
+            greatest(col("live_tokens") + col("superseded_tokens"),
+              lit(1L)).cast("double"), 6)))
+      .drop("__null_kept")
   }
 
   /** RETENTION COMPACTION for the keyed keeper state: [[rekeyedCore]]

@@ -127,15 +127,22 @@ object AnnIndex {
     */
   private[graft] def readTombstones(spark: SparkSession,
                                     root: String): Option[DataFrame] = {
-    // gate on the committer's _SUCCESS, not the directory: a crashed
-    // supersede leaves tombstones/ holding only _temporary (the dir is
-    // created at job SETUP), and reading it would kill every LOCKLESS
-    // search/stats with a schema-inference error until hand-cleaned. No
-    // marker = no committed tombstones = serve as if none exist; the
-    // crashed supersede's retry appends and commits the marker.
-    val ok = new org.apache.hadoop.fs.Path(s"$root/tombstones/_SUCCESS")
-    val fs = ok.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(ok))
+    // gate on COMMITTED PART FILES, not the directory and not _SUCCESS:
+    // a crashed supersede leaves tombstones/ holding only _temporary
+    // (the dir is created at job SETUP), and reading it would kill
+    // every LOCKLESS search/stats with a schema-inference error until
+    // hand-cleaned — while keying on _SUCCESS would silently DISCARD
+    // committed tombstones on deployments that suppress marker files
+    // (marksuccessfuljobs=false, object-store tooling that drops
+    // underscore files), resurrecting retired vectors with no error.
+    // Committed task output is exactly the part files; supersede only
+    // ever writes non-empty frames, so data present = part files
+    // present.
+    val p = new org.apache.hadoop.fs.Path(s"$root/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = fs.exists(p) && fs.listStatus(p).exists(st =>
+      st.getPath.getName.startsWith("part-") && st.getLen > 0)
+    if (committed)
       Some(spark.read.parquet(s"$root/tombstones").distinct())
     else None
   }
@@ -475,6 +482,22 @@ object AnnIndex {
           "added?)")
       tombRows.write.mode("append").parquet(s"$root/tombstones")
     }
+  }
+
+  /** [[supersede]] for PRE-VERIFIED uid rows — the feed-apply fast path
+    * ([[graft.streaming.StreamingIndex.applySupersessionFeed]] already
+    * projected the rows FROM this version's codes and anti-joined the
+    * existing tombstones), skipping the exists probe's second codes
+    * scan. Same writer lock, same append, same set-at-read semantics.
+    * `tombRows` must carry exactly a `uid` column typed from codes —
+    * callers that cannot guarantee provenance use [[supersede]].
+    */
+  private[graft] def supersedeVerified(spark: SparkSession, dir: String,
+                                       tombRows: DataFrame): Unit =
+      withWriterLock(spark, dir, "supersede") {
+    val root = currentRoot(spark, dir)
+    tombRows.select(col("uid")).write.mode("append")
+      .parquet(s"$root/tombstones")
   }
 
   /** INCREMENTAL index maintenance — the faiss `add()` contract: encode

@@ -645,6 +645,13 @@ object StreamingCorpus {
             "(StreamingCorpus.closeShardsRekeyed, or " +
             "Graft.corpusShardsRekeyedCompact over the archive)")
         }
+      }.recover { case e =>
+        // the alert must never fail the batch, but a SILENT failure is
+        // the one outcome worse than no alert at all (a legacy state's
+        // NULL-token guard would otherwise mute the alert for every
+        // stream with no trace) — name it and carry on
+        System.err.println(s"[graft-rekeyed] batch $batchId: compaction " +
+          s"alert skipped — ${e.getMessage}")
       }
     ()
   }

@@ -259,6 +259,79 @@ object StreamingIndex {
       .write.mode("overwrite").parquet(s"$indexDir/keymap/v=0")
   }
 
+  /** Apply the REKEYED CORPUS LOOP'S published supersession feed to a
+    * persisted index — the consumer end of the corpus→index wire
+    * ([[StreamingCorpus.runCorpusShardsRekeyed]] publishes every
+    * micro-batch's retired ingest ids under
+    * `corpusOutDir/superseded/batch_id=B`;
+    * [[graft.api.Graft.KeyedCorpusShardsState]]'s `superseded` scaladoc
+    * is the batch-side twin). One call retires every corpus-superseded
+    * uid the index CURRENTLY SERVES, so stale vectors stop ranking even
+    * before the documents' re-embeddings arrive through the index loop.
+    *
+    * The feed may name ids the index never held (documents without
+    * embeddings, ids already purged by a rebuild) — those are skipped
+    * by a membership semi-join rather than tripping
+    * [[graft.ext.AnnIndex.supersede]]'s exists guard: the feed's
+    * contract is "retired from the corpus", not "present in this
+    * index", so absence here is normal, not an error. IDEMPOTENT by
+    * supersede's tombstone set semantics — re-applying the whole feed
+    * (or overlapping applications on a cron) converges; no watermark
+    * state to manage. Returns (feed ids seen, uids newly eligible and
+    * tombstoned). Takes the index writer lock via supersede; do not
+    * run concurrently with the index loop's own batches (single-writer
+    * rule — schedule it between batches, or let the loop's keymap
+    * handle keys it streams itself).
+    */
+  def applySupersessionFeed(spark: SparkSession, corpusOutDir: String,
+                            indexDir: String,
+                            idCol: String = "ingest_id"): (Long, Long) = {
+    val A = graft.ext.AnnIndex
+    val feedPath = new org.apache.hadoop.fs.Path(s"$corpusOutDir/superseded")
+    val fs = feedPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // no feed, a feed of only torn/empty batch dirs (a crash mid-publish
+    // leaves batch_id=B holding only _temporary; an all-dropped batch
+    // can publish zero part files): all the same clean no-op — reading
+    // a part-file-less tree would die on schema inference instead
+    val hasData = fs.exists(feedPath) && fs.listStatus(feedPath).exists {
+      d =>
+        d.isDirectory && d.getPath.getName.startsWith("batch_id=") &&
+          fs.listStatus(d.getPath).exists(st =>
+            st.getPath.getName.startsWith("part-") && st.getLen > 0)
+    }
+    if (!hasData) return (0L, 0L)
+    val root = A.currentRoot(spark, indexDir)
+    // a feed pointed at an unbuilt (or typo'd) index must be LOUD — a
+    // raw path-not-found on codes/ names neither the problem nor the fix
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$root/params")),
+      s"applySupersessionFeed: $indexDir holds no built index (no " +
+        "params artifact) — build it (AnnIndex.build) before applying " +
+        "the corpus feed, or check the indexDir path")
+    graft.ext.CacheScope.scoped {
+      val feed = spark.read.parquet(s"$corpusOutDir/superseded")
+        .select(col(idCol).as("uid")).distinct()
+        .transform(graft.ext.CacheScope.cache)
+      val nFeed = feed.count()
+      if (nFeed == 0) (0L, 0L)
+      else {
+        // restrict to uids the index actually serves: present in codes
+        // (ONE codes uid-column scan — the apply-cadence cost; the
+        // supersede below is the pre-verified fast path, so codes is
+        // not scanned a second time) and not already tombstoned
+        val present = spark.read.parquet(s"$root/codes")
+          .select(col("uid"))
+          .join(feed, Seq("uid"), "left_semi")
+        val toRetire = (A.readTombstones(spark, root) match {
+          case Some(tomb) => present.join(tomb, Seq("uid"), "left_anti")
+          case None => present
+        }).transform(graft.ext.CacheScope.cache)
+        val n = toRetire.count()
+        if (n > 0) A.supersedeVerified(spark, indexDir, toRetire)
+        (nFeed, n)
+      }
+    }
+  }
+
   /** End-to-end STREAMING maintenance of a persisted
     * [[graft.ext.AnnIndex]] — watch `inDir` for embedding deltas and
     * absorb each micro-batch via [[writeIndexBatch]]: supersede

@@ -704,6 +704,58 @@ class StreamingSpec extends SparkSpec {
       "an empty batch must not change the keymap's content")
   }
 
+  test("applySupersessionFeed: the corpus loop's published feed retires " +
+    "exactly the served uids — absent ids skip, re-apply is idempotent, " +
+    "no feed is a no-op") {
+    val A = graft.ext.AnnIndex
+    val SI = graft.streaming.StreamingIndex
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val corpus = emb.filter(col("vec_id") % 2 === 0)
+    val indexDir = Files.createTempDirectory("graft-feedapply").toString
+    A.build(graft.ext.Similarity.kmeansBuckets(corpus, "vec_id",
+        "embedding", k = 8, iters = 2, bucketCol = "kb"),
+      "vec_id", "embedding", "kb", indexDir, dim = 64)
+    val corpusOut = Files.createTempDirectory("graft-feedsrc").toString
+    // no feed published yet: a no-op, not an error
+    assert(SI.applySupersessionFeed(spark, corpusOut, indexDir) ==
+      (0L, 0L))
+    // the corpus retired: some uids the index serves (% 8 == 0), some
+    // it never held (odd ids = docs without embeddings in this index) —
+    // published across two micro-batch partitions like the real loop
+    val served = emb.filter(col("vec_id") % 8 === 0)
+      .select(col("vec_id").as("ingest_id"))
+    val unheld = emb.filter(col("vec_id") % 2 === 1)
+      .orderBy(col("vec_id")).limit(7)
+      .select(col("vec_id").as("ingest_id"))
+    // deterministic split: an unordered limit evaluated twice may pick
+    // DIFFERENT rows per action, leaking an id out of both batches
+    val first3 = served.orderBy(col("ingest_id")).limit(3)
+    first3.write.parquet(s"$corpusOut/superseded/batch_id=1")
+    served.join(first3, Seq("ingest_id"), "left_anti").unionByName(unheld)
+      .write.parquet(s"$corpusOut/superseded/batch_id=2")
+    val (nFeed, nRetired) =
+      SI.applySupersessionFeed(spark, corpusOut, indexDir)
+    assert(nFeed == served.count() + unheld.count(),
+      s"feed count $nFeed")
+    assert(nRetired == served.count(),
+      s"retired $nRetired — must retire exactly the SERVED feed ids")
+    // the retired uids never rank; everything else still serves
+    val panel = emb.limit(30)
+      .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"))
+    val res = A.search(spark, indexDir, panel, "vec_id", "embedding",
+      k = 5, nProbe = 2, maxBucket = 4096)
+    assert(res.count() > 0)
+    assert(res.join(served.select(col("ingest_id").as("neighbor_id")),
+      Seq("neighbor_id"), "left_semi").isEmpty,
+      "a corpus-retired uid still serves")
+    // idempotent: the same feed re-applied retires nothing new (the
+    // cron/overlap shape — no watermark state to manage)
+    assert(SI.applySupersessionFeed(spark, corpusOut, indexDir) ==
+      (nFeed, 0L))
+    assert(A.stats(spark, indexDir).head()
+      .getAs[Long]("n_tombstoned") == nRetired)
+  }
+
   test("streaming media ingest: incremental file decode, exactly-once") {
     import java.nio.file.{Files => JFiles, Paths}
     val inDir = Files.createTempDirectory("graft-media-in").toString

@@ -1495,6 +1495,49 @@ class StreamingSpec extends SparkSpec {
     }
     assert(eClosed.getMessage.contains("CLOSED"),
       s"wrong failure mode: ${eClosed.getMessage}")
+    // FULL RECRAWL TOPOLOGY, FILES ONLY: a retrieval index maintained
+    // purely from the loop's PUBLISHED artifacts — the keepers state
+    // (accepted ids → build) and the supersession feed
+    // (applySupersessionFeed → retire), which is all a real deployment
+    // has — ends bit-equal to a fresh index over the live documents'
+    // embeddings after the purging rebuild. The corpus→index wire,
+    // end to end, with no in-memory state crossing the boundary.
+    val A = graft.ext.AnnIndex
+    val SI = graft.streaming.StreamingIndex
+    def embOf(ids: org.apache.spark.sql.DataFrame) =
+      ids.select(col("ingest_id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          j => pmod(xxhash64(col("ingest_id"), j), lit(1000L))
+            .cast("double") / lit(500.0) - lit(1.0)).as("embedding"))
+    val pubKeepers = S.latestShardState(spark, s"$outDir/keepers").get
+    val accepted = pubKeepers.filter(col("kept")).select(col("ingest_id"))
+    val idxDir = Files.createTempDirectory("graft-topo-idx").toString
+    A.build(graft.ext.Similarity.kmeansBuckets(embOf(accepted), "vec_id",
+        "embedding", k = 8, iters = 2, bucketCol = "kb"),
+      "vec_id", "embedding", "kb", idxDir, dim = 64)
+    val (nFeed, nRetired) = SI.applySupersessionFeed(spark, outDir, idxDir)
+    val nSuperseded = pubKeepers.filter(col("kept") && !col("live")).count()
+    assert(nRetired == nSuperseded && nRetired > 0,
+      s"feed apply retired $nRetired of $nSuperseded superseded (feed " +
+        s"$nFeed)")
+    A.rebuild(spark, idxDir, nBuckets = 8, iters = 2)
+    val liveIds = pubKeepers.filter(col("kept") && col("live"))
+      .select(col("ingest_id"))
+    val freshDir = Files.createTempDirectory("graft-topo-fresh").toString
+    val unitLive = embOf(liveIds).select(col("vec_id"),
+      graft.ext.Similarity.unitVec(col("embedding")).as("embedding"))
+    A.build(graft.ext.Similarity.kmeansBuckets(unitLive, "vec_id",
+        "embedding", k = 8, iters = 2, bucketCol = "kb"),
+      "vec_id", "embedding", "kb", freshDir, dim = 64)
+    val qPanel = embOf(liveIds.orderBy(col("ingest_id")).limit(25)
+      .select((col("ingest_id") + 7000000L).as("ingest_id")))
+    val servedT = A.search(spark, idxDir, qPanel, "vec_id", "embedding",
+      k = 5, nProbe = 2, overfetch = 3, maxBucket = 4096)
+    val freshT = A.search(spark, freshDir, qPanel, "vec_id", "embedding",
+      k = 5, nProbe = 2, overfetch = 3, maxBucket = 4096)
+    assert(servedT.exceptAll(freshT).count() == 0 &&
+      freshT.exceptAll(servedT).count() == 0,
+      "files-only maintained index diverged from the fresh live index")
   }
 
   test("closeShards fences the sink TERMINAL: every micro-batch writer " +

@@ -257,9 +257,14 @@ object Bench {
       .filter(r => contendedNames.contains(r._1) &&
         !r._1.startsWith("q_ml_") && // the memoized pair has no honest rerun
         !errors.contains(r._1))
-      // worst contention first: the heal budget must bound the MOST
-      // inflated cold numbers, not whichever five ran earliest
-      .sortBy(r => -r._8 / math.max(r._2, 1e-9))
+      // worst ABSOLUTE contention first: the heal budget must bound the
+      // MOST inflated cold numbers. Absolute external cpu-seconds, NOT
+      // the ext/wall ratio — r16's ratio ordering spent all 5 heals on
+      // ~10 s of combined inflation while the corpus-build family's
+      // ~165 s (93.6 s wall vs 8.65 quiet, ratio only 1.2 because its
+      // own window is long) went unhealed. The ratio stays the CONTENDED
+      // discriminator above; the magnitude picks what to heal.
+      .sortBy(-_._8)
       .map(_._1).take(5) // bound the heal pass
     // quietness for the heal gate is ALSO the direct measurement: idle
     // 1.5 s and see what other processes burn (load1 is still high from
@@ -354,6 +359,15 @@ object Bench {
       case (n, t, _, _, _, _, _, _) if n.startsWith("q_ml_") => t
     }.sum
     val total = results.map(_._2).sum
+    // SELF-ADJUDICATING headline for contended runs: `value` stays the
+    // honest cold sum (retries bound, never replace), but a contended
+    // run's total is incomparable round-over-round without opening the
+    // quiet archive — `value_healed` substitutes each healed query's
+    // retry reading, so the one-line artifact carries its own bound on
+    // what a quiet run would have measured. Identical to `value` when
+    // nothing was healed.
+    val totalHealed = results
+      .map(r => retries.get(r._1).map(_._1).getOrElse(r._2)).sum
     // The harness keeps only the last ~2000 chars of stdout and parses the
     // JSON result line out of that window; ~100 full-precision per-query
     // entries overflow it. Print the slowest queries itemized plus an
@@ -463,7 +477,7 @@ object Bench {
     val sharedJson =
       s"""{"ann_coarse_sec":${jnum(annCoarseSec)},"ann_n":$annN,"ann_relearn_sec":${jnum(relearn(annCoarseSec, annN))},"dedup_minhash_sec":${jnum(minhashSec)},"dedup_n":$dedupN,"dedup_relearn_sec":${jnum(relearn(minhashSec, dedupN))}}"""
     val contendedJson =
-      s""""contended_n":${contendedNames.size},"healed_n":${retries.size},"ext_cores_threshold":$extCores"""
+      s""""contended_n":${contendedNames.size},"healed_n":${retries.size},"value_healed":${jnum(totalHealed)},"ext_cores_threshold":$extCores"""
     val detail = s"""{"metric":"total","value":$total,"unit":"sec",$newQJson,$contendedJson,"queries":$fullQs,"perq":$perQ,"warm":$warmQs,"warm_cpu":$warmCpuQs,"shuffle":$shuffleQs,"families":$families,"ml_phases":$mlPhases,"shared":$sharedJson,"loadavg":$loadJson,"ml_fused":$mlFused,"errors":$errJsonFull,"sf":"$sfDir"}"""
     // BENCH_DETAIL.json stays the stable latest-run pointer; the r{N}
     // archive keeps every round's per-query cpu readable forever (r11's

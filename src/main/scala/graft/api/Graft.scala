@@ -340,6 +340,30 @@ object Graft {
                         idCol: String): Unit =
     AnnIndex.supersede(spark, dir, uids, idCol)
 
+  /** The NIGHTLY-JOB shape of the keyed index absorb — one call applies
+    * a keyed embedding delta `(keyCol, uidCol, vecCol)` to a persisted
+    * index under LATEST-WINS key identity: re-delivered keys' previous
+    * live uids retire (verified-provenance — uids a rebuild already
+    * purged are skipped, not errors), the new vectors enter under the
+    * frozen geometry, and the `keymap` state advances — the EXACT
+    * micro-batch body of
+    * [[graft.streaming.StreamingIndex.runPersistedIndexLoop]] without
+    * the checkpoint/batchId machinery (spec-pinned bit-equal to the
+    * streaming loop over the same deltas). Crash retries converge;
+    * re-applying a COMPLETED delta refuses loudly. Refuses while a
+    * streaming loop owns the index. See
+    * [[graft.streaming.StreamingIndex.absorbKeyedDelta]].
+    */
+  def annIndexAbsorbKeyedDelta(spark: SparkSession, dir: String,
+                               delta: DataFrame, keyCol: String,
+                               uidCol: String, vecCol: String,
+                               maxAddedFraction: Double = 2.0,
+                               maintainDrift: Double = 0.0,
+                               maintainTrainFraction: Double = 1.0): Unit =
+    graft.streaming.StreamingIndex.absorbKeyedDelta(spark, dir, delta,
+      keyCol, uidCol, vecCol, maxAddedFraction, maintainDrift,
+      maintainTrainFraction)
+
   /** Serve queries from a persisted index with no re-learning — the
     * query-many half. Same output contract as every ANN path; the serve
     * plan is EXACTLY the live [[annSearch]] tail (spec-pinned equal).
@@ -1697,6 +1721,85 @@ object Graft {
       .filter(col("kept") || col("__r") === 1)
       .drop("__r")
     KeyedCorpusShardsState(keepers, state.shards)
+  }
+
+  /** RETENTION for the rekeyed loop's SUPERSESSION FEED: the loop
+    * publishes one `corpusOutDir/superseded/batch_id=B` directory per
+    * micro-batch forever, so a long-lived stream accumulates one dir per
+    * batch even though almost every id is long consumed — unbounded
+    * listing cost for every late-joining consumer. This folds the
+    * published batches at or below `uptoBatchId` into ONE archive
+    * snapshot (`corpusOutDir/superseded_archive/v=<n>`, `batch_id`
+    * PRESERVED as a column — consumers' applied-through cursors keep
+    * working across the fold, and parquet row-group stats prune the
+    * already-applied bulk) and deletes the folded dirs. Append-or-refuse
+    * discipline, crash-safe end to end: the snapshot version commits
+    * (part files) BEFORE any dir is deleted, a re-run after a crash
+    * re-folds the surviving dirs (the anti-join on `batch_id` dedups
+    * rows already archived), and torn/empty batch dirs are left alone
+    * (the publisher may still be retrying them). Run it on the
+    * consumers' apply cadence — AFTER every consumer's cursor passed
+    * `uptoBatchId` if you want their applies to stay archive-free; a
+    * slower consumer still reads folded history through the archive.
+    * Returns the number of batch dirs folded.
+    */
+  def corpusSupersessionFeedCompact(spark: SparkSession,
+                                    corpusOutDir: String,
+                                    uptoBatchId: Long = Long.MaxValue)
+      : Long = {
+    import spark.implicits._
+    val feedRoot = s"$corpusOutDir/superseded"
+    val (fs, feedPath) = stateFs(spark, feedRoot)
+    val bRe = "batch_id=(\\d+)".r
+    val candidates: Seq[(Long, String)] =
+      if (!fs.exists(feedPath)) Nil
+      else fs.listStatus(feedPath).toSeq.flatMap { d =>
+        d.getPath.getName match {
+          case bRe(b) if d.isDirectory && b.toLong <= uptoBatchId &&
+              fs.listStatus(d.getPath).exists(st =>
+                st.getPath.getName.startsWith("part-") && st.getLen > 0) =>
+            Some(b.toLong -> d.getPath.toString)
+          case _ => None
+        }
+      }
+    if (candidates.isEmpty) return 0L
+    // basePath keeps batch_id as a column through the explicit-dir read
+    val rows = spark.read.option("basePath", feedRoot)
+      .parquet(candidates.map(_._2): _*)
+      .withColumn("batch_id", col("batch_id").cast("long"))
+    val archDir = s"$corpusOutDir/superseded_archive"
+    val (afs, archPath) = stateFs(spark, archDir)
+    val vRe = "v=(\\d+)".r
+    def versions: Seq[Long] =
+      if (!afs.exists(archPath)) Nil
+      else afs.listStatus(archPath).toSeq.flatMap(_.getPath.getName match {
+        case vRe(n) => Some(n.toLong)
+        case _ => None
+      }).sorted
+    val committed = versions.filter(v =>
+      afs.listStatus(new org.apache.hadoop.fs.Path(s"$archDir/v=$v"))
+        .exists(st => st.getPath.getName.startsWith("part-") &&
+          st.getLen > 0))
+    // the re-fold dedup: a crash between snapshot and deletes leaves the
+    // folded dirs on disk AND in the archive — exclude their batch ids
+    // from the carried side so the retry converges instead of duplicating
+    val candIds = candidates.map(_._1).toDF("batch_id")
+    val carried = committed.lastOption.map(v =>
+      spark.read.parquet(s"$archDir/v=$v")
+        .withColumn("batch_id", col("batch_id").cast("long"))
+        .join(broadcast(candIds), Seq("batch_id"), "left_anti"))
+    val merged = carried.map(_.unionByName(rows)).getOrElse(rows)
+    // newest committed + 1: a torn slot from a crashed compact is exactly
+    // the slot the retry overwrites (the keymap/absorb version rule)
+    val next = committed.lastOption.map(_ + 1).getOrElse(0L)
+    merged.write.mode("overwrite").parquet(s"$archDir/v=$next")
+    // deletes strictly AFTER the snapshot committed; then retention on
+    // the archive versions themselves (only the newest is ever read)
+    candidates.foreach { case (_, dir) =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
+    graft.streaming.StreamingCorpus.pruneVersions(spark, archDir)
+    candidates.size.toLong
   }
 
   /** COMPACTION for the [[RekeyPolicy.LatestWins]] loop: re-chunk the

@@ -969,6 +969,126 @@ object NorthStarQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** The `q_ann_index_filtered_rekey` oracle — the FILTERED × SUPERSEDED
+    * composition ([[ivfPqResRekeyOracleSql]]'s live set ×
+    * [[ivfPqResFilteredOracleSql]]'s membership cut): geometry learns
+    * from the POST-SUPERSESSION live set (survivors + re-embeds under
+    * shifted uids — the rebuild's terminal state), then the
+    * `vec_id % 3 = 0` allowlist (over the LIVE uid, shift included)
+    * restricts candidate membership only. Served results are exactly
+    * allowlist ∩ live: a superseded uid never ranks even when allowed,
+    * a disallowed uid never ranks even when live — the two cuts
+    * [[graft.ext.AnnIndex.search]] composes
+    * (tombstone anti-join + `allowedUids` semi-join) pinned in ONE gate.
+    */
+  private def ivfPqResFilteredRekeyOracleSql: String = {
+    val m = 4; val dsub = 16; val kSub = 16
+    val subCtes = (0 until m)
+      .map(j => pqSubCte(j, dsub, kSub, src = "res", vcol = "rv"))
+      .mkString(", ")
+    val rcJoins = (1 until m)
+      .map(j => s"JOIN rc$j r$j USING (vec_id)").mkString(" ")
+    val rcConcat = (0 until m).map(j => s"r$j.r").mkString(" || ")
+    val liveE =
+      s"""el AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS raw
+         |  FROM embeddings
+         |  WHERE embedding IS NOT NULL AND vec_id % 2 = 0
+         |    AND vec_id % 8 <> 0
+         |  UNION ALL
+         |  SELECT vec_id + $RekeyUidOffset AS vec_id,
+         |    list_reverse(embedding::DOUBLE[]) AS raw
+         |  FROM embeddings
+         |  WHERE embedding IS NOT NULL AND vec_id % 8 = 0
+         |), e AS (
+         |  SELECT vec_id,
+         |    list_transform(raw,
+         |      x -> x / NULLIF(sqrt(list_inner_product(raw, raw)), 0)) AS v
+         |  FROM el
+         |), init AS (""".stripMargin
+    s"""WITH ${liveE + lloydAfCteTail}, cb AS (
+       |  SELECT af.b, t.i AS i, avg(e.v[t.i]) AS c
+       |  FROM e JOIN af USING (vec_id),
+       |    unnest(range(1, len(e.v) + 1)) AS t(i)
+       |  GROUP BY af.b, t.i
+       |), cbl AS (
+       |  SELECT b, list(c ORDER BY i) AS cv FROM cb GROUP BY b
+       |), res AS (
+       |  SELECT e.vec_id,
+       |    list_transform(range(1, len(e.v) + 1),
+       |      i -> e.v[i] - cl.cv[i]) AS rv
+       |  FROM e JOIN af USING (vec_id) JOIN cbl cl ON cl.b = af.b
+       |), $subCtes, rcat AS (
+       |  SELECT r0.vec_id, $rcConcat AS rc
+       |  FROM rc0 r0 $rcJoins
+       |), afw AS (
+       |  SELECT * FROM af WHERE vec_id % 3 = 0
+       |), qe AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL AND vec_id % 4 = 1
+       |), cbu AS (
+       |  SELECT b,
+       |    list_transform(cv,
+       |      x -> x / NULLIF(sqrt(list_inner_product(cv, cv)), 0)) AS cu
+       |  FROM cbl
+       |), uv AS (
+       |  SELECT vec_id,
+       |    list_transform(v,
+       |      x -> x / NULLIF(sqrt(list_inner_product(v, v)), 0)) AS q
+       |  FROM e
+       |), uvq AS (
+       |  SELECT vec_id,
+       |    list_transform(v,
+       |      x -> x / NULLIF(sqrt(list_inner_product(v, v)), 0)) AS q
+       |  FROM qe
+       |), probes AS (
+       |  SELECT vec_id AS query_id, b FROM (
+       |    SELECT u.vec_id, c.b,
+       |      row_number() OVER (PARTITION BY u.vec_id
+       |        ORDER BY round(list_inner_product(u.q, c.cu) + 1e-9, 6)
+       |          DESC, c.b) AS pr
+       |    FROM uvq u CROSS JOIN cbu c) WHERE pr <= 2
+       |), mem AS (
+       |  SELECT vec_id,
+       |    row_number() OVER (PARTITION BY b
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |  FROM afw
+       |), approx AS (
+       |  SELECT p.query_id, c.vec_id AS neighbor_id,
+       |    round(list_inner_product(q.v, f.fv) /
+       |      (NULLIF(sqrt(list_inner_product(q.v, q.v)), 0) *
+       |       NULLIF(sqrt(list_inner_product(f.fv, f.fv)), 0))
+       |      + 1e-9, 6) AS approx
+       |  FROM probes p
+       |  JOIN qe q ON q.vec_id = p.query_id
+       |  JOIN afw c ON c.b = p.b AND c.vec_id <> p.query_id
+       |  JOIN mem mb ON mb.vec_id = c.vec_id AND mb.rn <= 40
+       |  JOIN cbl pc ON pc.b = p.b
+       |  LEFT JOIN rcat rr ON rr.vec_id = c.vec_id,
+       |  LATERAL (SELECT list_transform(range(1, len(pc.cv) + 1),
+       |      i -> pc.cv[i] + rr.rc[i]) AS fv) f
+       |), short AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY approx DESC, neighbor_id) AS ar
+       |  FROM approx
+       |), cand AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    round(list_inner_product(qa.q, qb.q) + 1e-9, 6) AS cosine
+       |  FROM short s
+       |  JOIN uvq qa ON qa.vec_id = s.query_id
+       |  JOIN uv qb ON qb.vec_id = s.neighbor_id
+       |  WHERE s.ar <= 15
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM cand
+       |)
+       |SELECT * FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** The `q_ann_index_filtered` oracle — [[ivfPqResSearchOracleSql]]
     * with candidate MEMBERSHIP restricted to the `vec_id % 3 = 0`
     * allowlist AFTER the full-corpus geometry: Lloyd cells, cell means,
@@ -1513,6 +1633,43 @@ object NorthStarQueries {
           "kb", dim = 64, m = 4, kSub = 16, iters = 1).get
       val allow = corpus.filter(col("vec_id") % 3 === 0)
         .select(col("vec_id").as("uid"))
+      Similarity.ivfPqResServe(cents,
+          coded.join(allow, Seq("uid"), "left_semi"), unit, queries,
+          "vec_id", "embedding", books.map(_.flatten), kSub = 16, k = 5,
+          nProbe = 2, overfetch = 3, maxBucket = 40)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // FILTERED × SUPERSEDED composition — the serve path every
+    // production store actually runs: a tenant-scoped search over an
+    // index that has absorbed re-embeddings. Geometry and codes are the
+    // rekey fixture's POST-REBUILD live set (survivors + shifted
+    // re-embeds); the % 3 == 0 allowlist (over live uids, shift
+    // included) restricts candidate membership only. Results are
+    // exactly allowlist ∩ live — a superseded uid never ranks even when
+    // allowed, a disallowed uid never ranks even when live. ExtSpec pins
+    // the PERSISTED path (search over the superseded-then-rebuilt index
+    // with allowedUids) bit-equal to this plan; the DuckDB hash gate
+    // certifies both cuts composed.
+    "q_ann_index_filtered_rekey" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val vd = col("embedding").cast("array<double>")
+      val survivors = emb
+        .filter(col("vec_id") % 2 === 0 && col("vec_id") % 8 =!= 0)
+        .select(col("vec_id"), Similarity.unitVec(vd).as("embedding"))
+      val reembeds = emb.filter(col("vec_id") % 8 === 0)
+        .select((col("vec_id") + RekeyUidOffset).as("vec_id"),
+          Similarity.unitVec(reverse(vd)).as("embedding"))
+      val live = survivors.unionByName(reembeds)
+      val bucketed = Similarity.kmeansBuckets(live, "vec_id", "embedding",
+        k = AnnCellK, iters = AnnCellIters, bucketCol = "kb")
+      val (cents, coded, unit, books) =
+        Similarity.ivfPqResIndexParts(bucketed, "vec_id", "embedding",
+          "kb", dim = 64, m = 4, kSub = 16, iters = 1).get
+      val allow = live.filter(col("vec_id") % 3 === 0)
+        .select(col("vec_id").as("uid"))
+      val queries = emb.filter(col("vec_id") % 4 === 1)
+        .select(col("vec_id"), col("embedding"))
       Similarity.ivfPqResServe(cents,
           coded.join(allow, Seq("uid"), "left_semi"), unit, queries,
           "vec_id", "embedding", books.map(_.flatten), kSub = 16, k = 5,
@@ -2423,6 +2580,7 @@ object NorthStarQueries {
     "q_ann_index_add" -> ivfPqResAddOracleSql,
     "q_ann_index_rekey" -> ivfPqResRekeyOracleSql,
     "q_ann_index_filtered" -> ivfPqResFilteredOracleSql,
+    "q_ann_index_filtered_rekey" -> ivfPqResFilteredRekeyOracleSql,
     "q_hard_negatives" -> hardNegativesOracleSql,
 
     "q_domain_sample" ->

@@ -580,7 +580,8 @@ object StreamingCorpus {
                                                   ctxTokens: Int,
                                                   salt: String,
                                                   policy: graft.api.Graft.RekeyPolicy,
-                                                  alertSupersededFraction: Double = 0.5)
+                                                  alertSupersededFraction: Double = 0.5,
+                                                  stateCompactEveryBatches: Int = 0)
       : Unit = {
     val spark = batch.sparkSession
     requireNotClosed(spark, s"$outDir/shards")
@@ -600,9 +601,23 @@ object StreamingCorpus {
     val (shards, newState) = G.rekeyedCore(reId, textCol, "ingest_id",
       keyCol, streamCol, tok, st, policy, ctxTokens,
       checkIdOrder = false) // ids are monotone by the versioned base
+    // IN-LOOP state retention ([[graft.api.Graft.corpusRekeyedStateCompact]]):
+    // every Nth batch writes the COMPACTED keeper frame instead of the
+    // full append chain, so a long-lived loop's state stays bounded by
+    // accepted versions + keys without waiting for the close. Keyed on
+    // batchId, so a retried batch makes the same decision and replaces
+    // the same output; absorb-equality over compacted state is the
+    // ApiSpec pin. 0 disables (close still compacts).
+    val keepersOut =
+      if (stateCompactEveryBatches > 0 &&
+          (batchId + 1) % stateCompactEveryBatches == 0)
+        G.corpusRekeyedStateCompact(
+          G.KeyedCorpusShardsState(newState.keepers, newState.shards),
+          keyCol, "ingest_id").keepers
+      else newState.keepers
     shards.write.mode("overwrite")
       .parquet(s"$outDir/shards/batch_id=$batchId")
-    newState.keepers.write.mode("overwrite")
+    keepersOut.write.mode("overwrite")
       .parquet(s"$outDir/keepers/v=$batchId")
     newState.shards.write.mode("overwrite")
       .parquet(s"$outDir/state/v=$batchId")
@@ -704,7 +719,51 @@ object StreamingCorpus {
       s"closeShardsRekeyed: no committed rekeyed state under $outDir — " +
         "nothing was ever absorbed, or the first batch crashed before " +
         "its state commit")
-    val st = G.KeyedCorpusShardsState(keepers.get, shardsSt.get)
+    val st0 = G.KeyedCorpusShardsState(keepers.get, shardsSt.get)
+    // STATE retention compaction rides the close (VERDICT r16): the
+    // loop's keeper state appends one row per DELIVERED version forever,
+    // and until now nothing in the streaming lifecycle ever called
+    // [[graft.api.Graft.corpusRekeyedStateCompact]] — a long-lived loop
+    // closed and re-opened nightly carried every dead re-delivery row
+    // across its whole life. Compacting here is safe for ALL policies
+    // (ApiSpec pins absorb-equality and idempotence of the compactor),
+    // bounds the closed state at accepted versions + keys, and the
+    // compacted keepers feed the shard compaction below (they retain
+    // every kept row the cuts/offsets consume). The key column is the
+    // one the fixed loop layout does not account for: the loop writes
+    // (ingest_id, keyCol, content_hash, streamCol, kept, live, n_tokens)
+    // — every column but the key is name-pinned, so the key is inferred
+    // by elimination (a wrong guess, e.g. positional, would window by a
+    // unique column and silently compact NOTHING).
+    val fixedCols = Set("ingest_id", "content_hash", "kept", "live",
+      "n_tokens", streamCol)
+    val keyCands = st0.keepers.columns.filterNot(fixedCols)
+    require(keyCands.length == 1,
+      s"closeShardsRekeyed: cannot infer the key column of the keeper " +
+        s"state under $outDir (candidates: ${keyCands.mkString(", ")}) — " +
+        "the state does not carry the rekeyed loop's layout")
+    val st = G.corpusRekeyedStateCompact(st0, keyCands.head, "ingest_id")
+    // persist the compacted keepers as the newest state version BEFORE
+    // the marker, so whatever loads the closed state (a re-opened absorb
+    // chain, corpusRekeyedStateSave, an operator audit) reads the
+    // bounded frame; a crash between this write and the marker leaves a
+    // re-closeable sink whose retry recomputes the same compaction
+    val vRe = "v=(\\d+)".r
+    val kPath = new org.apache.hadoop.fs.Path(s"$outDir/keepers")
+    val kfs = kPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nextV = kfs.listStatus(kPath).toSeq
+      .flatMap(_.getPath.getName match {
+        case vRe(n) => Some(n.toLong)
+        case _ => None
+      }).sorted.lastOption.map(_ + 1).getOrElse(0L)
+    // materialize before overwriting: the compacted plan READS the
+    // newest version, and Spark refuses (or worse, corrupts) an
+    // overwrite of its own input — a fresh version dir sidesteps it
+    st.keepers.write.mode("overwrite")
+      .parquet(s"$outDir/keepers/v=$nextV")
+    pruneVersions(spark, s"$outDir/keepers")
+    val stC = G.KeyedCorpusShardsState(
+      spark.read.parquet(s"$outDir/keepers/v=$nextV"), st.shards)
     // EXCLUDE any batch_id = FlushBatchId partition: if the UNKEYED
     // closeShards already ran on this sink, its published flush rows
     // re-enter here while the compaction ALSO flushes the same tails
@@ -716,7 +775,7 @@ object StreamingCorpus {
       .select(col(streamCol), col("shard_id"), col("n_tokens"),
         col("token_ids"))
     val fin = G.corpusShardsRekeyedCompact(docs, textCol, "ingest_id",
-      streamCol, tok, st, emitted, ctxTokens, minSupersededFraction)
+      streamCol, tok, stC, emitted, ctxTokens, minSupersededFraction)
     // repartition(1) for the same empty-frame schema reason closeShards
     // documents is NOT needed here: the compacted set is never empty
     // when state exists, and shard rows are token-heavy — keep the
@@ -752,6 +811,12 @@ object StreamingCorpus {
     * re-crawl). `alertSupersededFraction` logs, per batch, the streams
     * whose superseded-token fraction crossed it — the signal to
     * schedule that close; the writer itself stays strictly append-only.
+    * `stateCompactEveryBatches` > 0 additionally row-compacts the keeper
+    * STATE every Nth batch
+    * ([[graft.api.Graft.corpusRekeyedStateCompact]] — dead re-delivery
+    * rows dropped, bound = accepted versions + keys), and
+    * [[closeShardsRekeyed]] always compacts it at close, so a long-lived
+    * loop's state tracks corpus content, not delivery count.
     * Single-producer ownership enforced as in the keyed loop.
     */
   def runCorpusShardsRekeyed(spark: SparkSession, inDir: String,
@@ -765,7 +830,8 @@ object StreamingCorpus {
                              ctxTokens: Int = 256, minTokens: Long = 50,
                              maxTokens: Long = 100000,
                              salt: String = "ingest",
-                             alertSupersededFraction: Double = 0.5)
+                             alertSupersededFraction: Double = 0.5,
+                             stateCompactEveryBatches: Int = 0)
       : StreamingQuery = {
     val srcCols = schema.fieldNames.toSeq
     acquireProducerLock(spark, s"$outDir/ingest", checkpoint)
@@ -775,7 +841,8 @@ object StreamingCorpus {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         writeRekeyedCorpusShardBatch(batch.select(srcCols.map(col): _*),
           batchId, outDir, textCol, keyCol, streamCol, tok, ctxTokens,
-          salt, policy, alertSupersededFraction)
+          salt, policy, alertSupersededFraction,
+          stateCompactEveryBatches)
       }
       .option("checkpointLocation", checkpoint)
       .start()

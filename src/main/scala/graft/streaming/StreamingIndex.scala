@@ -76,6 +76,76 @@ object StreamingIndex {
     Similarity.bucketedNN(spark.read.parquet(indexDir), idCol, vecCol,
       "cell", k = k, maxBucket = maxBucket)
 
+  /** The keymap version's OWN commit marker, written LAST by every
+    * absorb (and by [[seedIndexKeymap]]). The committer's `_SUCCESS` is
+    * NOT the commit record here: deployments that suppress marker files
+    * (`mapreduce.fileoutputcommitter.marksuccessfuljobs=false`,
+    * object-store tooling that drops underscore files — the exact mode
+    * [[graft.ext.AnnIndex.readTombstones]] is hardened against) would
+    * silently re-take the convergence path on every re-delivery AND let
+    * [[seedIndexKeymap]] re-seed a live loop. A version carrying EITHER
+    * marker reads as committed (pre-r17 keymaps wrote only `_SUCCESS`);
+    * new writes always stamp this one.
+    */
+  private[graft] val KeymapCommitMarker = "_GRAFT_COMMIT"
+
+  /** Is this keymap version directory committed? Own marker (always
+    * stamped since r17) or the committer's `_SUCCESS` (pre-r17 layout).
+    */
+  private def keymapCommitted(fs: org.apache.hadoop.fs.FileSystem,
+                              vDir: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(vDir, KeymapCommitMarker)) ||
+      fs.exists(new org.apache.hadoop.fs.Path(vDir, "_SUCCESS"))
+
+  /** The newest COMMITTED keymap version strictly below `beforeBatch` —
+    * the prior-state read of every absorb. Unlike the generic
+    * [[StreamingCorpus.latestShardState]] (whose writers replace their
+    * own slot on retry, so the newest version is always the right one),
+    * the keymap's newest version can be TORN: a crashed
+    * [[seedIndexKeymap]] leaves a partial set of part files under
+    * `v=0` with no commit marker, and reading it as the complete
+    * key→uid map would make the built keys missing from the torn seed
+    * silently never supersede. A torn version below `beforeBatch` is
+    * therefore LOUD, not skipped-over: the only in-protocol torn slot
+    * is the CURRENT batch's own (excluded by `beforeBatch`), so
+    * anything older is a crashed seed (re-run [[seedIndexKeymap]]) or
+    * out-of-band damage — silently reading past it would serve a map
+    * with holes.
+    */
+  private[graft] def latestCommittedKeymap(spark: SparkSession,
+                                           keymapDir: String,
+                                           beforeBatch: Long)
+      : Option[DataFrame] = {
+    val path = new org.apache.hadoop.fs.Path(keymapDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) None
+    else {
+      val vRe = "v=(\\d+)".r
+      val versions = fs.listStatus(path).toSeq
+        .flatMap(_.getPath.getName match {
+          case vRe(n) => Some(n.toLong)
+          case _ => None
+        })
+        .filter(_ < beforeBatch)
+      val committed = versions.filter(v => keymapCommitted(fs,
+        new org.apache.hadoop.fs.Path(s"$keymapDir/v=$v")))
+      if (versions.nonEmpty &&
+          committed.sorted.lastOption != versions.sorted.lastOption) {
+        val torn = versions.max
+        throw new IllegalStateException(
+          s"graft index keymap: $keymapDir/v=$torn exists but carries no " +
+            "commit marker — a torn write (crashed seedIndexKeymap when " +
+            "v=0, out-of-band damage otherwise). Reading past it would " +
+            "serve a key→uid map with holes, so built keys missing from " +
+            "the torn version would silently never supersede. Re-run " +
+            "seedIndexKeymap (it replaces an uncommitted v=0), or delete " +
+            "the torn version if its owning write is known re-driven")
+      }
+      committed.sorted.lastOption
+        .map(v => spark.read.parquet(s"$keymapDir/v=$v"))
+    }
+  }
+
   /** One micro-batch of the PERSISTED-index loop
     * ([[runPersistedIndexLoop]]): absorb an embedding delta into a
     * [[graft.ext.AnnIndex]] under LATEST-WINS key identity — the
@@ -91,10 +161,11 @@ object StreamingIndex {
     * new vector enters under the frozen geometry via
     * [[graft.ext.AnnIndex.add]].
     *
-    * EXACTLY-ONCE: the keymap version's `_SUCCESS` file (the
-    * committer's job-commit marker — the bare directory exists from job
-    * SETUP, so a crash mid-write leaves a torn dir that must NOT read
-    * as completed) is the batch's commit marker, written LAST — a
+    * EXACTLY-ONCE: the keymap version's [[KeymapCommitMarker]] (the
+    * loop's OWN commit record, written after the keymap parquet — the
+    * committer's `_SUCCESS` is suppressed on some deployments, and the
+    * bare directory exists from job SETUP, so neither can be the
+    * completed-batch signal) is the batch's commit marker — a
     * re-delivered batch whose marker exists skips entirely. A retry of
     * a PARTIALLY-applied batch converges: supersede is idempotent
     * (tombstone set semantics), the add step skips when every batch uid
@@ -110,13 +181,9 @@ object StreamingIndex {
     * the marker would strand a retry whose supersede targets no longer
     * exist.
     *
-    * Guards (all loud, delta-sized probes — [[requireKeyedDelta]]):
-    * keys AND uids must be unique and non-null within the batch (a
-    * null uid could never be retired and is invisible to the dup
-    * guards; duplicate uids would break the membership probe's
-    * all-or-none retry adjudication); a re-delivered key must arrive
-    * under a NEW uid — re-using the previous live uid would tombstone
-    * the very row the add step then refuses as a duplicate.
+    * Guards and the retirement shape live in [[absorbKeyedCore]] —
+    * shared verbatim with the batch facade ([[absorbKeyedDelta]]), so
+    * the nightly-job path and the streaming path cannot drift.
     */
   private[graft] def writeIndexBatch(batch: DataFrame, batchId: Long,
                                      indexDir: String, keyCol: String,
@@ -126,26 +193,69 @@ object StreamingIndex {
                                      maintainTrainFraction: Double = 1.0)
       : Unit = {
     val spark = batch.sparkSession
-    val A = graft.ext.AnnIndex
     val keymapDir = s"$indexDir/keymap"
     // keymap versions are OFFSET BY ONE (batch B owns v=B+1): v=0 is the
     // build-time seed slot ([[seedIndexKeymap]]) — the initial corpus's
     // key→uid rows, so re-deliveries of BUILT keys supersede too, not
     // only re-deliveries of streamed ones. Every version is the complete
-    // map (carry-forward below), so pruning old versions loses nothing.
+    // map (carry-forward in the core), so pruning old versions loses
+    // nothing.
     val vNum = batchId + 1
     val okPath = new org.apache.hadoop.fs.Path(
-      s"$keymapDir/v=$vNum/_SUCCESS")
+      s"$keymapDir/v=$vNum/$KeymapCommitMarker")
     val fs = okPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(okPath)) return // completed batch re-delivered: skip
-    val n = requireKeyedDelta(batch, keyCol, uidCol, "graft index loop")
+    absorbKeyedCore(batch, vNum, indexDir, keyCol, uidCol, vecCol,
+      maxAddedFraction, "graft index loop")
+    StreamingCorpus.pruneVersions(spark, keymapDir)
+    if (maintainDrift > 0)
+      graft.ext.AnnIndex.maintain(spark, indexDir, maintainDrift,
+        trainFraction = maintainTrainFraction)
+  }
+
+  /** The shared absorb body of [[writeIndexBatch]] and
+    * [[absorbKeyedDelta]]: supersede re-delivered keys' previous live
+    * uids, add the new vectors under the frozen geometry, advance the
+    * keymap to `v=vNum` and stamp its commit marker. Callers own the
+    * version arithmetic, the completed-skip, pruning, and the policy
+    * rebuild.
+    *
+    * Retirement is VERIFIED-PROVENANCE, not exists-guarded: the keymap's
+    * old uids are semi-joined against the current version's codes and
+    * anti-joined against its tombstones before
+    * [[graft.ext.AnnIndex.supersedeVerified]] — the keymap can
+    * legitimately map a key to a uid the index no longer holds (retired
+    * out-of-band by [[applySupersessionFeed]] and then physically purged
+    * by a rebuild, including this loop's own `maintainDrift` rebuild),
+    * and tripping [[graft.ext.AnnIndex.supersede]]'s exists guard there
+    * would poison the batch PERMANENTLY (every retry re-fails on the
+    * same absent uid). Keymap-driven retirement has verified provenance,
+    * so absence means already-purged, not a caller error.
+    *
+    * Guards (all loud, delta-sized probes — [[requireKeyedDelta]]):
+    * keys AND uids must be unique and non-null within the batch (a
+    * null uid could never be retired and is invisible to the dup
+    * guards; duplicate uids would break the membership probe's
+    * all-or-none retry adjudication); a re-delivered key must arrive
+    * under a NEW uid — re-using the previous live uid would tombstone
+    * the very row the add step then refuses as a duplicate.
+    */
+  private def absorbKeyedCore(batch: DataFrame, vNum: Long,
+                              indexDir: String, keyCol: String,
+                              uidCol: String, vecCol: String,
+                              maxAddedFraction: Double,
+                              who: String): Unit = {
+    val spark = batch.sparkSession
+    val A = graft.ext.AnnIndex
+    val keymapDir = s"$indexDir/keymap"
+    val n = requireKeyedDelta(batch, keyCol, uidCol, who)
     // every cache below is batch-scoped: an indefinitely-running loop
     // must not grow the session cache registry by two entries per batch
     graft.ext.CacheScope.scoped {
       val delta = batch.select(col(keyCol).as("key"),
           col(uidCol).as("uid"), col(vecCol).as("vec"))
         .transform(graft.ext.CacheScope.cache)
-      val prior = StreamingCorpus.latestShardState(spark, keymapDir, vNum)
+      val prior = latestCommittedKeymap(spark, keymapDir, vNum)
       if (n > 0) {
         // the re-delivered keys' previous live uids — delta-sized via the
         // broadcast semi-join against the batch's keys
@@ -154,13 +264,28 @@ object StreamingIndex {
         old.foreach { o =>
           require(o.join(delta.select(col("key"), col("uid")),
               Seq("key", "uid"), "left_semi").isEmpty,
-            "graft index loop: a re-delivered key re-uses its previous " +
+            s"$who: a re-delivered key re-uses its previous " +
               "live uid — a re-embedded key must enter under a NEW uid " +
               "(the corpus ingest-id contract); superseding the old uid " +
               "would tombstone the very row the add step then refuses " +
               "as a duplicate")
-          if (!o.isEmpty)
-            A.supersede(spark, indexDir, o.select(col("uid")), "uid")
+          if (!o.isEmpty) {
+            // served ∩ not-yet-tombstoned, projected FROM codes (the
+            // applySupersessionFeed shape — one codes uid pass with the
+            // delta broadcast, feeding the pre-verified supersede)
+            val root = A.currentRoot(spark, indexDir)
+            val present = spark.read.parquet(s"$root/codes")
+              .select(col("uid"))
+              .join(broadcast(o.select(col("uid"))), Seq("uid"),
+                "left_semi")
+            val toRetire = (A.readTombstones(spark, root) match {
+              case Some(tomb) =>
+                present.join(tomb, Seq("uid"), "left_anti")
+              case None => present
+            }).transform(graft.ext.CacheScope.cache)
+            if (toRetire.count() > 0)
+              A.supersedeVerified(spark, indexDir, toRetire)
+          }
         }
         // add, retry-convergent: all-coded = completed re-delivery
         // (skip); none = fresh delta; a strict subset re-enters add(),
@@ -173,18 +298,18 @@ object StreamingIndex {
             uidCol, vecCol, maxAddedFraction)
       }
       // keymap: carry forward unaffected keys, replace re-delivered
-      // ones; the overwrite to v=<B+1> (its _SUCCESS specifically) is
-      // the batch's commit marker
+      // ones; the commit marker stamped after the overwrite to v=<vNum>
+      // is the batch's commit record
       val carried = prior.map(_.join(broadcast(delta.select(col("key"))),
           Seq("key"), "left_anti"))
         .getOrElse(delta.select(col("key"), col("uid")).limit(0))
       carried.unionByName(delta.select(col("key"), col("uid")))
         .write.mode("overwrite").parquet(s"$keymapDir/v=$vNum")
+      val mk = new org.apache.hadoop.fs.Path(
+        s"$keymapDir/v=$vNum/$KeymapCommitMarker")
+      val fs = mk.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.create(mk, true).close()
     }
-    StreamingCorpus.pruneVersions(spark, keymapDir)
-    if (maintainDrift > 0)
-      A.maintain(spark, indexDir, maintainDrift,
-        trainFraction = maintainTrainFraction)
   }
 
   /** The index loop's batch-contract probes, shared by
@@ -244,9 +369,14 @@ object StreamingIndex {
     val p = new org.apache.hadoop.fs.Path(s"$indexDir/keymap")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) {
+      // committed = EITHER marker ([[KeymapCommitMarker]] since r17,
+      // the committer's _SUCCESS for pre-r17 versions): the refusal must
+      // stay conservative — on marker-suppressing deployments only the
+      // own marker exists, and keying the refusal on _SUCCESS alone
+      // would silently re-seed a live loop there
       val committed = fs.listStatus(p).exists(st =>
         st.getPath.getName.startsWith("v=") &&
-          fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+          keymapCommitted(fs, st.getPath))
       require(!committed,
         s"seedIndexKeymap: $indexDir/keymap already holds a committed " +
           "version — the seed is the PRE-LOOP slot; seeding a live loop " +
@@ -257,6 +387,140 @@ object StreamingIndex {
       uidCol, "seedIndexKeymap")
     keys.select(col(keyCol).as("key"), col(uidCol).as("uid"))
       .write.mode("overwrite").parquet(s"$indexDir/keymap/v=0")
+    // own commit marker LAST: a crash before this line leaves a torn
+    // v=0 that the prior-read refuses loudly ([[latestCommittedKeymap]])
+    // and a re-run replaces — never a silently partial key→uid map
+    val mk = new org.apache.hadoop.fs.Path(
+      s"$indexDir/keymap/v=0/$KeymapCommitMarker")
+    fs.create(mk, true).close()
+  }
+
+  /** The NIGHTLY-JOB shape of the keyed index absorb — apply one keyed
+    * embedding delta to a persisted [[graft.ext.AnnIndex]] with
+    * latest-wins key identity, WITHOUT the streaming loop's
+    * checkpoint/batchId machinery: the exact [[writeIndexBatch]] body
+    * ([[absorbKeyedCore]] — same keymap state, same contract probes,
+    * same verified-provenance retirement) under self-assigned keymap
+    * versions (newest committed + 1; a crashed absorb's torn slot is
+    * reused by the retry, which converges exactly like a streaming
+    * retry: supersede idempotent, add skips completed uids, keymap
+    * overwritten). A DOUBLE apply of a COMPLETED delta refuses loudly
+    * on the uid-reuse guard (its keys now map to its own uids) — the
+    * honest nightly contract, since without a batch id there is no
+    * re-delivery identity to skip on.
+    *
+    * SINGLE WRITER: refuses while a streaming loop owns the index (the
+    * `_OWNER` checkpoint-identity lock — running a batch absorb under a
+    * live loop would race its batch versioning), and holds its own
+    * advisory `_ABSORB` marker for the call so two concurrent nightly
+    * absorbs fail fast instead of racing the keymap version; the inner
+    * mutators additionally take the index `_WRITER` lock per call.
+    * Exposed as [[graft.api.Graft.annIndexAbsorbKeyedDelta]].
+    */
+  def absorbKeyedDelta(spark: SparkSession, indexDir: String,
+                       delta: DataFrame, keyCol: String, uidCol: String,
+                       vecCol: String, maxAddedFraction: Double = 2.0,
+                       maintainDrift: Double = 0.0,
+                       maintainTrainFraction: Double = 1.0): Unit = {
+    val keymapDir = s"$indexDir/keymap"
+    val owner = new org.apache.hadoop.fs.Path(s"$indexDir/_OWNER")
+    val fs = owner.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(owner),
+      s"absorbKeyedDelta: $indexDir is owned by a streaming " +
+        "persisted-index loop ($indexDir/_OWNER) — a batch absorb would " +
+        "race its keymap versioning. Stop the loop (and delete _OWNER " +
+        "if it is dead) before absorbing batch deltas")
+    val lock = new org.apache.hadoop.fs.Path(s"$indexDir/_ABSORB")
+    fs.mkdirs(lock.getParent)
+    val out =
+      try fs.create(lock, false)
+      catch {
+        case _: java.io.IOException =>
+          throw new IllegalStateException(
+            s"absorbKeyedDelta: another batch absorb holds " +
+              s"$indexDir/_ABSORB — keyed absorbs are single-writer " +
+              "(two would race the keymap version). If the other absorb " +
+              "crashed and is confirmed dead, delete the marker to retry")
+      }
+    try {
+      out.close()
+      // newest COMMITTED version + 1; a torn newer slot (crashed prior
+      // absorb) is exactly the slot this retry overwrites. No committed
+      // version: v=1 — v=0 stays the seed's slot (a torn v=0 trips the
+      // prior-read's loud guard inside the core, naming the re-seed)
+      val vNum = {
+        val p = new org.apache.hadoop.fs.Path(keymapDir)
+        if (!fs.exists(p)) 1L
+        else {
+          val vRe = "v=(\\d+)".r
+          fs.listStatus(p).toSeq
+            .flatMap(_.getPath.getName match {
+              case vRe(n) if keymapCommitted(fs,
+                new org.apache.hadoop.fs.Path(s"$keymapDir/v=$n")) =>
+                Some(n.toLong)
+              case _ => None
+            }).sorted.lastOption.map(_ + 1).getOrElse(1L)
+        }
+      }
+      absorbKeyedCore(delta, vNum, indexDir, keyCol, uidCol, vecCol,
+        maxAddedFraction, "graft index absorb")
+      StreamingCorpus.pruneVersions(spark, keymapDir)
+      if (maintainDrift > 0)
+        graft.ext.AnnIndex.maintain(spark, indexDir, maintainDrift,
+          trainFraction = maintainTrainFraction)
+    } finally fs.delete(lock, false)
+  }
+
+  /** The consumer's applied-through cursor lives beside the index it
+    * belongs to (`indexDir/feedcursor/v=<n>`, keymap-style versioned
+    * one-row parquet) — per consumer, so many indexes can drain one
+    * feed at their own pace. Committed = part files present (the
+    * one-row coalesce(1) write either lands its file or the version
+    * reads as absent); -1 when no cursor was ever committed (a fresh
+    * consumer reads the whole feed — the pre-cursor behavior).
+    */
+  private[graft] def readAppliedThrough(spark: SparkSession,
+                                        indexDir: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(s"$indexDir/feedcursor")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) -1L
+    else {
+      val vRe = "v=(\\d+)".r
+      fs.listStatus(path).toSeq
+        .flatMap(_.getPath.getName match {
+          case vRe(n) => Some(n.toLong)
+          case _ => None
+        })
+        .sorted.reverse
+        .collectFirst(Function.unlift { v =>
+          val vd = s"$indexDir/feedcursor/v=$v"
+          val ok = fs.listStatus(new org.apache.hadoop.fs.Path(vd))
+            .exists(st => st.getPath.getName.startsWith("part-") &&
+              st.getLen > 0)
+          if (ok) Some(spark.read.parquet(vd).head()
+            .getAs[Long]("applied_through"))
+          else None // torn cursor version: fall through to the previous
+        })
+        .getOrElse(-1L)
+    }
+  }
+
+  private def advanceAppliedThrough(spark: SparkSession, indexDir: String,
+                                    through: Long): Unit = {
+    import spark.implicits._
+    val path = new org.apache.hadoop.fs.Path(s"$indexDir/feedcursor")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vRe = "v=(\\d+)".r
+    val next =
+      if (!fs.exists(path)) 0L
+      else fs.listStatus(path).toSeq
+        .flatMap(_.getPath.getName match {
+          case vRe(n) => Some(n.toLong)
+          case _ => None
+        }).sorted.lastOption.map(_ + 1).getOrElse(0L)
+    Seq(through).toDF("applied_through").coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/feedcursor/v=$next")
+    StreamingCorpus.pruneVersions(spark, s"$indexDir/feedcursor")
   }
 
   /** Apply the REKEYED CORPUS LOOP'S published supersession feed to a
@@ -269,19 +533,33 @@ object StreamingIndex {
     * uid the index CURRENTLY SERVES, so stale vectors stop ranking even
     * before the documents' re-embeddings arrive through the index loop.
     *
+    * DELTA-SIZED CONSUMPTION: the apply reads only feed batches above
+    * the consumer's applied-through cursor ([[readAppliedThrough]] —
+    * persisted beside the INDEX, `indexDir/feedcursor`, so each
+    * consumer of a shared feed drains at its own pace), advanced only
+    * AFTER the retirement lands: a crash between the two re-applies the
+    * overlap, which the tombstone set absorbs — cursor for cost,
+    * tombstones for correctness. Feed history the operator folded away
+    * ([[graft.api.Graft.corpusSupersessionFeedCompact]]) is read from
+    * the archive snapshot under the same `batch_id > cursor` cut (the
+    * archive keeps `batch_id`, so parquet row-group stats prune the
+    * already-applied bulk without row reads). A fresh consumer (no
+    * cursor) reads the whole feed — archive plus live dirs — exactly
+    * the pre-cursor semantics.
+    *
     * The feed may name ids the index never held (documents without
     * embeddings, ids already purged by a rebuild) — those are skipped
     * by a membership semi-join rather than tripping
     * [[graft.ext.AnnIndex.supersede]]'s exists guard: the feed's
     * contract is "retired from the corpus", not "present in this
-    * index", so absence here is normal, not an error. IDEMPOTENT by
-    * supersede's tombstone set semantics — re-applying the whole feed
-    * (or overlapping applications on a cron) converges; no watermark
-    * state to manage. Returns (feed ids seen, uids newly eligible and
-    * tombstoned). Takes the index writer lock via supersede; do not
-    * run concurrently with the index loop's own batches (single-writer
-    * rule — schedule it between batches, or let the loop's keymap
-    * handle keys it streams itself).
+    * index", so absence here is normal, not an error. IDEMPOTENT end to
+    * end: a cursor-covered re-apply reads nothing and returns (0, 0); a
+    * lost-cursor or overlapping re-apply converges by supersede's
+    * tombstone set semantics. Returns (feed ids seen THIS apply, uids
+    * newly eligible and tombstoned). Takes the index writer lock via
+    * supersede; do not run concurrently with the index loop's own
+    * batches (single-writer rule — schedule it between batches, or let
+    * the loop's keymap handle keys it streams itself).
     */
   def applySupersessionFeed(spark: SparkSession, corpusOutDir: String,
                             indexDir: String,
@@ -289,46 +567,93 @@ object StreamingIndex {
     val A = graft.ext.AnnIndex
     val feedPath = new org.apache.hadoop.fs.Path(s"$corpusOutDir/superseded")
     val fs = feedPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // no feed, a feed of only torn/empty batch dirs (a crash mid-publish
-    // leaves batch_id=B holding only _temporary; an all-dropped batch
-    // can publish zero part files): all the same clean no-op — reading
-    // a part-file-less tree would die on schema inference instead
-    val hasData = fs.exists(feedPath) && fs.listStatus(feedPath).exists {
-      d =>
-        d.isDirectory && d.getPath.getName.startsWith("batch_id=") &&
-          fs.listStatus(d.getPath).exists(st =>
-            st.getPath.getName.startsWith("part-") && st.getLen > 0)
-    }
-    if (!hasData) return (0L, 0L)
-    val root = A.currentRoot(spark, indexDir)
-    // a feed pointed at an unbuilt (or typo'd) index must be LOUD — a
-    // raw path-not-found on codes/ names neither the problem nor the fix
-    require(fs.exists(new org.apache.hadoop.fs.Path(s"$root/params")),
-      s"applySupersessionFeed: $indexDir holds no built index (no " +
-        "params artifact) — build it (AnnIndex.build) before applying " +
-        "the corpus feed, or check the indexDir path")
+    val applied = readAppliedThrough(spark, indexDir)
+    // unapplied COMMITTED batch dirs (committed = part files present: a
+    // crash mid-publish leaves batch_id=B holding only _temporary, and
+    // an all-dropped batch can publish zero part files — both read as
+    // nothing-to-do here and never advance the cursor past real data;
+    // the publisher is serial, so a torn dir is always the newest)
+    val bRe = "batch_id=(\\d+)".r
+    val pending: Seq[(Long, String)] =
+      if (!fs.exists(feedPath)) Nil
+      else fs.listStatus(feedPath).toSeq.flatMap { d =>
+        d.getPath.getName match {
+          case bRe(b) if d.isDirectory && b.toLong > applied &&
+              fs.listStatus(d.getPath).exists(st =>
+                st.getPath.getName.startsWith("part-") && st.getLen > 0) =>
+            Some(b.toLong -> d.getPath.toString)
+          case _ => None
+        }
+      }
+    // compacted history above the cursor (fresh consumers; late joiners)
+    val archDir = s"$corpusOutDir/superseded_archive"
+    val archPath = new org.apache.hadoop.fs.Path(archDir)
+    val archive: Option[DataFrame] =
+      if (!fs.exists(archPath)) None
+      else {
+        val vRe = "v=(\\d+)".r
+        fs.listStatus(archPath).toSeq
+          .flatMap(_.getPath.getName match {
+            case vRe(n) => Some(n.toLong)
+            case _ => None
+          })
+          .sorted.reverse
+          .collectFirst(Function.unlift { v =>
+            val vd = s"$archDir/v=$v"
+            val ok = fs.listStatus(new org.apache.hadoop.fs.Path(vd))
+              .exists(st => st.getPath.getName.startsWith("part-") &&
+                st.getLen > 0)
+            if (ok) Some(spark.read.parquet(vd)
+              .filter(col("batch_id").cast("long") > applied))
+            else None
+          })
+      }
     graft.ext.CacheScope.scoped {
-      val feed = spark.read.parquet(s"$corpusOutDir/superseded")
+      val archPendingMax: Option[Long] = archive.flatMap { a =>
+        val r = a.agg(max(col("batch_id").cast("long"))).head()
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+      }
+      if (pending.isEmpty && archPendingMax.isEmpty) return (0L, 0L)
+      val root = A.currentRoot(spark, indexDir)
+      // a feed pointed at an unbuilt (or typo'd) index must be LOUD — a
+      // raw path-not-found on codes/ names neither the problem nor the fix
+      require(fs.exists(new org.apache.hadoop.fs.Path(s"$root/params")),
+        s"applySupersessionFeed: $indexDir holds no built index (no " +
+          "params artifact) — build it (AnnIndex.build) before applying " +
+          "the corpus feed, or check the indexDir path")
+      val dirIds: Option[DataFrame] =
+        if (pending.isEmpty) None
+        else Some(spark.read.parquet(pending.map(_._2): _*)
+          .select(col(idCol)))
+      val archIds: Option[DataFrame] = archive.map(_.select(col(idCol)))
+      val feed = (dirIds.toSeq ++ archIds.toSeq).reduce(_ unionByName _)
         .select(col(idCol).as("uid")).distinct()
         .transform(graft.ext.CacheScope.cache)
       val nFeed = feed.count()
-      if (nFeed == 0) (0L, 0L)
-      else {
-        // restrict to uids the index actually serves: present in codes
-        // (ONE codes uid-column scan — the apply-cadence cost; the
-        // supersede below is the pre-verified fast path, so codes is
-        // not scanned a second time) and not already tombstoned
-        val present = spark.read.parquet(s"$root/codes")
-          .select(col("uid"))
-          .join(feed, Seq("uid"), "left_semi")
-        val toRetire = (A.readTombstones(spark, root) match {
-          case Some(tomb) => present.join(tomb, Seq("uid"), "left_anti")
-          case None => present
-        }).transform(graft.ext.CacheScope.cache)
-        val n = toRetire.count()
-        if (n > 0) A.supersedeVerified(spark, indexDir, toRetire)
-        (nFeed, n)
-      }
+      val through = (Seq(applied) ++ pending.map(_._1) ++
+        archPendingMax.toSeq).max
+      val n =
+        if (nFeed == 0) 0L
+        else {
+          // restrict to uids the index actually serves: present in codes
+          // (ONE codes uid-column scan — the apply-cadence cost; the
+          // supersede below is the pre-verified fast path, so codes is
+          // not scanned a second time) and not already tombstoned
+          val present = spark.read.parquet(s"$root/codes")
+            .select(col("uid"))
+            .join(feed, Seq("uid"), "left_semi")
+          val toRetire = (A.readTombstones(spark, root) match {
+            case Some(tomb) => present.join(tomb, Seq("uid"), "left_anti")
+            case None => present
+          }).transform(graft.ext.CacheScope.cache)
+          val nr = toRetire.count()
+          if (nr > 0) A.supersedeVerified(spark, indexDir, toRetire)
+          nr
+        }
+      // cursor AFTER the retirement: a crash above re-applies the
+      // overlap (tombstone-idempotent); advancing first could skip it
+      if (through > applied) advanceAppliedThrough(spark, indexDir, through)
+      (nFeed, n)
     }
   }
 

@@ -955,6 +955,94 @@ class ApiSpec extends SparkSpec {
     assert(org.apache.spark.sql.graft.CacheProbe.numCachedEntries(spark) == 0)
   }
 
+  test("annIndexAbsorbKeyedDelta: three batch absorbs reach the " +
+    "streaming loop's three-batch state bit-for-bit; completed re-apply " +
+    "refuses; loop-owned index refuses") {
+    import java.nio.file.Files
+    val A = graft.ext.AnnIndex
+    val SI = graft.streaming.StreamingIndex
+    val emb = vectors
+    val vd = col("embedding").cast("array<double>")
+    def keyedRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(concat(lit("k-"), col("vec_id")).as("key"),
+        col("vec_id"), vd.as("embedding"))
+    val built = emb.filter(col("vec_id") % 2 === 0)
+    val off = 9000000L
+    // the StreamingSpec capstone's delta sequence: fresh keys, re-embeds
+    // of built keys under shifted uids, more fresh keys
+    val d1 = keyedRows(emb.filter(col("vec_id") % 4 === 1))
+    val d2 = emb.filter(col("vec_id") % 8 === 0)
+      .select(concat(lit("k-"), col("vec_id")).as("key"),
+        (col("vec_id") + off).as("vec_id"), reverse(vd).as("embedding"))
+    val d3 = keyedRows(emb.filter(col("vec_id") % 4 === 3))
+    def freshIndex(tag: String): String = {
+      val dir = Files.createTempDirectory(s"graft-absorb-$tag")
+        .toString + "/idx"
+      A.build(graft.ext.Similarity.kmeansBuckets(built, "vec_id",
+          "embedding", k = 8, iters = 2, bucketCol = "kb"),
+        "vec_id", "embedding", "kb", dir, dim = 64)
+      SI.seedIndexKeymap(spark, dir, keyedRows(built), "key", "vec_id")
+      dir
+    }
+    // streaming reference: three micro-batches through the loop body
+    val dirS = freshIndex("stream")
+    Seq(d1, d2, d3).zipWithIndex.foreach { case (d, i) =>
+      SI.writeIndexBatch(d, i.toLong, dirS, "key", "vec_id", "embedding",
+        2.0, 0.0)
+    }
+    // batch facade: the same three deltas as nightly absorbs
+    val dirB = freshIndex("batch")
+    Seq(d1, d2, d3).foreach { d =>
+      Graft.annIndexAbsorbKeyedDelta(spark, dirB, d, "key", "vec_id",
+        "embedding")
+    }
+    // bit-for-bit: codes, vectors, tombstones, and the keymap agree
+    def snap(dir: String, what: String) = {
+      val root = A.currentRoot(spark, dir)
+      spark.read.parquet(s"$root/$what")
+    }
+    Seq("codes", "vectors", "tombstones").foreach { what =>
+      val s = snap(dirS, what); val b = snap(dirB, what)
+      assert(s.exceptAll(b).isEmpty && b.exceptAll(s).isEmpty,
+        s"$what diverged between the streaming loop and the batch facade")
+    }
+    val kmS = graft.streaming.StreamingCorpus
+      .latestShardState(spark, s"$dirS/keymap").get
+    val kmB = graft.streaming.StreamingCorpus
+      .latestShardState(spark, s"$dirB/keymap").get
+    assert(kmS.exceptAll(kmB).isEmpty && kmB.exceptAll(kmS).isEmpty,
+      "keymap diverged between the streaming loop and the batch facade")
+    // and both serve identically
+    val panel = emb.limit(25)
+      .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"))
+    val sS = A.search(spark, dirS, panel, "vec_id", "embedding", k = 5,
+      nProbe = 2, maxBucket = 4096)
+    val sB = A.search(spark, dirB, panel, "vec_id", "embedding", k = 5,
+      nProbe = 2, maxBucket = 4096)
+    assert(sS.exceptAll(sB).isEmpty && sB.exceptAll(sS).isEmpty,
+      "served results diverged between loop and facade")
+    // a COMPLETED delta re-applied refuses loudly (no batch identity to
+    // skip on — the keys now map to their own uids)
+    val eDup = intercept[IllegalArgumentException] {
+      Graft.annIndexAbsorbKeyedDelta(spark, dirB, d2, "key", "vec_id",
+        "embedding")
+    }
+    assert(eDup.getMessage.contains("NEW uid"),
+      s"wrong double-apply failure: ${eDup.getMessage}")
+    // a loop-owned index refuses the batch facade (single producer)
+    val fs = new org.apache.hadoop.fs.Path(dirB)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(s"$dirB/_OWNER"), true).close()
+    try {
+      val eOwn = intercept[IllegalArgumentException] {
+        Graft.annIndexAbsorbKeyedDelta(spark, dirB, d3, "key", "vec_id",
+          "embedding")
+      }
+      assert(eOwn.getMessage.contains("_OWNER"))
+    } finally fs.delete(new org.apache.hadoop.fs.Path(s"$dirB/_OWNER"),
+      false)
+  }
+
   test("quickstart: the energy pipeline entry is the five-stage contract") {
     // the full run (with ML training) is exercised end-to-end by
     // EnergyPipelineSpec; here the façade signature is pinned so the

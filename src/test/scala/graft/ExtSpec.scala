@@ -1275,6 +1275,37 @@ class SimilaritySpec extends SparkSpec {
     assert(served.exceptAll(twin).count() == 0 &&
       twin.exceptAll(served).count() == 0,
       "persisted supersede+rebuild lifecycle diverged from the twin")
+    // FILTERED × SUPERSEDED composition over the SAME persisted index:
+    // the allowlist (over live uids, shift included) semi-join composes
+    // with the lifecycle's terminal state, bit-equal to the
+    // q_ann_index_filtered_rekey in-plan twin — the equality that lets
+    // that twin carry the DuckDB hash gate for both cuts at once
+    val allowLive = emb
+      .filter(col("vec_id") % 2 === 0 && col("vec_id") % 8 =!= 0)
+      .select(col("vec_id"))
+      .unionByName(emb.filter(col("vec_id") % 8 === 0)
+        .select((col("vec_id") + off).as("vec_id")))
+      .filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id").as("uid"))
+    val servedF = A.search(spark, dir,
+      emb.filter(col("vec_id") % 4 === 1)
+        .select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", k = 5, nProbe = 2, overfetch = 3,
+      maxBucket = 40, allowedUids = Some(allowLive))
+    // every served neighbor is allowed AND live
+    assert(servedF.join(allowLive.select(col("uid").as("neighbor_id")),
+      Seq("neighbor_id"), "left_anti").isEmpty,
+      "a filtered rekey search returned a disallowed uid")
+    val twinF = graft.queries.NorthStarQueries
+      .defs("q_ann_index_filtered_rekey")(spark, TestSpark.sf0001)
+    assert(servedF.exceptAll(twinF).count() == 0 &&
+      twinF.exceptAll(servedF).count() == 0,
+      "persisted filtered rekey search diverged from the twin")
+    // both controls: the composition differs from EITHER single cut
+    assert(servedF.exceptAll(served).count() > 0 ||
+      served.exceptAll(servedF).count() > 0,
+      "filter control vacuous: the unfiltered rekey search is already " +
+        "allowed-only")
   }
 
   test("AnnIndex.maintain: no-op below the drift threshold, rebuilds at " +

@@ -645,14 +645,16 @@ class StreamingSpec extends SparkSpec {
       reKm.filter(col("uid") < off).isEmpty,
       "a re-embedded key still maps to its retired uid")
     // EXACTLY-ONCE: a completed batch re-delivered (same batchId) is a
-    // no-op — the keymap version's _SUCCESS is its commit marker (the
-    // committer really writes one on this filesystem, or the skip path
-    // would silently be the convergent-retry path)
+    // no-op — the keymap version's OWN commit marker is the skip key
+    // (NOT the committer's _SUCCESS, which marker-suppressing
+    // deployments drop; the own marker is written by the absorb itself
+    // so it exists everywhere)
     val fsIdx = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fsIdx.exists(new org.apache.hadoop.fs.Path(
-      s"$indexDir/keymap/v=2/_SUCCESS")),
-      "no _SUCCESS commit marker under the committed keymap version")
+      s"$indexDir/keymap/v=2/" +
+        graft.streaming.StreamingIndex.KeymapCommitMarker)),
+      "no own commit marker under the committed keymap version")
     val stBefore = A.stats(spark, indexDir).head().toSeq
     SI.writeIndexBatch(reembeds, 1L, indexDir, "key", "vec_id",
       "embedding", 2.0, 0.0)
@@ -702,6 +704,117 @@ class StreamingSpec extends SparkSpec {
     assert(SC.latestShardState(spark, s"$indexDir/keymap").get
       .orderBy(col("key")).collect().toSeq == kmBefore,
       "an empty batch must not change the keymap's content")
+    // KEYMAP ROW BOUND (documented invariant): every version holds
+    // EXACTLY one row per key ever delivered — re-deliveries REPLACE
+    // their key's row (carry-forward anti-join + delta), superseded
+    // uids keep no history row, so the state is bounded by distinct
+    // keys, independent of re-delivery count
+    val kmFinal = SC.latestShardState(spark, s"$indexDir/keymap").get
+    assert(kmFinal.groupBy(col("key")).count()
+      .filter(col("count") > 1).isEmpty,
+      "keymap carries more than one row for some key")
+    assert(kmFinal.count() == built.count() + fresh.count(),
+      "keymap row count must equal distinct keys ever delivered")
+  }
+
+  test("index loop torn seed: a keymap v=0 without its commit marker " +
+    "fails the first batch LOUDLY instead of serving a map with holes") {
+    val A = graft.ext.AnnIndex
+    val SI = graft.streaming.StreamingIndex
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val vd = col("embedding").cast("array<double>")
+    val built = emb.filter(col("vec_id") % 2 === 0)
+    val indexDir = Files.createTempDirectory("graft-tornseed").toString +
+      "/idx"
+    A.build(graft.ext.Similarity.kmeansBuckets(built, "vec_id",
+        "embedding", k = 8, iters = 2, bucketCol = "kb"),
+      "vec_id", "embedding", "kb", indexDir, dim = 64)
+    // simulate the crashed seed: a v=0 with a partial part file and no
+    // commit marker (the committer's _SUCCESS is absent mid-crash too)
+    val v0 = new org.apache.hadoop.fs.Path(s"$indexDir/keymap/v=0")
+    val fs = v0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(v0)
+    val part = fs.create(new org.apache.hadoop.fs.Path(v0,
+      "part-00000-torn.parquet"), true)
+    part.write("torn".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    part.close()
+    val delta = emb.filter(col("vec_id") % 4 === 1).limit(5)
+      .select(concat(lit("k-"), col("vec_id")).as("key"),
+        col("vec_id"), vd.as("embedding"))
+    val e = intercept[IllegalStateException] {
+      SI.writeIndexBatch(delta, 0L, indexDir, "key", "vec_id",
+        "embedding", 2.0, 0.0)
+    }
+    assert(e.getMessage.contains("carries no commit marker") &&
+      e.getMessage.contains("seedIndexKeymap"),
+      s"wrong failure mode: ${e.getMessage}")
+    // the named fix works: re-running the seed replaces the torn v=0,
+    // and the batch then proceeds with the complete map
+    SI.seedIndexKeymap(spark, indexDir,
+      built.select(concat(lit("k-"), col("vec_id")).as("key"),
+        col("vec_id")), "key", "vec_id")
+    SI.writeIndexBatch(delta, 0L, indexDir, "key", "vec_id",
+      "embedding", 2.0, 0.0)
+    assert(graft.streaming.StreamingCorpus
+      .latestShardState(spark, s"$indexDir/keymap").get.count() ==
+        built.count() + 5L)
+  }
+
+  test("index loop poison-batch fix: a keymap-mapped uid already retired " +
+    "out-of-band and PURGED by a rebuild is skipped, not an error — the " +
+    "re-delivery converges instead of refailing forever") {
+    val A = graft.ext.AnnIndex
+    val SI = graft.streaming.StreamingIndex
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val vd = col("embedding").cast("array<double>")
+    val built = emb.filter(col("vec_id") % 2 === 0)
+    val indexDir = Files.createTempDirectory("graft-poison").toString +
+      "/idx"
+    A.build(graft.ext.Similarity.kmeansBuckets(built, "vec_id",
+        "embedding", k = 8, iters = 2, bucketCol = "kb"),
+      "vec_id", "embedding", "kb", indexDir, dim = 64)
+    SI.seedIndexKeymap(spark, indexDir,
+      built.select(concat(lit("k-"), col("vec_id")).as("key"),
+        col("vec_id")), "key", "vec_id")
+    // OUT-OF-BAND retirement (the corpus feed consumer's shape) of the
+    // % 8 == 0 uids, then a rebuild that physically purges them — the
+    // keymap still maps those keys to the now-absent uids, which is the
+    // documented corpus→index composition, not an anomaly
+    val retired = built.filter(col("vec_id") % 8 === 0)
+      .select(col("vec_id"))
+    A.supersede(spark, indexDir, retired, "vec_id")
+    A.rebuild(spark, indexDir, nBuckets = 8, iters = 2)
+    assert(A.stats(spark, indexDir).head()
+      .getAs[Long]("n_tombstoned") == 0L, "rebuild must purge")
+    // the poison shape: one re-delivered key whose old uid was PURGED,
+    // one whose old uid is still LIVE — the batch must retire exactly
+    // the live one and absorb both re-embeds
+    val off = 9000000L
+    val purgedKey = built.filter(col("vec_id") % 8 === 0)
+      .orderBy(col("vec_id")).limit(1)
+    val liveKey = built.filter(col("vec_id") % 8 === 4)
+      .orderBy(col("vec_id")).limit(1)
+    val batch = purgedKey.unionByName(liveKey)
+      .select(concat(lit("k-"), col("vec_id")).as("key"),
+        (col("vec_id") + off).as("vec_id"),
+        reverse(vd).as("embedding"))
+    // pre-fix this threw AnnIndex.supersede's exists guard on the purged
+    // uid — and every checkpoint retry refailed identically
+    SI.writeIndexBatch(batch, 0L, indexDir, "key", "vec_id",
+      "embedding", 2.0, 0.0)
+    val root = A.currentRoot(spark, indexDir)
+    val tombs = A.readTombstones(spark, root)
+      .map(_.collect().map(_.getLong(0)).toSet).getOrElse(Set.empty)
+    assert(tombs == Set(liveKey.head().getLong(0)),
+      s"exactly the LIVE old uid must tombstone; got $tombs")
+    // both re-embeds entered under their new uids
+    assert(spark.read.parquet(s"$root/codes")
+      .filter(col("uid") >= off).count() == 2L)
+    // and the keymap maps both keys to the new uids
+    val km = graft.streaming.StreamingCorpus
+      .latestShardState(spark, s"$indexDir/keymap").get
+    assert(km.join(batch.select(col("key"), col("vec_id").as("uid")),
+      Seq("key", "uid"), "left_semi").count() == 2L)
   }
 
   test("applySupersessionFeed: the corpus loop's published feed retires " +
@@ -748,12 +861,104 @@ class StreamingSpec extends SparkSpec {
     assert(res.join(served.select(col("ingest_id").as("neighbor_id")),
       Seq("neighbor_id"), "left_semi").isEmpty,
       "a corpus-retired uid still serves")
-    // idempotent: the same feed re-applied retires nothing new (the
-    // cron/overlap shape — no watermark state to manage)
+    // CURSOR-COVERED re-apply reads NOTHING: the applied-through cursor
+    // (persisted beside the index) cuts the feed listing to batches
+    // above it, so the cron-cadence cost is the delta, not the history
     assert(SI.applySupersessionFeed(spark, corpusOut, indexDir) ==
-      (nFeed, 0L))
+      (0L, 0L),
+      "a cursor-covered re-apply must read no feed rows at all")
+    assert(SI.readAppliedThrough(spark, indexDir) == 2L,
+      "the cursor must sit at the newest applied batch id")
+    // a LATER batch applies delta-sized: nFeed counts ONLY the new
+    // batch's ids — the IO proof that history below the cursor is
+    // never re-read (the pre-cursor code would report the full feed)
+    val late = emb.filter(col("vec_id") % 8 === 4)
+      .orderBy(col("vec_id")).limit(5)
+      .select(col("vec_id").as("ingest_id"))
+    late.write.parquet(s"$corpusOut/superseded/batch_id=7")
+    val (nLate, rLate) =
+      SI.applySupersessionFeed(spark, corpusOut, indexDir)
+    assert(nLate == 5L, s"apply after the cursor saw $nLate ids — it " +
+      "must read only the unapplied batch")
+    assert(rLate == 5L)
+    assert(SI.readAppliedThrough(spark, indexDir) == 7L)
+    // LOST-CURSOR overlap (the crash-between-supersede-and-advance
+    // window): the whole feed re-reads but the tombstone set absorbs it
+    // — cursor for cost, tombstones for correctness
+    val fsC = new org.apache.hadoop.fs.Path(s"$indexDir/feedcursor")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsC.delete(new org.apache.hadoop.fs.Path(s"$indexDir/feedcursor"), true)
+    assert(SI.applySupersessionFeed(spark, corpusOut, indexDir) ==
+      (nFeed + 5L, 0L),
+      "a cursor-less re-apply must converge via tombstone idempotence")
     assert(A.stats(spark, indexDir).head()
-      .getAs[Long]("n_tombstoned") == nRetired)
+      .getAs[Long]("n_tombstoned") == nRetired + 5L)
+  }
+
+  test("supersession feed compaction: consumed batch dirs fold into one " +
+    "archive snapshot the cursor cut still prunes; re-fold converges; " +
+    "fresh consumers read folded history") {
+    val A = graft.ext.AnnIndex
+    val SI = graft.streaming.StreamingIndex
+    val G = graft.api.Graft
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val corpus = emb.filter(col("vec_id") % 2 === 0)
+    val indexDir = Files.createTempDirectory("graft-feedcpt-idx").toString
+    A.build(graft.ext.Similarity.kmeansBuckets(corpus, "vec_id",
+        "embedding", k = 8, iters = 2, bucketCol = "kb"),
+      "vec_id", "embedding", "kb", indexDir, dim = 64)
+    val corpusOut = Files.createTempDirectory("graft-feedcpt").toString
+    // nothing to fold: a clean no-op
+    assert(G.corpusSupersessionFeedCompact(spark, corpusOut) == 0L)
+    val served = emb.filter(col("vec_id") % 8 === 0)
+      .select(col("vec_id").as("ingest_id"))
+      .orderBy(col("ingest_id"))
+    val b1 = served.limit(3)
+    val b2 = served.join(b1, Seq("ingest_id"), "left_anti")
+    b1.write.parquet(s"$corpusOut/superseded/batch_id=1")
+    b2.write.parquet(s"$corpusOut/superseded/batch_id=2")
+    val (nFeed, nRet) = SI.applySupersessionFeed(spark, corpusOut, indexDir)
+    assert(nFeed == served.count() && nRet == served.count())
+    // fold the consumed batches; the dirs are gone, the archive holds
+    // their rows WITH batch_id (the cursor's pruning axis)
+    assert(G.corpusSupersessionFeedCompact(spark, corpusOut) == 2L)
+    val fs = new org.apache.hadoop.fs.Path(corpusOut)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$corpusOut/superseded/batch_id=1")))
+    val arch = spark.read.parquet(s"$corpusOut/superseded_archive/v=0")
+    assert(arch.count() == served.count() &&
+      arch.select("batch_id").distinct().count() == 2)
+    // the applied consumer still reads nothing (archive rows sit at or
+    // below its cursor — stat-pruned, and semantically covered)
+    assert(SI.applySupersessionFeed(spark, corpusOut, indexDir) ==
+      (0L, 0L), "folded history below the cursor must stay unread")
+    // a FRESH consumer (new index, no cursor) reads the folded history
+    // from the archive — late joiners lose nothing to compaction
+    val indexDir2 = Files.createTempDirectory("graft-feedcpt-idx2").toString
+    A.build(graft.ext.Similarity.kmeansBuckets(corpus, "vec_id",
+        "embedding", k = 8, iters = 2, bucketCol = "kb"),
+      "vec_id", "embedding", "kb", indexDir2, dim = 64)
+    val (nF2, nR2) = SI.applySupersessionFeed(spark, corpusOut, indexDir2)
+    assert(nF2 == served.count() && nR2 == served.count(),
+      "a fresh consumer must see the archived feed in full")
+    // live batches published AFTER a fold compose with the archive:
+    // the fresh-er cursor cuts both sides
+    val b3 = emb.filter(col("vec_id") % 8 === 4)
+      .orderBy(col("vec_id")).limit(4)
+      .select(col("vec_id").as("ingest_id"))
+    b3.write.parquet(s"$corpusOut/superseded/batch_id=3")
+    assert(SI.applySupersessionFeed(spark, corpusOut, indexDir) ==
+      (4L, 4L))
+    // re-fold: batch 3 joins the archive, earlier rows carried once
+    // (the anti-join dedup — a crash between snapshot and delete replays
+    // this exact shape)
+    assert(G.corpusSupersessionFeedCompact(spark, corpusOut) == 1L)
+    val arch2 = spark.read.parquet(s"$corpusOut/superseded_archive/v=1")
+    assert(arch2.count() == served.count() + 4L,
+      "re-fold must carry archived rows exactly once")
+    assert(SI.applySupersessionFeed(spark, corpusOut, indexDir) ==
+      (0L, 0L))
   }
 
   test("streaming media ingest: incremental file decode, exactly-once") {
@@ -1538,6 +1743,140 @@ class StreamingSpec extends SparkSpec {
     assert(servedT.exceptAll(freshT).count() == 0 &&
       freshT.exceptAll(servedT).count() == 0,
       "files-only maintained index diverged from the fresh live index")
+  }
+
+  test("closeShardsRekeyed compacts the keeper STATE at close: closed " +
+    "state equals the manual compact, a post-close re-open absorb stays " +
+    "hash-equal for all three policies, and the in-loop interval knob " +
+    "matches") {
+    import graft.ext.{Bpe, NbClassifier, Sampling, TextAnalysis => TA}
+    val G = graft.api.Graft
+    val S = graft.streaming.StreamingCorpus
+    val allDocs = Tables.documents(spark, TestSpark.sf0001)
+      .withColumn("ukey", concat(lit("u-"), col("doc_id").cast("string")))
+    val keyed = allDocs.filter(col("doc_id") < 80)
+    val m1 = keyed.filter(col("doc_id") < 40).drop("doc_id")
+    // batch 2: fresh keys + UNCHANGED re-deliveries (the content-dropped
+    // dead rows the retention compaction exists to bound) + one CHANGED
+    // re-crawl (the LatestWins supersession)
+    val m2 = keyed.filter(col("doc_id") >= 40).drop("doc_id")
+      .unionByName(keyed
+        .filter(col("doc_id") < 40 && col("doc_id") % 7 === 3)
+        .drop("doc_id"))
+      .unionByName(keyed.filter(col("doc_id") === 5)
+        .withColumn("text", concat(col("text"), lit(" fresh revision")))
+        .drop("doc_id"))
+    // the post-close re-open delta: fresh keys + one changed re-crawl +
+    // one unchanged re-delivery — every policy face over the COMPACTED
+    // prior state
+    val m3 = allDocs.filter(col("doc_id") >= 80 && col("doc_id") < 100)
+      .drop("doc_id")
+      .unionByName(keyed.filter(col("doc_id") === 3)
+        .withColumn("text", concat(col("text"), lit(" later revision")))
+        .drop("doc_id"))
+      .unionByName(keyed.filter(col("doc_id") === 10).drop("doc_id"))
+    val union = m1.unionByName(m2)
+    val labeled = TA.withTokenStats(union, "text")
+      .withColumn("label_weak",
+        round(TA.qualityScore(col("n_tokens"), col("token_chars"),
+          col("n_punct"), col("n_stopwords")) + lit(1e-9), 4) >= 0.5)
+      .select(col("ukey"), col("text"), col("label_weak"))
+    val model = NbClassifier.train(
+      labeled.filter(Sampling.hashBucket(col("ukey"), "graft") < 80),
+      "text", "ukey", "label_weak")
+    val (merges, dict) = Bpe.train(union, "text", 4)
+    val tok = Bpe.Tokenizer(merges, dict, Bpe.vocabIds(dict))
+    def gate(d: org.apache.spark.sql.DataFrame) =
+      S.qualityGate(d, "text", "ukey", model, minTokens = 10)
+        .select(d.columns.map(col): _*)
+    def hash(df: org.apache.spark.sql.DataFrame) = {
+      val a = df.select(col("lang"), col("shard_id"), col("n_tokens"),
+        col("token_ids").cast("string").as("ids"))
+      a
+    }
+    for (policy <- Seq(G.RekeyPolicy.LatestWins, G.RekeyPolicy.FirstWins,
+        G.RekeyPolicy.KeepAll)) {
+      val outDir = Files.createTempDirectory(
+        s"graft-closestate-$policy").toString
+      S.writeRekeyedCorpusShardBatch(gate(m1), 0L, outDir, "text",
+        "ukey", "lang", tok, 256, "ingest", policy)
+      S.writeRekeyedCorpusShardBatch(gate(m2), 1L, outDir, "text",
+        "ukey", "lang", tok, 256, "ingest", policy)
+      val full = S.latestShardState(spark, s"$outDir/keepers").get
+        .localCheckpoint(true)
+      val fullShards = S.latestShardState(spark, s"$outDir/state").get
+        .localCheckpoint(true)
+      // the batch-side control chain over the same gated deltas (the
+      // loop's deterministic id assignment replayed)
+      val (r1, bse1) = G.withIngestIds(gate(m1), "ukey")
+      val (r2, bse2) = G.withIngestIds(gate(m2), "ukey", base = bse1)
+      val (_, c1) = G.corpusShardsDeltaRekeyed(r1, "text", "ingest_id",
+        "ukey", "lang", model, tok, None, policy, minTokens = 10,
+        checkIdOrder = false)
+      val (_, c2) = G.corpusShardsDeltaRekeyed(r2, "text", "ingest_id",
+        "ukey", "lang", model, tok, Some(c1), policy, minTokens = 10,
+        checkIdOrder = false)
+      S.closeShardsRekeyed(spark, outDir, r1.unionByName(r2), "text",
+        "lang", tok, 256)
+      // closed state ≡ the manual compact of the pre-close chain
+      val closedK = S.latestShardState(spark, s"$outDir/keepers").get
+      val manual = G.corpusRekeyedStateCompact(
+        G.KeyedCorpusShardsState(full, fullShards), "ukey",
+        "ingest_id").keepers
+      assert(closedK.exceptAll(manual).isEmpty &&
+        manual.exceptAll(closedK).isEmpty,
+        s"$policy: closed state diverged from the manual compact")
+      // the bound bites where dead rows exist: LatestWins/KeepAll carry
+      // the unchanged re-deliveries as dead rows (FirstWins key-cuts
+      // them before any row is written, so its chain is already tight)
+      if (policy != G.RekeyPolicy.FirstWins)
+        assert(closedK.count() < full.count(),
+          s"$policy: close did not shrink the state " +
+            s"(${closedK.count()} vs ${full.count()})")
+      // post-close RE-OPEN (the batch absorb shape — the fenced sink
+      // refuses stream writers): one more delta over the closed
+      // compacted state ≡ the same delta over the full control chain
+      val (r3, _) = G.withIngestIds(gate(m3), "ukey", base = bse2)
+      val reopened = G.KeyedCorpusShardsState(closedK,
+        S.latestShardState(spark, s"$outDir/state").get)
+      val (sR, stR) = G.corpusShardsDeltaRekeyed(r3, "text", "ingest_id",
+        "ukey", "lang", model, tok, Some(reopened), policy,
+        minTokens = 10, checkIdOrder = false)
+      val (sC, stCtl) = G.corpusShardsDeltaRekeyed(r3, "text",
+        "ingest_id", "ukey", "lang", model, tok, Some(c2), policy,
+        minTokens = 10, checkIdOrder = false)
+      assert(hash(sR).exceptAll(hash(sC)).isEmpty &&
+        hash(sC).exceptAll(hash(sR)).isEmpty,
+        s"$policy: re-open absorb shards diverged over compacted state")
+      val liveR = stR.keepers.filter(col("kept") && col("live"))
+        .select(col("ingest_id"))
+      val liveC = stCtl.keepers.filter(col("kept") && col("live"))
+        .select(col("ingest_id"))
+      assert(liveR.exceptAll(liveC).isEmpty &&
+        liveC.exceptAll(liveR).isEmpty,
+        s"$policy: re-open absorb live set diverged over compacted state")
+      // the IN-LOOP interval knob (LatestWins): a loop compacting state
+      // every batch publishes per-batch state ≡ compact(full chain) and
+      // identical shard output
+      if (policy == G.RekeyPolicy.LatestWins) {
+        val outI = Files.createTempDirectory("graft-closestate-intv")
+          .toString
+        Seq(gate(m1) -> 0L, gate(m2) -> 1L).foreach { case (b, i) =>
+          S.writeRekeyedCorpusShardBatch(b, i, outI, "text", "ukey",
+            "lang", tok, 256, "ingest", policy,
+            stateCompactEveryBatches = 1)
+        }
+        val kI = S.latestShardState(spark, s"$outI/keepers").get
+        assert(kI.exceptAll(manual).isEmpty && manual.exceptAll(kI).isEmpty,
+          "interval-compacted state diverged from compact(full chain)")
+        val shardsDefault = spark.read.parquet(s"$outDir/shards")
+          .filter(col("batch_id") =!= S.FlushBatchId)
+        val shardsI = spark.read.parquet(s"$outI/shards")
+        assert(hash(shardsI).exceptAll(hash(shardsDefault)).isEmpty &&
+          hash(shardsDefault).exceptAll(hash(shardsI)).isEmpty,
+          "interval-compacting loop emitted different shards")
+      }
+    }
   }
 
   test("closeShards fences the sink TERMINAL: every micro-batch writer " +

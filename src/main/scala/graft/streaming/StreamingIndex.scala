@@ -181,6 +181,17 @@ object StreamingIndex {
     * the marker would strand a retry whose supersede targets no longer
     * exist.
     *
+    * KEYMAP ROW BOUND (audited r17, StreamingSpec-pinned): every keymap
+    * version holds EXACTLY one row per key ever delivered — the
+    * carry-forward anti-joins the re-delivered keys out and the delta
+    * re-inserts them under their new uids, so a re-delivered key
+    * REPLACES its row and a superseded uid keeps no history row in the
+    * keymap (its retirement history lives in the index tombstones until
+    * the next rebuild purges it). State size is therefore bounded by
+    * DISTINCT KEYS, independent of re-delivery count and of
+    * superseded-then-rebuilt uid churn — the keymap needs no row-level
+    * compaction, only the version pruning it already gets.
+    *
     * Guards and the retirement shape live in [[absorbKeyedCore]] —
     * shared verbatim with the batch facade ([[absorbKeyedDelta]]), so
     * the nightly-job path and the streaming path cannot drift.

@@ -34,6 +34,7 @@ object IndexScale {
     if (args.lift(2).contains("rebuild")) { rebuildProbe(spark, emb, dim); spark.stop(); return }
     if (args.lift(2).contains("supersede")) { supersedeProbe(spark, emb, dim); spark.stop(); return }
     if (args.lift(2).contains("loop")) { loopProbe(spark, emb, dim); spark.stop(); return }
+    if (args.lift(2).contains("feed")) { feedProbe(spark, emb, dim); spark.stop(); return }
     for (frac <- Seq(1.0, 0.1); pass <- Seq("cold", "warm")) {
       spark.catalog.clearCache(); System.gc()
       val out = java.nio.file.Files
@@ -45,6 +46,86 @@ object IndexScale {
         f"${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
     spark.stop()
+  }
+
+  /** `feed` mode (r17): does the supersession-feed APPLY stay flat as
+    * the published history grows 10×? Build once, then publish feed
+    * batches over three decades of history size and time
+    * [[graft.streaming.StreamingIndex.applySupersessionFeed]] with the
+    * applied-through cursor (reads only the one unapplied batch) vs
+    * CURSORLESS (the pre-r17 behavior — cursor dir deleted, reads the
+    * whole history). Then fold the history
+    * ([[graft.api.Graft.corpusSupersessionFeedCompact]]) and time a
+    * fresh consumer's first apply from the archive vs from the dirs.
+    */
+  private def feedProbe(spark: SparkSession,
+                        emb: org.apache.spark.sql.DataFrame,
+                        dim: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val SI = graft.streaming.StreamingIndex
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-feedprobe").toString
+    val corpusOut = java.nio.file.Files
+      .createTempDirectory("graft-feedprobe-corpus").toString
+    def timed(label: String)(f: => Any): Unit = {
+      System.gc()
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[indexscale/feed] $label: " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s ($r)")
+    }
+    timed(s"build(${emb.count()})") {
+      graft.api.Graft.annIndexBuild(emb, "vec_id", "embedding", dir,
+        dim = dim, trainFraction = 0.1)
+    }
+    // each batch retires 500 ids the index never held (negative — the
+    // skip path): apply cost is then pure feed read + membership join,
+    // the axis under test, with no tombstone accumulation distorting
+    // the later measurements
+    var nextId = -1L
+    var published = 0L
+    def publish(n: Int): Unit = {
+      (0 until n).foreach { _ =>
+        spark.range(nextId - 499, nextId + 1)
+          .select(col("id").as("ingest_id"))
+          .coalesce(1).write
+          .parquet(s"$corpusOut/superseded/batch_id=$published")
+        nextId -= 500
+        published += 1
+      }
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dropCursor(): Unit = {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/feedcursor"), true)
+      ()
+    }
+    for (hist <- Seq(10, 100, 1000)) {
+      publish((hist - published).toInt - 1)
+      // cursor catches up on everything but the newest batch
+      SI.applySupersessionFeed(spark, corpusOut, dir)
+      publish(1)
+      timed(s"apply with cursor, history=$hist (1 unapplied batch)") {
+        SI.applySupersessionFeed(spark, corpusOut, dir)
+      }
+      dropCursor()
+      timed(s"apply CURSORLESS, history=$hist (re-reads everything)") {
+        SI.applySupersessionFeed(spark, corpusOut, dir)
+      }
+    }
+    timed(s"feed compact ($published dirs -> 1 archive snapshot)") {
+      graft.api.Graft.corpusSupersessionFeedCompact(spark, corpusOut)
+    }
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-feedprobe2").toString
+    timed("build (fresh consumer)") {
+      graft.api.Graft.annIndexBuild(emb, "vec_id", "embedding", dir2,
+        dim = dim, trainFraction = 0.1)
+    }
+    timed(s"fresh consumer full catch-up from the ARCHIVE " +
+        s"($published batches folded)") {
+      SI.applySupersessionFeed(spark, corpusOut, dir2)
+    }
   }
 
   /** `rebuild` mode: the staleness-alert response loop end to end —

@@ -97,52 +97,233 @@ object StreamingIndex {
     fs.exists(new org.apache.hadoop.fs.Path(vDir, KeymapCommitMarker)) ||
       fs.exists(new org.apache.hadoop.fs.Path(vDir, "_SUCCESS"))
 
-  /** The newest COMMITTED keymap version strictly below `beforeBatch` —
-    * the prior-state read of every absorb. Unlike the generic
-    * [[StreamingCorpus.latestShardState]] (whose writers replace their
-    * own slot on retry, so the newest version is always the right one),
-    * the keymap's newest version can be TORN: a crashed
-    * [[seedIndexKeymap]] leaves a partial set of part files under
-    * `v=0` with no commit marker, and reading it as the complete
-    * key→uid map would make the built keys missing from the torn seed
-    * silently never supersede. A torn version below `beforeBatch` is
-    * therefore LOUD, not skipped-over: the only in-protocol torn slot
-    * is the CURRENT batch's own (excluded by `beforeBatch`), so
-    * anything older is a crashed seed (re-run [[seedIndexKeymap]]) or
-    * out-of-band damage — silently reading past it would serve a map
-    * with holes.
+  /** SEGMENTED KEYMAP (r17). The keymap is a LOG, not a snapshot:
+    * `keymap/v=<B+1>` holds only batch B's key→uid DELTA (the seed's
+    * `v=0` is the build-time full map — just the first, largest
+    * segment), and reads resolve latest-wins per key across segments.
+    * The pre-r17 layout rewrote the COMPLETE map every batch
+    * (carry-forward ∪ delta) — O(total keys) WRITTEN per micro-batch,
+    * which at a billion keys is tens of GB of write amplification per
+    * five-minute batch for a delta of thousands. Segments make the
+    * absorb's keymap write O(delta); [[foldKeymap]] (every
+    * `keymapFoldEveryBatches` in the loop/facade) collapses the log
+    * into a base snapshot under the SIDECAR `keymapbase/v=<n>` — its
+    * own numbering, so fold slots can never collide with batch-owned
+    * segment slots, and a torn fold is simply retried into the same
+    * sidecar slot with the previous base intact (no in-place overwrite
+    * of live data anywhere). The base's commit marker RECORDS the
+    * segment version it folded through; reads take
+    * base ∪ segments-above-it, so segments a crashed fold failed to
+    * delete are ignored, not double-counted. Pre-r17 keymaps (every
+    * version a full map, no base sidecar) read correctly through the
+    * same latest-wins rule — a newer full map wins every key it
+    * carries, and carry-forward means it carries them all.
     */
-  private[graft] def latestCommittedKeymap(spark: SparkSession,
-                                           keymapDir: String,
-                                           beforeBatch: Long)
-      : Option[DataFrame] = {
-    val path = new org.apache.hadoop.fs.Path(keymapDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) None
-    else {
-      val vRe = "v=(\\d+)".r
-      val versions = fs.listStatus(path).toSeq
-        .flatMap(_.getPath.getName match {
-          case vRe(n) => Some(n.toLong)
-          case _ => None
-        })
-        .filter(_ < beforeBatch)
-      val committed = versions.filter(v => keymapCommitted(fs,
-        new org.apache.hadoop.fs.Path(s"$keymapDir/v=$v")))
-      if (versions.nonEmpty &&
-          committed.sorted.lastOption != versions.sorted.lastOption) {
-        val torn = versions.max
-        throw new IllegalStateException(
-          s"graft index keymap: $keymapDir/v=$torn exists but carries no " +
-            "commit marker — a torn write (crashed seedIndexKeymap when " +
-            "v=0, out-of-band damage otherwise). Reading past it would " +
-            "serve a key→uid map with holes, so built keys missing from " +
-            "the torn version would silently never supersede. Re-run " +
-            "seedIndexKeymap (it replaces an uncommitted v=0), or delete " +
-            "the torn version if its owning write is known re-driven")
+  private val keymapSegRe = "v=(\\d+)".r
+
+  /** List a keymap-family directory's versions: (version, committed,
+    * hasData). Committed is MARKER-based ([[keymapCommitted]] — the
+    * protocol signal); hasData is PART-FILE-based (the read signal: an
+    * empty batch legitimately commits a data-less segment, which reads
+    * skip).
+    */
+  private def listVersions(fs: org.apache.hadoop.fs.FileSystem,
+                           dir: String): Seq[(Long, Boolean, Boolean)] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(path)) Nil
+    else fs.listStatus(path).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case keymapSegRe(n) =>
+          val hasData = fs.listStatus(st.getPath).exists(f =>
+            f.getPath.getName.startsWith("part-") && f.getLen > 0)
+          Some((n.toLong, keymapCommitted(fs, st.getPath), hasData))
+        case _ => None
       }
-      committed.sorted.lastOption
-        .map(v => spark.read.parquet(s"$keymapDir/v=$v"))
+    }.sortBy(_._1)
+  }
+
+  /** The folded-through segment version of the newest committed base
+    * (read from the base marker's content), with the base dir — None
+    * when no base was ever folded.
+    */
+  private def newestBase(fs: org.apache.hadoop.fs.FileSystem,
+                         baseDir: String): Option[(Long, Long, Boolean)] =
+    listVersions(fs, baseDir).reverse.collectFirst(Function.unlift {
+      case (v, committed, hasData) if committed =>
+        val mk = new org.apache.hadoop.fs.Path(
+          s"$baseDir/v=$v/$KeymapCommitMarker")
+        val t = scala.util.Try {
+          val in = fs.open(mk)
+          try {
+            val buf = new Array[Byte](64)
+            val n = in.read(buf)
+            new String(buf, 0, math.max(n, 0),
+              java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+          } finally in.close()
+        }.toOption
+        t.map(through => (v, through, hasData))
+      case _ => None
+    })
+
+  /** The keymap's latest-wins view strictly below segment version
+    * `beforeBatch`, as `(key, uid)` — base snapshot (if folded) plus
+    * every committed data-carrying segment above it. One window over
+    * the union; restrict FIRST (semi-join) when only some keys matter —
+    * the absorb does. A TORN segment above the folded-through point and
+    * below `beforeBatch` is LOUD, not skipped-over: the only
+    * in-protocol torn slot is the CURRENT batch's own (excluded by
+    * `beforeBatch`), so anything older is a crashed seed (re-run
+    * [[seedIndexKeymap]]) or out-of-band damage — silently reading past
+    * it would serve a map with holes.
+    */
+  private def keymapParts(spark: SparkSession, indexDir: String,
+                          beforeBatch: Long): Seq[(Long, String)] = {
+    val keymapDir = s"$indexDir/keymap"
+    val baseDir = s"$indexDir/keymapbase"
+    val fs = new org.apache.hadoop.fs.Path(keymapDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = newestBase(fs, baseDir)
+    val through = base.map(_._2).getOrElse(-1L)
+    val segs = listVersions(fs, keymapDir)
+      .filter(v => v._1 > through && v._1 < beforeBatch)
+    segs.filter(!_._2).map(_._1).sorted.lastOption.foreach { torn =>
+      throw new IllegalStateException(
+        s"graft index keymap: $keymapDir/v=$torn exists but carries no " +
+          "commit marker — a torn write (crashed seedIndexKeymap when " +
+          "v=0, out-of-band damage otherwise). Reading past it would " +
+          "serve a key→uid map with holes, so built keys missing from " +
+          "the torn version would silently never supersede. Re-run " +
+          "seedIndexKeymap (it replaces an uncommitted v=0), or delete " +
+          "the torn version if its owning write is known re-driven")
+    }
+    base.collect { case (v, t, hasData) if hasData =>
+      // base rows rank at their folded-through version: below every
+      // live segment, above nothing the fold consumed (deleted or
+      // ignored via `through`)
+      (t, s"$baseDir/v=$v")
+    }.toSeq ++
+      segs.collect { case (v, _, true) => (v, s"$keymapDir/v=$v") }
+  }
+
+  /** Union the keymap parts as `(key, uid, __v)` — `restrictTo` (a
+    * one-column `key` frame) semi-joins EACH part before the union, so
+    * the latest-wins window downstream shuffles only the restricted
+    * rows, never the key universe (the absorb's delta-bounded shape).
+    */
+  private def keymapUnion(parts: Seq[(Long, String)], spark: SparkSession,
+                          restrictTo: Option[DataFrame]): DataFrame =
+    parts.map { case (v, dir) =>
+      val p = spark.read.parquet(dir).select(col("key"), col("uid"))
+        .withColumn("__v", lit(v))
+      restrictTo.fold(p)(keys =>
+        p.join(broadcast(keys), Seq("key"), "left_semi"))
+    }.reduce(_ unionByName _)
+
+  private def latestWins(parts: Seq[(Long, String)], spark: SparkSession,
+                         restrictTo: Option[DataFrame] = None)
+      : DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("__v").desc)
+    keymapUnion(parts, spark, restrictTo)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("key"), col("uid"))
+  }
+
+  /** The COMPLETE latest-wins key→uid view of a keymap — one row per
+    * live key (the audit/consumer read; the absorb restricts to its
+    * delta's keys before the window instead). None when no committed
+    * data-carrying keymap state exists.
+    */
+  private[graft] def readKeymapView(spark: SparkSession, indexDir: String,
+                                    beforeBatch: Long = Long.MaxValue)
+      : Option[DataFrame] = {
+    val parts = keymapParts(spark, indexDir, beforeBatch)
+    if (parts.isEmpty) None else Some(latestWins(parts, spark))
+  }
+
+  /** FOLD the keymap's segment log into one base snapshot — the
+    * retention half of the segmented layout: reads the current view,
+    * writes it as `keymapbase/v=<n+1>` (marker content = the segment
+    * version folded through, written LAST), then deletes the folded
+    * segments and older bases. Crash-safe at every cut: a torn base is
+    * retried into the same slot with the previous base intact; segments
+    * a crashed deletion left behind are ignored by the folded-through
+    * watermark and removed by the next fold. Idempotent — folding with
+    * no new segments only re-attempts leftover deletions.
+    */
+  private[graft] def foldKeymap(spark: SparkSession,
+                                indexDir: String): Unit = {
+    val keymapDir = s"$indexDir/keymap"
+    val baseDir = s"$indexDir/keymapbase"
+    val fs = new org.apache.hadoop.fs.Path(keymapDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = newestBase(fs, baseDir)
+    val through = base.map(_._2).getOrElse(-1L)
+    val segs = listVersions(fs, keymapDir).filter(_._1 > through)
+    def deleteFolded(upto: Long): Unit = {
+      listVersions(fs, keymapDir).filter(_._1 <= upto).foreach { case (v, _, _) =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$keymapDir/v=$v"), true)
+      }
+      base.foreach { case (bv, _, _) =>
+        listVersions(fs, baseDir).filter(_._1 < bv).foreach { case (v, _, _) =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$baseDir/v=$v"), true)
+        }
+      }
+    }
+    // fold everything but the NEWEST committed segment: its commit
+    // marker is the only re-delivery shield for the most recent batch
+    // until the stream's checkpoint commits behind it — folding it away
+    // would make a crash-between-marker-and-checkpoint re-delivery trip
+    // the uid-reuse guard on the batch's OWN folded result (a poison
+    // batch, the exact failure mode the marker skip exists to prevent).
+    // Older batches are checkpoint-committed once a newer one ran, so
+    // their markers are safe to retire with their segments. Torn
+    // segments (a mid-write crash — never below a committed one under
+    // the single-writer rule) are simply not foldable yet.
+    val foldable = segs.filter(_._2).dropRight(1)
+    if (foldable.isEmpty) {
+      // nothing safely foldable; still clear leftovers a crashed
+      // deletion stranded
+      deleteFolded(through)
+      return
+    }
+    val newThrough = foldable.map(_._1).max
+    keymapParts(spark, indexDir, newThrough + 1) match {
+      case parts if parts.nonEmpty =>
+        val nextBase = listVersions(fs, baseDir)
+          .filter(_._2).map(_._1).sorted.lastOption.map(_ + 1)
+          .getOrElse(0L)
+        latestWins(parts, spark)
+          .write.mode("overwrite").parquet(s"$baseDir/v=$nextBase")
+        val mk = new org.apache.hadoop.fs.Path(
+          s"$baseDir/v=$nextBase/$KeymapCommitMarker")
+        val out = fs.create(mk, true)
+        out.write(newThrough.toString.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        out.close()
+        // deletions strictly AFTER the base committed; re-read `base`
+        // would now name the new one — delete the folded segments and
+        // the superseded older bases
+        listVersions(fs, keymapDir).filter(_._1 <= newThrough)
+          .foreach { case (v, _, _) =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$keymapDir/v=$v"),
+              true)
+          }
+        listVersions(fs, baseDir).filter(_._1 < nextBase)
+          .foreach { case (v, _, _) =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$baseDir/v=$v"),
+              true)
+          }
+      case _ =>
+        // only data-less segments below the newest (a run of empty
+        // batches): no base to write, but the dirs themselves must not
+        // accumulate forever — committed AND data-less is safe to drop
+        // (a re-delivery converges by rewriting an empty segment)
+        foldable.filter(v => v._2 && !v._3).foreach { case (v, _, _) =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$keymapDir/v=$v"),
+            true)
+        }
     }
   }
 
@@ -181,16 +362,16 @@ object StreamingIndex {
     * the marker would strand a retry whose supersede targets no longer
     * exist.
     *
-    * KEYMAP ROW BOUND (audited r17, StreamingSpec-pinned): every keymap
-    * version holds EXACTLY one row per key ever delivered — the
-    * carry-forward anti-joins the re-delivered keys out and the delta
-    * re-inserts them under their new uids, so a re-delivered key
-    * REPLACES its row and a superseded uid keeps no history row in the
-    * keymap (its retirement history lives in the index tombstones until
-    * the next rebuild purges it). State size is therefore bounded by
-    * DISTINCT KEYS, independent of re-delivery count and of
-    * superseded-then-rebuilt uid churn — the keymap needs no row-level
-    * compaction, only the version pruning it already gets.
+    * KEYMAP ROW BOUND (audited r17, StreamingSpec-pinned): the keymap
+    * VIEW ([[readKeymapView]]) holds EXACTLY one row per key ever
+    * delivered — a re-delivered key's newer segment row wins by version
+    * order, and a superseded uid keeps no history row in the view (its
+    * retirement history lives in the index tombstones until the next
+    * rebuild purges it). At-rest size is bounded by DISTINCT KEYS plus
+    * the segments since the last fold (≤ `keymapFoldEveryBatches`
+    * deltas), independent of re-delivery count and of
+    * superseded-then-rebuilt uid churn; [[foldKeymap]] is the only
+    * compaction the layout needs.
     *
     * Guards and the retirement shape live in [[absorbKeyedCore]] —
     * shared verbatim with the batch facade ([[absorbKeyedDelta]]), so
@@ -201,16 +382,19 @@ object StreamingIndex {
                                      uidCol: String, vecCol: String,
                                      maxAddedFraction: Double,
                                      maintainDrift: Double,
-                                     maintainTrainFraction: Double = 1.0)
+                                     maintainTrainFraction: Double = 1.0,
+                                     keymapFoldEveryBatches: Int = 16)
       : Unit = {
     val spark = batch.sparkSession
     val keymapDir = s"$indexDir/keymap"
-    // keymap versions are OFFSET BY ONE (batch B owns v=B+1): v=0 is the
+    // keymap SEGMENTS are OFFSET BY ONE (batch B owns v=B+1): v=0 is the
     // build-time seed slot ([[seedIndexKeymap]]) — the initial corpus's
     // key→uid rows, so re-deliveries of BUILT keys supersede too, not
-    // only re-deliveries of streamed ones. Every version is the complete
-    // map (carry-forward in the core), so pruning old versions loses
-    // nothing.
+    // only re-deliveries of streamed ones. Each version holds only its
+    // batch's delta (the segmented layout — see the keymap scaladoc
+    // above [[keymapParts]]); NEVER prune these versions directly:
+    // unlike the full-map-per-version layouts, every segment is live
+    // data until [[foldKeymap]] collapses it into the base.
     val vNum = batchId + 1
     val okPath = new org.apache.hadoop.fs.Path(
       s"$keymapDir/v=$vNum/$KeymapCommitMarker")
@@ -218,7 +402,11 @@ object StreamingIndex {
     if (fs.exists(okPath)) return // completed batch re-delivered: skip
     absorbKeyedCore(batch, vNum, indexDir, keyCol, uidCol, vecCol,
       maxAddedFraction, "graft index loop")
-    StreamingCorpus.pruneVersions(spark, keymapDir)
+    // retention: fold the segment log every Nth batch (amortizes the
+    // one O(keys) snapshot across N delta-sized writes); <= 0 disables
+    if (keymapFoldEveryBatches > 0 &&
+        (batchId + 1) % keymapFoldEveryBatches == 0)
+      foldKeymap(spark, indexDir)
     if (maintainDrift > 0)
       graft.ext.AnnIndex.maintain(spark, indexDir, maintainDrift,
         trainFraction = maintainTrainFraction)
@@ -266,12 +454,18 @@ object StreamingIndex {
       val delta = batch.select(col(keyCol).as("key"),
           col(uidCol).as("uid"), col(vecCol).as("vec"))
         .transform(graft.ext.CacheScope.cache)
-      val prior = latestCommittedKeymap(spark, keymapDir, vNum)
       if (n > 0) {
-        // the re-delivered keys' previous live uids — delta-sized via the
-        // broadcast semi-join against the batch's keys
-        val old = prior.map(_.join(broadcast(delta.select(col("key"))),
-            Seq("key")).transform(graft.ext.CacheScope.cache))
+        // the re-delivered keys' previous live uids: semi-join each
+        // keymap part against the batch's keys BEFORE the latest-wins
+        // window, so the resolution shuffles delta-bounded rows, not
+        // the key universe (the segments' scan is the read cost; the
+        // write below is delta-sized — the segmented layout's point)
+        val parts = keymapParts(spark, indexDir, vNum)
+        val old =
+          if (parts.isEmpty) None
+          else Some(latestWins(parts, spark,
+              restrictTo = Some(delta.select(col("key"))))
+            .transform(graft.ext.CacheScope.cache))
         old.foreach { o =>
           require(o.join(delta.select(col("key"), col("uid")),
               Seq("key", "uid"), "left_semi").isEmpty,
@@ -308,13 +502,16 @@ object StreamingIndex {
             delta.select(col("uid").as(uidCol), col("vec").as(vecCol)),
             uidCol, vecCol, maxAddedFraction)
       }
-      // keymap: carry forward unaffected keys, replace re-delivered
-      // ones; the commit marker stamped after the overwrite to v=<vNum>
-      // is the batch's commit record
-      val carried = prior.map(_.join(broadcast(delta.select(col("key"))),
-          Seq("key"), "left_anti"))
-        .getOrElse(delta.select(col("key"), col("uid")).limit(0))
-      carried.unionByName(delta.select(col("key"), col("uid")))
+      // keymap SEGMENT: only this batch's key→uid rows — re-delivered
+      // keys' old rows stay in older segments/the base and lose by
+      // version order at read; the commit marker stamped after the
+      // overwrite to v=<vNum> is the batch's commit record. Coalesced
+      // by the known delta size: a 2-column delta at default
+      // parallelism writes 32 footer-dominated splinter files, and the
+      // read side lists/opens every file of every live segment per
+      // batch
+      delta.select(col("key"), col("uid"))
+        .coalesce(math.max(1L, math.min(32L, n / 1000000L + 1L)).toInt)
         .write.mode("overwrite").parquet(s"$keymapDir/v=$vNum")
       val mk = new org.apache.hadoop.fs.Path(
         s"$keymapDir/v=$vNum/$KeymapCommitMarker")
@@ -379,21 +576,23 @@ object StreamingIndex {
                       uidCol: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$indexDir/keymap")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) {
-      // committed = EITHER marker ([[KeymapCommitMarker]] since r17,
-      // the committer's _SUCCESS for pre-r17 versions): the refusal must
-      // stay conservative — on marker-suppressing deployments only the
-      // own marker exists, and keying the refusal on _SUCCESS alone
-      // would silently re-seed a live loop there
-      val committed = fs.listStatus(p).exists(st =>
+    // committed = EITHER marker ([[KeymapCommitMarker]] since r17, the
+    // committer's _SUCCESS for pre-r17 versions): the refusal must stay
+    // conservative — on marker-suppressing deployments only the own
+    // marker exists, and keying the refusal on _SUCCESS alone would
+    // silently re-seed a live loop there. A folded base counts too: a
+    // long-lived loop may hold ALL its state in `keymapbase` with every
+    // segment folded away.
+    val committed =
+      (fs.exists(p) && fs.listStatus(p).exists(st =>
         st.getPath.getName.startsWith("v=") &&
-          keymapCommitted(fs, st.getPath))
-      require(!committed,
-        s"seedIndexKeymap: $indexDir/keymap already holds a committed " +
-          "version — the seed is the PRE-LOOP slot; seeding a live loop " +
-          "would race its batch versioning. Start a new indexDir, or " +
-          "let the loop carry on")
-    }
+          keymapCommitted(fs, st.getPath))) ||
+        newestBase(fs, s"$indexDir/keymapbase").isDefined
+    require(!committed,
+      s"seedIndexKeymap: $indexDir/keymap already holds a committed " +
+        "version — the seed is the PRE-LOOP slot; seeding a live loop " +
+        "would race its batch versioning. Start a new indexDir, or " +
+        "let the loop carry on")
     requireKeyedDelta(keys.select(col(keyCol), col(uidCol)), keyCol,
       uidCol, "seedIndexKeymap")
     keys.select(col(keyCol).as("key"), col(uidCol).as("uid"))
@@ -432,7 +631,8 @@ object StreamingIndex {
                        delta: DataFrame, keyCol: String, uidCol: String,
                        vecCol: String, maxAddedFraction: Double = 2.0,
                        maintainDrift: Double = 0.0,
-                       maintainTrainFraction: Double = 1.0): Unit = {
+                       maintainTrainFraction: Double = 1.0,
+                       keymapFoldEveryBatches: Int = 16): Unit = {
     val keymapDir = s"$indexDir/keymap"
     val owner = new org.apache.hadoop.fs.Path(s"$indexDir/_OWNER")
     val fs = owner.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -455,27 +655,30 @@ object StreamingIndex {
       }
     try {
       out.close()
-      // newest COMMITTED version + 1; a torn newer slot (crashed prior
-      // absorb) is exactly the slot this retry overwrites. No committed
-      // version: v=1 — v=0 stays the seed's slot (a torn v=0 trips the
-      // prior-read's loud guard inside the core, naming the re-seed)
+      // max(newest COMMITTED segment, the base's folded-through
+      // watermark) + 1: a torn newer slot (crashed prior absorb) is
+      // exactly the slot this retry overwrites, and a fresh slot always
+      // lands ABOVE the fold watermark — a segment at or below it would
+      // be invisible to every read. No committed state at all: v=1 —
+      // v=0 stays the seed's slot (a torn v=0 trips the prior-read's
+      // loud guard inside the core, naming the re-seed)
       val vNum = {
-        val p = new org.apache.hadoop.fs.Path(keymapDir)
-        if (!fs.exists(p)) 1L
-        else {
-          val vRe = "v=(\\d+)".r
-          fs.listStatus(p).toSeq
-            .flatMap(_.getPath.getName match {
-              case vRe(n) if keymapCommitted(fs,
-                new org.apache.hadoop.fs.Path(s"$keymapDir/v=$n")) =>
-                Some(n.toLong)
-              case _ => None
-            }).sorted.lastOption.map(_ + 1).getOrElse(1L)
-        }
+        val committedMax = listVersions(fs, keymapDir)
+          .filter(_._2).map(_._1).maxOption
+        val through = newestBase(fs, s"$indexDir/keymapbase").map(_._2)
+        (committedMax.toSeq ++ through.toSeq ++ Seq(0L)).max + 1
       }
       absorbKeyedCore(delta, vNum, indexDir, keyCol, uidCol, vecCol,
         maxAddedFraction, "graft index absorb")
-      StreamingCorpus.pruneVersions(spark, keymapDir)
+      // fold when the segment log reaches the knob (the nightly-job
+      // cadence equivalent of the loop's every-Nth-batch rule)
+      if (keymapFoldEveryBatches > 0 && {
+          val through = newestBase(fs, s"$indexDir/keymapbase")
+            .map(_._2).getOrElse(-1L)
+          listVersions(fs, keymapDir).count(v =>
+            v._2 && v._1 > through) >= keymapFoldEveryBatches
+        })
+        foldKeymap(spark, indexDir)
       if (maintainDrift > 0)
         graft.ext.AnnIndex.maintain(spark, indexDir, maintainDrift,
           trainFraction = maintainTrainFraction)
@@ -702,13 +905,16 @@ object StreamingIndex {
                             maxAddedFraction: Double = 2.0,
                             maintainDrift: Double = 0.0,
                             maintainTrainFraction: Double = 1.0,
-                            maxFilesPerTrigger: Int = 64): StreamingQuery = {
+                            maxFilesPerTrigger: Int = 64,
+                            keymapFoldEveryBatches: Int = 16)
+      : StreamingQuery = {
     StreamingCorpus.acquireProducerLock(spark, indexDir, checkpoint)
     readEmbeddingStream(spark, inDir, schema, maxFilesPerTrigger)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         writeIndexBatch(batch, batchId, indexDir, keyCol, uidCol, vecCol,
-          maxAddedFraction, maintainDrift, maintainTrainFraction)
+          maxAddedFraction, maintainDrift, maintainTrainFraction,
+          keymapFoldEveryBatches)
       }
       .option("checkpointLocation", checkpoint)
       .start()

@@ -268,6 +268,30 @@ object IndexScale {
     println(s"[indexscale/loop] n_tombstoned=" +
       s"${st.getAs[Long]("n_tombstoned")} drift=" +
       s"${st.getAs[Double]("drift_fraction")}")
+    // segmented-keymap write amplification (r17): the absorb writes
+    // only its delta; report bytes at rest, then trigger a fold and
+    // report the collapsed layout
+    val fsK = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def bytes(p: String): Long =
+      if (fsK.exists(new org.apache.hadoop.fs.Path(p)))
+        fsK.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+      else 0L
+    println(s"[indexscale/loop] keymap at rest: seed v=0 " +
+      s"${bytes(s"$dir/keymap/v=0") / 1024} KiB, delta segment v=1 " +
+      s"${bytes(s"$dir/keymap/v=1") / 1024} KiB (pre-r17 wrote the " +
+      "full map per batch)")
+    val batch2 = emb.filter(col("vec_id") % 16 === 4)
+      .select(concat(lit("k-"), col("vec_id")).as("key"),
+        (col("vec_id") + 2000000000L).as("vec_id"),
+        reverse(col("embedding").cast("array<double>")).as("embedding"))
+    timed(s"second absorb (${batch2.count()} re-embeds) + keymap fold") {
+      SI.writeIndexBatch(batch2, 1L, dir, "key", "vec_id", "embedding",
+        2.0, 0.0, keymapFoldEveryBatches = 2)
+    }
+    println(s"[indexscale/loop] post-fold: base " +
+      s"${bytes(s"$dir/keymapbase") / 1024} KiB, live segments " +
+      s"${bytes(s"$dir/keymap") / 1024} KiB")
     timed("drift-policy maintain (rebuild)") {
       val ran = graft.ext.AnnIndex.maintain(spark, dir, 0.05,
         trainFraction = 0.1)

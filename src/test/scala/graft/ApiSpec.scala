@@ -1006,10 +1006,8 @@ class ApiSpec extends SparkSpec {
       assert(s.exceptAll(b).isEmpty && b.exceptAll(s).isEmpty,
         s"$what diverged between the streaming loop and the batch facade")
     }
-    val kmS = graft.streaming.StreamingCorpus
-      .latestShardState(spark, s"$dirS/keymap").get
-    val kmB = graft.streaming.StreamingCorpus
-      .latestShardState(spark, s"$dirB/keymap").get
+    val kmS = SI.readKeymapView(spark, dirS).get
+    val kmB = SI.readKeymapView(spark, dirB).get
     assert(kmS.exceptAll(kmB).isEmpty && kmB.exceptAll(kmS).isEmpty,
       "keymap diverged between the streaming loop and the batch facade")
     // and both serve identically

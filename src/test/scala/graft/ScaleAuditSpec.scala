@@ -38,7 +38,7 @@ import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 class ScaleAuditSpec extends SparkSpec {
 
   /** Queries allowed a nested-loop join, with the reason it is bounded.
-    * These three are the ONLY nested-loop shapes on the whole surface.
+    * These are the ONLY nested-loop shapes on the whole surface.
     */
   private val nestedLoopOk: Map[String, String] = Map(
     "q_ann_bruteforce" ->
@@ -143,7 +143,14 @@ class ScaleAuditSpec extends SparkSpec {
         "q_quality_nb scalar attaches from the two chained deltas; the " +
         "shard tail (mixtureOverCorpusShards) adds only a doc_id " +
         "left-semi equi-join, the broadcast-dictionary encode, and the " +
-        "stream-key shard window"))
+        "stream-key shard window"),
+    "q_ann_index_filtered_rekey" ->
+      ("the composed q_ann_index_rekey × q_ann_index_filtered shape: " +
+        "q_ann_search's probe-stage centroid-codebook broadcast " +
+        "inherited unchanged over the post-supersession live set, the " +
+        "allowlist a ONE-column uid left-semi equi-join on the codes " +
+        "frame before the probe (the tombstone cut's shape); every " +
+        "candidate/re-rank join stays equi-key"))
 
   /** Queries allowed a single-partition window, with the tiny-frame bound.
     * Currently NONE: every window on the surface rides a hash-partitioned

@@ -636,7 +636,7 @@ class StreamingSpec extends SparkSpec {
       "a corpus-superseded uid still serves from the index")
     // the keymap maps every re-embedded key to its NEW uid and carries
     // every other key forward
-    val km = SC.latestShardState(spark, s"$indexDir/keymap").get
+    val km = SI.readKeymapView(spark, indexDir).get
     assert(km.count() == built.count() + fresh.count(),
       "keymap must hold exactly one live uid per key ever seen")
     val reKm = km.join(reembeds.select(col("key")), Seq("key"),
@@ -672,7 +672,7 @@ class StreamingSpec extends SparkSpec {
       "embedding", 2.0, 0.0)
     assert(A.stats(spark, indexDir).head().toSeq == stBefore,
       "the partial-batch retry drifted the index state")
-    val kmAfter = SC.latestShardState(spark, s"$indexDir/keymap").get
+    val kmAfter = SI.readKeymapView(spark, indexDir).get
       .orderBy(col("key")).collect().toSeq
     assert(kmAfter == kmBefore, "the retry rewrote a different keymap")
     // a re-delivered key re-using its RETIRED uid refuses loudly
@@ -701,7 +701,7 @@ class StreamingSpec extends SparkSpec {
       .join(oldUids.select(col("vec_id").as("uid")), Seq("uid"),
         "left_semi").isEmpty,
       "the policy rebuild kept a tombstoned vector")
-    assert(SC.latestShardState(spark, s"$indexDir/keymap").get
+    assert(SI.readKeymapView(spark, indexDir).get
       .orderBy(col("key")).collect().toSeq == kmBefore,
       "an empty batch must not change the keymap's content")
     // KEYMAP ROW BOUND (documented invariant): every version holds
@@ -709,12 +709,104 @@ class StreamingSpec extends SparkSpec {
     // their key's row (carry-forward anti-join + delta), superseded
     // uids keep no history row, so the state is bounded by distinct
     // keys, independent of re-delivery count
-    val kmFinal = SC.latestShardState(spark, s"$indexDir/keymap").get
+    val kmFinal = SI.readKeymapView(spark, indexDir).get
     assert(kmFinal.groupBy(col("key")).count()
       .filter(col("count") > 1).isEmpty,
       "keymap carries more than one row for some key")
     assert(kmFinal.count() == built.count() + fresh.count(),
       "keymap row count must equal distinct keys ever delivered")
+  }
+
+  test("segmented keymap fold: delta-only segments collapse into the " +
+    "base with the view unchanged, folded re-deliveries converge, the " +
+    "seed refusal survives the fold, and post-fold absorbs land above " +
+    "the watermark") {
+    val A = graft.ext.AnnIndex
+    val SI = graft.streaming.StreamingIndex
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val vd = col("embedding").cast("array<double>")
+    def keyedRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(concat(lit("k-"), col("vec_id")).as("key"),
+        col("vec_id"), vd.as("embedding"))
+    val built = emb.filter(col("vec_id") % 2 === 0)
+    val indexDir = Files.createTempDirectory("graft-kmfold").toString +
+      "/idx"
+    A.build(graft.ext.Similarity.kmeansBuckets(built, "vec_id",
+        "embedding", k = 8, iters = 2, bucketCol = "kb"),
+      "vec_id", "embedding", "kb", indexDir, dim = 64)
+    SI.seedIndexKeymap(spark, indexDir, keyedRows(built), "key", "vec_id")
+    val off = 9000000L
+    val b0 = keyedRows(emb.filter(col("vec_id") % 4 === 1))
+    val b1 = emb.filter(col("vec_id") % 8 === 0)
+      .select(concat(lit("k-"), col("vec_id")).as("key"),
+        (col("vec_id") + off).as("vec_id"), reverse(vd).as("embedding"))
+    // fold every 2 batches: batch 0 leaves segments, batch 1 folds
+    SI.writeIndexBatch(b0, 0L, indexDir, "key", "vec_id", "embedding",
+      2.0, 0.0, keymapFoldEveryBatches = 2)
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the segment write is DELTA-SIZED: v=1 holds only batch 0's rows
+    assert(spark.read.parquet(s"$indexDir/keymap/v=1").count() ==
+      b0.count(),
+      "a keymap segment must hold only its batch's delta")
+    SI.writeIndexBatch(b1, 1L, indexDir, "key", "vec_id", "embedding",
+      2.0, 0.0, keymapFoldEveryBatches = 2)
+    // the fold ran: base committed, folded segments deleted, and the
+    // NEWEST segment (v=2 — batch 1's own, still inside its
+    // checkpoint-commit window) kept alive with its skip marker
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$indexDir/keymapbase/v=0/" + SI.KeymapCommitMarker)),
+      "fold must commit a base version")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$indexDir/keymap/v=0")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/keymap/v=1")),
+      "fold must delete the segments it folded")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$indexDir/keymap/v=2/" + SI.KeymapCommitMarker)),
+      "fold must keep the newest segment and its re-delivery marker")
+    // the view is the same map the unfolded log would serve: every b0
+    // key still present, every b1 key at its NEW uid, built keys intact
+    val view = SI.readKeymapView(spark, indexDir).get
+    val expected = keyedRows(built)
+      .select(col("key"), col("vec_id").as("uid"))
+      .unionByName(b0.select(col("key"), col("vec_id").as("uid")))
+      .join(b1.select(col("key")), Seq("key"), "left_anti")
+      .unionByName(b1.select(col("key"), col("vec_id").as("uid")))
+    assert(view.exceptAll(expected).isEmpty &&
+      expected.exceptAll(view).isEmpty,
+      "the folded view diverged from the latest-wins map")
+    // RE-DELIVERY of batch 1 after the fold: the newest segment's skip
+    // marker survived the fold (the crash-between-marker-and-checkpoint
+    // window), so the re-delivery is the marker no-op — stats and view
+    // unchanged, no uid-reuse trip on the batch's own folded result
+    val stBefore = A.stats(spark, indexDir).head().toSeq
+    SI.writeIndexBatch(b1, 1L, indexDir, "key", "vec_id", "embedding",
+      2.0, 0.0, keymapFoldEveryBatches = 0)
+    assert(A.stats(spark, indexDir).head().toSeq == stBefore,
+      "re-delivering the newest batch after a fold mutated the index")
+    assert(SI.readKeymapView(spark, indexDir).get
+      .orderBy(col("key")).collect().toSeq ==
+        view.orderBy(col("key")).collect().toSeq,
+      "re-delivering the newest batch after a fold changed the view")
+    // the seed refusal survives a fully-folded keymap (the committed
+    // state lives in the base now)
+    val eSeed = intercept[IllegalArgumentException] {
+      SI.seedIndexKeymap(spark, indexDir, keyedRows(built), "key",
+        "vec_id")
+    }
+    assert(eSeed.getMessage.contains("already holds a committed version"))
+    // a post-fold BATCH FACADE absorb allocates above the watermark and
+    // is visible through the view (a sub-watermark slot would be
+    // silently invisible — the exact bug the allocation rule prevents)
+    val b2 = keyedRows(emb.filter(col("vec_id") % 4 === 3).limit(7))
+    graft.api.Graft.annIndexAbsorbKeyedDelta(spark, indexDir, b2, "key",
+      "vec_id", "embedding")
+    val view2 = SI.readKeymapView(spark, indexDir).get
+    assert(view2.join(b2.select(col("key")), Seq("key"), "left_semi")
+      .count() == 7L,
+      "a post-fold absorb's keys are invisible — segment landed below " +
+        "the fold watermark")
+    assert(view2.count() == built.count() + b0.count() + 7L)
   }
 
   test("index loop torn seed: a keymap v=0 without its commit marker " +
@@ -755,9 +847,8 @@ class StreamingSpec extends SparkSpec {
         col("vec_id")), "key", "vec_id")
     SI.writeIndexBatch(delta, 0L, indexDir, "key", "vec_id",
       "embedding", 2.0, 0.0)
-    assert(graft.streaming.StreamingCorpus
-      .latestShardState(spark, s"$indexDir/keymap").get.count() ==
-        built.count() + 5L)
+    assert(SI.readKeymapView(spark, indexDir).get.count() ==
+      built.count() + 5L)
   }
 
   test("index loop poison-batch fix: a keymap-mapped uid already retired " +
@@ -811,8 +902,7 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/codes")
       .filter(col("uid") >= off).count() == 2L)
     // and the keymap maps both keys to the new uids
-    val km = graft.streaming.StreamingCorpus
-      .latestShardState(spark, s"$indexDir/keymap").get
+    val km = SI.readKeymapView(spark, indexDir).get
     assert(km.join(batch.select(col("key"), col("vec_id").as("uid")),
       Seq("key", "uid"), "left_semi").count() == 2L)
   }

@@ -365,10 +365,12 @@ object StreamingCorpus {
                                            outDir: String, textCol: String,
                                            idCol: String, streamCol: String,
                                            tok: Bpe.Tokenizer,
-                                           ctxTokens: Int): Unit = {
+                                           ctxTokens: Int,
+                                           keeperFoldEveryBatches: Int = 16)
+      : Unit = {
     val spark = batch.sparkSession
     requireNotClosed(spark, s"$outDir/shards")
-    val keeperState = latestShardState(spark, s"$outDir/keepers", batchId)
+    val keeperState = readRekeyedKeeperState(spark, outDir, batchId)
     val (kept, deltaKeepers) = graft.ext.Dedup.keeperDelta(
       batch, textCol, idCol, keeperState)
     val enc = tok.encodeIds(kept, textCol, idCol)
@@ -381,19 +383,26 @@ object StreamingCorpus {
       Seq(streamCol), idCol, ctxTokens,
       latestShardState(spark, s"$outDir/state", batchId),
       checkIdOrder = false)
-    val newKeepers = keeperState match {
-      case Some(ks) => ks.unionByName(
-        deltaKeepers.select(col("content_hash")))
-      case None => deltaKeepers.select(col("content_hash"))
-    }
     shards.write.mode("overwrite")
       .parquet(s"$outDir/shards/batch_id=$batchId")
-    newKeepers.write.mode("overwrite")
-      .parquet(s"$outDir/keepers/v=$batchId")
+    // digest-keeper SEGMENT (the rekeyed loop's r17 layout, trivial
+    // case: digests are append-only sets, so segments are disjoint by
+    // the dedup construction and reads are a plain union — no flips,
+    // no latest-wins). The full-set rewrite this replaces scaled with
+    // the corpus, not the delta.
+    deltaKeepers.select(col("content_hash"))
+      .write.mode("overwrite").parquet(s"$outDir/keepers/v=$batchId")
+    val segMk = new org.apache.hadoop.fs.Path(
+      s"$outDir/keepers/v=$batchId/$KeeperSegmentMarker")
+    segMk.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(segMk, true).close()
     newShardState.write.mode("overwrite")
       .parquet(s"$outDir/state/v=$batchId")
-    pruneVersions(spark, s"$outDir/keepers")
+    // keepers dir: segments are live until the fold — never pruned
     pruneVersions(spark, s"$outDir/state")
+    if (keeperFoldEveryBatches > 0 &&
+        (batchId + 1) % keeperFoldEveryBatches == 0)
+      foldDigestKeeperState(spark, outDir, includeNewest = false)
   }
 
   /** The COMPLETE corpus-production loop on a stream — crawl files in,
@@ -560,15 +569,247 @@ object StreamingCorpus {
       .start()
   }
 
+  /** SEGMENTED KEEPER STATE (r17 — the keymap recipe one layer up).
+    * The rekeyed loop's keeper state grows with the CORPUS, and until
+    * r17 every micro-batch rewrote the FULL history under
+    * `keepers/v=B` — at a billion accepted docs that is the keymap's
+    * tens-of-GB-per-batch write amplification all over again. Now each
+    * batch persists only:
+    *
+    *  - `keepers/v=B` — the batch's NEW rows (accepted + dropped; ids
+    *    are monotone under the versioned ingest base, so the batch's
+    *    rows are exactly `ingest_id > base`), committed by a
+    *    [[KeeperSegmentMarker]] written LAST;
+    *  - `keeperflips/v=B` — the retired ingest ids (the LatestWins
+    *    flip's one in-place mutation, expressed as delta-sized override
+    *    events — the same ids the supersession feed publishes);
+    *
+    * and [[readRekeyedKeeperState]] reconstructs the frame: base ∪
+    * segments above the base's watermark, `live := live && ingest_id ∉
+    * flips` (a row once superseded never resurrects under LatestWins;
+    * the other policies never flip). [[foldRekeyedKeeperState]]
+    * collapses the log into a COMPACTED base
+    * ([[graft.api.Graft.corpusRekeyedStateCompact]] applied at fold
+    * time) under the `keepersbase/v=<n>` sidecar whose marker records
+    * the segment version folded through — the in-loop fold (the
+    * `stateCompactEveryBatches` cadence) always leaves the NEWEST
+    * segment unfolded so a crash-between-writes-and-checkpoint retry
+    * re-reads state that excludes its own contribution; the close's
+    * fold takes everything (the stream is stopped — no retry window).
+    * A PRE-r17 state (full chain per version, no markers) reads as the
+    * base at its newest version's watermark, so existing deployments
+    * migrate seamlessly: the first segmented batch simply stacks above
+    * it and the first fold retires it into the sidecar.
+    */
+  private[graft] val KeeperSegmentMarker = "_GRAFT_SEGMENT"
+
+  /** List `dir`'s `v=<n>` children as (version, marked, hasData). */
+  private def keeperVersions(fs: org.apache.hadoop.fs.FileSystem,
+                             dir: String, marker: String)
+      : Seq[(Long, Boolean, Boolean)] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val vRe = "v=(\\d+)".r
+    if (!fs.exists(path)) Nil
+    else fs.listStatus(path).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case vRe(n) =>
+          val hasData = fs.listStatus(st.getPath).exists(f =>
+            f.getPath.getName.startsWith("part-") && f.getLen > 0)
+          val marked = fs.exists(
+            new org.apache.hadoop.fs.Path(st.getPath, marker))
+          Some((n.toLong, marked, hasData))
+        case _ => None
+      }
+    }.sortBy(_._1)
+  }
+
+  /** The newest committed keeper BASE: the `keepersbase` sidecar's
+    * newest marked version (marker content = the segment watermark it
+    * folded through), else the newest UNMARKED data-carrying
+    * `keepers/v=<n>` below `beforeBatch` (a pre-segmentation full
+    * chain, its own version as watermark). Returns
+    * (dir, watermark, baseSidecarVersion — -1 for legacy).
+    */
+  private def newestKeeperBase(spark: SparkSession,
+                               fs: org.apache.hadoop.fs.FileSystem,
+                               outDir: String, beforeBatch: Long)
+      : Option[(String, Long, Long)] = {
+    val baseDir = s"$outDir/keepersbase"
+    val sidecar = keeperVersions(fs, baseDir, StreamingIndex
+        .KeymapCommitMarker).reverse
+      .collectFirst(Function.unlift {
+        case (v, true, true) =>
+          scala.util.Try {
+            val in = fs.open(new org.apache.hadoop.fs.Path(
+              s"$baseDir/v=$v/" + StreamingIndex.KeymapCommitMarker))
+            try {
+              val buf = new Array[Byte](64)
+              val n = in.read(buf)
+              new String(buf, 0, math.max(n, 0),
+                java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+            } finally in.close()
+          }.toOption.map(t => (s"$baseDir/v=$v", t, v))
+        case _ => None
+      })
+    sidecar.orElse {
+      // a LEGACY full-chain base is an unmarked data dir BELOW every
+      // marked segment — an unmarked dir ABOVE a marked one is a torn
+      // segment (crash before its marker), which must read as absent,
+      // never as a complete-history base
+      val vs = keeperVersions(fs, s"$outDir/keepers", KeeperSegmentMarker)
+      val firstMarked = vs.collectFirst { case (v, true, _) => v }
+        .getOrElse(Long.MaxValue)
+      vs.filter(v => !v._2 && v._3 && v._1 < beforeBatch &&
+          v._1 < firstMarked)
+        .lastOption.map { case (v, _, _) =>
+          (s"$outDir/keepers/v=$v", v, -1L)
+        }
+    }
+  }
+
+  /** Reconstruct the rekeyed keeper frame as of (strictly below)
+    * segment version `beforeBatch` — base ∪ marked segments above the
+    * watermark, flip overrides applied. None when no state exists.
+    */
+  private[graft] def readRekeyedKeeperState(spark: SparkSession,
+                                            outDir: String,
+                                            beforeBatch: Long =
+                                              Long.MaxValue)
+      : Option[DataFrame] = {
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = newestKeeperBase(spark, fs, outDir, beforeBatch)
+    val through = base.map(_._2).getOrElse(-1L)
+    val segs = keeperVersions(fs, s"$outDir/keepers", KeeperSegmentMarker)
+      .filter(v => v._2 && v._3 && v._1 > through && v._1 < beforeBatch)
+    val parts = base.map(_._1).toSeq ++
+      segs.map(v => s"$outDir/keepers/v=${v._1}")
+    if (parts.isEmpty) None
+    else {
+      // a pre-r16 legacy base lacks n_tokens — pad per part so the
+      // union never schema-clashes with segments (which always carry
+      // it). Pad only when the layout carries the column at all: the
+      // digest loops' one-column state must not grow a spurious field.
+      val dfs = parts.map(p => spark.read.parquet(p))
+      val anyTok = dfs.exists(_.columns.contains("n_tokens"))
+      val rows = dfs.map { df =>
+        if (!anyTok || df.columns.contains("n_tokens")) df
+        else df.withColumn("n_tokens", lit(null).cast("long"))
+      }.reduce(_ unionByName _)
+      val flips = keeperVersions(fs, s"$outDir/keeperflips", "__none")
+        .filter(v => v._3 && v._1 > through && v._1 < beforeBatch)
+        .map(v => spark.read.parquet(s"$outDir/keeperflips/v=${v._1}")
+          .select(col("ingest_id")))
+      Some(flips.reduceOption(_ unionByName _) match {
+        case Some(f) =>
+          // flips are delta-sized per batch and fold-bounded in count:
+          // a broadcast left join flags the overridden rows
+          rows.join(broadcast(f.distinct()
+              .withColumn("__flip", lit(true))),
+            Seq("ingest_id"), "left")
+            .withColumn("live", col("live") && col("__flip").isNull)
+            .drop("__flip")
+        case None => rows
+      })
+    }
+  }
+
+  /** FOLD the keeper-state segment log into one COMPACTED base under
+    * the `keepersbase` sidecar (marker content = the segment watermark,
+    * written LAST; folded segments, their flips, superseded bases, and
+    * any subsumed pre-segmentation full chain are deleted strictly
+    * after the base commits). `includeNewest = false` is the in-loop
+    * cadence — the newest segment survives so a
+    * crash-between-writes-and-checkpoint retry reads state that
+    * excludes its own contribution; the close passes true (stopped
+    * stream, no retry window). Crash-safe like the keymap fold: a torn
+    * base is retried into the same slot with the previous base intact.
+    * The REKEYED fold — the compactor is
+    * [[graft.api.Graft.corpusRekeyedStateCompact]]; the digest loops
+    * use [[foldDigestKeeperState]] (same log, set-distinct compactor).
+    */
+  private[graft] def foldRekeyedKeeperState(spark: SparkSession,
+                                            outDir: String,
+                                            keyCol: String,
+                                            includeNewest: Boolean)
+      : Unit = {
+    val G = graft.api.Graft
+    foldKeeperLog(spark, outDir, includeNewest)(view =>
+      G.corpusRekeyedStateCompact(
+        G.KeyedCorpusShardsState(view, view), keyCol, "ingest_id").keepers)
+  }
+
+  /** [[foldRekeyedKeeperState]] for the UNKEYED digest loops
+    * ([[writeCorpusShardBatch]] — keeper state is a content-hash SET):
+    * the compactor is a plain distinct (segments are disjoint by the
+    * dedup construction; the distinct only guards out-of-protocol
+    * replays).
+    */
+  private[graft] def foldDigestKeeperState(spark: SparkSession,
+                                           outDir: String,
+                                           includeNewest: Boolean): Unit =
+    foldKeeperLog(spark, outDir, includeNewest)(_.distinct())
+
+  private def foldKeeperLog(spark: SparkSession, outDir: String,
+                            includeNewest: Boolean)
+                           (compactor: DataFrame => DataFrame): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val baseDir = s"$outDir/keepersbase"
+    val base = newestKeeperBase(spark, fs, outDir, Long.MaxValue)
+    val through = base.map(_._2).getOrElse(-1L)
+    val segs = keeperVersions(fs, s"$outDir/keepers", KeeperSegmentMarker)
+      .filter(v => v._2 && v._1 > through)
+    val foldable = if (includeNewest) segs else segs.dropRight(1)
+    // work exists if there are foldable segments, or a legacy full
+    // chain not yet retired into a (compacted) sidecar base
+    val legacyOnly = base.exists(_._3 < 0)
+    if (foldable.isEmpty && !legacyOnly) return
+    val newThrough = foldable.map(_._1).maxOption.getOrElse(through)
+    readRekeyedKeeperState(spark, outDir, newThrough + 1) match {
+      case Some(view) =>
+        val compacted = compactor(view)
+        val nextBase = keeperVersions(fs, baseDir,
+            StreamingIndex.KeymapCommitMarker)
+          .filter(_._2).map(_._1).maxOption.map(_ + 1).getOrElse(0L)
+        compacted.write.mode("overwrite")
+          .parquet(s"$baseDir/v=$nextBase")
+        val mk = new org.apache.hadoop.fs.Path(
+          s"$baseDir/v=$nextBase/" + StreamingIndex.KeymapCommitMarker)
+        val out = fs.create(mk, true)
+        out.write(newThrough.toString.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        out.close()
+        // deletions strictly AFTER the base committed
+        keeperVersions(fs, s"$outDir/keepers", KeeperSegmentMarker)
+          .filter(_._1 <= newThrough).foreach { case (v, _, _) =>
+            fs.delete(new org.apache.hadoop.fs.Path(
+              s"$outDir/keepers/v=$v"), true)
+          }
+        keeperVersions(fs, s"$outDir/keeperflips", "__none")
+          .filter(_._1 <= newThrough).foreach { case (v, _, _) =>
+            fs.delete(new org.apache.hadoop.fs.Path(
+              s"$outDir/keeperflips/v=$v"), true)
+          }
+        keeperVersions(fs, baseDir, StreamingIndex.KeymapCommitMarker)
+          .filter(_._1 < nextBase).foreach { case (v, _, _) =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$baseDir/v=$v"),
+              true)
+          }
+      case None => ()
+    }
+  }
+
   /** One micro-batch of the REKEYED full loop
     * ([[runCorpusShardsRekeyed]]): re-id under the versioned ingest base
     * (the keyed loop's exactly-once id assignment), then the keyed
     * keeper core ([[graft.api.Graft.rekeyedCore]]) — key policy, digest
     * dedup, frozen-tokenizer encode, incremental shard writer. The
     * keeper state here is the KEYED frame
-    * `(keyCol, content_hash, ingest_id, streamCol, kept, live)`; all
-    * four state families version by batch id, so a retried batch
-    * re-reads the same inputs and replaces the same outputs.
+    * `(keyCol, content_hash, ingest_id, streamCol, kept, live)`,
+    * persisted as delta SEGMENTS (scaladoc above); all state families
+    * version by batch id, so a retried batch re-reads the same inputs
+    * and replaces the same outputs.
     */
   private[graft] def writeRekeyedCorpusShardBatch(batch: DataFrame,
                                                   batchId: Long,
@@ -590,7 +831,7 @@ object StreamingCorpus {
       .map(_.head().getAs[Long]("next_base")).getOrElse(0L)
     val (reId, nextBase) = G.withIngestIds(batch, keyCol,
       base = base, salt = salt, idCol = "ingest_id")
-    val keeperState = latestShardState(spark, s"$outDir/keepers", batchId)
+    val keeperState = readRekeyedKeeperState(spark, outDir, batchId)
     val shardState = latestShardState(spark, s"$outDir/state", batchId)
     require(keeperState.isDefined == shardState.isDefined,
       s"rekeyed loop state under $outDir is torn (keepers " +
@@ -601,24 +842,24 @@ object StreamingCorpus {
     val (shards, newState) = G.rekeyedCore(reId, textCol, "ingest_id",
       keyCol, streamCol, tok, st, policy, ctxTokens,
       checkIdOrder = false) // ids are monotone by the versioned base
-    // IN-LOOP state retention ([[graft.api.Graft.corpusRekeyedStateCompact]]):
-    // every Nth batch writes the COMPACTED keeper frame instead of the
-    // full append chain, so a long-lived loop's state stays bounded by
-    // accepted versions + keys without waiting for the close. Keyed on
-    // batchId, so a retried batch makes the same decision and replaces
-    // the same output; absorb-equality over compacted state is the
-    // ApiSpec pin. 0 disables (close still compacts).
-    val keepersOut =
-      if (stateCompactEveryBatches > 0 &&
-          (batchId + 1) % stateCompactEveryBatches == 0)
-        G.corpusRekeyedStateCompact(
-          G.KeyedCorpusShardsState(newState.keepers, newState.shards),
-          keyCol, "ingest_id").keepers
-      else newState.keepers
     shards.write.mode("overwrite")
       .parquet(s"$outDir/shards/batch_id=$batchId")
-    keepersOut.write.mode("overwrite")
-      .parquet(s"$outDir/keepers/v=$batchId")
+    // keeper SEGMENT: only this batch's new rows (ids above the ingest
+    // base — monotone by construction) plus the flip overrides; the
+    // segment marker written LAST is its commit record. The full-chain
+    // rewrite this replaces was the loop's last corpus-sized per-batch
+    // write (see the segmented-keeper-state scaladoc above).
+    newState.keepers.filter(col("ingest_id") > base)
+      .write.mode("overwrite").parquet(s"$outDir/keepers/v=$batchId")
+    if (policy == G.RekeyPolicy.LatestWins)
+      newState.superseded.foreach(_.select(col("ingest_id"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(s"$outDir/keeperflips/v=$batchId"))
+    val segMk = new org.apache.hadoop.fs.Path(
+      s"$outDir/keepers/v=$batchId/$KeeperSegmentMarker")
+    val segFs = segMk.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    segFs.create(segMk, true).close()
     newState.shards.write.mode("overwrite")
       .parquet(s"$outDir/state/v=$batchId")
     // the SUPERSESSION FEED is published per batch (overwrite — a retry
@@ -634,8 +875,18 @@ object StreamingCorpus {
     import spark.implicits._
     Seq(nextBase).toDF("next_base").coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/ingest/v=$batchId")
-    Seq("keepers", "state", "ingest").foreach(d =>
+    // NEVER prune the keepers dir: its versions are live SEGMENTS until
+    // the fold retires them (the shard-tail and ingest states stay
+    // newest-only-read and keep pruning)
+    Seq("state", "ingest").foreach(d =>
       pruneVersions(spark, s"$outDir/$d"))
+    // IN-LOOP state retention: fold the keeper-segment log into a
+    // COMPACTED base every Nth batch — bounded rows AND delta-sized
+    // per-batch writes; the newest segment stays unfolded (retry
+    // window). 0 disables (close still folds+compacts).
+    if (stateCompactEveryBatches > 0 &&
+        (batchId + 1) % stateCompactEveryBatches == 0)
+      foldRekeyedKeeperState(spark, outDir, keyCol, includeNewest = false)
     // COMPACTION ALERT (latest-wins only — the one policy that
     // supersedes): log the streams whose superseded-token fraction
     // crossed the threshold, so the operator schedules
@@ -713,57 +964,36 @@ object StreamingCorpus {
     // REPEATED close recomputes from the same state and replaces
     // shards_final with the identical set — repeat-safe by construction
     val G = graft.api.Graft
-    val keepers = latestShardState(spark, s"$outDir/keepers")
+    val keepers = readRekeyedKeeperState(spark, outDir)
     val shardsSt = latestShardState(spark, s"$outDir/state")
     require(keepers.isDefined && shardsSt.isDefined,
       s"closeShardsRekeyed: no committed rekeyed state under $outDir — " +
         "nothing was ever absorbed, or the first batch crashed before " +
         "its state commit")
-    val st0 = G.KeyedCorpusShardsState(keepers.get, shardsSt.get)
-    // STATE retention compaction rides the close (VERDICT r16): the
-    // loop's keeper state appends one row per DELIVERED version forever,
-    // and until now nothing in the streaming lifecycle ever called
-    // [[graft.api.Graft.corpusRekeyedStateCompact]] — a long-lived loop
-    // closed and re-opened nightly carried every dead re-delivery row
-    // across its whole life. Compacting here is safe for ALL policies
-    // (ApiSpec pins absorb-equality and idempotence of the compactor),
-    // bounds the closed state at accepted versions + keys, and the
-    // compacted keepers feed the shard compaction below (they retain
-    // every kept row the cuts/offsets consume). The key column is the
-    // one the fixed loop layout does not account for: the loop writes
-    // (ingest_id, keyCol, content_hash, streamCol, kept, live, n_tokens)
-    // — every column but the key is name-pinned, so the key is inferred
-    // by elimination (a wrong guess, e.g. positional, would window by a
-    // unique column and silently compact NOTHING).
+    // STATE retention compaction rides the close (VERDICT r16): fold
+    // the keeper-segment log — EVERYTHING, newest segment included (the
+    // stream is stopped, so there is no retry window) — into one
+    // COMPACTED base ([[foldRekeyedKeeperState]] applies
+    // [[graft.api.Graft.corpusRekeyedStateCompact]] at fold time), so
+    // the closed state is bounded at accepted versions + keys and a
+    // post-close consumer reads one snapshot instead of a log. The key
+    // column is the one the fixed loop layout does not account for:
+    // the loop writes (ingest_id, keyCol, content_hash, streamCol,
+    // kept, live, n_tokens) — every column but the key is name-pinned,
+    // so the key is inferred by elimination (a wrong guess, e.g.
+    // positional, would window by a unique column and silently compact
+    // NOTHING).
     val fixedCols = Set("ingest_id", "content_hash", "kept", "live",
       "n_tokens", streamCol)
-    val keyCands = st0.keepers.columns.filterNot(fixedCols)
+    val keyCands = keepers.get.columns.filterNot(fixedCols)
     require(keyCands.length == 1,
       s"closeShardsRekeyed: cannot infer the key column of the keeper " +
         s"state under $outDir (candidates: ${keyCands.mkString(", ")}) — " +
         "the state does not carry the rekeyed loop's layout")
-    val st = G.corpusRekeyedStateCompact(st0, keyCands.head, "ingest_id")
-    // persist the compacted keepers as the newest state version BEFORE
-    // the marker, so whatever loads the closed state (a re-opened absorb
-    // chain, corpusRekeyedStateSave, an operator audit) reads the
-    // bounded frame; a crash between this write and the marker leaves a
-    // re-closeable sink whose retry recomputes the same compaction
-    val vRe = "v=(\\d+)".r
-    val kPath = new org.apache.hadoop.fs.Path(s"$outDir/keepers")
-    val kfs = kPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val nextV = kfs.listStatus(kPath).toSeq
-      .flatMap(_.getPath.getName match {
-        case vRe(n) => Some(n.toLong)
-        case _ => None
-      }).sorted.lastOption.map(_ + 1).getOrElse(0L)
-    // materialize before overwriting: the compacted plan READS the
-    // newest version, and Spark refuses (or worse, corrupts) an
-    // overwrite of its own input — a fresh version dir sidesteps it
-    st.keepers.write.mode("overwrite")
-      .parquet(s"$outDir/keepers/v=$nextV")
-    pruneVersions(spark, s"$outDir/keepers")
+    foldRekeyedKeeperState(spark, outDir, keyCands.head,
+      includeNewest = true)
     val stC = G.KeyedCorpusShardsState(
-      spark.read.parquet(s"$outDir/keepers/v=$nextV"), st.shards)
+      readRekeyedKeeperState(spark, outDir).get, shardsSt.get)
     // EXCLUDE any batch_id = FlushBatchId partition: if the UNKEYED
     // closeShards already ran on this sink, its published flush rows
     // re-enter here while the compaction ALSO flushes the same tails

@@ -33,6 +33,7 @@ object DeltaScale {
     val docs = graft.io.Tables.documents(spark, dir)
     if (args.lift(2).contains("compact")) { compactProbe(spark, docs); return }
     if (args.lift(2).contains("statecompact")) { stateCompactProbe(spark, docs); return }
+    if (args.lift(2).contains("statesegments")) { stateSegmentsProbe(spark, docs); return }
     val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
     val n = docs.count()
     val splitId = maxId - maxId * deltaPerMille / 1000
@@ -279,6 +280,88 @@ object DeltaScale {
     println(s"[deltascale/statecompact] changed-content absorb over " +
       "compacted state: " +
       (if (d == 0) "EXACT MATCH" else s"DIVERGED ($d rows)"))
+    spark.stop()
+    if (d != 0) sys.exit(1)
+  }
+
+  /** `statesegments` mode (third arg): the STREAMING keeper-state write
+    * amplification at corpus scale (r17) — the loop persists delta
+    * SEGMENTS + flip overrides instead of rewriting the full history
+    * per batch, and folds into a compacted base on the
+    * `stateCompactEveryBatches` cadence. One base batch ingests the
+    * whole corpus, three nightly 10%-recrawl batches follow (changed
+    * content → supersessions → flips); per batch the probe reports the
+    * segment bytes actually written vs the base bytes a full-chain
+    * rewrite would have paid, then folds and verifies the reconstructed
+    * view row-for-row against the in-memory full chain.
+    *
+    *   DeltaScale [documentsDir] [ignored] statesegments
+    */
+  private def stateSegmentsProbe(spark: SparkSession,
+                                 docs: DataFrame): Unit = {
+    val S = graft.streaming.StreamingCorpus
+    val uk = docs.withColumn("ukey",
+        concat(lit("u-"), reverse(col("doc_id").cast("string"))))
+      .drop("doc_id").localCheckpoint(true)
+    val (merges, dict0) = Bpe.train(uk, "text", 8)
+    val dict = dict0.cache(); dict.count()
+    val tok = Bpe.Tokenizer(merges, dict, Bpe.vocabIds(dict))
+    val P = Graft.RekeyPolicy.LatestWins
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-statesegs").toString
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def bytes(p: String): Long =
+      if (fs.exists(new org.apache.hadoop.fs.Path(p)))
+        fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+      else 0L
+    val recrawl = uk.filter(Sampling.hashBucket(col("ukey"),
+        "statesegs") < 10).localCheckpoint(true)
+    println(s"[deltascale/statesegs] ${uk.count()} docs, " +
+      s"${recrawl.count()} keys re-crawled per round")
+    var chain: Option[Graft.KeyedCorpusShardsState] = None
+    var base = 0L
+    for (b <- 0 to 3) {
+      val batch =
+        if (b == 0) uk
+        else recrawl.withColumn("text",
+          concat(col("text"), lit(s" rev $b"))).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      S.writeRekeyedCorpusShardBatch(batch, b.toLong, outDir, "text",
+        "ukey", "lang", tok, 256, "ingest", P,
+        stateCompactEveryBatches = 3)
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"[deltascale/statesegs] batch $b: $wall%.1f s, segment " +
+        f"${bytes(s"$outDir/keepers/v=$b") / 1024} KiB + flips " +
+        f"${bytes(s"$outDir/keeperflips/v=$b") / 1024} KiB written " +
+        f"(base at rest ${bytes(s"$outDir/keepersbase") / 1024} KiB " +
+        "= the full-chain rewrite each batch used to pay)")
+      // the in-memory full chain (the batch API) over the same deltas
+      val (rd, nb) = Graft.withIngestIds(batch, "ukey", base = base,
+        salt = "ingest")
+      base = nb
+      val (sh, st) = Graft.rekeyedCore(rd.localCheckpoint(true), "text",
+        "ingest_id", "ukey", "lang", tok, chain, P, 256,
+        checkIdOrder = false)
+      sh.count(); chain = Some(st)
+    }
+    // the fold compacts BELOW its watermark (dead re-delivery rows
+    // dropped — the retention working as designed), so the honest
+    // equality is compact-to-compact: compact(view) must equal
+    // compact(full chain) row for row (the ApiSpec absorb-equality
+    // family, here proven at corpus scale over the persisted layout)
+    val view = S.readRekeyedKeeperState(spark, outDir).get
+    val full = chain.get.keepers.select(view.columns.map(col): _*)
+    def cpt(df: DataFrame): DataFrame =
+      Graft.corpusRekeyedStateCompact(
+        Graft.KeyedCorpusShardsState(df, df), "ukey", "ingest_id").keepers
+    val vC = cpt(view).localCheckpoint(true)
+    val fC = cpt(full).localCheckpoint(true)
+    val d = vC.exceptAll(fC).count() + fC.exceptAll(vC).count()
+    println(s"[deltascale/statesegs] compact(reconstructed view) vs " +
+      s"compact(in-memory full chain): " +
+      (if (d == 0) "EXACT MATCH" else s"DIVERGED ($d rows)") +
+      s"; view rows=${view.count()} (full chain ${full.count()})")
     spark.stop()
     if (d != 0) sys.exit(1)
   }

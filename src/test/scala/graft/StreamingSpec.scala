@@ -1040,13 +1040,33 @@ class StreamingSpec extends SparkSpec {
     b3.write.parquet(s"$corpusOut/superseded/batch_id=3")
     assert(SI.applySupersessionFeed(spark, corpusOut, indexDir) ==
       (4L, 4L))
-    // re-fold: batch 3 joins the archive, earlier rows carried once
-    // (the anti-join dedup — a crash between snapshot and delete replays
-    // this exact shape)
-    assert(G.corpusSupersessionFeedCompact(spark, corpusOut) == 1L)
+    // PARTIAL fold (uptoBatchId): publish two more batches, fold only
+    // the older one — the newer stays a live dir, and an apply composes
+    // archive + dirs under one cursor cut
+    val b4 = emb.filter(col("vec_id") % 8 === 2)
+      .orderBy(col("vec_id")).limit(3)
+      .select(col("vec_id").as("ingest_id"))
+    val b5 = emb.filter(col("vec_id") % 8 === 6)
+      .orderBy(col("vec_id")).limit(2)
+      .select(col("vec_id").as("ingest_id"))
+    b4.write.parquet(s"$corpusOut/superseded/batch_id=4")
+    b5.write.parquet(s"$corpusOut/superseded/batch_id=5")
+    assert(G.corpusSupersessionFeedCompact(spark, corpusOut,
+      uptoBatchId = 4L) == 2L) // folds 3 and 4; 5 stays a dir
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$corpusOut/superseded/batch_id=5")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$corpusOut/superseded/batch_id=4")))
+    // re-fold carried archived rows exactly once (the anti-join dedup —
+    // a crash between snapshot and delete replays this exact shape)
     val arch2 = spark.read.parquet(s"$corpusOut/superseded_archive/v=1")
-    assert(arch2.count() == served.count() + 4L,
+    assert(arch2.count() == served.count() + 4L + 3L,
       "re-fold must carry archived rows exactly once")
+    // the consumer (cursor at 3 from the earlier apply) reads archived
+    // batch 4 AND live dir 5 in one apply — the mixed composition
+    val (nMix, rMix) = SI.applySupersessionFeed(spark, corpusOut, indexDir)
+    assert(nMix == 5L && rMix == 5L,
+      s"mixed archive+dir apply saw ($nMix, $rMix), expected (5, 5)")
     assert(SI.applySupersessionFeed(spark, corpusOut, indexDir) ==
       (0L, 0L))
   }
@@ -1441,7 +1461,7 @@ class StreamingSpec extends SparkSpec {
       "lang", model, tok, ctxTokens = 256, minTokens = 10)
     val keeperCounts = scala.collection.mutable.ArrayBuffer.empty[Long]
     def keeperCount(): Long = graft.streaming.StreamingCorpus
-      .latestShardState(spark, s"$outDir/keepers").map(_.count())
+      .readRekeyedKeeperState(spark, outDir).map(_.count())
       .getOrElse(0L)
     try {
       q.processAllAvailable(); keeperCounts += keeperCount()
@@ -1684,7 +1704,7 @@ class StreamingSpec extends SparkSpec {
     } finally if (q.isActive) q.stop()
     val S = graft.streaming.StreamingCorpus
     val streamState = G.KeyedCorpusShardsState(
-      S.latestShardState(spark, s"$outDir/keepers").get,
+      S.readRekeyedKeeperState(spark, outDir).get,
       S.latestShardState(spark, s"$outDir/state").get)
     val emitted = spark.read.parquet(s"$outDir/shards")
       .select(col("lang"), col("shard_id"), col("n_tokens"),
@@ -1727,7 +1747,7 @@ class StreamingSpec extends SparkSpec {
       "text", "ukey", "lang", tok, ctxTokens = 256, salt = "ingest",
       policy = P)
     val streamState2 = G.KeyedCorpusShardsState(
-      S.latestShardState(spark, s"$outDir/keepers").get,
+      S.readRekeyedKeeperState(spark, outDir).get,
       S.latestShardState(spark, s"$outDir/state").get)
     val got2 = fp(G.corpusShardsRekeyedCompact(
       r1.unionByName(r2).unionByName(r3), "text", "ingest_id", "lang",
@@ -1804,7 +1824,7 @@ class StreamingSpec extends SparkSpec {
         transform(sequence(lit(0), lit(63)),
           j => pmod(xxhash64(col("ingest_id"), j), lit(1000L))
             .cast("double") / lit(500.0) - lit(1.0)).as("embedding"))
-    val pubKeepers = S.latestShardState(spark, s"$outDir/keepers").get
+    val pubKeepers = S.readRekeyedKeeperState(spark, outDir).get
     val accepted = pubKeepers.filter(col("kept")).select(col("ingest_id"))
     val idxDir = Files.createTempDirectory("graft-topo-idx").toString
     A.build(graft.ext.Similarity.kmeansBuckets(embOf(accepted), "vec_id",
@@ -1892,7 +1912,7 @@ class StreamingSpec extends SparkSpec {
         "ukey", "lang", tok, 256, "ingest", policy)
       S.writeRekeyedCorpusShardBatch(gate(m2), 1L, outDir, "text",
         "ukey", "lang", tok, 256, "ingest", policy)
-      val full = S.latestShardState(spark, s"$outDir/keepers").get
+      val full = S.readRekeyedKeeperState(spark, outDir).get
         .localCheckpoint(true)
       val fullShards = S.latestShardState(spark, s"$outDir/state").get
         .localCheckpoint(true)
@@ -1909,7 +1929,7 @@ class StreamingSpec extends SparkSpec {
       S.closeShardsRekeyed(spark, outDir, r1.unionByName(r2), "text",
         "lang", tok, 256)
       // closed state ≡ the manual compact of the pre-close chain
-      val closedK = S.latestShardState(spark, s"$outDir/keepers").get
+      val closedK = S.readRekeyedKeeperState(spark, outDir).get
       val manual = G.corpusRekeyedStateCompact(
         G.KeyedCorpusShardsState(full, fullShards), "ukey",
         "ingest_id").keepers
@@ -1956,9 +1976,26 @@ class StreamingSpec extends SparkSpec {
             "lang", tok, 256, "ingest", policy,
             stateCompactEveryBatches = 1)
         }
-        val kI = S.latestShardState(spark, s"$outI/keepers").get
-        assert(kI.exceptAll(manual).isEmpty && manual.exceptAll(kI).isEmpty,
-          "interval-compacted state diverged from compact(full chain)")
+        val kI = S.readRekeyedKeeperState(spark, outI).get
+        // the in-loop fold keeps the NEWEST segment unfolded (the retry
+        // window), so the view carries batch 1's dead rows — compacting
+        // it must land exactly on compact(full chain)
+        val kIC = G.corpusRekeyedStateCompact(
+          G.KeyedCorpusShardsState(kI, kI), "ukey", "ingest_id").keepers
+        assert(kIC.exceptAll(manual).isEmpty &&
+          manual.exceptAll(kIC).isEmpty,
+          "interval-folded state diverged from compact(full chain)")
+        // and the fold really ran: a committed base exists and only the
+        // newest segment remains in the log
+        val fsI = new org.apache.hadoop.fs.Path(outI)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        assert(fsI.exists(new org.apache.hadoop.fs.Path(
+          s"$outI/keepersbase/v=0/" +
+            graft.streaming.StreamingIndex.KeymapCommitMarker)),
+          "interval fold never committed a base")
+        assert(!fsI.exists(new org.apache.hadoop.fs.Path(
+          s"$outI/keepers/v=0")),
+          "interval fold left the folded segment behind")
         val shardsDefault = spark.read.parquet(s"$outDir/shards")
           .filter(col("batch_id") =!= S.FlushBatchId)
         val shardsI = spark.read.parquet(s"$outI/shards")
@@ -1967,6 +2004,57 @@ class StreamingSpec extends SparkSpec {
           "interval-compacting loop emitted different shards")
       }
     }
+  }
+
+  test("digest keeper segments: the unkeyed loop writes delta-only " +
+    "digest sets, the fold collapses them, and dedup keeps dropping " +
+    "across the fold") {
+    import graft.ext.Bpe
+    import spark.implicits._
+    val S = graft.streaming.StreamingCorpus
+    val docs1 = Seq(
+      (1L, "alpha beta gamma delta epsilon", "en"),
+      (2L, "zeta eta theta iota kappa", "en"),
+      (3L, "lambda mu nu xi omicron", "fr")).toDF("doc_id", "text", "lang")
+    val docs2 = Seq(
+      (4L, "pi rho sigma tau upsilon", "en"),
+      (5L, "alpha beta gamma delta epsilon", "en"), // dup of doc 1
+      (6L, "phi chi psi omega alef", "fr")).toDF("doc_id", "text", "lang")
+    val docs3 = Seq(
+      (7L, "zeta eta theta iota kappa", "fr"), // dup of doc 2, post-fold
+      (8L, "bet gimel dalet he vav", "en")).toDF("doc_id", "text", "lang")
+    val (merges, dict) = Bpe.train(docs1.unionByName(docs2), "text", 2)
+    val tok = Bpe.Tokenizer(merges, dict, Bpe.vocabIds(dict))
+    val outDir = Files.createTempDirectory("graft-digseg").toString
+    // fold every 2 batches: batch 1 triggers it
+    S.writeCorpusShardBatch(docs1, 0L, outDir, "text", "doc_id", "lang",
+      tok, 8, keeperFoldEveryBatches = 2)
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // segment v=0 holds ONLY batch 0's digests (3 rows, delta-sized)
+    assert(spark.read.parquet(s"$outDir/keepers/v=0").count() == 3L)
+    S.writeCorpusShardBatch(docs2, 1L, outDir, "text", "doc_id", "lang",
+      tok, 8, keeperFoldEveryBatches = 2)
+    // the dup inside batch 1 was dropped against segment state BEFORE
+    // the fold; the fold then collapsed segment v=0 into the base
+    // (newest segment v=1 kept — the retry window)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$outDir/keepersbase/v=0/" +
+        graft.streaming.StreamingIndex.KeymapCommitMarker)),
+      "digest fold never committed a base")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$outDir/keepers/v=0")), "digest fold left the folded segment")
+    assert(spark.read.parquet(s"$outDir/keepers/v=1").count() == 2L,
+      "batch 1's segment must hold only its NEW digests (dup dropped)")
+    // post-fold dedup: batch 2 re-delivers doc 2's content (now in the
+    // BASE) — it must still drop, and the fresh doc enters
+    S.writeCorpusShardBatch(docs3, 2L, outDir, "text", "doc_id", "lang",
+      tok, 8, keeperFoldEveryBatches = 2)
+    assert(spark.read.parquet(s"$outDir/keepers/v=2").count() == 1L,
+      "a digest folded into the base was re-admitted")
+    val view = S.readRekeyedKeeperState(spark, outDir).get
+    assert(view.count() == 6L && view.distinct().count() == 6L,
+      "digest view must be the exact distinct keeper set")
   }
 
   test("closeShards fences the sink TERMINAL: every micro-batch writer " +

@@ -12,6 +12,7 @@ import org.apache.spark.sql.SparkSession
   *
   *   IndexScale [embeddingsDir] [dim]
   *   IndexScale [embeddingsDir] [dim] add   # bloom-guard cost probe
+  *   (also: rebuild | supersede | loop | feed — see each probe's doc)
   *
   * `add` mode measures what the r14 uid bloom buys the nightly add():
   * build once, then time a fresh-uid 1% delta add under the bloom (the
@@ -217,10 +218,10 @@ object IndexScale {
     * production scale — build + keymap seed, then ONE
     * [[graft.streaming.StreamingIndex.writeIndexBatch]] absorb of a 1/8
     * re-embed delta (the nightly shape: supersede old uids + add new
-    * vectors + rewrite the full keymap), then the same batch RE-DELIVERED
+    * vectors + the delta-sized keymap segment), then the same batch RE-DELIVERED
     * (the exactly-once skip — must be marker-check cheap), then a
     * marker-less retry (the crash-recovery convergence path: idempotent
-    * supersede + all-coded add skip + keymap rewrite).
+    * supersede + all-coded add skip + segment rewrite).
     */
   private def loopProbe(spark: SparkSession,
                         emb: org.apache.spark.sql.DataFrame,

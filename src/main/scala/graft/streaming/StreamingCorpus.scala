@@ -764,7 +764,25 @@ object StreamingCorpus {
     // work exists if there are foldable segments, or a legacy full
     // chain not yet retired into a (compacted) sidecar base
     val legacyOnly = base.exists(_._3 < 0)
-    if (foldable.isEmpty && !legacyOnly) return
+    if (foldable.isEmpty && !legacyOnly) {
+      // nothing to fold; still clear leftovers a crashed deletion
+      // stranded at or below the sidecar watermark (reads already
+      // ignore them). Only under a SIDECAR base — when the base IS the
+      // legacy full chain, dirs at the watermark are the base itself.
+      if (base.exists(_._3 >= 0)) {
+        keeperVersions(fs, s"$outDir/keepers", KeeperSegmentMarker)
+          .filter(_._1 <= through).foreach { case (v, _, _) =>
+            fs.delete(new org.apache.hadoop.fs.Path(
+              s"$outDir/keepers/v=$v"), true)
+          }
+        keeperVersions(fs, s"$outDir/keeperflips", "__none")
+          .filter(_._1 <= through).foreach { case (v, _, _) =>
+            fs.delete(new org.apache.hadoop.fs.Path(
+              s"$outDir/keeperflips/v=$v"), true)
+          }
+      }
+      return
+    }
     val newThrough = foldable.map(_._1).maxOption.getOrElse(through)
     readRekeyedKeeperState(spark, outDir, newThrough + 1) match {
       case Some(view) =>

@@ -809,6 +809,57 @@ class StreamingSpec extends SparkSpec {
     assert(view2.count() == built.count() + b0.count() + 7L)
   }
 
+  test("legacy keymap migration: a pre-r17 version committed by the " +
+    "committer's _SUCCESS alone still reads, and re-deliveries " +
+    "supersede uids that live only in it") {
+    val A = graft.ext.AnnIndex
+    val SI = graft.streaming.StreamingIndex
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val vd = col("embedding").cast("array<double>")
+    def keyedRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(concat(lit("k-"), col("vec_id")).as("key"),
+        col("vec_id"), vd.as("embedding"))
+    val built = emb.filter(col("vec_id") % 2 === 0)
+    val indexDir = Files.createTempDirectory("graft-kmlegacy").toString +
+      "/idx"
+    A.build(graft.ext.Similarity.kmeansBuckets(built, "vec_id",
+        "embedding", k = 8, iters = 2, bucketCol = "kb"),
+      "vec_id", "embedding", "kb", indexDir, dim = 64)
+    SI.seedIndexKeymap(spark, indexDir, keyedRows(built), "key", "vec_id")
+    // age the seed into the pre-r17 shape: committer _SUCCESS only
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(
+      s"$indexDir/keymap/v=0/" + SI.KeymapCommitMarker), false))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$indexDir/keymap/v=0/_SUCCESS")),
+      "fixture broken: the committer never wrote _SUCCESS here")
+    // the legacy version still counts committed for the seed refusal
+    val eSeed = intercept[IllegalArgumentException] {
+      SI.seedIndexKeymap(spark, indexDir, keyedRows(built), "key",
+        "vec_id")
+    }
+    assert(eSeed.getMessage.contains("already holds a committed version"))
+    // a re-delivery of a BUILT key supersedes the uid that lives only
+    // in the legacy version — the migration's load-bearing read
+    val off = 9000000L
+    val batch = built.orderBy(col("vec_id")).limit(2)
+      .select(concat(lit("k-"), col("vec_id")).as("key"),
+        (col("vec_id") + off).as("vec_id"), reverse(vd).as("embedding"))
+    SI.writeIndexBatch(batch, 0L, indexDir, "key", "vec_id", "embedding",
+      2.0, 0.0)
+    assert(A.stats(spark, indexDir).head()
+      .getAs[Long]("n_tombstoned") == 2L,
+      "legacy-version uids must supersede on re-delivery")
+    val view = SI.readKeymapView(spark, indexDir).get
+    assert(view.count() == built.count(),
+      "the view must stay one row per key across the legacy boundary")
+    assert(view.join(batch.select(col("key"),
+        col("vec_id").as("uid")), Seq("key", "uid"), "left_semi")
+      .count() == 2L,
+      "re-delivered keys must map to their new uids")
+  }
+
   test("index loop torn seed: a keymap v=0 without its commit marker " +
     "fails the first batch LOUDLY instead of serving a map with holes") {
     val A = graft.ext.AnnIndex
@@ -2004,6 +2055,73 @@ class StreamingSpec extends SparkSpec {
           "interval-compacting loop emitted different shards")
       }
     }
+  }
+
+  test("legacy keeper-state migration: a pre-r17 full-chain version " +
+    "reads as the base, the first segmented batch stacks above it, and " +
+    "the first fold retires it into the sidecar") {
+    import graft.ext.Bpe
+    import spark.implicits._
+    val G = graft.api.Graft
+    val S = graft.streaming.StreamingCorpus
+    val docs1 = Seq(
+      ("u-1", "alpha beta gamma delta epsilon", "en"),
+      ("u-2", "zeta eta theta iota kappa", "en"),
+      ("u-3", "lambda mu nu xi omicron", "fr")).toDF("ukey", "text", "lang")
+    val docs2 = Seq(
+      ("u-4", "pi rho sigma tau upsilon", "en"),
+      ("u-3", "lambda mu nu xi omicron CHANGED", "fr")) // re-crawl
+      .toDF("ukey", "text", "lang")
+    val (merges, dict) = Bpe.train(docs1.unionByName(docs2), "text", 2)
+    val tok = Bpe.Tokenizer(merges, dict, Bpe.vocabIds(dict))
+    val P = G.RekeyPolicy.LatestWins
+    val outDir = Files.createTempDirectory("graft-legacymig").toString
+    // fabricate the PRE-r17 layout by hand: batch 0's FULL state
+    // written unmarked (exactly what the old writer produced), plus the
+    // matching shard/ingest states the loop would have committed
+    val (r1, b1) = G.withIngestIds(docs1, "ukey", salt = "ingest")
+    val (s1, st1) = G.rekeyedCore(r1, "text", "ingest_id", "ukey",
+      "lang", tok, None, P, 256, checkIdOrder = false)
+    s1.write.mode("overwrite").parquet(s"$outDir/shards/batch_id=0")
+    st1.keepers.write.mode("overwrite").parquet(s"$outDir/keepers/v=0")
+    st1.shards.write.mode("overwrite").parquet(s"$outDir/state/v=0")
+    Seq(b1).toDF("next_base").coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/ingest/v=0")
+    // the legacy chain reads as the base at its own watermark
+    val legacyView = S.readRekeyedKeeperState(spark, outDir).get
+    assert(legacyView.count() == 3L)
+    // the first SEGMENTED batch absorbs over it: the re-crawled key's
+    // old version flips via the override file, not an in-place rewrite
+    S.writeRekeyedCorpusShardBatch(docs2, 1L, outDir, "text", "ukey",
+      "lang", tok, 256, "ingest", P)
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(spark.read.parquet(s"$outDir/keepers/v=1").count() == 2L,
+      "the segmented batch must write only its delta")
+    // materialized: the fold below deletes this lazy plan's input files
+    // (the product paths re-read after folding; a test frame must too)
+    val view = S.readRekeyedKeeperState(spark, outDir).get
+      .localCheckpoint(true)
+    assert(view.count() == 5L)
+    val u3 = view.filter(col("ukey") === "u-3" && col("kept"))
+      .select(col("ingest_id"), col("live"))
+      .orderBy(col("ingest_id")).collect()
+    assert(u3.length == 2 && !u3(0).getBoolean(1) && u3(1).getBoolean(1),
+      "the legacy base's row must flip via the override, the new " +
+        "version must be live")
+    // a fold retires the legacy chain into a compacted sidecar base
+    S.foldRekeyedKeeperState(spark, outDir, "ukey", includeNewest = true)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$outDir/keepers/v=0")),
+      "the fold must retire the subsumed legacy full chain")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$outDir/keepersbase/v=0/" +
+        graft.streaming.StreamingIndex.KeymapCommitMarker)))
+    val folded = S.readRekeyedKeeperState(spark, outDir).get
+    assert(folded.exceptAll(view).isEmpty && view.exceptAll(folded)
+      .isEmpty,
+      "the fold changed the view (the tiny fixture has no dead rows " +
+        "for the compaction to drop)")
   }
 
   test("digest keeper segments: the unkeyed loop writes delta-only " +

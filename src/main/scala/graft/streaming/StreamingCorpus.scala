@@ -1059,12 +1059,15 @@ object StreamingCorpus {
     * re-crawl). `alertSupersededFraction` logs, per batch, the streams
     * whose superseded-token fraction crossed it — the signal to
     * schedule that close; the writer itself stays strictly append-only.
-    * `stateCompactEveryBatches` > 0 additionally row-compacts the keeper
-    * STATE every Nth batch
-    * ([[graft.api.Graft.corpusRekeyedStateCompact]] — dead re-delivery
+    * `stateCompactEveryBatches` > 0 additionally FOLDS the keeper-state
+    * segment log every Nth batch
+    * ([[foldRekeyedKeeperState]], whose compactor is
+    * [[graft.api.Graft.corpusRekeyedStateCompact]] — dead re-delivery
     * rows dropped, bound = accepted versions + keys), and
-    * [[closeShardsRekeyed]] always compacts it at close, so a long-lived
-    * loop's state tracks corpus content, not delivery count.
+    * [[closeShardsRekeyed]] always folds at close, so a long-lived
+    * loop's state tracks corpus content, not delivery count — and each
+    * batch WRITES only its delta segment either way (the segmented
+    * layout's scaladoc above [[writeRekeyedCorpusShardBatch]]).
     * Single-producer ownership enforced as in the keyed loop.
     */
   def runCorpusShardsRekeyed(spark: SparkSession, inDir: String,

@@ -359,10 +359,11 @@ object Graft {
                                uidCol: String, vecCol: String,
                                maxAddedFraction: Double = 2.0,
                                maintainDrift: Double = 0.0,
-                               maintainTrainFraction: Double = 1.0): Unit =
+                               maintainTrainFraction: Double = 1.0,
+                               keymapFoldEveryBatches: Int = 16): Unit =
     graft.streaming.StreamingIndex.absorbKeyedDelta(spark, dir, delta,
       keyCol, uidCol, vecCol, maxAddedFraction, maintainDrift,
-      maintainTrainFraction)
+      maintainTrainFraction, keymapFoldEveryBatches)
 
   /** Serve queries from a persisted index with no re-learning — the
     * query-many half. Same output contract as every ANN path; the serve

@@ -1039,6 +1039,28 @@ class ApiSpec extends SparkSpec {
       assert(eOwn.getMessage.contains("_OWNER"))
     } finally fs.delete(new org.apache.hadoop.fs.Path(s"$dirB/_OWNER"),
       false)
+    // the facade's OWN fold trigger: a third index absorbed nightly
+    // with keymapFoldEveryBatches = 2 folds once the segment log
+    // reaches the knob, and the folded view equals the unfolded dirS
+    // view (the fold changes layout, never content)
+    val dirF = freshIndex("fold")
+    Seq(d1, d2, d3).foreach { d =>
+      Graft.annIndexAbsorbKeyedDelta(spark, dirF, d, "key", "vec_id",
+        "embedding", keymapFoldEveryBatches = 2)
+    }
+    val fsF = new org.apache.hadoop.fs.Path(dirF)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // each fold supersedes the previous base, so only the NEWEST base
+    // version survives — assert some committed base exists
+    val basePath = new org.apache.hadoop.fs.Path(s"$dirF/keymapbase")
+    assert(fsF.exists(basePath) && fsF.listStatus(basePath).exists(st =>
+      st.getPath.getName.startsWith("v=") &&
+        fsF.exists(new org.apache.hadoop.fs.Path(st.getPath,
+          SI.KeymapCommitMarker))),
+      "the facade's segment-count fold never committed a base")
+    val kmF = SI.readKeymapView(spark, dirF).get
+    assert(kmF.exceptAll(kmS).isEmpty && kmS.exceptAll(kmF).isEmpty,
+      "the facade's fold changed the keymap view")
   }
 
   test("quickstart: the energy pipeline entry is the five-stage contract") {

@@ -359,15 +359,37 @@ object Bench {
       case (n, t, _, _, _, _, _, _) if n.startsWith("q_ml_") => t
     }.sum
     val total = results.map(_._2).sum
+    // BOUND for contended queries that CANNOT be healed (r17 blemish):
+    // the memoized ML pair (no honest rerun), the heal-cap overflow, or
+    // a host still loud at end-of-pass. value_healed otherwise silently
+    // keeps their inflated cold readings — r17's driver run sat ~100 s
+    // above quiet solely because q_ml_anomaly's 106.8 ext-CPU-sec
+    // window was q_ml_*-excluded from healing. Substitute a MEASURED
+    // bound: the warm-pass reading when one exists (JIT-warm, exactly
+    // what a retry is), else cold − ext_cpu/cores (the wall the
+    // external cycles displaced at perfect core sharing), floored at
+    // the query's own cpu/cores (no bound may claim a wall below its
+    // CPU at perfect parallelism) and capped at the cold reading.
+    val nCores = scala.util.Try(cpus.trim.toDouble).getOrElse(32.0)
+    val boundSec: Map[String, Double] = results.collect {
+      case (name, sec, _, _, _, cpu, _, ext)
+          if contendedNames.contains(name) && !retries.contains(name) &&
+            !errors.contains(name) && ext > 0 =>
+        val fromExt = math.max(sec - ext / nCores, cpu / nCores)
+        name -> math.min(sec, warm.get(name).map(_._1).getOrElse(fromExt))
+    }.toMap
     // SELF-ADJUDICATING headline for contended runs: `value` stays the
     // honest cold sum (retries bound, never replace), but a contended
     // run's total is incomparable round-over-round without opening the
     // quiet archive — `value_healed` substitutes each healed query's
-    // retry reading, so the one-line artifact carries its own bound on
-    // what a quiet run would have measured. Identical to `value` when
-    // nothing was healed.
+    // retry reading, and a measured bound (`boundSec`, stamped per
+    // query as bound_sec with bounded_n in the headline) for contended
+    // queries healing cannot reach, so the one-line artifact carries
+    // its own estimate of what a quiet run would have measured.
+    // Identical to `value` when nothing was contended.
     val totalHealed = results
-      .map(r => retries.get(r._1).map(_._1).getOrElse(r._2)).sum
+      .map(r => retries.get(r._1).map(_._1)
+        .orElse(boundSec.get(r._1)).getOrElse(r._2)).sum
     // The harness keeps only the last ~2000 chars of stdout and parses the
     // JSON result line out of that window; ~100 full-precision per-query
     // entries overflow it. Print the slowest queries itemized plus an
@@ -403,7 +425,8 @@ object Bench {
         s""""load1":${jstr(l1)},"ext_cpu_sec":${if (ext < 0) "null" else jnum(ext)},""" +
         s""""contended":${contendedNames.contains(k)},""" +
         s""""retry_sec":${r.fold("null")(x => jnum(x._1))},""" +
-        s""""retry_cpu_sec":${r.fold("null")(x => jnum(x._2))}}"""
+        s""""retry_cpu_sec":${r.fold("null")(x => jnum(x._2))},""" +
+        s""""bound_sec":${boundSec.get(k).fold("null")(jnum)}}"""
     }.mkString("{", ",", "}")
     val loadJson =
       s"""{"start":${jstr(loadStart)},"after_cold":${jstr(loadAfterCold)},"after_warm":${jstr(loadAfterWarm)},"quiet":$quiet,"max_load":$maxLoad,"wait_sec":${jnum(loadWaitSec)},"cold_start_load1":${jnum(l1)}}"""
@@ -477,7 +500,7 @@ object Bench {
     val sharedJson =
       s"""{"ann_coarse_sec":${jnum(annCoarseSec)},"ann_n":$annN,"ann_relearn_sec":${jnum(relearn(annCoarseSec, annN))},"dedup_minhash_sec":${jnum(minhashSec)},"dedup_n":$dedupN,"dedup_relearn_sec":${jnum(relearn(minhashSec, dedupN))}}"""
     val contendedJson =
-      s""""contended_n":${contendedNames.size},"healed_n":${retries.size},"value_healed":${jnum(totalHealed)},"ext_cores_threshold":$extCores"""
+      s""""contended_n":${contendedNames.size},"healed_n":${retries.size},"bounded_n":${boundSec.size},"value_healed":${jnum(totalHealed)},"ext_cores_threshold":$extCores"""
     val detail = s"""{"metric":"total","value":$total,"unit":"sec",$newQJson,$contendedJson,"queries":$fullQs,"perq":$perQ,"warm":$warmQs,"warm_cpu":$warmCpuQs,"shuffle":$shuffleQs,"families":$families,"ml_phases":$mlPhases,"shared":$sharedJson,"loadavg":$loadJson,"ml_fused":$mlFused,"errors":$errJsonFull,"sf":"$sfDir"}"""
     // BENCH_DETAIL.json stays the stable latest-run pointer; the r{N}
     // archive keeps every round's per-query cpu readable forever (r11's

@@ -1750,19 +1750,16 @@ object Graft {
       : Long = {
     import spark.implicits._
     val feedRoot = s"$corpusOutDir/superseded"
-    val (fs, feedPath) = stateFs(spark, feedRoot)
-    val bRe = "batch_id=(\\d+)".r
+    val (fs, _) = stateFs(spark, feedRoot)
+    // COMMITTED data-carrying dirs only ([[graft.streaming.StreamingCorpus.feedBatchDirs]]
+    // — publisher marker / _SUCCESS / a newer dir exists): folding an
+    // uncommitted dir would archive a PARTIAL batch and then delete it —
+    // the ids in its missing part files lost permanently. Uncommitted
+    // dirs are left alone (the publisher may still be retrying them).
     val candidates: Seq[(Long, String)] =
-      if (!fs.exists(feedPath)) Nil
-      else fs.listStatus(feedPath).toSeq.flatMap { d =>
-        d.getPath.getName match {
-          case bRe(b) if d.isDirectory && b.toLong <= uptoBatchId &&
-              fs.listStatus(d.getPath).exists(st =>
-                st.getPath.getName.startsWith("part-") && st.getLen > 0) =>
-            Some(b.toLong -> d.getPath.toString)
-          case _ => None
-        }
-      }
+      graft.streaming.StreamingCorpus.feedBatchDirs(fs, feedRoot)
+        .filter(b => b._1 <= uptoBatchId && b._3 && b._4)
+        .map(b => (b._1, b._2))
     if (candidates.isEmpty) return 0L
     // basePath keeps batch_id as a column through the explicit-dir read
     val rows = spark.read.option("basePath", feedRoot)
@@ -1777,10 +1774,51 @@ object Graft {
         case vRe(n) => Some(n.toLong)
         case _ => None
       }).sorted
-    val committed = versions.filter(v =>
+    // a snapshot is committed by its OWN marker (stamped LAST since r18)
+    // or _SUCCESS (pre-r18 archives) — part-file presence reads a TORN
+    // multi-file snapshot as committed, and carrying from a partial
+    // snapshot permanently drops the history rows that landed in its
+    // missing part files (ADVICE r17, medium)
+    def isCommitted(v: Long): Boolean =
+      graft.streaming.StreamingIndex.keymapCommitted(afs,
+        new org.apache.hadoop.fs.Path(s"$archDir/v=$v"))
+    def hasData(v: Long): Boolean =
       afs.listStatus(new org.apache.hadoop.fs.Path(s"$archDir/v=$v"))
         .exists(st => st.getPath.getName.startsWith("part-") &&
-          st.getLen > 0))
+          st.getLen > 0)
+    val allVersions = versions
+    val committed = allVersions.filter(v => isCommitted(v) && hasData(v))
+    // an UNMARKED data-carrying version with no committed one anywhere is
+    // ambiguous: the in-protocol case is a crashed FIRST compact (its
+    // deletes never ran, so its content still exists as raw dirs —
+    // verifiable), but a pre-r18 archive on a marker-suppressing
+    // deployment looks identical and its raw dirs are GONE. Proceeding
+    // blind would strand that history (never carried, never read). Check
+    // coverage: torn-crash converges automatically; genuine ambiguity
+    // refuses loudly with both resolutions named.
+    if (committed.isEmpty) {
+      allVersions.filter(hasData).sorted.lastOption.foreach { v =>
+        // coverage vs ALL raw dirs (not the uptoBatchId-filtered
+        // candidates): the question is whether the torn snapshot's
+        // content still exists on disk, not whether this call folds it
+        val rawIdSet = graft.streaming.StreamingCorpus
+          .feedBatchDirs(fs, feedRoot).map(_._1).toSet
+        val archIds = spark.read.parquet(s"$archDir/v=$v")
+          .select(col("batch_id").cast("long")).distinct()
+          .collect().map(_.getLong(0))
+        require(archIds.forall(rawIdSet.contains),
+          s"corpusSupersessionFeedCompact: $archDir/v=$v carries no " +
+            "commit marker and holds batch ids whose raw feed dirs are " +
+            "gone — a pre-r18 archive written on a deployment that " +
+            "suppresses _SUCCESS, or out-of-band damage. Folding past " +
+            "it would strand that history (uncommitted snapshots are " +
+            "never carried or read). If the snapshot is known complete, " +
+            s"stamp $archDir/v=$v/" +
+            graft.streaming.StreamingIndex.KeymapCommitMarker +
+            " by hand; if it is a known-crashed compact's torn write, " +
+            "delete the version and re-run")
+      }
+    }
     // the re-fold dedup: a crash between snapshot and deletes leaves the
     // folded dirs on disk AND in the archive — exclude their batch ids
     // from the carried side so the retry converges instead of duplicating
@@ -1790,10 +1828,18 @@ object Graft {
         .withColumn("batch_id", col("batch_id").cast("long"))
         .join(broadcast(candIds), Seq("batch_id"), "left_anti"))
     val merged = carried.map(_.unionByName(rows)).getOrElse(rows)
-    // newest committed + 1: a torn slot from a crashed compact is exactly
-    // the slot the retry overwrites (the keymap/absorb version rule)
-    val next = committed.lastOption.map(_ + 1).getOrElse(0L)
+    // newest version + 1 (committed or torn): a torn slot is never
+    // overwritten — readers ignore it, and writing ABOVE it means a
+    // retry can never destroy rows a concurrent reader might still
+    // salvage by hand-stamping; pruneVersions retires it with age
+    val next = allVersions.lastOption.map(_ + 1).getOrElse(0L)
     merged.write.mode("overwrite").parquet(s"$archDir/v=$next")
+    // the snapshot's OWN commit marker, written LAST, BEFORE any delete:
+    // the deletes below are the point of no return, so the snapshot must
+    // be provably complete first
+    val mk = new org.apache.hadoop.fs.Path(s"$archDir/v=$next/" +
+      graft.streaming.StreamingIndex.KeymapCommitMarker)
+    afs.create(mk, true).close()
     // deletes strictly AFTER the snapshot committed; then retention on
     // the archive versions themselves (only the newest is ever read)
     candidates.foreach { case (_, dir) =>
@@ -1801,6 +1847,92 @@ object Graft {
     }
     graft.streaming.StreamingCorpus.pruneVersions(spark, archDir)
     candidates.size.toLong
+  }
+
+  /** Register `indexDir` as a CONSUMER of `corpusOutDir`'s supersession
+    * feed: one marker file under `corpusOutDir/feedconsumers/` (named by
+    * the path's md5, content = the path) that
+    * [[corpusSupersessionFeedCompactRegistered]] reads to fold only
+    * history EVERY registered consumer has applied — the operator stops
+    * guessing `uptoBatchId` (VERDICT r17 #4). Idempotent; re-registering
+    * the same indexDir rewrites the same file. Consumers keep their
+    * applied-through cursors beside their own index
+    * (`indexDir/feedcursor` —
+    * [[graft.streaming.StreamingIndex.applySupersessionFeed]]); the
+    * registry only records WHO to wait for.
+    */
+  def corpusFeedRegisterConsumer(spark: SparkSession, corpusOutDir: String,
+                                 indexDir: String): Unit = {
+    val (fs, _) = stateFs(spark, corpusOutDir)
+    val reg = new org.apache.hadoop.fs.Path(
+      s"$corpusOutDir/feedconsumers/" + org.apache.commons.codec.digest
+        .DigestUtils.md5Hex(indexDir))
+    fs.mkdirs(reg.getParent)
+    val out = fs.create(reg, true)
+    try out.write(indexDir.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Remove `indexDir` from the feed's consumer registry (a retired
+    * index must not hold retention back forever). No-op if absent.
+    */
+  def corpusFeedUnregisterConsumer(spark: SparkSession,
+                                   corpusOutDir: String,
+                                   indexDir: String): Unit = {
+    val (fs, _) = stateFs(spark, corpusOutDir)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$corpusOutDir/feedconsumers/" + org.apache.commons.codec.digest
+        .DigestUtils.md5Hex(indexDir)), false)
+    ()
+  }
+
+  /** The registered consumer index dirs of a feed (registry order is
+    * hash-arbitrary; sorted for determinism). */
+  private def feedConsumers(spark: SparkSession,
+                            corpusOutDir: String): Seq[String] = {
+    val (fs, p) = stateFs(spark, s"$corpusOutDir/feedconsumers")
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map { st =>
+      val in = fs.open(st.getPath)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](4096)
+        Iterator.continually(in.read(tmp)).takeWhile(_ >= 0)
+          .foreach(n => buf.write(tmp, 0, n))
+        new String(buf.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8).trim
+      } finally in.close()
+    }.sorted
+  }
+
+  /** CONSUMER-AWARE feed retention: fold exactly the history EVERY
+    * registered consumer's applied-through cursor has passed —
+    * `uptoBatchId = min(cursor)` over the registry
+    * ([[corpusFeedRegisterConsumer]]) — so compaction never moves
+    * history a registered consumer hasn't applied out of the raw dirs
+    * (their applies stay archive-free; correctness holds either way,
+    * the archive path is spec-pinned — this is about keeping the HOT
+    * path hot). A registered consumer with NO cursor yet (fresh index,
+    * first apply pending) holds everything: returns 0. Refuses loudly
+    * on an EMPTY registry — silently folding everything is exactly the
+    * operator-guessed behavior this call exists to replace; use the
+    * explicit-`uptoBatchId` [[corpusSupersessionFeedCompact]] to force.
+    * Returns the number of batch dirs folded.
+    */
+  def corpusSupersessionFeedCompactRegistered(spark: SparkSession,
+                                              corpusOutDir: String): Long = {
+    val consumers = feedConsumers(spark, corpusOutDir)
+    require(consumers.nonEmpty,
+      s"corpusSupersessionFeedCompactRegistered: $corpusOutDir has no " +
+        "registered consumers (feedconsumers/ is empty) — register each " +
+        "consuming index with corpusFeedRegisterConsumer, or force a " +
+        "fold with corpusSupersessionFeedCompact(uptoBatchId)")
+    val minCursor = consumers.map(dir =>
+      graft.streaming.StreamingIndex.readAppliedThrough(spark, dir)).min
+    if (minCursor < 0) 0L
+    else corpusSupersessionFeedCompact(spark, corpusOutDir,
+      uptoBatchId = minCursor)
   }
 
   /** COMPACTION for the [[RekeyPolicy.LatestWins]] loop: re-chunk the

@@ -150,20 +150,46 @@ object AnnIndex {
   private def tombstoneCount(spark: SparkSession, root: String): Long =
     readTombstones(spark, root).map(_.count()).getOrElse(0L)
 
-  /** How many of `uids` the CURRENT version's codes already hold — the
-    * delta-sized membership probe behind the streaming loop's
-    * exactly-once retry ([[graft.streaming.StreamingIndex]]): all
-    * present = a completed add's re-delivery (skip), none = a fresh
-    * delta (add). Bloom-prefiltered like [[add]]'s dup guard — uids the
-    * bloom excludes are definitely absent, only bloom-positive uids pay
-    * the exact confirm scan; a bloomless or type-mismatched index falls
-    * back to the exact scan.
+  /** The uids of `candidates` the CURRENT version's codes actually hold
+    * — the ONE membership probe behind every delta-sized mutation: the
+    * keyed absorb's retirement cut, the supersession feed apply,
+    * [[supersede]]'s exists guard, [[add]]'s duplicate confirm,
+    * [[knownUidCount]]. Returns one `uid` row per served candidate,
+    * PROJECTED FROM CODES (the type/provenance [[supersedeVerified]]
+    * requires). `candidates` must carry a `uid` column.
+    *
+    * Scale shape — this probe was a full codes uid-column scan per
+    * delta-sized batch until r18 (the loop's largest remaining
+    * O(index)-per-delta cost once every write went delta-sized):
+    *
+    *  1. BLOOM PREFILTER: uids the index's uid bloom excludes are
+    *     definitely absent (the bloom holds every uid ever written — no
+    *     false negatives by construction) and never touch codes at all.
+    *     A feed that mostly names ids the index never held (documents
+    *     without embeddings — the common corpus→index wire shape) pays
+    *     ZERO codes IO.
+    *  2. RANGE PUSHDOWN: the surviving candidates' min/max (one
+    *     delta-sized agg) becomes a typed `uid BETWEEN lo AND hi`
+    *     predicate on the codes scan. [[build]] writes codes
+    *     uid-range-sorted per file (and [[add]] appends range-sorted,
+    *     delta-coalesced files whose monotone ingest uids give tight
+    *     disjoint ranges), so parquet footer stats prune the files and
+    *     row groups outside the candidate span — the footers ARE the
+    *     per-file uid min/max manifest, consistent for free because
+    *     parquet files are immutable.
+    *  3. EXACT CONFIRM: one semi-join of the pruned codes uid column
+    *     against the broadcast candidates clears bloom false positives.
+    *
+    * Worst case (candidates uniformly spread over the whole uid space,
+    * all present) degrades to exactly the pre-r18 cost — one codes
+    * uid-column scan — never worse; the IndexScale `uidscan` probe
+    * measures the designed cases (absent ids, clustered re-embeds) FLAT
+    * as the index grows 10× at fixed delta size.
     */
-  private[graft] def knownUidCount(spark: SparkSession, dir: String,
-                                   uids: DataFrame, idCol: String): Long = {
-    val root = currentRoot(spark, dir)
-    val ids = uids.select(col(idCol).as("uid")).distinct()
-    val maybe = readBloom(spark, root) match {
+  private[graft] def servedUids(spark: SparkSession, root: String,
+                                candidates: DataFrame): DataFrame = {
+    val ids = candidates.select(col("uid")).distinct()
+    val maybe = (readBloom(spark, root) match {
       case Some((bf, _, _, ut))
           if uidTypeOf(ids.schema("uid").dataType).contains(ut) =>
         val out = new java.io.ByteArrayOutputStream()
@@ -172,10 +198,38 @@ object AnnIndex {
           Literal(out.toByteArray, BinaryType),
           ColumnBridge.expression(bloomKey(ut, col("uid"))))))
       case _ => ids
+    }).transform(CacheScope.cache)
+    val codes = spark.read.parquet(s"$root/codes").select(col("uid"))
+    if (maybe.isEmpty) codes.limit(0)
+    else {
+      // typed literals only (same dataType both sides): a coerced
+      // predicate would wrap the column in a cast and lose the parquet
+      // pushdown that makes the pruning real
+      val uidDt = codes.schema("uid").dataType
+      val rangeable = (isIntegral(uidDt) || uidDt == StringType) &&
+        ids.schema("uid").dataType == uidDt
+      val pruned =
+        if (!rangeable) codes
+        else {
+          val mm = maybe.agg(min(col("uid")), max(col("uid"))).head()
+          codes.filter(col("uid") >= lit(mm.get(0)) &&
+            col("uid") <= lit(mm.get(1)))
+        }
+      pruned.join(broadcast(maybe), Seq("uid"), "left_semi")
     }
-    if (maybe.isEmpty) 0L
-    else spark.read.parquet(s"$root/codes").select(col("uid"))
-      .join(maybe, Seq("uid"), "left_semi").count()
+  }
+
+  /** How many of `uids` the CURRENT version's codes already hold — the
+    * delta-sized membership probe behind the streaming loop's
+    * exactly-once retry ([[graft.streaming.StreamingIndex]]): all
+    * present = a completed add's re-delivery (skip), none = a fresh
+    * delta (add). One [[servedUids]] pass: bloom prefilter, range-pruned
+    * codes read, exact confirm.
+    */
+  private[graft] def knownUidCount(spark: SparkSession, dir: String,
+                                   uids: DataFrame, idCol: String): Long = {
+    val root = currentRoot(spark, dir)
+    servedUids(spark, root, uids.select(col(idCol).as("uid"))).count()
   }
 
   /** Learn and persist the index. The corpus must carry a coarse cell
@@ -204,7 +258,17 @@ object AnnIndex {
     val spark = corpus.sparkSession
     import spark.implicits._
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
-    coded.write.mode("overwrite").parquet(s"$dir/codes")
+    // codes land uid-RANGE-SORTED per file (disjoint per-file ranges,
+    // monotone within — the rangeSortedParquet layout): parquet footer
+    // stats then act as a free per-file/row-group uid manifest for the
+    // delta-sized membership probes ([[servedUids]]) that retire and
+    // dedup against this index every batch. Search is unaffected — its
+    // bkt cut never relied on file clustering (the encode shuffle left
+    // codes unclustered before r18 too).
+    coded.repartitionByRange(
+        spark.sessionState.conf.numShufflePartitions, col("uid"))
+      .sortWithinPartitions(col("uid"))
+      .write.mode("overwrite").parquet(s"$dir/codes")
     unit.write.mode("overwrite").parquet(s"$dir/vectors")
     books.zipWithIndex.flatMap { case (cs, j) =>
       cs.zipWithIndex.map { case (c, cj) => (j, cj, c.toSeq) }
@@ -471,9 +535,10 @@ object AnnIndex {
     if (n > 0) {
       // existence check and typed tombstone rows in one pass: project
       // the matching uids FROM codes (the index's own uid type), so the
-      // anti-join in search never fights a type coercion
-      val tombRows = spark.read.parquet(s"$root/codes").select(col("uid"))
-        .join(broadcast(ids), Seq("uid"), "left_semi")
+      // anti-join in search never fights a type coercion. servedUids is
+      // the bloom-prefiltered, range-pruned membership probe — a
+      // delta-sized supersede never scans the whole codes uid column.
+      val tombRows = servedUids(spark, root, ids)
         .transform(CacheScope.cache)
       require(tombRows.count() == n,
         "AnnIndex.supersede: some uids do not exist in the index — a " +
@@ -668,8 +733,9 @@ object AnnIndex {
     }
     val candsEmpty = cands.isEmpty
     if (!candsEmpty) {
-      require(spark.read.parquet(s"$root/codes").select(col("uid"))
-          .join(cands, Seq("uid"), "left_semi").isEmpty,
+      // range-pruned confirm ([[servedUids]] blooms again — idempotent —
+      // then pushes the candidates' uid span onto the sorted codes scan)
+      require(servedUids(spark, root, cands).isEmpty,
         "AnnIndex.add: input ids already exist in the index — a duplicate " +
           "uid would fan out the exact re-rank join; re-id or rebuild")
     }
@@ -719,9 +785,21 @@ object AnnIndex {
         writeBloom(spark, root, bf, expected, fpp, ut)
       }
     }
+    // appended files are uid-range-sorted and delta-coalesced, like the
+    // build's base files: nightly deltas carry monotone ingest uids, so
+    // each add lands a handful of files with tight disjoint uid ranges —
+    // exactly what [[servedUids]]' pushed range predicate prunes on; and
+    // bounded file count keeps the footer-listing cost of a long add
+    // history flat (32 shuffle-partition splinter files per add would
+    // not)
+    val nOutFiles = math.max(1L, math.min(32L, deltaN / 1000000L + 1L)).toInt
     orphanFree.select(col("uid"), Similarity.unitVec(col("v")).as("uvec"))
+      .repartitionByRange(nOutFiles, col("uid"))
+      .sortWithinPartitions(col("uid"))
       .write.mode("append").parquet(s"$root/vectors")
     encodeFrozen(newV, centPairs, centFrame, books, dim / m)
+      .repartitionByRange(nOutFiles, col("uid"))
+      .sortWithinPartitions(col("uid"))
       .write.mode("append").parquet(s"$root/codes")
     import spark.implicits._
     Seq(nAdded + deltaN).toDF("n_added")

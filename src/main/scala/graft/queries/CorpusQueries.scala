@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Bpe, Dedup, NbClassifier, Sampling, TextAnalysis => TA}
+import graft.ext.{Bpe, Dedup, NbClassifier, Sampling, Similarity, TextAnalysis => TA}
 import graft.io.Tables
 import Parity._
 
@@ -660,6 +660,68 @@ object CorpusQueries {
         .select(col("ukey"), col("lang"),
           col("ingest_id").as("superseded_id"), col("superseded_by"))
         .orderBy(col("superseded_id"))
+    }),
+
+    // THE CORPUS→INDEX WIRE, driver-gated end to end (VERDICT r17 #3):
+    // the rekeyed absorb chain's supersession feed is PUBLISHED exactly
+    // as the streaming loop publishes it (batch_id dirs + the r18
+    // publisher commit marker), drained through the consumer's
+    // applied-through cursor into a PERSISTED AnnIndex built over every
+    // re-id'd ingest id (deterministic synthetic vectors — the wire
+    // moves IDS, not geometry; the serve math has its own q_ann_index_*
+    // gates), with the consumed history folded mid-stream
+    // (corpusSupersessionFeedCompact) so the final apply composes
+    // archive + live dirs under one cursor cut. Output = the SERVED
+    // live set (codes minus tombstones — the exact candidate cut
+    // AnnIndex.search applies before any probe), which must hash-match
+    // the oracle's corpus-side liveness arithmetic: every re-id'd id
+    // except the superseded ones. StreamingSpec pins the torn-write/
+    // cursor edges of this wire; this row puts the composed happy path
+    // under the DuckDB gate at both scale factors.
+    "q_index_wire" -> ((s, dir) => {
+      val G = graft.api.Graft
+      val SI = graft.streaming.StreamingIndex
+      val A = graft.ext.AnnIndex
+      val (r1, r2, r3) = rekeyReidDeltas(s, dir)
+      val (_, states) = rekeyAbsorbed(s, dir)
+      val all = r1.unionByName(r2).unionByName(r3)
+        .select(col("ingest_id"), col("ukey"), col("lang"))
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-indexwire").toString
+      // synthetic vectors, closed-form in the ingest id: the index must
+      // HOLD every id and RETIRE the fed ones; which neighbors rank is
+      // not this gate's question
+      val emb = all.select(col("ingest_id"),
+        array((0 until 8).map(j =>
+          (pmod(xxhash64(col("ingest_id") * 31 + lit(j)), lit(997)) + 1)
+            .cast("double") / 997.0): _*).as("vec"))
+      val bucketed = Similarity.kmeansBuckets(emb, "ingest_id", "vec",
+        k = 8, iters = 1, bucketCol = "kb")
+      A.build(bucketed, "ingest_id", "vec", "kb", s"$work/idx", dim = 8,
+        m = 2, kSub = 4)
+      val fs = new org.apache.hadoop.fs.Path(work)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def publish(i: Int): Unit = states(i).superseded.foreach { sup =>
+        sup.write.mode("overwrite")
+          .parquet(s"$work/corpus/superseded/batch_id=$i")
+        fs.create(new org.apache.hadoop.fs.Path(
+          s"$work/corpus/superseded/batch_id=$i/" +
+            SI.KeymapCommitMarker), true).close()
+      }
+      publish(0); publish(1)
+      SI.applySupersessionFeed(s, s"$work/corpus", s"$work/idx")
+      G.corpusSupersessionFeedCompact(s, s"$work/corpus")
+      publish(2)
+      SI.applySupersessionFeed(s, s"$work/corpus", s"$work/idx")
+      val root = A.currentRoot(s, s"$work/idx")
+      val codes = s.read.parquet(s"$root/codes").select(col("uid"))
+      val live = (A.readTombstones(s, root) match {
+        case Some(t) => codes.join(broadcast(t), Seq("uid"), "left_anti")
+        case None => codes
+      }).select(col("uid").as("ingest_id"))
+      live.join(all, Seq("ingest_id"))
+        .select(col("ingest_id"), col("ukey"), col("lang"))
+        .orderBy(col("ingest_id"))
     }),
 
     // Span-level corpus dedup: every doc loses spans whose corpus document
@@ -1363,6 +1425,31 @@ object CorpusQueries {
       nbOnGopherSurvivors = false, mixture = false, bpeCtes(BpeMerges),
       s"d$BpeMerges",
       Some(shardsOracleTail(restrict = Some("lv"), docsSrc = "rd")),
+      rekeyLatest = true),
+
+    // the corpus→index wire's served live set: every re-id'd ingest id
+    // EXCEPT the superseded ones (the q_rekey_supersessions rule — an
+    // accepted version with a later accepted version of its key). The
+    // Spark side drains the published feed into a persisted index
+    // through the cursor path; the index's codes-minus-tombstones must
+    // land exactly here.
+    "q_index_wire" -> corpusOracleChain(
+      nbOnGopherSurvivors = false, mixture = false, bpeChain = "",
+      dictCte = "",
+      Some(
+        """sup AS (
+          |  SELECT gc.doc_id AS superseded_id,
+          |    (SELECT min(g2.doc_id)
+          |     FROM gc g2 JOIN t0 t2 ON g2.doc_id = t2.doc_id
+          |     WHERE t2.ukey = t0.ukey AND g2.doc_id > gc.doc_id)
+          |      AS superseded_by
+          |  FROM gc JOIN t0 USING (doc_id)
+          |)
+          |SELECT CAST(t0.doc_id AS BIGINT) AS ingest_id, t0.ukey, t0.lang
+          |FROM t0
+          |WHERE t0.doc_id NOT IN (
+          |  SELECT superseded_id FROM sup WHERE superseded_by IS NOT NULL)
+          |ORDER BY ingest_id""".stripMargin),
       rekeyLatest = true),
 
     // supersession events = accepted versions (gc) with a LATER accepted

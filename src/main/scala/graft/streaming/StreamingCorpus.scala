@@ -696,8 +696,23 @@ object StreamingCorpus {
         if (!anyTok || df.columns.contains("n_tokens")) df
         else df.withColumn("n_tokens", lit(null).cast("long"))
       }.reduce(_ unionByName _)
+      // flips apply ONLY at versions whose keeper segment carries the
+      // segment marker (ADVICE r17, medium): the loop writes flips
+      // BEFORE the segment's marker, so a crash between the two leaves
+      // orphan flips whose replacement rows (the torn, marker-less
+      // segment) are excluded above — applying them would flip rows
+      // live=false with no successors, silently dropping documents from
+      // the compacted state. Flips and their segment share the batch
+      // version, so marker-at-the-same-version is exactly the
+      // flips-and-replacements-committed-together signal; the retry of
+      // the torn batch overwrites both.
+      val markedVs = keeperVersions(fs, s"$outDir/keepers",
+          KeeperSegmentMarker)
+        .filter(v => v._2 && v._1 > through && v._1 < beforeBatch)
+        .map(_._1).toSet
       val flips = keeperVersions(fs, s"$outDir/keeperflips", "__none")
-        .filter(v => v._3 && v._1 > through && v._1 < beforeBatch)
+        .filter(v => v._3 && v._1 > through && v._1 < beforeBatch &&
+          markedVs.contains(v._1))
         .map(v => spark.read.parquet(s"$outDir/keeperflips/v=${v._1}")
           .select(col("ingest_id")))
       Some(flips.reduceOption(_ unionByName _) match {
@@ -887,9 +902,21 @@ object StreamingCorpus {
     // deployment — the absorb happens inside foreachBatch where no
     // caller can consume the in-memory by-product. Consumers (the
     // persisted-index loop above all) read outDir/superseded and
-    // retire exactly these uids.
-    newState.superseded.foreach(_.write.mode("overwrite")
-      .parquet(s"$outDir/superseded/batch_id=$batchId"))
+    // retire exactly these uids. The feed's OWN commit marker is
+    // stamped LAST (r18): part files are not a commit record — a crash
+    // mid-job-commit exposes a partial dir, and the consumer advances
+    // its applied-through cursor only past committed batches
+    // ([[feedBatchDirs]]), so the ids in a torn dir's missing part
+    // files are re-read on the next apply instead of skipped forever.
+    newState.superseded.foreach { sup =>
+      sup.write.mode("overwrite")
+        .parquet(s"$outDir/superseded/batch_id=$batchId")
+      val fm = new org.apache.hadoop.fs.Path(
+        s"$outDir/superseded/batch_id=$batchId/" +
+          StreamingIndex.KeymapCommitMarker)
+      fm.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .create(fm, true).close()
+    }
     import spark.implicits._
     Seq(nextBase).toDF("next_base").coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/ingest/v=$batchId")
@@ -1097,6 +1124,45 @@ object StreamingCorpus {
       }
       .option("checkpointLocation", checkpoint)
       .start()
+  }
+
+  /** List a supersession feed's `batch_id=<b>` dirs as (batchId, path,
+    * hasData, committed) — the one commit rule the feed's publisher
+    * ([[writeRekeyedCorpusShardBatch]]), consumer
+    * ([[StreamingIndex.applySupersessionFeed]]), and compactor
+    * ([[graft.api.Graft.corpusSupersessionFeedCompact]]) all share.
+    * Committed = the publisher's own commit marker (stamped LAST since
+    * r18) or the committer's `_SUCCESS` (pre-r18 publishers, hand-built
+    * feeds), OR any newer `batch_id` dir exists: the publisher is
+    * serial (one foreachBatch at a time under the `_OWNER` lock), so
+    * batch B's publish completed before B+1's dir could be created —
+    * the rule that keeps pre-r18 feeds consumable to the end on
+    * marker-suppressing deployments. Part-file presence is NOT a commit
+    * record (a crash mid-job-commit exposes a partially-written dir
+    * whose visible part files read fine — ADVICE r17, high).
+    */
+  private[graft] def feedBatchDirs(fs: org.apache.hadoop.fs.FileSystem,
+                                   feedRoot: String)
+      : Seq[(Long, String, Boolean, Boolean)] = {
+    val p = new org.apache.hadoop.fs.Path(feedRoot)
+    if (!fs.exists(p)) Nil
+    else {
+      val bRe = "batch_id=(\\d+)".r
+      val raw = fs.listStatus(p).toSeq.flatMap { d =>
+        d.getPath.getName match {
+          case bRe(b) if d.isDirectory => Some((b.toLong, d.getPath))
+          case _ => None
+        }
+      }.sortBy(_._1)
+      val maxB = raw.lastOption.map(_._1).getOrElse(-1L)
+      raw.map { case (b, path) =>
+        val hasData = fs.listStatus(path).exists(st =>
+          st.getPath.getName.startsWith("part-") && st.getLen > 0)
+        val committed = b < maxB ||
+          StreamingIndex.keymapCommitted(fs, path)
+        (b, path.toString, hasData, committed)
+      }
+    }
   }
 
   /** Delete all but the 3 newest `v=<n>` state versions under `dir` —

@@ -91,9 +91,14 @@ object StreamingIndex {
 
   /** Is this keymap version directory committed? Own marker (always
     * stamped since r17) or the committer's `_SUCCESS` (pre-r17 layout).
+    * Doubles as the generic directory-commit probe of the supersession
+    * feed protocol (feed batch dirs, archive snapshots — r18): part-file
+    * presence is never a commit record anywhere in this state machinery,
+    * because a crash mid-job-commit exposes a partially-written dir
+    * whose visible part files read fine.
     */
-  private def keymapCommitted(fs: org.apache.hadoop.fs.FileSystem,
-                              vDir: org.apache.hadoop.fs.Path): Boolean =
+  private[graft] def keymapCommitted(fs: org.apache.hadoop.fs.FileSystem,
+                                     vDir: org.apache.hadoop.fs.Path): Boolean =
     fs.exists(new org.apache.hadoop.fs.Path(vDir, KeymapCommitMarker)) ||
       fs.exists(new org.apache.hadoop.fs.Path(vDir, "_SUCCESS"))
 
@@ -396,10 +401,15 @@ object StreamingIndex {
     // unlike the full-map-per-version layouts, every segment is live
     // data until [[foldKeymap]] collapses it into the base.
     val vNum = batchId + 1
-    val okPath = new org.apache.hadoop.fs.Path(
-      s"$keymapDir/v=$vNum/$KeymapCommitMarker")
-    val fs = okPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(okPath)) return // completed batch re-delivered: skip
+    val vDir = new org.apache.hadoop.fs.Path(s"$keymapDir/v=$vNum")
+    val fs = vDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // completed batch re-delivered: skip. Committed = EITHER marker
+    // ([[keymapCommitted]]) — a pre-r17 batch committed only _SUCCESS,
+    // and keying the skip on the own marker alone would re-run that
+    // batch's whole absorb on a post-upgrade re-delivery (it converges
+    // via the retained maps, but re-executes supersede/add and rewrites
+    // the version needlessly — the skip exists to make re-delivery cheap)
+    if (keymapCommitted(fs, vDir)) return
     absorbKeyedCore(batch, vNum, indexDir, keyCol, uidCol, vecCol,
       maxAddedFraction, "graft index loop")
     // retention: fold the segment log every Nth batch (amortizes the
@@ -476,13 +486,13 @@ object StreamingIndex {
               "as a duplicate")
           if (!o.isEmpty) {
             // served ∩ not-yet-tombstoned, projected FROM codes (the
-            // applySupersessionFeed shape — one codes uid pass with the
-            // delta broadcast, feeding the pre-verified supersede)
+            // applySupersessionFeed shape, feeding the pre-verified
+            // supersede). servedUids (r18) is bloom-prefiltered and
+            // range-pruned against the uid-sorted codes layout, so this
+            // is a delta-sized probe, not the full O(index) uid-column
+            // scan it was through r17 — the apply-cadence cost removed.
             val root = A.currentRoot(spark, indexDir)
-            val present = spark.read.parquet(s"$root/codes")
-              .select(col("uid"))
-              .join(broadcast(o.select(col("uid"))), Seq("uid"),
-                "left_semi")
+            val present = A.servedUids(spark, root, o.select(col("uid")))
             val toRetire = (A.readTombstones(spark, root) match {
               case Some(tomb) =>
                 present.join(tomb, Seq("uid"), "left_anti")
@@ -638,7 +648,7 @@ object StreamingIndex {
     val fs = owner.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!fs.exists(owner),
       s"absorbKeyedDelta: $indexDir is owned by a streaming " +
-        "persisted-index loop ($indexDir/_OWNER) — a batch absorb would " +
+        s"persisted-index loop ($indexDir/_OWNER) — a batch absorb would " +
         "race its keymap versioning. Stop the loop (and delete _OWNER " +
         "if it is dead) before absorbing batch deltas")
     val lock = new org.apache.hadoop.fs.Path(s"$indexDir/_ABSORB")
@@ -782,24 +792,28 @@ object StreamingIndex {
     val feedPath = new org.apache.hadoop.fs.Path(s"$corpusOutDir/superseded")
     val fs = feedPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val applied = readAppliedThrough(spark, indexDir)
-    // unapplied COMMITTED batch dirs (committed = part files present: a
-    // crash mid-publish leaves batch_id=B holding only _temporary, and
-    // an all-dropped batch can publish zero part files — both read as
-    // nothing-to-do here and never advance the cursor past real data;
-    // the publisher is serial, so a torn dir is always the newest)
-    val bRe = "batch_id=(\\d+)".r
-    val pending: Seq[(Long, String)] =
-      if (!fs.exists(feedPath)) Nil
-      else fs.listStatus(feedPath).toSeq.flatMap { d =>
-        d.getPath.getName match {
-          case bRe(b) if d.isDirectory && b.toLong > applied &&
-              fs.listStatus(d.getPath).exists(st =>
-                st.getPath.getName.startsWith("part-") && st.getLen > 0) =>
-            Some(b.toLong -> d.getPath.toString)
-          case _ => None
-        }
-      }
-    // compacted history above the cursor (fresh consumers; late joiners)
+    // unapplied data-carrying batch dirs, with their commit status
+    // ([[StreamingCorpus.feedBatchDirs]]: the publisher's own marker /
+    // _SUCCESS / any newer batch dir exists — part files alone are NOT a
+    // commit record, because a publisher crash mid-job-commit exposes a
+    // partially-written dir whose visible part files read fine). An
+    // UNCOMMITTED dir is still APPLIED — retiring its visible ids early
+    // is tombstone-idempotent and strictly better than leaving stale
+    // vectors serving — but the cursor never advances THROUGH it, so
+    // the next apply re-reads it until the publisher's retry (or its
+    // marker) completes it: the ids in a torn dir's missing part files
+    // are deferred, never silently skipped (the pre-cursor full re-read
+    // was self-healing in exactly this window; the cursor keeps that).
+    val batches = StreamingCorpus
+      .feedBatchDirs(fs, s"$corpusOutDir/superseded")
+      .filter(b => b._1 > applied && b._3)
+    val pending: Seq[(Long, String)] = batches.map(b => (b._1, b._2))
+    val committedMax: Option[Long] = batches.filter(_._4).map(_._1).maxOption
+    // compacted history above the cursor (fresh consumers; late
+    // joiners). Committed snapshots only (marker / _SUCCESS): a torn
+    // snapshot from a crashed compact reads as absent — safe, because
+    // the compact deletes folded dirs strictly AFTER its snapshot
+    // commits, so a torn snapshot's content still exists as raw dirs.
     val archDir = s"$corpusOutDir/superseded_archive"
     val archPath = new org.apache.hadoop.fs.Path(archDir)
     val archive: Option[DataFrame] =
@@ -814,9 +828,10 @@ object StreamingIndex {
           .sorted.reverse
           .collectFirst(Function.unlift { v =>
             val vd = s"$archDir/v=$v"
-            val ok = fs.listStatus(new org.apache.hadoop.fs.Path(vd))
-              .exists(st => st.getPath.getName.startsWith("part-") &&
-                st.getLen > 0)
+            val vp = new org.apache.hadoop.fs.Path(vd)
+            val ok = keymapCommitted(fs, vp) &&
+              fs.listStatus(vp).exists(st =>
+                st.getPath.getName.startsWith("part-") && st.getLen > 0)
             if (ok) Some(spark.read.parquet(vd)
               .filter(col("batch_id").cast("long") > applied))
             else None
@@ -844,18 +859,21 @@ object StreamingIndex {
         .select(col(idCol).as("uid")).distinct()
         .transform(graft.ext.CacheScope.cache)
       val nFeed = feed.count()
-      val through = (Seq(applied) ++ pending.map(_._1) ++
+      // advance only through COMMITTED batches (ADVICE r17, high): the
+      // uncommitted newest was applied above but stays ahead of the
+      // cursor until its commit record appears
+      val through = (Seq(applied) ++ committedMax.toSeq ++
         archPendingMax.toSeq).max
       val n =
         if (nFeed == 0) 0L
         else {
-          // restrict to uids the index actually serves: present in codes
-          // (ONE codes uid-column scan — the apply-cadence cost; the
-          // supersede below is the pre-verified fast path, so codes is
-          // not scanned a second time) and not already tombstoned
-          val present = spark.read.parquet(s"$root/codes")
-            .select(col("uid"))
-            .join(feed, Seq("uid"), "left_semi")
+          // restrict to uids the index actually serves ([[graft.ext.AnnIndex.servedUids]]:
+          // bloom prefilter — feed ids the index never held, the common
+          // case, pay zero codes IO — then a range-pruned exact confirm
+          // against the uid-sorted codes; the supersede below is the
+          // pre-verified fast path, so codes is not scanned a second
+          // time) and not already tombstoned
+          val present = A.servedUids(spark, root, feed)
           val toRetire = (A.readTombstones(spark, root) match {
             case Some(tomb) => present.join(tomb, Seq("uid"), "left_anti")
             case None => present

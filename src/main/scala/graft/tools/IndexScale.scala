@@ -36,6 +36,12 @@ object IndexScale {
     if (args.lift(2).contains("supersede")) { supersedeProbe(spark, emb, dim); spark.stop(); return }
     if (args.lift(2).contains("loop")) { loopProbe(spark, emb, dim); spark.stop(); return }
     if (args.lift(2).contains("feed")) { feedProbe(spark, emb, dim); spark.stop(); return }
+    if (args.lift(2).contains("uidscan")) { uidscanProbe(spark, emb, dim); spark.stop(); return }
+    if (args.lift(2).contains("lifetime")) {
+      lifetimeProbe(spark, emb, dim,
+        args.lift(3).map(_.toInt).getOrElse(120))
+      spark.stop(); return
+    }
     for (frac <- Seq(1.0, 0.1); pass <- Seq("cold", "warm")) {
       spark.catalog.clearCache(); System.gc()
       val out = java.nio.file.Files
@@ -127,6 +133,134 @@ object IndexScale {
         s"($published batches folded)") {
       SI.applySupersessionFeed(spark, corpusOut, dir2)
     }
+  }
+
+  /** `uidscan` mode (r18, VERDICT r17 #1): does the served-uid
+    * membership probe — the component behind the keyed absorb's
+    * retirement cut and the feed apply — stay FLAT as the index grows
+    * 10× at a FIXED delta size? Builds a small and a 10×-larger index,
+    * then times [[graft.ext.AnnIndex.servedUids]] on three fixed
+    * 500-uid candidate shapes per size:
+    *
+    *  - ABSENT ids (the common feed shape — docs without embeddings):
+    *    bloom-prefiltered to empty, zero codes IO;
+    *  - CLUSTERED present ids (a re-crawl batch's contiguous ingest
+    *    range): the pushed uid-span predicate prunes the sorted codes
+    *    files/row groups outside the span;
+    *  - UNIFORM-SPREAD present ids: the documented degenerate bound —
+    *    the span covers everything, cost = one codes uid-column scan
+    *    (exactly the pre-r18 cost, never worse).
+    *
+    * The pre-r18 baseline (naive full semi-join) is timed alongside so
+    * the pruning reads as a ratio, not an absolute.
+    */
+  private def uidscanProbe(spark: SparkSession,
+                           emb: org.apache.spark.sql.DataFrame,
+                           dim: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val A = graft.ext.AnnIndex
+    def timed(label: String)(f: => Any): Unit = {
+      System.gc()
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[indexscale/uidscan] $label: " +
+        f"${(System.nanoTime() - t0) / 1e9}%.3f s ($r)")
+    }
+    for (mod <- Seq(10, 1)) {
+      val corpus = emb.filter(col("vec_id") % mod === 0)
+      val n = corpus.count()
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-uidscan-$mod").toString
+      graft.api.Graft.annIndexBuild(corpus, "vec_id", "embedding", dir,
+        dim = dim, trainFraction = 0.1)
+      val root = A.currentRoot(spark, dir)
+      val ids = corpus.select(col("vec_id")).orderBy(col("vec_id"))
+        .collect().map(_.getLong(0))
+      val absent = spark.range(-500, 0).select(col("id").as("uid"))
+        .cache(); absent.count()
+      val mid = ids.length / 2
+      val clustered = spark.createDataset(
+        ids.slice(mid, mid + 500).toSeq)(
+        org.apache.spark.sql.Encoders.scalaLong).toDF("uid")
+        .cache(); clustered.count()
+      val step = math.max(1, ids.length / 500)
+      val uniform = spark.createDataset(
+        ids.indices.by(step).take(500).map(ids).toSeq)(
+        org.apache.spark.sql.Encoders.scalaLong).toDF("uid")
+        .cache(); uniform.count()
+      // warm each path once, then time (the probe isolates scan cost,
+      // not JIT)
+      Seq(absent, clustered, uniform).foreach(c =>
+        A.servedUids(spark, root, c).count())
+      timed(s"n=$n absent(500)") {
+        A.servedUids(spark, root, absent).count()
+      }
+      timed(s"n=$n clustered(500)") {
+        A.servedUids(spark, root, clustered).count()
+      }
+      timed(s"n=$n uniform(500)") {
+        A.servedUids(spark, root, uniform).count()
+      }
+      timed(s"n=$n naive full semi-join (pre-r18 baseline)") {
+        spark.read.parquet(s"$root/codes").select(col("uid"))
+          .join(broadcast(clustered), Seq("uid"), "left_semi").count()
+      }
+      Seq(absent, clustered, uniform).foreach(_.unpersist())
+    }
+  }
+
+  /** `lifetime` mode (r18, VERDICT r17 #5): per-absorb cost over a
+    * 100+ batch lifetime at FIXED delta size — the segment-read
+    * amortization evidence the write-side probes don't give. Build +
+    * keymap seed, then N [[graft.streaming.StreamingIndex.absorbKeyedDelta]]
+    * calls of 200 re-embedded keys each under the default fold cadence
+    * (16); prints every 10th absorb's wall plus first-decile vs
+    * last-decile means. Flat means the base + ≤cadence segment
+    * listings (×3 state families) do not creep with lifetime; creep
+    * would argue a lower default cadence or coalesced listings.
+    */
+  private def lifetimeProbe(spark: SparkSession,
+                            emb: org.apache.spark.sql.DataFrame,
+                            dim: Int, nBatches: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val SI = graft.streaming.StreamingIndex
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lifetime").toString + "/idx"
+    val keyed = emb.select(concat(lit("k-"), col("vec_id")).as("key"),
+      col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val t0 = System.nanoTime()
+    graft.api.Graft.annIndexBuild(emb, "vec_id", "embedding", dir,
+      dim = dim, trainFraction = 0.1)
+    SI.seedIndexKeymap(spark, dir, keyed, "key", "vec_id")
+    println(f"[indexscale/lifetime] build+seed(${emb.count()}): " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s; $nBatches absorbs of " +
+      "200 re-embeds each, fold cadence 16")
+    val nEmb = emb.count()
+    val walls = (0 until nBatches).map { j =>
+      // 200 distinct keys per batch, round-robin over the corpus, each
+      // re-entering under a fresh uid — every absorb supersedes the
+      // previous generation's uids through the keymap, the loop's
+      // steady-state shape
+      val lo = (j.toLong * 200L) % nEmb
+      val batch = keyed
+        .filter(col("vec_id") >= lo && col("vec_id") < lo + 200)
+        .select(col("key"),
+          (col("vec_id") + (j + 1) * 10000000L).as("vec_id"),
+          reverse(col("embedding")).as("embedding"))
+      val t = System.nanoTime()
+      SI.absorbKeyedDelta(spark, dir, batch, "key", "vec_id",
+        "embedding", maxAddedFraction = 10.0)
+      val w = (System.nanoTime() - t) / 1e9
+      if ((j + 1) % 10 == 0)
+        println(f"[indexscale/lifetime] absorb ${j + 1}%4d: $w%.2f s")
+      w
+    }
+    val firstDecile = walls.take(nBatches / 10)
+    val lastDecile = walls.takeRight(nBatches / 10)
+    println(f"[indexscale/lifetime] mean wall: first decile " +
+      f"${firstDecile.sum / firstDecile.size}%.2f s, last decile " +
+      f"${lastDecile.sum / lastDecile.size}%.2f s (flat = segment reads " +
+      "amortized; creep = lower the fold cadence)")
   }
 
   /** `rebuild` mode: the staleness-alert response loop end to end —

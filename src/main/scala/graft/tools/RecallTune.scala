@@ -39,6 +39,11 @@ object RecallTune {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (args.lift(3).contains("add")) { addSweep(spark, dir, dim, panelPct); spark.stop(); return }
+    if (args.lift(3).contains("churn")) {
+      churnSweep(spark, dir, dim, panelPct,
+        args.lift(4).map(_.toInt).getOrElse(8))
+      spark.stop(); return
+    }
     val emb = graft.io.Tables.embeddings(spark, dir)
     val panel = Sampling.deterministicSample(emb, "vec_id", "recall",
         panelPct)
@@ -76,6 +81,80 @@ object RecallTune {
         f"recall@5=$r%.3f wall=$w%.1f s")
     }
     spark.stop()
+  }
+
+  /** `churn` mode (r18, VERDICT r17 #6): recall under the MAINTAINED
+    * latest-wins lifecycle — N supersede+add cycles (each re-embedding a
+    * deterministic 1/N slice of the corpus under shifted uids and a mild
+    * 0.9·v + 0.1·reverse(v) drift) with [[graft.ext.AnnIndex.maintain]]
+    * on the loop's cadence, recall@5 measured against exact ground truth
+    * over the CURRENT live set after every cycle, plus the fresh-build
+    * reference over the terminal live set. Between rebuilds the served
+    * geometry is frozen (supersede only retires), so this measures
+    * exactly what the drift threshold's implied bound claims: recall
+    * sags between maintains and recovers at each rebuild; the terminal
+    * gap to the fresh build is the churn price the threshold tolerates.
+    */
+  private def churnSweep(spark: SparkSession, dir: String, dim: Int,
+                         panelPct: Int, cycles: Int): Unit = {
+    val emb = graft.io.Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("embedding"))
+      .cache()
+    val n = emb.count()
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-churn").toString
+    Graft.annIndexBuild(emb, "vec_id", "embedding", idxDir, dim = dim,
+      m = 8, trainFraction = 0.1)
+    println(s"[churn] base=$n cycles=$cycles maintain@drift>=0.3 from $dir")
+
+    def measure(current: org.apache.spark.sql.DataFrame, label: String,
+                searchDir: String): Double = {
+      val panel = Sampling.deterministicSample(current, "vec_id",
+        "recall", panelPct).select(col("vec_id"), col("embedding"))
+      val exact = Similarity.bruteForceTopK(panel, current, "vec_id",
+          "embedding", k = 5)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = graft.ext.AnnIndex.search(spark, searchDir, panel,
+          "vec_id", "embedding", k = 5, nProbe = 2, maxBucket = 4096)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val rec = got.intersect(exact).size.toDouble / exact.size
+      println(f"[churn] $label%-22s recall@5=$rec%.3f")
+      rec
+    }
+
+    measure(emb, "cycle=0", idxDir)
+    var current = emb
+    for (c <- 1 to cycles) {
+      // any live row may be re-embedded again in a later cycle; the
+      // +1e8·c shift keeps every generation's uids disjoint (cumulative
+      // shifts strictly increase per natural row, so a uid never reuses
+      // a tombstoned one — the add dup-guard would refuse)
+      val slice = current.filter(col("vec_id") % cycles === (c - 1))
+      val reembeds = slice.select(
+        (col("vec_id") + 100000000L * c).as("vec_id"),
+        zip_with(col("embedding"), reverse(col("embedding")),
+          (a, b) => a * 0.9 + b * 0.1).as("embedding"))
+      Graft.annIndexAdd(spark, idxDir, reembeds, "vec_id", "embedding",
+        maxAddedFraction = 4.0)
+      Graft.annIndexSupersede(spark, idxDir,
+        slice.select(col("vec_id")), "vec_id")
+      val rebuilt = graft.ext.AnnIndex.maintain(spark, idxDir,
+        maxDriftFraction = 0.3, trainFraction = 0.1)
+      current = current
+        .join(slice.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .unionByName(reembeds)
+        .localCheckpoint(true)
+      measure(current, s"cycle=$c rebuilt=$rebuilt", idxDir)
+    }
+    val freshDir = java.nio.file.Files
+      .createTempDirectory("graft-churn-fresh").toString
+    Graft.annIndexBuild(current, "vec_id", "embedding", freshDir,
+      dim = dim, m = 8, trainFraction = 0.1)
+    measure(current, "fresh-build reference", freshDir)
   }
 
   /** The add()-staleness sweep: recall@5 of a frozen-geometry index as

@@ -1036,7 +1036,10 @@ class ApiSpec extends SparkSpec {
         Graft.annIndexAbsorbKeyedDelta(spark, dirB, d3, "key", "vec_id",
           "embedding")
       }
-      assert(eOwn.getMessage.contains("_OWNER"))
+      // the INTERPOLATED path, not the literal "$indexDir/_OWNER" (the
+      // r17 ADVICE message bug)
+      assert(eOwn.getMessage.contains(s"$dirB/_OWNER"),
+        s"owner-lock error must name the real path: ${eOwn.getMessage}")
     } finally fs.delete(new org.apache.hadoop.fs.Path(s"$dirB/_OWNER"),
       false)
     // the facade's OWN fold trigger: a third index absorbed nightly

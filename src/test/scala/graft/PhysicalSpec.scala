@@ -749,4 +749,65 @@ class PhysicalSpec extends SparkSpec {
     assert(scoreLines.forall(_.trim.matches("""^[+:\-\s]*\*\(\d+\).*""")),
       s"residual-ADC scoring fell out of whole-stage codegen:\n$plan")
   }
+
+  test("servedUids: codes land uid-range-sorted (disjoint per-file " +
+    "ranges), the membership probe pushes the candidate span into the " +
+    "codes scan, and its result equals the naive full semi-join") {
+    val A = graft.ext.AnnIndex
+    val emb = graft.io.Tables.embeddings(spark, TestSpark.sf0001)
+    val corpus = emb.filter(col("vec_id") % 2 === 0)
+    val dir = Files.createTempDirectory("graft-serveduids").toString
+    A.build(graft.ext.Similarity.kmeansBuckets(corpus, "vec_id",
+        "embedding", k = 8, iters = 2, bucketCol = "kb"),
+      "vec_id", "embedding", "kb", dir, dim = 64)
+    // an add under shifted uids: appended files must keep the sorted
+    // layout (tight disjoint ranges above the base)
+    A.add(spark, dir,
+      emb.filter(col("vec_id") % 8 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          col("embedding")),
+      "vec_id", "embedding")
+    // LAYOUT: per-file uid ranges are pairwise disjoint — parquet
+    // footers then ARE the per-file uid manifest the probe prunes on
+    val ranges = spark.read.parquet(s"$dir/codes")
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("uid")).as("lo"), max(col("uid")).as("hi"))
+      .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .sortBy(_._1)
+    assert(ranges.nonEmpty)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"codes file uid ranges overlap: $ranges")
+      case _ => ()
+    }
+    // EQUIVALENCE on a mixed candidate set: present base ids, present
+    // added ids, absent ids — servedUids must equal the naive semi-join
+    val cands = corpus.limit(20).select(col("vec_id").as("uid"))
+      .unionByName(emb.filter(col("vec_id") % 8 === 0).limit(5)
+        .select((col("vec_id") + 1000000L).as("uid")))
+      .unionByName(spark.range(-50, -40).select(col("id").as("uid")))
+    val got = A.servedUids(spark, dir, cands)
+      .collect().map(_.getLong(0)).toSet
+    val want = spark.read.parquet(s"$dir/codes").select(col("uid"))
+      .join(cands.distinct(), Seq("uid"), "left_semi")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want, s"servedUids diverged: ${got.diff(want)} / " +
+      s"${want.diff(got)}")
+    // PUSHDOWN: the candidate span must reach the codes scan as a raw
+    // pushed range predicate (a cast-wrapped or absent predicate reads
+    // the whole uid column at every absorb — the r17 bottleneck)
+    val probe = A.servedUids(spark, dir, cands)
+    val formatted = probe.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pushed = formatted.linesIterator.exists(l =>
+      l.trim.startsWith("PushedFilters") &&
+        l.contains("GreaterThanOrEqual(uid") &&
+        l.contains("LessThanOrEqual(uid"))
+    assert(pushed, s"candidate uid span not pushed into the codes " +
+      s"scan:\n$formatted")
+    // ABSENT-ONLY candidates: the bloom prefilter must empty the probe
+    // without an exact confirm (zero rows back, trivially)
+    assert(A.servedUids(spark, dir,
+      spark.range(-9000, -8900).select(col("id").as("uid"))).isEmpty)
+  }
 }

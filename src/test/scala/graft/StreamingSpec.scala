@@ -1122,6 +1122,295 @@ class StreamingSpec extends SparkSpec {
       (0L, 0L))
   }
 
+  test("torn feed batch (part files, no commit record): its visible ids " +
+    "apply but the cursor never advances through it — re-read until " +
+    "committed, never skipped") {
+    val A = graft.ext.AnnIndex
+    val SI = graft.streaming.StreamingIndex
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val indexDir = Files.createTempDirectory("graft-tornfeed-idx").toString
+    A.build(graft.ext.Similarity.kmeansBuckets(emb, "vec_id",
+        "embedding", k = 8, iters = 2, bucketCol = "kb"),
+      "vec_id", "embedding", "kb", indexDir, dim = 64)
+    val corpusOut = Files.createTempDirectory("graft-tornfeed").toString
+    val fs = new org.apache.hadoop.fs.Path(corpusOut)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val b1 = emb.orderBy(col("vec_id")).limit(4)
+      .select(col("vec_id").as("ingest_id"))
+    val b2 = emb.orderBy(col("vec_id").desc).limit(3)
+      .select(col("vec_id").as("ingest_id"))
+    b1.write.parquet(s"$corpusOut/superseded/batch_id=1")
+    b2.write.parquet(s"$corpusOut/superseded/batch_id=2")
+    // simulate the mid-job-commit crash on the NEWEST batch: part files
+    // visible, no commit record of any kind (a real crash never wrote
+    // _SUCCESS; pre-fix the apply read the partial dir AND advanced the
+    // cursor to 2, permanently skipping the ids in its missing files)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$corpusOut/superseded/batch_id=2/_SUCCESS"), false)
+    val (n1, r1) = SI.applySupersessionFeed(spark, corpusOut, indexDir)
+    assert(n1 == 7L && r1 == 7L,
+      s"visible ids of the torn batch must still retire: ($n1, $r1)")
+    assert(SI.readAppliedThrough(spark, indexDir) == 1L,
+      "the cursor must NOT advance through the uncommitted newest batch")
+    // the next apply re-reads exactly the suspect batch (self-healing:
+    // a publisher retry that lands more part files gets them applied
+    // here instead of skipped forever); the tombstone set absorbs the
+    // overlap
+    val (n2, r2) = SI.applySupersessionFeed(spark, corpusOut, indexDir)
+    assert(n2 == 3L && r2 == 0L,
+      s"re-read of the uncommitted batch: ($n2, $r2)")
+    // the publisher commits the batch (marker stamped LAST) — the
+    // cursor passes it and applies go quiet
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$corpusOut/superseded/batch_id=2/" + SI.KeymapCommitMarker),
+      true).close()
+    assert(SI.applySupersessionFeed(spark, corpusOut, indexDir) ==
+      (3L, 0L))
+    assert(SI.readAppliedThrough(spark, indexDir) == 2L)
+    assert(SI.applySupersessionFeed(spark, corpusOut, indexDir) ==
+      (0L, 0L))
+    // a batch BELOW a newer dir is committed by the serial-publisher
+    // rule even with no marker at all — pre-r18 feeds on deployments
+    // that suppress _SUCCESS keep draining to the last-but-one batch
+    val b3 = emb.filter(col("vec_id") % 7 === 3).limit(2)
+      .select(col("vec_id").as("ingest_id"))
+    b3.write.parquet(s"$corpusOut/superseded/batch_id=3")
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$corpusOut/superseded/batch_id=3/_SUCCESS"), false)
+    b1.limit(1).write.parquet(s"$corpusOut/superseded/batch_id=4")
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$corpusOut/superseded/batch_id=4/_SUCCESS"), false)
+    val (n3, _) = SI.applySupersessionFeed(spark, corpusOut, indexDir)
+    assert(n3 == 3L, s"batches 3+4 above the cursor: $n3 ids")
+    assert(SI.readAppliedThrough(spark, indexDir) == 3L,
+      "below-a-newer-dir batches advance; the marker-less newest holds")
+  }
+
+  test("feed archive snapshots commit by marker: a torn snapshot reads " +
+    "as absent, a crashed first compact converges, and a marker-less " +
+    "complete archive refuses loudly instead of stranding history") {
+    val SI = graft.streaming.StreamingIndex
+    val G = graft.api.Graft
+    val A = graft.ext.AnnIndex
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val corpusOut = Files.createTempDirectory("graft-archcommit").toString
+    val fs = new org.apache.hadoop.fs.Path(corpusOut)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val b1 = emb.orderBy(col("vec_id")).limit(3)
+      .select(col("vec_id").as("ingest_id"))
+    val b2 = emb.orderBy(col("vec_id").desc).limit(2)
+      .select(col("vec_id").as("ingest_id"))
+    b1.write.parquet(s"$corpusOut/superseded/batch_id=1")
+    b2.write.parquet(s"$corpusOut/superseded/batch_id=2")
+    // IN-PROTOCOL crash: a first compact died after its snapshot write,
+    // before marker and deletes — raw dirs intact, snapshot torn.
+    // Simulate: hand-write v=0 holding only batch 1's rows, no markers.
+    spark.read.option("basePath", s"$corpusOut/superseded")
+      .parquet(s"$corpusOut/superseded/batch_id=1")
+      .withColumn("batch_id", col("batch_id").cast("long"))
+      .write.parquet(s"$corpusOut/superseded_archive/v=0")
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$corpusOut/superseded_archive/v=0/_SUCCESS"), false)
+    // a FRESH consumer ignores the torn snapshot and reads the raw dirs
+    val indexDir = Files.createTempDirectory("graft-archcommit-i").toString
+    A.build(graft.ext.Similarity.kmeansBuckets(emb, "vec_id",
+        "embedding", k = 8, iters = 2, bucketCol = "kb"),
+      "vec_id", "embedding", "kb", indexDir, dim = 64)
+    assert(SI.applySupersessionFeed(spark, corpusOut, indexDir) ==
+      (5L, 5L),
+      "a torn archive snapshot must read as absent (raw dirs cover it)")
+    // the compact RETRY converges unattended: the coverage check passes
+    // (raw dirs intact), the new snapshot lands ABOVE the torn slot
+    // with the marker stamped before any delete
+    assert(G.corpusSupersessionFeedCompact(spark, corpusOut) == 2L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$corpusOut/superseded_archive/v=1/" + SI.KeymapCommitMarker)),
+      "the snapshot's own commit marker must be stamped")
+    assert(spark.read.parquet(s"$corpusOut/superseded_archive/v=1")
+      .count() == 5L)
+    assert(SI.applySupersessionFeed(spark, corpusOut, indexDir) ==
+      (0L, 0L))
+    // AMBIGUOUS case: markers stripped from the COMPLETE archive whose
+    // raw dirs are GONE (a pre-r18 archive on a marker-suppressing
+    // deployment) — compact must refuse loudly, never silently write a
+    // snapshot that strands the unmarked history
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$corpusOut/superseded_archive/v=1/" + SI.KeymapCommitMarker),
+      false)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$corpusOut/superseded_archive/v=1/_SUCCESS"), false)
+    val b3 = emb.filter(col("vec_id") % 5 === 2).limit(2)
+      .select(col("vec_id").as("ingest_id"))
+    b3.write.parquet(s"$corpusOut/superseded/batch_id=3")
+    val e = intercept[IllegalArgumentException] {
+      G.corpusSupersessionFeedCompact(spark, corpusOut)
+    }
+    assert(e.getMessage.contains("commit marker"),
+      s"wrong refusal: ${e.getMessage}")
+    // the named resolution works: stamp the marker by hand, retry folds
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$corpusOut/superseded_archive/v=1/" + SI.KeymapCommitMarker),
+      true).close()
+    assert(G.corpusSupersessionFeedCompact(spark, corpusOut) == 1L)
+    assert(spark.read.parquet(s"$corpusOut/superseded_archive/v=2")
+      .count() == 7L, "carried history + the new batch")
+  }
+
+  test("consumer-aware feed retention: compaction folds only below the " +
+    "slowest registered consumer's cursor; a fresh consumer holds " +
+    "everything; an empty registry refuses; unregistering releases") {
+    val A = graft.ext.AnnIndex
+    val SI = graft.streaming.StreamingIndex
+    val G = graft.api.Graft
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val corpusOut = Files.createTempDirectory("graft-careg").toString
+    val fs = new org.apache.hadoop.fs.Path(corpusOut)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def freshIdx(tag: String): String = {
+      val d = Files.createTempDirectory(s"graft-careg-$tag").toString
+      A.build(graft.ext.Similarity.kmeansBuckets(emb, "vec_id",
+          "embedding", k = 8, iters = 2, bucketCol = "kb"),
+        "vec_id", "embedding", "kb", d, dim = 64)
+      d
+    }
+    val fast = freshIdx("fast")
+    val slow = freshIdx("slow")
+    // feed ids the index never held (negative): the applies are pure
+    // feed reads, so the test isolates RETENTION — which dirs survive —
+    // from retirement mechanics (covered elsewhere)
+    def publish(b: Long): Unit =
+      spark.range(-1000L * (b + 1) - 10, -1000L * (b + 1))
+        .select(col("id").as("ingest_id"))
+        .coalesce(1).write.parquet(s"$corpusOut/superseded/batch_id=$b")
+    publish(0)
+    // empty registry refuses — silently folding everything is the
+    // operator-guessed behavior the registered fold exists to replace
+    val eReg = intercept[IllegalArgumentException] {
+      G.corpusSupersessionFeedCompactRegistered(spark, corpusOut)
+    }
+    assert(eReg.getMessage.contains("no registered consumers"))
+    G.corpusFeedRegisterConsumer(spark, corpusOut, fast)
+    G.corpusFeedRegisterConsumer(spark, corpusOut, slow)
+    // fresh consumers (no cursor anywhere): everything is held
+    assert(G.corpusSupersessionFeedCompactRegistered(spark, corpusOut)
+      == 0L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$corpusOut/superseded/batch_id=0")))
+    // slow applies batch 0 only; fast drains everything
+    SI.applySupersessionFeed(spark, corpusOut, slow)
+    publish(1); publish(2)
+    SI.applySupersessionFeed(spark, corpusOut, fast)
+    assert(SI.readAppliedThrough(spark, slow) == 0L)
+    assert(SI.readAppliedThrough(spark, fast) == 2L)
+    // the registered fold moves ONLY batch 0 (min cursor) — the history
+    // slow hasn't applied stays in the raw dirs, its apply stays
+    // archive-free
+    assert(G.corpusSupersessionFeedCompactRegistered(spark, corpusOut)
+      == 1L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$corpusOut/superseded/batch_id=0")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$corpusOut/superseded/batch_id=1")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$corpusOut/superseded/batch_id=2")))
+    // slow catches up from the raw dirs; the next registered fold
+    // releases them
+    SI.applySupersessionFeed(spark, corpusOut, slow)
+    assert(SI.readAppliedThrough(spark, slow) == 2L)
+    assert(G.corpusSupersessionFeedCompactRegistered(spark, corpusOut)
+      == 2L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$corpusOut/superseded/batch_id=2")))
+    // a retired consumer must not hold retention back forever:
+    // unregister releases its hold
+    publish(3)
+    SI.applySupersessionFeed(spark, corpusOut, fast)
+    assert(G.corpusSupersessionFeedCompactRegistered(spark, corpusOut)
+      == 0L, "slow (cursor 2) must hold batch 3")
+    G.corpusFeedUnregisterConsumer(spark, corpusOut, slow)
+    assert(G.corpusSupersessionFeedCompactRegistered(spark, corpusOut)
+      == 1L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$corpusOut/superseded/batch_id=3")))
+  }
+
+  test("orphan keeper flips (crash between the flips write and the " +
+    "segment marker) do not drop documents: flips apply only at marked " +
+    "segment versions") {
+    import spark.implicits._
+    val S = graft.streaming.StreamingCorpus
+    val outDir = Files.createTempDirectory("graft-orphanflip").toString
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def keeperRows(rows: Seq[(Long, String, String, String, Boolean,
+        Boolean, Long)]) =
+      rows.toDF("ingest_id", "ukey", "content_hash", "lang", "kept",
+        "live", "n_tokens")
+    // batch 0 committed: two live docs
+    keeperRows(Seq((0L, "a", "h0", "en", true, true, 5L),
+        (1L, "b", "h1", "en", true, true, 7L)))
+      .write.parquet(s"$outDir/keepers/v=0")
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$outDir/keepers/v=0/" + S.KeeperSegmentMarker), true).close()
+    // batch 1 CRASHED between its flips write and its segment marker:
+    // the flip retires ingest 0, but the replacement row (ingest 2)
+    // sits in the torn, marker-less segment
+    Seq(0L).toDF("ingest_id").write
+      .parquet(s"$outDir/keeperflips/v=1")
+    keeperRows(Seq((2L, "a", "h2", "en", true, true, 6L)))
+      .write.parquet(s"$outDir/keepers/v=1") // no segment marker
+    val st = S.readRekeyedKeeperState(spark, outDir).get
+    assert(st.count() == 2L, "the torn segment must read as absent")
+    assert(st.filter(col("ingest_id") === 0L && col("live"))
+      .count() == 1L,
+      "an orphan flip must NOT retire a doc whose replacement never " +
+        "committed — that silently drops the document from the " +
+        "compacted state")
+    // the batch's retry completes it: marker stamped, the flip applies
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$outDir/keepers/v=1/" + S.KeeperSegmentMarker), true).close()
+    val st2 = S.readRekeyedKeeperState(spark, outDir).get
+    assert(st2.count() == 3L)
+    assert(st2.filter(col("ingest_id") === 0L && col("live")).isEmpty)
+    assert(st2.filter(col("ingest_id") === 2L && col("live"))
+      .count() == 1L)
+  }
+
+  test("a pre-r17 committed keymap version (_SUCCESS only) still skips " +
+    "its re-delivered batch") {
+    val A = graft.ext.AnnIndex
+    val SI = graft.streaming.StreamingIndex
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val indexDir =
+      Files.createTempDirectory("graft-successskip").toString + "/idx"
+    A.build(graft.ext.Similarity.kmeansBuckets(emb, "vec_id",
+        "embedding", k = 8, iters = 2, bucketCol = "kb"),
+      "vec_id", "embedding", "kb", indexDir, dim = 64)
+    val vd = col("embedding").cast("array<double>")
+    val batch = emb.filter(col("vec_id") % 16 === 0)
+      .select(concat(lit("k-"), col("vec_id")).as("key"),
+        (col("vec_id") + 7000000L).as("vec_id"),
+        reverse(vd).as("embedding"))
+    SI.writeIndexBatch(batch, 0L, indexDir, "key", "vec_id", "embedding",
+      2.0, 0.0)
+    // strip the own marker, leaving the committer's _SUCCESS — the
+    // pre-r17 layout. The re-delivery must STILL skip: re-running the
+    // absorb would trip the uid-reuse guard on the batch's own keymap
+    // rows (the loud failure this test dies with pre-fix).
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mk = new org.apache.hadoop.fs.Path(
+      s"$indexDir/keymap/v=1/" + SI.KeymapCommitMarker)
+    assert(fs.exists(mk))
+    fs.delete(mk, false)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$indexDir/keymap/v=1/_SUCCESS")))
+    SI.writeIndexBatch(batch, 0L, indexDir, "key", "vec_id", "embedding",
+      2.0, 0.0) // must return silently (the completed-batch skip)
+    assert(A.stats(spark, indexDir).head().getAs[Long]("n_tombstoned")
+      == 0L, "the skip must not re-execute the absorb")
+  }
+
   test("streaming media ingest: incremental file decode, exactly-once") {
     import java.nio.file.{Files => JFiles, Paths}
     val inDir = Files.createTempDirectory("graft-media-in").toString
@@ -1789,6 +2078,16 @@ class StreamingSpec extends SparkSpec {
     assert(streamedFeed.exceptAll(batchFeed).count() == 0 &&
       batchFeed.exceptAll(streamedFeed).count() == 0,
       "the streamed supersession feed diverged from the batch absorbs'")
+    // every published feed dir carries the publisher's OWN commit marker
+    // (r18): the consumer's cursor advances only past committed batches
+    val fsFeed = new org.apache.hadoop.fs.Path(s"$outDir/superseded")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsFeed.listStatus(new org.apache.hadoop.fs.Path(s"$outDir/superseded"))
+      .filter(_.getPath.getName.startsWith("batch_id=")).foreach { d =>
+        assert(fsFeed.exists(new org.apache.hadoop.fs.Path(d.getPath,
+          graft.streaming.StreamingIndex.KeymapCommitMarker)),
+          s"feed dir ${d.getPath.getName} has no publisher commit marker")
+      }
     // RETRY of the last micro-batch: same versioned ingest base and
     // keeper state → identical replaced outputs
     val batches = new java.io.File(s"$outDir/shards").listFiles()

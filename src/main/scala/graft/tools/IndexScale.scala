@@ -37,6 +37,7 @@ object IndexScale {
     if (args.lift(2).contains("loop")) { loopProbe(spark, emb, dim); spark.stop(); return }
     if (args.lift(2).contains("feed")) { feedProbe(spark, emb, dim); spark.stop(); return }
     if (args.lift(2).contains("uidscan")) { uidscanProbe(spark, emb, dim); spark.stop(); return }
+    if (args.lift(2).contains("tombscan")) { tombscanProbe(spark, emb, dim); spark.stop(); return }
     if (args.lift(2).contains("lifetime")) {
       lifetimeProbe(spark, emb, dim,
         args.lift(3).map(_.toInt).getOrElse(120))
@@ -209,6 +210,82 @@ object IndexScale {
       }
       Seq(absent, clustered, uniform).foreach(_.unpersist())
     }
+  }
+
+  /** `tombscan` mode (r19, VERDICT r18 #2): is [[graft.ext.AnnIndex.search]]
+    * still fast — and free of any forced O(tombstones) broadcast — at
+    * the DRIFT-BUDGET EDGE (~25% of the index tombstoned, the
+    * accumulation a caller-chosen `maintain(0.25)` allows before a
+    * rebuild purges)? Build, time a warm search at 0% tombstoned,
+    * supersede the oldest quarter of the uids (one bulk retirement —
+    * the old-generation cut), re-time the SAME search, and report
+    * every broadcast exchange's built `dataSize` from the executed
+    * plan plus the tombstone family's on-disk bytes. Done-bar: search
+    * wall flat (the tombstone cut is one anti-join feeding the same
+    * probe; a 25% smaller candidate set if anything) and NO broadcast
+    * over 10 MB — above [[graft.ext.AnnIndex.TombstoneBroadcastMaxBytes]]
+    * the join is un-hinted, so AQE sizes the strategy from runtime
+    * stats instead of the driver force-materializing the set.
+    */
+  private def tombscanProbe(spark: SparkSession,
+                            emb: org.apache.spark.sql.DataFrame,
+                            dim: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val A = graft.ext.AnnIndex
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-tombscan").toString
+    val n = emb.count()
+    val t0 = System.nanoTime()
+    graft.api.Graft.annIndexBuild(emb, "vec_id", "embedding", dir,
+      dim = dim, trainFraction = 0.1)
+    println(f"[indexscale/tombscan] build($n): " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val queries = emb.filter(col("vec_id") % (n / 100) === 1).limit(100)
+      .select(col("vec_id"), col("embedding")).cache()
+    println(s"[indexscale/tombscan] ${queries.count()} probe queries")
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => q +: nodes(q.plan)
+      case o => o +: o.children.flatMap(nodes)
+    }
+    def searchOnce(label: String): Unit = {
+      // warm once (JIT + artifact cache), then measure
+      A.search(spark, dir, queries, "vec_id", "embedding", k = 10,
+        nProbe = 2).count()
+      System.gc()
+      val t = System.nanoTime()
+      val df = A.search(spark, dir, queries, "vec_id", "embedding",
+        k = 10, nProbe = 2)
+      val rows = df.count()
+      val wall = (System.nanoTime() - t) / 1e9
+      val bcasts = nodes(df.queryExecution.executedPlan).collect {
+        case b: BroadcastExchangeExec =>
+          b.metrics.get("dataSize").map(_.value).getOrElse(-1L)
+      }
+      val maxMb = bcasts.foldLeft(0L)(math.max) / 1e6
+      println(f"[indexscale/tombscan] $label: $wall%.2f s ($rows rows), " +
+        f"broadcasts=${bcasts.size} max=${maxMb}%.1f MB " +
+        s"(all: ${bcasts.sorted.reverse.take(5).mkString(", ")} bytes)")
+    }
+    searchOnce(s"search 0% tombstoned (n=$n)")
+    val tRet = System.nanoTime()
+    A.supersede(spark, dir,
+      emb.filter(col("vec_id") < n / 4).select(col("vec_id")), "vec_id")
+    println(f"[indexscale/tombscan] supersede oldest 25%% (${n / 4}): " +
+      f"${(System.nanoTime() - tRet) / 1e9}%.1f s")
+    val root = A.currentRoot(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tombBytes = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$root/tombstones"))
+      .filter(_.getPath.getName.startsWith("part-")).map(_.getLen).sum
+    println(f"[indexscale/tombscan] tombstones on disk: " +
+      f"${tombBytes / 1e6}%.2f MB (threshold 2 MiB -> " +
+      s"${if (tombBytes > (2L << 20)) "UN-HINTED (AQE)" else "hinted broadcast"})")
+    searchOnce(s"search 25% tombstoned (n=$n)")
   }
 
   /** `lifetime` mode (r18, VERDICT r17 #5): per-absorb cost over a

@@ -1788,37 +1788,20 @@ object Graft {
           st.getLen > 0)
     val allVersions = versions
     val committed = allVersions.filter(v => isCommitted(v) && hasData(v))
-    // an UNMARKED data-carrying version with no committed one anywhere is
-    // ambiguous: the in-protocol case is a crashed FIRST compact (its
-    // deletes never ran, so its content still exists as raw dirs —
-    // verifiable), but a pre-r18 archive on a marker-suppressing
-    // deployment looks identical and its raw dirs are GONE. Proceeding
-    // blind would strand that history (never carried, never read). Check
-    // coverage: torn-crash converges automatically; genuine ambiguity
-    // refuses loudly with both resolutions named.
-    if (committed.isEmpty) {
-      allVersions.filter(hasData).sorted.lastOption.foreach { v =>
-        // coverage vs ALL raw dirs (not the uptoBatchId-filtered
-        // candidates): the question is whether the torn snapshot's
-        // content still exists on disk, not whether this call folds it
-        val rawIdSet = graft.streaming.StreamingCorpus
-          .feedBatchDirs(fs, feedRoot).map(_._1).toSet
-        val archIds = spark.read.parquet(s"$archDir/v=$v")
-          .select(col("batch_id").cast("long")).distinct()
-          .collect().map(_.getLong(0))
-        require(archIds.forall(rawIdSet.contains),
-          s"corpusSupersessionFeedCompact: $archDir/v=$v carries no " +
-            "commit marker and holds batch ids whose raw feed dirs are " +
-            "gone — a pre-r18 archive written on a deployment that " +
-            "suppresses _SUCCESS, or out-of-band damage. Folding past " +
-            "it would strand that history (uncommitted snapshots are " +
-            "never carried or read). If the snapshot is known complete, " +
-            s"stamp $archDir/v=$v/" +
-            graft.streaming.StreamingIndex.KeymapCommitMarker +
-            " by hand; if it is a known-crashed compact's torn write, " +
-            "delete the version and re-run")
-      }
-    }
+    // an UNMARKED data-carrying version NEWER than every committed one
+    // (or with no committed one anywhere) is ambiguous: the in-protocol
+    // case is a crashed compact (its deletes never ran, so its content
+    // still exists as raw dirs or inside the committed snapshot it
+    // carried from — verifiable), but a marker-suppressing deployment's
+    // complete snapshot looks identical and its raw dirs are GONE.
+    // Proceeding blind would carry from the OLDER committed version and
+    // strand the newer snapshot's uniquely-folded history (ADVICE r18,
+    // low: the pre-r19 guard only fired when NO committed version
+    // existed). Coverage arbitration shared with the apply path:
+    // torn-crash converges automatically; genuine ambiguity refuses
+    // loudly with both resolutions named.
+    graft.streaming.StreamingIndex.requireArchiveCoverage(spark, fs,
+      feedRoot, archDir, "corpusSupersessionFeedCompact")
     // the re-fold dedup: a crash between snapshot and deletes leaves the
     // folded dirs on disk AND in the archive — exclude their batch ids
     // from the carried side so the retry converges instead of duplicating
@@ -1906,6 +1889,33 @@ object Graft {
     }.sorted
   }
 
+  /** Registered consumers whose applied-through cursor lags the newest
+    * published feed batch by MORE than `warnLagBatches` — `(consumer
+    * index dir, applied-through batch id (-1 = never applied), batches
+    * behind)`. The staleness detector behind
+    * [[corpusSupersessionFeedCompactRegistered]]'s warning (VERDICT r18
+    * #5): a dead consumer that never unregistered pins `min(cursor)`
+    * forever, and without a named laggard the operator sees only
+    * silent unbounded raw-dir growth. Batch IDS only — registry-sized
+    * driver work, no row reads.
+    */
+  private[graft] def feedLaggards(spark: SparkSession,
+                                  corpusOutDir: String,
+                                  warnLagBatches: Long)
+      : Seq[(String, Long, Long)] = {
+    val (fs, _) = stateFs(spark, corpusOutDir)
+    val maxPublished = graft.streaming.StreamingCorpus
+      .feedBatchDirs(fs, s"$corpusOutDir/superseded")
+      .filter(_._3).map(_._1).maxOption.getOrElse(-1L)
+    if (maxPublished < 0) Nil
+    else feedConsumers(spark, corpusOutDir).flatMap { dir =>
+      val cur = graft.streaming.StreamingIndex
+        .readAppliedThrough(spark, dir)
+      val behind = maxPublished - math.max(cur, -1L)
+      if (behind > warnLagBatches) Some((dir, cur, behind)) else None
+    }
+  }
+
   /** CONSUMER-AWARE feed retention: fold exactly the history EVERY
     * registered consumer's applied-through cursor has passed —
     * `uptoBatchId = min(cursor)` over the registry
@@ -1919,15 +1929,41 @@ object Graft {
     * operator-guessed behavior this call exists to replace; use the
     * explicit-`uptoBatchId` [[corpusSupersessionFeedCompact]] to force.
     * Returns the number of batch dirs folded.
+    *
+    * STALENESS: a registered consumer that died without
+    * [[corpusFeedUnregisterConsumer]] pins retention forever —
+    * correctness holds, but the raw feed dirs grow without bound while
+    * nothing names the laggard. Every consumer more than
+    * `warnLagBatches` behind the newest published batch gets a named
+    * stderr warning (dir + batches behind) with the takeover path
+    * spelled out: confirm the consumer is dead, then
+    * `corpusFeedUnregisterConsumer(corpusOutDir, thatDir)` releases
+    * retention (or force one fold past it with the explicit-`uptoBatchId`
+    * compact). The fold itself STILL refuses to pass the min cursor —
+    * the warning names the problem, the human decides the takeover.
     */
   def corpusSupersessionFeedCompactRegistered(spark: SparkSession,
-                                              corpusOutDir: String): Long = {
+                                              corpusOutDir: String,
+                                              warnLagBatches: Long = 10L)
+      : Long = {
     val consumers = feedConsumers(spark, corpusOutDir)
     require(consumers.nonEmpty,
       s"corpusSupersessionFeedCompactRegistered: $corpusOutDir has no " +
         "registered consumers (feedconsumers/ is empty) — register each " +
         "consuming index with corpusFeedRegisterConsumer, or force a " +
         "fold with corpusSupersessionFeedCompact(uptoBatchId)")
+    feedLaggards(spark, corpusOutDir, warnLagBatches)
+      .foreach { case (dir, cur, behind) =>
+        System.err.println(
+          s"[graft] corpusSupersessionFeedCompactRegistered: registered " +
+            s"consumer $dir has applied through batch $cur — $behind " +
+            "batches behind the newest published feed batch. Retention " +
+            "is pinned at the min registered cursor, so raw feed dirs " +
+            "grow unboundedly while it lags; if the consumer is dead, " +
+            "take over with corpusFeedUnregisterConsumer(" +
+            s"$corpusOutDir, $dir), or force a fold with " +
+            "corpusSupersessionFeedCompact(uptoBatchId)")
+      }
     val minCursor = consumers.map(dir =>
       graft.streaming.StreamingIndex.readAppliedThrough(spark, dir)).min
     if (minCursor < 0) 0L

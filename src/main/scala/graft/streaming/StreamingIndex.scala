@@ -102,6 +102,78 @@ object StreamingIndex {
     fs.exists(new org.apache.hadoop.fs.Path(vDir, KeymapCommitMarker)) ||
       fs.exists(new org.apache.hadoop.fs.Path(vDir, "_SUCCESS"))
 
+  /** AMBIGUOUS-ARCHIVE guard shared by the supersession feed's apply
+    * ([[applySupersessionFeed]]) and compact
+    * ([[graft.api.Graft.corpusSupersessionFeedCompact]]) paths (ADVICE
+    * r18). Readers ignore uncommitted archive snapshots; that is safe
+    * ONLY while the ignored snapshot's content still exists elsewhere.
+    * When the NEWEST data-carrying `v=<n>` under `archDir` carries no
+    * commit record and is newer than the newest committed one (or none
+    * is committed at all), two states look identical:
+    *
+    *  - in-protocol: a crashed compact's torn write — its deletes never
+    *    ran, so every batch id it holds still exists as a raw feed dir
+    *    (or inside the newest committed snapshot it carried from);
+    *    ignoring it loses nothing and the retry converges;
+    *  - out-of-protocol: a complete snapshot whose marker was never
+    *    stamped (a pre-r18 archive on a `_SUCCESS`-suppressing
+    *    deployment, a config flipped mid-life) and whose folded raw
+    *    dirs are GONE — ignoring it silently strands that history: a
+    *    fresh/late-joining consumer never retires those uids (stale
+    *    vectors serve forever) and a compact folds past them.
+    *
+    * Decide by COVERAGE: batch ids of the ambiguous snapshot must all
+    * exist as raw dirs or in the newest committed snapshot. Torn-crash
+    * passes automatically; genuine ambiguity refuses loudly with both
+    * resolutions named. Batch IDS only cross the driver — the count is
+    * folds-since-epoch, never row volume.
+    */
+  private[graft] def requireArchiveCoverage(spark: SparkSession,
+                                            fs: org.apache.hadoop.fs.FileSystem,
+                                            feedRoot: String,
+                                            archDir: String,
+                                            who: String): Unit = {
+    val archPath = new org.apache.hadoop.fs.Path(archDir)
+    if (!fs.exists(archPath)) return
+    val vRe = "v=(\\d+)".r
+    val versions = fs.listStatus(archPath).toSeq
+      .flatMap(_.getPath.getName match {
+        case vRe(n) => Some(n.toLong)
+        case _ => None
+      }).sorted
+    def hasData(v: Long): Boolean =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$archDir/v=$v"))
+        .exists(st => st.getPath.getName.startsWith("part-") &&
+          st.getLen > 0)
+    def isCommitted(v: Long): Boolean =
+      keymapCommitted(fs, new org.apache.hadoop.fs.Path(s"$archDir/v=$v"))
+    val dataVs = versions.filter(hasData)
+    val newestCommitted = dataVs.filter(isCommitted).lastOption
+    dataVs.lastOption
+      .filter(v => !isCommitted(v) && newestCommitted.forall(_ < v))
+      .foreach { v =>
+        def batchIds(vd: Long): Set[Long] = spark.read
+          .parquet(s"$archDir/v=$vd")
+          .select(col("batch_id").cast("long")).distinct()
+          .collect().map(_.getLong(0)).toSet
+        val rawIdSet = StreamingCorpus.feedBatchDirs(fs, feedRoot)
+          .map(_._1).toSet
+        val committedIds = newestCommitted.map(batchIds).getOrElse(Set.empty)
+        require(batchIds(v).forall(id =>
+            rawIdSet.contains(id) || committedIds.contains(id)),
+          s"$who: $archDir/v=$v carries no commit marker and holds " +
+            "batch ids covered neither by live feed dirs nor by the " +
+            "newest committed snapshot — a pre-r18 archive written on " +
+            "a deployment that suppresses _SUCCESS, or out-of-band " +
+            "damage. Ignoring it would strand that history " +
+            "(uncommitted snapshots are never carried or read). If " +
+            "the snapshot is known complete, stamp " +
+            s"$archDir/v=$v/$KeymapCommitMarker by hand; if it is a " +
+            "known-crashed compact's torn write, delete the version " +
+            "and re-run")
+      }
+  }
+
   /** SEGMENTED KEYMAP (r17). The keymap is a LOG, not a snapshot:
     * `keymap/v=<B+1>` holds only batch B's key→uid DELTA (the seed's
     * `v=0` is the build-time full map — just the first, largest
@@ -356,7 +428,7 @@ object StreamingIndex {
     * a PARTIALLY-applied batch converges: supersede is idempotent
     * (tombstone set semantics), the add step skips when every batch uid
     * is already coded (the completed-add retry, detected by the
-    * bloom-prefiltered membership probe) and otherwise re-enters
+    * range-pruned membership probe) and otherwise re-enters
     * [[graft.ext.AnnIndex.add]], whose own orphan reconciliation /
     * duplicate guard either completes the torn write or refuses loudly;
     * the torn keymap dir itself is replaced by the retry's
@@ -487,9 +559,10 @@ object StreamingIndex {
           if (!o.isEmpty) {
             // served ∩ not-yet-tombstoned, projected FROM codes (the
             // applySupersessionFeed shape, feeding the pre-verified
-            // supersede). servedUids (r18) is bloom-prefiltered and
-            // range-pruned against the uid-sorted codes layout, so this
-            // is a delta-sized probe, not the full O(index) uid-column
+            // supersede). servedUids (r18) is range-pruned against the
+            // uid-sorted codes layout (span pushdown + semi-join; no
+            // bloom — its scaladoc explains why), so this is a
+            // delta-sized probe, not the full O(index) uid-column
             // scan it was through r17 — the apply-cadence cost removed.
             val root = A.currentRoot(spark, indexDir)
             val present = A.servedUids(spark, root, o.select(col("uid")))
@@ -816,6 +889,14 @@ object StreamingIndex {
     // commits, so a torn snapshot's content still exists as raw dirs.
     val archDir = s"$corpusOutDir/superseded_archive"
     val archPath = new org.apache.hadoop.fs.Path(archDir)
+    // a snapshot with no commit record reads as absent below — safe for
+    // a crashed compact's torn write (its content still exists as raw
+    // dirs), SILENT HISTORY LOSS for a complete-but-unmarked snapshot
+    // whose raw dirs are gone (ADVICE r18, medium: a fresh consumer
+    // would skip all folded history and serve stale vectors forever).
+    // Same coverage arbitration as the compact path, shared helper.
+    requireArchiveCoverage(spark, fs, s"$corpusOutDir/superseded",
+      archDir, "applySupersessionFeed")
     val archive: Option[DataFrame] =
       if (!fs.exists(archPath)) None
       else {
@@ -868,11 +949,12 @@ object StreamingIndex {
         if (nFeed == 0) 0L
         else {
           // restrict to uids the index actually serves ([[graft.ext.AnnIndex.servedUids]]:
-          // bloom prefilter — feed ids the index never held, the common
-          // case, pay zero codes IO — then a range-pruned exact confirm
-          // against the uid-sorted codes; the supersede below is the
-          // pre-verified fast path, so codes is not scanned a second
-          // time) and not already tombstoned
+          // the feed ids' span is pushed onto the uid-sorted codes
+          // scan, so ids the index never held — the common case — prune
+          // every file and pay zero codes IO before the exact
+          // semi-join; the supersede below is the pre-verified fast
+          // path, so codes is not scanned a second time) and not
+          // already tombstoned
           val present = A.servedUids(spark, root, feed)
           val toRetire = (A.readTombstones(spark, root) match {
             case Some(tomb) => present.join(tomb, Seq("uid"), "left_anti")

@@ -1256,6 +1256,78 @@ class StreamingSpec extends SparkSpec {
       .count() == 7L, "carried history + the new batch")
   }
 
+  test("ambiguous-archive arbitration is SHARED by apply and compact " +
+    "(ADVICE r18): an unmarked snapshot NEWER than the committed one " +
+    "refuses loudly when its uniquely-folded history is uncovered; the " +
+    "in-protocol torn retry still converges; a fresh consumer never " +
+    "silently skips folded history") {
+    val SI = graft.streaming.StreamingIndex
+    val G = graft.api.Graft
+    val A = graft.ext.AnnIndex
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val corpusOut = Files.createTempDirectory("graft-archcover").toString
+    val fs = new org.apache.hadoop.fs.Path(corpusOut)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def ids(mod: Int, n: Int) = emb.filter(col("vec_id") % 11 === mod)
+      .orderBy(col("vec_id")).limit(n)
+      .select(col("vec_id").as("ingest_id"))
+    ids(1, 3).write.parquet(s"$corpusOut/superseded/batch_id=1")
+    ids(2, 2).write.parquet(s"$corpusOut/superseded/batch_id=2")
+    assert(G.corpusSupersessionFeedCompact(spark, corpusOut) == 2L)
+    // IN-PROTOCOL: a second compact crashed after its snapshot write,
+    // before marker and deletes — newest v=1 unmarked, but batch 3's
+    // raw dir is intact and batches 1-2 live in committed v=0, so the
+    // coverage arbitration passes and the retry converges unattended
+    ids(3, 2).write.parquet(s"$corpusOut/superseded/batch_id=3")
+    spark.read.parquet(s"$corpusOut/superseded_archive/v=0")
+      .unionByName(spark.read
+        .option("basePath", s"$corpusOut/superseded")
+        .parquet(s"$corpusOut/superseded/batch_id=3")
+        .withColumn("batch_id", col("batch_id").cast("long")))
+      .write.parquet(s"$corpusOut/superseded_archive/v=1")
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$corpusOut/superseded_archive/v=1/_SUCCESS"), false)
+    assert(G.corpusSupersessionFeedCompact(spark, corpusOut) == 1L,
+      "torn-crash retry must converge (content still covered)")
+    // OUT-OF-PROTOCOL: strip the markers from the NEWEST committed
+    // snapshot (v=2, which uniquely folds batch 3 — its raw dir is now
+    // gone and committed v=0 never held it): a marker-suppressing
+    // config flipped mid-life. Pre-r19 the guard fired only when NO
+    // committed version existed — compact silently carried from v=0
+    // and the apply silently read v=0, both stranding batch 3 forever.
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$corpusOut/superseded_archive/v=2/" + SI.KeymapCommitMarker),
+      false)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$corpusOut/superseded_archive/v=2/_SUCCESS"), false)
+    ids(4, 2).write.parquet(s"$corpusOut/superseded/batch_id=4")
+    val eC = intercept[IllegalArgumentException] {
+      G.corpusSupersessionFeedCompact(spark, corpusOut)
+    }
+    assert(eC.getMessage.contains("covered neither"),
+      s"wrong compact refusal: ${eC.getMessage}")
+    // the SAME arbitration guards a fresh/late-joining consumer's
+    // apply — before r19 it treated the unmarked archive as absent and
+    // served batch 3's stale vectors forever (ADVICE r18, medium)
+    val indexDir = Files.createTempDirectory("graft-archcover-i").toString
+    A.build(graft.ext.Similarity.kmeansBuckets(emb, "vec_id",
+        "embedding", k = 8, iters = 2, bucketCol = "kb"),
+      "vec_id", "embedding", "kb", indexDir, dim = 64)
+    val eA = intercept[IllegalArgumentException] {
+      SI.applySupersessionFeed(spark, corpusOut, indexDir)
+    }
+    assert(eA.getMessage.contains("covered neither"),
+      s"wrong apply refusal: ${eA.getMessage}")
+    // named resolution: stamp the snapshot by hand — both paths proceed
+    // and the full history (archive batches 1-3 + live batch 4) applies
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$corpusOut/superseded_archive/v=2/" + SI.KeymapCommitMarker),
+      true).close()
+    assert(SI.applySupersessionFeed(spark, corpusOut, indexDir) ==
+      (9L, 9L), "archive + live history must all retire")
+    assert(G.corpusSupersessionFeedCompact(spark, corpusOut) == 1L)
+  }
+
   test("consumer-aware feed retention: compaction folds only below the " +
     "slowest registered consumer's cursor; a fresh consumer holds " +
     "everything; an empty registry refuses; unregistering releases") {
@@ -1332,6 +1404,55 @@ class StreamingSpec extends SparkSpec {
       == 1L)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(
       s"$corpusOut/superseded/batch_id=3")))
+  }
+
+  test("dead-consumer staleness (VERDICT r18 #5): the registered fold " +
+    "names each laggard (dir + batches behind) on stderr and still " +
+    "refuses to fold past its cursor; unregistering is the takeover") {
+    import spark.implicits._
+    val G = graft.api.Graft
+    val corpusOut = Files.createTempDirectory("graft-stale").toString
+    def publish(b: Long): Unit =
+      spark.range(-1000L * (b + 1) - 10, -1000L * (b + 1))
+        .select(col("id").as("ingest_id"))
+        .coalesce(1).write.parquet(s"$corpusOut/superseded/batch_id=$b")
+    val live = Files.createTempDirectory("graft-stale-live").toString
+    val dead = Files.createTempDirectory("graft-stale-dead").toString
+    G.corpusFeedRegisterConsumer(spark, corpusOut, live)
+    G.corpusFeedRegisterConsumer(spark, corpusOut, dead)
+    (0L to 12L).foreach(publish)
+    // live's cursor at the head (the persisted cursor format); dead
+    // registered but never applied — the forever-pinning scenario
+    Seq(12L).toDF("applied_through").coalesce(1)
+      .write.parquet(s"$live/feedcursor/v=0")
+    val lags = G.feedLaggards(spark, corpusOut, warnLagBatches = 10L)
+    assert(lags.map(_._1) == Seq(dead), s"laggards: $lags")
+    assert(lags.head._2 == -1L && lags.head._3 == 13L, s"lag: $lags")
+    // a threshold the lag doesn't exceed names nobody
+    assert(G.feedLaggards(spark, corpusOut, warnLagBatches = 13L).isEmpty)
+    // the registered fold WARNS (named dir + batches behind) and still
+    // refuses to fold anything past the dead cursor — retention
+    // correctness is not traded for the warning
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val oldErr = System.err
+    val folded =
+      try {
+        System.setErr(new java.io.PrintStream(errBuf, true))
+        G.corpusSupersessionFeedCompactRegistered(spark, corpusOut)
+      } finally System.setErr(oldErr)
+    assert(folded == 0L, "dead consumer (no cursor) must hold everything")
+    val msg = errBuf.toString
+    assert(msg.contains(dead) && msg.contains("13 batches behind"),
+      s"warning must name the laggard and its lag; got: $msg")
+    val fs = new org.apache.hadoop.fs.Path(corpusOut)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (0L to 12L).foreach(b => assert(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$corpusOut/superseded/batch_id=$b"))))
+    // the documented takeover path: unregister the dead consumer, the
+    // next registered fold releases the pinned history
+    G.corpusFeedUnregisterConsumer(spark, corpusOut, dead)
+    assert(G.corpusSupersessionFeedCompactRegistered(spark, corpusOut)
+      == 13L)
   }
 
   test("orphan keeper flips (crash between the flips write and the " +

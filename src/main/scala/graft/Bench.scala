@@ -417,24 +417,50 @@ object Bench {
     //    displaced-wall estimate. Last resort only: the r18 burner
     //    experiment measured it over-correcting ~2× on an unsaturated
     //    box (external cycles that never displaced the query still
-    //    subtract), while the archive bound landed on the quiet wall.
+    //    subtract), and it needs a usable ext reading (ext > 0) —
+    //    warm/archive evidence applies regardless of whether the
+    //    /proc/stat attribution was available (ADVICE r18, low).
+    // PLUS the DIFFUSE case (r18 blemish: the bound fired on 1 of 6
+    // contended queries and value_healed sat 53 s above the same-code
+    // quiet archive): contention below the per-query ext-CPU stamp
+    // threshold still inflates walls. A query that is NOT stamped
+    // contended but whose cold executor-CPU sits inside the ±25% flat
+    // band of the previous quiet archive (plan unchanged — CPU is
+    // load-invariant) while its WALL is inflated beyond the same-code
+    // variance band (r18 measured ~9% back-to-back; 1.25× with a 0.5 s
+    // absolute floor keeps sub-second noise out) takes the archive
+    // bound, stamped "archive_diffuse". Warm/ext are inadmissible
+    // there: warm is JIT-warm (systematically below a quiet cold) and
+    // ext is below threshold by construction.
     // All capped at the cold reading (a bound never exceeds what was
     // measured).
     val nCores = scala.util.Try(cpus.trim.toDouble).getOrElse(32.0)
-    val boundSec: Map[String, (Double, String)] = results.collect {
+    val diffuseWallBand = 1.25
+    val boundSec: Map[String, (Double, String)] = results.flatMap {
       case (name, sec, _, _, _, cpu, _, ext)
-          if contendedNames.contains(name) && !retries.contains(name) &&
-            !errors.contains(name) && ext > 0 =>
+          if !retries.contains(name) && !errors.contains(name) =>
+        // (bound, cpu-flat?, archived quiet wall)
         val fromArchive = prevPerf.flatMap(_.get(name)).collect {
           case (aw, ac) if ac > 0 && cpu > 0 =>
             val ratio = cpu / ac
-            if (ratio > 0.8 && ratio < 1.25) aw else aw * ratio
+            val flat = ratio > 0.8 && ratio < 1.25
+            (if (flat) aw else aw * ratio, flat, aw)
         }
-        val fromExt = math.max(sec - ext / nCores, cpu / nCores)
-        val (v, src) = warm.get(name).map(w => (w._1, "warm"))
-          .orElse(fromArchive.map((_, "archive")))
-          .getOrElse((fromExt, "ext"))
-        name -> (math.min(sec, v), src)
+        if (contendedNames.contains(name)) {
+          val fromExt =
+            if (ext > 0)
+              Some((math.max(sec - ext / nCores, cpu / nCores), "ext"))
+            else None
+          warm.get(name).map(w => (w._1, "warm"))
+            .orElse(fromArchive.map(a => (a._1, "archive")))
+            .orElse(fromExt)
+            .map { case (v, src) => name -> (math.min(sec, v), src) }
+        } else fromArchive.collect {
+          case (v, true, aw)
+              if sec > aw * diffuseWallBand && sec - aw > 0.5 =>
+            name -> (math.min(sec, v), "archive_diffuse")
+        }
+      case _ => None
     }.toMap
     // SELF-ADJUDICATING headline for contended runs: `value` stays the
     // honest cold sum (retries bound, never replace), but a contended
@@ -526,8 +552,15 @@ object Bench {
       if (sec < 0) -1.0 else sec * math.max(0, n - 1)
     val sharedJson =
       s"""{"ann_coarse_sec":${jnum(annCoarseSec)},"ann_n":$annN,"ann_relearn_sec":${jnum(relearn(annCoarseSec, annN))},"dedup_minhash_sec":${jnum(minhashSec)},"dedup_n":$dedupN,"dedup_relearn_sec":${jnum(relearn(minhashSec, dedupN))}}"""
+    // value_cpu: total cold executor-CPU — the LOAD-INVARIANT
+    // round-over-round axis (VERDICT r18 #4): external contention
+    // inflates wall but not this sum, so two rounds' value_cpu compare
+    // directly without adjudicating host noise. Plan regressions show
+    // here first; wall-only regressions (added barriers, IO waits)
+    // still need value/value_healed.
+    val totalCpu = results.map(_._6).sum
     val contendedJson =
-      s""""contended_n":${contendedNames.size},"healed_n":${retries.size},"bounded_n":${boundSec.size},"value_healed":${jnum(totalHealed)},"ext_cores_threshold":$extCores"""
+      s""""contended_n":${contendedNames.size},"healed_n":${retries.size},"bounded_n":${boundSec.size},"value_healed":${jnum(totalHealed)},"value_cpu":${jnum(totalCpu)},"ext_cores_threshold":$extCores"""
     val detail = s"""{"metric":"total","value":$total,"unit":"sec",$newQJson,$contendedJson,"queries":$fullQs,"perq":$perQ,"warm":$warmQs,"warm_cpu":$warmCpuQs,"shuffle":$shuffleQs,"families":$families,"ml_phases":$mlPhases,"shared":$sharedJson,"loadavg":$loadJson,"ml_fused":$mlFused,"errors":$errJsonFull,"sf":"$sfDir"}"""
     // BENCH_DETAIL.json stays the stable latest-run pointer; the r{N}
     // archive keeps every round's per-query cpu readable forever (r11's

@@ -83,6 +83,33 @@ object RecallTune {
     spark.stop()
   }
 
+  /** A deterministic CLUSTERED corpus (the ExtSpec sin-cluster recipe
+    * at probe scale): `nClusters` well-separated centers × `perCluster`
+    * rows of 5% sinusoidal noise. The churn probe's r18 run sat at the
+    * testdata embeddings' ~0.05 recall floor (uniform vectors — every
+    * neighbor is equally far), where a real geometry regression hides
+    * inside noise (VERDICT r18 #6); this fixture puts the same
+    * lifecycle in the ~0.9 regime the `ivfSq8TopK` specs pin, where a
+    * gap is statistically visible. RNG-free by construction.
+    */
+  private def clusteredCorpus(spark: SparkSession, dim: Int,
+                              nClusters: Int, perCluster: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val rows = for {
+      c <- 0 until nClusters
+      j <- 0 until perCluster
+    } yield {
+      val base = Array.tabulate(dim)(d =>
+        math.sin((d + 1) * (c + 1) * 0.7391))
+      val noise = Array.tabulate(dim)(d =>
+        0.05 * math.sin((d + 1) * (c * 100 + j + 7) * 1.234))
+      (c.toLong * perCluster + j,
+        base.zip(noise).map { case (b, n) => b + n })
+    }
+    rows.toDF("vec_id", "embedding").repartition(32)
+  }
+
   /** `churn` mode (r18, VERDICT r17 #6): recall under the MAINTAINED
     * latest-wins lifecycle — N supersede+add cycles (each re-embedding a
     * deterministic 1/N slice of the corpus under shifted uids and a mild
@@ -94,10 +121,14 @@ object RecallTune {
     * exactly what the drift threshold's implied bound claims: recall
     * sags between maintains and recovers at each rebuild; the terminal
     * gap to the fresh build is the churn price the threshold tolerates.
+    * Pass `clustered` as the dir for the high-recall regime
+    * ([[clusteredCorpus]], r19 — run it at `dim` 32).
     */
   private def churnSweep(spark: SparkSession, dir: String, dim: Int,
                          panelPct: Int, cycles: Int): Unit = {
-    val emb = graft.io.Tables.embeddings(spark, dir)
+    val emb = (if (dir == "clustered")
+        clusteredCorpus(spark, dim, nClusters = 50, perCluster = 400)
+      else graft.io.Tables.embeddings(spark, dir))
       .filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding").cast("array<double>")
         .as("embedding"))

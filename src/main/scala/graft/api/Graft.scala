@@ -271,13 +271,32 @@ object Graft {
     * artifacts under `dir`: centroids, residual PQ codes, unit vectors,
     * codebooks, params) — the build-once half of the deployment
     * lifecycle. Serve with [[annIndexSearch]]; see [[graft.ext.AnnIndex]].
+    *
+    * `unitNormalizeCells` (opt-in, r19): learn the coarse cells over
+    * UNIT-normalized vectors instead of the raw input. Serving is
+    * cosine, so ranking is norm-invariant — but the raw-input Lloyd
+    * cells are NOT: on a norm-varying corpus, k-means splits by
+    * magnitude and starves the angular structure the probes navigate.
+    * The clustered churn probe (SCALING.md round 19) measured
+    * recall@5 0.385 raw vs 0.849 unit on the same corpus — and
+    * [[graft.ext.AnnIndex.rebuild]] already re-learns over the STORED
+    * unit vectors, so a drift rebuild silently "fixes" a raw-built
+    * index's geometry; this knob gives the first build the same
+    * geometry. Default false: the oracled gates pin the raw-input
+    * cells, and near-constant-norm corpora (typical normalized
+    * embedding outputs) are unaffected either way.
     */
   def annIndexBuild(corpus: DataFrame, idCol: String, vecCol: String,
                     dir: String, dim: Int, m: Int = 8, kSub: Int = 16,
                     nBuckets: Int = 0,
-                    trainFraction: Double = 1.0): Unit = {
-    val bucketed = Similarity.kmeansBuckets(corpus, idCol, vecCol,
-      k = resolveBuckets(corpus, nBuckets), iters = 2,
+                    trainFraction: Double = 1.0,
+                    unitNormalizeCells: Boolean = false): Unit = {
+    val geom =
+      if (unitNormalizeCells)
+        corpus.withColumn(vecCol, Similarity.unitVec(col(vecCol)))
+      else corpus
+    val bucketed = Similarity.kmeansBuckets(geom, idCol, vecCol,
+      k = resolveBuckets(geom, nBuckets), iters = 2,
       bucketCol = "__cell", trainFraction = trainFraction)
     AnnIndex.build(bucketed, idCol, vecCol, "__cell", dir, dim = dim,
       m = m, kSub = kSub, trainFraction = trainFraction)

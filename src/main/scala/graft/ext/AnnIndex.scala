@@ -160,33 +160,54 @@ object AnnIndex {
     else None
   }
 
-  /** On-disk tombstone bytes above which [[minusTombstones]] stops
-    * forcing a broadcast. 2 MiB of uid-only parquet is a few hundred
-    * thousand uids — comfortably inside every executor's broadcast
-    * budget once hashed in memory. The old unconditional hint was the
-    * one O(index) driver materialization left on the serve path
-    * (VERDICT r18 #1): tombstones are delta-sized PER SUPERSEDE but
-    * accumulate until a rebuild, and the budget that forces a rebuild
-    * is a FRACTION of the index — at 1B vectors and a 0.3 drift bound
-    * that is a ~300M-uid set shipped to every task. Above the
-    * threshold the join is left un-hinted: AQE broadcasts while the
-    * distinct's runtime stats are still small and shuffles when not,
+  /** Tombstone ROWS above which [[minusTombstones]] stops forcing a
+    * broadcast (256k uids ≈ 8 MB of single-long UnsafeRows built on
+    * the driver — inside every broadcast budget). The old unconditional
+    * hint was the one O(index) driver materialization left on the
+    * serve path (VERDICT r18 #1): tombstones are delta-sized PER
+    * SUPERSEDE but accumulate until a rebuild, and the budget that
+    * forces a rebuild is a FRACTION of the index — at 1B vectors and a
+    * 0.3 drift bound that is a ~300M-uid set shipped to every task.
+    * Above the threshold the join is left un-hinted: AQE broadcasts
+    * while the runtime stats are still small and shuffles when not,
     * and the bucket/filter pushdown through the anti-join's left side
     * keeps the codes scan pruned either way.
+    *
+    * The decision reads ROW COUNTS FROM THE PARQUET FOOTERS, not
+    * on-disk bytes: a contiguous retirement's monotone uids
+    * delta-encode to ~4 bytes/uid (the r19 tombscan probe measured
+    * 500k uids in 2.0 MB), so a byte threshold under-counts rows by
+    * two orders of magnitude on exactly the old-generation-cut shape
+    * that accumulates fastest. Footer reads are driver-side and
+    * file-count-bounded (one coalesced file per supersede call), no
+    * Spark job. Duplicate rows from retried supersedes over-count —
+    * conservative in the safe direction.
     */
-  private val TombstoneBroadcastMaxBytes: Long = 2L << 20
+  private val TombstoneBroadcastMaxRows: Long = 1L << 18
 
   /** `left` minus the tombstoned uids of `root` — the serve/rebuild
     * anti-join, with the broadcast kept under an explicit size check
-    * (see [[TombstoneBroadcastMaxBytes]]). No-op when no tombstones
+    * (see [[TombstoneBroadcastMaxRows]]). No-op when no tombstones
     * are committed.
     */
   private[graft] def minusTombstones(spark: SparkSession, root: String,
                                      left: DataFrame): DataFrame =
     readTombstonesSized(spark, root) match {
-      case Some((tomb, bytes)) =>
+      case Some((tomb, _)) =>
+        val p = new org.apache.hadoop.fs.Path(s"$root/tombstones")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val conf = spark.sparkContext.hadoopConfiguration
+        val rows = fs.listStatus(p).iterator
+          .filter(st => st.getPath.getName.startsWith("part-") &&
+            st.getLen > 0)
+          .map { st =>
+            val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromStatus(st, conf))
+            try in.getRecordCount finally in.close()
+          }.sum
         val right =
-          if (bytes <= TombstoneBroadcastMaxBytes) broadcast(tomb)
+          if (rows <= TombstoneBroadcastMaxRows) broadcast(tomb)
           else tomb
         left.join(right, Seq("uid"), "left_anti")
       case None => left

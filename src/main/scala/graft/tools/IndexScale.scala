@@ -259,7 +259,10 @@ object IndexScale {
       val t = System.nanoTime()
       val df = A.search(spark, dir, queries, "vec_id", "embedding",
         k = 10, nProbe = 2)
-      val rows = df.count()
+      // collect, not count: count() builds a SEPARATE aggregate
+      // QueryExecution, leaving df's own walked plan un-executed with
+      // every metric at zero (the r19 probe's first run measured that)
+      val rows = df.collect().length
       val wall = (System.nanoTime() - t) / 1e9
       val bcasts = nodes(df.queryExecution.executedPlan).collect {
         case b: BroadcastExchangeExec =>
@@ -279,12 +282,20 @@ object IndexScale {
     val root = A.currentRoot(spark, dir)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tombBytes = fs.listStatus(
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tombStats = fs.listStatus(
         new org.apache.hadoop.fs.Path(s"$root/tombstones"))
-      .filter(_.getPath.getName.startsWith("part-")).map(_.getLen).sum
+      .filter(st => st.getPath.getName.startsWith("part-") && st.getLen > 0)
+    val tombBytes = tombStats.map(_.getLen).sum
+    val tombRows = tombStats.map { st =>
+      val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+      try in.getRecordCount finally in.close()
+    }.sum
     println(f"[indexscale/tombscan] tombstones on disk: " +
-      f"${tombBytes / 1e6}%.2f MB (threshold 2 MiB -> " +
-      s"${if (tombBytes > (2L << 20)) "UN-HINTED (AQE)" else "hinted broadcast"})")
+      f"${tombBytes / 1e6}%.2f MB / $tombRows footer rows " +
+      s"(threshold 262144 rows -> ${if (tombRows > (1L << 18))
+        "UN-HINTED (AQE decides)" else "hinted broadcast"})")
     searchOnce(s"search 25% tombstoned (n=$n)")
   }
 

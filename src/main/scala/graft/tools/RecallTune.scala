@@ -186,6 +186,19 @@ object RecallTune {
     Graft.annIndexBuild(current, "vec_id", "embedding", freshDir,
       dim = dim, m = 8, trainFraction = 0.1)
     measure(current, "fresh-build reference", freshDir)
+    // the UNIT-normalized fresh reference (r19): rebuild re-learns over
+    // the index's STORED unit vectors, while annIndexBuild clusters the
+    // raw input — on a norm-varying corpus those geometries differ, and
+    // this second reference separates "maintained lifecycle degraded"
+    // from "the two build paths cluster different geometry"
+    val freshUnitDir = java.nio.file.Files
+      .createTempDirectory("graft-churn-freshu").toString
+    Graft.annIndexBuild(
+      current.select(col("vec_id"),
+        graft.ext.Similarity.unitVec(col("embedding")).as("embedding")),
+      "vec_id", "embedding", freshUnitDir, dim = dim, m = 8,
+      trainFraction = 0.1)
+    measure(current, "fresh UNIT reference", freshUnitDir)
   }
 
   /** The add()-staleness sweep: recall@5 of a frozen-geometry index as

@@ -1168,6 +1168,59 @@ class SimilaritySpec extends SparkSpec {
       "filter control vacuous: the unfiltered search is already allowed-only")
   }
 
+  test("annIndexBuild unitNormalizeCells: cosine serving survives a " +
+    "norm-varying corpus (the r19 churn probe's raw-vs-unit geometry " +
+    "finding, pinned at spec scale)") {
+    import spark.implicits._
+    val dim = 16
+    // 10 well-separated ANGULAR clusters whose NORMS differ 1..19×:
+    // cosine ranking is norm-invariant, but the raw-input Lloyd cells
+    // split by magnitude and starve the angular structure; the knob
+    // learns cells over unit vectors — the geometry rebuild() already
+    // re-learns from the stored unit vectors
+    val rows = for {
+      c <- 0 until 10
+      j <- 0 until 60
+    } yield {
+      val base = Array.tabulate(dim)(d =>
+        math.sin((d + 1) * (c + 1) * 0.7391))
+      val noise = Array.tabulate(dim)(d =>
+        0.05 * math.sin((d + 1) * (c * 100 + j + 7) * 1.234))
+      val scale = 1.0 + 2.0 * c
+      (c * 60L + j,
+        base.zip(noise).map { case (b, n) => (b + n) * scale })
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val panel = df.filter(col("vec_id") % 10 === 3)
+      .select(col("vec_id"), col("embedding"))
+    val exact = Similarity.bruteForceTopK(panel, df, "vec_id",
+        "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(dir: String): Double = {
+      val got = graft.ext.AnnIndex.search(spark, dir, panel, "vec_id",
+          "embedding", k = 5, nProbe = 2, maxBucket = 4096)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val rawDir = java.nio.file.Files
+      .createTempDirectory("graft-unitcells-raw").toString
+    graft.api.Graft.annIndexBuild(df, "vec_id", "embedding", rawDir,
+      dim = dim, m = 8, nBuckets = 10)
+    val unitDir = java.nio.file.Files
+      .createTempDirectory("graft-unitcells-unit").toString
+    graft.api.Graft.annIndexBuild(df, "vec_id", "embedding", unitDir,
+      dim = dim, m = 8, nBuckets = 10, unitNormalizeCells = true)
+    val rRaw = recallOf(rawDir)
+    val rUnit = recallOf(unitDir)
+    info(f"recall@5 raw=$rRaw%.3f unit=$rUnit%.3f")
+    assert(rUnit >= 0.55,
+      s"unit-cell recall $rUnit < 0.55 on the angular clusters")
+    assert(rUnit >= rRaw - 0.02,
+      s"unit-normalized cells must not lose recall: $rUnit vs raw $rRaw")
+  }
+
   test("minusTombstones (VERDICT r18 #1): the tombstone anti-join " +
     "broadcasts only under the explicit on-disk size check — a big " +
     "tombstone set is left un-hinted (AQE decides), never forced " +
@@ -1190,8 +1243,7 @@ class SimilaritySpec extends SparkSpec {
     val small = A.minusTombstones(spark, root, left)
     assert(hintCount(small) == 1, "small set must carry the hint")
     assert(small.count() == 8L)
-    // grow past TombstoneBroadcastMaxBytes (2 MiB of uid-only parquet —
-    // ~600k incompressible hashed longs ≈ 4.8 MB): NO hint. At the
+    // grow past TombstoneBroadcastMaxRows (256k): NO hint. At the
     // drift bound tombstones are a FRACTION of the index; the forced
     // broadcast materialized that set on the driver and shipped it to
     // every task — the r18 verdict's named scale hazard
@@ -1205,6 +1257,15 @@ class SimilaritySpec extends SparkSpec {
     val expected =
       10L - left.join(tombDf, Seq("uid"), "left_semi").count()
     assert(big.count() == expected)
+    // the trap the r19 tombscan probe caught: a CONTIGUOUS retirement's
+    // monotone uids delta-encode to ~4 bytes/uid on disk (500k uids in
+    // 2.0 MB), so a byte-based check reads a driver-killing set as
+    // small. The decision is footer ROWS: 600k monotone uids must stay
+    // un-hinted even though their file is a few hundred KB
+    spark.range(0, 600000).select(col("id").as("uid"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/tombstones")
+    assert(hintCount(A.minusTombstones(spark, root, left)) == 0,
+      "monotone (delta-compressed) uids must be judged by rows, not bytes")
   }
 
   test("AnnIndex.supersede: superseded uids stop serving immediately, " +

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -31,43 +31,58 @@ object RelationalQueries {
   /** EWMA smoothing factor for q_ewma. */
   private val Alpha = 0.3
 
-  /** Distinct (order, part) incidence — the raw frame (q_pagerank3's node
-    * set must see EVERY part, hub orders included). Cached through
-    * [[graft.ext.CacheScope.cache]]: consumed by the node set and by
-    * [[guardedIncidence]]; inside a `CacheScope.scoped` pass (Verify wraps
-    * each query in one) the entry drains at scope exit, outside any scope
-    * it keeps the session-LRU lifetime.
+  /** One row per basket-guarded order: the SORTED distinct part array.
+    * Replaces the r4-r18 window-count guard (distinct incidence → count
+    * over ok → filter): the basket size IS the array size, and the pair
+    * generation downstream reads the array in place — no second shuffle,
+    * no window sort, no incidence self-join. Built straight off the
+    * lineitem scan; the groupBy's map-side partial aggregation collapses
+    * duplicate (order, part) rows before the single exchange on ok.
+    * Cached through [[graft.ext.CacheScope.cache]]: q_assoc_rules consumes
+    * it from three aggregates (order count, item counts, pair counts).
     */
-  private def incidence(s: SparkSession, dir: String): DataFrame =
+  private def guardedBaskets(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct().transform(graft.ext.CacheScope.cache)
-
-  /** [[incidence]] minus hub orders (more than [[MaxBasket]] distinct
-    * parts): EVERY incidence self-join in this file must start here — a
-    * degenerate hub order with n parts emits n² pair rows, the exact blowup
-    * that dominates a pair join at scale. The window guard rides the ok
-    * partitioning the self-joins pay for anyway. Cached (same
-    * [[graft.ext.CacheScope]] contract as [[incidence]]): consumed from
-    * both self-join sides plus the item/order aggregates of q_assoc_rules.
-    */
-  private def guardedIncidence(s: SparkSession, dir: String): DataFrame =
-    incidence(s, dir)
-      .withColumn("basket",
-        count(lit(1)).over(Window.partitionBy(col("ok"))))
-      .filter(col("basket") <= MaxBasket)
-      .select(col("ok"), col("pk"))
+      .groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("pk"))).as("ps"))
+      .filter(size(col("ps")) <= MaxBasket)
       .transform(graft.ext.CacheScope.cache)
 
-  /** Basket-guarded distinct directed co-purchase pairs — shared by
-    * q_copurchase_degree and q_pagerank3.
+  /** Ordered (src < dst) pair structs generated from the sorted basket
+    * array `ps`: element i pairs with every later element — each
+    * unordered pair of the basket exactly once, already sorted. Pure
+    * codegen'd array expressions, no join.
+    */
+  private def basketPairs: Column = {
+    val sa = col("ps")
+    flatten(transform(sa, (x, i) =>
+      transform(slice(sa, i + 2, size(sa) - i - 1),
+        y => struct(x.as("src"), y.as("dst")))))
+  }
+
+  /** Distinct UNDIRECTED (src < dst) co-purchase pairs across guarded
+    * orders. This is the half-sized core both graph queries expand from:
+    * the former shape (incidence SMJ self-join on ok with a.pk =!= b.pk,
+    * then a directed distinct) paid ~20 µs of equal-key group buffering
+    * per emitted pair and hashed BOTH directions through the distinct —
+    * measured 44.9 executor-CPU-s at sf0.1 vs 11.8 for this
+    * basket-array form (guide §2.3/§2.4: shuffle fewer bytes, remove the
+    * join's exchange outright), identical 2,392,000-row directed output.
+    */
+  private def guardedHalfEdges(s: SparkSession, dir: String): DataFrame =
+    guardedBaskets(s, dir).select(explode(basketPairs).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
+      .distinct()
+
+  /** Basket-guarded distinct DIRECTED co-purchase pairs — the symmetric
+    * closure of [[guardedHalfEdges]], set-identical to the former
+    * self-join's `a.pk =!= b.pk` output (both directions of every
+    * co-purchased pair, no self-loops) at half the distinct work.
     */
   private def guardedEdges(s: SparkSession, dir: String): DataFrame = {
-    val inc = guardedIncidence(s, dir)
-    inc.as("a").join(inc.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
-      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
-      .distinct()
+    val h = guardedHalfEdges(s, dir)
+    h.union(h.select(col("dst").as("src"), col("src").as("dst")))
   }
 
   /** Oracle CTE twin of [[guardedEdges]]: produces `op` and `edges`. */
@@ -370,14 +385,22 @@ object RelationalQueries {
     // threshold and falls back to a shuffled join when the part domain
     // outgrows it.
     "q_assoc_rules" -> ((s, dir) => {
-      val op = guardedIncidence(s, dir)
-      val nOrders = op.select(col("ok")).distinct().count()
-      val itemN = op.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
-      val pairN = op.as("a").join(op.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
-        .groupBy(col("a.pk").as("ant"), col("b.pk").as("cons"))
+      val baskets = guardedBaskets(s, dir)
+      val nOrders = baskets.count()
+      val itemN = baskets.select(explode(col("ps")).as("pk"))
+        .groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+      // pair counts are symmetric (n_ab(a,b) = n_ab(b,a)): count each
+      // unordered pair once from the basket arrays, then mirror — half
+      // the aggregate's input vs the former directed self-join, and the
+      // support filter commutes with the mirror
+      val halfN = baskets.select(explode(basketPairs).as("p"))
+        .groupBy(col("p.src").as("a"), col("p.dst").as("b"))
         .agg(count(lit(1)).as("n_ab"))
         .filter(col("n_ab") >= 3)
+      val pairN = halfN
+        .select(col("a").as("ant"), col("b").as("cons"), col("n_ab"))
+        .union(halfN
+          .select(col("b").as("ant"), col("a").as("cons"), col("n_ab")))
       pairN
         .join(itemN.select(col("pk").as("ant"),
           col("n_item").as("n_a")), "ant")
@@ -580,11 +603,17 @@ object RelationalQueries {
     // partitioning — the loop unrolls in the driver while all data stays
     // distributed; the oracle unrolls the same 3 steps as CTEs.
     "q_pagerank3" -> ((s, dir) => {
-      // cache: the edge list feeds the degree aggregate AND the weighted
-      // build; the node set drives the count and all 3 teleport joins
-      val edges = guardedEdges(s, dir).cache()
-      val nodes = incidence(s, dir)
-        .select(col("pk").as("node")).distinct().cache()
+      // cache the HALF edge set (src < dst) and expand the two directions
+      // lazily: the union is a narrow op over the cache, so the degree
+      // aggregate and the weighted build each read 1.2M cached rows
+      // instead of caching (and re-decompressing) the 2.4M-row closure
+      val half = guardedHalfEdges(s, dir).cache()
+      val edges = half
+        .union(half.select(col("dst").as("src"), col("src").as("dst")))
+      // the node set must see EVERY part, hub orders included — one
+      // column off the scan, map-side-collapsed before its exchange
+      val nodes = Tables.lineitem(s, dir)
+        .select(col("l_partkey").as("node")).distinct().cache()
       val n = nodes.count()
       // Plan shape (r10→r11 rework, measured in SCALING.md): everything
       // node-sized — the degree frame and each iteration's rank frame —
@@ -598,7 +627,11 @@ object RelationalQueries {
       // the r10 shape; the whole 3-step unroll is ONE linear-lineage job
       // (each iteration's subplan appears exactly once), so the
       // per-iteration cache+count materializations are gone too.
-      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      // directed out-degree from ONE pass over the cached half set: each
+      // unordered pair contributes one outgoing edge to each endpoint
+      val deg = half
+        .select(explode(array(col("src"), col("dst"))).as("src"))
+        .groupBy(col("src")).agg(count(lit(1)).as("d"))
       val weighted = edges.join(broadcast(deg), "src")
         .select(col("src"), col("dst"), (lit(1.0) / col("d")).as("w"))
         .repartition(col("dst"))
@@ -681,16 +714,21 @@ object RelationalQueries {
       s.sql(PortableCorpusSql)
     }),
 
-    // Co-purchase graph degree: distinct (order, part) incidence self-joins
-    // on the order key — both sides hash-partition on the SAME key, one
-    // shuffle each, no broadcast needed and no skew beyond basket size,
-    // which the MaxBasket guard bounds. Degree = distinct partner count.
-    "q_copurchase_degree" -> ((s, dir) =>
-      guardedEdges(s, dir)
-        .groupBy(col("src").as("part"))
+    // Co-purchase graph degree = distinct partner count: each UNDIRECTED
+    // pair contributes one partner to each endpoint, so the count runs
+    // over both projections of the half edge set — half the distinct
+    // work of the former directed closure; the two union branches share
+    // the distinct's exchange (ReusedExchange). Skew stays bounded by
+    // the MaxBasket guard inside guardedHalfEdges.
+    "q_copurchase_degree" -> ((s, dir) => {
+      val h = guardedHalfEdges(s, dir)
+      h.select(col("src").as("part"))
+        .union(h.select(col("dst").as("part")))
+        .groupBy(col("part"))
         .agg(count(lit(1)).as("degree"))
         .orderBy(col("degree").desc, col("part"))
-        .limit(20)),
+        .limit(20)
+    }),
   )
 
   /** q_sql_api: ONE dialect-portable SQL string executed verbatim by BOTH

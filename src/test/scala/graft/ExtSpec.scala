@@ -88,6 +88,30 @@ class DedupSpec extends SparkSpec {
     assert(pairs((100L, 101L)) == 1.0)
   }
 
+  test("ngram jaccard: grouped-array pair path ≡ the self-join path when " +
+    "the DF cut never binds (r19 rewrite equivalence)") {
+    // a finite-but-slack cut routes through the grouped collect_list +
+    // ordered-pair transform; MaxValue keeps the r4-r18 self-join form —
+    // on data where the cut binds nothing, the two must agree exactly
+    val grouped = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      Seq("lang"), threshold = 0.1, maxShingleDocFreq = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val joined = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      Seq("lang"), threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(grouped == joined && grouped.nonEmpty)
+  }
+
+  test("minhash LSH: grouped-array candidate path ≡ the band self-join " +
+    "path when the bucket cap never binds (r19 rewrite equivalence)") {
+    val grouped = Dedup.minHashLsh(docs, "text", "doc_id",
+      maxBandBucket = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val joined = Dedup.minHashLsh(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(grouped == joined && grouped.nonEmpty)
+  }
+
   test("minhash band-bucket cap drops hot buckets deterministically") {
     import spark.implicits._
     // 12 exact copies → every band bucket holds 12 docs → capped away

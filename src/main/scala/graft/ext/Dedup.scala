@@ -89,17 +89,6 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Ordered (id_a < id_b) pair structs from a SORTED id array: element i
-    * pairs with every later element — each unordered pair exactly once,
-    * already in canonical order. Pure codegen'd array expressions; the
-    * caller guarantees the array is bounded (a hot-bucket/DF cap), so the
-    * quadratic emission stays per-group, never corpus-wide.
-    */
-  private def idPairs(ids: Column): Column =
-    flatten(transform(ids, (x, i) =>
-      transform(slice(ids, i + 2, size(ids) - i - 1),
-        y => struct(x.as("id_a"), y.as("id_b")))))
-
   /** N-gram Jaccard near-dup pairs. Candidates = same (`bucketCols`) block,
     * id < id (dedup + no self-pairs); |A∪B| computed as |A|+|B|-|A∩B| so
     * only one array intersection runs per pair.
@@ -133,47 +122,24 @@ object Dedup {
     // shingles with corpus DF ≤ maxShingleDocFreq; both |A∩B| and |A|,|B|
     // use the filtered sets — is exactly reproducible in the SQL oracle.
     // Shape: the hot list is tiny (only shingles with DF > f), so the
-    // anti-join broadcasts.
-    //
-    // |A∩B| per pair. With the DF cut active, every surviving shingle's
-    // doc list is BOUNDED (global df ≤ maxShingleDocFreq), so the pair
-    // stream comes from ONE exchange of the kept rows — group by
-    // (bucket, shingle), collect the sorted id array, and emit each
-    // ordered pair with a codegen'd array transform; the per-doc sizes
-    // ride the SAME grouped frame (ReuseExchange dedupes the shared
-    // aggregation subtree). The r4-r18 explode-self-join met the same
-    // pairs but paid three exchanges of the shingle stream (two join
-    // sides + a sizes pass over the kept rows) plus the SMJ's equal-key
-    // group buffering, and emitted both directions before the
-    // `id_a < id_b` cut (guide §2.3/§2.4 — the same rewrite as the
-    // co-purchase pair family, measured ~4× less executor CPU there).
-    // The uncut branch keeps the join form: an unbounded hot shingle
-    // would otherwise materialize its whole doc list in one aggregation
-    // buffer, exactly the blowup the cut exists to prevent.
-    val (inter, sizes) =
+    // anti-join broadcasts; sizes recompute from the filtered explode.
+    val (expl, sizes) =
       if (maxShingleDocFreq == Int.MaxValue) {
-        val joinKeys = bucketCols :+ "s"
-        val a = explAll.withColumnRenamed(idCol, "id_a")
-        val b = explAll.withColumnRenamed(idCol, "id_b")
-        (a.join(b, joinKeys).filter(col("id_a") < col("id_b"))
-          .groupBy(col("id_a"), col("id_b"))
-          .agg(count(lit(1)).as("n_inter")),
-          sh.select(col(idCol), size(col("g")).as("n_g")))
+        (explAll, sh.select(col(idCol), size(col("g")).as("n_g")))
       } else {
         val hot = explAll.groupBy(col("s"))
           .agg(count(lit(1)).as("df"))
           .filter(col("df") > maxShingleDocFreq)
           .select("s")
-        val grouped = explAll.join(broadcast(hot), Seq("s"), "left_anti")
-          .groupBy((bucketCols.map(col) :+ col("s")): _*)
-          .agg(sort_array(collect_list(col(idCol))).as("ids"))
-        (grouped.select(explode(idPairs(col("ids"))).as("p"))
-          .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-          .groupBy(col("id_a"), col("id_b"))
-          .agg(count(lit(1)).as("n_inter")),
-          grouped.select(explode(col("ids")).as(idCol))
-            .groupBy(col(idCol)).agg(count(lit(1)).as("n_g")))
+        val kept = explAll.join(broadcast(hot), Seq("s"), "left_anti")
+        (kept, kept.groupBy(col(idCol)).agg(count(lit(1)).as("n_g")))
       }
+    val joinKeys = bucketCols :+ "s"
+    val a = expl.withColumnRenamed(idCol, "id_a")
+    val b = expl.withColumnRenamed(idCol, "id_b")
+    val inter = a.join(b, joinKeys).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.withColumnRenamed(idCol, "id_a")
         .withColumnRenamed("n_g", "n_a"), "id_a")
@@ -272,32 +238,19 @@ object Dedup {
     // dominate the whole join at corpus scale. Buckets over the cap are
     // dropped entirely (deterministic, oracle-reproducible rule); the hot
     // list is tiny, so the anti-join broadcasts.
-    //
-    // Candidate pairs come from ONE exchange of the surviving band rows:
-    // group by band_key, collect the sorted id array (bounded ≤ the cap),
-    // and emit ordered pairs with a codegen'd array transform — the
-    // capped branch's former band self-join paid a second exchange plus
-    // equal-key buffering and emitted both directions before the
-    // `id_a < id_b` cut (guide §2.4; the co-purchase-family rewrite).
-    // The uncapped branch keeps the join: an unbounded hot bucket would
-    // materialize its whole doc list in one aggregation buffer.
-    val cands =
-      (if (maxBandBucket == Int.MaxValue) {
-        val a = bandedAll.withColumnRenamed(idCol, "id_a")
-        a.join(bandedAll.withColumnRenamed(idCol, "id_b"), Seq("band_key"))
-          .filter(col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b"))
-      } else {
+    val banded =
+      if (maxBandBucket == Int.MaxValue) bandedAll
+      else {
         val hot = bandedAll.groupBy(col("band_key"))
           .agg(count(lit(1)).as("df"))
           .filter(col("df") > maxBandBucket)
           .select("band_key")
         bandedAll.join(broadcast(hot), Seq("band_key"), "left_anti")
-          .groupBy(col("band_key"))
-          .agg(sort_array(collect_list(col(idCol))).as("ids"))
-          .select(explode(idPairs(col("ids"))).as("p"))
-          .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      }).distinct()
+      }
+    val cands = banded.withColumnRenamed(idCol, "id_a")
+      .join(banded.withColumnRenamed(idCol, "id_b"), Seq("band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
     // positional agreement rate — the unbiased MinHash Jaccard estimator
     val agree = aggregate(
       zip_with(col("sig_a"), col("sig_b"),

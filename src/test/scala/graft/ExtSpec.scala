@@ -88,28 +88,28 @@ class DedupSpec extends SparkSpec {
     assert(pairs((100L, 101L)) == 1.0)
   }
 
-  test("ngram jaccard: grouped-array pair path ≡ the self-join path when " +
-    "the DF cut never binds (r19 rewrite equivalence)") {
-    // a finite-but-slack cut routes through the grouped collect_list +
-    // ordered-pair transform; MaxValue keeps the r4-r18 self-join form —
-    // on data where the cut binds nothing, the two must agree exactly
-    val grouped = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+  test("ngram jaccard: the DF-cut branch with a never-binding cut ≡ the " +
+    "uncut branch (branch equivalence)") {
+    // a finite-but-slack cut routes through the hot-list anti-join branch;
+    // MaxValue skips it — on data where the cut binds nothing, the two
+    // branches must agree exactly
+    val cut = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
       Seq("lang"), threshold = 0.1, maxShingleDocFreq = 1000000)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val joined = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+    val uncut = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
       Seq("lang"), threshold = 0.1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(grouped == joined && grouped.nonEmpty)
+    assert(cut == uncut && cut.nonEmpty)
   }
 
-  test("minhash LSH: grouped-array candidate path ≡ the band self-join " +
-    "path when the bucket cap never binds (r19 rewrite equivalence)") {
-    val grouped = Dedup.minHashLsh(docs, "text", "doc_id",
+  test("minhash LSH: the capped branch with a never-binding cap ≡ the " +
+    "uncapped branch (branch equivalence)") {
+    val capped = Dedup.minHashLsh(docs, "text", "doc_id",
       maxBandBucket = 1000000)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val joined = Dedup.minHashLsh(docs, "text", "doc_id")
+    val uncapped = Dedup.minHashLsh(docs, "text", "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(grouped == joined && grouped.nonEmpty)
+    assert(capped == uncapped && capped.nonEmpty)
   }
 
   test("minhash band-bucket cap drops hot buckets deterministically") {

@@ -74,6 +74,13 @@ object RelationalQueries {
     guardedBaskets(s, dir).select(explode(basketPairs).as("p"))
       .select(col("p.src").as("src"), col("p.dst").as("dst"))
       .distinct()
+      // cached ([[graft.ext.CacheScope]] contract, same layering the old
+      // guardedIncidence had): every consumer expands it into BOTH
+      // directions via a two-branch union, and the branches do NOT share
+      // the distinct's exchange (measured — ReuseExchange does not fire
+      // across the renamed projections), so an uncached half set would
+      // pay the pair explode + distinct twice per consumer
+      .transform(graft.ext.CacheScope.cache)
 
   /** Basket-guarded distinct DIRECTED co-purchase pairs — the symmetric
     * closure of [[guardedHalfEdges]], set-identical to the former
@@ -603,11 +610,11 @@ object RelationalQueries {
     // partitioning — the loop unrolls in the driver while all data stays
     // distributed; the oracle unrolls the same 3 steps as CTEs.
     "q_pagerank3" -> ((s, dir) => {
-      // cache the HALF edge set (src < dst) and expand the two directions
-      // lazily: the union is a narrow op over the cache, so the degree
-      // aggregate and the weighted build each read 1.2M cached rows
-      // instead of caching (and re-decompressing) the 2.4M-row closure
-      val half = guardedHalfEdges(s, dir).cache()
+      // the HALF edge set is cached by its helper; expanding the two
+      // directions stays lazy, so the degree aggregate and the weighted
+      // build each read 1.2M cached rows instead of caching (and
+      // re-decompressing) the 2.4M-row closure
+      val half = guardedHalfEdges(s, dir)
       val edges = half
         .union(half.select(col("dst").as("src"), col("src").as("dst")))
       // the node set must see EVERY part, hub orders included — one

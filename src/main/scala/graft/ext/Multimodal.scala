@@ -21,6 +21,23 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // Every codec call here reads/writes in-memory byte arrays, but
+  // javax.imageio's STREAM factories default to DISK-backed caches:
+  // createImageInputStream / createImageOutputStream (and ImageIO.write's
+  // internal wrap) spill EVERY payload to a temp file and read it back —
+  // one create/write/read/delete syscall cycle per image. Measured (r19):
+  // that put q_multimodal_resize's executor CPU anywhere between 16 and
+  // 99 cpu-s at sf0.1 depending on filesystem/writeback state left by
+  // whatever ran before it (isolated 16.5; 45-85 right after the
+  // corpus-family's index/checkpoint writes) — per-query numbers swung
+  // ±5× on untouched code. In-memory stream caching removes the temp-file
+  // cycle entirely; decoded/encoded BYTES are bit-identical (the cache
+  // choice never affects codec output — oracle-gated regardless), and the
+  // heap cost is bounded by the same MaxRasterPixels/payload-size guards
+  // the codecs already enforce. Process-wide setting; this object is the
+  // library's only ImageIO user.
+  javax.imageio.ImageIO.setUseCache(false)
+
   case class MediaRow(doc_id: Long, payload: Array[Byte], format: String)
   case class DecodedRow(doc_id: Long, byte_len: Long, width: Long,
                         height: Long, n_frames: Long, format: String)

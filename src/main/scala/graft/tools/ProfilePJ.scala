@@ -33,9 +33,10 @@ object ProfilePJ {
       explode(Dedup.shingles(col("text"), 3)).as("s"))
     time("shx count")(println(shx.count()))
 
-    // prefix stage exactly as shipped: window dft, ranked, ulp-guarded cut
+    // r17-r19 shipped form: dft via count over Window.partitionBy(s) —
+    // kept here for the r20 A/B record against the agg+join form below
     val byDoc = Window.partitionBy(col("doc_id"))
-    val prefix = shx
+    val prefixWindowForm = shx
       .withColumn("dft", count(lit(1)).over(Window.partitionBy(col("s"))))
       .withColumn("pos",
         row_number().over(byDoc.orderBy(col("dft"), col("s"))))
@@ -43,8 +44,19 @@ object ProfilePJ {
       .filter(col("pos") <=
         col("n_g") - ceil(lit(threshold) * col("n_g") - 1e-9) + 1)
       .select(col("doc_id"), col("s"), col("pos"), col("n_g"))
+    time("prefix (window-dft form)")(println(
+      prefixWindowForm.write.format("noop").mode("overwrite").save()))
+    // r20 shipped form: dft pre-aggregate joined back (Dedup mirror)
+    val prefix = shx
+      .join(shx.groupBy(col("s")).agg(count(lit(1)).as("dft")), "s")
+      .withColumn("pos",
+        row_number().over(byDoc.orderBy(col("dft"), col("s"))))
+      .withColumn("n_g", count(lit(1)).over(byDoc))
+      .filter(col("pos") <=
+        col("n_g") - ceil(lit(threshold) * col("n_g") - 1e-9) + 1)
+      .select(col("doc_id"), col("s"), col("pos"), col("n_g"))
       .cache()
-    time("prefix materialize")(println(prefix.count()))
+    time("prefix (agg-dft form) materialize")(println(prefix.count()))
 
     val alpha = threshold / (1.0 + threshold)
     val raw = prefix.select(col("doc_id").as("id_a"), col("s"),

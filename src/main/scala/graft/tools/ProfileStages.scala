@@ -15,11 +15,12 @@ import org.apache.spark.sql.SparkSession
 object ProfileStages {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
+    val spark = graft.SessionTuning(SparkSession.builder()
+      .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     final case class St(id: Int, name: String, cpuSec: Double,
         wallSec: Double, tasks: Int, recordsIn: Long, shuffleReadMb: Double,
@@ -42,8 +43,13 @@ object ProfileStages {
       }
     })
     graft.SparkEntry.entry(spark).count()
+    // drain the listener bus before clearing, so late-arriving warm-up
+    // stage-completed events are never misattributed to the first
+    // profiled query (ADVICE r19)
+    org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
     for (q <- args.drop(1)) {
       spark.catalog.clearCache(); System.gc()
+      org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
       stages.synchronized(stages.clear())
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(q)(spark, dir).count()

@@ -342,14 +342,22 @@ class PhysicalSpec extends SparkSpec {
     df.collect()
     // the candidate-pair frame is cached; its windows live in the cached plan
     val ops = finalOpsWithCaches(df.queryExecution.executedPlan)
-    // three windows total: the dft count over the shingle partition, then
-    // row_number (ordered) and the partition-size count over doc_id. The
-    // TWO doc_id windows must share one partitioning: one Exchange, one
-    // Sort for both — the second diverging to its own spec would double
-    // the shuffle
+    // TWO windows total (r20): dft is a pre-AGGREGATE keyed by the shingle
+    // joined back (guide §2.3 — the r17 third window over the shingle
+    // partition exchanged and SORTED the full exploded stream), so the
+    // plan must carry a hash aggregate on s and only the two doc_id
+    // windows. Those two must still share one partitioning: one Exchange,
+    // one Sort for both — the second diverging to its own spec would
+    // double the shuffle.
     val allWins = ops.filter(o => line(o).startsWith("Window "))
-    assert(allWins.size == 3,
-      s"expected 3 window nodes:\n${df.queryExecution.executedPlan}")
+    assert(allWins.size == 2,
+      s"expected 2 window nodes:\n${df.queryExecution.executedPlan}")
+    assert(!allWins.exists(o => line(o).contains("[s#")),
+      s"dft must be an aggregate, not a shingle window:\n${
+        df.queryExecution.executedPlan}")
+    assert(ops.exists(o => line(o).startsWith("HashAggregate") &&
+      line(o).contains("keys=[s#")),
+      s"no shingle-keyed dft aggregate:\n${df.queryExecution.executedPlan}")
     val wins = allWins.filter(o => line(o).contains("[doc_id"))
     assert(wins.size == 2,
       s"expected 2 doc_id window nodes:\n${df.queryExecution.executedPlan}")
